@@ -1,0 +1,210 @@
+"""HTML boilerplate stripping via DOM block scoring (the north-star's
+Readability/Boilerpipe-style heuristic, built on stdlib ``html.parser``
+because no third-party HTML lib ships in this environment).
+
+Model: a linear pass segments the document into *text blocks* at
+block-level tag boundaries, tracking for each block
+
+* its visible text (entity-decoded, ASCII-whitespace-collapsed; NBSP is
+  preserved — the line normalizer downstream owns NBSP handling, parity
+  with reference parsers/base.py:18-19),
+* the number of characters contributed inside ``<a>`` elements,
+* whether it sits inside a structural boilerplate container
+  (nav/header/footer/aside/form/menu),
+* the block-level tag that opened it.
+
+Classification is a deterministic threshold rule (stable across runs
+and workers — a hard requirement for byte-identical output under Ray
+task retry):
+
+    content  ⇔  not in a boilerplate container
+                and link_density ≤ 1/3
+                and (word_count ≥ MIN_CONTENT_WORDS
+                     or (heading tag and word_count ≥ MIN_HEADING_WORDS))
+
+``extracted_text`` is the kept blocks joined with a single ``\\n`` (one
+block per line — the same line-stream shape the record extractors
+consume); ``spans`` carries (start, end, kind) offsets into it.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+from html.parser import HTMLParser
+
+MIN_CONTENT_WORDS = 5
+MIN_HEADING_WORDS = 1
+MAX_LINK_DENSITY = 1 / 3
+
+# Tags whose entire subtree is invisible.
+_DROP_SUBTREE = frozenset(
+    {"script", "style", "noscript", "template", "svg", "iframe", "head", "title",
+     "button", "select", "option", "datalist", "object", "embed"}
+)
+# Structural containers that are boilerplate by construction.
+_BOILERPLATE_CONTAINERS = frozenset({"nav", "header", "footer", "aside", "form", "menu"})
+# Tags that terminate the current text block.
+_BLOCK_TAGS = frozenset(
+    {"p", "div", "section", "article", "main", "body", "html", "header", "footer",
+     "nav", "aside", "h1", "h2", "h3", "h4", "h5", "h6", "ul", "ol", "li", "dl",
+     "dt", "dd", "table", "thead", "tbody", "tr", "td", "th", "blockquote", "pre",
+     "br", "hr", "form", "figure", "figcaption", "menu", "fieldset", "address"}
+)
+_HEADING_TAGS = frozenset({"h1", "h2", "h3", "h4", "h5", "h6"})
+# Collapse ASCII whitespace only; NBSP (\xa0) survives.
+_ASCII_WS_RE = re.compile(r"[ \t\r\n\f\v]+")
+_VOID_TAGS = frozenset({"br", "hr", "img", "input", "meta", "link", "area", "base",
+                        "col", "source", "track", "wbr"})
+
+
+@dataclass
+class Block:
+    text: str
+    tag: str
+    link_chars: int
+    total_chars: int
+    boilerplate_container: bool
+
+    @property
+    def words(self) -> int:
+        return len(self.text.split())
+
+    @property
+    def link_density(self) -> float:
+        return self.link_chars / self.total_chars if self.total_chars else 0.0
+
+    def is_content(self) -> bool:
+        if self.boilerplate_container:
+            return False
+        if self.link_density > MAX_LINK_DENSITY:
+            return False
+        w = self.words
+        if self.tag in _HEADING_TAGS:
+            return w >= MIN_HEADING_WORDS
+        return w >= MIN_CONTENT_WORDS
+
+
+class _BlockSegmenter(HTMLParser):
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.blocks: list[Block] = []
+        self._buf: list[str] = []
+        self._buf_link_chars = 0
+        self._buf_total_chars = 0
+        self._drop_depth = 0
+        self._anchor_depth = 0
+        self._container_depth = 0
+        self._open_block_tag = "div"
+        # tag stacks so malformed nesting can't underflow the counters
+        self._stack: list[str] = []
+
+    # -- tag events ------------------------------------------------------
+
+    def handle_starttag(self, tag: str, attrs) -> None:
+        if tag in _VOID_TAGS:
+            if tag in ("br", "hr"):
+                self._flush(self._open_block_tag)
+            return
+        self._stack.append(tag)
+        if tag in _DROP_SUBTREE:
+            self._drop_depth += 1
+            return
+        if tag in _BLOCK_TAGS:
+            # flush text gathered *before* this boundary, under the old
+            # container state
+            self._flush(self._open_block_tag)
+            self._open_block_tag = tag
+        if tag == "a":
+            self._anchor_depth += 1
+        if tag in _BOILERPLATE_CONTAINERS:
+            self._container_depth += 1
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag in _VOID_TAGS:
+            return
+        if tag in _BLOCK_TAGS:
+            # flush while the closing element's container state is live
+            self._flush(tag)
+        # unwind to the matching open tag, tolerating bad nesting
+        if tag in self._stack:
+            while self._stack:
+                top = self._stack.pop()
+                if top in _DROP_SUBTREE:
+                    self._drop_depth = max(0, self._drop_depth - 1)
+                if top == "a":
+                    self._anchor_depth = max(0, self._anchor_depth - 1)
+                if top in _BOILERPLATE_CONTAINERS:
+                    self._container_depth = max(0, self._container_depth - 1)
+                if top == tag:
+                    break
+
+    def handle_data(self, data: str) -> None:
+        if self._drop_depth or not data:
+            return
+        self._buf.append(data)
+        n = len(data)
+        self._buf_total_chars += n
+        if self._anchor_depth:
+            self._buf_link_chars += n
+
+    def close(self) -> None:
+        super().close()
+        self._flush(self._open_block_tag)
+
+    # -- block assembly --------------------------------------------------
+
+    def _flush(self, tag: str) -> None:
+        if not self._buf:
+            return
+        raw = "".join(self._buf)
+        text = _ASCII_WS_RE.sub(" ", raw).strip()
+        link_chars = self._buf_link_chars
+        total_chars = self._buf_total_chars
+        self._buf = []
+        self._buf_link_chars = 0
+        self._buf_total_chars = 0
+        if not text:
+            return
+        self.blocks.append(
+            Block(
+                text=text,
+                tag=tag,
+                link_chars=link_chars,
+                total_chars=total_chars,
+                boilerplate_container=self._container_depth > 0,
+            )
+        )
+
+
+def segment_blocks(html_text: str) -> list[Block]:
+    """Decoded markup -> ordered text blocks with density features."""
+    seg = _BlockSegmenter()
+    try:
+        seg.feed(html_text)
+        seg.close()
+    except Exception:
+        # html.parser is tolerant, but guard the pipeline: return what we
+        # segmented before the failure point
+        pass
+    return seg.blocks
+
+
+def extract_main_text(html_text: str) -> tuple[str, list[dict]]:
+    """Boilerplate-stripped main content + spans.
+
+    Returns ``(extracted_text, spans)`` where spans are
+    ``{start, end, kind}`` character offsets into the joined text, one
+    per kept block, ``kind`` = the opening block tag.
+    """
+    kept = [b for b in segment_blocks(html_text) if b.is_content()]
+    parts: list[str] = []
+    spans: list[dict] = []
+    pos = 0
+    for b in kept:
+        start = pos
+        parts.append(b.text)
+        pos += len(b.text)
+        spans.append({"start": start, "end": pos, "kind": b.tag})
+        pos += 1  # the joining "\n"
+    return "\n".join(parts), spans

@@ -1,0 +1,127 @@
+"""HTML boilerplate-stripping tests (the north-star's DOM
+text-density/link-density block scoring)."""
+
+from pdf_parser_ray.functions.charset import decode_payload, sniff_declared_charset
+from pdf_parser_ray.html.extract import extract_main_text, segment_blocks
+
+PAGE = """<!doctype html>
+<html><head><title>T</title><style>p{color:red}</style>
+<script>var x = "nav home about";</script></head>
+<body>
+<nav><a href="/">Home</a> <a href="/a">About</a> <a href="/c">Contact</a></nav>
+<header><div>Site name and tagline words words words</div></header>
+<main>
+<h1>The Article Title</h1>
+<p>This is the first real paragraph with enough words to count.</p>
+<p>Second paragraph also has plenty of words to be kept here.</p>
+<div><a href="/x">link</a> <a href="/y">farm</a> <a href="/z">of</a> <a href="/w">links</a></div>
+</main>
+<aside><p>Related stories with many words that should still be dropped</p></aside>
+<footer><p>Copyright words words words words words words</p></footer>
+</body></html>"""
+
+
+class TestExtraction:
+    def test_main_content_kept_boilerplate_dropped(self):
+        text, spans = extract_main_text(PAGE)
+        lines = text.split("\n")
+        assert lines == [
+            "The Article Title",
+            "This is the first real paragraph with enough words to count.",
+            "Second paragraph also has plenty of words to be kept here.",
+        ]
+        assert [s["kind"] for s in spans] == ["h1", "p", "p"]
+
+    def test_spans_offsets_roundtrip(self):
+        text, spans = extract_main_text(PAGE)
+        for s in spans:
+            assert "\n" not in text[s["start"] : s["end"]]
+        assert text[spans[0]["start"] : spans[0]["end"]] == "The Article Title"
+
+    def test_script_style_invisible(self):
+        assert "color:red" not in extract_main_text(PAGE)[0]
+        assert "var x" not in extract_main_text(PAGE)[0]
+
+    def test_link_density_drops_link_farm(self):
+        text, _ = extract_main_text(PAGE)
+        assert "farm" not in text
+
+    def test_nbsp_preserved(self):
+        html = "<p>keep the nbsp inside this long enough sentence</p>"
+        text, _ = extract_main_text(html)
+        assert " " in text
+
+    def test_entities_decoded(self):
+        html = "<p>Fish &amp; chips &#8211; the very best around here</p>"
+        text, _ = extract_main_text(html)
+        assert "Fish & chips – the very best" in text
+
+    def test_whitespace_collapsed(self):
+        html = "<p>many    spaces\n and \t tabs collapse into single spaces</p>"
+        text, _ = extract_main_text(html)
+        assert "many spaces and tabs collapse into single spaces" == text
+
+    def test_short_non_heading_dropped(self):
+        html = "<p>too short</p><p>this paragraph is long enough to be content</p>"
+        text, _ = extract_main_text(html)
+        assert text == "this paragraph is long enough to be content"
+
+    def test_malformed_html_tolerated(self):
+        html = "<div><p>unclosed paragraph with enough words to keep it<div>another " \
+               "block with plenty of words to be kept as well"
+        text, _ = extract_main_text(html)
+        assert "unclosed paragraph" in text
+        assert "another block" in text
+
+    def test_deterministic(self):
+        assert extract_main_text(PAGE) == extract_main_text(PAGE)
+
+    def test_empty(self):
+        assert extract_main_text("") == ("", [])
+
+
+class TestSegmentation:
+    def test_blocks_have_density_features(self):
+        blocks = segment_blocks("<nav><a href='/'>one two three four five six</a></nav>")
+        assert len(blocks) == 1
+        b = blocks[0]
+        assert b.boilerplate_container
+        assert b.link_density == 1.0
+
+
+class TestCharset:
+    def test_utf8_plain(self):
+        text, enc = decode_payload("héllo".encode("utf-8"))
+        assert text == "héllo" and enc == "utf-8"
+
+    def test_bom(self):
+        text, enc = decode_payload("﻿hi".encode("utf-8-sig") )
+        # utf-8-sig BOM path strips the BOM
+        assert enc == "utf-8-sig"
+
+    def test_declared_meta_charset(self):
+        raw = '<meta charset="windows-1252"><p>caf\xe9</p>'.encode("cp1252")
+        assert sniff_declared_charset(raw) == "windows-1252"
+        text, enc = decode_payload(raw)
+        assert "café" in text and enc == "windows-1252"
+
+    def test_http_equiv_form(self):
+        raw = ('<meta http-equiv="Content-Type" content="text/html; charset=iso-8859-1">'
+               "<p>na\xefve</p>").encode("latin-1")
+        text, enc = decode_payload(raw)
+        assert "naïve" in text and enc == "iso-8859-1"
+
+    def test_invalid_utf8_statistical_fallback(self):
+        # no BOM and no declared charset: the statistical path must still
+        # produce a deterministic, non-empty decode (exact recovery is not
+        # guaranteed on short inputs — fixtures always declare a charset)
+        raw = "déjà vu all over again, encore déjà".encode("cp1252")
+        text, enc = decode_payload(raw)
+        assert text and enc not in ("utf-8", "empty")
+
+    def test_empty(self):
+        assert decode_payload(b"") == ("", "empty")
+
+    def test_deterministic(self):
+        raw = "déjà vu".encode("cp1252")
+        assert decode_payload(raw) == decode_payload(raw)
