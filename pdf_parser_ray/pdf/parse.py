@@ -1,0 +1,594 @@
+"""From-scratch PDF text extraction (no third-party PDF library).
+
+Implements the north-star's "xref/object parse, page tree walk, text-run
+reordering by bounding box" directly:
+
+1. **Object scan** — every ``N G obj … endobj`` in the byte stream is
+   lexed with a recursive-descent parser for the PDF object grammar
+   (dicts, arrays, literal/hex strings, names, numbers, refs, streams).
+   Scanning all objects (rather than trusting the xref table) tolerates
+   mild corruption; the trailer/xref is still used to find ``/Root``.
+2. **Page tree walk** — ``/Root → /Pages → /Kids`` recursion; documents
+   without a usable catalog fall back to all ``/Type /Page`` objects in
+   object-number order.
+3. **Content interpretation** — ``BT/ET``, ``Td/TD/TL/Tm/T*``,
+   ``Tj/TJ/'/"``, ``Tf`` with full text-matrix + CTM (``q/Q/cm``)
+   tracking; each shown string becomes a positioned *text run*.
+4. **Layout reassembly** — runs cluster into lines by y within
+   ``y_tolerance`` and sort by x within a line (the same tolerances as
+   the reference's extraction call, x=2/y=3 at reference
+   parsers/base.py:31); lines join top-down with ``\\n``, pages with
+   ``\\n`` (reference base.py:27-33 semantics).
+
+Determinism note: run ordering uses stable sorts keyed only on content
+geometry, so identical bytes always yield identical text — required for
+byte-identical per-url output under Ray task retry.
+
+Simple fonts only (byte strings decode as Latin-1 ≈ WinAnsi/PDFDoc);
+``/FlateDecode`` and ``/ASCIIHexDecode`` stream filters; no encryption,
+CID fonts, or xref streams — the subset the fixture corpus exercises,
+co-designed per SURVEY.md §7.6.
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+from dataclasses import dataclass, field
+from typing import Any
+
+X_TOLERANCE = 2.0
+Y_TOLERANCE = 3.0
+
+_WS = b"\x00\t\n\x0c\r "
+_DELIM = b"()<>[]{}/%"
+
+_OBJ_HEAD_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b")
+_TRAILER_RE = re.compile(rb"trailer")
+
+
+class PDFSyntaxError(ValueError):
+    pass
+
+
+@dataclass(frozen=True)
+class Ref:
+    num: int
+    gen: int
+
+
+class Name(str):
+    """A PDF name token (distinct from a string value)."""
+
+
+@dataclass
+class Stream:
+    attrs: dict
+    raw: bytes
+
+    def data(self, doc: "PDFDocument | None" = None) -> bytes:
+        filt = self.attrs.get("Filter")
+        if doc is not None:
+            filt = doc.resolve(filt)
+        filters: list[Any]
+        if filt is None:
+            filters = []
+        elif isinstance(filt, list):
+            filters = filt
+        else:
+            filters = [filt]
+        out = self.raw
+        for f in filters:
+            name = str(f)
+            if name == "FlateDecode":
+                try:
+                    out = zlib.decompress(out)
+                except zlib.error:
+                    # tolerate trailing garbage after the deflate body
+                    d = zlib.decompressobj()
+                    out = d.decompress(out)
+            elif name == "ASCIIHexDecode":
+                hexbody = re.sub(rb"[^0-9A-Fa-f>]", b"", out).rstrip(b">")
+                if len(hexbody) % 2:
+                    hexbody += b"0"
+                out = bytes.fromhex(hexbody.decode("ascii"))
+            else:
+                raise PDFSyntaxError(f"unsupported stream filter {name}")
+        return out
+
+
+class _Lexer:
+    """Recursive-descent parser over the PDF object grammar."""
+
+    def __init__(self, data: bytes, pos: int = 0) -> None:
+        self.data = data
+        self.pos = pos
+
+    def _skip_ws(self) -> None:
+        d, n = self.data, len(self.data)
+        while self.pos < n:
+            c = d[self.pos]
+            if c in _WS:
+                self.pos += 1
+            elif c == 0x25:  # '%' comment to EOL
+                while self.pos < n and d[self.pos] not in (0x0A, 0x0D):
+                    self.pos += 1
+            else:
+                return
+
+    def _peek(self, k: int = 1) -> bytes:
+        return self.data[self.pos : self.pos + k]
+
+    def parse(self) -> Any:
+        self._skip_ws()
+        d = self.data
+        if self.pos >= len(d):
+            raise PDFSyntaxError("unexpected end of data")
+        c = d[self.pos]
+        if d.startswith(b"<<", self.pos):
+            return self._parse_dict()
+        if c == 0x3C:  # '<' hex string
+            return self._parse_hex_string()
+        if c == 0x5B:  # '['
+            return self._parse_array()
+        if c == 0x28:  # '('
+            return self._parse_literal_string()
+        if c == 0x2F:  # '/'
+            return self._parse_name()
+        if d.startswith(b"true", self.pos):
+            self.pos += 4
+            return True
+        if d.startswith(b"false", self.pos):
+            self.pos += 5
+            return False
+        if d.startswith(b"null", self.pos):
+            self.pos += 4
+            return None
+        return self._parse_number_or_ref()
+
+    def _parse_dict(self) -> Any:
+        self.pos += 2
+        out: dict = {}
+        while True:
+            self._skip_ws()
+            if self._peek(2) == b">>":
+                self.pos += 2
+                break
+            key = self.parse()
+            if not isinstance(key, Name):
+                raise PDFSyntaxError("dict key must be a name")
+            out[str(key)] = self.parse()
+        # a stream may follow the dict
+        self._skip_ws()
+        if self.data.startswith(b"stream", self.pos):
+            self.pos += len(b"stream")
+            if self.data.startswith(b"\r\n", self.pos):
+                self.pos += 2
+            elif self.data.startswith(b"\n", self.pos) or self.data.startswith(
+                b"\r", self.pos
+            ):
+                self.pos += 1
+            end = self.data.find(b"endstream", self.pos)
+            if end < 0:
+                raise PDFSyntaxError("unterminated stream")
+            raw = self.data[self.pos : end]
+            # strip the EOL that precedes 'endstream'
+            if raw.endswith(b"\r\n"):
+                raw = raw[:-2]
+            elif raw.endswith(b"\n") or raw.endswith(b"\r"):
+                raw = raw[:-1]
+            self.pos = end + len(b"endstream")
+            return Stream(out, raw)
+        return out
+
+    def _parse_array(self) -> list:
+        self.pos += 1
+        out = []
+        while True:
+            self._skip_ws()
+            if self._peek() == b"]":
+                self.pos += 1
+                return out
+            out.append(self.parse())
+
+    def _parse_name(self) -> Name:
+        self.pos += 1
+        start = self.pos
+        d, n = self.data, len(self.data)
+        buf = bytearray()
+        while self.pos < n:
+            c = d[self.pos]
+            if c in _WS or c in _DELIM:
+                break
+            if c == 0x23 and self.pos + 2 < n:  # '#xx' escape
+                buf += bytes.fromhex(d[self.pos + 1 : self.pos + 3].decode("ascii"))
+                self.pos += 3
+                continue
+            buf.append(c)
+            self.pos += 1
+        if self.pos == start and not buf:
+            return Name("")
+        return Name(buf.decode("latin-1"))
+
+    def _parse_literal_string(self) -> bytes:
+        self.pos += 1
+        d, n = self.data, len(self.data)
+        depth = 1
+        buf = bytearray()
+        while self.pos < n:
+            c = d[self.pos]
+            if c == 0x5C:  # backslash
+                self.pos += 1
+                if self.pos >= n:
+                    break
+                e = d[self.pos]
+                mapped = {
+                    0x6E: 0x0A,  # n
+                    0x72: 0x0D,  # r
+                    0x74: 0x09,  # t
+                    0x62: 0x08,  # b
+                    0x66: 0x0C,  # f
+                    0x28: 0x28,
+                    0x29: 0x29,
+                    0x5C: 0x5C,
+                }.get(e)
+                if mapped is not None:
+                    buf.append(mapped)
+                    self.pos += 1
+                elif 0x30 <= e <= 0x37:  # octal
+                    oct_digits = bytearray()
+                    while (
+                        self.pos < n and 0x30 <= d[self.pos] <= 0x37 and len(oct_digits) < 3
+                    ):
+                        oct_digits.append(d[self.pos])
+                        self.pos += 1
+                    buf.append(int(oct_digits.decode("ascii"), 8) & 0xFF)
+                elif e in (0x0A, 0x0D):  # line continuation
+                    self.pos += 1
+                    if e == 0x0D and self.pos < n and d[self.pos] == 0x0A:
+                        self.pos += 1
+                else:
+                    buf.append(e)
+                    self.pos += 1
+                continue
+            if c == 0x28:
+                depth += 1
+            elif c == 0x29:
+                depth -= 1
+                if depth == 0:
+                    self.pos += 1
+                    return bytes(buf)
+            buf.append(c)
+            self.pos += 1
+        return bytes(buf)
+
+    def _parse_hex_string(self) -> bytes:
+        self.pos += 1
+        end = self.data.find(b">", self.pos)
+        if end < 0:
+            raise PDFSyntaxError("unterminated hex string")
+        body = re.sub(rb"[^0-9A-Fa-f]", b"", self.data[self.pos : end])
+        self.pos = end + 1
+        if len(body) % 2:
+            body += b"0"
+        return bytes.fromhex(body.decode("ascii"))
+
+    _NUM_RE = re.compile(rb"[+-]?(?:\d+\.\d*|\.\d+|\d+)")
+    _REF_RE = re.compile(rb"(\d+)\s+(\d+)\s+R\b")
+
+    def _parse_number_or_ref(self) -> Any:
+        m = self._REF_RE.match(self.data, self.pos)
+        if m:
+            self.pos = m.end()
+            return Ref(int(m.group(1)), int(m.group(2)))
+        m = self._NUM_RE.match(self.data, self.pos)
+        if not m:
+            raise PDFSyntaxError(
+                f"cannot parse object at offset {self.pos}: {self.data[self.pos:self.pos+20]!r}"
+            )
+        self.pos = m.end()
+        tok = m.group(0)
+        if b"." in tok:
+            return float(tok)
+        return int(tok)
+
+
+@dataclass
+class PDFDocument:
+    objects: dict[int, Any] = field(default_factory=dict)
+    trailer: dict = field(default_factory=dict)
+
+    def resolve(self, obj: Any) -> Any:
+        seen = 0
+        while isinstance(obj, Ref):
+            obj = self.objects.get(obj.num)
+            seen += 1
+            if seen > 32:
+                raise PDFSyntaxError("reference cycle")
+        return obj
+
+    def pages(self) -> list[dict]:
+        root = self.resolve(self.trailer.get("Root"))
+        if isinstance(root, dict):
+            tree = self.resolve(root.get("Pages"))
+            if isinstance(tree, dict):
+                out: list[dict] = []
+                self._walk(tree, out, depth=0)
+                if out:
+                    return out
+        # fallback: any /Type /Page object, in object-number order
+        return [
+            obj
+            for _, obj in sorted(self.objects.items())
+            if isinstance(obj, dict) and str(obj.get("Type", "")) == "Page"
+        ]
+
+    def _walk(self, node: dict, out: list[dict], depth: int) -> None:
+        if depth > 64:
+            return
+        ntype = str(node.get("Type", ""))
+        if ntype == "Page":
+            out.append(node)
+            return
+        for kid in self.resolve(node.get("Kids")) or []:
+            kid = self.resolve(kid)
+            if isinstance(kid, dict):
+                self._walk(kid, out, depth + 1)
+
+
+def parse_document(data: bytes) -> PDFDocument:
+    """Scan every indirect object and the trailer dictionary."""
+    doc = PDFDocument()
+    for m in _OBJ_HEAD_RE.finditer(data):
+        num = int(m.group(1))
+        lex = _Lexer(data, m.end())
+        try:
+            doc.objects[num] = lex.parse()
+        except PDFSyntaxError:
+            continue
+    for m in _TRAILER_RE.finditer(data):
+        lex = _Lexer(data, m.end())
+        try:
+            t = lex.parse()
+        except PDFSyntaxError:
+            continue
+        if isinstance(t, dict):
+            doc.trailer.update(t)
+    if "Root" not in doc.trailer:
+        # some producers omit a classic trailer; find a catalog object
+        for num, obj in sorted(doc.objects.items()):
+            if isinstance(obj, dict) and str(obj.get("Type", "")) == "Catalog":
+                doc.trailer["Root"] = Ref(num, 0)
+                break
+    return doc
+
+
+# --------------------------------------------------------------------------
+# content-stream interpretation
+# --------------------------------------------------------------------------
+
+Matrix = tuple[float, float, float, float, float, float]
+_IDENTITY: Matrix = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
+
+
+def _mat_mul(a: Matrix, b: Matrix) -> Matrix:
+    """a then b (row-vector convention: p' = p · a · b)."""
+    a0, a1, a2, a3, a4, a5 = a
+    b0, b1, b2, b3, b4, b5 = b
+    return (
+        a0 * b0 + a1 * b2,
+        a0 * b1 + a1 * b3,
+        a2 * b0 + a3 * b2,
+        a2 * b1 + a3 * b3,
+        a4 * b0 + a5 * b2 + b4,
+        a4 * b1 + a5 * b3 + b5,
+    )
+
+
+def _translate(tx: float, ty: float) -> Matrix:
+    return (1.0, 0.0, 0.0, 1.0, tx, ty)
+
+
+@dataclass
+class TextRun:
+    x: float
+    y: float
+    text: str
+    size: float
+
+
+_OP_RE = re.compile(rb"[A-Za-z'\"][A-Za-z0-9*'\"]*")
+
+# average glyph width as a fraction of font size — used only to advance
+# the pen between consecutive shows on one line (ordering, not metrics)
+_AVG_GLYPH_W = 0.5
+
+
+class _ContentInterpreter:
+    def __init__(self) -> None:
+        self.runs: list[TextRun] = []
+        self.ctm: Matrix = _IDENTITY
+        self._gs_stack: list[Matrix] = []
+        self.tm: Matrix = _IDENTITY
+        self.tlm: Matrix = _IDENTITY
+        self.leading = 0.0
+        self.size = 0.0
+
+    def run(self, content: bytes) -> None:
+        lex = _Lexer(content)
+        operands: list[Any] = []
+        n = len(content)
+        while True:
+            lex._skip_ws()
+            if lex.pos >= n:
+                break
+            c = content[lex.pos]
+            if (
+                c in b"(<[/+-."
+                or 0x30 <= c <= 0x39
+                or content.startswith(b"true", lex.pos)
+                or content.startswith(b"false", lex.pos)
+                or content.startswith(b"null", lex.pos)
+            ):
+                try:
+                    operands.append(lex.parse())
+                except PDFSyntaxError:
+                    lex.pos += 1
+                continue
+            m = _OP_RE.match(content, lex.pos)
+            if not m:
+                lex.pos += 1
+                continue
+            op = m.group(0)
+            lex.pos = m.end()
+            if op == b"BI":
+                # inline image: skip to EI
+                end = content.find(b"EI", lex.pos)
+                lex.pos = len(content) if end < 0 else end + 2
+                operands = []
+                continue
+            self._apply(op, operands)
+            operands = []
+
+    # -- operator dispatch ----------------------------------------------
+
+    def _apply(self, op: bytes, args: list[Any]) -> None:
+        try:
+            if op == b"q":
+                self._gs_stack.append(self.ctm)
+            elif op == b"Q":
+                if self._gs_stack:
+                    self.ctm = self._gs_stack.pop()
+            elif op == b"cm" and len(args) >= 6:
+                self.ctm = _mat_mul(tuple(float(v) for v in args[-6:]), self.ctm)
+            elif op == b"BT":
+                self.tm = self.tlm = _IDENTITY
+            elif op == b"ET":
+                pass
+            elif op == b"Tf" and len(args) >= 1:
+                self.size = float(args[-1])
+            elif op == b"TL" and args:
+                self.leading = float(args[-1])
+            elif op == b"Td" and len(args) >= 2:
+                self._td(float(args[-2]), float(args[-1]))
+            elif op == b"TD" and len(args) >= 2:
+                self.leading = -float(args[-1])
+                self._td(float(args[-2]), float(args[-1]))
+            elif op == b"Tm" and len(args) >= 6:
+                self.tm = self.tlm = tuple(float(v) for v in args[-6:])
+            elif op == b"T*":
+                self._td(0.0, -self.leading)
+            elif op == b"Tj" and args:
+                self._show(args[-1])
+            elif op == b"'" and args:
+                self._td(0.0, -self.leading)
+                self._show(args[-1])
+            elif op == b'"' and len(args) >= 3:
+                self._td(0.0, -self.leading)
+                self._show(args[-1])
+            elif op == b"TJ" and args:
+                arr = args[-1]
+                if isinstance(arr, list):
+                    text = b"".join(e for e in arr if isinstance(e, bytes))
+                    self._show(text)
+        except (TypeError, ValueError):
+            pass
+
+    def _td(self, tx: float, ty: float) -> None:
+        self.tlm = _mat_mul(_translate(tx, ty), self.tlm)
+        self.tm = self.tlm
+
+    def _show(self, raw: Any) -> None:
+        if not isinstance(raw, (bytes, bytearray)):
+            return
+        text = bytes(raw).decode("latin-1")
+        if not text:
+            return
+        dev = _mat_mul(self.tm, self.ctm)
+        self.runs.append(TextRun(x=dev[4], y=dev[5], text=text, size=self.size))
+        # advance the pen by an approximate width so consecutive shows on
+        # one baseline keep their x-order
+        width = len(text) * (self.size or 12.0) * _AVG_GLYPH_W
+        self.tm = _mat_mul(_translate(width, 0.0), self.tm)
+
+
+def _page_content(doc: PDFDocument, page: dict) -> bytes:
+    contents = doc.resolve(page.get("Contents"))
+    parts: list[bytes] = []
+    if isinstance(contents, Stream):
+        parts.append(contents.data(doc))
+    elif isinstance(contents, list):
+        for c in contents:
+            c = doc.resolve(c)
+            if isinstance(c, Stream):
+                parts.append(c.data(doc))
+    return b"\n".join(parts)
+
+
+def assemble_lines(
+    runs: list[TextRun],
+    x_tolerance: float = X_TOLERANCE,
+    y_tolerance: float = Y_TOLERANCE,
+) -> str:
+    """Text runs -> page text: cluster into lines by y (tolerance 3),
+    order within a line by x, join runs with a single space when they are
+    separated by more than x_tolerance, lines top-down joined with \\n.
+    Mirrors the reference's extraction tolerances (base.py:31) at run
+    granularity."""
+    if not runs:
+        return ""
+    ordered = sorted(runs, key=lambda r: (-r.y, r.x))
+    lines: list[list[TextRun]] = []
+    current: list[TextRun] = [ordered[0]]
+    anchor_y = ordered[0].y
+    for r in ordered[1:]:
+        if anchor_y - r.y > y_tolerance:
+            lines.append(current)
+            current = [r]
+            anchor_y = r.y
+        else:
+            current.append(r)
+    lines.append(current)
+
+    out_lines: list[str] = []
+    for line in lines:
+        line.sort(key=lambda r: r.x)
+        pieces: list[str] = []
+        pen_x: float | None = None
+        for r in line:
+            if pen_x is None:
+                pieces.append(r.text)
+            elif r.x - pen_x > x_tolerance:
+                pieces.append(" ")
+                pieces.append(r.text)
+            else:
+                pieces.append(r.text)
+            pen_x = r.x + len(r.text) * (r.size or 12.0) * _AVG_GLYPH_W
+        out_lines.append("".join(pieces))
+    return "\n".join(out_lines)
+
+
+def extract_page_texts(data: bytes) -> list[str]:
+    """PDF bytes -> per-page layout-ordered text."""
+    doc = parse_document(data)
+    texts: list[str] = []
+    for page in doc.pages():
+        interp = _ContentInterpreter()
+        try:
+            interp.run(_page_content(doc, page))
+        except Exception:
+            pass
+        texts.append(assemble_lines(interp.runs))
+    return texts
+
+
+def extract_text(data: bytes) -> str:
+    """All pages joined with '\\n' — the reference's full-text contract
+    (base.py:27-33)."""
+    return "\n".join(extract_page_texts(data))
+
+
+def is_pdf(data: bytes) -> bool:
+    """Content-type detection by magic: the analogue of the reference's
+    implicit PDF-input assumption (SURVEY.md §2.2 C1)."""
+    return data[:1024].lstrip()[:5] == b"%PDF-" or data[:5] == b"%PDF-"

@@ -1,0 +1,173 @@
+"""From-scratch PDF parser tests: builder→extractor round-trips, layout
+reordering determinism, and robustness (SURVEY.md §7.6)."""
+
+import zlib
+
+import pytest
+
+from pdf_parser_ray.pdf.build import build_pdf
+from pdf_parser_ray.pdf.parse import (
+    Name,
+    Ref,
+    Stream,
+    _Lexer,
+    assemble_lines,
+    extract_page_texts,
+    extract_text,
+    is_pdf,
+    parse_document,
+    TextRun,
+)
+
+
+class TestLexer:
+    def parse(self, raw: bytes):
+        return _Lexer(raw).parse()
+
+    def test_dict_and_types(self):
+        obj = self.parse(b"<< /A 1 /B -2.5 /C (hi) /D <414243> /E [1 2 R 3] /F true /G null >>")
+        assert obj["A"] == 1
+        assert obj["B"] == -2.5
+        assert obj["C"] == b"hi"
+        assert obj["D"] == b"ABC"
+        assert obj["E"] == [Ref(1, 2), 3]
+        assert obj["F"] is True
+        assert obj["G"] is None
+
+    def test_nested_dict(self):
+        obj = self.parse(b"<< /Font << /F1 3 0 R >> >>")
+        assert obj["Font"]["F1"] == Ref(3, 0)
+
+    def test_name_with_escape(self):
+        assert self.parse(b"/A#20B") == Name("A B")
+
+    def test_literal_string_escapes(self):
+        assert self.parse(rb"(a\(b\)c\\d\n\101)") == b"a(b)c\\d\nA"
+
+    def test_nested_parens(self):
+        assert self.parse(b"(a (b) c)") == b"a (b) c"
+
+    def test_comment_skipped(self):
+        assert self.parse(b"% hi\n42") == 42
+
+    def test_stream(self):
+        obj = self.parse(b"<< /Length 5 >>\nstream\nhello\nendstream")
+        assert isinstance(obj, Stream)
+        assert obj.data() == b"hello"
+
+    def test_flate_stream(self):
+        data = zlib.compress(b"payload")
+        raw = b"<< /Length %d /Filter /FlateDecode >>\nstream\n" % len(data) + data + b"\nendstream"
+        assert self.parse(raw).data() == b"payload"
+
+
+class TestRoundTrip:
+    def test_single_page(self):
+        pdf = build_pdf([["line one here", "line two here"]])
+        assert is_pdf(pdf)
+        assert extract_text(pdf) == "line one here\nline two here"
+
+    def test_multi_page_joined_with_newline(self):
+        pdf = build_pdf([["page one text"], ["page two text"]])
+        assert extract_page_texts(pdf) == ["page one text", "page two text"]
+        assert extract_text(pdf) == "page one text\npage two text"
+
+    def test_uncompressed(self):
+        pdf = build_pdf([["plain body"]], compress=False)
+        assert extract_text(pdf) == "plain body"
+
+    def test_multi_run_line_space_joined(self):
+        # two far-apart runs on one baseline -> single space between them
+        pdf = build_pdf([[[(72.0, "1/5 ACH CREDIT"), (400.0, "1,500.00")]]])
+        assert extract_text(pdf) == "1/5 ACH CREDIT 1,500.00"
+
+    def test_scrambled_stream_order_reassembled(self):
+        # identical geometry, reversed emission order -> identical text
+        lines = [
+            "first line of the page",
+            [(72.0, "second"), (200.0, "line"), (300.0, "columns")],
+            "third line here",
+        ]
+        a = extract_text(build_pdf([lines]))
+        b = extract_text(build_pdf([lines], shuffle_order=True))
+        assert a == b
+        assert a == "first line of the page\nsecond line columns\nthird line here"
+
+    def test_escapes_round_trip(self):
+        pdf = build_pdf([["parens (kept) and back\\slash"]])
+        assert extract_text(pdf) == "parens (kept) and back\\slash"
+
+    def test_latin1_text(self):
+        pdf = build_pdf([["café naïve déjà"]])
+        assert extract_text(pdf) == "café naïve déjà"
+
+    def test_statement_through_pdf(self):
+        # bank-statement lines survive the full PDF round trip
+        from pdf_parser_ray.extractors import REGISTRY
+        from pdf_parser_ray.functions.scalars import text_to_lines
+
+        lines = [
+            "Bank statement 2024",
+            "1/5 ACH CREDIT ACME PAYROLL 1,500.00 2,500.00",
+            "1/7 CHECK 1021 200.00 2,300.00",
+        ]
+        pdf = build_pdf([lines])
+        text = extract_text(pdf)
+        recs = REGISTRY["generic"](text_to_lines(text), text, 2024)
+        assert [r["amount"] for r in recs] == [1500.0, 200.0]
+
+    def test_deterministic_build_and_parse(self):
+        pdf1 = build_pdf([["same text"]])
+        pdf2 = build_pdf([["same text"]])
+        assert pdf1 == pdf2
+        assert extract_text(pdf1) == extract_text(pdf2)
+
+
+class TestAssembly:
+    def test_y_tolerance_clusters(self):
+        runs = [
+            TextRun(x=72, y=700.0, text="a", size=12),
+            TextRun(x=100, y=698.5, text="b", size=12),  # within tol 3
+            TextRun(x=72, y=680.0, text="c", size=12),
+        ]
+        assert assemble_lines(runs) == "a b\nc"
+
+    def test_x_ordering_within_line(self):
+        runs = [
+            TextRun(x=300, y=700, text="right", size=12),
+            TextRun(x=72, y=700, text="left", size=12),
+        ]
+        assert assemble_lines(runs) == "left right"
+
+    def test_adjacent_runs_concatenated(self):
+        runs = [
+            TextRun(x=72, y=700, text="conca", size=12),
+            # pen after "conca" = 72 + 5*12*0.5 = 102; within x_tol 2
+            TextRun(x=103.0, y=700, text="tenated", size=12),
+        ]
+        assert assemble_lines(runs) == "concatenated"
+
+    def test_empty(self):
+        assert assemble_lines([]) == ""
+
+
+class TestRobustness:
+    def test_not_a_pdf(self):
+        assert extract_text(b"garbage bytes") == ""
+        assert not is_pdf(b"<html></html>")
+
+    def test_truncated_pdf(self):
+        pdf = build_pdf([["some content here"]])
+        # chop the trailer off — object scan should still find the page
+        assert "some content" in extract_text(pdf[: len(pdf) - 80])
+
+    def test_is_pdf_with_leading_whitespace(self):
+        assert is_pdf(b"\n%PDF-1.4 rest")
+
+    def test_reference_cycle_tolerated(self):
+        raw = (
+            b"%PDF-1.4\n1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+            b"2 0 obj\n<< /Type /Pages /Kids [2 0 R] /Count 1 >>\nendobj\n"
+            b"trailer\n<< /Root 1 0 R >>"
+        )
+        assert extract_text(raw) == ""
