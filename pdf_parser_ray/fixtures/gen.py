@@ -1,0 +1,244 @@
+"""Deterministic synthetic pages corpus + goldens (SURVEY.md §7.1).
+
+Derives a Common-Crawl-style ``pages`` table — exactly the
+BASELINE.json ``input_hint`` schema ``(url, warc_ts, html, text, lang)``
+— from the driver-provided ``documents`` table of an sf directory, with
+no external data and no wall clock:
+
+* ~90% of rows wrap a document's text in generated HTML boilerplate
+  (nav/header/footer/aside/link farms) under one of several charsets
+  declared via ``<meta charset=…>``, with NBSP / en-dash cases mixed in;
+* ~10% of rows are generator-built PDFs (valid xref, FlateDecode
+  content streams) carrying bank-statement line streams cycling through
+  every registered rule-set;
+
+and the matching ``golden`` table of expected per-url output.  Golden
+``extracted_text`` for HTML rows is *constructed from generator
+knowledge* (the known content paragraphs), independent of the extractor
+code, so the byte-identity test is a real oracle.  PDF golden text is the
+known statement lines; golden ``parser_key``/``records`` are produced by
+the (separately unit-tested) detection + rule-set layer at build time.
+
+Everything is keyed on (seed, doc_id, replica) so any subset of rows can
+be regenerated independently — the property that makes resumable,
+retry-safe generation possible at scale.
+"""
+
+from __future__ import annotations
+
+import html as html_mod
+import random
+import re
+
+import pyarrow as pa
+
+from ..extractors import detect_source, get_extractor
+from ..schemas import RECORD_TYPE
+from ..functions.directions import normalize_records
+from ..functions.scalars import text_to_lines
+from ..pdf.build import build_pdf
+from .statements import BANK_CYCLE, STATEMENT_BUILDERS
+
+_ASCII_WS_RE = re.compile(r"[ \t\r\n\f\v]+")
+_ENCODINGS = ("utf-8", "cp1252", "latin-1", "utf-8")
+
+_EPOCH_2024_US = 1_704_067_200_000_000  # 2024-01-01T00:00:00Z in microseconds
+
+
+def _norm_ws(s: str) -> str:
+    """The generator-side mirror of the HTML extractor's whitespace rule:
+    collapse ASCII whitespace runs, strip (NBSP untouched)."""
+    return _ASCII_WS_RE.sub(" ", s).strip()
+
+
+def _paragraphs(words: list[str], rng: random.Random) -> list[str]:
+    """Chunk a word list into paragraphs of >=5 words (the content
+    threshold) with seeded sizes."""
+    paras: list[str] = []
+    i = 0
+    while i < len(words):
+        size = rng.randint(8, 18)
+        chunk = words[i : i + size]
+        i += size
+        if len(chunk) < 5 and paras:
+            paras[-1] = paras[-1] + " " + " ".join(chunk)
+        elif len(chunk) >= 5:
+            paras.append(" ".join(chunk))
+    return paras or ["fallback content paragraph with enough words here"]
+
+
+def _html_page(
+    doc_text: str, doc_id: int, replica: int, rng: random.Random
+) -> tuple[bytes, str, list[str], str]:
+    """-> (payload_bytes, encoding, golden_lines, title)."""
+    words = doc_text.split()
+    title = " ".join(words[:3]) or f"untitled {doc_id}"
+    paras = _paragraphs(words[3:], rng)
+
+    # NBSP / dash cases for the charset+normalization path
+    if rng.random() < 0.3 and paras:
+        paras[-1] = paras[-1] + " extra – dashed text here"
+
+    golden_lines = [_norm_ws(title)] + [_norm_ws(p) for p in paras]
+
+    nav_links = " ".join(
+        f'<a href="/s{doc_id}/{k}">{w}</a>'
+        for k, w in enumerate(["home", "about", "contact", "archive"][: rng.randint(2, 4)])
+    )
+    farm = " ".join(
+        f'<a href="/t/{k}">tag{k}</a>' for k in range(rng.randint(4, 9))
+    )
+    enc = _ENCODINGS[(doc_id + replica) % len(_ENCODINGS)]
+    body_paras = "\n".join(f"<p>{html_mod.escape(p)}</p>" for p in paras)
+    page = f"""<!doctype html>
+<html><head><meta charset="{enc}"><title>site{doc_id}</title>
+<style>p {{ margin: 0 }}</style><script>var nav = "home about";</script></head>
+<body>
+<nav>{nav_links}</nav>
+<header><div>site{doc_id} tagline words and more words</div></header>
+<main>
+<h1>{html_mod.escape(title)}</h1>
+{body_paras}
+<div>{farm}</div>
+</main>
+<aside><p>related links and many promotional words that are dropped</p></aside>
+<footer><p>copyright words words words words words footer</p></footer>
+</body></html>"""
+    try:
+        payload = page.encode(enc)
+    except UnicodeEncodeError:
+        enc = "utf-8"
+        page = page.replace('charset="cp1252"', 'charset="utf-8"').replace(
+            'charset="latin-1"', 'charset="utf-8"'
+        )
+        payload = page.encode("utf-8")
+    return payload, enc, golden_lines, title
+
+
+def _pdf_page(
+    doc_id: int, replica: int, year: int, rng: random.Random
+) -> tuple[bytes, list[str], str]:
+    """-> (payload_bytes, golden_lines, bank_key)."""
+    bank = BANK_CYCLE[(doc_id + replica) % len(BANK_CYCLE)]
+    lines = STATEMENT_BUILDERS[bank](rng, year)
+    # split across two pages sometimes; scramble stream order sometimes —
+    # the extractor must reassemble by bbox either way
+    if len(lines) > 4 and rng.random() < 0.5:
+        pages = [lines[:3], lines[3:]]
+    else:
+        pages = [lines]
+    payload = build_pdf(pages, shuffle_order=rng.random() < 0.5)
+    return payload, lines, bank
+
+
+def synthesize_pages(
+    documents: pa.Table,
+    *,
+    seed: int = 42,
+    replicate: int = 1,
+    pdf_fraction: float = 0.1,
+) -> tuple[pa.Table, pa.Table]:
+    """documents table -> (pages table, golden table)."""
+    doc_ids = documents.column("doc_id").to_pylist()
+    texts = documents.column("text").to_pylist()
+    langs = documents.column("lang").to_pylist()
+
+    urls, tss, payloads, snippets, out_langs = [], [], [], [], []
+    g_urls, g_texts, g_keys, g_records, g_kinds = [], [], [], [], []
+
+    for replica in range(replicate):
+        for doc_id, doc_text, lang in zip(doc_ids, texts, langs):
+            rng = random.Random(f"{seed}:{doc_id}:{replica}")
+            url = f"https://site{doc_id}.example/r{replica}/p{doc_id}"
+            ts = _EPOCH_2024_US + (doc_id * 86_400 + replica * 997) * 1_000_000
+            year = 2024
+            if rng.random() < pdf_fraction:
+                payload, golden_lines, _bank = _pdf_page(doc_id, replica, year, rng)
+                kind = "pdf"
+            else:
+                payload, _enc, golden_lines, _title = _html_page(
+                    doc_text, doc_id, replica, rng
+                )
+                kind = "html"
+            golden_text = "\n".join(golden_lines)
+            parser_key = detect_source(golden_text)
+            records = normalize_records(
+                get_extractor(parser_key)(
+                    text_to_lines(golden_text), golden_text, year
+                )
+            )
+
+            urls.append(url)
+            tss.append(ts)
+            payloads.append(payload)
+            snippets.append(doc_text[:100])
+            out_langs.append(lang)
+            g_urls.append(url)
+            g_texts.append(golden_text)
+            g_keys.append(parser_key)
+            g_records.append(records)
+            g_kinds.append(kind)
+
+    pages = pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "warc_ts": pa.array(tss, pa.timestamp("us")),
+            "html": pa.array(payloads, pa.binary()),
+            "text": pa.array(snippets, pa.string()),
+            "lang": pa.array(out_langs, pa.string()),
+        }
+    )
+    golden = pa.table(
+        {
+            "url": pa.array(g_urls, pa.string()),
+            "content_type": pa.array(g_kinds, pa.string()),
+            "extracted_text": pa.array(g_texts, pa.large_string()),
+            "parser_key": pa.array(g_keys, pa.string()),
+            "records": pa.array(g_records, pa.list_(RECORD_TYPE)),
+        }
+    )
+    return pages, golden
+
+
+def synthesize_to_dir(
+    sf_dir: str,
+    out_dir: str,
+    *,
+    seed: int = 42,
+    replicate: int = 1,
+    pdf_fraction: float = 0.1,
+    shards: int = 8,
+) -> tuple[str, str]:
+    """Build (once) and cache the pages corpus + goldens for an sf dir.
+
+    Pages are written as ``shards`` separate parquet files — the unit of
+    read parallelism and of resume lineage downstream.
+    """
+    import os
+
+    import pyarrow.parquet as pq
+
+    tag = f"seed{seed}_rep{replicate}_pdf{int(pdf_fraction * 100)}"
+    pages_dir = os.path.join(out_dir, f"pages_{tag}")
+    golden_path = os.path.join(out_dir, f"golden_{tag}.parquet")
+    done_marker = os.path.join(pages_dir, "_DONE")
+    if os.path.exists(done_marker) and os.path.exists(golden_path):
+        return pages_dir, golden_path
+
+    documents = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text", "lang"]
+    )
+    pages, golden = synthesize_pages(
+        documents, seed=seed, replicate=replicate, pdf_fraction=pdf_fraction
+    )
+    os.makedirs(pages_dir, exist_ok=True)
+    n = pages.num_rows
+    per = max(1, (n + shards - 1) // shards)
+    for s in range(0, n, per):
+        pq.write_table(
+            pages.slice(s, per), os.path.join(pages_dir, f"part-{s // per:05d}.parquet")
+        )
+    pq.write_table(golden, golden_path)
+    with open(done_marker, "w") as f:
+        f.write("ok")
+    return pages_dir, golden_path

@@ -1,0 +1,56 @@
+"""Flagship pipeline: read pages parquet -> fused extraction actor pool
+-> (optionally) partitioned parquet out.
+
+Pure ``Dataset`` composition — lazy, streaming, no mid-pipeline
+materialization.  Scale knobs:
+
+* ``batch_size`` is small (default 64 rows) because the ``html`` payload
+  column is wide; batch bytes ≈ rows × mean payload, and the actor holds
+  one decoded document at a time.
+* ``concurrency`` sizes the extraction actor pool.  Leave 1-2 CPUs of
+  headroom for the read/write stages so the pipeline doesn't serialize
+  (a pool that reserves every CPU starves I/O).
+* Reads prune to the five input columns explicitly; extraction drops the
+  payload column so everything downstream of the actor pool is narrow.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import ray.data as rd
+
+from ..stages.extract import ExtractPages
+
+PAGES_COLUMNS = ["url", "warc_ts", "html", "text", "lang"]
+DEFAULT_BATCH_SIZE = 64
+
+
+def read_pages(paths: str | list[str], **read_kwargs: Any) -> rd.Dataset:
+    return rd.read_parquet(paths, columns=PAGES_COLUMNS, **read_kwargs)
+
+
+def build_extraction_pipeline(
+    pages: rd.Dataset,
+    *,
+    concurrency: int | tuple[int, int] = 4,
+    batch_size: int = DEFAULT_BATCH_SIZE,
+) -> rd.Dataset:
+    return pages.map_batches(
+        ExtractPages,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def extract_dir(
+    pages_dir: str,
+    *,
+    concurrency: int | tuple[int, int] = 4,
+    batch_size: int = DEFAULT_BATCH_SIZE,
+) -> rd.Dataset:
+    return build_extraction_pipeline(
+        read_pages(pages_dir), concurrency=concurrency, batch_size=batch_size
+    )

@@ -1,0 +1,116 @@
+"""End-to-end pipeline tests: synthesize the pages corpus from the
+driver's sf0.001 documents table, run the Ray Data extraction pipeline,
+and check byte-identical extracted text per url against the generator
+goldens (the north-rule invariant)."""
+
+import os
+
+import pyarrow.parquet as pq
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    from pdf_parser_ray.fixtures.gen import synthesize_to_dir
+
+    out = str(tmp_path_factory.mktemp("corpus"))
+    pages_dir, golden_path = synthesize_to_dir(SF_DIR, out, shards=4)
+    return pages_dir, golden_path
+
+
+@pytest.fixture(scope="module")
+def extracted(ray_session, quiet_data_context, corpus):
+    from pdf_parser_ray.pipelines.extract import extract_dir
+
+    pages_dir, golden_path = corpus
+    ds = extract_dir(pages_dir, concurrency=2, batch_size=32)
+    table = ds.to_arrow_refs()
+    import pyarrow as pa
+    import ray
+
+    out = pa.concat_tables([ray.get(r) for r in table])
+    golden = pq.read_table(golden_path)
+    return out, golden
+
+
+class TestGeneration:
+    def test_pages_schema_and_shards(self, corpus):
+        pages_dir, _ = corpus
+        parts = sorted(p for p in os.listdir(pages_dir) if p.endswith(".parquet"))
+        assert len(parts) == 4
+        schema = pq.read_schema(os.path.join(pages_dir, parts[0]))
+        assert schema.names == ["url", "warc_ts", "html", "text", "lang"]
+
+    def test_generation_deterministic(self, corpus, tmp_path):
+        from pdf_parser_ray.fixtures.gen import synthesize_pages
+
+        docs = pq.read_table(
+            os.path.join(SF_DIR, "documents.parquet"), columns=["doc_id", "text", "lang"]
+        )
+        p1, g1 = synthesize_pages(docs)
+        p2, g2 = synthesize_pages(docs)
+        assert p1.equals(p2) and g1.equals(g2)
+
+    def test_mix_of_kinds(self, corpus):
+        _, golden_path = corpus
+        kinds = pq.read_table(golden_path).column("content_type").to_pylist()
+        assert kinds.count("pdf") > 10
+        assert kinds.count("html") > kinds.count("pdf")
+
+
+class TestExtraction:
+    def test_row_count(self, extracted):
+        out, golden = extracted
+        assert out.num_rows == golden.num_rows
+
+    def test_byte_identical_text_per_url(self, extracted):
+        out, golden = extracted
+        got = dict(zip(out.column("url").to_pylist(), out.column("extracted_text").to_pylist()))
+        exp = dict(zip(golden.column("url").to_pylist(), golden.column("extracted_text").to_pylist()))
+        mismatches = [u for u in exp if got.get(u) != exp[u]]
+        if mismatches:
+            u = mismatches[0]
+            assert got.get(u) == exp[u], f"url={u} ({len(mismatches)} mismatched)"
+        assert not mismatches
+
+    def test_parser_keys_match(self, extracted):
+        out, golden = extracted
+        got = dict(zip(out.column("url").to_pylist(), out.column("parser_key").to_pylist()))
+        exp = dict(zip(golden.column("url").to_pylist(), golden.column("parser_key").to_pylist()))
+        assert got == exp
+        assert set(exp.values()) >= {"generic", "chase", "bofa", "wf", "citi", "truist"}
+
+    def test_records_match(self, extracted):
+        out, golden = extracted
+        got = dict(zip(out.column("url").to_pylist(), out.column("records").to_pylist()))
+        exp = dict(zip(golden.column("url").to_pylist(), golden.column("records").to_pylist()))
+        assert got == exp
+        n_with_records = sum(1 for v in exp.values() if v)
+        assert n_with_records > 10  # every statement page yields records
+
+    def test_records_invariants(self, extracted):
+        out, _ = extracted
+        for recs in out.column("records").to_pylist():
+            dates = [r["date"] for r in recs]
+            assert dates == sorted(dates)
+            for r in recs:
+                assert r["amount"] >= 0
+                assert r["direction"] in ("in", "out", "unknown")
+
+    def test_spans_offsets_valid(self, extracted):
+        out, _ = extracted
+        for text, spans in zip(
+            out.column("extracted_text").to_pylist(), out.column("spans").to_pylist()
+        ):
+            for s in spans:
+                assert 0 <= s["start"] <= s["end"] <= len(text)
+
+    def test_bucket_range(self, extracted):
+        out, _ = extracted
+        from pdf_parser_ray.schemas import NUM_BUCKETS
+
+        buckets = set(out.column("bucket").to_pylist())
+        assert all(0 <= b < NUM_BUCKETS for b in buckets)
+        assert len(buckets) > 16  # spread over many buckets
