@@ -1,0 +1,90 @@
+"""Resume semantics: a job killed between shard groups skips completed
+groups on restart and produces identical final output (SURVEY.md §5.2-4)."""
+
+import json
+import os
+
+import pyarrow.parquet as pq
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def pages_dir(tmp_path_factory):
+    from pdf_parser_ray.fixtures.gen import synthesize_to_dir
+
+    out = str(tmp_path_factory.mktemp("resume_corpus"))
+    pages_dir, _ = synthesize_to_dir(SF_DIR, out, shards=4)
+    return pages_dir
+
+
+def read_all(out_dir):
+    tables = []
+    for shard in sorted(os.listdir(out_dir)):
+        if not shard.startswith("shard="):
+            continue
+        for f in sorted(os.listdir(os.path.join(out_dir, shard))):
+            if f.endswith(".parquet"):
+                tables.append(
+                    pq.read_table(
+                        os.path.join(out_dir, shard, f),
+                        columns=["url", "content_sha256"],
+                    )
+                )
+    import pyarrow as pa
+
+    t = pa.concat_tables(tables)
+    return dict(zip(t.column("url").to_pylist(), t.column("content_sha256").to_pylist()))
+
+
+class TestResume:
+    def test_groups_deterministic(self, pages_dir):
+        from pdf_parser_ray.state.manifest import list_shard_groups
+
+        g1 = list_shard_groups(pages_dir, 2)
+        g2 = list_shard_groups(pages_dir, 2)
+        assert g1 == g2
+        assert len(g1) == 2
+
+    def test_full_run_writes_manifests(self, ray_session, quiet_data_context, pages_dir, tmp_path):
+        from pdf_parser_ray.state.manifest import run_job
+
+        out = str(tmp_path / "out_full")
+        summary = run_job(pages_dir, out, group_size=2, concurrency=2)
+        assert summary["groups"] == 2 and summary["skipped"] == 0
+        manifests = sorted(os.listdir(os.path.join(out, "_manifest")))
+        assert manifests == ["00000.json", "00001.json"]
+        m = json.load(open(os.path.join(out, "_manifest", "00000.json")))
+        assert m["rows"] > 0 and m["rows_per_sec"] > 0 and m["content_hash_rollup"]
+
+    def test_resume_skips_completed_and_output_identical(
+        self, ray_session, quiet_data_context, pages_dir, tmp_path
+    ):
+        from pdf_parser_ray.state.manifest import run_job
+
+        out_a = str(tmp_path / "out_a")  # uninterrupted reference run
+        run_job(pages_dir, out_a, group_size=2, concurrency=2)
+
+        out_b = str(tmp_path / "out_b")
+        # simulate a kill after group 0: run only group 0 by pre-marking
+        # group 1 done, then delete the fake marker and resume
+        run_job(pages_dir, out_b, group_size=2, concurrency=2)
+        # wipe group 1's data+manifest to simulate dying mid-group-1
+        import shutil
+
+        shutil.rmtree(os.path.join(out_b, "shard=00001"))
+        os.remove(os.path.join(out_b, "_manifest", "00001.json"))
+
+        summary = run_job(pages_dir, out_b, group_size=2, concurrency=2)
+        assert summary["skipped"] == 1  # group 0 untouched
+        assert summary["ran"] == [1]
+        assert read_all(out_a) == read_all(out_b)
+
+    def test_crash_mid_group_leaves_no_manifest(self, pages_dir, tmp_path):
+        # a tmp dir without a manifest entry must not count as done
+        from pdf_parser_ray.state.manifest import completed_groups
+
+        out = str(tmp_path / "out_crash")
+        os.makedirs(os.path.join(out, "_tmp.shard=00000.deadbeef"), exist_ok=True)
+        assert completed_groups(out) == set()
