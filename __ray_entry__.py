@@ -1,44 +1,255 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship extraction pipeline on sf0.001;
+``queries()`` exposes every implemented operator family from
+SURVEY.md §2 plus the training-data ops; ``oracle_sql()`` provides the
+DuckDB-equivalent SQL for the SQL-expressible subset (same column
+names, integer-cents / integer-micros discipline for float safety).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here calls ``ray.init`` / ``ray.shutdown``.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
+_CACHE_ROOT = "/tmp/pdf_parser_ray_cache"
+
+
+def _pages_dir_for(sf_dir: str) -> str:
+    """Synthesize (once, cached) the pages corpus derived from an sf
+    directory's documents table."""
+    from pdf_parser_ray.fixtures.gen import synthesize_to_dir
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    out = os.path.join(_CACHE_ROOT, tag)
+    os.makedirs(out, exist_ok=True)
+    pages_dir, _golden = synthesize_to_dir(sf_dir, out)
+    return pages_dir
+
+
+def _auto_pool() -> int:
+    """Actor-pool size that leaves CPU headroom for the read/write
+    stages — a pool reserving every CPU starves I/O and can stall the
+    streaming executor on small sessions."""
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
+    return max(2, cpus - 2)
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: pages parquet -> fused extraction -> extracted table."""
+    from pdf_parser_ray.pipelines.extract import extract_dir
+
+    pages_dir = _pages_dir_for("/root/testdata/sf0.001")
+    ds = extract_dir(pages_dir, concurrency=2, batch_size=32)
+    # drop nested columns for a stable, driver-friendly schema
+    return ds.select_columns(
+        ["url", "content_type", "encoding", "parser_key", "n_records",
+         "content_sha256", "bucket"]
+    )
+
+
+def _extract_pages(sf_dir: str):
+    from pdf_parser_ray.pipelines.extract import extract_dir
+
+    ds = extract_dir(_pages_dir_for(sf_dir), concurrency=_auto_pool(), batch_size=32)
+    return ds.select_columns(
+        ["url", "content_type", "parser_key", "n_records", "content_sha256"]
+    )
+
+
+def _extract_records(sf_dir: str):
+    """Exploded relational view of the extracted transaction records."""
+    import pyarrow as pa
+
+    from pdf_parser_ray.pipelines.extract import extract_dir
+
+    def explode(batch: pa.Table) -> pa.Table:
+        urls, dates, descs, amts, dirs = [], [], [], [], []
+        for url, recs in zip(
+            batch.column("url").to_pylist(), batch.column("records").to_pylist()
+        ):
+            for r in recs:
+                urls.append(url)
+                dates.append(r["date"])
+                descs.append(r["description"])
+                amts.append(r["amount"])
+                dirs.append(r["direction"])
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "date": pa.array(dates, pa.string()),
+                "description": pa.array(descs, pa.string()),
+                "amount": pa.array(amts, pa.float64()),
+                "direction": pa.array(dirs, pa.string()),
+            }
+        )
+
+    ds = extract_dir(_pages_dir_for(sf_dir), concurrency=_auto_pool(), batch_size=32)
+    return ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _records_by_direction(sf_dir: str):
+    from ray.data.aggregate import Count
+
+    return (
+        _extract_records(sf_dir)
+        .groupby("direction")
+        .aggregate(Count(alias_name="n"))
+    )
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from pdf_parser_ray.pipelines import analysis, dedup, relational, similarity
+    from pdf_parser_ray.pipelines import multimodal
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # -- extraction flagship (not SQL-expressible: HTML/PDF parse) --
+        "extract_pages": _extract_pages,
+        "extract_records": _extract_records,
+        "records_by_direction": _records_by_direction,
+        # -- text analysis (oracle-checked) --
+        "token_counts": analysis.token_counts,
+        "quality_stats": analysis.quality_stats,
+        "lang_distribution": analysis.lang_distribution,
+        "source_stats": analysis.source_stats,
+        "direction_classify": analysis.direction_classify,
+        # -- text analysis (heuristic, rows-only) --
+        "langid": analysis.langid,
+        "fingerprints": analysis.fingerprints,
+        # -- dedup --
+        "exact_dedup": dedup.exact_dedup,
+        "minhash_dedup": dedup.minhash_dedup,
+        "simhash_dedup": dedup.simhash_dedup,
+        "ngram_jaccard_dedup": dedup.ngram_jaccard_dedup,
+        "embedding_dedup": dedup.embedding_dedup,
+        # -- similarity search --
+        "knn_cosine": similarity.knn_cosine,
+        "knn_lsh": similarity.knn_lsh,
+        "embedding_norms": similarity.embedding_norms,
+        # -- relational / windows --
+        "lineitem_agg": relational.lineitem_agg,
+        "orders_by_nation": relational.orders_by_nation,
+        "events_hourly": relational.events_hourly,
+        "sessionize_events": relational.sessionize_events,
+        # -- multimodal plumbing (stubbed decode, real Ray contract) --
+        "media_features": lambda sf_dir: multimodal.media_pipeline(300),
+        "frame_sample": lambda sf_dir: multimodal.frame_sample_pipeline(300),
+    }
+
+
+def _direction_case_sql(desc_col: str) -> str:
+    """SQL mirror of the ordered 29-rule direction table
+    (pdf_parser_ray.functions.directions); RE2 has no lookahead, so the
+    two lookahead rules are expressed as AND NOT conjunctions."""
+    from pdf_parser_ray.functions.directions import _RULE_SPECS
+
+    whens = []
+    for pat, d in _RULE_SPECS:
+        if pat == r"\bPAYPAL\s+(?!.*CREDIT)":
+            cond = (
+                f"regexp_matches({desc_col}, '(?i)\\bPAYPAL\\s+') "
+                f"AND NOT regexp_matches({desc_col}, '(?i)\\bPAYPAL\\s+.*CREDIT')"
+            )
+        elif pat == r"\bWT\b(?!.*(CHARGE|FEE))":
+            cond = (
+                f"regexp_matches({desc_col}, '(?i)\\bWT\\b') "
+                f"AND NOT regexp_matches({desc_col}, '(?i)\\bWT\\b.*(CHARGE|FEE)')"
+            )
+        else:
+            sql_pat = pat.replace("'", "''")
+            cond = f"regexp_matches({desc_col}, '(?i){sql_pat}')"
+        whens.append(f"WHEN {cond} THEN '{d}'")
+    return "CASE " + " ".join(whens) + " ELSE 'unknown' END"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    synth_desc = (
+        "CASE doc_id % 6 "
+        "WHEN 0 THEN 'ACH DEBIT ' WHEN 1 THEN 'WIRE IN ' "
+        "WHEN 2 THEN 'ZELLE PAYMENT FROM ' WHEN 3 THEN 'PAYPAL TRANSFER ' "
+        "WHEN 4 THEN 'WT 1234 SETTLEMENT ' ELSE '' END || upper(substr(text, 1, 20))"
+    )
+    return {
+        "token_counts": (
+            "SELECT doc_id, CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),"
+            " x -> x <> '')) AS BIGINT) AS n_tokens FROM documents"
+        ),
+        "quality_stats": (
+            "SELECT doc_id,"
+            " CAST(length(text) AS BIGINT) AS n_chars,"
+            " CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))"
+            "   AS BIGINT) AS n_tokens,"
+            " CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) AS n_digits,"
+            " CAST(length(regexp_replace(text, '[^!-/:-@\\[-`{-~]', '', 'g')) AS BIGINT)"
+            "   AS n_punct"
+            " FROM documents"
+        ),
+        "lang_distribution": (
+            "SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY lang"
+        ),
+        "source_stats": (
+            "SELECT source, CAST(count(*) AS BIGINT) AS n_docs,"
+            " CAST(sum(n_chars) AS BIGINT) AS total_chars FROM documents GROUP BY source"
+        ),
+        "direction_classify": (
+            f"SELECT doc_id, description, {_direction_case_sql('description')} AS direction "
+            f"FROM (SELECT doc_id, {synth_desc} AS description FROM documents)"
+        ),
+        "exact_dedup": (
+            "SELECT md5(text) AS text_hash, CAST(min(doc_id) AS BIGINT) AS doc_id"
+            " FROM documents GROUP BY md5(text)"
+        ),
+        "knn_cosine": (
+            "SELECT e.vec_id FROM embeddings e,"
+            " (SELECT embedding FROM embeddings WHERE vec_id = 0) q"
+            " WHERE e.vec_id <> 0"
+            " ORDER BY CAST(round(list_cosine_similarity(e.embedding, q.embedding)"
+            " * 1000000) AS BIGINT) DESC, e.vec_id LIMIT 10"
+        ),
+        "embedding_norms": (
+            "SELECT vec_id, CAST(round(sqrt(list_sum(list_transform(embedding,"
+            " x -> CAST(x AS DOUBLE) * x))) * 1000000) AS BIGINT) AS l2_micros"
+            " FROM embeddings"
+        ),
+        "lineitem_agg": (
+            "SELECT l_returnflag, l_linestatus,"
+            " CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_cents,"
+            " CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)"
+            "   AS sum_price_cents,"
+            " CAST(count(*) AS BIGINT) AS n"
+            " FROM lineitem GROUP BY l_returnflag, l_linestatus"
+        ),
+        "orders_by_nation": (
+            "SELECT n.n_name, CAST(count(*) AS BIGINT) AS n_orders,"
+            " CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)"
+            "   AS total_cents"
+            " FROM orders o"
+            " JOIN customer c ON o.o_custkey = c.c_custkey"
+            " JOIN nation n ON c.c_nationkey = n.n_nationkey"
+            " GROUP BY n.n_name"
+        ),
+        "events_hourly": (
+            "SELECT event_type, date_trunc('hour', ts) AS hour_start,"
+            " CAST(count(*) AS BIGINT) AS n,"
+            " CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents,"
+            " CAST(min(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS min_cents,"
+            " CAST(max(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS max_cents"
+            " FROM events GROUP BY event_type, date_trunc('hour', ts)"
+        ),
+        "sessionize_events": (
+            "SELECT user_id,"
+            " CAST(1 + sum(CASE WHEN gap > 1800.0 THEN 1 ELSE 0 END) AS BIGINT)"
+            "   AS n_sessions,"
+            " CAST(count(*) AS BIGINT) AS n_events"
+            " FROM (SELECT user_id,"
+            "   epoch(ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) AS gap"
+            "   FROM events)"
+            " GROUP BY user_id"
+        ),
+    }

@@ -1,0 +1,148 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Plain run: executes the headline pipelines over ``$GRAFT_SF_DIR``
+(default /root/testdata/sf0.1) under
+``ray.init(address="local", num_cpus=$RAY_GRAFT_CPUS or 32)`` and
+prints ONE JSON line::
+
+    {"metric": "extraction_wall_sec", "value": <headline sec>,
+     "unit": "sec", "queries": {...per-pipeline sec...},
+     "sf": "...", "num_cpus": N, "pages": N, "docs_per_sec": ...,
+     "mb_per_sec": ...}
+
+``--scaling``: runs the plain bench twice in fresh processes at
+num_cpus=8 and num_cpus=32 on the same (pre-generated, page-cache-warm)
+input and prints both headline times plus scaling efficiency — the
+sandbox stand-in for the N- vs 4N-node cluster rule.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+CACHE_ROOT = "/tmp/pdf_parser_ray_bench"
+REPLICATE = int(os.environ.get("GRAFT_BENCH_REPLICATE", "4"))
+
+
+def _warm_page_cache(path: str) -> int:
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                with open(os.path.join(root, f), "rb") as fh:
+                    total += len(fh.read())
+    return total
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    import logging
+
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+    from pdf_parser_ray.fixtures.gen import synthesize_pages_ray
+    from pdf_parser_ray.pipelines import analysis, dedup, relational, similarity
+    from pdf_parser_ray.pipelines.extract import extract_dir
+
+    tag = os.path.basename(os.path.normpath(SF_DIR))
+    out = os.path.join(CACHE_ROOT, tag)
+    os.makedirs(out, exist_ok=True)
+    pages_dir = synthesize_pages_ray(SF_DIR, out, replicate=REPLICATE)
+    input_bytes = _warm_page_cache(pages_dir)
+
+    timings: dict[str, float] = {}
+
+    # headline: the flagship extraction pipeline, consumed by a count of
+    # records (forces full execution, keeps the driver out of the data path)
+    t0 = time.perf_counter()
+    pool = max(2, NUM_CPUS - 2)  # leave headroom for read/write stages
+    ds = extract_dir(pages_dir, concurrency=pool, batch_size=32)
+    n_pages = ds.count()
+    timings["extract"] = time.perf_counter() - t0
+
+    def timed(name: str, make):
+        t = time.perf_counter()
+        make(SF_DIR).count()
+        timings[name] = time.perf_counter() - t
+
+    timed("exact_dedup", dedup.exact_dedup)
+    timed("minhash_dedup", dedup.minhash_dedup)
+    timed("simhash_dedup", dedup.simhash_dedup)
+    timed("embedding_dedup", dedup.embedding_dedup)
+    timed("knn_cosine", similarity.knn_cosine)
+    timed("token_counts", analysis.token_counts)
+    timed("quality_stats", analysis.quality_stats)
+    timed("lineitem_agg", relational.lineitem_agg)
+    timed("events_hourly", relational.events_hourly)
+
+    ray.shutdown()
+
+    headline = timings["extract"]
+    return {
+        "metric": "extraction_wall_sec",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in timings.items()},
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "pages": n_pages,
+        "docs_per_sec": round(n_pages / headline, 1) if headline else None,
+        "mb_per_sec": round(input_bytes / headline / 1e6, 2) if headline else None,
+    }
+
+
+def run_scaling() -> dict:
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo_cpus, hi_cpus = 8, 32
+    run(lo_cpus)  # untimed warm-up pass: generates + page-caches the corpus
+    lo = run(lo_cpus)
+    hi = run(hi_cpus)
+    eff = (lo["value"] / hi["value"]) / (hi_cpus / lo_cpus)
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "sec_8": lo["value"],
+        "sec_32": hi["value"],
+        "docs_per_sec_8": lo["docs_per_sec"],
+        "docs_per_sec_32": hi["docs_per_sec"],
+        "sf": SF_DIR,
+        "pages": lo["pages"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

@@ -200,6 +200,83 @@ def synthesize_pages(
     return pages, golden
 
 
+def synthesize_row(
+    doc_id: int, doc_text: str, lang: str, replica: int, seed: int, pdf_fraction: float
+) -> dict:
+    """One pages-table row, a pure function of (seed, doc_id, replica) —
+    the unit the Ray-parallel generator maps over."""
+    rng = random.Random(f"{seed}:{doc_id}:{replica}")
+    url = f"https://site{doc_id}.example/r{replica}/p{doc_id}"
+    ts = _EPOCH_2024_US + (doc_id * 86_400 + replica * 997) * 1_000_000
+    if rng.random() < pdf_fraction:
+        payload, _lines, _bank = _pdf_page(doc_id, replica, 2024, rng)
+    else:
+        payload, _enc, _lines, _title = _html_page(doc_text, doc_id, replica, rng)
+    return {
+        "url": url,
+        "warc_ts": ts,
+        "html": payload,
+        "text": doc_text[:100],
+        "lang": lang,
+    }
+
+
+def synthesize_pages_ray(
+    sf_dir: str,
+    out_dir: str,
+    *,
+    seed: int = 42,
+    replicate: int = 1,
+    pdf_fraction: float = 0.1,
+) -> str:
+    """Bench-scale corpus builder: the same deterministic rows as
+    ``synthesize_pages`` but generated *in parallel* with Ray Data
+    (documents -> map_batches -> parquet shards).  Cached by tag."""
+    import os
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    tag = f"ray_seed{seed}_rep{replicate}_pdf{int(pdf_fraction * 100)}"
+    pages_dir = os.path.join(out_dir, f"pages_{tag}")
+    done_marker = os.path.join(pages_dir, "_DONE")
+    if os.path.exists(done_marker):
+        return pages_dir
+
+    def gen(batch: pa.Table) -> pa.Table:
+        rows = []
+        for doc_id, text, lang in zip(
+            batch.column("doc_id").to_pylist(),
+            batch.column("text").to_pylist(),
+            batch.column("lang").to_pylist(),
+        ):
+            for replica in range(replicate):
+                rows.append(
+                    synthesize_row(doc_id, text, lang, replica, seed, pdf_fraction)
+                )
+        return pa.table(
+            {
+                "url": pa.array([r["url"] for r in rows], pa.string()),
+                "warc_ts": pa.array([r["warc_ts"] for r in rows], pa.timestamp("us")),
+                "html": pa.array([r["html"] for r in rows], pa.binary()),
+                "text": pa.array([r["text"] for r in rows], pa.string()),
+                "lang": pa.array([r["lang"] for r in rows], pa.string()),
+            }
+        )
+
+    tmp_dir = pages_dir + ".tmp"
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text", "lang"]
+    )
+    ds.map_batches(gen, batch_format="pyarrow", zero_copy_batch=True, batch_size=256).write_parquet(
+        tmp_dir
+    )
+    os.replace(tmp_dir, pages_dir)
+    with open(done_marker, "w") as f:
+        f.write("ok")
+    return pages_dir
+
+
 def synthesize_to_dir(
     sf_dir: str,
     out_dir: str,

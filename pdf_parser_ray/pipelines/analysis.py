@@ -1,0 +1,231 @@
+"""Text-analysis operators over the ``documents`` table: token counting,
+quality scoring, language-ID, document fingerprinting, direction
+classification (the engine's scalar rules applied corpus-wide).
+
+All are single-pass ``map_batches`` stages (no shuffle) except the
+grouped aggregates, which pre-aggregate per batch before the small
+``groupby`` — the partial/combiner pattern that keeps the exchange tiny
+at 100 TB.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+from ray.data.aggregate import Count, Sum
+
+from ..functions.directions import classify_direction
+
+_TOKEN_RE = re.compile(r"\S+")
+_DIGIT_RE = re.compile(r"[0-9]")
+_PUNCT_RE = re.compile(r"[!-/:-@\[-`{-~]")  # ASCII punctuation classes
+
+
+def _docs(sf_dir: str, columns: list[str]) -> rd.Dataset:
+    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=columns)
+
+
+# -- token counting ---------------------------------------------------------
+
+
+def token_counts(sf_dir: str) -> rd.Dataset:
+    """(doc_id, n_tokens): whitespace-delimited token count per document."""
+
+    def count(batch: pa.Table) -> pa.Table:
+        counts = [len(_TOKEN_RE.findall(t)) for t in batch.column("text").to_pylist()]
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_tokens": pa.array(counts, pa.int64()),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        count, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+# -- quality scoring --------------------------------------------------------
+
+
+def quality_stats(sf_dir: str) -> rd.Dataset:
+    """(doc_id, n_chars, n_tokens, n_digits, n_punct): integer quality
+    features (ratios are downstream arithmetic; integers hash exactly in
+    the oracle comparison)."""
+
+    def stats(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+                "n_tokens": pa.array(
+                    [len(_TOKEN_RE.findall(t)) for t in texts], pa.int64()
+                ),
+                "n_digits": pa.array(
+                    [len(_DIGIT_RE.findall(t)) for t in texts], pa.int64()
+                ),
+                "n_punct": pa.array(
+                    [len(_PUNCT_RE.findall(t)) for t in texts], pa.int64()
+                ),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        stats, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+# -- grouped aggregates -----------------------------------------------------
+
+
+def lang_distribution(sf_dir: str) -> rd.Dataset:
+    """(lang, n): document count per language tag."""
+    return (
+        _docs(sf_dir, ["lang"])
+        .groupby("lang")
+        .aggregate(Count(alias_name="n"))
+    )
+
+
+def source_stats(sf_dir: str) -> rd.Dataset:
+    """(source, n_docs, total_chars): per-source volume."""
+    return (
+        _docs(sf_dir, ["source", "n_chars"])
+        .groupby("source")
+        .aggregate(Count(alias_name="n_docs"), Sum("n_chars", alias_name="total_chars"))
+    )
+
+
+# -- language ID (n-gram/stopword heuristic) --------------------------------
+
+_LANG_PROFILES: dict[str, frozenset[str]] = {
+    "en": frozenset("the of and to a in is it you that was for on are".split()),
+    "es": frozenset("el la de que y en un ser se no por con para una".split()),
+    "fr": frozenset("le la de et les des en un une que pour dans est".split()),
+    "de": frozenset("der die das und ist von mit den nicht ein eine zu".split()),
+}
+
+
+def langid(sf_dir: str) -> rd.Dataset:
+    """(doc_id, lang_pred, confidence_millis): stopword-profile language
+    guess; 'und' (undetermined) when no profile scores."""
+
+    def guess(batch: pa.Table) -> pa.Table:
+        preds, confs = [], []
+        for text in batch.column("text").to_pylist():
+            words = text.lower().split()
+            if not words:
+                preds.append("und")
+                confs.append(0)
+                continue
+            scores = {
+                lang: sum(w in prof for w in words) / len(words)
+                for lang, prof in _LANG_PROFILES.items()
+            }
+            best = max(sorted(scores), key=lambda k: scores[k])
+            if scores[best] <= 0:
+                preds.append("und")
+                confs.append(0)
+            else:
+                preds.append(best)
+                confs.append(int(scores[best] * 1000))
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "lang_pred": pa.array(preds, pa.string()),
+                "confidence_millis": pa.array(confs, pa.int64()),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        guess, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+# -- document fingerprinting ------------------------------------------------
+
+_FP_BASE = 1_000_003
+_FP_MOD = (1 << 61) - 1
+_FP_WINDOW = 8
+
+
+def rolling_fingerprint(text: str) -> int:
+    """Winnowing-style fingerprint: minimum of the rolling polynomial
+    hashes of all char 8-grams (0 for shorter texts)."""
+    data = text.encode("utf-8", "ignore")
+    n = len(data)
+    if n < _FP_WINDOW:
+        return 0
+    h = 0
+    power = pow(_FP_BASE, _FP_WINDOW - 1, _FP_MOD)
+    best = _FP_MOD
+    for i, b in enumerate(data):
+        h = (h * _FP_BASE + b) % _FP_MOD
+        if i >= _FP_WINDOW:
+            h = (h - data[i - _FP_WINDOW] * power) % _FP_MOD
+        if i >= _FP_WINDOW - 1 and h < best:
+            best = h
+    return best
+
+
+def fingerprints(sf_dir: str) -> rd.Dataset:
+    """(doc_id, fingerprint): rolling-hash winnowing fingerprint."""
+
+    def fp(batch: pa.Table) -> pa.Table:
+        vals = [rolling_fingerprint(t) for t in batch.column("text").to_pylist()]
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "fingerprint": pa.array(vals, pa.int64()),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        fp, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+# -- direction classification over synthesized descriptions -----------------
+
+_DESC_PREFIXES = [
+    "ACH DEBIT ",
+    "WIRE IN ",
+    "ZELLE PAYMENT FROM ",
+    "PAYPAL TRANSFER ",
+    "WT 1234 SETTLEMENT ",
+    "",  # plain text -> usually unknown
+]
+
+
+def synth_description(doc_id: int, text: str) -> str:
+    """Deterministic description used by both the Ray query and the SQL
+    oracle: a direction-bearing prefix keyed on doc_id + the text head."""
+    return _DESC_PREFIXES[doc_id % 6] + text[:20].upper()
+
+
+def direction_classify(sf_dir: str) -> rd.Dataset:
+    """(doc_id, description, direction): the global 29-rule direction
+    table applied corpus-wide (oracle: the same rules as ordered SQL
+    CASE/regexp_matches)."""
+
+    def classify(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        descs = [synth_description(i, t) for i, t in zip(ids, texts)]
+        dirs = [classify_direction(d) for d in descs]
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "description": pa.array(descs, pa.string()),
+                "direction": pa.array(dirs, pa.string()),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        classify, batch_format="pyarrow", zero_copy_batch=True
+    )

@@ -1,0 +1,421 @@
+"""Deduplication operators for training-data curation: exact,
+MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine near-dup.
+
+Scale shapes (the part that must survive 100 TB):
+
+* **exact** — one vectorizable hash pass, then a ``groupby(text_hash)``
+  keyed on the hash (uniform by construction, no skew), keeping the
+  minimum doc_id per group.
+* **MinHash-LSH** — per-batch shingling/minhashing (no shuffle), an
+  explode to (band, band_hash, doc_id) rows, ONE ``groupby`` on the
+  band key, pair emission inside ``map_groups`` (bounded per group),
+  then exact-Jaccard verification.  Verification uses a broadcast
+  doc-text lookup (``ray.put`` once, read per actor) — correct while
+  the *candidate* side is small; at corpus scale verification becomes a
+  bucket join on doc_id instead (same groupby machinery).
+* **SimHash / n-gram** — same explode→groupby→verify skeleton with
+  different signatures.
+* **embedding** — random-hyperplane LSH buckets over the vector column,
+  exact cosine inside buckets.
+
+Near-dup operators are demonstrated on a corpus that provably contains
+near-duplicates: a deterministic perturbation stage clones every 7th
+document with ~10% of words dropped (ids offset by 10_000_000).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import zlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data as rd
+from ray.data.aggregate import Min
+
+NEAR_DUP_ID_OFFSET = 10_000_000
+MAX_PAIRS_PER_GROUP = 50  # bound the quadratic blowup in a hot bucket
+
+
+def _docs(sf_dir: str, columns: list[str]) -> rd.Dataset:
+    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=columns)
+
+
+def _stable64(token: str) -> int:
+    return int.from_bytes(hashlib.blake2b(token.encode(), digest_size=8).digest(), "big")
+
+
+# -- exact dedup ------------------------------------------------------------
+
+
+def exact_dedup(sf_dir: str) -> rd.Dataset:
+    """(text_hash, doc_id): one surviving (minimum) doc_id per distinct
+    text, keyed by md5 — hash-partitioned first-per-group."""
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        hashes = [
+            hashlib.md5(t.encode("utf-8")).hexdigest()
+            for t in batch.column("text").to_pylist()
+        ]
+        return pa.table(
+            {
+                "text_hash": pa.array(hashes, pa.string()),
+                "doc_id": batch.column("doc_id"),
+            }
+        )
+
+    return (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(add_hash, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("text_hash")
+        .aggregate(Min("doc_id", alias_name="doc_id"))
+    )
+
+
+# -- perturbed corpus for near-dup demos ------------------------------------
+
+
+def with_near_dups(ds: rd.Dataset) -> rd.Dataset:
+    """Append a perturbed clone of every 7th document (deterministic)."""
+
+    def clone(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        out_ids, out_texts = list(ids), list(texts)
+        for i, t in zip(ids, texts):
+            if i % 7 == 0:
+                words = t.split()
+                kept = [w for k, w in enumerate(words) if k % 10 != 9]
+                out_ids.append(i + NEAR_DUP_ID_OFFSET)
+                out_texts.append(" ".join(kept))
+        return pa.table(
+            {
+                "doc_id": pa.array(out_ids, pa.int64()),
+                "text": pa.array(out_texts, pa.string()),
+            }
+        )
+
+    return ds.map_batches(clone, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _word_shingles(text: str, n: int = 3) -> set[str]:
+    words = text.split()
+    if len(words) < n:
+        return {" ".join(words)} if words else set()
+    return {" ".join(words[i : i + n]) for i in range(len(words) - n + 1)}
+
+
+def _jaccard(a: set, b: set) -> float:
+    if not a and not b:
+        return 1.0
+    inter = len(a & b)
+    return inter / (len(a) + len(b) - inter)
+
+
+class _PairVerifier:
+    """Exact-similarity verification against a broadcast doc-text lookup
+    (``ray.put`` once on the driver; each actor fetches the ref in
+    ``__init__`` — zero per-batch shipping)."""
+
+    def __init__(self, texts_ref, metric: str, threshold_millis: int):
+        self.texts: dict[int, str] = ray.get(texts_ref)
+        self.metric = metric
+        self.threshold = threshold_millis
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        a_ids = batch.column("doc_id_a").to_pylist()
+        b_ids = batch.column("doc_id_b").to_pylist()
+        oa, ob, sim = [], [], []
+        for a, b in zip(a_ids, b_ids):
+            ta, tb = self.texts.get(a), self.texts.get(b)
+            if ta is None or tb is None:
+                continue
+            score = int(_jaccard(_word_shingles(ta), _word_shingles(tb)) * 1000)
+            if score >= self.threshold:
+                oa.append(a)
+                ob.append(b)
+                sim.append(score)
+        return pa.table(
+            {
+                "doc_id_a": pa.array(oa, pa.int64()),
+                "doc_id_b": pa.array(ob, pa.int64()),
+                "jaccard_millis": pa.array(sim, pa.int64()),
+            }
+        )
+
+
+def _emit_pairs(group: pd.DataFrame) -> pd.DataFrame:
+    ids = sorted(set(group["doc_id"].tolist()))
+    a_out, b_out = [], []
+    count = 0
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            a_out.append(ids[i])
+            b_out.append(ids[j])
+            count += 1
+            if count >= MAX_PAIRS_PER_GROUP:
+                return pd.DataFrame({"doc_id_a": a_out, "doc_id_b": b_out})
+    return pd.DataFrame({"doc_id_a": a_out, "doc_id_b": b_out})
+
+
+def _dedup_pairs(ds: rd.Dataset) -> rd.Dataset:
+    return ds.groupby(["doc_id_a", "doc_id_b"]).map_groups(
+        lambda g: g.head(1), batch_format="pandas"
+    )
+
+
+def _broadcast_texts(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    base = dict(zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()))
+    # mirror with_near_dups so verification sees the clones too
+    for i in list(base):
+        if i % 7 == 0:
+            words = base[i].split()
+            base[i + NEAR_DUP_ID_OFFSET] = " ".join(
+                w for k, w in enumerate(words) if k % 10 != 9
+            )
+    return ray.put(base)
+
+
+# -- MinHash + LSH ----------------------------------------------------------
+
+_MINHASH_PERMS = 32
+_LSH_BANDS = 8  # 8 bands x 4 rows
+_MERSENNE = (1 << 61) - 1
+_rng = np.random.default_rng(20240817)
+_PERM_A = _rng.integers(1, _MERSENNE, size=_MINHASH_PERMS, dtype=np.int64)
+_PERM_B = _rng.integers(0, _MERSENNE, size=_MINHASH_PERMS, dtype=np.int64)
+
+
+def minhash_signature(text: str) -> np.ndarray:
+    shingles = _word_shingles(text)
+    if not shingles:
+        return np.zeros(_MINHASH_PERMS, dtype=np.uint64)
+    base = np.fromiter(
+        (_stable64(s) for s in shingles), dtype=np.uint64, count=len(shingles)
+    )
+    # (a*x + b) mod p for all perms x shingles, take min per perm
+    vals = (
+        base[None, :].astype(np.object_) * _PERM_A[:, None] + _PERM_B[:, None]
+    ) % _MERSENNE
+    return vals.min(axis=1).astype(np.uint64)
+
+
+def minhash_dedup(sf_dir: str, threshold_millis: int = 500) -> rd.Dataset:
+    """(doc_id_a, doc_id_b, jaccard_millis): near-duplicate pairs via
+    shingle→minhash→band→bucket-groupby candidates + exact verification."""
+
+    def band_rows(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        out_band, out_hash, out_id = [], [], []
+        rows_per_band = _MINHASH_PERMS // _LSH_BANDS
+        for doc_id, text in zip(ids, texts):
+            sig = minhash_signature(text)
+            for band in range(_LSH_BANDS):
+                chunk = sig[band * rows_per_band : (band + 1) * rows_per_band]
+                out_band.append(band)
+                out_hash.append(int(zlib.crc32(chunk.tobytes())))
+                out_id.append(doc_id)
+        return pa.table(
+            {
+                "band": pa.array(out_band, pa.int32()),
+                "band_hash": pa.array(out_hash, pa.int64()),
+                "doc_id": pa.array(out_id, pa.int64()),
+            }
+        )
+
+    docs = with_near_dups(_docs(sf_dir, ["doc_id", "text"]))
+    candidates = (
+        docs.map_batches(band_rows, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["band", "band_hash"])
+        .map_groups(_emit_pairs, batch_format="pandas")
+    )
+    texts_ref = _broadcast_texts(sf_dir)
+    return _dedup_pairs(candidates).map_batches(
+        _PairVerifier,
+        batch_format="pyarrow",
+        concurrency=2,
+        fn_constructor_args=(texts_ref, "jaccard", threshold_millis),
+    )
+
+
+# -- SimHash ----------------------------------------------------------------
+
+
+def simhash64(text: str) -> int:
+    acc = np.zeros(64, dtype=np.int64)
+    for token in set(text.split()):
+        digest = hashlib.blake2b(token.encode(), digest_size=8).digest()
+        bits = np.unpackbits(np.frombuffer(digest, dtype=np.uint8)).astype(np.int64)
+        acc += bits * 2 - 1
+    out = 0
+    for i, v in enumerate(acc):
+        if v > 0:
+            out |= 1 << i
+    return out
+
+
+def simhash_dedup(sf_dir: str, max_hamming: int = 6) -> rd.Dataset:
+    """(doc_id_a, doc_id_b, hamming): near-dup pairs whose 64-bit simhash
+    signatures agree on at least one of four 16-bit bands and differ in
+    ≤ max_hamming bits overall."""
+
+    def band_rows(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        out_band, out_hash, out_id, out_sig = [], [], [], []
+        for doc_id, text in zip(ids, texts):
+            sig = simhash64(text)
+            for band in range(4):
+                out_band.append(band)
+                out_hash.append((sig >> (band * 16)) & 0xFFFF)
+                out_id.append(doc_id)
+                out_sig.append(sig)
+        return pa.table(
+            {
+                "band": pa.array(out_band, pa.int32()),
+                "band_hash": pa.array(out_hash, pa.int64()),
+                "doc_id": pa.array(out_id, pa.int64()),
+                "sig": pa.array(out_sig, pa.uint64()),  # full 64-bit signature
+            }
+        )
+
+    def pairs_with_hamming(group: pd.DataFrame) -> pd.DataFrame:
+        rows = sorted(set(zip(group["doc_id"].tolist(), group["sig"].tolist())))
+        a_out, b_out, h_out = [], [], []
+        for i in range(len(rows)):
+            for j in range(i + 1, len(rows)):
+                ham = bin(rows[i][1] ^ rows[j][1]).count("1")
+                if ham <= max_hamming:
+                    a_out.append(rows[i][0])
+                    b_out.append(rows[j][0])
+                    h_out.append(ham)
+                if len(a_out) >= MAX_PAIRS_PER_GROUP:
+                    break
+        return pd.DataFrame({"doc_id_a": a_out, "doc_id_b": b_out, "hamming": h_out})
+
+    docs = with_near_dups(_docs(sf_dir, ["doc_id", "text"]))
+    pairs = (
+        docs.map_batches(band_rows, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["band", "band_hash"])
+        .map_groups(pairs_with_hamming, batch_format="pandas")
+    )
+    return pairs.groupby(["doc_id_a", "doc_id_b"]).map_groups(
+        lambda g: g.head(1), batch_format="pandas"
+    )
+
+
+# -- n-gram Jaccard ---------------------------------------------------------
+
+
+def ngram_jaccard_dedup(sf_dir: str, threshold_millis: int = 400) -> rd.Dataset:
+    """(doc_id_a, doc_id_b, jaccard_millis): candidates bucketed by their
+    k minimum shingle hashes (a cheap LSH), verified with exact word
+    3-gram Jaccard."""
+    k_anchors = 4
+
+    def anchor_rows(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        out_hash, out_id = [], []
+        for doc_id, text in zip(ids, texts):
+            hashes = sorted(_stable64(s) for s in _word_shingles(text))
+            for h in hashes[:k_anchors]:
+                out_hash.append(h % (1 << 62))
+                out_id.append(doc_id)
+        return pa.table(
+            {
+                "band_hash": pa.array(out_hash, pa.int64()),
+                "doc_id": pa.array(out_id, pa.int64()),
+            }
+        )
+
+    docs = with_near_dups(_docs(sf_dir, ["doc_id", "text"]))
+    candidates = (
+        docs.map_batches(anchor_rows, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("band_hash")
+        .map_groups(_emit_pairs, batch_format="pandas")
+    )
+    texts_ref = _broadcast_texts(sf_dir)
+    return _dedup_pairs(candidates).map_batches(
+        _PairVerifier,
+        batch_format="pyarrow",
+        concurrency=2,
+        fn_constructor_args=(texts_ref, "jaccard", threshold_millis),
+    )
+
+
+# -- embedding cosine near-dup ----------------------------------------------
+
+
+def embedding_dedup(sf_dir: str, threshold_millis: int = 990) -> rd.Dataset:
+    """(vec_id_a, vec_id_b, cos_millis): near-duplicate vectors via
+    random-hyperplane LSH buckets + exact cosine inside buckets.  A
+    deterministic perturbation clones every 9th vector with small noise
+    so the operator demonstrably fires."""
+    import pyarrow.parquet as pq
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    first = pq.read_table(emb_path, columns=["embedding"]).slice(0, 1)
+    dim = len(first.column("embedding")[0].as_py())
+    rng = np.random.default_rng(7)
+    planes = rng.standard_normal((dim, 12))
+
+    def clone_and_bucket(batch: pa.Table) -> pa.Table:
+        ids = batch.column("vec_id").to_pylist()
+        vecs = np.array(batch.column("embedding").to_pylist(), dtype=np.float32)
+        out_ids, out_vecs = list(ids), list(vecs)
+        for i, v in zip(ids, vecs):
+            if i % 9 == 0:
+                noise_rng = np.random.default_rng(i)
+                out_ids.append(i + NEAR_DUP_ID_OFFSET)
+                out_vecs.append(v + noise_rng.standard_normal(dim).astype(np.float32) * 0.01)
+        arr = np.stack(out_vecs)
+        signs = (arr @ planes) > 0
+        buckets = signs.dot(1 << np.arange(12)).astype(np.int64)
+        return pa.table(
+            {
+                "bucket": pa.array(buckets, pa.int64()),
+                "vec_id": pa.array(out_ids, pa.int64()),
+                "embedding": pa.array([v.tolist() for v in out_vecs],
+                                      pa.list_(pa.float32())),
+            }
+        )
+
+    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        ids = group["vec_id"].tolist()
+        vecs = np.array(group["embedding"].tolist(), dtype=np.float32)
+        norms = np.linalg.norm(vecs, axis=1)
+        a_out, b_out, c_out = [], [], []
+        order = np.argsort(ids)
+        for ii in range(len(order)):
+            for jj in range(ii + 1, len(order)):
+                i, j = order[ii], order[jj]
+                denom = norms[i] * norms[j]
+                if denom == 0:
+                    continue
+                cos = float(vecs[i] @ vecs[j] / denom)
+                millis = int(cos * 1000)
+                if millis >= threshold_millis:
+                    a_out.append(ids[i])
+                    b_out.append(ids[j])
+                    c_out.append(millis)
+                if len(a_out) >= MAX_PAIRS_PER_GROUP:
+                    break
+        return pd.DataFrame({"vec_id_a": a_out, "vec_id_b": b_out, "cos_millis": c_out})
+
+    ds = rd.read_parquet(emb_path, columns=["vec_id", "embedding"])
+    pairs = (
+        ds.map_batches(clone_and_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(bucket_pairs, batch_format="pandas")
+    )
+    return pairs.groupby(["vec_id_a", "vec_id_b"]).map_groups(
+        lambda g: g.head(1), batch_format="pandas"
+    )
