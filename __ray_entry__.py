@@ -31,22 +31,12 @@ def _pages_dir_for(sf_dir: str) -> str:
     return pages_dir
 
 
-def _auto_pool() -> int:
-    """Actor-pool size that leaves CPU headroom for the read/write
-    stages — a pool reserving every CPU starves I/O and can stall the
-    streaming executor on small sessions."""
-    import ray
-
-    cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
-    return max(2, cpus - 2)
-
-
 def entry() -> Any:
     """Flagship: pages parquet -> fused extraction -> extracted table."""
     from pdf_parser_ray.pipelines.extract import extract_dir
 
     pages_dir = _pages_dir_for("/root/testdata/sf0.001")
-    ds = extract_dir(pages_dir, concurrency=2, batch_size=32)
+    ds = extract_dir(pages_dir, batch_size=32)
     # drop nested columns for a stable, driver-friendly schema
     return ds.select_columns(
         ["url", "content_type", "encoding", "parser_key", "n_records",
@@ -57,7 +47,7 @@ def entry() -> Any:
 def _extract_pages(sf_dir: str):
     from pdf_parser_ray.pipelines.extract import extract_dir
 
-    ds = extract_dir(_pages_dir_for(sf_dir), concurrency=_auto_pool(), batch_size=32)
+    ds = extract_dir(_pages_dir_for(sf_dir), batch_size=32)
     return ds.select_columns(
         ["url", "content_type", "parser_key", "n_records", "content_sha256"]
     )
@@ -90,7 +80,7 @@ def _extract_records(sf_dir: str):
             }
         )
 
-    ds = extract_dir(_pages_dir_for(sf_dir), concurrency=_auto_pool(), batch_size=32)
+    ds = extract_dir(_pages_dir_for(sf_dir), batch_size=32)
     return ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
 
 

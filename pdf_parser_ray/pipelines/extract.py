@@ -20,7 +20,7 @@ from typing import Any
 
 import ray.data as rd
 
-from ..stages.extract import ExtractPages
+from ..stages.extract import ExtractPages, extract_batch
 
 PAGES_COLUMNS = ["url", "warc_ts", "html", "text", "lang"]
 DEFAULT_BATCH_SIZE = 64
@@ -33,9 +33,20 @@ def read_pages(paths: str | list[str], **read_kwargs: Any) -> rd.Dataset:
 def build_extraction_pipeline(
     pages: rd.Dataset,
     *,
-    concurrency: int | tuple[int, int] = 4,
+    concurrency: int | tuple[int, int] | None = None,
     batch_size: int = DEFAULT_BATCH_SIZE,
 ) -> rd.Dataset:
+    """Default: stateless tasks (warm module state reused across tasks by
+    Ray's persistent worker processes; fully elastic scheduling).  Pass
+    ``concurrency`` to switch to a fixed actor pool — only worth it for
+    extractors with real per-pool construction cost."""
+    if concurrency is None:
+        return pages.map_batches(
+            extract_batch,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=batch_size,
+        )
     return pages.map_batches(
         ExtractPages,
         batch_format="pyarrow",
@@ -48,7 +59,7 @@ def build_extraction_pipeline(
 def extract_dir(
     pages_dir: str,
     *,
-    concurrency: int | tuple[int, int] = 4,
+    concurrency: int | tuple[int, int] | None = None,
     batch_size: int = DEFAULT_BATCH_SIZE,
 ) -> rd.Dataset:
     return build_extraction_pipeline(

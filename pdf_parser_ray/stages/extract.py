@@ -82,52 +82,64 @@ def extract_one(payload: bytes, fallback_year: int) -> dict:
     }
 
 
+def extract_batch(batch: pa.Table) -> pa.Table:
+    """Stateless batch UDF: ``pa.Table`` in (pages schema) ->
+    ``pa.Table`` out (EXTRACTED_SCHEMA).  The wide ``html`` column is
+    consumed here and dropped from the output.
+
+    This is the default execution shape: all warm state (compiled
+    detection/rule-set/scalar regexes) lives at module scope, paid once
+    per Ray *worker process* and reused across every task the worker
+    runs — cheaper and more elastic than an actor pool, which pays
+    process spin-up per pipeline execution.  Use ``ExtractPages`` (the
+    actor form) when per-stage state genuinely must be constructed per
+    pool (e.g. a future model-scoring extractor)."""
+    urls = batch.column("url").to_pylist()
+    payloads = batch.column("html").to_pylist()
+    # vectorized year-of-timestamp for the deterministic date fallback
+    years = pc.year(batch.column("warc_ts")).to_pylist()
+
+    cols: dict[str, list] = {
+        "content_type": [],
+        "encoding": [],
+        "parser_key": [],
+        "extracted_text": [],
+        "spans": [],
+        "records": [],
+    }
+    shas: list[str] = []
+    n_records: list[int] = []
+    buckets: list[int] = []
+    for url, payload, year in zip(urls, payloads, years):
+        out = extract_one(payload or b"", year or 2024)
+        for k, v in out.items():
+            cols[k].append(v)
+        shas.append(hashlib.sha256(out["extracted_text"].encode("utf-8")).hexdigest())
+        n_records.append(len(out["records"]))
+        buckets.append(url_bucket(url))
+
+    return pa.table(
+        {
+            "url": batch.column("url"),
+            "warc_ts": batch.column("warc_ts"),
+            "lang": batch.column("lang"),
+            "content_type": pa.array(cols["content_type"], pa.string()),
+            "encoding": pa.array(cols["encoding"], pa.string()),
+            "parser_key": pa.array(cols["parser_key"], pa.string()),
+            "extracted_text": pa.array(cols["extracted_text"], pa.large_string()),
+            "spans": pa.array(cols["spans"], pa.list_(SPAN_TYPE)),
+            "records": pa.array(cols["records"], pa.list_(RECORD_TYPE)),
+            "n_records": pa.array(n_records, pa.int32()),
+            "content_sha256": pa.array(shas, pa.string()),
+            "bucket": pa.array(buckets, pa.int32()),
+        },
+        schema=EXTRACTED_SCHEMA,
+    )
+
+
 class ExtractPages:
-    """Actor-pool UDF: ``pa.Table`` in (pages schema) -> ``pa.Table`` out
-    (EXTRACTED_SCHEMA).  The wide ``html`` column is consumed here and
-    dropped from the output."""
+    """Actor-pool form of :func:`extract_batch` — same contract, state
+    constructed per actor (for rule-sets that need per-pool setup)."""
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        urls = batch.column("url").to_pylist()
-        payloads = batch.column("html").to_pylist()
-        # vectorized year-of-timestamp for the deterministic date fallback
-        years = pc.year(batch.column("warc_ts")).to_pylist()
-
-        cols: dict[str, list] = {
-            "content_type": [],
-            "encoding": [],
-            "parser_key": [],
-            "extracted_text": [],
-            "spans": [],
-            "records": [],
-        }
-        shas: list[str] = []
-        n_records: list[int] = []
-        buckets: list[int] = []
-        for url, payload, year in zip(urls, payloads, years):
-            out = extract_one(payload or b"", year or 2024)
-            for k, v in out.items():
-                cols[k].append(v)
-            shas.append(
-                hashlib.sha256(out["extracted_text"].encode("utf-8")).hexdigest()
-            )
-            n_records.append(len(out["records"]))
-            buckets.append(url_bucket(url))
-
-        return pa.table(
-            {
-                "url": batch.column("url"),
-                "warc_ts": batch.column("warc_ts"),
-                "lang": batch.column("lang"),
-                "content_type": pa.array(cols["content_type"], pa.string()),
-                "encoding": pa.array(cols["encoding"], pa.string()),
-                "parser_key": pa.array(cols["parser_key"], pa.string()),
-                "extracted_text": pa.array(cols["extracted_text"], pa.large_string()),
-                "spans": pa.array(cols["spans"], pa.list_(SPAN_TYPE)),
-                "records": pa.array(cols["records"], pa.list_(RECORD_TYPE)),
-                "n_records": pa.array(n_records, pa.int32()),
-                "content_sha256": pa.array(shas, pa.string()),
-                "bucket": pa.array(buckets, pa.int32()),
-            },
-            schema=EXTRACTED_SCHEMA,
-        )
+        return extract_batch(batch)

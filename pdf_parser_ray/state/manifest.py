@@ -72,7 +72,7 @@ def run_job(
     out_dir: str,
     *,
     group_size: int = 8,
-    concurrency: int | tuple[int, int] = 4,
+    concurrency: int | tuple[int, int] | None = None,
     batch_size: int = 64,
 ) -> dict:
     """Run (or resume) the extraction job over a directory of pages

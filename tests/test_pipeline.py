@@ -25,7 +25,7 @@ def extracted(ray_session, quiet_data_context, corpus):
     from pdf_parser_ray.pipelines.extract import extract_dir
 
     pages_dir, golden_path = corpus
-    ds = extract_dir(pages_dir, concurrency=2, batch_size=32)
+    ds = extract_dir(pages_dir, batch_size=32)
     table = ds.to_arrow_refs()
     import pyarrow as pa
     import ray

@@ -51,7 +51,7 @@ class TestResume:
         from pdf_parser_ray.state.manifest import run_job
 
         out = str(tmp_path / "out_full")
-        summary = run_job(pages_dir, out, group_size=2, concurrency=2)
+        summary = run_job(pages_dir, out, group_size=2)
         assert summary["groups"] == 2 and summary["skipped"] == 0
         manifests = sorted(os.listdir(os.path.join(out, "_manifest")))
         assert manifests == ["00000.json", "00001.json"]
@@ -64,19 +64,19 @@ class TestResume:
         from pdf_parser_ray.state.manifest import run_job
 
         out_a = str(tmp_path / "out_a")  # uninterrupted reference run
-        run_job(pages_dir, out_a, group_size=2, concurrency=2)
+        run_job(pages_dir, out_a, group_size=2)
 
         out_b = str(tmp_path / "out_b")
         # simulate a kill after group 0: run only group 0 by pre-marking
         # group 1 done, then delete the fake marker and resume
-        run_job(pages_dir, out_b, group_size=2, concurrency=2)
+        run_job(pages_dir, out_b, group_size=2)
         # wipe group 1's data+manifest to simulate dying mid-group-1
         import shutil
 
         shutil.rmtree(os.path.join(out_b, "shard=00001"))
         os.remove(os.path.join(out_b, "_manifest", "00001.json"))
 
-        summary = run_job(pages_dir, out_b, group_size=2, concurrency=2)
+        summary = run_job(pages_dir, out_b, group_size=2)
         assert summary["skipped"] == 1  # group 0 untouched
         assert summary["ran"] == [1]
         assert read_all(out_a) == read_all(out_b)
