@@ -1,0 +1,54 @@
+"""Job entry point for ``ray job submit`` (SURVEY.md §2.1 S4):
+
+    ray job submit -- python -m pdf_parser_ray.job \\
+        --input /data/pages --output /data/extracted \\
+        --group-size 8 --batch-size 64 [--size-routing]
+
+Runs (or resumes) the extraction job with per-group lineage manifests.
+Owns its Ray session (guarded init; the library itself never inits).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="pdf_parser_ray.job")
+    ap.add_argument("--input", required=True, help="directory of pages parquet shards")
+    ap.add_argument("--output", required=True, help="output directory (resumable layout)")
+    ap.add_argument("--group-size", type=int, default=8)
+    ap.add_argument("--batch-size", type=int, default=64)
+    ap.add_argument("--num-cpus", type=int, default=None,
+                    help="only for local testing; omit on a real cluster")
+    args = ap.parse_args(argv)
+
+    import ray
+
+    if not ray.is_initialized():
+        kwargs = dict(include_dashboard=False, ignore_reinit_error=True,
+                      logging_level="ERROR")
+        if args.num_cpus:
+            kwargs.update(address="local", num_cpus=args.num_cpus)
+        ray.init(**kwargs)
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    from pdf_parser_ray.state.manifest import run_job
+
+    summary = run_job(
+        args.input,
+        args.output,
+        group_size=args.group_size,
+        batch_size=args.batch_size,
+    )
+    print(json.dumps(summary))
+    ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
