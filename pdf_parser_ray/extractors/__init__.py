@@ -113,6 +113,13 @@ DETECTION: list[tuple[str, list[re.Pattern[str]]]] = [
     (key, [re.compile(p, re.I) for p in pats]) for key, pats in _DETECTION_SPECS
 ]
 
+# hot-path variant: one alternation per source ("any pattern matches" ==
+# the union regex matches), 9 searches per document instead of ~40
+_DETECTION_FUSED: list[tuple[str, re.Pattern[str]]] = [
+    (key, re.compile("|".join(f"(?:{p})" for p in pats), re.I))
+    for key, pats in _DETECTION_SPECS
+]
+
 # The reference caps classification input "para performance"
 # (parsers/__init__.py:102); same constant here.
 DETECT_TEXT_CAP = 20_000
@@ -124,8 +131,8 @@ def detect_source(full_text: str) -> str:
     if not full_text:
         return "generic"
     head = full_text[:DETECT_TEXT_CAP]
-    for key, patterns in DETECTION:
-        if any(rx.search(head) for rx in patterns):
+    for key, fused in _DETECTION_FUSED:
+        if fused.search(head):
             return key
     return "generic"
 
