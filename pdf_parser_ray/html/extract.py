@@ -202,7 +202,7 @@ _TAG_RE = re.compile(
         (?P<attrs>(?:"[^"]*"|'[^']*'|[^>"'])*)           # attrs, quote-aware
         |(?P<bang>![^>]*)                                # <!doctype, <!--
         |(?P<pi>\?[^>]*)                                 # processing instr.
-    )>?""",
+    )>""",
     re.VERBOSE | re.DOTALL,
 )
 _RAWTEXT_CLOSERS = {

@@ -1,0 +1,176 @@
+"""Property-based tests (hypothesis): invariants of the scalar kernel,
+the normalizer, the PDF round trip, and the HTML fast/stdlib paths."""
+
+import re
+import string
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from pdf_parser_ray.functions.directions import normalize_records
+from pdf_parser_ray.functions.scalars import (
+    AMOUNT_RE,
+    amount_token_to_float,
+    norm_line,
+    parse_slash_date,
+    pick_amount,
+    text_to_lines,
+)
+
+# -- amount lexer/parser ----------------------------------------------------
+
+
+@given(
+    dollars=st.integers(0, 9_999_999),
+    cents=st.integers(0, 99),
+    style=st.sampled_from(["dollar", "paren", "bare_neg", "plain"]),
+)
+def test_amount_format_lex_parse_roundtrip(dollars, cents, style):
+    """format -> lex -> parse recovers the value for every token style
+    the reference's money regex understands."""
+    grouped = f"{dollars:,}"
+    if style == "dollar":
+        tok, expected = f"${grouped}.{cents:02d}", dollars + cents / 100
+    elif style == "paren":
+        tok, expected = f"(-{grouped}.{cents:02d})", -(dollars + cents / 100)
+    elif style == "bare_neg":
+        tok, expected = f"-{grouped}.{cents:02d}", -(dollars + cents / 100)
+    else:
+        tok, expected = f"{grouped}.{cents:02d}", dollars + cents / 100
+    found = AMOUNT_RE.findall(f"desc {tok} trailing")
+    assert tok in found
+    assert abs(amount_token_to_float(tok) - expected) < 1e-9
+
+
+@given(st.lists(st.sampled_from(["$5.00", "-9.10", "(123.45)", "1,000.00"]), max_size=6))
+def test_pick_amount_total(tokens):
+    got = pick_amount(tokens, prefer_first=True)
+    if tokens:
+        assert got == amount_token_to_float(tokens[0])
+    else:
+        assert got is None
+
+
+# -- normalizer invariants --------------------------------------------------
+
+_REC = st.fixed_dictionaries(
+    {
+        "date": st.dates().map(lambda d: d.isoformat()),
+        "description": st.text(string.ascii_letters + " ", max_size=30),
+        "amount": st.floats(-1e6, 1e6, allow_nan=False),
+    }
+)
+
+
+@given(st.lists(_REC, max_size=20))
+def test_normalize_invariants(records):
+    out = normalize_records(records)
+    assert len(out) == len(records)
+    dates = [r["date"] for r in out]
+    assert dates == sorted(dates)  # sorted ascending
+    for r in out:
+        assert r["amount"] >= 0
+        assert r["direction"] in ("in", "out", "unknown")
+        assert r["description"] == r["description"].strip()
+
+
+@given(st.lists(_REC, max_size=12))
+def test_normalize_stable_within_date(records):
+    """Equal dates keep input order (list.sort stability, common.py:56)."""
+    for r in records:
+        r = dict(r)
+    tagged = [dict(r, description=f"{i}") for i, r in enumerate(records)]
+    out = normalize_records(tagged)
+    for d in {r["date"] for r in out}:
+        idxs = [int(r["description"]) for r in out if r["date"] == d]
+        assert idxs == sorted(idxs)
+
+
+# -- line normalization -----------------------------------------------------
+
+
+@given(st.text(max_size=200))
+def test_norm_line_idempotent(s):
+    assert norm_line(norm_line(s)) == norm_line(s)
+
+
+@given(st.text(max_size=300))
+def test_text_to_lines_no_empties_and_order(s):
+    lines = text_to_lines(s)
+    assert all(lines)
+    assert all("\n" not in ln for ln in lines)
+
+
+# -- generic extractor invariant --------------------------------------------
+
+
+@given(
+    st.lists(
+        st.one_of(
+            st.text(string.ascii_letters + " ", min_size=1, max_size=40),
+            st.builds(
+                lambda m, d, amt: f"{m}/{d} PAYMENT {amt:,}.00 9,999.99",
+                st.integers(1, 12),
+                st.integers(1, 28),
+                st.integers(1, 99999),
+            ),
+        ),
+        max_size=25,
+    )
+)
+@settings(max_examples=60)
+def test_generic_records_bounded_by_date_lines(lines):
+    """Σ records ≤ Σ date-anchored lines (SURVEY §5.2-3)."""
+    from pdf_parser_ray.extractors import REGISTRY
+
+    lines = [ln.strip() for ln in lines if ln.strip()]
+    recs = REGISTRY["generic"](lines, " ".join(lines), 2024)
+    n_date_lines = sum(1 for ln in lines if parse_slash_date(ln, 2024))
+    assert len(recs) <= max(n_date_lines, 0) + sum(
+        1 for ln in lines if re.match(r"^[A-Za-z]{3,9}\s+\d", ln)
+    )
+
+
+# -- PDF builder/parser round trip ------------------------------------------
+
+_PDF_LINE = st.text(
+    string.ascii_letters + string.digits + " ,.$()-/", min_size=1, max_size=60
+).map(str.strip).filter(bool)
+
+
+@given(st.lists(st.lists(_PDF_LINE, min_size=1, max_size=8), min_size=1, max_size=3))
+@settings(max_examples=40, deadline=2000)
+def test_pdf_roundtrip_property(pages):
+    from pdf_parser_ray.pdf.build import build_pdf
+    from pdf_parser_ray.pdf.parse import extract_page_texts
+
+    pdf = build_pdf(pages)
+    got = extract_page_texts(pdf)
+    expected = ["\n".join(ln for ln in page) for page in pages]
+    assert got == expected
+
+
+# -- HTML fast path vs stdlib path ------------------------------------------
+
+_HTML_CHUNK = st.one_of(
+    st.text(string.ascii_letters + " &<>;", max_size=30),
+    st.sampled_from(
+        [
+            "<p>", "</p>", "<div>", "</div>", "<a href='/x'>", "</a>", "<br>",
+            "<nav>", "</nav>", "<script>x<y</script>", "<!-- c -->", "&amp;",
+            "<h1>", "</h1>", "<span>", "</span>", "<li>", "</li>",
+        ]
+    ),
+)
+
+
+@given(st.lists(_HTML_CHUNK, max_size=30).map("".join))
+@settings(max_examples=150, deadline=2000)
+def test_html_fast_matches_stdlib(markup):
+    from pdf_parser_ray.html.extract import segment_blocks_fast, segment_blocks_stdlib
+
+    fast = [(b.text, b.tag, b.link_chars, b.total_chars, b.boilerplate_container)
+            for b in segment_blocks_fast(markup)]
+    ref = [(b.text, b.tag, b.link_chars, b.total_chars, b.boilerplate_container)
+           for b in segment_blocks_stdlib(markup)]
+    assert fast == ref
