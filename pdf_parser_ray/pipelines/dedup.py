@@ -147,8 +147,8 @@ class _PairVerifier:
         )
 
 
-def _emit_pairs(group: pd.DataFrame) -> pd.DataFrame:
-    ids = sorted(set(group["doc_id"].tolist()))
+def _emit_pairs(ids_iter) -> tuple[list[int], list[int]]:
+    ids = sorted(set(ids_iter))
     a_out, b_out = [], []
     count = 0
     for i in range(len(ids)):
@@ -157,13 +157,68 @@ def _emit_pairs(group: pd.DataFrame) -> pd.DataFrame:
             b_out.append(ids[j])
             count += 1
             if count >= MAX_PAIRS_PER_GROUP:
-                return pd.DataFrame({"doc_id_a": a_out, "doc_id_b": b_out})
-    return pd.DataFrame({"doc_id_a": a_out, "doc_id_b": b_out})
+                return a_out, b_out
+    return a_out, b_out
+
+
+# Tiny LSH buckets are legion; shuffling on the raw bucket key makes the
+# per-group python overhead dominate.  Instead the shuffle key is a
+# *coarse* bucket (key-hash % _COARSE_BUCKETS) and the exact grouping
+# happens vectorized (pandas groupby) inside each coarse group — one
+# shuffle, ~256 group invocations instead of tens of thousands.
+_COARSE_BUCKETS = 256
+
+
+def _coarse_candidate_pairs(ds: rd.Dataset, key_cols: list[str]) -> rd.Dataset:
+    """(key_cols..., doc_id) rows -> unique candidate (doc_id_a, doc_id_b)
+    pairs among rows sharing the full key."""
+
+    def add_coarse(batch: pa.Table) -> pa.Table:
+        h = batch.column("band_hash").to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "coarse", pa.array((h % _COARSE_BUCKETS).astype(np.int32))
+        )
+
+    def pairs_in_coarse(g: pd.DataFrame) -> pd.DataFrame:
+        a_out: list[int] = []
+        b_out: list[int] = []
+        for _, sub in g.groupby(key_cols, sort=False):
+            if len(sub) < 2:
+                continue
+            a, b = _emit_pairs(sub["doc_id"].tolist())
+            a_out.extend(a)
+            b_out.extend(b)
+        df = pd.DataFrame({"doc_id_a": a_out, "doc_id_b": b_out})
+        return df.drop_duplicates()
+
+    return (
+        ds.map_batches(add_coarse, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("coarse")
+        .map_groups(pairs_in_coarse, batch_format="pandas")
+    )
 
 
 def _dedup_pairs(ds: rd.Dataset) -> rd.Dataset:
-    return ds.groupby(["doc_id_a", "doc_id_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
+    """Global pair dedup with the same coarse-shuffle trick: hash the
+    pair to a coarse key, drop duplicates vectorized inside each group."""
+
+    def add_coarse(batch: pa.Table) -> pa.Table:
+        a = batch.column("doc_id_a").to_numpy(zero_copy_only=False)
+        b = batch.column("doc_id_b").to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "coarse",
+            pa.array(((a * 1_000_003 + b) % _COARSE_BUCKETS).astype(np.int32)),
+        )
+
+    def dd(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(subset=["doc_id_a", "doc_id_b"]).drop(
+            columns=["coarse"]
+        )
+
+    return (
+        ds.map_batches(add_coarse, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("coarse")
+        .map_groups(dd, batch_format="pandas")
     )
 
 
@@ -186,10 +241,13 @@ def _broadcast_texts(sf_dir: str):
 
 _MINHASH_PERMS = 32
 _LSH_BANDS = 8  # 8 bands x 4 rows
-_MERSENNE = (1 << 61) - 1
 _rng = np.random.default_rng(20240817)
-_PERM_A = _rng.integers(1, _MERSENNE, size=_MINHASH_PERMS, dtype=np.int64)
-_PERM_B = _rng.integers(0, _MERSENNE, size=_MINHASH_PERMS, dtype=np.int64)
+# odd multipliers for the multiply-shift hash family over Z/2^64 —
+# fully vectorizable (uint64 wraparound is the modulus)
+_PERM_A = (_rng.integers(1, np.iinfo(np.int64).max, size=_MINHASH_PERMS) * 2 + 1).astype(
+    np.uint64
+)
+_PERM_B = _rng.integers(0, np.iinfo(np.int64).max, size=_MINHASH_PERMS).astype(np.uint64)
 
 
 def minhash_signature(text: str) -> np.ndarray:
@@ -199,11 +257,11 @@ def minhash_signature(text: str) -> np.ndarray:
     base = np.fromiter(
         (_stable64(s) for s in shingles), dtype=np.uint64, count=len(shingles)
     )
-    # (a*x + b) mod p for all perms x shingles, take min per perm
-    vals = (
-        base[None, :].astype(np.object_) * _PERM_A[:, None] + _PERM_B[:, None]
-    ) % _MERSENNE
-    return vals.min(axis=1).astype(np.uint64)
+    # (a*x + b) mod 2^64 for all perms x shingles, min per perm — one
+    # wrapped-uint64 outer product instead of object-dtype bignum math
+    with np.errstate(over="ignore"):
+        vals = _PERM_A[:, None] * base[None, :] + _PERM_B[:, None]
+    return vals.min(axis=1)
 
 
 def minhash_dedup(sf_dir: str, threshold_millis: int = 500) -> rd.Dataset:
@@ -231,10 +289,9 @@ def minhash_dedup(sf_dir: str, threshold_millis: int = 500) -> rd.Dataset:
         )
 
     docs = with_near_dups(_docs(sf_dir, ["doc_id", "text"]))
-    candidates = (
-        docs.map_batches(band_rows, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["band", "band_hash"])
-        .map_groups(_emit_pairs, batch_format="pandas")
+    candidates = _coarse_candidate_pairs(
+        docs.map_batches(band_rows, batch_format="pyarrow", zero_copy_batch=True),
+        ["band", "band_hash"],
     )
     texts_ref = _broadcast_texts(sf_dir)
     return _dedup_pairs(candidates).map_batches(
@@ -286,29 +343,39 @@ def simhash_dedup(sf_dir: str, max_hamming: int = 6) -> rd.Dataset:
             }
         )
 
-    def pairs_with_hamming(group: pd.DataFrame) -> pd.DataFrame:
-        rows = sorted(set(zip(group["doc_id"].tolist(), group["sig"].tolist())))
+    def add_coarse(batch: pa.Table) -> pa.Table:
+        h = batch.column("band_hash").to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "coarse", pa.array((h % _COARSE_BUCKETS).astype(np.int32))
+        )
+
+    def pairs_in_coarse(g: pd.DataFrame) -> pd.DataFrame:
         a_out, b_out, h_out = [], [], []
-        for i in range(len(rows)):
-            for j in range(i + 1, len(rows)):
-                ham = bin(rows[i][1] ^ rows[j][1]).count("1")
-                if ham <= max_hamming:
-                    a_out.append(rows[i][0])
-                    b_out.append(rows[j][0])
-                    h_out.append(ham)
-                if len(a_out) >= MAX_PAIRS_PER_GROUP:
-                    break
-        return pd.DataFrame({"doc_id_a": a_out, "doc_id_b": b_out, "hamming": h_out})
+        for _, sub in g.groupby(["band", "band_hash"], sort=False):
+            if len(sub) < 2:
+                continue
+            rows = sorted(set(zip(sub["doc_id"].tolist(), sub["sig"].tolist())))
+            n_before = len(a_out)
+            for i in range(len(rows)):
+                for j in range(i + 1, len(rows)):
+                    ham = bin(int(rows[i][1]) ^ int(rows[j][1])).count("1")
+                    if ham <= max_hamming:
+                        a_out.append(rows[i][0])
+                        b_out.append(rows[j][0])
+                        h_out.append(ham)
+                    if len(a_out) - n_before >= MAX_PAIRS_PER_GROUP:
+                        break
+        df = pd.DataFrame({"doc_id_a": a_out, "doc_id_b": b_out, "hamming": h_out})
+        return df.drop_duplicates(subset=["doc_id_a", "doc_id_b"])
 
     docs = with_near_dups(_docs(sf_dir, ["doc_id", "text"]))
     pairs = (
         docs.map_batches(band_rows, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["band", "band_hash"])
-        .map_groups(pairs_with_hamming, batch_format="pandas")
+        .map_batches(add_coarse, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("coarse")
+        .map_groups(pairs_in_coarse, batch_format="pandas")
     )
-    return pairs.groupby(["doc_id_a", "doc_id_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
-    )
+    return _dedup_pairs(pairs)
 
 
 # -- n-gram Jaccard ---------------------------------------------------------
@@ -337,10 +404,9 @@ def ngram_jaccard_dedup(sf_dir: str, threshold_millis: int = 400) -> rd.Dataset:
         )
 
     docs = with_near_dups(_docs(sf_dir, ["doc_id", "text"]))
-    candidates = (
-        docs.map_batches(anchor_rows, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("band_hash")
-        .map_groups(_emit_pairs, batch_format="pandas")
+    candidates = _coarse_candidate_pairs(
+        docs.map_batches(anchor_rows, batch_format="pyarrow", zero_copy_batch=True),
+        ["band_hash"],
     )
     texts_ref = _broadcast_texts(sf_dir)
     return _dedup_pairs(candidates).map_batches(
