@@ -94,6 +94,19 @@ def _records_by_direction(sf_dir: str):
     )
 
 
+def _extract_dedup(sf_dir: str):
+    """Composition: extraction flagship -> exact content dedup (keep the
+    lexicographically-first url per extracted-content hash)."""
+    from ray.data.aggregate import Min
+
+    ds = _extract_pages(sf_dir)
+    return (
+        ds.select_columns(["content_sha256", "url"])
+        .groupby("content_sha256")
+        .aggregate(Min("url", alias_name="url"))
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from pdf_parser_ray.pipelines import analysis, dedup, relational, similarity
     from pdf_parser_ray.pipelines import multimodal
@@ -103,6 +116,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_pages": _extract_pages,
         "extract_records": _extract_records,
         "records_by_direction": _records_by_direction,
+        "extract_dedup": _extract_dedup,
         # -- text analysis (oracle-checked) --
         "token_counts": analysis.token_counts,
         "quality_stats": analysis.quality_stats,
@@ -125,6 +139,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- relational / windows --
         "lineitem_agg": relational.lineitem_agg,
         "orders_by_nation": relational.orders_by_nation,
+        "orders_filtered": relational.orders_filtered,
         "events_hourly": relational.events_hourly,
         "sessionize_events": relational.sessionize_events,
         # -- multimodal plumbing (stubbed decode, real Ray contract) --
@@ -214,6 +229,10 @@ def oracle_sql() -> dict[str, str]:
             "   AS sum_price_cents,"
             " CAST(count(*) AS BIGINT) AS n"
             " FROM lineitem GROUP BY l_returnflag, l_linestatus"
+        ),
+        "orders_filtered": (
+            "SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n"
+            " FROM orders WHERE o_totalprice > 150000.0 GROUP BY o_orderpriority"
         ),
         "orders_by_nation": (
             "SELECT n.n_name, CAST(count(*) AS BIGINT) AS n_orders,"

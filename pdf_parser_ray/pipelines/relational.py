@@ -137,6 +137,22 @@ def events_hourly(sf_dir: str) -> rd.Dataset:
     )
 
 
+def orders_filtered(sf_dir: str, min_price: float = 150_000.0) -> rd.Dataset:
+    """(o_orderpriority, n): big-order count per priority with the
+    predicate pushed into the parquet read (row-group pruning + filter at
+    the scan — "prune at the read"; only two columns leave storage)."""
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderpriority", "o_totalprice"],
+        filter=(pc.field("o_totalprice") > min_price),
+    )
+    return (
+        ds.select_columns(["o_orderpriority"])
+        .groupby("o_orderpriority")
+        .aggregate(Count(alias_name="n"))
+    )
+
+
 def sessionize_events(sf_dir: str, gap_minutes: int = 30) -> rd.Dataset:
     """(user_id, n_sessions, n_events): session windows per user — a
     groupby(user).map_groups stage that sorts each user's events by ts

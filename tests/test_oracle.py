@@ -74,6 +74,7 @@ def test_entry_smoke(ray_session, quiet_data_context):
     [
         "extract_pages",
         "extract_records",
+        "extract_dedup",
         "records_by_direction",
         "langid",
         "fingerprints",
