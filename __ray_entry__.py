@@ -122,6 +122,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_stats": analysis.quality_stats,
         "lang_distribution": analysis.lang_distribution,
         "source_stats": analysis.source_stats,
+        "top_docs_by_chars": analysis.top_docs_by_chars,
         "direction_classify": analysis.direction_classify,
         # -- text analysis (heuristic, rows-only) --
         "langid": analysis.langid,
@@ -197,6 +198,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "lang_distribution": (
             "SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY lang"
+        ),
+        "top_docs_by_chars": (
+            "SELECT doc_id, n_chars FROM documents"
+            " ORDER BY n_chars DESC, doc_id LIMIT 10"
         ),
         "source_stats": (
             "SELECT source, CAST(count(*) AS BIGINT) AS n_docs,"

@@ -29,6 +29,7 @@ SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 CACHE_ROOT = "/tmp/pdf_parser_ray_bench"
 REPLICATE = int(os.environ.get("GRAFT_BENCH_REPLICATE", "8"))
+PAGE_SCALE = int(os.environ.get("GRAFT_BENCH_PAGE_SCALE", "1"))
 
 
 def _warm_page_cache(path: str) -> int:
@@ -67,8 +68,27 @@ def run_bench() -> dict:
     tag = os.path.basename(os.path.normpath(SF_DIR))
     out = os.path.join(CACHE_ROOT, tag)
     os.makedirs(out, exist_ok=True)
-    pages_dir = synthesize_pages_ray(SF_DIR, out, replicate=REPLICATE)
-    input_bytes = _warm_page_cache(pages_dir)
+    pages_dir = synthesize_pages_ray(SF_DIR, out, replicate=REPLICATE, page_scale=PAGE_SCALE)
+    _warm_page_cache(pages_dir)
+
+    # throughput denominator: uncompressed payload bytes, not the (highly
+    # compressed) parquet file size
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    input_bytes = sum(
+        r["s"]
+        for r in rd.read_parquet(pages_dir, columns=["html"])
+        .map_batches(
+            lambda t: pa.table(
+                {"s": [pc.sum(pc.binary_length(t.column("html"))).as_py() or 0]}
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .take_all()
+    )
 
     timings: dict[str, float] = {}
 
@@ -131,6 +151,7 @@ def run_bench() -> dict:
         "sf": SF_DIR,
         "num_cpus": NUM_CPUS,
         "pages": n_pages,
+        "page_scale": PAGE_SCALE,
         "docs_per_sec": round(n_pages / headline, 1) if headline else None,
         "mb_per_sec": round(input_bytes / headline / 1e6, 2) if headline else None,
     }

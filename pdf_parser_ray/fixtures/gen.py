@@ -68,10 +68,15 @@ def _paragraphs(words: list[str], rng: random.Random) -> list[str]:
 
 
 def _html_page(
-    doc_text: str, doc_id: int, replica: int, rng: random.Random
+    doc_text: str, doc_id: int, replica: int, rng: random.Random,
+    page_scale: int = 1,
 ) -> tuple[bytes, str, list[str], str]:
-    """-> (payload_bytes, encoding, golden_lines, title)."""
-    words = doc_text.split()
+    """-> (payload_bytes, encoding, golden_lines, title).
+
+    ``page_scale`` repeats the content words N times to emulate realistic
+    Common-Crawl page sizes in benchmarks (1 = fixture size ~2 KB,
+    10 ≈ 20 KB) without changing determinism."""
+    words = doc_text.split() * max(1, page_scale)
     title = " ".join(words[:3]) or f"untitled {doc_id}"
     paras = _paragraphs(words[3:], rng)
 
@@ -201,7 +206,8 @@ def synthesize_pages(
 
 
 def synthesize_row(
-    doc_id: int, doc_text: str, lang: str, replica: int, seed: int, pdf_fraction: float
+    doc_id: int, doc_text: str, lang: str, replica: int, seed: int,
+    pdf_fraction: float, page_scale: int = 1,
 ) -> dict:
     """One pages-table row, a pure function of (seed, doc_id, replica) —
     the unit the Ray-parallel generator maps over."""
@@ -211,7 +217,9 @@ def synthesize_row(
     if rng.random() < pdf_fraction:
         payload, _lines, _bank = _pdf_page(doc_id, replica, 2024, rng)
     else:
-        payload, _enc, _lines, _title = _html_page(doc_text, doc_id, replica, rng)
+        payload, _enc, _lines, _title = _html_page(
+            doc_text, doc_id, replica, rng, page_scale
+        )
     return {
         "url": url,
         "warc_ts": ts,
@@ -228,6 +236,7 @@ def synthesize_pages_ray(
     seed: int = 42,
     replicate: int = 1,
     pdf_fraction: float = 0.1,
+    page_scale: int = 1,
 ) -> str:
     """Bench-scale corpus builder: the same deterministic rows as
     ``synthesize_pages`` but generated *in parallel* with Ray Data
@@ -237,7 +246,7 @@ def synthesize_pages_ray(
     import pyarrow as pa
     import ray.data as rd
 
-    tag = f"ray_seed{seed}_rep{replicate}_pdf{int(pdf_fraction * 100)}"
+    tag = f"ray_seed{seed}_rep{replicate}_pdf{int(pdf_fraction * 100)}_ps{page_scale}"
     pages_dir = os.path.join(out_dir, f"pages_{tag}")
     done_marker = os.path.join(pages_dir, "_DONE")
     if os.path.exists(done_marker):
@@ -252,7 +261,9 @@ def synthesize_pages_ray(
         ):
             for replica in range(replicate):
                 rows.append(
-                    synthesize_row(doc_id, text, lang, replica, seed, pdf_fraction)
+                    synthesize_row(
+                        doc_id, text, lang, replica, seed, pdf_fraction, page_scale
+                    )
                 )
         return pa.table(
             {

@@ -101,6 +101,26 @@ def source_stats(sf_dir: str) -> rd.Dataset:
     )
 
 
+def top_docs_by_chars(sf_dir: str, k: int = 10) -> rd.Dataset:
+    """(doc_id, n_chars): global top-k largest documents — per-batch
+    local top-k first, so the sort only sees ≤ k rows per batch."""
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        idx = pc.select_k_unstable(
+            batch, k, [("n_chars", "descending"), ("doc_id", "ascending")]
+        )
+        return batch.take(idx)
+
+    return (
+        _docs(sf_dir, ["doc_id", "n_chars"])
+        .map_batches(local_topk, batch_format="pyarrow", zero_copy_batch=True)
+        .sort(["n_chars", "doc_id"], descending=[True, False])
+        .limit(k)
+    )
+
+
 # -- language ID (n-gram/stopword heuristic) --------------------------------
 
 _LANG_PROFILES: dict[str, frozenset[str]] = {
