@@ -10,9 +10,11 @@ Scale shapes (the part that must survive 100 TB):
   explode to (band, band_hash, doc_id) rows, ONE ``groupby`` on the
   band key, pair emission inside ``map_groups`` (bounded per group),
   then exact-Jaccard verification.  Verification uses a broadcast
-  doc-text lookup (``ray.put`` once, read per actor) — correct while
-  the *candidate* side is small; at corpus scale verification becomes a
-  bucket join on doc_id instead (same groupby machinery).
+  doc-text lookup (``ray.put`` once on the driver; fetched from the
+  local plasma store and cached once per worker process) — correct
+  while the *lookup* side is broadcast-small; at corpus scale
+  verification becomes a bucket join on doc_id instead (same groupby
+  machinery).
 * **SimHash / n-gram** — same explode→groupby→verify skeleton with
   different signatures.
 * **embedding** — random-hyperplane LSH buckets over the vector column,
@@ -115,26 +117,37 @@ def _jaccard(a: set, b: set) -> float:
     return inter / (len(a) + len(b) - inter)
 
 
-class _PairVerifier:
-    """Exact-similarity verification against a broadcast doc-text lookup
-    (``ray.put`` once on the driver; each actor fetches the ref in
-    ``__init__`` — zero per-batch shipping)."""
+# per-worker-process cache of the broadcast doc-text lookup: the object
+# ref ships with the task closure; ray.get hits the local plasma store
+# and the dict is deserialized once per worker, reused by every task
+_BROADCAST_CACHE: dict[bytes, dict[int, str]] = {}
 
-    def __init__(self, texts_ref, metric: str, threshold_millis: int):
-        self.texts: dict[int, str] = ray.get(texts_ref)
-        self.metric = metric
-        self.threshold = threshold_millis
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        a_ids = batch.column("doc_id_a").to_pylist()
-        b_ids = batch.column("doc_id_b").to_pylist()
+def _get_broadcast(texts_ref) -> dict[int, str]:
+    key = texts_ref.binary()
+    got = _BROADCAST_CACHE.get(key)
+    if got is None:
+        got = ray.get(texts_ref)
+        _BROADCAST_CACHE.clear()  # hold at most one corpus per worker
+        _BROADCAST_CACHE[key] = got
+    return got
+
+
+def _make_pair_verifier(texts_ref, threshold_millis: int):
+    """Stateless-task verifier (no actor-pool spin-up): exact Jaccard
+    against the broadcast lookup, filtered to the threshold."""
+
+    def verify(batch: pa.Table) -> pa.Table:
+        texts = _get_broadcast(texts_ref)
         oa, ob, sim = [], [], []
-        for a, b in zip(a_ids, b_ids):
-            ta, tb = self.texts.get(a), self.texts.get(b)
+        for a, b in zip(
+            batch.column("doc_id_a").to_pylist(), batch.column("doc_id_b").to_pylist()
+        ):
+            ta, tb = texts.get(a), texts.get(b)
             if ta is None or tb is None:
                 continue
             score = int(_jaccard(_word_shingles(ta), _word_shingles(tb)) * 1000)
-            if score >= self.threshold:
+            if score >= threshold_millis:
                 oa.append(a)
                 ob.append(b)
                 sim.append(score)
@@ -145,6 +158,8 @@ class _PairVerifier:
                 "jaccard_millis": pa.array(sim, pa.int64()),
             }
         )
+
+    return verify
 
 
 def _emit_pairs(ids_iter) -> tuple[list[int], list[int]]:
@@ -250,13 +265,38 @@ _PERM_A = (_rng.integers(1, np.iinfo(np.int64).max, size=_MINHASH_PERMS) * 2 + 1
 _PERM_B = _rng.integers(0, np.iinfo(np.int64).max, size=_MINHASH_PERMS).astype(np.uint64)
 
 
-def minhash_signature(text: str) -> np.ndarray:
-    shingles = _word_shingles(text)
-    if not shingles:
-        return np.zeros(_MINHASH_PERMS, dtype=np.uint64)
-    base = np.fromiter(
-        (_stable64(s) for s in shingles), dtype=np.uint64, count=len(shingles)
+# word-3-gram shingle hashes, fully vectorized: hash each *word* once
+# (memoized across a batch), then combine consecutive word hashes with
+# odd multipliers over Z/2^64 — O(words) digest calls instead of
+# O(shingles) string joins + digests
+_SHINGLE_C1 = np.uint64(0x9E3779B97F4A7C15)
+_SHINGLE_C2 = np.uint64(0xC2B2AE3D27D4EB4F)
+
+
+def _shingle_hashes(text: str, word_cache: dict[str, int]) -> np.ndarray:
+    words = text.split()
+    if not words:
+        return np.zeros(0, dtype=np.uint64)
+    hs = np.fromiter(
+        (
+            word_cache[w] if w in word_cache else word_cache.setdefault(w, _stable64(w))
+            for w in words
+        ),
+        dtype=np.uint64,
+        count=len(words),
     )
+    if len(hs) < 3:
+        with np.errstate(over="ignore"):
+            return np.array([hs.astype(np.uint64).sum()], dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        combined = hs[:-2] * _SHINGLE_C1 + hs[1:-1] * _SHINGLE_C2 + hs[2:]
+    return np.unique(combined)
+
+
+def minhash_signature(text: str, word_cache: dict[str, int] | None = None) -> np.ndarray:
+    base = _shingle_hashes(text, word_cache if word_cache is not None else {})
+    if base.size == 0:
+        return np.zeros(_MINHASH_PERMS, dtype=np.uint64)
     # (a*x + b) mod 2^64 for all perms x shingles, min per perm — one
     # wrapped-uint64 outer product instead of object-dtype bignum math
     with np.errstate(over="ignore"):
@@ -273,8 +313,9 @@ def minhash_dedup(sf_dir: str, threshold_millis: int = 500) -> rd.Dataset:
         texts = batch.column("text").to_pylist()
         out_band, out_hash, out_id = [], [], []
         rows_per_band = _MINHASH_PERMS // _LSH_BANDS
+        word_cache: dict[str, int] = {}  # word-hash memo shared per batch
         for doc_id, text in zip(ids, texts):
-            sig = minhash_signature(text)
+            sig = minhash_signature(text, word_cache)
             for band in range(_LSH_BANDS):
                 chunk = sig[band * rows_per_band : (band + 1) * rows_per_band]
                 out_band.append(band)
@@ -295,10 +336,9 @@ def minhash_dedup(sf_dir: str, threshold_millis: int = 500) -> rd.Dataset:
     )
     texts_ref = _broadcast_texts(sf_dir)
     return _dedup_pairs(candidates).map_batches(
-        _PairVerifier,
+        _make_pair_verifier(texts_ref, threshold_millis),
         batch_format="pyarrow",
-        concurrency=2,
-        fn_constructor_args=(texts_ref, "jaccard", threshold_millis),
+        zero_copy_batch=True,
     )
 
 
@@ -410,10 +450,9 @@ def ngram_jaccard_dedup(sf_dir: str, threshold_millis: int = 400) -> rd.Dataset:
     )
     texts_ref = _broadcast_texts(sf_dir)
     return _dedup_pairs(candidates).map_batches(
-        _PairVerifier,
+        _make_pair_verifier(texts_ref, threshold_millis),
         batch_format="pyarrow",
-        concurrency=2,
-        fn_constructor_args=(texts_ref, "jaccard", threshold_millis),
+        zero_copy_batch=True,
     )
 
 
