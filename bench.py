@@ -30,6 +30,9 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 CACHE_ROOT = "/tmp/pdf_parser_ray_bench"
 REPLICATE = int(os.environ.get("GRAFT_BENCH_REPLICATE", "8"))
 PAGE_SCALE = int(os.environ.get("GRAFT_BENCH_PAGE_SCALE", "1"))
+# 128-row batches amortize per-UDF-call overhead at fixture page sizes
+# (~2 KB); scale this down as payload size grows (rows x payload <~ 8 MiB)
+BATCH_SIZE = int(os.environ.get("GRAFT_BENCH_BATCH_SIZE", "128"))
 
 
 def _warm_page_cache(path: str) -> int:
@@ -97,7 +100,7 @@ def run_bench() -> dict:
     # measurement below is steady-state throughput (guide: "warm the OS
     # page cache with one untimed read first")
     if os.environ.get("GRAFT_BENCH_WARM_FULL"):
-        extract_dir(pages_dir, batch_size=32).count()
+        extract_dir(pages_dir, batch_size=BATCH_SIZE).count()
     else:
         import ray.data as rd
 
@@ -107,7 +110,7 @@ def run_bench() -> dict:
     # headline: the flagship extraction pipeline, consumed by count()
     # (forces full execution, keeps the driver out of the data path)
     t0 = time.perf_counter()
-    ds = extract_dir(pages_dir, batch_size=32)
+    ds = extract_dir(pages_dir, batch_size=BATCH_SIZE)
     n_pages = ds.count()
     timings["extract"] = time.perf_counter() - t0
 
@@ -179,19 +182,27 @@ def run_scaling() -> dict:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    lo_cpus, hi_cpus = 8, 32
+    lo_cpus = int(os.environ.get("GRAFT_SCALING_LO", "8"))
+    hi_cpus = int(os.environ.get("GRAFT_SCALING_HI", "32"))
     run(hi_cpus)  # untimed warm-up pass: generates + page-caches the corpus
-    lo = run(lo_cpus)
-    hi = run(hi_cpus)
+    # best-of-two per level, interleaved: run-to-run variance (thermal,
+    # page cache) is ~20%; min is the standard least-noise estimator
+    hi_runs = [run(hi_cpus)]
+    lo_runs = [run(lo_cpus)]
+    hi_runs.append(run(hi_cpus))
+    lo_runs.append(run(lo_cpus))
+    hi = min(hi_runs, key=lambda r: r["value"])
+    lo = min(lo_runs, key=lambda r: r["value"])
     eff = (lo["value"] / hi["value"]) / (hi_cpus / lo_cpus)
     return {
         "metric": "scaling_efficiency",
         "value": round(eff, 3),
         "unit": "ratio",
-        "sec_8": lo["value"],
-        "sec_32": hi["value"],
-        "docs_per_sec_8": lo["docs_per_sec"],
-        "docs_per_sec_32": hi["docs_per_sec"],
+        "cpus": [lo_cpus, hi_cpus],
+        f"sec_{lo_cpus}": lo["value"],
+        f"sec_{hi_cpus}": hi["value"],
+        f"docs_per_sec_{lo_cpus}": lo["docs_per_sec"],
+        f"docs_per_sec_{hi_cpus}": hi["docs_per_sec"],
         "sf": SF_DIR,
         "pages": lo["pages"],
     }

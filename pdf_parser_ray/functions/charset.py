@@ -60,7 +60,12 @@ def decode_payload(data: bytes) -> tuple[str, str]:
     declared = sniff_declared_charset(data)
     if declared:
         try:
-            return data.decode(declared), declared
+            text = data.decode(declared)
+            # plausibility gate: a mislabeled wide charset (e.g. ascii
+            # bytes declared utf-16) "succeeds" but yields mojibake in
+            # which the markup's '<' disappears — fall through instead
+            if b"<" not in data[:4096] or "<" in text[:8192]:
+                return text, declared
         except (UnicodeDecodeError, LookupError):
             pass
 

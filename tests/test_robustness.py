@@ -1,0 +1,90 @@
+"""Edge-case robustness: hostile payloads must never crash the fused
+extraction stage, and exotic-but-valid inputs must decode correctly."""
+
+import zlib
+
+import pyarrow as pa
+
+from pdf_parser_ray.functions.charset import decode_payload
+from pdf_parser_ray.stages.extract import extract_one
+from pdf_parser_ray.pdf.build import build_pdf
+from pdf_parser_ray.pdf.parse import extract_text
+
+
+class TestHostilePayloads:
+    def test_never_raises(self):
+        payloads = [
+            b"",
+            b"\x00" * 64,
+            b"%PDF-1.4 garbage after magic",
+            b"%PDF-",
+            b"<html><body>" + b"<div>" * 5000,  # deep nesting
+            b"<p>" + b"x" * 100_000 + b"</p>",
+            bytes(range(256)) * 16,
+            "<p>ok words here for a real block</p>".encode("utf-16"),
+            b"<script>" + b"a" * 10_000,  # unterminated rawtext
+            zlib.compress(b"not a pdf, not html"),
+        ]
+        for p in payloads:
+            out = extract_one(p, 2024)
+            assert set(out) == {
+                "content_type", "encoding", "parser_key", "extracted_text",
+                "spans", "records",
+            }
+            assert isinstance(out["extracted_text"], str)
+
+    def test_utf16_page_via_bom(self):
+        html = "<p>unicode content words here for the block</p>"
+        payload = html.encode("utf-16")  # includes BOM
+        out = extract_one(payload, 2024)
+        assert out["content_type"] == "html"
+        assert "unicode content words" in out["extracted_text"]
+        assert out["encoding"].startswith("utf-16")
+
+    def test_truncated_pdf_payload(self):
+        pdf = build_pdf([["content line words here now ok"]])
+        out = extract_one(pdf[: len(pdf) // 2], 2024)
+        assert out["content_type"] == "pdf"  # magic still detected
+
+    def test_pdf_with_ascii_hex_stream(self):
+        # hand-built single-page PDF using ASCIIHexDecode
+        content = b"BT /F1 12 Tf 1 0 0 1 72 720 Tm (hex encoded line) Tj ET"
+        hexed = content.hex().encode()
+        stream_obj = (
+            b"4 0 obj\n<< /Length " + str(len(hexed)).encode()
+            + b" /Filter /ASCIIHexDecode >>\nstream\n" + hexed
+            + b">\nendstream\nendobj\n"
+        )
+        raw = (
+            b"%PDF-1.4\n"
+            b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+            b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+            b"3 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792]"
+            b" /Contents 4 0 R >>\nendobj\n"
+            + stream_obj
+            + b"trailer\n<< /Root 1 0 R >>\n"
+        )
+        assert extract_text(raw) == "hex encoded line"
+
+    def test_charset_mislabeled_meta(self):
+        # declared charset that fails to decode falls through to utf-8
+        payload = '<meta charset="utf-16"><p>plain ascii body</p>'.encode("ascii")
+        text, enc = decode_payload(payload)
+        assert "plain ascii" in text
+
+    def test_batch_with_null_payload(self):
+        from pdf_parser_ray.stages.extract import extract_batch
+
+        batch = pa.table(
+            {
+                "url": pa.array(["https://a", "https://b"], pa.string()),
+                "warc_ts": pa.array([0, None], pa.timestamp("us")),
+                "html": pa.array([None, b"<p>some words in this block here</p>"],
+                                 pa.binary()),
+                "text": pa.array(["", ""], pa.string()),
+                "lang": pa.array(["en", None], pa.string()),
+            }
+        )
+        out = extract_batch(batch)
+        assert out.num_rows == 2
+        assert out.column("content_type").to_pylist() == ["empty", "html"]
