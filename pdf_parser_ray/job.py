@@ -23,6 +23,9 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--batch-size", type=int, default=64)
     ap.add_argument("--num-cpus", type=int, default=None,
                     help="only for local testing; omit on a real cluster")
+    ap.add_argument("--size-routing", type=int, default=None, metavar="BYTES",
+                    help="route payloads over BYTES to a dedicated "
+                         "1-row-per-task branch (skew handling)")
     args = ap.parse_args(argv)
 
     import ray
@@ -44,6 +47,7 @@ def main(argv: list[str] | None = None) -> int:
         args.output,
         group_size=args.group_size,
         batch_size=args.batch_size,
+        size_routing_threshold=args.size_routing,
     )
     print(json.dumps(summary))
     ray.shutdown()

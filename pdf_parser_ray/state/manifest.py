@@ -74,9 +74,15 @@ def run_job(
     group_size: int = 8,
     concurrency: int | tuple[int, int] | None = None,
     batch_size: int = 64,
+    size_routing_threshold: int | None = None,
 ) -> dict:
     """Run (or resume) the extraction job over a directory of pages
-    parquet shards.  Returns a summary with per-group metrics."""
+    parquet shards.  Returns a summary with per-group metrics.
+
+    ``size_routing_threshold`` switches to the byte-size-aware plan
+    (giant rows on a dedicated 1-row-per-task branch, see
+    stages/skew.py) — use for corpora with multi-hundred-MB documents.
+    """
     os.makedirs(os.path.join(out_dir, "_manifest"), exist_ok=True)
     groups = list_shard_groups(input_dir, group_size)
     done = completed_groups(out_dir)
@@ -87,9 +93,18 @@ def run_job(
             summary["skipped"] += 1
             continue
         t0 = time.perf_counter()
-        ds = build_extraction_pipeline(
-            read_pages(files), concurrency=concurrency, batch_size=batch_size
-        )
+        if size_routing_threshold is not None:
+            from ..stages.skew import extract_with_size_routing
+
+            ds = extract_with_size_routing(
+                read_pages(files),
+                threshold_bytes=size_routing_threshold,
+                small_batch_size=batch_size,
+            )
+        else:
+            ds = build_extraction_pipeline(
+                read_pages(files), concurrency=concurrency, batch_size=batch_size
+            )
 
         final_dir = os.path.join(out_dir, f"shard={gid:05d}")
         tmp_dir = os.path.join(out_dir, f"_tmp.shard={gid:05d}.{uuid.uuid4().hex[:8]}")
