@@ -44,6 +44,9 @@ _ENCODINGS = ("utf-8", "cp1252", "latin-1", "utf-8")
 
 _EPOCH_2024_US = 1_704_067_200_000_000  # 2024-01-01T00:00:00Z in microseconds
 
+# bump when generator/statement content changes so cached corpora regenerate
+CORPUS_VERSION = 2
+
 
 def _norm_ws(s: str) -> str:
     """The generator-side mirror of the HTML extractor's whitespace rule:
@@ -246,7 +249,7 @@ def synthesize_pages_ray(
     import pyarrow as pa
     import ray.data as rd
 
-    tag = f"ray_seed{seed}_rep{replicate}_pdf{int(pdf_fraction * 100)}_ps{page_scale}"
+    tag = f"v{CORPUS_VERSION}_ray_seed{seed}_rep{replicate}_pdf{int(pdf_fraction * 100)}_ps{page_scale}"
     pages_dir = os.path.join(out_dir, f"pages_{tag}")
     done_marker = os.path.join(pages_dir, "_DONE")
     if os.path.exists(done_marker):
@@ -306,7 +309,7 @@ def synthesize_to_dir(
 
     import pyarrow.parquet as pq
 
-    tag = f"seed{seed}_rep{replicate}_pdf{int(pdf_fraction * 100)}"
+    tag = f"v{CORPUS_VERSION}_seed{seed}_rep{replicate}_pdf{int(pdf_fraction * 100)}"
     pages_dir = os.path.join(out_dir, f"pages_{tag}")
     golden_path = os.path.join(out_dir, f"golden_{tag}.parquet")
     done_marker = os.path.join(pages_dir, "_DONE")

@@ -78,6 +78,10 @@ def truist_statement(rng: random.Random, year: int) -> list[str]:
 def wf_statement(rng: random.Random, year: int) -> list[str]:
     return [
         f"Wells Fargo Navigate Business Checking {year} wellsfargo.com",
+        # noise the WF filter stack must drop (wf.py:35-42,139-174)
+        "Statement period activity summary",
+        f"Beginning balance {_amt(rng)}",
+        "Page 1 of 4",
         f"{_day(rng)} Purchase authorized on {rng.randint(1,12)}.{rng.randint(1,28)}.{year % 100} Card 1234 {_amt(rng, 500, 40000)} {_amt(rng)}",
         f"{_day(rng)} WT Fed#{rng.randint(100,999)} Acme Bank /Org=Global Exports LLC Srf#{rng.randint(10,99)} {_amt(rng)} {_amt(rng)}",
         f"{_day(rng)} WT Fed#{rng.randint(100,999)} Acme Bank /Bnf=Supplier Inc Srf#{rng.randint(10,99)} {_amt(rng)} {_amt(rng)}",
@@ -89,18 +93,26 @@ def wf_statement(rng: random.Random, year: int) -> list[str]:
 def chase_statement(rng: random.Random, year: int) -> list[str]:
     return [
         f"Chase Total Checking statement {year} chase.com",
+        # markup + summary noise (chase.py:94-118)
+        "*start*dre portrait disclosure message area*end*",
+        f"Beginning Balance ${_amt(rng)}",
+        "CHECKING SUMMARY",
         "DEPOSITS AND ADDITIONS",
         f"{_day(rng)} Remote Online Deposit ${_amt(rng)}",
         f"{_day(rng)} Zelle Payment From Acme Conf# {rng.randint(10**8, 10**9-1)} ${_amt(rng)}",
         "ELECTRONIC WITHDRAWALS",
         f"{_day(rng)} Orig CO Name:Utility Co Pymt Trn:{rng.randint(10**6,10**7-1)} ${_amt(rng, 1000, 90000)}",
         f"{_day(rng)} Online Domestic Wire Transfer Via:Acme Bank ${_amt(rng)}",
+        f"Total Deposits and Additions ${_amt(rng)}",
+        "DAILY ENDING BALANCE",
     ]
 
 
 def citi_statement(rng: random.Random, year: int) -> list[str]:
     return [
         f"CitiBusiness statement {year}",
+        "Page 1",
+        "Date Description Debits Credits Balance",
         "CitiBusiness Checking Activity",
         f"{_day(rng)} Wire From Global Exports Ref {rng.randint(100,999)} {_amt(rng)} {_amt(rng)}",
         f"{_day(rng)} Debit Card Purch Staples {_amt(rng, 500, 30000)} {_amt(rng)}",
@@ -114,6 +126,11 @@ def bofa_statement(rng: random.Random, year: int) -> list[str]:
     yy = year % 100
     return [
         f"Bank of America Business Advantage statement {year}",
+        "Page 1 of 3",
+        # daily-balance section must be suppressed until the next section
+        # header (bofa.py:28-36,147-153)
+        "Daily ledger balances",
+        f"{rng.randint(1,12)}/{rng.randint(1,28)} {_amt(rng)}",
         "Deposits and other additions",
         f"{rng.randint(1,12):02d}/{rng.randint(1,28):02d}/{yy:02d} Zelle payment from JANE DOE Conf# {rng.randint(10**6,10**7-1)} {_amt(rng)}",
         f"{rng.randint(1,12):02d}/{rng.randint(1,28):02d}/{yy:02d} WIRE TYPE:WIRE IN DATE:{rng.randint(1000,9999)} Global Exports {_amt(rng)}",

@@ -1,0 +1,72 @@
+"""Content-stream interpreter coverage for operators the fixture
+builder doesn't emit: Td/TD/TL/T*, ' and ", TJ arrays, q/Q/cm CTM
+tracking (reference semantics: layout-ordered lines, base.py:27-33)."""
+
+from pdf_parser_ray.pdf.parse import _ContentInterpreter, assemble_lines
+
+
+def interpret(content: bytes) -> str:
+    interp = _ContentInterpreter()
+    interp.run(content)
+    return assemble_lines(interp.runs)
+
+
+class TestTextPositioning:
+    def test_td_moves_lines(self):
+        out = interpret(
+            b"BT /F1 12 Tf 1 0 0 1 72 720 Tm (first) Tj 0 -20 Td (second) Tj ET"
+        )
+        assert out == "first\nsecond"
+
+    def test_TD_sets_leading_and_t_star(self):
+        out = interpret(
+            b"BT /F1 12 Tf 1 0 0 1 72 720 Tm (a) Tj 0 -16 TD (b) Tj T* (c) Tj ET"
+        )
+        assert out == "a\nb\nc"
+
+    def test_TL_with_quote_op(self):
+        out = interpret(b"BT /F1 12 Tf 16 TL 1 0 0 1 72 720 Tm (one) Tj (two) ' ET")
+        assert out == "one\ntwo"
+
+    def test_double_quote_op(self):
+        out = interpret(b'BT /F1 12 Tf 16 TL 1 0 0 1 72 720 Tm (one) Tj 0 1 (two) " ET')
+        assert out == "one\ntwo"
+
+    def test_tj_array_concatenates(self):
+        out = interpret(b"BT /F1 12 Tf 1 0 0 1 72 720 Tm [(con) -20 (cat)] TJ ET")
+        assert out == "concat"
+
+    def test_consecutive_tj_same_line_ordered(self):
+        # pen advance keeps x-order without explicit positioning
+        out = interpret(b"BT /F1 12 Tf 1 0 0 1 72 720 Tm (left ) Tj (right) Tj ET")
+        assert out == "left right" or out == "left  right" or out == "left right".replace("  ", " ")
+        assert out.startswith("left")
+        assert out.endswith("right")
+
+    def test_cm_translation_applies(self):
+        # CTM shifts the whole text space down -> still one line, y moved
+        out = interpret(b"q 1 0 0 1 0 -100 cm BT /F1 12 Tf 1 0 0 1 72 720 Tm (moved) Tj ET Q")
+        assert out == "moved"
+
+    def test_q_Q_restores_ctm(self):
+        content = (
+            b"q 1 0 0 1 0 -300 cm "
+            b"BT /F1 12 Tf 1 0 0 1 72 720 Tm (low) Tj ET Q "
+            b"BT /F1 12 Tf 1 0 0 1 72 720 Tm (high) Tj ET"
+        )
+        # after Q the second text is back at y=720 (above y=420)
+        assert interpret(content) == "high\nlow"
+
+    def test_hex_string_show(self):
+        out = interpret(b"BT /F1 12 Tf 1 0 0 1 72 720 Tm <68656C6C6F> Tj ET")
+        assert out == "hello"
+
+    def test_inline_image_skipped(self):
+        out = interpret(
+            b"BI /W 2 /H 2 ID \x00\x01\x02\x03 EI BT /F1 12 Tf 1 0 0 1 72 720 Tm (after) Tj ET"
+        )
+        assert out == "after"
+
+    def test_malformed_operands_tolerated(self):
+        out = interpret(b"BT (noTf) Tj 1 0 0 Tm (bad) garbage ET BT /F1 9 Tf 1 0 0 1 10 10 Tm (ok) Tj ET")
+        assert "ok" in out
