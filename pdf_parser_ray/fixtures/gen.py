@@ -33,7 +33,7 @@ import re
 import pyarrow as pa
 
 from ..extractors import detect_source, get_extractor
-from ..schemas import RECORD_TYPE
+from ..schemas import RECORD_TYPE, SPAN_TYPE
 from ..functions.directions import normalize_records
 from ..functions.scalars import text_to_lines
 from ..pdf.build import build_pdf
@@ -45,7 +45,18 @@ _ENCODINGS = ("utf-8", "cp1252", "latin-1", "utf-8")
 _EPOCH_2024_US = 1_704_067_200_000_000  # 2024-01-01T00:00:00Z in microseconds
 
 # bump when generator/statement content changes so cached corpora regenerate
-CORPUS_VERSION = 2
+CORPUS_VERSION = 3
+
+
+def _spans_for_lines(lines: list[str], kinds: list[str]) -> list[dict]:
+    """Golden spans from generator knowledge: offsets of each line inside
+    the '\\n'-joined golden text."""
+    spans = []
+    pos = 0
+    for text, kind in zip(lines, kinds):
+        spans.append({"start": pos, "end": pos + len(text), "kind": kind})
+        pos += len(text) + 1
+    return spans
 
 
 def _norm_ws(s: str) -> str:
@@ -125,8 +136,8 @@ def _html_page(
 
 def _pdf_page(
     doc_id: int, replica: int, year: int, rng: random.Random
-) -> tuple[bytes, list[str], str]:
-    """-> (payload_bytes, golden_lines, bank_key)."""
+) -> tuple[bytes, list[str], str, list[list[str]]]:
+    """-> (payload_bytes, golden_lines, bank_key, page_structure)."""
     bank = BANK_CYCLE[(doc_id + replica) % len(BANK_CYCLE)]
     lines = STATEMENT_BUILDERS[bank](rng, year)
     # split across two pages sometimes; scramble stream order sometimes —
@@ -136,7 +147,7 @@ def _pdf_page(
     else:
         pages = [lines]
     payload = build_pdf(pages, shuffle_order=rng.random() < 0.5)
-    return payload, lines, bank
+    return payload, lines, bank, pages
 
 
 def synthesize_pages(
@@ -152,7 +163,7 @@ def synthesize_pages(
     langs = documents.column("lang").to_pylist()
 
     urls, tss, payloads, snippets, out_langs = [], [], [], [], []
-    g_urls, g_texts, g_keys, g_records, g_kinds = [], [], [], [], []
+    g_urls, g_texts, g_keys, g_records, g_kinds, g_spans = [], [], [], [], [], []
 
     for replica in range(replicate):
         for doc_id, doc_text, lang in zip(doc_ids, texts, langs):
@@ -161,13 +172,22 @@ def synthesize_pages(
             ts = _EPOCH_2024_US + (doc_id * 86_400 + replica * 997) * 1_000_000
             year = 2024
             if rng.random() < pdf_fraction:
-                payload, golden_lines, _bank = _pdf_page(doc_id, replica, year, rng)
+                payload, golden_lines, _bank, page_struct = _pdf_page(
+                    doc_id, replica, year, rng
+                )
                 kind = "pdf"
+                # one span per page over the '\n'-joined page texts
+                page_texts = ["\n".join(p) for p in page_struct]
+                spans = _spans_for_lines(page_texts, ["page"] * len(page_texts))
             else:
                 payload, _enc, golden_lines, _title = _html_page(
                     doc_text, doc_id, replica, rng
                 )
                 kind = "html"
+                # one span per kept block: the h1 title then the paragraphs
+                spans = _spans_for_lines(
+                    golden_lines, ["h1"] + ["p"] * (len(golden_lines) - 1)
+                )
             golden_text = "\n".join(golden_lines)
             parser_key = detect_source(golden_text)
             records = normalize_records(
@@ -186,6 +206,7 @@ def synthesize_pages(
             g_keys.append(parser_key)
             g_records.append(records)
             g_kinds.append(kind)
+            g_spans.append(spans)
 
     pages = pa.table(
         {
@@ -202,6 +223,7 @@ def synthesize_pages(
             "content_type": pa.array(g_kinds, pa.string()),
             "extracted_text": pa.array(g_texts, pa.large_string()),
             "parser_key": pa.array(g_keys, pa.string()),
+            "spans": pa.array(g_spans, pa.list_(SPAN_TYPE)),
             "records": pa.array(g_records, pa.list_(RECORD_TYPE)),
         }
     )
@@ -218,7 +240,7 @@ def synthesize_row(
     url = f"https://site{doc_id}.example/r{replica}/p{doc_id}"
     ts = _EPOCH_2024_US + (doc_id * 86_400 + replica * 997) * 1_000_000
     if rng.random() < pdf_fraction:
-        payload, _lines, _bank = _pdf_page(doc_id, replica, 2024, rng)
+        payload, _lines, _bank, _pages = _pdf_page(doc_id, replica, 2024, rng)
     else:
         payload, _enc, _lines, _title = _html_page(
             doc_text, doc_id, replica, rng, page_scale

@@ -107,6 +107,13 @@ class TestExtraction:
             for s in spans:
                 assert 0 <= s["start"] <= s["end"] <= len(text)
 
+    def test_spans_match_golden(self, extracted):
+        # golden spans come from generator knowledge (FIXTURES.md §2)
+        out, golden = extracted
+        got = dict(zip(out.column("url").to_pylist(), out.column("spans").to_pylist()))
+        exp = dict(zip(golden.column("url").to_pylist(), golden.column("spans").to_pylist()))
+        assert got == exp
+
     def test_bucket_range(self, extracted):
         out, _ = extracted
         from pdf_parser_ray.schemas import NUM_BUCKETS
