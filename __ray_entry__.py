@@ -108,7 +108,7 @@ def _extract_dedup(sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from pdf_parser_ray.pipelines import analysis, dedup, relational, similarity
+    from pdf_parser_ray.pipelines import analysis, curate, dedup, relational, similarity
     from pdf_parser_ray.pipelines import multimodal
 
     return {
@@ -133,6 +133,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_dedup": dedup.simhash_dedup,
         "ngram_jaccard_dedup": dedup.ngram_jaccard_dedup,
         "embedding_dedup": dedup.embedding_dedup,
+        "near_dup_clusters": curate.near_dup_clusters,
+        "curate_documents": curate.curate_documents,
         # -- similarity search --
         "knn_cosine": similarity.knn_cosine,
         "knn_lsh": similarity.knn_lsh,

@@ -82,6 +82,8 @@ def test_entry_smoke(ray_session, quiet_data_context):
         "simhash_dedup",
         "ngram_jaccard_dedup",
         "embedding_dedup",
+        "near_dup_clusters",
+        "curate_documents",
         "knn_lsh",
         "media_features",
         "frame_sample",
