@@ -108,6 +108,19 @@ def chase_statement(rng: random.Random, year: int) -> list[str]:
     ]
 
 
+def chase_es_statement(rng: random.Random, year: int) -> list[str]:
+    """Spanish-layout Chase statement — exercises the bilingual section
+    detection (chase.py:70-89) end-to-end."""
+    return [
+        f"Chase Total Checking estado de cuenta {year} chase.com",
+        "DEPÓSITOS Y ADICIONES",
+        f"{_day(rng)} Deposito movil ${_amt(rng)}",
+        "RETIROS ELECTRÓNICOS",
+        f"{_day(rng)} Débito de cámara compensadora Utility Co ${_amt(rng, 1000, 90000)}",
+        f"{_day(rng)} Compra con tarjeta Supermercado ${_amt(rng, 500, 30000)}",
+    ]
+
+
 def citi_statement(rng: random.Random, year: int) -> list[str]:
     return [
         f"CitiBusiness statement {year}",
@@ -149,6 +162,7 @@ STATEMENT_BUILDERS = {
     "truist": truist_statement,
     "wf": wf_statement,
     "chase": chase_statement,
+    "chase_es": chase_es_statement,
     "citi": citi_statement,
     "bofa": bofa_statement,
 }

@@ -233,6 +233,32 @@ class TestChase:
         recs = run("chase", ["1/5 Reversal of online payment $45.00"])
         assert recs[0]["direction"] == "in"
 
+    # golden cases from the reference's own regression docs
+    # (CHASE_PARSER_BUG_FIXES.md — the snapshot code's behavior)
+
+    def test_waste_mgmt_transaction_recovered(self):
+        # "Problema 2": the ACH row must produce a record at the real amount
+        lines = [
+            "ELECTRONIC WITHDRAWALS",
+            "3/6 Orig CO Name:Waste Mgmt Wm Ezpay Orig ID:1912078863 "
+            "Desc Date:240306 CO Entry Descr:Ach Sec:Tel $2,487.82",
+        ]
+        recs = run("chase", lines)
+        assert len(recs) == 1
+        assert recs[0]["amount"] == 2487.82
+        assert recs[0]["direction"] == "out"
+
+    def test_ach_in_deposits_section_is_in(self):
+        # "Problema 3": Orig CO Name rows inside DEPOSITS AND ADDITIONS
+        # classify as inflows via section context
+        lines = [
+            "DEPOSITS AND ADDITIONS",
+            "3/6 Orig CO Name:Sanaa Debs Orig ID:123 Desc Date:240306 "
+            "CO Entry Descr:Sender $1,000.00",
+        ]
+        recs = run("chase", lines)
+        assert recs[0]["direction"] == "in"
+
 
 class TestCiti:
     def test_checking_two_amounts(self):

@@ -121,3 +121,25 @@ class TestExtraction:
         buckets = set(out.column("bucket").to_pylist())
         assert all(0 <= b < NUM_BUCKETS for b in buckets)
         assert len(buckets) > 16  # spread over many buckets
+
+
+class TestActorPoolVariant:
+    def test_actor_pool_matches_stateless(self, ray_session, quiet_data_context, corpus):
+        import ray.data as rd
+
+        from pdf_parser_ray.pipelines.extract import build_extraction_pipeline, read_pages
+
+        pages_dir, _ = corpus
+        a = (
+            build_extraction_pipeline(read_pages(pages_dir))
+            .to_pandas()
+            .set_index("url")["content_sha256"]
+            .sort_index()
+        )
+        b = (
+            build_extraction_pipeline(read_pages(pages_dir), concurrency=2)
+            .to_pandas()
+            .set_index("url")["content_sha256"]
+            .sort_index()
+        )
+        assert a.equals(b)
