@@ -13,7 +13,6 @@ from __future__ import annotations
 import os
 import re
 
-import numpy as np
 import pyarrow as pa
 import ray.data as rd
 from ray.data.aggregate import Count, Sum

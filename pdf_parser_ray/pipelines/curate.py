@@ -17,7 +17,6 @@ import pyarrow as pa
 import ray
 import ray.data as rd
 
-from ..functions.scalars import text_to_lines  # noqa: F401  (module warm-up symmetry)
 from .analysis import _LANG_PROFILES, _TOKEN_RE
 from .dedup import exact_dedup, minhash_dedup, with_near_dups, _docs
 

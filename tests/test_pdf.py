@@ -3,7 +3,6 @@ reordering determinism, and robustness (SURVEY.md §7.6)."""
 
 import zlib
 
-import pytest
 
 from pdf_parser_ray.pdf.build import build_pdf
 from pdf_parser_ray.pdf.parse import (
@@ -15,7 +14,6 @@ from pdf_parser_ray.pdf.parse import (
     extract_page_texts,
     extract_text,
     is_pdf,
-    parse_document,
     TextRun,
 )
 

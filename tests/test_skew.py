@@ -2,9 +2,7 @@
 
 import os
 
-import numpy as np
 import pyarrow as pa
-import pytest
 
 
 def _pages_with_giants():
