@@ -255,7 +255,11 @@ def _broadcast_texts(sf_dir: str):
 # -- MinHash + LSH ----------------------------------------------------------
 
 _MINHASH_PERMS = 32
-_LSH_BANDS = 8  # 8 bands x 4 rows
+# 10 bands x 3 rows (30 of the 32 perms): band-match probability at
+# Jaccard 0.6 is 1-(1-0.6^3)^10 ~ 0.91 vs 0.67 for 8x4 — tuned for the
+# J ~ 0.6-0.9 near-dup regime this operator targets
+_LSH_BANDS = 10
+_LSH_ROWS = 3
 _rng = np.random.default_rng(20240817)
 # odd multipliers for the multiply-shift hash family over Z/2^64 —
 # fully vectorizable (uint64 wraparound is the modulus)
@@ -312,7 +316,7 @@ def minhash_dedup(sf_dir: str, threshold_millis: int = 500) -> rd.Dataset:
         ids = batch.column("doc_id").to_pylist()
         texts = batch.column("text").to_pylist()
         out_band, out_hash, out_id = [], [], []
-        rows_per_band = _MINHASH_PERMS // _LSH_BANDS
+        rows_per_band = _LSH_ROWS
         word_cache: dict[str, int] = {}  # word-hash memo shared per batch
         for doc_id, text in zip(ids, texts):
             sig = minhash_signature(text, word_cache)

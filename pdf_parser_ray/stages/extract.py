@@ -32,11 +32,6 @@ from ..html.extract import extract_main_text
 from ..pdf.parse import extract_page_texts, is_pdf
 from ..schemas import EXTRACTED_SCHEMA, NUM_BUCKETS, RECORD_TYPE, SPAN_TYPE
 
-# Rows with payloads above this size get flagged; at cluster scale the
-# driver routes them to a dedicated high-memory pool (SURVEY.md §4.2).
-GIANT_DOC_BYTES = 64 * 1024 * 1024
-
-
 def url_bucket(url: str, num_buckets: int = NUM_BUCKETS) -> int:
     """Stable url hash bucket — the single partition key reused for
     output layout, resume lineage, and any later co-location shuffle."""

@@ -1,0 +1,77 @@
+"""Recall checks for the near-dup operators: the deterministic planted
+clones (every 7th doc, ~10% words dropped ⇒ Jaccard ≈ 0.7-0.9) must be
+recovered by each signature scheme."""
+
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _planted_pairs():
+    import pyarrow.parquet as pq
+
+    from pdf_parser_ray.pipelines.dedup import NEAR_DUP_ID_OFFSET
+
+    ids = pq.read_table(SF_DIR + "/documents.parquet", columns=["doc_id"])
+    return {
+        (int(i), int(i) + NEAR_DUP_ID_OFFSET)
+        for i in ids.column("doc_id").to_pylist()
+        if int(i) % 7 == 0
+    }
+
+
+class TestPlantedCloneRecall:
+    def test_minhash_recall(self, ray_session, quiet_data_context):
+        from pdf_parser_ray.pipelines.dedup import minhash_dedup
+
+        got = {
+            (int(a), int(b))
+            for a, b in minhash_dedup(SF_DIR)
+            .to_pandas()[["doc_id_a", "doc_id_b"]]
+            .itertuples(index=False)
+        }
+        planted = _planted_pairs()
+        recall = len(got & planted) / len(planted)
+        assert recall >= 0.9, f"minhash recall {recall:.2f}"
+
+    def test_ngram_recall(self, ray_session, quiet_data_context):
+        from pdf_parser_ray.pipelines.dedup import ngram_jaccard_dedup
+
+        got = {
+            (int(a), int(b))
+            for a, b in ngram_jaccard_dedup(SF_DIR)
+            .to_pandas()[["doc_id_a", "doc_id_b"]]
+            .itertuples(index=False)
+        }
+        planted = _planted_pairs()
+        recall = len(got & planted) / len(planted)
+        assert recall >= 0.5, f"ngram recall {recall:.2f}"  # k-anchor LSH is coarser
+
+    def test_cluster_roots_are_originals(self, ray_session, quiet_data_context):
+        from pdf_parser_ray.pipelines.curate import near_dup_clusters
+        from pdf_parser_ray.pipelines.dedup import NEAR_DUP_ID_OFFSET
+
+        df = near_dup_clusters(SF_DIR).to_pandas()
+        # every planted clone that clusters must cluster under an id
+        # smaller than itself (the original or an earlier member)
+        clones = df[df["doc_id"] >= NEAR_DUP_ID_OFFSET]
+        assert (clones["cluster_id"] < clones["doc_id"]).all()
+
+    def test_embedding_recall(self, ray_session, quiet_data_context):
+        from pdf_parser_ray.pipelines.dedup import NEAR_DUP_ID_OFFSET, embedding_dedup
+
+        got = embedding_dedup(SF_DIR).to_pandas()
+        planted_hits = got[
+            got["vec_id_b"] - got["vec_id_a"] == NEAR_DUP_ID_OFFSET
+        ]
+        # perturbed clones have cosine ~0.9999; most should surface
+        import pyarrow.parquet as pq
+
+        n_planted = sum(
+            1
+            for v in pq.read_table(SF_DIR + "/embeddings.parquet", columns=["vec_id"])
+            .column("vec_id")
+            .to_pylist()
+            if int(v) % 9 == 0
+        )
+        assert len(planted_hits) / n_planted >= 0.5
