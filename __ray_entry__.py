@@ -54,13 +54,14 @@ def _extract_pages(sf_dir: str):
 
 
 def _extract_records(sf_dir: str):
-    """Exploded relational view of the extracted transaction records."""
+    """Exploded relational view of the extracted transaction records
+    (amounts in integer cents so the oracle value-hash is float-safe)."""
     import pyarrow as pa
 
     from pdf_parser_ray.pipelines.extract import extract_dir
 
     def explode(batch: pa.Table) -> pa.Table:
-        urls, dates, descs, amts, dirs = [], [], [], [], []
+        urls, dates, descs, cents, dirs = [], [], [], [], []
         for url, recs in zip(
             batch.column("url").to_pylist(), batch.column("records").to_pylist()
         ):
@@ -68,14 +69,14 @@ def _extract_records(sf_dir: str):
                 urls.append(url)
                 dates.append(r["date"])
                 descs.append(r["description"])
-                amts.append(r["amount"])
+                cents.append(int(round(r["amount"] * 100)))
                 dirs.append(r["direction"])
         return pa.table(
             {
                 "url": pa.array(urls, pa.string()),
                 "date": pa.array(dates, pa.string()),
                 "description": pa.array(descs, pa.string()),
-                "amount": pa.array(amts, pa.float64()),
+                "amount_cents": pa.array(cents, pa.int64()),
                 "direction": pa.array(dirs, pa.string()),
             }
         )
@@ -176,6 +177,43 @@ def _direction_case_sql(desc_col: str) -> str:
     return "CASE " + " ".join(whens) + " ELSE 'unknown' END"
 
 
+_ORACLE_SF_DIR = "/root/testdata/sf0.01"  # the driver's oracle scale
+
+
+def _extract_oracle_sql() -> dict[str, str]:
+    """Golden-backed oracles for the extraction flagship: the generator
+    writes independent per-url goldens (text built from generator
+    knowledge, sha256/n_records as plain columns, records exploded to a
+    side table) — the SQL just SELECTs them, so the driver's hash gate
+    covers the full HTML/PDF extraction path end-to-end."""
+    if not os.path.isdir(_ORACLE_SF_DIR):
+        return {}
+    from pdf_parser_ray.fixtures.gen import golden_paths_for
+
+    tag = os.path.basename(os.path.normpath(_ORACLE_SF_DIR))
+    out = os.path.join(_CACHE_ROOT, tag)
+    os.makedirs(out, exist_ok=True)
+    golden_path, records_path = golden_paths_for(_ORACLE_SF_DIR, out)
+    return {
+        "extract_pages": (
+            f"SELECT url, content_type, parser_key, n_records, content_sha256"
+            f" FROM read_parquet('{golden_path}')"
+        ),
+        "extract_records": (
+            f"SELECT url, date, description, amount_cents, direction"
+            f" FROM read_parquet('{records_path}')"
+        ),
+        "records_by_direction": (
+            f"SELECT direction, CAST(count(*) AS BIGINT) AS n"
+            f" FROM read_parquet('{records_path}') GROUP BY direction"
+        ),
+        "extract_dedup": (
+            f"SELECT content_sha256, min(url) AS url"
+            f" FROM read_parquet('{golden_path}') GROUP BY content_sha256"
+        ),
+    }
+
+
 def oracle_sql() -> dict[str, str]:
     synth_desc = (
         "CASE doc_id % 6 "
@@ -183,7 +221,7 @@ def oracle_sql() -> dict[str, str]:
         "WHEN 2 THEN 'ZELLE PAYMENT FROM ' WHEN 3 THEN 'PAYPAL TRANSFER ' "
         "WHEN 4 THEN 'WT 1234 SETTLEMENT ' ELSE '' END || upper(substr(text, 1, 20))"
     )
-    return {
+    out = {
         "token_counts": (
             "SELECT doc_id, CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),"
             " x -> x <> '')) AS BIGINT) AS n_tokens FROM documents"
@@ -269,3 +307,5 @@ def oracle_sql() -> dict[str, str]:
             " GROUP BY user_id"
         ),
     }
+    out.update(_extract_oracle_sql())
+    return out

@@ -45,7 +45,7 @@ _ENCODINGS = ("utf-8", "cp1252", "latin-1", "utf-8")
 _EPOCH_2024_US = 1_704_067_200_000_000  # 2024-01-01T00:00:00Z in microseconds
 
 # bump when generator/statement content changes so cached corpora regenerate
-CORPUS_VERSION = 4
+CORPUS_VERSION = 5
 
 
 def _spans_for_lines(lines: list[str], kinds: list[str]) -> list[dict]:
@@ -217,6 +217,8 @@ def synthesize_pages(
             "lang": pa.array(out_langs, pa.string()),
         }
     )
+    import hashlib
+
     golden = pa.table(
         {
             "url": pa.array(g_urls, pa.string()),
@@ -225,9 +227,41 @@ def synthesize_pages(
             "parser_key": pa.array(g_keys, pa.string()),
             "spans": pa.array(g_spans, pa.list_(SPAN_TYPE)),
             "records": pa.array(g_records, pa.list_(RECORD_TYPE)),
+            # plain-column goldens so a SQL oracle can SELECT them directly
+            # (driver correctness gate for the extract_* flagship queries)
+            "n_records": pa.array([len(r) for r in g_records], pa.int32()),
+            "content_sha256": pa.array(
+                [hashlib.sha256(t.encode("utf-8")).hexdigest() for t in g_texts],
+                pa.string(),
+            ),
         }
     )
     return pages, golden
+
+
+def explode_golden_records(golden: pa.Table) -> pa.Table:
+    """Exploded relational view of the golden records — the oracle side
+    table for ``extract_records`` / ``records_by_direction`` (amounts in
+    integer cents for float-safe value hashing)."""
+    urls, dates, descs, cents, dirs = [], [], [], [], []
+    for url, recs in zip(
+        golden.column("url").to_pylist(), golden.column("records").to_pylist()
+    ):
+        for r in recs:
+            urls.append(url)
+            dates.append(r["date"])
+            descs.append(r["description"])
+            cents.append(int(round(r["amount"] * 100)))
+            dirs.append(r["direction"])
+    return pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "date": pa.array(dates, pa.string()),
+            "description": pa.array(descs, pa.string()),
+            "amount_cents": pa.array(cents, pa.int64()),
+            "direction": pa.array(dirs, pa.string()),
+        }
+    )
 
 
 def synthesize_row(
@@ -334,8 +368,13 @@ def synthesize_to_dir(
     tag = f"v{CORPUS_VERSION}_seed{seed}_rep{replicate}_pdf{int(pdf_fraction * 100)}"
     pages_dir = os.path.join(out_dir, f"pages_{tag}")
     golden_path = os.path.join(out_dir, f"golden_{tag}.parquet")
+    records_path = os.path.join(out_dir, f"golden_records_{tag}.parquet")
     done_marker = os.path.join(pages_dir, "_DONE")
-    if os.path.exists(done_marker) and os.path.exists(golden_path):
+    if (
+        os.path.exists(done_marker)
+        and os.path.exists(golden_path)
+        and os.path.exists(records_path)
+    ):
         return pages_dir, golden_path
 
     documents = pq.read_table(
@@ -352,6 +391,20 @@ def synthesize_to_dir(
             pages.slice(s, per), os.path.join(pages_dir, f"part-{s // per:05d}.parquet")
         )
     pq.write_table(golden, golden_path)
+    pq.write_table(explode_golden_records(golden), records_path)
     with open(done_marker, "w") as f:
         f.write("ok")
     return pages_dir, golden_path
+
+
+def golden_paths_for(sf_dir: str, out_dir: str) -> tuple[str, str]:
+    """(golden_path, golden_records_path) for an sf dir — synthesizing
+    the corpus first if the cache is cold (pure pyarrow, no Ray)."""
+    import os
+
+    synthesize_to_dir(sf_dir, out_dir)
+    tag = f"v{CORPUS_VERSION}_seed42_rep1_pdf10"
+    return (
+        os.path.join(out_dir, f"golden_{tag}.parquet"),
+        os.path.join(out_dir, f"golden_records_{tag}.parquet"),
+    )
