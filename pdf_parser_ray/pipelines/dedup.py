@@ -9,12 +9,11 @@ Scale shapes (the part that must survive 100 TB):
 * **MinHash-LSH** — per-batch shingling/minhashing (no shuffle), an
   explode to (band, band_hash, doc_id) rows, ONE ``groupby`` on the
   band key, pair emission inside ``map_groups`` (bounded per group),
-  then exact-Jaccard verification.  Verification uses a broadcast
-  doc-text lookup (``ray.put`` once on the driver; fetched from the
-  local plasma store and cached once per worker process) — correct
-  while the *lookup* side is broadcast-small; at corpus scale
-  verification becomes a bucket join on doc_id instead (same groupby
-  machinery).
+  then exact-Jaccard verification as a **distributed bucket join**
+  (:func:`_bucket_join_verify`): pair halves and (doc_id, text) rows
+  co-shuffled on ``hash(doc_id) % K`` — no document text ever
+  materializes on the driver, so the verify side scales with the
+  corpus, not with driver memory.
 * **SimHash / n-gram** — same explode→groupby→verify skeleton with
   different signatures.
 * **embedding** — random-hyperplane LSH buckets over the vector column,
@@ -34,7 +33,6 @@ import zlib
 import numpy as np
 import pandas as pd
 import pyarrow as pa
-import ray
 import ray.data as rd
 from ray.data.aggregate import Min
 
@@ -81,10 +79,20 @@ def exact_dedup(sf_dir: str) -> rd.Dataset:
 
 
 def with_near_dups(ds: rd.Dataset) -> rd.Dataset:
-    """Append a perturbed clone of every 7th document (deterministic)."""
+    """Append a perturbed clone of every 7th document (deterministic).
+
+    Clone ids are ``doc_id + NEAR_DUP_ID_OFFSET`` — a demo convention
+    that requires real ids below the offset; the guard below fails fast
+    on violation (a production corpus would carry an ``is_clone``
+    column instead of an id offset)."""
 
     def clone(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_pylist()
+        if ids and max(ids) >= NEAR_DUP_ID_OFFSET:
+            raise ValueError(
+                f"doc_id >= NEAR_DUP_ID_OFFSET ({NEAR_DUP_ID_OFFSET}): clone ids"
+                " would collide; raise the offset or use an is_clone column"
+            )
         texts = batch.column("text").to_pylist()
         out_ids, out_texts = list(ids), list(texts)
         for i, t in zip(ids, texts):
@@ -117,49 +125,135 @@ def _jaccard(a: set, b: set) -> float:
     return inter / (len(a) + len(b) - inter)
 
 
-# per-worker-process cache of the broadcast doc-text lookup: the object
-# ref ships with the task closure; ray.get hits the local plasma store
-# and the dict is deserialized once per worker, reused by every task
-_BROADCAST_CACHE: dict[bytes, dict[int, str]] = {}
+# -- bucket-join verification (scale-safe: no driver text state) ------------
+
+_JOIN_BUCKETS = 64
 
 
-def _get_broadcast(texts_ref) -> dict[int, str]:
-    key = texts_ref.binary()
-    got = _BROADCAST_CACHE.get(key)
-    if got is None:
-        got = ray.get(texts_ref)
-        _BROADCAST_CACHE.clear()  # hold at most one corpus per worker
-        _BROADCAST_CACHE[key] = got
-    return got
+def _id_bucket(ids: np.ndarray) -> np.ndarray:
+    """Uniform doc_id -> join bucket (multiply-shift over Z/2^64)."""
+    with np.errstate(over="ignore"):
+        mixed = ids.astype(np.uint64) * _SHINGLE_C1
+    return ((mixed >> np.uint64(33)) % _JOIN_BUCKETS).astype(np.int32)
 
 
-def _make_pair_verifier(texts_ref, threshold_millis: int):
-    """Stateless-task verifier (no actor-pool spin-up): exact Jaccard
-    against the broadcast lookup, filtered to the threshold."""
+def _bucket_join_verify(
+    pairs: rd.Dataset, texts: rd.Dataset, threshold_millis: int
+) -> rd.Dataset:
+    """Exact-Jaccard verification of candidate pairs as a distributed
+    bucket join — the document corpus NEVER touches the driver.
 
-    def verify(batch: pa.Table) -> pa.Table:
-        texts = _get_broadcast(texts_ref)
-        oa, ob, sim = [], [], []
-        for a, b in zip(
-            batch.column("doc_id_a").to_pylist(), batch.column("doc_id_b").to_pylist()
-        ):
-            ta, tb = texts.get(a), texts.get(b)
+    Each pair is split into two half-rows, keyed by ``hash(doc_id) %
+    _JOIN_BUCKETS`` of the side whose text it needs; (doc_id, text)
+    rows are keyed the same way.  One co-shuffle groups each half with
+    its text; a second (pair-keyed, coarse-bucketed) shuffle reunites
+    the halves — at which point both texts sit in the same group and
+    the exact word-3-gram Jaccard is computed there.  Total exchange:
+    the corpus text once, the (small) pair set twice.
+    """
+
+    def halves(batch: pa.Table) -> pa.Table:
+        a = batch.column("doc_id_a").to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch.column("doc_id_b").to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(a)
+        return pa.table(
+            {
+                "key": pa.array(np.concatenate([_id_bucket(a), _id_bucket(b)])),
+                "doc_id_a": pa.array(np.concatenate([a, a])),
+                "doc_id_b": pa.array(np.concatenate([b, b])),
+                "side": pa.array(
+                    np.concatenate(
+                        [np.zeros(n, np.int32), np.ones(n, np.int32)]
+                    )
+                ),
+                "text": pa.array([None] * (2 * n), pa.large_string()),
+            }
+        )
+
+    def text_rows(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "key": pa.array(_id_bucket(ids)),
+                "doc_id_a": pa.array(ids),
+                "doc_id_b": pa.array(np.zeros(len(ids), np.int64)),
+                "side": pa.array(np.full(len(ids), 2, np.int32)),
+                "text": batch.column("text").cast(pa.large_string()),
+            }
+        )
+
+    def attach(g: pd.DataFrame) -> pd.DataFrame:
+        is_text = g["side"].to_numpy() == 2
+        lookup = dict(
+            zip(g["doc_id_a"].to_numpy()[is_text], g["text"].to_numpy()[is_text])
+        )
+        h = g[~is_text]
+        need = np.where(
+            h["side"].to_numpy() == 0,
+            h["doc_id_a"].to_numpy(),
+            h["doc_id_b"].to_numpy(),
+        )
+        texts_got = [lookup.get(i) for i in need]
+        keep = np.array([t is not None for t in texts_got], dtype=bool)
+        return pd.DataFrame(
+            {
+                "doc_id_a": h["doc_id_a"].to_numpy()[keep].astype(np.int64),
+                "doc_id_b": h["doc_id_b"].to_numpy()[keep].astype(np.int64),
+                "side": h["side"].to_numpy()[keep].astype(np.int32),
+                "text": pd.array(
+                    [t for t, k in zip(texts_got, keep) if k], dtype=object
+                ),
+            }
+        )
+
+    def add_pair_coarse(batch: pa.Table) -> pa.Table:
+        a = batch.column("doc_id_a").to_numpy(zero_copy_only=False)
+        b = batch.column("doc_id_b").to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "coarse",
+            pa.array(((a * 1_000_003 + b) % _COARSE_BUCKETS).astype(np.int32)),
+        )
+
+    def verify_group(g: pd.DataFrame) -> pd.DataFrame:
+        oa: list[int] = []
+        ob: list[int] = []
+        sim: list[int] = []
+        for (a, b), sub in g.groupby(["doc_id_a", "doc_id_b"], sort=False):
+            ta = tb = None
+            for side, text in zip(sub["side"], sub["text"]):
+                if side == 0:
+                    ta = text
+                else:
+                    tb = text
             if ta is None or tb is None:
                 continue
             score = int(_jaccard(_word_shingles(ta), _word_shingles(tb)) * 1000)
             if score >= threshold_millis:
-                oa.append(a)
-                ob.append(b)
+                oa.append(int(a))
+                ob.append(int(b))
                 sim.append(score)
-        return pa.table(
+        return pd.DataFrame(
             {
-                "doc_id_a": pa.array(oa, pa.int64()),
-                "doc_id_b": pa.array(ob, pa.int64()),
-                "jaccard_millis": pa.array(sim, pa.int64()),
+                "doc_id_a": np.array(oa, np.int64),
+                "doc_id_b": np.array(ob, np.int64),
+                "jaccard_millis": np.array(sim, np.int64),
             }
         )
 
-    return verify
+    half_rows = pairs.map_batches(
+        halves, batch_format="pyarrow", zero_copy_batch=True
+    )
+    corpus_rows = texts.map_batches(
+        text_rows, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return (
+        half_rows.union(corpus_rows)
+        .groupby("key")
+        .map_groups(attach, batch_format="pandas")
+        .map_batches(add_pair_coarse, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("coarse")
+        .map_groups(verify_group, batch_format="pandas")
+    )
 
 
 def _emit_pairs(ids_iter) -> tuple[list[int], list[int]]:
@@ -213,43 +307,29 @@ def _coarse_candidate_pairs(ds: rd.Dataset, key_cols: list[str]) -> rd.Dataset:
     )
 
 
-def _dedup_pairs(ds: rd.Dataset) -> rd.Dataset:
+def _dedup_pairs(
+    ds: rd.Dataset, id_a: str = "doc_id_a", id_b: str = "doc_id_b"
+) -> rd.Dataset:
     """Global pair dedup with the same coarse-shuffle trick: hash the
-    pair to a coarse key, drop duplicates vectorized inside each group."""
+    pair to a coarse key, drop duplicates vectorized inside each group.
+    Extra columns ride along (duplicate pairs carry identical values)."""
 
     def add_coarse(batch: pa.Table) -> pa.Table:
-        a = batch.column("doc_id_a").to_numpy(zero_copy_only=False)
-        b = batch.column("doc_id_b").to_numpy(zero_copy_only=False)
+        a = batch.column(id_a).to_numpy(zero_copy_only=False)
+        b = batch.column(id_b).to_numpy(zero_copy_only=False)
         return batch.append_column(
             "coarse",
             pa.array(((a * 1_000_003 + b) % _COARSE_BUCKETS).astype(np.int32)),
         )
 
     def dd(g: pd.DataFrame) -> pd.DataFrame:
-        return g.drop_duplicates(subset=["doc_id_a", "doc_id_b"]).drop(
-            columns=["coarse"]
-        )
+        return g.drop_duplicates(subset=[id_a, id_b]).drop(columns=["coarse"])
 
     return (
         ds.map_batches(add_coarse, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("coarse")
         .map_groups(dd, batch_format="pandas")
     )
-
-
-def _broadcast_texts(sf_dir: str):
-    import pyarrow.parquet as pq
-
-    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
-    base = dict(zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()))
-    # mirror with_near_dups so verification sees the clones too
-    for i in list(base):
-        if i % 7 == 0:
-            words = base[i].split()
-            base[i + NEAR_DUP_ID_OFFSET] = " ".join(
-                w for k, w in enumerate(words) if k % 10 != 9
-            )
-    return ray.put(base)
 
 
 # -- MinHash + LSH ----------------------------------------------------------
@@ -338,12 +418,7 @@ def minhash_dedup(sf_dir: str, threshold_millis: int = 500) -> rd.Dataset:
         docs.map_batches(band_rows, batch_format="pyarrow", zero_copy_batch=True),
         ["band", "band_hash"],
     )
-    texts_ref = _broadcast_texts(sf_dir)
-    return _dedup_pairs(candidates).map_batches(
-        _make_pair_verifier(texts_ref, threshold_millis),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-    )
+    return _bucket_join_verify(_dedup_pairs(candidates), docs, threshold_millis)
 
 
 # -- SimHash ----------------------------------------------------------------
@@ -452,12 +527,7 @@ def ngram_jaccard_dedup(sf_dir: str, threshold_millis: int = 400) -> rd.Dataset:
         docs.map_batches(anchor_rows, batch_format="pyarrow", zero_copy_batch=True),
         ["band_hash"],
     )
-    texts_ref = _broadcast_texts(sf_dir)
-    return _dedup_pairs(candidates).map_batches(
-        _make_pair_verifier(texts_ref, threshold_millis),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-    )
+    return _bucket_join_verify(_dedup_pairs(candidates), docs, threshold_millis)
 
 
 # -- embedding cosine near-dup ----------------------------------------------
@@ -471,7 +541,8 @@ def embedding_dedup(sf_dir: str, threshold_millis: int = 990) -> rd.Dataset:
     import pyarrow.parquet as pq
 
     emb_path = os.path.join(sf_dir, "embeddings.parquet")
-    first = pq.read_table(emb_path, columns=["embedding"]).slice(0, 1)
+    # dimension probe: first row group only, not the whole column
+    first = pq.ParquetFile(emb_path).read_row_group(0, columns=["embedding"])
     dim = len(first.column("embedding")[0].as_py())
     rng = np.random.default_rng(7)
     planes = rng.standard_normal((dim, 12))
@@ -525,6 +596,4 @@ def embedding_dedup(sf_dir: str, threshold_millis: int = 990) -> rd.Dataset:
         .groupby("bucket")
         .map_groups(bucket_pairs, batch_format="pandas")
     )
-    return pairs.groupby(["vec_id_a", "vec_id_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
-    )
+    return _dedup_pairs(pairs, "vec_id_a", "vec_id_b")

@@ -20,6 +20,20 @@ def _planted_pairs():
     }
 
 
+def test_no_driver_text_materialization():
+    """The dedup module must never hold corpus text on the driver: no
+    ray.put broadcast, no whole-table parquet read (the only allowed
+    driver-side read is the 1-row-group dimension probe)."""
+    import inspect
+
+    import pdf_parser_ray.pipelines.dedup as dd
+
+    src = inspect.getsource(dd)
+    assert "ray.put" not in src
+    assert "pq.read_table" not in src
+    assert "_broadcast" not in src
+
+
 class TestPlantedCloneRecall:
     def test_minhash_recall(self, ray_session, quiet_data_context):
         from pdf_parser_ray.pipelines.dedup import minhash_dedup
