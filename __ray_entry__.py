@@ -153,22 +153,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def _direction_case_sql(desc_col: str) -> str:
-    """SQL mirror of the ordered 29-rule direction table
-    (pdf_parser_ray.functions.directions); RE2 has no lookahead, so the
-    two lookahead rules are expressed as AND NOT conjunctions."""
+    """SQL mirror of the ordered direction rule table (len(_RULE_SPECS)
+    rules; pdf_parser_ray.functions.directions).  RE2 has no lookahead,
+    so the two lookahead rules `X(?!.*Y)` are rewritten exactly:
+    Python's re.search matches iff SOME occurrence of X has no Y after
+    it, which holds iff the tail after the LAST occurrence of X is
+    Y-free — so the SQL strips everything up to the last X with a
+    greedy-prefix regexp_replace and tests the remaining tail."""
     from pdf_parser_ray.functions.directions import _RULE_SPECS
 
     whens = []
     for pat, d in _RULE_SPECS:
         if pat == r"\bPAYPAL\s+(?!.*CREDIT)":
+            # tail after the last `\bPAYPAL\s+` must not contain CREDIT
             cond = (
                 f"regexp_matches({desc_col}, '(?i)\\bPAYPAL\\s+') "
-                f"AND NOT regexp_matches({desc_col}, '(?i)\\bPAYPAL\\s+.*CREDIT')"
+                f"AND NOT regexp_matches(regexp_replace({desc_col},"
+                f" '(?i)^.*\\bPAYPAL\\s+', ''), '(?i)CREDIT')"
             )
         elif pat == r"\bWT\b(?!.*(CHARGE|FEE))":
+            # tail after the last `\bWT\b` must not contain CHARGE|FEE
             cond = (
                 f"regexp_matches({desc_col}, '(?i)\\bWT\\b') "
-                f"AND NOT regexp_matches({desc_col}, '(?i)\\bWT\\b.*(CHARGE|FEE)')"
+                f"AND NOT regexp_matches(regexp_replace({desc_col},"
+                f" '(?i)^.*\\bWT\\b', ''), '(?i)(CHARGE|FEE)')"
             )
         else:
             sql_pat = pat.replace("'", "''")

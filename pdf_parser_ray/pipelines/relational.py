@@ -56,52 +56,105 @@ def lineitem_agg(sf_dir: str) -> rd.Dataset:
     )
 
 
+_JOIN_KEY_BUCKETS = 64
+
+
 def orders_by_nation(sf_dir: str) -> rd.Dataset:
-    """(n_name, n_orders, total_cents): orders joined to their customer's
-    nation via a **broadcast join** — customer→nation is the small side,
-    shipped once with ``ray.put`` and probed per batch (no shuffle join;
-    at 100 TB only the orders side streams)."""
+    """(n_name, n_orders, total_cents): the orders→customer join runs
+    **distributed** — orders pre-aggregate per custkey (one shuffle that
+    shrinks the fact side to |customer| rows), then co-shuffle with the
+    customer table on hash(custkey) % K.  Only ``nation`` (25 rows, the
+    genuinely-small side) is broadcast; no driver-side dict ever scales
+    with the fact or customer table."""
     import pyarrow.parquet as pq
 
-    cust = pq.read_table(
-        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_nationkey"]
-    )
     nation = pq.read_table(
         os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey", "n_name"]
     )
-    nation_name = dict(
-        zip(nation.column("n_nationkey").to_pylist(), nation.column("n_name").to_pylist())
-    )
-    cust_nation = {
-        ck: nation_name.get(nk, "UNKNOWN")
-        for ck, nk in zip(
-            cust.column("c_custkey").to_pylist(), cust.column("c_nationkey").to_pylist()
+    nation_ref = ray.put(
+        dict(
+            zip(
+                nation.column("n_nationkey").to_pylist(),
+                nation.column("n_name").to_pylist(),
+            )
         )
-    }
-    lookup_ref = ray.put(cust_nation)
+    )
 
-    class JoinNation:
-        def __init__(self):
-            self.lookup = ray.get(lookup_ref)
+    def to_cents(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_custkey": batch.column("o_custkey"),
+                "price_cents": pc.cast(
+                    pc.round(pc.multiply(batch.column("o_totalprice"), 100.0)),
+                    pa.int64(),
+                ),
+            }
+        )
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            names = [
-                self.lookup.get(ck, "UNKNOWN")
-                for ck in batch.column("o_custkey").to_pylist()
-            ]
-            cents = pc.cast(
-                pc.round(pc.multiply(batch.column("o_totalprice"), 100.0)), pa.int64()
-            )
-            return pa.table(
-                {"n_name": pa.array(names, pa.string()), "price_cents": cents}
-            )
-
-    return (
+    per_cust = (
         _t(sf_dir, "orders", ["o_custkey", "o_totalprice"])
-        .map_batches(JoinNation, batch_format="pyarrow", zero_copy_batch=True,
-                     concurrency=2)
+        .map_batches(to_cents, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("o_custkey")
+        .aggregate(Count(alias_name="n_orders"), Sum("price_cents", alias_name="cents"))
+    )
+
+    def agg_rows(batch: pa.Table) -> pa.Table:
+        ck = batch.column("o_custkey").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "key": pa.array((ck % _JOIN_KEY_BUCKETS).astype(np.int32)),
+                "custkey": batch.column("o_custkey"),
+                "nationkey": pa.array(np.full(len(ck), -1, np.int64)),
+                "n_orders": batch.column("n_orders").cast(pa.int64()),
+                "cents": batch.column("cents").cast(pa.int64()),
+            }
+        )
+
+    def cust_rows(batch: pa.Table) -> pa.Table:
+        ck = batch.column("c_custkey").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "key": pa.array((ck % _JOIN_KEY_BUCKETS).astype(np.int32)),
+                "custkey": batch.column("c_custkey").cast(pa.int64()),
+                "nationkey": batch.column("c_nationkey").cast(pa.int64()),
+                "n_orders": pa.array(np.full(len(ck), -1, np.int64)),
+                "cents": pa.array(np.zeros(len(ck), np.int64)),
+            }
+        )
+
+    def join_group(g) -> "pa.Table":
+        import pandas as pd
+
+        is_cust = g["nationkey"].to_numpy() >= 0
+        nk = dict(zip(g["custkey"].to_numpy()[is_cust], g["nationkey"].to_numpy()[is_cust]))
+        names = ray.get(nation_ref)
+        o = g[~is_cust]
+        return pd.DataFrame(
+            {
+                "n_name": pd.array(
+                    [names.get(nk.get(c), "UNKNOWN") for c in o["custkey"]],
+                    dtype=object,
+                ),
+                "n_orders": o["n_orders"].to_numpy().astype(np.int64),
+                "cents": o["cents"].to_numpy().astype(np.int64),
+            }
+        )
+
+    customers = _t(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    return (
+        per_cust.map_batches(agg_rows, batch_format="pyarrow", zero_copy_batch=True)
+        .union(
+            customers.map_batches(
+                cust_rows, batch_format="pyarrow", zero_copy_batch=True
+            )
+        )
+        .groupby("key")
+        .map_groups(join_group, batch_format="pandas")
         .groupby("n_name")
-        .aggregate(Count(alias_name="n_orders"), Sum("price_cents", alias_name="total_cents"))
+        .aggregate(
+            Sum("n_orders", alias_name="n_orders"),
+            Sum("cents", alias_name="total_cents"),
+        )
     )
 
 

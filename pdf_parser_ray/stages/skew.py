@@ -4,14 +4,18 @@ groupby(url-hash-bucket)"; SURVEY.md §4.2).
 Two independent mechanisms:
 
 * **Byte-size routing** — a single multi-hundred-MB page is an
-  indivisible row: inside a 32-row batch it blows the worker heap and
-  the block it lands in.  ``split_by_size`` routes rows over a byte
-  threshold to a dedicated branch processed with ``batch_size=1`` and
-  extra per-task memory headroom, while the small branch keeps large
-  batches.  The split is a vectorized ``binary_length`` filter — the
-  giant branch discards non-giant rows immediately after the read, so
-  the second pass over the input is column-pruned and cheap relative to
-  the extraction it protects.
+  indivisible row: decoding it alongside 63 siblings multiplies the
+  task's transient heap.  ``extract_with_size_routing`` is a **single
+  fused pass**: each batch is partitioned by a vectorized
+  ``binary_length`` mask, the small rows extract in one vectorized
+  call, and each giant row extracts on its own 1-row slice so at most
+  one giant document is decoded at a time per task.  The input is read
+  exactly once — the earlier two-branch design re-scanned the wide
+  payload column per branch, doubling the dominant I/O at scale.  (If
+  giants ever need *dedicated task resources* rather than just bounded
+  decode memory, persist ``payload_bytes`` at ingest and push
+  ``filter=payload_bytes > t`` into the scan so the giant branch prunes
+  to the row groups that contain giants.)
 * **URL-hash bucketing** — ``bucket = crc32(url) % NUM_BUCKETS`` is the
   single partition key reused everywhere (output layout, resume
   lineage, any later co-location shuffle).  ``bucketed_output`` writes
@@ -44,20 +48,13 @@ def with_payload_size(pages: rd.Dataset) -> rd.Dataset:
     )
 
 
-def split_by_size(
-    pages: rd.Dataset, threshold_bytes: int = DEFAULT_GIANT_BYTES
-) -> tuple[rd.Dataset, rd.Dataset]:
-    """-> (small, giant) branches; both lazy, both column-pruned reads."""
-
-    def keep_small(t: pa.Table) -> pa.Table:
-        return t.filter(pc.less_equal(pc.binary_length(t.column("html")), threshold_bytes))
-
-    def keep_giant(t: pa.Table) -> pa.Table:
-        return t.filter(pc.greater(pc.binary_length(t.column("html")), threshold_bytes))
-
-    small = pages.map_batches(keep_small, batch_format="pyarrow", zero_copy_batch=True)
-    giant = pages.map_batches(keep_giant, batch_format="pyarrow", zero_copy_batch=True)
-    return small, giant
+def split_batch_by_size(
+    batch: pa.Table, threshold_bytes: int
+) -> tuple[pa.Table, pa.Table]:
+    """One-pass (small, giant) partition of a batch on payload bytes —
+    a vectorized mask, each side a zero-copy filter view."""
+    giant_mask = pc.greater(pc.binary_length(batch.column("html")), threshold_bytes)
+    return batch.filter(pc.invert(giant_mask)), batch.filter(giant_mask)
 
 
 def extract_with_size_routing(
@@ -65,27 +62,29 @@ def extract_with_size_routing(
     *,
     threshold_bytes: int = DEFAULT_GIANT_BYTES,
     small_batch_size: int = 64,
-    giant_num_cpus: float = 2.0,
 ) -> rd.Dataset:
-    """The size-aware extraction plan: big batches for the common case,
-    one-row tasks with reserved memory headroom for giants, unioned."""
+    """The size-aware extraction plan, as ONE pass over the input:
+    small rows extract vectorized, giant rows extract one-per-slice so
+    a task never holds more than one decoded giant at a time."""
     from .extract import extract_batch
 
-    small, giant = split_by_size(pages, threshold_bytes)
-    small_out = small.map_batches(
-        extract_batch,
+    def routed(batch: pa.Table) -> pa.Table:
+        small, giant = split_batch_by_size(batch, threshold_bytes)
+        outs = []
+        if small.num_rows:
+            outs.append(extract_batch(small))
+        for i in range(giant.num_rows):
+            outs.append(extract_batch(giant.slice(i, 1)))
+        if not outs:
+            outs.append(extract_batch(batch))  # typed empty passthrough
+        return pa.concat_tables(outs)
+
+    return pages.map_batches(
+        routed,
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=small_batch_size,
     )
-    giant_out = giant.map_batches(
-        extract_batch,
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        batch_size=1,
-        num_cpus=giant_num_cpus,  # reserves heap headroom per giant row
-    )
-    return small_out.union(giant_out)
 
 
 def bucketed_output(extracted: rd.Dataset, out_dir: str) -> None:

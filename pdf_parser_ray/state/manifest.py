@@ -84,6 +84,14 @@ def run_job(
     stages/skew.py) — use for corpora with multi-hundred-MB documents.
     """
     os.makedirs(os.path.join(out_dir, "_manifest"), exist_ok=True)
+    # sweep tmp dirs left by crashed writes — resume only trusts
+    # manifests, so these are dead weight that would otherwise
+    # accumulate a fresh uuid-suffixed dir per crashed rerun
+    import shutil
+
+    for name in os.listdir(out_dir):
+        if name.startswith("_tmp.shard="):
+            shutil.rmtree(os.path.join(out_dir, name), ignore_errors=True)
     groups = list_shard_groups(input_dir, group_size)
     done = completed_groups(out_dir)
 

@@ -94,3 +94,39 @@ class TestNormalize:
             [{"date": "2024-01-01", "description": "WIRE IN", "amount": 1.0, "direction": ""}]
         )
         assert out[0]["direction"] == "in"
+
+
+class TestSqlMirrorLookaheadParity:
+    """The RE2-safe rewrite of the two lookahead rules must agree with
+    Python on multi-occurrence descriptions (ADVICE r01: the old AND NOT
+    conjunction diverged when an early occurrence was followed by the
+    negative token but a later one was clean)."""
+
+    CASES = [
+        "WT 123 FEE THEN WT 456 SETTLEMENT",   # early WT poisoned, late clean
+        "WT 1 CLEAN THEN WT 2 FEE",            # all WT poisoned
+        "WT 9 SETTLEMENT",                     # single clean WT
+        "WT CHARGE",                           # single poisoned WT
+        "PAYPAL CREDIT X PAYPAL TRANSFER",     # early poisoned, late clean
+        "PAYPAL TRANSFER X PAYPAL CREDIT",     # all poisoned
+        "PAYPAL TRANSFER ONLY",
+        "PAYPAL CREDIT ONLY",
+        "WIRE FEE WT LAST",                    # other rules may fire first
+    ]
+
+    def test_python_vs_duckdb(self):
+        import duckdb
+
+        import __ray_entry__ as entrymod
+
+        case = entrymod._direction_case_sql("description")
+        con = duckdb.connect()
+        values = ", ".join(f"('{d}')" for d in self.CASES)
+        got = [
+            r[0]
+            for r in con.execute(
+                f"SELECT {case} FROM (VALUES {values}) t(description)"
+            ).fetchall()
+        ]
+        want = [classify_direction(d) for d in self.CASES]
+        assert got == want

@@ -33,15 +33,18 @@ class TestSizeRouting:
     def test_split_and_union_complete(self, ray_session, quiet_data_context):
         import ray.data as rd
 
-        from pdf_parser_ray.stages.skew import extract_with_size_routing, split_by_size
+        from pdf_parser_ray.stages.skew import (
+            extract_with_size_routing,
+            split_batch_by_size,
+        )
 
         pages, giant_size = _pages_with_giants()
         threshold = giant_size - 1
         ds = rd.from_arrow(pages)
 
-        small, giant = split_by_size(ds, threshold)
-        assert small.count() == pages.num_rows - 2
-        assert giant.count() == 2
+        small, giant = split_batch_by_size(pages, threshold)
+        assert small.num_rows == pages.num_rows - 2
+        assert giant.num_rows == 2
 
         out = extract_with_size_routing(ds, threshold_bytes=threshold)
         table = out.to_pandas()
@@ -72,6 +75,24 @@ class TestSizeRouting:
             .sort_index()
         )
         assert a.equals(b)
+
+    def test_single_input_pass(self, ray_session, quiet_data_context, tmp_path):
+        """Size routing must read the input exactly once (the old
+        two-branch design scanned the wide payload column twice)."""
+        import pyarrow.parquet as pq
+        import ray.data as rd
+
+        from pdf_parser_ray.stages.skew import extract_with_size_routing
+
+        pages, giant_size = _pages_with_giants()
+        path = str(tmp_path / "pages.parquet")
+        pq.write_table(pages, path)
+        out = extract_with_size_routing(
+            rd.read_parquet(path), threshold_bytes=giant_size - 1
+        ).materialize()
+        assert out.count() == pages.num_rows
+        stats = out.stats()
+        assert stats.count("ReadParquet") == 1, stats
 
     def test_payload_size_column(self, ray_session, quiet_data_context):
         import ray.data as rd
