@@ -222,6 +222,45 @@ def _extract_oracle_sql() -> dict[str, str]:
     }
 
 
+def _langid_sql() -> str:
+    """SQL mirror of analysis.langid's stopword-profile scorer: per-word
+    profile hits / word count, best language = alphabetically-first
+    maximum (Python's max(sorted(scores))), confidence truncated to
+    millis with the same divide-then-multiply float order."""
+    from pdf_parser_ray.pipelines.analysis import _LANG_PROFILES
+
+    langs = sorted(_LANG_PROFILES)
+    score_exprs = ", ".join(
+        "len(list_filter(words, x -> list_contains("
+        + "["
+        + ", ".join(f"'{w}'" for w in sorted(_LANG_PROFILES[lang]))
+        + f"], x))) AS s_{lang}"
+        for lang in langs
+    )
+    gmax = "greatest(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
+    pick = " ".join(
+        f"WHEN s_{lang} = gmax THEN '{lang}'" for lang in langs[:-1]
+    ) + f" ELSE '{langs[-1]}'"
+    return (
+        "SELECT doc_id,"
+        " CASE WHEN nw = 0 OR gmax = 0 THEN 'und'"
+        f" ELSE (CASE {pick} END) END AS lang_pred,"
+        " CASE WHEN nw = 0 OR gmax = 0 THEN 0"
+        " ELSE CAST(trunc((CAST(gmax AS DOUBLE) / nw) * 1000) AS BIGINT)"
+        " END AS confidence_millis"
+        " FROM ("
+        f"  SELECT doc_id, len(words) AS nw,"
+        f"  {', '.join(f's_{lang}' for lang in langs)}, {gmax} AS gmax"
+        "   FROM ("
+        f"     SELECT doc_id, words, {score_exprs}"
+        "     FROM (SELECT doc_id,"
+        "       list_filter(regexp_split_to_array(lower(text), '\\s+'),"
+        "         x -> x <> '') AS words FROM documents)"
+        "   )"
+        " )"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     synth_desc = (
         "CASE doc_id % 6 "
@@ -259,6 +298,7 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT doc_id, description, {_direction_case_sql('description')} AS direction "
             f"FROM (SELECT doc_id, {synth_desc} AS description FROM documents)"
         ),
+        "langid": _langid_sql(),
         "exact_dedup": (
             "SELECT md5(text) AS text_hash, CAST(min(doc_id) AS BIGINT) AS doc_id"
             " FROM documents GROUP BY md5(text)"

@@ -1,11 +1,16 @@
 """Minimal deterministic PDF writer for the fixture corpus.
 
-Emits classic, spec-conformant single- or multi-page PDFs: header,
-indirect objects (catalog, page tree, pages, one Type1 font, FlateDecode
-content streams), a correct xref table, trailer and startxref.  The text
-layout (one ``Tm``-positioned show per run, y descending per line) is
-co-designed with the extractor in ``parse.py`` so goldens are exact
-(SURVEY.md §7.6: fixtures and parser co-designed).
+Emits spec-conformant single- or multi-page PDFs: header, indirect
+objects (catalog, page tree, pages, one Type1 font, FlateDecode content
+streams), and either a classic xref table + trailer (PDF 1.4) or a
+**cross-reference stream** (PDF 1.5, ``/Type /XRef``, ``W [1 2 1]``
+fields, optional PNG Up predictor) with the page-tree dictionaries
+optionally packed into an **object stream** (``/Type /ObjStm``) — the
+two modern forms real-world producers emit, used to test that the
+parser extracts identical text from all variants.  The text layout (one
+``Tm``-positioned show per run, y descending per line) is co-designed
+with the extractor in ``parse.py`` so goldens are exact (SURVEY.md
+§7.6: fixtures and parser co-designed).
 
 A page is a list of lines; a line is either a plain string (one run at
 x=72) or a list of ``(x, text)`` runs (multi-column layouts for the
@@ -56,6 +61,19 @@ def _content_stream(
     return b"\n".join(ops)
 
 
+def _png_up_predict(data: bytes, columns: int) -> bytes:
+    """Apply the PNG Up filter (type 2) per row — what real xref-stream
+    producers emit with /Predictor 12."""
+    out = bytearray()
+    prev = bytes(columns)
+    for r in range(0, len(data), columns):
+        row = data[r : r + columns]
+        out.append(2)  # Up filter tag
+        out += bytes((row[i] - prev[i]) & 0xFF for i in range(len(row)))
+        prev = row
+    return bytes(out)
+
+
 def build_pdf(
     pages: list[list[Line]],
     *,
@@ -63,7 +81,17 @@ def build_pdf(
     leading: float = 14.0,
     compress: bool = True,
     shuffle_order: bool = False,
+    xref_stream: bool = False,
+    objstm: bool = False,
+    predictor: bool = False,
 ) -> bytes:
+    """``xref_stream`` writes a PDF 1.5 cross-reference stream instead
+    of the classic table; ``objstm`` additionally packs every non-stream
+    object (catalog/pages/font/page dicts) into a /Type /ObjStm object
+    stream (implies ``xref_stream``); ``predictor`` applies the PNG Up
+    predictor (/Predictor 12) to the xref stream body."""
+    if objstm:
+        xref_stream = True
     objects: list[bytes] = []  # object 1..n bodies, in order
 
     n_pages = len(pages)
@@ -78,6 +106,7 @@ def build_pdf(
         b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica"
         b" /Encoding /WinAnsiEncoding >>"
     )
+    is_stream_obj = [False, False, False]
     for i, page_lines in enumerate(pages):
         page_num = 4 + 2 * i
         content_num = page_num + 1
@@ -87,6 +116,7 @@ def build_pdf(
             + b" /Resources << /Font << /F1 3 0 R >> >>"
             + b" /Contents %d 0 R >>" % content_num
         )
+        is_stream_obj.append(False)
         body = _content_stream(page_lines, font_size, leading, shuffle_order)
         if compress:
             data = zlib.compress(body)
@@ -95,20 +125,109 @@ def build_pdf(
             data = body
             head = b"<< /Length %d >>" % len(data)
         objects.append(head + b"\nstream\n" + data + b"\nendstream")
+        is_stream_obj.append(True)
 
-    out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
-    offsets: list[int] = []
-    for num, body in enumerate(objects, start=1):
-        offsets.append(len(out))
-        out += b"%d 0 obj\n" % num + body + b"\nendobj\n"
+    header = b"%PDF-1.5\n%\xe2\xe3\xcf\xd3\n" if xref_stream else b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n"
+    out = bytearray(header)
+
+    if not xref_stream:
+        offsets: list[int] = []
+        for num, body in enumerate(objects, start=1):
+            offsets.append(len(out))
+            out += b"%d 0 obj\n" % num + body + b"\nendobj\n"
+        xref_pos = len(out)
+        out += b"xref\n0 %d\n" % (len(objects) + 1)
+        out += b"0000000000 65535 f \n"
+        for off in offsets:
+            out += b"%010d 00000 n \n" % off
+        out += (
+            b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+            % (len(objects) + 1, xref_pos)
+        )
+        return bytes(out)
+
+    # ---- PDF 1.5 layout: optional ObjStm + cross-reference stream ----
+    n = len(objects)
+    objstm_num = n + 1
+    xref_num = objstm_num + 1 if objstm else n + 1
+    # entry per object num: ("offset", byte_off) | ("instream", index)
+    entries: dict[int, tuple[str, int]] = {}
+
+    if objstm:
+        packed_nums = [i + 1 for i in range(n) if not is_stream_obj[i]]
+        bodies = [objects[num - 1] for num in packed_nums]
+        offs: list[int] = []
+        pos = 0
+        for b in bodies:
+            offs.append(pos)
+            pos += len(b) + 1
+        head_pairs = " ".join(
+            f"{num} {off}" for num, off in zip(packed_nums, offs)
+        ).encode()
+        payload = head_pairs + b"\n" + b"\n".join(bodies) + b"\n"
+        first = len(head_pairs) + 1
+        data = zlib.compress(payload)
+        stm = (
+            b"<< /Type /ObjStm /N %d /First %d /Length %d /Filter /FlateDecode >>"
+            % (len(packed_nums), first, len(data))
+            + b"\nstream\n" + data + b"\nendstream"
+        )
+        for idx, num in enumerate(packed_nums):
+            entries[num] = ("instream", idx)
+        # write only the stream objects + the ObjStm as top-level
+        for i in range(n):
+            num = i + 1
+            if is_stream_obj[i]:
+                entries[num] = ("offset", len(out))
+                out += b"%d 0 obj\n" % num + objects[i] + b"\nendobj\n"
+        entries[objstm_num] = ("offset", len(out))
+        out += b"%d 0 obj\n" % objstm_num + stm + b"\nendobj\n"
+    else:
+        for i in range(n):
+            num = i + 1
+            entries[num] = ("offset", len(out))
+            out += b"%d 0 obj\n" % num + objects[i] + b"\nendobj\n"
+
+    # cross-reference stream: W [1 4 2] (4-byte offsets); object 0 free
+    size = xref_num + 1
+    row_w = 7
+    rows = bytearray()
+    for num in range(size):
+        if num == 0:
+            t, f2, f3 = 0, 0, 65535
+        elif num == xref_num:
+            t, f2, f3 = 1, 0, 0  # patched below once offset known
+        elif num in entries:
+            kind, val = entries[num]
+            if kind == "offset":
+                t, f2, f3 = 1, val, 0
+            else:
+                t, f2, f3 = 2, objstm_num, val
+        else:
+            t, f2, f3 = 0, 0, 65535
+        rows += bytes([t]) + f2.to_bytes(4, "big") + f3.to_bytes(2, "big")
 
     xref_pos = len(out)
-    out += b"xref\n0 %d\n" % (len(objects) + 1)
-    out += b"0000000000 65535 f \n"
-    for off in offsets:
-        out += b"%010d 00000 n \n" % off
-    out += (
-        b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
-        % (len(objects) + 1, xref_pos)
+    # patch the xref stream's own entry now that its offset is known
+    row_off = xref_num * row_w
+    rows[row_off : row_off + row_w] = (
+        bytes([1]) + xref_pos.to_bytes(4, "big") + (0).to_bytes(2, "big")
     )
+
+    body = bytes(rows)
+    parms = b""
+    if predictor:
+        body = _png_up_predict(body, row_w)
+        parms = b" /DecodeParms << /Predictor 12 /Columns %d >>" % row_w
+    data = zlib.compress(body)
+    out += (
+        b"%d 0 obj\n<< /Type /XRef /Size %d /W [1 4 2] /Index [0 %d]"
+        % (xref_num, size, size)
+        + b" /Root 1 0 R /Filter /FlateDecode"
+        + parms
+        + b" /Length %d >>\nstream\n" % len(data)
+        + data
+        + b"\nendstream\nendobj\n"
+    )
+    out += b"startxref\n%d\n%%%%EOF\n" % xref_pos
     return bytes(out)

@@ -25,9 +25,12 @@ geometry, so identical bytes always yield identical text — required for
 byte-identical per-url output under Ray task retry.
 
 Simple fonts only (byte strings decode as Latin-1 ≈ WinAnsi/PDFDoc);
-``/FlateDecode`` and ``/ASCIIHexDecode`` stream filters; no encryption,
-CID fonts, or xref streams — the subset the fixture corpus exercises,
-co-designed per SURVEY.md §7.6.
+``/FlateDecode`` and ``/ASCIIHexDecode`` stream filters with PNG/TIFF
+predictors; PDF 1.5 cross-reference streams (``/Type /XRef``, W fields,
+/Index subsections) and object streams (``/Type /ObjStm``) are
+supported — the trailer dict merges from XRef stream dicts and
+compressed objects are expanded exhaustively.  No encryption or CID
+fonts yet.
 """
 
 from __future__ import annotations
@@ -61,6 +64,45 @@ class Name(str):
     """A PDF name token (distinct from a string value)."""
 
 
+def _png_unpredict(data: bytes, columns: int, bpp: int) -> bytes:
+    """Reverse the PNG row filters (predictors 10-15: each row is a
+    filter-tag byte + filtered bytes).  All five filter types handled —
+    real producers mostly emit Up (2), but Sub/Average/Paeth appear."""
+    row_w = columns
+    out = bytearray()
+    prev = bytearray(row_w)
+    pos = 0
+    n = len(data)
+    while pos + 1 <= n:
+        ft = data[pos]
+        row = bytearray(data[pos + 1 : pos + 1 + row_w])
+        pos += 1 + row_w
+        if ft == 1:  # Sub
+            for i in range(len(row)):
+                left = row[i - bpp] if i >= bpp else 0
+                row[i] = (row[i] + left) & 0xFF
+        elif ft == 2:  # Up
+            for i in range(len(row)):
+                row[i] = (row[i] + prev[i]) & 0xFF
+        elif ft == 3:  # Average
+            for i in range(len(row)):
+                left = row[i - bpp] if i >= bpp else 0
+                row[i] = (row[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            for i in range(len(row)):
+                a = row[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                row[i] = (row[i] + pred) & 0xFF
+        # ft == 0: None
+        out += row
+        prev = row
+    return bytes(out)
+
+
 @dataclass
 class Stream:
     attrs: dict
@@ -68,8 +110,10 @@ class Stream:
 
     def data(self, doc: "PDFDocument | None" = None) -> bytes:
         filt = self.attrs.get("Filter")
+        parms = self.attrs.get("DecodeParms", self.attrs.get("DP"))
         if doc is not None:
             filt = doc.resolve(filt)
+            parms = doc.resolve(parms)
         filters: list[Any]
         if filt is None:
             filters = []
@@ -77,8 +121,15 @@ class Stream:
             filters = filt
         else:
             filters = [filt]
+        parms_list: list[Any]
+        if parms is None:
+            parms_list = [None] * len(filters)
+        elif isinstance(parms, list):
+            parms_list = list(parms) + [None] * (len(filters) - len(parms))
+        else:
+            parms_list = [parms] + [None] * (len(filters) - 1)
         out = self.raw
-        for f in filters:
+        for f, p in zip(filters, parms_list):
             name = str(f)
             if name == "FlateDecode":
                 try:
@@ -94,6 +145,23 @@ class Stream:
                 out = bytes.fromhex(hexbody.decode("ascii"))
             else:
                 raise PDFSyntaxError(f"unsupported stream filter {name}")
+            if isinstance(p, dict):
+                if doc is not None:
+                    p = {k: doc.resolve(v) for k, v in p.items()}
+                pred = int(p.get("Predictor", 1) or 1)
+                if pred >= 10:
+                    colors = int(p.get("Colors", 1) or 1)
+                    bpc = int(p.get("BitsPerComponent", 8) or 8)
+                    columns = int(p.get("Columns", 1) or 1)
+                    bpp = max(1, (colors * bpc + 7) // 8)
+                    out = _png_unpredict(out, columns * bpp, bpp)
+                elif pred == 2:  # TIFF horizontal differencing (8-bit)
+                    columns = int(p.get("Columns", 1) or 1)
+                    buf = bytearray(out)
+                    for r in range(0, len(buf), columns):
+                        for i in range(r + 1, min(r + columns, len(buf))):
+                            buf[i] = (buf[i] + buf[i - 1]) & 0xFF
+                    out = bytes(buf)
         return out
 
 
@@ -336,8 +404,72 @@ class PDFDocument:
                 self._walk(kid, out, depth + 1)
 
 
+def parse_xref_stream_entries(
+    doc: PDFDocument, stream: Stream
+) -> dict[int, tuple[int, int, int]]:
+    """Decode a /Type /XRef cross-reference stream (PDF 1.5): W-field
+    widths, /Index subsections, optional PNG predictor (handled by
+    Stream.data).  -> {obj_num: (type, field2, field3)} where type 1 is
+    (offset, gen) and type 2 is (objstm_num, index_in_stream)."""
+    w = [int(v) for v in (doc.resolve(stream.attrs.get("W")) or [])]
+    if len(w) < 3:
+        raise PDFSyntaxError("xref stream missing /W")
+    size = int(doc.resolve(stream.attrs.get("Size")) or 0)
+    index = doc.resolve(stream.attrs.get("Index")) or [0, size]
+    body = stream.data(doc)
+    row_w = sum(w)
+    entries: dict[int, tuple[int, int, int]] = {}
+    pos = 0
+    for s in range(0, len(index) - 1, 2):
+        start, count = int(index[s]), int(index[s + 1])
+        for num in range(start, start + count):
+            if pos + row_w > len(body):
+                return entries
+            fields = []
+            for width in w:
+                if width == 0:
+                    fields.append(1 if len(fields) == 0 else 0)  # defaults
+                else:
+                    fields.append(int.from_bytes(body[pos : pos + width], "big"))
+                    pos += width
+            entries[num] = (fields[0], fields[1], fields[2])
+    return entries
+
+
+def _expand_object_streams(doc: PDFDocument) -> None:
+    """Lex every object packed inside /Type /ObjStm containers into
+    doc.objects (PDF 1.5 compressed objects carry no ``N 0 obj`` header
+    in the raw bytes, so the flat scan cannot see them)."""
+    for num in sorted(doc.objects):
+        obj = doc.objects[num]
+        if not (isinstance(obj, Stream) and str(obj.attrs.get("Type", "")) == "ObjStm"):
+            continue
+        try:
+            body = obj.data(doc)
+            n = int(doc.resolve(obj.attrs.get("N")) or 0)
+            first = int(doc.resolve(obj.attrs.get("First")) or 0)
+            head = _Lexer(body[:first])
+            pairs: list[tuple[int, int]] = []
+            for _ in range(n):
+                onum = head.parse()
+                ooff = head.parse()
+                pairs.append((int(onum), int(ooff)))
+            for onum, ooff in pairs:
+                if onum in doc.objects:
+                    continue  # top-level definitions win (scan-all parity)
+                lex = _Lexer(body, first + ooff)
+                try:
+                    doc.objects[onum] = lex.parse()
+                except PDFSyntaxError:
+                    continue
+        except (PDFSyntaxError, ValueError, zlib.error):
+            continue
+
+
 def parse_document(data: bytes) -> PDFDocument:
-    """Scan every indirect object and the trailer dictionary."""
+    """Scan every indirect object, expand object streams, and assemble
+    the trailer from classic ``trailer`` dicts and/or /Type /XRef
+    cross-reference stream dicts (PDF 1.5+)."""
     doc = PDFDocument()
     for m in _OBJ_HEAD_RE.finditer(data):
         num = int(m.group(1))
@@ -354,6 +486,14 @@ def parse_document(data: bytes) -> PDFDocument:
             continue
         if isinstance(t, dict):
             doc.trailer.update(t)
+    # PDF 1.5: the trailer dict lives on the cross-reference stream;
+    # merge every XRef stream's dict (classic trailer keys win)
+    for num in sorted(doc.objects):
+        obj = doc.objects[num]
+        if isinstance(obj, Stream) and str(obj.attrs.get("Type", "")) == "XRef":
+            for k, v in obj.attrs.items():
+                doc.trailer.setdefault(k, v)
+    _expand_object_streams(doc)
     if "Root" not in doc.trailer:
         # some producers omit a classic trailer; find a catalog object
         for num, obj in sorted(doc.objects.items()):

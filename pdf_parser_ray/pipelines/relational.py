@@ -207,28 +207,46 @@ def orders_filtered(sf_dir: str, min_price: float = 150_000.0) -> rd.Dataset:
 
 
 def sessionize_events(sf_dir: str, gap_minutes: int = 30) -> rd.Dataset:
-    """(user_id, n_sessions, n_events): session windows per user — a
-    groupby(user).map_groups stage that sorts each user's events by ts
-    and splits sessions at >gap_minutes silences.  Partitioning
-    assumption: one user's events fit in one group (true by construction
-    of user-keyed data)."""
+    """(user_id, n_sessions, n_events): session windows per user.  The
+    shuffle key is a *coarse* user bucket (hash % K) so one Python group
+    call handles thousands of users — inside, a vectorized sort +
+    diff-over-boundaries computes every user's session count at once.
+    Partitioning assumption: one user's events fit in one coarse group
+    (true for user-keyed event data)."""
     import pandas as pd
 
     gap = np.timedelta64(gap_minutes * 60, "s")
+    coarse_buckets = 256
+
+    def add_coarse(batch: pa.Table) -> pa.Table:
+        u = batch.column("user_id").to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "coarse", pa.array((u % coarse_buckets).astype(np.int32))
+        )
 
     def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        ts = np.sort(g["ts"].to_numpy())
-        breaks = int((np.diff(ts) > gap).sum()) if len(ts) > 1 else 0
+        df = g.sort_values(["user_id", "ts"])
+        users = df["user_id"].to_numpy()
+        ts = df["ts"].to_numpy()
+        same_user = users[1:] == users[:-1]
+        breaks = same_user & (np.diff(ts) > gap)
+        # per-user: n_events by run length, n_sessions = 1 + breaks
+        uniq, starts, counts = np.unique(users, return_index=True, return_counts=True)
+        n_breaks = np.zeros(len(uniq), np.int64)
+        if len(breaks):
+            idx = np.searchsorted(starts, np.nonzero(breaks)[0], side="right") - 1
+            np.add.at(n_breaks, idx, 1)
         return pd.DataFrame(
             {
-                "user_id": [g["user_id"].iloc[0]],
-                "n_sessions": [breaks + 1],
-                "n_events": [len(ts)],
+                "user_id": uniq.astype(np.int64),
+                "n_sessions": n_breaks + 1,
+                "n_events": counts.astype(np.int64),
             }
         )
 
     return (
         _t(sf_dir, "events", ["user_id", "ts"])
-        .groupby("user_id")
+        .map_batches(add_coarse, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("coarse")
         .map_groups(sessions, batch_format="pandas")
     )

