@@ -54,6 +54,7 @@ def run_bench() -> dict:
         include_dashboard=False,
         ignore_reinit_error=True,
         logging_level="ERROR",
+        log_to_driver=False,  # worker log lines stay in /tmp/ray session logs
     )
     import logging
 

@@ -23,7 +23,12 @@ _TOKEN_RE = re.compile(r"\S+")  # used by curate's verdict stage
 
 
 def _docs(sf_dir: str, columns: list[str]) -> rd.Dataset:
-    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=columns)
+    from .dedup import _blocks_for
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    return rd.read_parquet(
+        path, columns=columns, override_num_blocks=_blocks_for(path)
+    )
 
 
 # -- token counting ---------------------------------------------------------

@@ -40,8 +40,26 @@ NEAR_DUP_ID_OFFSET = 10_000_000
 MAX_PAIRS_PER_GROUP = 50  # bound the quadratic blowup in a hot bucket
 
 
+def _blocks_for(path: str, per_block: int = 16 << 20, floor: int = 8) -> int:
+    """Block count sized to the DATA, not the CPU count: Ray's default
+    (2x CPUs) gives dozens of near-empty blocks on small side tables,
+    and every downstream sort/groupby pays per-block reduce-task
+    orchestration — the dominant cost of the dedup shuffles at test
+    scale.  ~16 MiB of compressed parquet per block decompresses to
+    roughly Ray's in-memory block target at real scale, so this is a
+    floor-clamp, not a scale limiter."""
+    try:
+        size = os.path.getsize(path)
+    except OSError:
+        return floor
+    return max(floor, size // per_block)
+
+
 def _docs(sf_dir: str, columns: list[str]) -> rd.Dataset:
-    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=columns)
+    path = os.path.join(sf_dir, "documents.parquet")
+    return rd.read_parquet(
+        path, columns=columns, override_num_blocks=_blocks_for(path)
+    )
 
 
 def _stable64(token: str) -> int:
@@ -148,8 +166,11 @@ def _bucket_join_verify(
     rows are keyed the same way.  One co-shuffle groups each half with
     its text; a second (pair-keyed, coarse-bucketed) shuffle reunites
     the halves — at which point both texts sit in the same group and
-    the exact word-3-gram Jaccard is computed there.  Total exchange:
-    the corpus text once, the (small) pair set twice.
+    the exact word-3-gram Jaccard is computed there.  Candidate-pair
+    duplicates (the same pair surfacing from several LSH bands) are
+    dropped vectorized at the reunite stage, so callers pass raw
+    candidates without a separate ``_dedup_pairs`` shuffle round.
+    Total exchange: the corpus text once, the (small) pair set twice.
     """
 
     def halves(batch: pa.Table) -> pa.Table:
@@ -215,6 +236,7 @@ def _bucket_join_verify(
         )
 
     def verify_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(subset=["doc_id_a", "doc_id_b", "side"])
         oa: list[int] = []
         ob: list[int] = []
         sim: list[int] = []
@@ -297,7 +319,13 @@ def _coarse_candidate_pairs(ds: rd.Dataset, key_cols: list[str]) -> rd.Dataset:
             a, b = _emit_pairs(sub["doc_id"].tolist())
             a_out.extend(a)
             b_out.extend(b)
-        df = pd.DataFrame({"doc_id_a": a_out, "doc_id_b": b_out})
+        # explicit dtypes so empty groups emit schema-typed blocks
+        df = pd.DataFrame(
+            {
+                "doc_id_a": np.array(a_out, np.int64),
+                "doc_id_b": np.array(b_out, np.int64),
+            }
+        )
         return df.drop_duplicates()
 
     return (
@@ -418,7 +446,7 @@ def minhash_dedup(sf_dir: str, threshold_millis: int = 500) -> rd.Dataset:
         docs.map_batches(band_rows, batch_format="pyarrow", zero_copy_batch=True),
         ["band", "band_hash"],
     )
-    return _bucket_join_verify(_dedup_pairs(candidates), docs, threshold_millis)
+    return _bucket_join_verify(candidates, docs, threshold_millis)
 
 
 # -- SimHash ----------------------------------------------------------------
@@ -484,7 +512,13 @@ def simhash_dedup(sf_dir: str, max_hamming: int = 6) -> rd.Dataset:
                         h_out.append(ham)
                     if len(a_out) - n_before >= MAX_PAIRS_PER_GROUP:
                         break
-        df = pd.DataFrame({"doc_id_a": a_out, "doc_id_b": b_out, "hamming": h_out})
+        df = pd.DataFrame(
+            {
+                "doc_id_a": np.array(a_out, np.int64),
+                "doc_id_b": np.array(b_out, np.int64),
+                "hamming": np.array(h_out, np.int64),
+            }
+        )
         return df.drop_duplicates(subset=["doc_id_a", "doc_id_b"])
 
     docs = with_near_dups(_docs(sf_dir, ["doc_id", "text"]))
@@ -527,7 +561,7 @@ def ngram_jaccard_dedup(sf_dir: str, threshold_millis: int = 400) -> rd.Dataset:
         docs.map_batches(anchor_rows, batch_format="pyarrow", zero_copy_batch=True),
         ["band_hash"],
     )
-    return _bucket_join_verify(_dedup_pairs(candidates), docs, threshold_millis)
+    return _bucket_join_verify(candidates, docs, threshold_millis)
 
 
 # -- embedding cosine near-dup ----------------------------------------------
@@ -588,9 +622,19 @@ def embedding_dedup(sf_dir: str, threshold_millis: int = 990) -> rd.Dataset:
                     c_out.append(millis)
                 if len(a_out) >= MAX_PAIRS_PER_GROUP:
                     break
-        return pd.DataFrame({"vec_id_a": a_out, "vec_id_b": b_out, "cos_millis": c_out})
+        return pd.DataFrame(
+            {
+                "vec_id_a": np.array(a_out, np.int64),
+                "vec_id_b": np.array(b_out, np.int64),
+                "cos_millis": np.array(c_out, np.int64),
+            }
+        )
 
-    ds = rd.read_parquet(emb_path, columns=["vec_id", "embedding"])
+    ds = rd.read_parquet(
+        emb_path,
+        columns=["vec_id", "embedding"],
+        override_num_blocks=_blocks_for(emb_path),
+    )
     pairs = (
         ds.map_batches(clone_and_bucket, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("bucket")

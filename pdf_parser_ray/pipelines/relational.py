@@ -21,7 +21,12 @@ from ray.data.aggregate import Count, Max, Min, Sum
 
 
 def _t(sf_dir: str, name: str, columns: list[str] | None = None) -> rd.Dataset:
-    return rd.read_parquet(os.path.join(sf_dir, f"{name}.parquet"), columns=columns)
+    from .dedup import _blocks_for
+
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    return rd.read_parquet(
+        path, columns=columns, override_num_blocks=_blocks_for(path)
+    )
 
 
 def lineitem_agg(sf_dir: str) -> rd.Dataset:

@@ -20,6 +20,8 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 import ray.data as rd
 
+from .dedup import _blocks_for
+
 
 def _query_vector(sf_dir: str, query_vec_id: int) -> np.ndarray:
     t = pq.read_table(
@@ -62,8 +64,11 @@ def knn_cosine(sf_dir: str, query_vec_id: int = 0, k: int = 10) -> rd.Dataset:
             }
         )
 
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
     ds = rd.read_parquet(
-        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+        emb_path,
+        columns=["vec_id", "embedding"],
+        override_num_blocks=_blocks_for(emb_path),
     )
     return (
         ds.map_batches(local_topk, batch_format="pyarrow", zero_copy_batch=True)
@@ -113,8 +118,11 @@ def knn_lsh(sf_dir: str, query_vec_id: int = 0, k: int = 10) -> rd.Dataset:
             }
         )
 
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
     ds = rd.read_parquet(
-        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+        emb_path,
+        columns=["vec_id", "embedding"],
+        override_num_blocks=_blocks_for(emb_path),
     )
     return (
         ds.map_batches(local_topk, batch_format="pyarrow", zero_copy_batch=True)
@@ -138,6 +146,9 @@ def embedding_norms(sf_dir: str) -> rd.Dataset:
             }
         )
 
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
     return rd.read_parquet(
-        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+        emb_path,
+        columns=["vec_id", "embedding"],
+        override_num_blocks=_blocks_for(emb_path),
     ).map_batches(norms, batch_format="pyarrow", zero_copy_batch=True)

@@ -395,3 +395,34 @@ class TestBofaRelationship:
         assert recs[0]["amount"] == 1000.0
         assert recs[0]["description"] == "Counter credit"
         assert recs[1]["direction"] == "in"
+
+
+class TestChaseZipRegressionGoldens:
+    """The nine Book-Transfer amounts from the reference's
+    CHASE_ZIP_FIXES.md comparison table (283-295): rows whose text
+    carries a ZIP+4 fragment (82801-6317) next to the real $-amount.
+    The snapshot code's $-prefer/max selection must pick the documented
+    amount, never the ZIP fragment."""
+
+    GOLDENS = [
+        ("12/03", 68_795.00),
+        ("12/11", 73_345.00),
+        ("12/13", 90_900.00),
+        ("12/16", 38_415.00),
+        ("12/19", 85_760.00),
+        ("12/20", 115_225.00),
+        ("12/23", 125_140.00),
+        ("12/24", 122_095.00),
+        ("12/26", 87_900.00),
+    ]
+
+    def test_book_transfer_amounts(self):
+        lines = ["DEPOSITS AND ADDITIONS"] + [
+            f"{date} Book Transfer Credit B/O Sheridan Lodging Llc "
+            f"Sheridan WY 82801-6317 Trn: 0371908338Es "
+            f"${amt:,.2f}"
+            for date, amt in self.GOLDENS
+        ]
+        recs = run("chase", lines)
+        assert [r["amount"] for r in recs] == [a for _, a in self.GOLDENS]
+        assert all(r["direction"] == "in" for r in recs)
