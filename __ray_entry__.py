@@ -143,6 +143,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- relational / windows --
         "lineitem_agg": relational.lineitem_agg,
         "orders_by_nation": relational.orders_by_nation,
+        "region_revenue": relational.region_revenue,
         "orders_filtered": relational.orders_filtered,
         "events_hourly": relational.events_hourly,
         "sessionize_events": relational.sessionize_events,
@@ -335,6 +336,16 @@ def oracle_sql() -> dict[str, str]:
             " JOIN customer c ON o.o_custkey = c.c_custkey"
             " JOIN nation n ON c.c_nationkey = n.n_nationkey"
             " GROUP BY n.n_name"
+        ),
+        "region_revenue": (
+            "SELECT r.r_name, CAST(count(*) AS BIGINT) AS n_orders,"
+            " CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)"
+            "   AS total_cents"
+            " FROM orders o"
+            " JOIN customer c ON o.o_custkey = c.c_custkey"
+            " JOIN nation n ON c.c_nationkey = n.n_nationkey"
+            " JOIN region r ON n.n_regionkey = r.r_regionkey"
+            " GROUP BY r.r_name"
         ),
         "events_hourly": (
             "SELECT event_type, date_trunc('hour', ts) AS hour_start,"

@@ -45,7 +45,7 @@ _ENCODINGS = ("utf-8", "cp1252", "latin-1", "utf-8")
 _EPOCH_2024_US = 1_704_067_200_000_000  # 2024-01-01T00:00:00Z in microseconds
 
 # bump when generator/statement content changes so cached corpora regenerate
-CORPUS_VERSION = 6
+CORPUS_VERSION = 7
 
 
 def _spans_for_lines(lines: list[str], kinds: list[str]) -> list[dict]:
@@ -134,15 +134,18 @@ def _html_page(
     return payload, enc, golden_lines, title
 
 
-# cycle of (xref_stream, objstm, predictor) writer forms — classic PDF
-# 1.4, bare xref stream, ObjStm-packed, and ObjStm+PNG-predictor — so
-# the fixture corpus exercises every cross-reference form the parser
-# supports, end-to-end through the Ray pipeline and the driver oracle
+# cycle of writer forms — classic PDF 1.4, bare xref stream,
+# ObjStm-packed, ObjStm+PNG-predictor, CID/Type0 font, and
+# CID+ObjStm+predictor combined — so the fixture corpus exercises every
+# cross-reference and text-encoding form the parser supports,
+# end-to-end through the Ray pipeline and the driver oracle
 _PDF_FORMS = (
     {},
     {"xref_stream": True},
     {"objstm": True},
     {"objstm": True, "predictor": True},
+    {"cid_font": True},
+    {"cid_font": True, "objstm": True, "predictor": True},
 )
 
 

@@ -35,11 +35,17 @@ def _escape(text: str) -> bytes:
 
 
 def _content_stream(
-    lines: list[Line], font_size: float, leading: float, shuffle_order: bool
+    lines: list[Line],
+    font_size: float,
+    leading: float,
+    shuffle_order: bool,
+    cid_font: bool = False,
 ) -> bytes:
     """Build the page description.  With ``shuffle_order`` the runs are
     emitted in reversed order — the visual layout is identical but the
-    stream order is scrambled, exercising bbox-based reassembly."""
+    stream order is scrambled, exercising bbox-based reassembly.  With
+    ``cid_font`` shows are hex strings of 2-byte Identity-H codes
+    (code = Unicode code point, mapped back by the ToUnicode CMap)."""
     shows: list[tuple[float, float, str]] = []
     y = TOP_Y
     for line in lines:
@@ -56,9 +62,31 @@ def _content_stream(
     ops = [b"BT", b"/F1 %.2f Tf" % font_size]
     for x, y, text in shows:
         ops.append(b"1 0 0 1 %.2f %.2f Tm" % (x, y))
-        ops.append(b"(" + _escape(text) + b") Tj")
+        if cid_font:
+            codes = text.encode("utf-16-be").hex().upper().encode("ascii")
+            ops.append(b"<" + codes + b"> Tj")
+        else:
+            ops.append(b"(" + _escape(text) + b") Tj")
     ops.append(b"ET")
     return b"\n".join(ops)
+
+
+_TOUNICODE_CMAP = b"""/CIDInit /ProcSet findresource begin
+12 dict begin
+begincmap
+/CIDSystemInfo << /Registry (Adobe) /Ordering (UCS) /Supplement 0 >> def
+/CMapName /Adobe-Identity-UCS def
+/CMapType 2 def
+1 begincodespacerange
+<0000> <FFFF>
+endcodespacerange
+1 beginbfrange
+<0000> <FFFF> <0000>
+endbfrange
+endcmap
+CMap currentdict /CMap defineresource pop
+end
+end"""
 
 
 def _png_up_predict(data: bytes, columns: int) -> bytes:
@@ -84,28 +112,41 @@ def build_pdf(
     xref_stream: bool = False,
     objstm: bool = False,
     predictor: bool = False,
+    cid_font: bool = False,
 ) -> bytes:
     """``xref_stream`` writes a PDF 1.5 cross-reference stream instead
     of the classic table; ``objstm`` additionally packs every non-stream
     object (catalog/pages/font/page dicts) into a /Type /ObjStm object
     stream (implies ``xref_stream``); ``predictor`` applies the PNG Up
-    predictor (/Predictor 12) to the xref stream body."""
+    predictor (/Predictor 12) to the xref stream body; ``cid_font``
+    writes the font as a composite Type0/Identity-H font with a
+    ToUnicode CMap and 2-byte hex-string shows."""
     if objstm:
         xref_stream = True
     objects: list[bytes] = []  # object 1..n bodies, in order
 
     n_pages = len(pages)
     # object layout: 1 catalog, 2 pages root, 3 font,
-    # then per page i: page object (4+2i), content stream (5+2i)
+    # then per page i: page object (4+2i), content stream (5+2i);
+    # cid_font appends descendant-font + ToUnicode objects at the end
+    descendant_num = 4 + 2 * n_pages
+    tounicode_num = descendant_num + 1
     kids = b" ".join(b"%d 0 R" % (4 + 2 * i) for i in range(n_pages))
     objects.append(b"<< /Type /Catalog /Pages 2 0 R >>")
     objects.append(
         b"<< /Type /Pages /Kids [" + kids + b"] /Count %d >>" % n_pages
     )
-    objects.append(
-        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica"
-        b" /Encoding /WinAnsiEncoding >>"
-    )
+    if cid_font:
+        objects.append(
+            b"<< /Type /Font /Subtype /Type0 /BaseFont /Helvetica"
+            b" /Encoding /Identity-H /DescendantFonts [%d 0 R]"
+            b" /ToUnicode %d 0 R >>" % (descendant_num, tounicode_num)
+        )
+    else:
+        objects.append(
+            b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica"
+            b" /Encoding /WinAnsiEncoding >>"
+        )
     is_stream_obj = [False, False, False]
     for i, page_lines in enumerate(pages):
         page_num = 4 + 2 * i
@@ -117,7 +158,9 @@ def build_pdf(
             + b" /Contents %d 0 R >>" % content_num
         )
         is_stream_obj.append(False)
-        body = _content_stream(page_lines, font_size, leading, shuffle_order)
+        body = _content_stream(
+            page_lines, font_size, leading, shuffle_order, cid_font
+        )
         if compress:
             data = zlib.compress(body)
             head = b"<< /Length %d /Filter /FlateDecode >>" % len(data)
@@ -125,6 +168,19 @@ def build_pdf(
             data = body
             head = b"<< /Length %d >>" % len(data)
         objects.append(head + b"\nstream\n" + data + b"\nendstream")
+        is_stream_obj.append(True)
+    if cid_font:
+        objects.append(
+            b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /Helvetica"
+            b" /CIDSystemInfo << /Registry (Adobe) /Ordering (Identity)"
+            b" /Supplement 0 >> /CIDToGIDMap /Identity >>"
+        )
+        is_stream_obj.append(False)
+        tu = zlib.compress(_TOUNICODE_CMAP)
+        objects.append(
+            b"<< /Length %d /Filter /FlateDecode >>" % len(tu)
+            + b"\nstream\n" + tu + b"\nendstream"
+        )
         is_stream_obj.append(True)
 
     header = b"%PDF-1.5\n%\xe2\xe3\xcf\xd3\n" if xref_stream else b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n"

@@ -504,6 +504,169 @@ def parse_document(data: bytes) -> PDFDocument:
 
 
 # --------------------------------------------------------------------------
+# fonts: ToUnicode CMaps and composite (Type0/CID) text decoding
+# --------------------------------------------------------------------------
+
+
+def _uni(b: bytes) -> str:
+    return b.decode("utf-16-be", "ignore") if len(b) >= 2 else b.decode("latin-1")
+
+
+class CMap:
+    """code -> unicode map: explicit ``bfchar`` entries as a dict, and
+    ``bfrange`` runs kept as (lo, hi, base, width) tuples resolved on
+    lookup — a 0000-FFFF identity range (the common modern-producer
+    form) costs one tuple, never a 65k-entry dict per document."""
+
+    __slots__ = ("chars", "ranges")
+
+    def __init__(self, chars: dict[int, str], ranges: list[tuple[int, int, int, int]]):
+        self.chars = chars
+        self.ranges = ranges
+
+    def get(self, code: int, default: str | None = None) -> str | None:
+        hit = self.chars.get(code)
+        if hit is not None:
+            return hit
+        for lo, hi, base, width in self.ranges:
+            if lo <= code <= hi:
+                return _uni((base + code - lo).to_bytes(width, "big"))
+        return default
+
+    def __contains__(self, code: int) -> bool:
+        return self.get(code) is not None
+
+    def __getitem__(self, code: int) -> str:
+        got = self.get(code)
+        if got is None:
+            raise KeyError(code)
+        return got
+
+    def __bool__(self) -> bool:
+        return bool(self.chars) or bool(self.ranges)
+
+
+def parse_tounicode(data: bytes) -> CMap:
+    """Parse a /ToUnicode CMap stream: ``bfchar`` pairs and ``bfrange``
+    runs (both the increment form and the per-code array form).  The
+    CMap bodies are PDF-object-grammar tokens (hex strings, arrays), so
+    the object lexer parses them directly."""
+    chars: dict[int, str] = {}
+    ranges: list[tuple[int, int, int, int]] = []
+
+    for m in re.finditer(rb"beginbfchar(.*?)endbfchar", data, re.S):
+        lex = _Lexer(m.group(1))
+        try:
+            while True:
+                src = lex.parse()
+                dst = lex.parse()
+                if isinstance(src, bytes) and isinstance(dst, bytes):
+                    chars[int.from_bytes(src, "big")] = _uni(dst)
+        except PDFSyntaxError:
+            pass
+    for m in re.finditer(rb"beginbfrange(.*?)endbfrange", data, re.S):
+        lex = _Lexer(m.group(1))
+        try:
+            while True:
+                lo = lex.parse()
+                hi = lex.parse()
+                dst = lex.parse()
+                if not (isinstance(lo, bytes) and isinstance(hi, bytes)):
+                    continue
+                lo_i, hi_i = int.from_bytes(lo, "big"), int.from_bytes(hi, "big")
+                if hi_i < lo_i or hi_i - lo_i > 0x10FFFF:  # malformed guard
+                    continue
+                if isinstance(dst, list):
+                    for k, d in enumerate(dst):
+                        if isinstance(d, bytes):
+                            chars[lo_i + k] = _uni(d)
+                elif isinstance(dst, bytes):
+                    ranges.append(
+                        (lo_i, hi_i, int.from_bytes(dst, "big"), max(2, len(dst)))
+                    )
+        except PDFSyntaxError:
+            pass
+    return CMap(chars, ranges)
+
+
+# per-worker-process memo: fonts repeat across documents from the same
+# producer, and a ToUnicode stream's raw bytes key its parsed CMap
+_CMAP_CACHE: dict[bytes, CMap] = {}
+_CMAP_CACHE_MAX = 256
+
+
+def _cached_tounicode(raw: bytes, decoded: bytes) -> CMap:
+    got = _CMAP_CACHE.get(raw)
+    if got is None:
+        if len(_CMAP_CACHE) >= _CMAP_CACHE_MAX:
+            _CMAP_CACHE.clear()
+        got = _CMAP_CACHE[raw] = parse_tounicode(decoded)
+    return got
+
+
+@dataclass
+class FontInfo:
+    """What the interpreter needs per font: code width + unicode map."""
+
+    two_byte: bool = False  # Type0/Identity-H composite font
+    cmap: CMap | None = None
+
+    def decode(self, raw: bytes) -> str:
+        if self.two_byte:
+            out = []
+            cmap = self.cmap
+            for i in range(0, len(raw) - 1, 2):
+                code = raw[i] << 8 | raw[i + 1]
+                mapped = cmap.get(code) if cmap is not None else None
+                out.append(mapped if mapped is not None else chr(code))
+            return "".join(out)
+        if self.cmap:
+            out = []
+            for b in raw:
+                mapped = self.cmap.get(b)
+                out.append(mapped if mapped is not None else bytes([b]).decode("latin-1"))
+            return "".join(out)
+        return raw.decode("latin-1")
+
+
+_DEFAULT_FONT = FontInfo()
+
+
+def _page_fonts(doc: "PDFDocument", page: dict) -> dict[str, FontInfo]:
+    """Font name -> FontInfo for a page; /Resources may be inherited
+    from an ancestor /Pages node (walk /Parent)."""
+    node: Any = page
+    res: Any = None
+    for _ in range(8):
+        if not isinstance(node, dict):
+            break
+        res = doc.resolve(node.get("Resources"))
+        if isinstance(res, dict) and res.get("Font") is not None:
+            break
+        node = doc.resolve(node.get("Parent"))
+    if not isinstance(res, dict):
+        return {}
+    fonts = doc.resolve(res.get("Font"))
+    if not isinstance(fonts, dict):
+        return {}
+    out: dict[str, FontInfo] = {}
+    for name, fref in fonts.items():
+        fd = doc.resolve(fref)
+        if not isinstance(fd, dict):
+            continue
+        two = str(doc.resolve(fd.get("Subtype", ""))) == "Type0"
+        cmap = None
+        tu = doc.resolve(fd.get("ToUnicode"))
+        if isinstance(tu, Stream):
+            try:
+                cmap = _cached_tounicode(tu.raw, tu.data(doc))
+            except (PDFSyntaxError, ValueError, zlib.error):
+                cmap = None
+        out[str(name)] = FontInfo(two_byte=two, cmap=cmap)
+    return out
+
+
+# --------------------------------------------------------------------------
 # content-stream interpretation
 # --------------------------------------------------------------------------
 
@@ -545,7 +708,7 @@ _AVG_GLYPH_W = 0.5
 
 
 class _ContentInterpreter:
-    def __init__(self) -> None:
+    def __init__(self, fonts: dict[str, FontInfo] | None = None) -> None:
         self.runs: list[TextRun] = []
         self.ctm: Matrix = _IDENTITY
         self._gs_stack: list[Matrix] = []
@@ -553,6 +716,8 @@ class _ContentInterpreter:
         self.tlm: Matrix = _IDENTITY
         self.leading = 0.0
         self.size = 0.0
+        self.fonts = fonts or {}
+        self.font: FontInfo = _DEFAULT_FONT
 
     def run(self, content: bytes) -> None:
         lex = _Lexer(content)
@@ -607,6 +772,8 @@ class _ContentInterpreter:
                 pass
             elif op == b"Tf" and len(args) >= 1:
                 self.size = float(args[-1])
+                if len(args) >= 2 and isinstance(args[-2], Name):
+                    self.font = self.fonts.get(str(args[-2]), _DEFAULT_FONT)
             elif op == b"TL" and args:
                 self.leading = float(args[-1])
             elif op == b"Td" and len(args) >= 2:
@@ -641,7 +808,7 @@ class _ContentInterpreter:
     def _show(self, raw: Any) -> None:
         if not isinstance(raw, (bytes, bytearray)):
             return
-        text = bytes(raw).decode("latin-1")
+        text = self.font.decode(bytes(raw))
         if not text:
             return
         dev = _mat_mul(self.tm, self.ctm)
@@ -713,7 +880,7 @@ def extract_page_texts(data: bytes) -> list[str]:
     doc = parse_document(data)
     texts: list[str] = []
     for page in doc.pages():
-        interp = _ContentInterpreter()
+        interp = _ContentInterpreter(_page_fonts(doc, page))
         try:
             interp.run(_page_content(doc, page))
         except Exception:

@@ -15,7 +15,6 @@ import os
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
-import ray
 import ray.data as rd
 from ray.data.aggregate import Count, Max, Min, Sum
 
@@ -61,29 +60,9 @@ def lineitem_agg(sf_dir: str) -> rd.Dataset:
     )
 
 
-_JOIN_KEY_BUCKETS = 64
-
-
-def orders_by_nation(sf_dir: str) -> rd.Dataset:
-    """(n_name, n_orders, total_cents): the orders→customer join runs
-    **distributed** — orders pre-aggregate per custkey (one shuffle that
-    shrinks the fact side to |customer| rows), then co-shuffle with the
-    customer table on hash(custkey) % K.  Only ``nation`` (25 rows, the
-    genuinely-small side) is broadcast; no driver-side dict ever scales
-    with the fact or customer table."""
-    import pyarrow.parquet as pq
-
-    nation = pq.read_table(
-        os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey", "n_name"]
-    )
-    nation_ref = ray.put(
-        dict(
-            zip(
-                nation.column("n_nationkey").to_pylist(),
-                nation.column("n_name").to_pylist(),
-            )
-        )
-    )
+def _orders_per_cust(sf_dir: str) -> rd.Dataset:
+    """Pre-aggregate the fact table per custkey: one shuffle that
+    shrinks |orders| rows to |customer| rows before any join."""
 
     def to_cents(batch: pa.Table) -> pa.Table:
         return pa.table(
@@ -96,66 +75,78 @@ def orders_by_nation(sf_dir: str) -> rd.Dataset:
             }
         )
 
-    per_cust = (
+    return (
         _t(sf_dir, "orders", ["o_custkey", "o_totalprice"])
         .map_batches(to_cents, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("o_custkey")
         .aggregate(Count(alias_name="n_orders"), Sum("price_cents", alias_name="cents"))
     )
 
-    def agg_rows(batch: pa.Table) -> pa.Table:
-        ck = batch.column("o_custkey").to_numpy(zero_copy_only=False)
-        return pa.table(
-            {
-                "key": pa.array((ck % _JOIN_KEY_BUCKETS).astype(np.int32)),
-                "custkey": batch.column("o_custkey"),
-                "nationkey": pa.array(np.full(len(ck), -1, np.int64)),
-                "n_orders": batch.column("n_orders").cast(pa.int64()),
-                "cents": batch.column("cents").cast(pa.int64()),
-            }
-        )
 
-    def cust_rows(batch: pa.Table) -> pa.Table:
-        ck = batch.column("c_custkey").to_numpy(zero_copy_only=False)
-        return pa.table(
-            {
-                "key": pa.array((ck % _JOIN_KEY_BUCKETS).astype(np.int32)),
-                "custkey": batch.column("c_custkey").cast(pa.int64()),
-                "nationkey": batch.column("c_nationkey").cast(pa.int64()),
-                "n_orders": pa.array(np.full(len(ck), -1, np.int64)),
-                "cents": pa.array(np.zeros(len(ck), np.int64)),
-            }
-        )
+def _small_table_dict(sf_dir: str, name: str, key: str, val: str) -> dict:
+    import pyarrow.parquet as pq
 
-    def join_group(g) -> "pa.Table":
-        import pandas as pd
+    t = pq.read_table(os.path.join(sf_dir, f"{name}.parquet"), columns=[key, val])
+    return dict(zip(t.column(key).to_pylist(), t.column(val).to_pylist()))
 
-        is_cust = g["nationkey"].to_numpy() >= 0
-        nk = dict(zip(g["custkey"].to_numpy()[is_cust], g["nationkey"].to_numpy()[is_cust]))
-        names = ray.get(nation_ref)
-        o = g[~is_cust]
-        return pd.DataFrame(
-            {
-                "n_name": pd.array(
-                    [names.get(nk.get(c), "UNKNOWN") for c in o["custkey"]],
-                    dtype=object,
-                ),
-                "n_orders": o["n_orders"].to_numpy().astype(np.int64),
-                "cents": o["cents"].to_numpy().astype(np.int64),
-            }
-        )
 
-    customers = _t(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+def orders_by_nation(sf_dir: str) -> rd.Dataset:
+    """(n_name, n_orders, total_cents): the orders→customer join runs
+    **distributed** — orders pre-aggregate per custkey, then
+    :func:`join.attach_dim` co-shuffles with the customer table on
+    hash(custkey) % K.  Only ``nation`` (25 rows, the genuinely-small
+    side) is broadcast; no driver-side dict ever scales with the fact
+    or customer table."""
+    from .join import attach_dim, broadcast_lookup
+
+    joined = attach_dim(
+        _orders_per_cust(sf_dir),
+        _t(sf_dir, "customer", ["c_custkey", "c_nationkey"]),
+        "o_custkey",
+        "c_custkey",
+        ["c_nationkey"],
+    )
+    named = broadcast_lookup(
+        joined,
+        _small_table_dict(sf_dir, "nation", "n_nationkey", "n_name"),
+        "c_nationkey",
+        "n_name",
+        "UNKNOWN",
+    )
     return (
-        per_cust.map_batches(agg_rows, batch_format="pyarrow", zero_copy_batch=True)
-        .union(
-            customers.map_batches(
-                cust_rows, batch_format="pyarrow", zero_copy_batch=True
-            )
+        named.groupby("n_name")
+        .aggregate(
+            Sum("n_orders", alias_name="n_orders"),
+            Sum("cents", alias_name="total_cents"),
         )
-        .groupby("key")
-        .map_groups(join_group, batch_format="pandas")
-        .groupby("n_name")
+    )
+
+
+def region_revenue(sf_dir: str) -> rd.Dataset:
+    """(r_name, n_orders, total_cents): orders rolled up to regions
+    through customer→nation→region — the multi-hop join plan at scale:
+    pre-aggregate the fact per custkey, ONE distributed attach of the
+    customer dim, then the two genuinely-small dims (nation 25 rows,
+    region 5 rows) compose into one broadcast lookup."""
+    from .join import attach_dim, broadcast_lookup
+
+    region_name = _small_table_dict(sf_dir, "region", "r_regionkey", "r_name")
+    nation_region = {
+        nk: region_name.get(rk, "UNKNOWN")
+        for nk, rk in _small_table_dict(
+            sf_dir, "nation", "n_nationkey", "n_regionkey"
+        ).items()
+    }
+    joined = attach_dim(
+        _orders_per_cust(sf_dir),
+        _t(sf_dir, "customer", ["c_custkey", "c_nationkey"]),
+        "o_custkey",
+        "c_custkey",
+        ["c_nationkey"],
+    )
+    named = broadcast_lookup(joined, nation_region, "c_nationkey", "r_name", "UNKNOWN")
+    return (
+        named.groupby("r_name")
         .aggregate(
             Sum("n_orders", alias_name="n_orders"),
             Sum("cents", alias_name="total_cents"),

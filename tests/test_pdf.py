@@ -243,3 +243,56 @@ class TestXrefStreamForms:
             build_pdf(self.PAGES, objstm=True, shuffle_order=True)
         )
         assert got == self._classic_text()
+
+
+class TestCIDFonts:
+    """Composite Type0/Identity-H fonts with ToUnicode CMaps — the
+    common modern-producer text encoding (2-byte hex-string shows)."""
+
+    PAGES = [["Statement café £9.50", "01/02 ACH DÉBIT 1,200.00"]]
+
+    def test_cid_round_trip_identical_to_simple(self):
+        classic = extract_page_texts(build_pdf(self.PAGES))
+        cid = extract_page_texts(build_pdf(self.PAGES, cid_font=True))
+        assert cid == classic
+
+    def test_cid_with_objstm_and_predictor(self):
+        classic = extract_page_texts(build_pdf(self.PAGES))
+        got = extract_page_texts(
+            build_pdf(self.PAGES, cid_font=True, objstm=True, predictor=True)
+        )
+        assert got == classic
+
+    def test_cid_shows_are_hex_not_literal(self):
+        data = build_pdf(self.PAGES, cid_font=True, compress=False)
+        assert b"(Statement" not in data  # no literal-string shows
+        assert b"/Identity-H" in data and b"/ToUnicode" in data
+
+    def test_tounicode_bfchar_and_bfrange(self):
+        from pdf_parser_ray.pdf.parse import parse_tounicode
+
+        cmap = parse_tounicode(
+            b"2 beginbfchar\n<0003> <0041>\n<0005> <00E9>\nendbfchar\n"
+            b"1 beginbfrange\n<0010> <0012> <0061>\nendbfrange\n"
+            b"1 beginbfrange\n<0020> <0021> [<0058> <0059>]\nendbfrange\n"
+        )
+        assert cmap[3] == "A" and cmap[5] == "é"
+        assert cmap[0x10] == "a" and cmap[0x11] == "b" and cmap[0x12] == "c"
+        assert cmap[0x20] == "X" and cmap[0x21] == "Y"
+
+    def test_glyph_indexed_cmap_decodes_via_tounicode(self):
+        """A NON-identity mapping (glyph-id codes) must decode through
+        the CMap, not through chr(code)."""
+        from pdf_parser_ray.pdf.parse import FontInfo
+
+        font = FontInfo(two_byte=True, cmap={1: "H", 2: "i", 3: "!"})
+        assert font.decode(b"\x00\x01\x00\x02\x00\x03") == "Hi!"
+        # unmapped code falls back to chr(code)
+        assert font.decode(b"\x00\x41") == "A"
+
+    def test_surrogate_pair_bfchar(self):
+        from pdf_parser_ray.pdf.parse import parse_tounicode
+
+        # UTF-16BE surrogate pair for U+1D11E (musical G clef)
+        cmap = parse_tounicode(b"1 beginbfchar\n<0001> <D834DD1E>\nendbfchar\n")
+        assert cmap[1] == "\U0001d11e"
