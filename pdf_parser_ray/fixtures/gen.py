@@ -45,7 +45,7 @@ _ENCODINGS = ("utf-8", "cp1252", "latin-1", "utf-8")
 _EPOCH_2024_US = 1_704_067_200_000_000  # 2024-01-01T00:00:00Z in microseconds
 
 # bump when generator/statement content changes so cached corpora regenerate
-CORPUS_VERSION = 7
+CORPUS_VERSION = 8
 
 
 def _spans_for_lines(lines: list[str], kinds: list[str]) -> list[dict]:
@@ -146,6 +146,8 @@ _PDF_FORMS = (
     {"objstm": True, "predictor": True},
     {"cid_font": True},
     {"cid_font": True, "objstm": True, "predictor": True},
+    {"encrypt": True},
+    {"encrypt": True, "objstm": True, "cid_font": True},
 )
 
 

@@ -89,6 +89,52 @@ end
 end"""
 
 
+def _make_encryption(n_objects: int) -> tuple[bytes, bytes, bytes, int, bytes]:
+    """Standard security handler values (V 2 / R 3 / 128-bit RC4, empty
+    user AND owner passwords — openable by any reader): -> (O, U, id0,
+    P, file_key).  Algorithms 3.3/3.4/3.5 of the PDF spec."""
+    import hashlib
+
+    from .parse import _PAD, _file_key, rc4
+
+    p = -44  # print/copy allowed, modify denied — a typical producer value
+    id0 = hashlib.md5(b"pdf_parser_ray_fixture_%d" % n_objects).digest()
+    # O (alg 3.3): RC4 of padded user pw under a key from the owner pw
+    okey = hashlib.md5(_PAD).digest()
+    for _ in range(50):
+        okey = hashlib.md5(okey[:16]).digest()
+    okey = okey[:16]
+    o_val = rc4(okey, _PAD)
+    for i in range(1, 20):
+        o_val = rc4(bytes(b ^ i for b in okey), o_val)
+    fkey = _file_key(o_val, p, id0, r=3, key_len=16)
+    # U (alg 3.5): md5(PAD + id0) through 20 RC4 rounds + 16 pad bytes
+    u_val = rc4(fkey, hashlib.md5(_PAD + id0).digest())
+    for i in range(1, 20):
+        u_val = rc4(bytes(b ^ i for b in fkey), u_val)
+    u_val += b"\x00" * 16
+    return o_val, u_val, id0, p, fkey
+
+
+def _encrypt_object_streams(objects: list[bytes], fkey: bytes) -> list[bytes]:
+    """RC4 each object's stream body in place (encryption applies to the
+    already-filtered bytes; length is preserved so /Length stays valid)."""
+    from .parse import _object_key, rc4
+
+    out = []
+    for i, body in enumerate(objects):
+        num = i + 1
+        s = body.find(b"\nstream\n")
+        if s < 0:
+            out.append(body)
+            continue
+        start = s + len(b"\nstream\n")
+        end = body.rfind(b"\nendstream")
+        payload = rc4(_object_key(fkey, num, 0), body[start:end])
+        out.append(body[:start] + payload + body[end:])
+    return out
+
+
 def _png_up_predict(data: bytes, columns: int) -> bytes:
     """Apply the PNG Up filter (type 2) per row — what real xref-stream
     producers emit with /Predictor 12."""
@@ -113,6 +159,7 @@ def build_pdf(
     objstm: bool = False,
     predictor: bool = False,
     cid_font: bool = False,
+    encrypt: bool = False,
 ) -> bytes:
     """``xref_stream`` writes a PDF 1.5 cross-reference stream instead
     of the classic table; ``objstm`` additionally packs every non-stream
@@ -120,7 +167,9 @@ def build_pdf(
     stream (implies ``xref_stream``); ``predictor`` applies the PNG Up
     predictor (/Predictor 12) to the xref stream body; ``cid_font``
     writes the font as a composite Type0/Identity-H font with a
-    ToUnicode CMap and 2-byte hex-string shows."""
+    ToUnicode CMap and 2-byte hex-string shows; ``encrypt`` applies the
+    standard security handler (V 2 / R 3 / 128-bit RC4, empty user and
+    owner passwords) to every stream body."""
     if objstm:
         xref_stream = True
     objects: list[bytes] = []  # object 1..n bodies, in order
@@ -183,6 +232,22 @@ def build_pdf(
         )
         is_stream_obj.append(True)
 
+    trailer_extra = b""
+    fkey = None
+    if encrypt:
+        o_val, u_val, id0, p, fkey = _make_encryption(len(objects) + 1)
+        objects = _encrypt_object_streams(objects, fkey)
+        enc_num = len(objects) + 1
+        objects.append(
+            b"<< /Filter /Standard /V 2 /R 3 /Length 128 /P %d"
+            b" /O <%s> /U <%s> >>"
+            % (p, o_val.hex().upper().encode(), u_val.hex().upper().encode())
+        )
+        # spec: the encryption dict may not live inside an object stream
+        is_stream_obj.append(True)
+        idhex = id0.hex().upper().encode()
+        trailer_extra = b" /Encrypt %d 0 R /ID [<%s> <%s>]" % (enc_num, idhex, idhex)
+
     header = b"%PDF-1.5\n%\xe2\xe3\xcf\xd3\n" if xref_stream else b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n"
     out = bytearray(header)
 
@@ -197,8 +262,8 @@ def build_pdf(
         for off in offsets:
             out += b"%010d 00000 n \n" % off
         out += (
-            b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
-            % (len(objects) + 1, xref_pos)
+            b"trailer\n<< /Size %d /Root 1 0 R%s >>\nstartxref\n%d\n%%%%EOF\n"
+            % (len(objects) + 1, trailer_extra, xref_pos)
         )
         return bytes(out)
 
@@ -223,6 +288,10 @@ def build_pdf(
         payload = head_pairs + b"\n" + b"\n".join(bodies) + b"\n"
         first = len(head_pairs) + 1
         data = zlib.compress(payload)
+        if fkey is not None:  # ObjStm bodies are encrypted like any stream
+            from .parse import _object_key, rc4
+
+            data = rc4(_object_key(fkey, objstm_num, 0), data)
         stm = (
             b"<< /Type /ObjStm /N %d /First %d /Length %d /Filter /FlateDecode >>"
             % (len(packed_nums), first, len(data))
@@ -280,6 +349,7 @@ def build_pdf(
         b"%d 0 obj\n<< /Type /XRef /Size %d /W [1 4 2] /Index [0 %d]"
         % (xref_num, size, size)
         + b" /Root 1 0 R /Filter /FlateDecode"
+        + trailer_extra
         + parms
         + b" /Length %d >>\nstream\n" % len(data)
         + data

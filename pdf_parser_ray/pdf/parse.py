@@ -361,10 +361,96 @@ class _Lexer:
         return int(tok)
 
 
+# --------------------------------------------------------------------------
+# standard security handler (RC4, /V 1-2 /R 2-3) — the common "protected"
+# PDF form that any reader can open (empty user password)
+# --------------------------------------------------------------------------
+
+_PAD = bytes(
+    [
+        0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41,
+        0x64, 0x00, 0x4E, 0x56, 0xFF, 0xFA, 0x01, 0x08,
+        0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
+        0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A,
+    ]
+)
+
+
+def rc4(key: bytes, data: bytes) -> bytes:
+    s = list(range(256))
+    j = 0
+    for i in range(256):
+        j = (j + s[i] + key[i % len(key)]) & 0xFF
+        s[i], s[j] = s[j], s[i]
+    out = bytearray(len(data))
+    i = j = 0
+    for n, c in enumerate(data):
+        i = (i + 1) & 0xFF
+        j = (j + s[i]) & 0xFF
+        s[i], s[j] = s[j], s[i]
+        out[n] = c ^ s[(s[i] + s[j]) & 0xFF]
+    return bytes(out)
+
+
+def _file_key(
+    o_entry: bytes, p: int, id0: bytes, r: int, key_len: int, password: bytes = b""
+) -> bytes:
+    """Algorithm 2 (PDF 1.7 §7.6.3.3): the file encryption key from the
+    (padded) user password, /O, /P and the first document ID."""
+    import hashlib
+    import struct
+
+    padded = (password + _PAD)[:32]
+    h = hashlib.md5(padded + o_entry[:32] + struct.pack("<i", p) + id0)
+    key = h.digest()
+    if r >= 3:
+        for _ in range(50):
+            key = hashlib.md5(key[:key_len]).digest()
+    return key[:key_len]
+
+
+def _object_key(file_key: bytes, num: int, gen: int) -> bytes:
+    import hashlib
+
+    h = hashlib.md5(
+        file_key + num.to_bytes(3, "little") + gen.to_bytes(2, "little")
+    ).digest()
+    return h[: min(len(file_key) + 5, 16)]
+
+
+def _decrypt_streams(doc: "PDFDocument") -> None:
+    """Decrypt every stream's raw bytes in place with the standard
+    security handler (empty user password).  Runs BEFORE ObjStm
+    expansion (compressed-object bodies are themselves encrypted);
+    the /Type /XRef stream is written unencrypted per spec and skipped.
+    Unsupported /V values leave the document untouched (extraction then
+    degrades to whatever the content scan yields)."""
+    enc = doc.resolve(doc.trailer.get("Encrypt"))
+    if not isinstance(enc, dict) or str(enc.get("Filter", "")) != "Standard":
+        return
+    v = int(doc.resolve(enc.get("V")) or 0)
+    r = int(doc.resolve(enc.get("R")) or 2)
+    if v not in (1, 2):
+        return  # AES (V 4/5) unsupported — leave bytes as-is
+    key_bits = int(doc.resolve(enc.get("Length")) or 40)
+    o_entry = doc.resolve(enc.get("O"))
+    p = int(doc.resolve(enc.get("P")) or -1)
+    ids = doc.resolve(doc.trailer.get("ID")) or []
+    id0 = ids[0] if isinstance(ids, list) and ids and isinstance(ids[0], bytes) else b""
+    if not isinstance(o_entry, bytes):
+        return
+    fkey = _file_key(o_entry, p, id0, r, max(5, key_bits // 8))
+    for num, obj in doc.objects.items():
+        if isinstance(obj, Stream) and str(obj.attrs.get("Type", "")) != "XRef":
+            gen = doc.generations.get(num, 0)
+            obj.raw = rc4(_object_key(fkey, num, gen), obj.raw)
+
+
 @dataclass
 class PDFDocument:
     objects: dict[int, Any] = field(default_factory=dict)
     trailer: dict = field(default_factory=dict)
+    generations: dict[int, int] = field(default_factory=dict)
 
     def resolve(self, obj: Any) -> Any:
         seen = 0
@@ -476,6 +562,7 @@ def parse_document(data: bytes) -> PDFDocument:
         lex = _Lexer(data, m.end())
         try:
             doc.objects[num] = lex.parse()
+            doc.generations[num] = int(m.group(2))
         except PDFSyntaxError:
             continue
     for m in _TRAILER_RE.finditer(data):
@@ -493,6 +580,7 @@ def parse_document(data: bytes) -> PDFDocument:
         if isinstance(obj, Stream) and str(obj.attrs.get("Type", "")) == "XRef":
             for k, v in obj.attrs.items():
                 doc.trailer.setdefault(k, v)
+    _decrypt_streams(doc)  # before ObjStm expansion: bodies are encrypted
     _expand_object_streams(doc)
     if "Root" not in doc.trailer:
         # some producers omit a classic trailer; find a catalog object

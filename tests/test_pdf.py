@@ -296,3 +296,42 @@ class TestCIDFonts:
         # UTF-16BE surrogate pair for U+1D11E (musical G clef)
         cmap = parse_tounicode(b"1 beginbfchar\n<0001> <D834DD1E>\nendbfchar\n")
         assert cmap[1] == "\U0001d11e"
+
+
+class TestEncryption:
+    """Standard-security-handler PDFs (RC4, empty user password) — the
+    common 'protected but openable' real-world form."""
+
+    PAGES = [["Account Statement", "01/02 COFFEE 4.50", "01/03 PAYROLL 1,200.00"]]
+
+    def test_encrypted_classic_identical(self):
+        classic = extract_page_texts(build_pdf(self.PAGES))
+        got = extract_page_texts(build_pdf(self.PAGES, encrypt=True))
+        assert got == classic
+
+    def test_encrypted_xref_stream_identical(self):
+        classic = extract_page_texts(build_pdf(self.PAGES))
+        got = extract_page_texts(build_pdf(self.PAGES, encrypt=True, xref_stream=True))
+        assert got == classic
+
+    def test_encrypted_objstm_cid_identical(self):
+        classic = extract_page_texts(build_pdf(self.PAGES))
+        got = extract_page_texts(
+            build_pdf(
+                self.PAGES, encrypt=True, objstm=True, predictor=True, cid_font=True
+            )
+        )
+        assert got == classic
+
+    def test_ciphertext_not_plaintext(self):
+        data = build_pdf(self.PAGES, encrypt=True, compress=False)
+        # uncompressed but encrypted: the show strings must not be readable
+        assert b"Account Statement" not in data
+        assert b"/Encrypt" in data and b"/Filter /Standard" in data
+
+    def test_unsupported_aes_degrades_gracefully(self):
+        data = build_pdf(self.PAGES, encrypt=True)
+        # claim AES (V 4): decryptor must leave bytes alone, not crash
+        bad = data.replace(b"/V 2 /R 3", b"/V 4 /R 4")
+        out = extract_page_texts(bad)  # garbage or empty, but no exception
+        assert isinstance(out, list)
