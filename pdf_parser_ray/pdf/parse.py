@@ -692,6 +692,89 @@ def _cached_tounicode(raw: bytes, decoded: bytes) -> CMap:
     return got
 
 
+# glyph-name -> unicode for /Differences arrays: ASCII + Latin-1 built
+# from their standard-encoding name sequences, WinAnsi extras hardcoded,
+# plus the uniXXXX / uXXXX[XX] naming conventions resolved on demand
+_ASCII_GLYPHS = (
+    "space exclam quotedbl numbersign dollar percent ampersand quotesingle "
+    "parenleft parenright asterisk plus comma hyphen period slash "
+    "zero one two three four five six seven eight nine "
+    "colon semicolon less equal greater question at "
+    "A B C D E F G H I J K L M N O P Q R S T U V W X Y Z "
+    "bracketleft backslash bracketright asciicircum underscore grave "
+    "a b c d e f g h i j k l m n o p q r s t u v w x y z "
+    "braceleft bar braceright asciitilde"
+).split()
+_LATIN1_GLYPHS = (
+    "exclamdown cent sterling currency yen brokenbar section dieresis "
+    "copyright ordfeminine guillemotleft logicalnot hyphen registered macron "
+    "degree plusminus twosuperior threesuperior acute mu paragraph "
+    "periodcentered cedilla onesuperior ordmasculine guillemotright "
+    "onequarter onehalf threequarters questiondown "
+    "Agrave Aacute Acircumflex Atilde Adieresis Aring AE Ccedilla "
+    "Egrave Eacute Ecircumflex Edieresis Igrave Iacute Icircumflex Idieresis "
+    "Eth Ntilde Ograve Oacute Ocircumflex Otilde Odieresis multiply Oslash "
+    "Ugrave Uacute Ucircumflex Udieresis Yacute Thorn germandbls "
+    "agrave aacute acircumflex atilde adieresis aring ae ccedilla "
+    "egrave eacute ecircumflex edieresis igrave iacute icircumflex idieresis "
+    "eth ntilde ograve oacute ocircumflex otilde odieresis divide oslash "
+    "ugrave uacute ucircumflex udieresis yacute thorn ydieresis"
+).split()
+GLYPH_TO_UNICODE: dict[str, str] = {}
+for _i, _n in enumerate(_ASCII_GLYPHS):
+    GLYPH_TO_UNICODE.setdefault(_n, chr(0x20 + _i))
+for _i, _n in enumerate(_LATIN1_GLYPHS):
+    GLYPH_TO_UNICODE.setdefault(_n, chr(0xA1 + _i))
+GLYPH_TO_UNICODE.update(
+    {
+        "Euro": "€", "quotesinglbase": "‚", "florin": "ƒ",
+        "quotedblbase": "„", "ellipsis": "…", "dagger": "†",
+        "daggerdbl": "‡", "circumflex": "ˆ", "perthousand": "‰",
+        "Scaron": "Š", "guilsinglleft": "‹", "OE": "Œ",
+        "Zcaron": "Ž", "quoteleft": "‘", "quoteright": "’",
+        "quotedblleft": "“", "quotedblright": "”", "bullet": "•",
+        "endash": "–", "emdash": "—", "tilde": "˜",
+        "trademark": "™", "scaron": "š", "guilsinglright": "›",
+        "oe": "œ", "zcaron": "ž", "Ydieresis": "Ÿ",
+        "nbspace": " ", "minus": "−", "fi": "ﬁ", "fl": "ﬂ",
+    }
+)
+
+
+def glyph_to_unicode(name: str) -> str | None:
+    got = GLYPH_TO_UNICODE.get(name)
+    if got is not None:
+        return got
+    if name.startswith("uni") and len(name) >= 7:
+        try:
+            return chr(int(name[3:7], 16))
+        except ValueError:
+            return None
+    if name.startswith("u") and len(name) in (5, 6, 7):
+        try:
+            return chr(int(name[1:], 16))
+        except ValueError:
+            return None
+    return None
+
+
+def _differences_cmap(diffs: list) -> CMap:
+    """An /Encoding /Differences array ([code /name /name code /name …])
+    as a CMap: explicit code->unicode entries where the glyph name is
+    known; unknown names fall back to latin-1 at decode time."""
+    chars: dict[int, str] = {}
+    code = 0
+    for item in diffs:
+        if isinstance(item, (int, float)):
+            code = int(item)
+        elif isinstance(item, Name):
+            uni = glyph_to_unicode(str(item))
+            if uni is not None:
+                chars[code] = uni
+            code += 1
+    return CMap(chars, [])
+
+
 @dataclass
 class FontInfo:
     """What the interpreter needs per font: code width + unicode map."""
@@ -750,6 +833,13 @@ def _page_fonts(doc: "PDFDocument", page: dict) -> dict[str, FontInfo]:
                 cmap = _cached_tounicode(tu.raw, tu.data(doc))
             except (PDFSyntaxError, ValueError, zlib.error):
                 cmap = None
+        if cmap is None and not two:
+            # simple-font /Encoding /Differences glyph remapping
+            enc = doc.resolve(fd.get("Encoding"))
+            if isinstance(enc, dict):
+                diffs = doc.resolve(enc.get("Differences"))
+                if isinstance(diffs, list):
+                    cmap = _differences_cmap(diffs)
         out[str(name)] = FontInfo(two_byte=two, cmap=cmap)
     return out
 

@@ -335,3 +335,56 @@ class TestEncryption:
         bad = data.replace(b"/V 2 /R 3", b"/V 4 /R 4")
         out = extract_page_texts(bad)  # garbage or empty, but no exception
         assert isinstance(out, list)
+
+
+class TestDifferencesEncoding:
+    """Simple-font /Encoding /Differences arrays: glyph-name remapping
+    of byte codes (the common subsetted-font form from office-suite
+    producers)."""
+
+    def _pdf_with_differences(self):
+        """Hand-build a PDF whose font remaps codes 0x01->eacute,
+        0x02->Euro, 0x03->uni2603 (snowman), then shows them."""
+        import zlib as z
+
+        content = b"BT /F1 12.00 Tf 1 0 0 1 72.00 720.00 Tm (caf\x01 \x02 \x03) Tj ET"
+        data = z.compress(content)
+        objs = [
+            b"<< /Type /Catalog /Pages 2 0 R >>",
+            b"<< /Type /Pages /Kids [4 0 R] /Count 1 >>",
+            b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica"
+            b" /Encoding << /BaseEncoding /WinAnsiEncoding"
+            b" /Differences [ 1 /eacute /Euro /uni2603 ] >> >>",
+            b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792]"
+            b" /Resources << /Font << /F1 3 0 R >> >> /Contents 5 0 R >>",
+            b"<< /Length %d /Filter /FlateDecode >>\nstream\n" % len(data)
+            + data + b"\nendstream",
+        ]
+        out = bytearray(b"%PDF-1.4\n")
+        offs = []
+        for n, body in enumerate(objs, start=1):
+            offs.append(len(out))
+            out += b"%d 0 obj\n" % n + body + b"\nendobj\n"
+        xref = len(out)
+        out += b"xref\n0 %d\n0000000000 65535 f \n" % (len(objs) + 1)
+        for o in offs:
+            out += b"%010d 00000 n \n" % o
+        out += b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n" % (
+            len(objs) + 1, xref,
+        )
+        return bytes(out)
+
+    def test_differences_decode(self):
+        pages = extract_page_texts(self._pdf_with_differences())
+        assert pages == ["café € ☃"]
+
+    def test_glyph_table_spot_checks(self):
+        from pdf_parser_ray.pdf.parse import glyph_to_unicode
+
+        assert glyph_to_unicode("eacute") == "é"
+        assert glyph_to_unicode("ydieresis") == "ÿ"      # last Latin-1 slot
+        assert glyph_to_unicode("exclamdown") == "¡"      # first Latin-1 slot
+        assert glyph_to_unicode("endash") == "–"
+        assert glyph_to_unicode("uni00E9") == "é"
+        assert glyph_to_unicode("u1D11E") == "\U0001d11e"
+        assert glyph_to_unicode("nosuchglyph") is None
