@@ -173,6 +173,15 @@ def events_hourly(sf_dir: str) -> rd.Dataset:
             }
         )
 
+    def widen_key(batch: pa.Table) -> pa.Table:
+        # Ray's grouped aggregate narrows the timestamp key to [s];
+        # restore microseconds so the dtype matches the SQL oracle's
+        # TIMESTAMP exactly
+        i = batch.schema.get_field_index("hour_start")
+        return batch.set_column(
+            i, "hour_start", batch.column("hour_start").cast(pa.timestamp("us"))
+        )
+
     return (
         _t(sf_dir, "events", ["ts", "event_type", "value"])
         .map_batches(window_key, batch_format="pyarrow", zero_copy_batch=True)
@@ -183,6 +192,7 @@ def events_hourly(sf_dir: str) -> rd.Dataset:
             Min("cents", alias_name="min_cents"),
             Max("cents", alias_name="max_cents"),
         )
+        .map_batches(widen_key, batch_format="pyarrow", zero_copy_batch=True)
     )
 
 
