@@ -139,6 +139,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- similarity search --
         "knn_cosine": similarity.knn_cosine,
         "knn_lsh": similarity.knn_lsh,
+        "knn_ivf": similarity.knn_ivf,
         "embedding_norms": similarity.embedding_norms,
         # -- relational / windows --
         "lineitem_agg": relational.lineitem_agg,

@@ -6,9 +6,15 @@
   global top-k is a sort+limit over ≤ k·num_batches candidate rows.  At
   100 TB the per-batch top-k is what keeps the exchange tiny — the sort
   never sees the full corpus.
-* ``knn_lsh`` — the scale path: random-hyperplane signatures bucket the
-  corpus; only buckets within 1 bit of the query signature are scored
-  (probing), trading recall for a ~2^bits search-space reduction.
+* ``knn_lsh`` — signature probing without an index: random-hyperplane
+  signatures bucket the corpus; only buckets within 1 bit of the query
+  signature are scored, but every vector is still scanned to compute
+  its signature per query.
+* ``knn_ivf`` — the scale path: ``build_ivf_index`` writes the corpus
+  once, partitioned by signature bucket; each query then opens ONLY the
+  probed ``bucket=N`` files (~probes/2^bits of the data), so query I/O
+  is sublinear in corpus size and the build cost amortizes across
+  queries.
 """
 
 from __future__ import annotations
@@ -152,3 +158,119 @@ def embedding_norms(sf_dir: str) -> rd.Dataset:
         columns=["vec_id", "embedding"],
         override_num_blocks=_blocks_for(emb_path),
     ).map_batches(norms, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# -- IVF-style ANN: prebuilt signature-partitioned index --------------------
+
+_IVF_VERSION = 1
+_IVF_CACHE_ROOT = "/tmp/pdf_parser_ray_index"
+
+
+def build_ivf_index(sf_dir: str, index_dir: str, bits: int = _LSH_BITS) -> str:
+    """One full pass over the embeddings: attach the hyperplane
+    signature and write parquet PARTITIONED BY the signature bucket —
+    one directory per bucket.  The index is the scale path for ANN:
+    the build cost amortizes across queries, and each query reads only
+    its probed partitions (directory pruning at the scan), i.e.
+    ~(probes / 2^bits) of the data instead of a full scan.  Idempotent
+    via a _DONE marker; deterministic planes (seeded) shared with the
+    query side."""
+    done = os.path.join(index_dir, "_DONE")
+    if os.path.exists(done):
+        return index_dir
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    first = pq.ParquetFile(emb_path).read_row_group(0, columns=["embedding"])
+    dim = len(first.column("embedding")[0].as_py())
+    rng = np.random.default_rng(20240817)
+    planes = rng.standard_normal((dim, bits))
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        vecs = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+        return batch.append_column(
+            "bucket", pa.array(_signatures(vecs, planes), pa.int64())
+        )
+
+    tmp = index_dir + ".tmp"
+    (
+        rd.read_parquet(
+            emb_path,
+            columns=["vec_id", "embedding"],
+            override_num_blocks=_blocks_for(emb_path),
+        )
+        .map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .write_parquet(tmp, partition_cols=["bucket"])
+    )
+    os.replace(tmp, index_dir)
+    with open(done, "w") as f:
+        f.write("ok")
+    return index_dir
+
+
+def probed_index_paths(index_dir: str, probe: list[int]) -> list[str]:
+    """The parquet files under exactly the probed ``bucket=N`` dirs —
+    the explicit pruning unit of the IVF query (everything else on
+    disk is never opened)."""
+    return [
+        os.path.join(index_dir, f"bucket={b}", f)
+        for b in probe
+        if os.path.isdir(os.path.join(index_dir, f"bucket={b}"))
+        for f in sorted(os.listdir(os.path.join(index_dir, f"bucket={b}")))
+        if f.endswith(".parquet")
+    ]
+
+
+def knn_ivf(sf_dir: str, query_vec_id: int = 0, k: int = 10) -> rd.Dataset:
+    """(vec_id, cos_micros): approximate top-k against the PREBUILT
+    signature-partitioned index — only the multi-probe buckets (query
+    signature + 1-bit flips) are read from storage: the probed
+    ``bucket=N`` directories are passed as the read paths, so pruning
+    is explicit and total.  Contrast with :func:`knn_lsh`, which
+    computes signatures by scanning every vector per query."""
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    index_dir = os.path.join(
+        _IVF_CACHE_ROOT, tag, f"ivf_v{_IVF_VERSION}_b{_LSH_BITS}"
+    )
+    os.makedirs(os.path.dirname(index_dir), exist_ok=True)
+    build_ivf_index(sf_dir, index_dir)
+
+    q = _query_vector(sf_dir, query_vec_id)
+    rng = np.random.default_rng(20240817)
+    planes = rng.standard_normal((q.shape[0], _LSH_BITS))
+    q_sig = int(_signatures(q[None, :], planes)[0])
+    probe = sorted({q_sig} | {q_sig ^ (1 << b) for b in range(_LSH_BITS)})
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+        vecs = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+        mask = ids != query_vec_id
+        ids, vecs = ids[mask], vecs[mask]
+        if len(ids) == 0:
+            return pa.table(
+                {"vec_id": pa.array([], pa.int64()), "cos_micros": pa.array([], pa.int64())}
+            )
+        cos = _batch_cosine(vecs, q)
+        if len(ids) > k:
+            keep = np.argpartition(-cos, k)[:k]
+            ids, cos = ids[keep], cos[keep]
+        return pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "cos_micros": pa.array(
+                    np.rint(cos * 1_000_000).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    paths = probed_index_paths(index_dir, probe)
+    if not paths:
+        return rd.from_arrow(
+            pa.table(
+                {"vec_id": pa.array([], pa.int64()), "cos_micros": pa.array([], pa.int64())}
+            )
+        )
+    ds = rd.read_parquet(paths, columns=["vec_id", "embedding"])
+    return (
+        ds.map_batches(local_topk, batch_format="pyarrow", zero_copy_batch=True)
+        .sort(["cos_micros", "vec_id"], descending=[True, False])
+        .limit(k)
+    )

@@ -62,3 +62,46 @@ class TestAttachDim:
             .sort_values("k")
         )
         assert list(out["label"]) == ["x", "y", "missing", "missing"]
+
+
+class TestIVFIndex:
+    def test_ivf_matches_lsh_probing(self, ray_session, quiet_data_context):
+        """The prebuilt-index query must return the same top-k as the
+        scan-everything knn_lsh (identical planes, probes, scoring)."""
+        from pdf_parser_ray.pipelines.similarity import knn_ivf, knn_lsh
+
+        sf = "/root/testdata/sf0.001"
+        a = knn_ivf(sf).to_pandas().sort_values("vec_id").reset_index(drop=True)
+        b = knn_lsh(sf).to_pandas().sort_values("vec_id").reset_index(drop=True)
+        assert a.equals(b)
+
+    def test_index_scan_prunes_partitions(self, ray_session, quiet_data_context):
+        """The query must read only the probed bucket directories —
+        strictly fewer input files than a full index scan."""
+        import os
+
+        import ray.data as rd
+
+        from pdf_parser_ray.pipelines.similarity import (
+            _IVF_CACHE_ROOT,
+            _IVF_VERSION,
+            _LSH_BITS,
+            knn_ivf,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        assert len(knn_ivf(sf).to_pandas()) > 0  # builds index on first use
+        index_dir = os.path.join(
+            _IVF_CACHE_ROOT, "sf0.001", f"ivf_v{_IVF_VERSION}_b{_LSH_BITS}"
+        )
+        from pdf_parser_ray.pipelines.similarity import probed_index_paths
+
+        all_buckets = sorted(
+            int(d.split("=")[1])
+            for d in os.listdir(index_dir)
+            if d.startswith("bucket=")
+        )
+        full = probed_index_paths(index_dir, all_buckets)
+        # a 9-bucket probe opens strictly fewer files than the index holds
+        some = probed_index_paths(index_dir, all_buckets[:9])
+        assert 0 < len(some) < len(full)
