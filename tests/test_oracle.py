@@ -85,6 +85,7 @@ def test_entry_smoke(ray_session, quiet_data_context):
         "near_dup_clusters",
         "curate_documents",
         "knn_lsh",
+        "knn_ivf",
         "media_features",
         "frame_sample",
     ],
