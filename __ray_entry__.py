@@ -110,6 +110,7 @@ def _extract_dedup(sf_dir: str):
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from pdf_parser_ray.pipelines import analysis, curate, dedup, relational, similarity
+    from pdf_parser_ray.pipelines import filter as filter_ops
     from pdf_parser_ray.pipelines import multimodal
 
     return {
@@ -125,9 +126,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_stats": analysis.source_stats,
         "top_docs_by_chars": analysis.top_docs_by_chars,
         "direction_classify": analysis.direction_classify,
-        # -- text analysis (heuristic, rows-only) --
+        # -- text analysis (heuristic) --
         "langid": analysis.langid,
         "fingerprints": analysis.fingerprints,
+        "ngram_stats": analysis.ngram_stats,
+        "repetition_stats": analysis.repetition_stats,
+        # -- curation filters --
+        "quality_filter": filter_ops.quality_filter,
+        "pii_scrub": filter_ops.pii_scrub,
         # -- dedup --
         "exact_dedup": dedup.exact_dedup,
         "minhash_dedup": dedup.minhash_dedup,
@@ -263,6 +269,123 @@ def _langid_sql() -> str:
     )
 
 
+_WORDS_EXPR = (
+    "list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')"
+)
+
+# per-document word-count CTEs shared by repetition_stats / quality_filter
+_WORD_AGG_CTE = (
+    f"WITH w AS (SELECT doc_id, unnest({_WORDS_EXPR}) AS word FROM documents),"
+    " wc AS (SELECT doc_id, word, count(*) AS c FROM w GROUP BY doc_id, word),"
+    " agg AS (SELECT doc_id, sum(c) AS n_words, count(*) AS n_distinct,"
+    "   max(c) AS top_word_n, sum(c * length(word)) AS swc"
+    "   FROM wc GROUP BY doc_id)"
+)
+
+
+def _ngram_sql(k: int = 20) -> str:
+    """Mirror of analysis.ngram_stats: corpus-wide bigram counts with
+    the same (n DESC, bigram ASC) tie-break at the top-k cutoff."""
+    return (
+        "SELECT bigram, CAST(count(*) AS BIGINT) AS n FROM ("
+        " SELECT words[CAST(i AS INT)] || ' ' || words[CAST(i AS INT) + 1]"
+        "   AS bigram"
+        " FROM (SELECT words, unnest(range(1, len(words))) AS i"
+        f"       FROM (SELECT {_WORDS_EXPR} AS words FROM documents)))"
+        f" GROUP BY bigram ORDER BY n DESC, bigram LIMIT {k}"
+    )
+
+
+def _repetition_sql() -> str:
+    return (
+        f"{_WORD_AGG_CTE}"
+        " SELECT d.doc_id,"
+        " CAST(coalesce(a.n_words, 0) AS BIGINT) AS n_words,"
+        " CAST(coalesce(a.n_distinct, 0) AS BIGINT) AS n_distinct,"
+        " CAST(coalesce(a.top_word_n, 0) AS BIGINT) AS top_word_n"
+        " FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id"
+    )
+
+
+def _quality_filter_sql() -> str:
+    """Mirror of filter.quality_verdict's ordered integer-arithmetic
+    rules (thresholds inlined from pdf_parser_ray.pipelines.filter)."""
+    from pdf_parser_ray.pipelines.filter import (
+        DISTINCT_PCT, MAX_WORDS, MIN_WORDS, TOP_WORD_PCT,
+    )
+
+    return (
+        f"{_WORD_AGG_CTE}"
+        " SELECT doc_id,"
+        " CAST(CASE WHEN reason = 'ok' THEN 1 ELSE 0 END AS BIGINT) AS keep,"
+        " reason FROM ("
+        " SELECT d.doc_id, CASE"
+        f" WHEN coalesce(a.n_words, 0) < {MIN_WORDS} THEN 'too_short'"
+        f" WHEN a.n_words > {MAX_WORDS} THEN 'too_long'"
+        " WHEN 10 * a.swc < 20 * a.n_words THEN 'short_words'"
+        " WHEN 10 * a.swc > 120 * a.n_words THEN 'long_words'"
+        f" WHEN 100 * a.top_word_n > {TOP_WORD_PCT} * a.n_words THEN 'repetitive'"
+        f" WHEN 100 * a.n_distinct < {DISTINCT_PCT} * a.n_words THEN 'low_diversity'"
+        " ELSE 'ok' END AS reason"
+        " FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id)"
+    )
+
+
+def _pii_sql() -> str:
+    """Mirror of filter.pii_scrub over the same synthesized contact
+    lines; counts on the original, then SSN -> phone -> email
+    replacement (left-to-right non-overlapping in both re and RE2)."""
+    ssn = "\\b\\d{3}-\\d{2}-\\d{4}\\b"
+    phone = "\\b\\d{3}-\\d{4}\\b"
+    email = "[A-Za-z0-9_.]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    synth = (
+        "concat_ws(' ',"
+        " CASE WHEN doc_id % 2 = 0 THEN 'EMAIL user' || doc_id || '@mail'"
+        "   || (doc_id % 7) || '.example' END,"
+        " CASE WHEN doc_id % 3 = 0 THEN 'CALL ' || (200 + doc_id % 800)"
+        "   || '-' || (1000 + doc_id % 9000) END,"
+        " CASE WHEN doc_id % 5 = 0 THEN 'SSN ' || (100 + doc_id % 900)"
+        "   || '-' || (10 + doc_id % 90) || '-' || (1000 + doc_id % 9000) END,"
+        " substr(text, 1, 40))"
+    )
+    return (
+        "SELECT doc_id,"
+        f" CAST(len(regexp_extract_all(s, '{email}')) AS BIGINT) AS n_emails,"
+        f" CAST(len(regexp_extract_all(s, '{phone}')) AS BIGINT) AS n_phones,"
+        f" CAST(len(regexp_extract_all(s, '{ssn}')) AS BIGINT) AS n_ssn,"
+        " regexp_replace(regexp_replace(regexp_replace(s,"
+        f" '{ssn}', '[SSN]', 'g'),"
+        f" '{phone}', '[PHONE]', 'g'),"
+        f" '{email}', '[EMAIL]', 'g') AS redacted"
+        f" FROM (SELECT doc_id, {synth} AS s FROM documents)"
+    )
+
+
+def _fingerprint_sql() -> str:
+    """Mirror of analysis.rolling_fingerprint: min over all 8-char
+    windows of the polynomial hash sum_k ord(char_{i+k}) * BASE^(7-k)
+    mod M, with the eight powers precomputed here.  Char-wise ord ==
+    byte-wise value only for ASCII corpora (the synthetic documents
+    tables are all-ASCII; asserted in tests)."""
+    from pdf_parser_ray.pipelines.analysis import _FP_BASE, _FP_MOD, _FP_WINDOW
+
+    powers = [pow(_FP_BASE, _FP_WINDOW - 1 - k, _FP_MOD) for k in range(_FP_WINDOW)]
+    terms = " + ".join(
+        f"CAST({p} AS HUGEINT) * ord(substr(text, CAST(i AS INT) + {k}, 1))"
+        for k, p in enumerate(powers)
+    )
+    return (
+        "WITH pos AS (SELECT doc_id, text,"
+        f" unnest(range(1, length(text) - {_FP_WINDOW - 2})) AS i"
+        f" FROM documents WHERE length(text) >= {_FP_WINDOW}),"
+        f" h AS (SELECT doc_id, CAST(({terms}) % {_FP_MOD} AS BIGINT) AS hv"
+        "   FROM pos),"
+        " m AS (SELECT doc_id, min(hv) AS fp FROM h GROUP BY doc_id)"
+        " SELECT d.doc_id, CAST(coalesce(m.fp, 0) AS BIGINT) AS fingerprint"
+        " FROM documents d LEFT JOIN m ON d.doc_id = m.doc_id"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     synth_desc = (
         "CASE doc_id % 6 "
@@ -301,6 +424,11 @@ def oracle_sql() -> dict[str, str]:
             f"FROM (SELECT doc_id, {synth_desc} AS description FROM documents)"
         ),
         "langid": _langid_sql(),
+        "fingerprints": _fingerprint_sql(),
+        "ngram_stats": _ngram_sql(),
+        "repetition_stats": _repetition_sql(),
+        "quality_filter": _quality_filter_sql(),
+        "pii_scrub": _pii_sql(),
         "exact_dedup": (
             "SELECT md5(text) AS text_hash, CAST(min(doc_id) AS BIGINT) AS doc_id"
             " FROM documents GROUP BY md5(text)"

@@ -184,18 +184,24 @@ _FP_WINDOW = 8
 
 def rolling_fingerprint(text: str) -> int:
     """Winnowing-style fingerprint: minimum of the rolling polynomial
-    hashes of all char 8-grams (0 for shorter texts)."""
+    hashes of all byte 8-grams (0 for shorter texts).
+
+    The hash of the window at position i is the plain polynomial
+    ``sum_k data[i+k] * BASE^(7-k) mod M`` — a pure function of the
+    window bytes, which is what lets the DuckDB oracle mirror it with
+    eight precomputed power constants (``__ray_entry__._fingerprint_sql``;
+    the oracle works char-wise, exact for ASCII corpora)."""
     data = text.encode("utf-8", "ignore")
     n = len(data)
     if n < _FP_WINDOW:
         return 0
-    h = 0
     power = pow(_FP_BASE, _FP_WINDOW - 1, _FP_MOD)
+    h = 0
     best = _FP_MOD
     for i, b in enumerate(data):
-        h = (h * _FP_BASE + b) % _FP_MOD
         if i >= _FP_WINDOW:
             h = (h - data[i - _FP_WINDOW] * power) % _FP_MOD
+        h = (h * _FP_BASE + b) % _FP_MOD
         if i >= _FP_WINDOW - 1 and h < best:
             best = h
     return best
@@ -215,6 +221,98 @@ def fingerprints(sf_dir: str) -> rd.Dataset:
 
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
         fp, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+# -- n-gram statistics (corpus-wide top-k bigrams) --------------------------
+
+
+def ngram_stats(sf_dir: str, k: int = 20) -> rd.Dataset:
+    """(bigram, n): the k most frequent word bigrams corpus-wide.
+
+    Scale shape: bigram counts are COMBINED INSIDE each batch first
+    (one partial row per distinct bigram per batch), so the groupby
+    exchange carries vocabulary-sized partials, not corpus-sized token
+    streams; the final sort sees ≤ k rows per post-agg batch."""
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        counts: Counter = Counter()
+        for text in batch.column("text").to_pylist():
+            words = text.split()
+            counts.update(
+                f"{a} {b}" for a, b in zip(words, words[1:])
+            )
+        if not counts:
+            return pa.table(
+                {"bigram": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+            )
+        grams, ns = zip(*counts.items())
+        return pa.table(
+            {"bigram": pa.array(grams, pa.string()), "n": pa.array(ns, pa.int64())}
+        )
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        idx = pc.select_k_unstable(
+            batch, k, [("n", "descending"), ("bigram", "ascending")]
+        )
+        return batch.take(idx)
+
+    return (
+        _docs(sf_dir, ["text"])
+        .map_batches(partial_counts, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bigram")
+        .aggregate(Sum("n", alias_name="n"))
+        .map_batches(local_topk, batch_format="pyarrow", zero_copy_batch=True)
+        .sort(["n", "bigram"], descending=[True, False])
+        .limit(k)
+    )
+
+
+# -- repetition statistics (Gopher-style diversity features) ----------------
+
+
+def word_counter_stats(text: str) -> tuple[int, int, int, int]:
+    """(n_words, n_distinct, top_word_n, sum_word_chars) for one text —
+    the per-document inputs of the repetition / quality rules, shared
+    by repetition_stats and filter.quality_filter."""
+    from collections import Counter
+
+    words = text.split()
+    if not words:
+        return 0, 0, 0, 0
+    counts = Counter(words)
+    return (
+        len(words),
+        len(counts),
+        max(counts.values()),
+        sum(len(w) for w in words),
+    )
+
+
+def repetition_stats(sf_dir: str) -> rd.Dataset:
+    """(doc_id, n_words, n_distinct, top_word_n): per-document word
+    diversity — total words, distinct words, and the count of the most
+    frequent word (the numerator of Gopher's most-common-word-fraction
+    filter).  Single pass, no shuffle."""
+
+    def stats(batch: pa.Table) -> pa.Table:
+        rows = [word_counter_stats(t) for t in batch.column("text").to_pylist()]
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_words": pa.array([r[0] for r in rows], pa.int64()),
+                "n_distinct": pa.array([r[1] for r in rows], pa.int64()),
+                "top_word_n": pa.array([r[2] for r in rows], pa.int64()),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        stats, batch_format="pyarrow", zero_copy_batch=True
     )
 
 

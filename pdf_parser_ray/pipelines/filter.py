@@ -1,0 +1,138 @@
+"""Curation filters over the ``documents`` table: Gopher-style quality
+gating and PII redaction — the per-document keep/drop and scrub stages a
+training-data pipeline runs between extraction and dedup.
+
+Both are single-pass ``map_batches`` stages (no shuffle, no driver
+state); verdicts stream out as narrow rows, so at 100 TB the wide text
+column is read once and never leaves the worker.  Every rule uses
+integer arithmetic only, so the DuckDB oracle mirrors are exact
+(``__ray_entry__.oracle_sql``).
+"""
+
+from __future__ import annotations
+
+import re
+
+import pyarrow as pa
+import ray.data as rd
+
+from .analysis import _docs, word_counter_stats
+
+# -- quality gate -----------------------------------------------------------
+
+# Ordered integer-arithmetic rules (first match wins).  The rule SHAPE
+# follows the Gopher / C4 curation heuristics (word-count bounds, mean
+# word length in [2, 12], most-common-word fraction cap, distinct-word
+# ratio floor); the repetition/diversity percentages are tuned to the
+# synthetic corpus distribution so every verdict class actually fires
+# in tests.  Scaled-integer comparisons keep the oracle float-safe.
+MIN_WORDS = 20
+MAX_WORDS = 100_000
+TOP_WORD_PCT = 12  # drop when the most common word exceeds 12% of words
+DISTINCT_PCT = 35  # drop when distinct words fall below 35% of words
+
+
+def quality_verdict(n_words: int, n_distinct: int, top_word_n: int,
+                    sum_word_chars: int) -> str:
+    """First failing rule name, or 'ok'."""
+    if n_words < MIN_WORDS:
+        return "too_short"
+    if n_words > MAX_WORDS:
+        return "too_long"
+    if 10 * sum_word_chars < 20 * n_words:  # mean word length < 2
+        return "short_words"
+    if 10 * sum_word_chars > 120 * n_words:  # mean word length > 12
+        return "long_words"
+    if 100 * top_word_n > TOP_WORD_PCT * n_words:
+        return "repetitive"
+    if 100 * n_distinct < DISTINCT_PCT * n_words:
+        return "low_diversity"
+    return "ok"
+
+
+def quality_filter(sf_dir: str) -> rd.Dataset:
+    """(doc_id, keep, reason): ordered quality-rule verdict per document
+    (keep=1 iff reason='ok').  The downstream curation join drops
+    keep=0 rows without ever re-reading the text."""
+
+    def verdict(batch: pa.Table) -> pa.Table:
+        reasons = []
+        for t in batch.column("text").to_pylist():
+            reasons.append(quality_verdict(*word_counter_stats(t)))
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "keep": pa.array(
+                    [1 if r == "ok" else 0 for r in reasons], pa.int64()
+                ),
+                "reason": pa.array(reasons, pa.string()),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        verdict, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+# -- PII scrubbing ----------------------------------------------------------
+
+# Patterns chosen to behave identically under Python re and RE2
+# (no lookarounds, no backreferences); redaction order SSN -> phone ->
+# email so the narrower dashed-digit patterns can't eat SSN fragments.
+SSN_RE = re.compile(r"\b\d{3}-\d{2}-\d{4}\b")
+PHONE_RE = re.compile(r"\b\d{3}-\d{4}\b")
+EMAIL_RE = re.compile(r"[A-Za-z0-9_.]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}")
+
+
+def synth_contact(doc_id: int, text: str) -> str:
+    """Deterministic PII-bearing line used by both the Ray query and the
+    SQL oracle (the documents corpus itself is PII-free word soup):
+    contact fields keyed on doc_id + a text head."""
+    parts = []
+    if doc_id % 2 == 0:
+        parts.append(f"EMAIL user{doc_id}@mail{doc_id % 7}.example")
+    if doc_id % 3 == 0:
+        parts.append(f"CALL {200 + doc_id % 800}-{1000 + doc_id % 9000}")
+    if doc_id % 5 == 0:
+        parts.append(
+            f"SSN {100 + doc_id % 900}-{10 + doc_id % 90}-{1000 + doc_id % 9000}"
+        )
+    parts.append(text[:40])
+    return " ".join(parts)
+
+
+def scrub(text: str) -> tuple[int, int, int, str]:
+    """(n_emails, n_phones, n_ssn, redacted) for one text."""
+    n_ssn = len(SSN_RE.findall(text))
+    n_phones = len(PHONE_RE.findall(text))
+    n_emails = len(EMAIL_RE.findall(text))
+    red = SSN_RE.sub("[SSN]", text)
+    red = PHONE_RE.sub("[PHONE]", red)
+    red = EMAIL_RE.sub("[EMAIL]", red)
+    return n_emails, n_phones, n_ssn, red
+
+
+def pii_scrub(sf_dir: str) -> rd.Dataset:
+    """(doc_id, n_emails, n_phones, n_ssn, redacted): PII detection
+    counts and the redacted text over synthesized contact lines.
+    Counts run on the original text; redaction replaces SSN, then
+    phone, then email (left-to-right non-overlapping, same semantics
+    in re and RE2)."""
+
+    def run(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        rows = [scrub(synth_contact(i, t)) for i, t in zip(ids, texts)]
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_emails": pa.array([r[0] for r in rows], pa.int64()),
+                "n_phones": pa.array([r[1] for r in rows], pa.int64()),
+                "n_ssn": pa.array([r[2] for r in rows], pa.int64()),
+                "redacted": pa.array([r[3] for r in rows], pa.string()),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        run, batch_format="pyarrow", zero_copy_batch=True
+    )

@@ -1,0 +1,128 @@
+"""Unit tests for the curation-filter and analysis scalar kernels
+(quality verdict rules, PII scrubbing, rolling fingerprint).  The
+pipeline-vs-DuckDB equivalence is covered by test_oracle.py; these pin
+the per-rule semantics the oracle can't isolate."""
+
+import pyarrow.parquet as pq
+import pytest
+
+from pdf_parser_ray.pipelines.analysis import (
+    _FP_BASE,
+    _FP_MOD,
+    _FP_WINDOW,
+    rolling_fingerprint,
+    word_counter_stats,
+)
+from pdf_parser_ray.pipelines.filter import (
+    quality_verdict,
+    scrub,
+    synth_contact,
+)
+
+
+class TestQualityVerdict:
+    def test_too_short(self):
+        assert quality_verdict(*word_counter_stats("a b c")) == "too_short"
+        assert quality_verdict(0, 0, 0, 0) == "too_short"
+
+    def test_too_long(self):
+        assert quality_verdict(200_000, 100_000, 2, 1_000_000) == "too_long"
+
+    def test_short_words(self):
+        # 30 single-char words: mean word length 1 < 2
+        text = " ".join(str(i % 10) for i in range(30))
+        assert quality_verdict(*word_counter_stats(text)) == "short_words"
+
+    def test_long_words(self):
+        text = " ".join(f"verylongword{i}xxxxxxxxx" for i in range(30))
+        assert quality_verdict(*word_counter_stats(text)) == "long_words"
+
+    def test_repetitive(self):
+        # 'the' is 10/40 = 25% > 12%
+        text = " ".join(["the"] * 10 + [f"word{i}" for i in range(30)])
+        assert quality_verdict(*word_counter_stats(text)) == "repetitive"
+
+    def test_low_diversity(self):
+        # 12 distinct over 40 words = 30% < 35%; max word count 4/40 =
+        # 10% stays under the 12% repetition cap so this rule isolates
+        text = " ".join(f"word{i % 12}" for i in range(40))
+        assert quality_verdict(*word_counter_stats(text)) == "low_diversity"
+
+    def test_ok(self):
+        text = " ".join(f"word{i}" for i in range(40))
+        assert quality_verdict(*word_counter_stats(text)) == "ok"
+
+    def test_rule_order_short_beats_repetitive(self):
+        # 5 identical words: both too_short and repetitive apply;
+        # ordered rules report the first
+        assert quality_verdict(*word_counter_stats("x x x x x")) == "too_short"
+
+
+class TestScrub:
+    def test_counts_and_redaction(self):
+        n_em, n_ph, n_ssn, red = scrub(
+            "mail a.b@site.example call 555-1234 ssn 123-45-6789 end"
+        )
+        assert (n_em, n_ph, n_ssn) == (1, 1, 1)
+        assert red == "mail [EMAIL] call [PHONE] ssn [SSN] end"
+
+    def test_ssn_not_counted_as_phone(self):
+        # the dashed-digit tail of an SSN must not also match the
+        # phone pattern (word boundaries prevent it)
+        n_em, n_ph, n_ssn, red = scrub("123-45-6789")
+        assert (n_em, n_ph, n_ssn) == (0, 0, 1)
+        assert red == "[SSN]"
+
+    def test_synth_contact_deterministic(self):
+        s = synth_contact(30, "some document text here")
+        # 30 % 2 == 0 -> email, % 3 == 0 -> phone, % 5 == 0 -> ssn
+        assert "EMAIL user30@mail2.example" in s
+        assert "CALL 230-1030" in s
+        assert "SSN 130-40-1030" in s
+        assert s.endswith("some document text here")
+        n_em, n_ph, n_ssn, _ = scrub(s)
+        assert (n_em, n_ph, n_ssn) == (1, 1, 1)
+
+    def test_no_pii_passthrough(self):
+        assert scrub("plain words only") == (0, 0, 0, "plain words only")
+
+
+class TestRollingFingerprint:
+    def test_short_text_is_zero(self):
+        assert rolling_fingerprint("1234567") == 0
+        assert rolling_fingerprint("") == 0
+
+    def test_matches_direct_window_hash(self):
+        # the rolling recurrence must equal the plain polynomial hash
+        # of each 8-byte window (this is what the SQL oracle computes)
+        text = "the quick brown fox jumps over the lazy dog"
+        data = text.encode()
+
+        def window_hash(i):
+            h = 0
+            for k in range(_FP_WINDOW):
+                h = (h * _FP_BASE + data[i + k]) % _FP_MOD
+            return h
+
+        expected = min(
+            window_hash(i) for i in range(len(data) - _FP_WINDOW + 1)
+        )
+        assert rolling_fingerprint(text) == expected
+
+    def test_window_locality(self):
+        # a pure window hash ignores the prefix: a shared 8-gram yields
+        # a shared candidate hash, so min over a repeated text is stable
+        assert rolling_fingerprint("abcdefgh") == rolling_fingerprint(
+            "zzzzzzzzabcdefgh"
+        ) or rolling_fingerprint("zzzzzzzzabcdefgh") < rolling_fingerprint(
+            "abcdefgh"
+        )
+
+    @pytest.mark.parametrize("sf", ["sf0.001", "sf0.01"])
+    def test_oracle_corpora_are_ascii(self, sf):
+        # the SQL fingerprint oracle works char-wise (ord == byte value
+        # only for ASCII); pin the assumption on the oracle corpora
+        t = pq.read_table(
+            f"/root/testdata/{sf}/documents.parquet", columns=["text"]
+        )
+        assert all(s.isascii() for s in t.column("text").to_pylist())
