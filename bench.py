@@ -45,6 +45,19 @@ def _warm_page_cache(path: str) -> int:
     return total
 
 
+def _cpu_calibration() -> float:
+    """Fixed single-thread integer burn (seconds).  The sandbox host's
+    effective per-core speed oscillates ~2x across minutes-long windows
+    (frequency throttling / steal); recording this alongside the wall
+    times lets a reader normalize runs taken in different windows
+    (reference: ~1.2 s in a fast window, ~2.7 s in a slow one)."""
+    t0 = time.perf_counter()
+    s = 0
+    for i in range(20_000_000):
+        s += i * i
+    return time.perf_counter() - t0
+
+
 def run_bench() -> dict:
     import ray
 
@@ -95,12 +108,16 @@ def run_bench() -> dict:
     )
 
     timings: dict[str, float] = {}
+    cpu_calib = round(_cpu_calibration(), 2)
 
     # untimed warm-up: one full pass spins up every worker process, pays
     # the per-worker package imports and OS page-cache fill once, so the
     # measurement below is steady-state throughput (guide: "warm the OS
-    # page cache with one untimed read first")
-    if os.environ.get("GRAFT_BENCH_WARM_FULL"):
+    # page cache with one untimed read first").  Default ON — this VM
+    # shows minutes-long host-steal windows where a cold first pass can
+    # read 5-10x slower than the pipeline's real throughput; set
+    # GRAFT_BENCH_WARM_FULL=0 to measure the cold path instead.
+    if os.environ.get("GRAFT_BENCH_WARM_FULL", "1") != "0":
         extract_dir(pages_dir, batch_size=BATCH_SIZE).count()
     else:
         import ray.data as rd
@@ -110,10 +127,9 @@ def run_bench() -> dict:
 
     # headline: the flagship extraction pipeline, consumed by count()
     # (forces full execution, keeps the driver out of the data path).
-    # Scaling mode repeats the timed run and keeps the minimum — the
-    # least-noise estimator on a VM with ±20% wall-time jitter.
-    reps = int(os.environ.get("GRAFT_BENCH_EXTRACT_REPS",
-                              "2" if os.environ.get("GRAFT_BENCH_HEADLINE_ONLY") else "1"))
+    # Repeat the timed run and keep the minimum — the least-noise
+    # estimator on a VM with ±20% wall-time jitter.
+    reps = int(os.environ.get("GRAFT_BENCH_EXTRACT_REPS", "2"))
     best = None
     for _ in range(reps):
         t0 = time.perf_counter()
@@ -137,6 +153,7 @@ def run_bench() -> dict:
             "queries": {k: round(v, 3) for k, v in timings.items()},
             "sf": SF_DIR,
             "num_cpus": NUM_CPUS,
+            "cpu_calib_sec": cpu_calib,
             "pages": n_pages,
             "docs_per_sec": round(n_pages / timings["extract"], 1),
             "mb_per_sec": round(input_bytes / timings["extract"] / 1e6, 2),
@@ -162,6 +179,7 @@ def run_bench() -> dict:
         "queries": {k: round(v, 3) for k, v in timings.items()},
         "sf": SF_DIR,
         "num_cpus": NUM_CPUS,
+        "cpu_calib_sec": cpu_calib,
         "pages": n_pages,
         "page_scale": PAGE_SCALE,
         "docs_per_sec": round(n_pages / headline, 1) if headline else None,
@@ -215,6 +233,10 @@ def run_scaling() -> dict:
         f"sec_{hi_cpus}": hi["value"],
         f"docs_per_sec_{lo_cpus}": lo["docs_per_sec"],
         f"docs_per_sec_{hi_cpus}": hi["docs_per_sec"],
+        # host-speed calibration at each level's winning run — unequal
+        # values mean the efficiency number spans different host windows
+        f"cpu_calib_sec_{lo_cpus}": lo.get("cpu_calib_sec"),
+        f"cpu_calib_sec_{hi_cpus}": hi.get("cpu_calib_sec"),
         "sf": SF_DIR,
         "pages": lo["pages"],
     }
