@@ -45,7 +45,7 @@ _ENCODINGS = ("utf-8", "cp1252", "latin-1", "utf-8")
 _EPOCH_2024_US = 1_704_067_200_000_000  # 2024-01-01T00:00:00Z in microseconds
 
 # bump when generator/statement content changes so cached corpora regenerate
-CORPUS_VERSION = 8
+CORPUS_VERSION = 9
 
 
 def _spans_for_lines(lines: list[str], kinds: list[str]) -> list[dict]:
@@ -135,10 +135,12 @@ def _html_page(
 
 
 # cycle of writer forms — classic PDF 1.4, bare xref stream,
-# ObjStm-packed, ObjStm+PNG-predictor, CID/Type0 font, and
-# CID+ObjStm+predictor combined — so the fixture corpus exercises every
-# cross-reference and text-encoding form the parser supports,
-# end-to-end through the Ray pipeline and the driver oracle
+# ObjStm-packed, ObjStm+PNG-predictor, CID/Type0 font,
+# CID+ObjStm+predictor combined, RC4/AES-128/AES-256 encryption, and
+# LZW / RunLength / ASCII85+LZW content filters — so the fixture corpus
+# exercises every cross-reference, text-encoding, filter and
+# security-handler form the parser supports, end-to-end through the Ray
+# pipeline and the driver oracle
 _PDF_FORMS = (
     {},
     {"xref_stream": True},
@@ -148,6 +150,14 @@ _PDF_FORMS = (
     {"cid_font": True, "objstm": True, "predictor": True},
     {"encrypt": True},
     {"encrypt": True, "objstm": True, "cid_font": True},
+    {"content_filter": "lzw"},
+    {"content_filter": "rle", "xref_stream": True},
+    {"content_filter": "a85+lzw"},
+    {"encrypt_aes": True},
+    {"encrypt_aes": True, "objstm": True},
+    {"encrypt_aes256": True},
+    {"encrypt_aes256": True, "objstm": True, "cid_font": True},
+    {"encrypt_aes": True, "content_filter": "lzw"},
 )
 
 

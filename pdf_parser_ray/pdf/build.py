@@ -19,6 +19,7 @@ bbox-reordering tests).
 
 from __future__ import annotations
 
+import re
 import zlib
 
 Line = str | list[tuple[float, str]]
@@ -89,6 +90,123 @@ end
 end"""
 
 
+def _lzw_encode(data: bytes, early: int = 1) -> bytes:
+    """PDF LZWDecode-compatible encoder (9-12 bit codes, clear/EOD,
+    EarlyChange=1) — mirror of ``parse._lzw_decode``.
+
+    Width bookkeeping: the decoder materializes each new table entry one
+    code LATER than the encoder assigns it (its entry for our phrase #n
+    appears when it reads code #n+1), so the decoder's table size lags
+    ours by one — every width comparison below uses ``next_code - 1``.
+    The lag closes on the final data code (the decoder adds an entry we
+    never assigned), handled before emitting EOD."""
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    width = 9
+    out = bytearray()
+    buf = 0
+    nbits = 0
+
+    def emit(code: int) -> None:
+        nonlocal buf, nbits
+        buf = (buf << width) | code
+        nbits += width
+        while nbits >= 8:
+            nbits -= 8
+            out.append((buf >> nbits) & 0xFF)
+            buf &= (1 << nbits) - 1
+
+    emit(256)  # leading clear, what real producers write
+    w = b""
+    for byte in data:
+        wc = w + bytes([byte])
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w])
+        if next_code < (1 << 12):
+            table[wc] = next_code
+            next_code += 1
+            if width < 12 and next_code - 1 >= (1 << width) - early:
+                width += 1
+        else:  # table full: clear (decoder resets in lockstep)
+            emit(256)
+            table = {bytes([i]): i for i in range(256)}
+            next_code = 258
+            width = 9
+        w = bytes([byte])
+    if w:
+        emit(table[w])
+        # the decoder adds one final entry for this code; if that entry
+        # crosses the width boundary it reads EOD one bit wider
+        if width < 12 and next_code >= (1 << width) - early:
+            width += 1
+    emit(257)  # EOD
+    if nbits:
+        out.append((buf << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def _ascii85_encode(data: bytes) -> bytes:
+    out = bytearray()
+    for i in range(0, len(data), 4):
+        chunk = data[i : i + 4]
+        n = len(chunk)
+        v = int.from_bytes(chunk + b"\x00" * (4 - n), "big")
+        grp = bytearray(5)
+        for k in range(4, -1, -1):
+            grp[k] = 0x21 + v % 85
+            v //= 85
+        out += grp[: n + 1]
+    return bytes(out) + b"~>"
+
+
+def _rle_encode(data: bytes) -> bytes:
+    """RunLengthDecode-compatible: literal chunks of <=128 bytes plus a
+    run opcode for repeats of 3+ (keeps streams realistic)."""
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        # find run length at i
+        j = i + 1
+        while j < n and j - i < 128 and data[j] == data[i]:
+            j += 1
+        if j - i >= 3:
+            out += bytes([257 - (j - i), data[i]])
+            i = j
+            continue
+        # literal until next run of 3+ or 128 bytes
+        k = i
+        while k < n and k - i < 128:
+            if k + 2 < n and data[k] == data[k + 1] == data[k + 2]:
+                break
+            k += 1
+        out += bytes([k - i - 1]) + data[i:k]
+        i = k
+    out.append(128)  # EOD
+    return bytes(out)
+
+
+def _encode_content(body: bytes, content_filter: str) -> tuple[bytes, bytes]:
+    """-> (encoded bytes, ``/Filter ...`` dict fragment).  Filter arrays
+    are written in DECODING order — "a85+lzw" emits ``/Filter
+    [/ASCII85Decode /LZWDecode]``: the reader un-85s first, then
+    un-LZWs, so the writer LZWs first, then 85s."""
+    if content_filter == "flate":
+        return zlib.compress(body), b"/Filter /FlateDecode"
+    if content_filter == "lzw":
+        return _lzw_encode(body), b"/Filter /LZWDecode"
+    if content_filter == "rle":
+        return _rle_encode(body), b"/Filter /RunLengthDecode"
+    if content_filter == "a85+lzw":
+        return (
+            _ascii85_encode(_lzw_encode(body)),
+            b"/Filter [/ASCII85Decode /LZWDecode]",
+        )
+    raise ValueError(f"unknown content_filter {content_filter!r}")
+
+
 def _make_encryption(n_objects: int) -> tuple[bytes, bytes, bytes, int, bytes]:
     """Standard security handler values (V 2 / R 3 / 128-bit RC4, empty
     user AND owner passwords — openable by any reader): -> (O, U, id0,
@@ -116,11 +234,35 @@ def _make_encryption(n_objects: int) -> tuple[bytes, bytes, bytes, int, bytes]:
     return o_val, u_val, id0, p, fkey
 
 
-def _encrypt_object_streams(objects: list[bytes], fkey: bytes) -> list[bytes]:
-    """RC4 each object's stream body in place (encryption applies to the
-    already-filtered bytes; length is preserved so /Length stays valid)."""
-    from .parse import _object_key, rc4
+def _deterministic_iv(num: int) -> bytes:
+    import hashlib
 
+    return hashlib.md5(b"pdf_parser_ray_iv_%d" % num).digest()
+
+
+def _cipher_stream(mode: str, fkey: bytes, num: int, data: bytes) -> bytes:
+    """Encrypt one already-filtered stream payload per the handler mode
+    ('rc4' | 'aesv2' | 'aes256').  AES modes prefix a deterministic IV
+    and PKCS#5-pad, so the payload LENGTH changes — callers must rewrite
+    /Length (see _reencrypt_streams)."""
+    from .parse import _aes_cbc, _object_key, rc4
+
+    if mode == "rc4":
+        return rc4(_object_key(fkey, num, 0), data)
+    if mode == "aesv2":
+        key = _object_key(fkey, num, 0, aes=True)
+    elif mode == "aes256":
+        key = fkey
+    else:
+        raise ValueError(mode)
+    iv = _deterministic_iv(num)
+    pad = 16 - len(data) % 16
+    return iv + _aes_cbc(key, iv, data + bytes([pad]) * pad, encrypt=True)
+
+
+def _reencrypt_streams(objects: list[bytes], fkey: bytes, mode: str) -> list[bytes]:
+    """Encrypt every object's stream body; AES modes change the payload
+    length, so the head's /Length is rewritten to match."""
     out = []
     for i, body in enumerate(objects):
         num = i + 1
@@ -130,9 +272,43 @@ def _encrypt_object_streams(objects: list[bytes], fkey: bytes) -> list[bytes]:
             continue
         start = s + len(b"\nstream\n")
         end = body.rfind(b"\nendstream")
-        payload = rc4(_object_key(fkey, num, 0), body[start:end])
-        out.append(body[:start] + payload + body[end:])
+        payload = _cipher_stream(mode, fkey, num, body[start:end])
+        head = re.sub(
+            rb"/Length \d+", b"/Length %d" % len(payload), body[:s], count=1
+        )
+        out.append(head + b"\nstream\n" + payload + body[end:])
     return out
+
+
+def _make_encryption_aes256() -> tuple[bytes, bytes, bytes, bytes, bytes, int, bytes]:
+    """AES-256 standard security handler values (V 5 / R 6, empty user
+    and owner passwords): -> (O, U, OE, UE, Perms, P, file_key).
+    ISO 32000-2 §7.6.4.4 algorithms 8-10 with fixed deterministic salts
+    and file key (fixtures must be byte-reproducible)."""
+    import hashlib
+
+    from .parse import _aes_cbc, _hash_2b
+
+    p = -44
+    fkey = hashlib.sha256(b"pdf_parser_ray_aes256_file_key").digest()
+    u_vsalt, u_ksalt = b"UVALSLT1", b"UKEYSLT1"
+    o_vsalt, o_ksalt = b"OVALSLT1", b"OKEYSLT1"
+    u_val = _hash_2b(b"", u_vsalt) + u_vsalt + u_ksalt  # 48 bytes
+    ue = _aes_cbc(_hash_2b(b"", u_ksalt), bytes(16), fkey, encrypt=True)
+    o_val = _hash_2b(b"", o_vsalt, u_val) + o_vsalt + o_ksalt
+    oe = _aes_cbc(_hash_2b(b"", o_ksalt, u_val), bytes(16), fkey, encrypt=True)
+    # /Perms: AES-256-ECB of (P || 0xFFFFFFFF || 'T' || 'adb' || 4 bytes)
+    from cryptography.hazmat.primitives.ciphers import Cipher, algorithms, modes
+
+    perms_plain = (
+        (p & 0xFFFFFFFF).to_bytes(4, "little")
+        + b"\xff\xff\xff\xff"
+        + b"Tadb"
+        + b"seed"
+    )
+    enc = Cipher(algorithms.AES(fkey), modes.ECB()).encryptor()
+    perms = enc.update(perms_plain) + enc.finalize()
+    return o_val, u_val, oe, ue, perms, p, fkey
 
 
 def _png_up_predict(data: bytes, columns: int) -> bytes:
@@ -160,6 +336,9 @@ def build_pdf(
     predictor: bool = False,
     cid_font: bool = False,
     encrypt: bool = False,
+    encrypt_aes: bool = False,
+    encrypt_aes256: bool = False,
+    content_filter: str = "flate",
 ) -> bytes:
     """``xref_stream`` writes a PDF 1.5 cross-reference stream instead
     of the classic table; ``objstm`` additionally packs every non-stream
@@ -168,10 +347,17 @@ def build_pdf(
     predictor (/Predictor 12) to the xref stream body; ``cid_font``
     writes the font as a composite Type0/Identity-H font with a
     ToUnicode CMap and 2-byte hex-string shows; ``encrypt`` applies the
-    standard security handler (V 2 / R 3 / 128-bit RC4, empty user and
-    owner passwords) to every stream body."""
+    standard security handler (V 2 / R 3 / 128-bit RC4), ``encrypt_aes``
+    the V 4 / R 4 crypt-filter form with /CFM /AESV2 (AES-128-CBC), and
+    ``encrypt_aes256`` the V 5 / R 6 form (AES-256) — all with empty
+    user and owner passwords; ``content_filter`` picks the content
+    stream encoding ("flate" | "lzw" | "rle" | "a85+lzw")."""
     if objstm:
         xref_stream = True
+    enc_mode = (
+        "aes256" if encrypt_aes256 else "aesv2" if encrypt_aes else
+        "rc4" if encrypt else None
+    )
     objects: list[bytes] = []  # object 1..n bodies, in order
 
     n_pages = len(pages)
@@ -211,8 +397,8 @@ def build_pdf(
             page_lines, font_size, leading, shuffle_order, cid_font
         )
         if compress:
-            data = zlib.compress(body)
-            head = b"<< /Length %d /Filter /FlateDecode >>" % len(data)
+            data, filt = _encode_content(body, content_filter)
+            head = b"<< /Length %d " % len(data) + filt + b" >>"
         else:
             data = body
             head = b"<< /Length %d >>" % len(data)
@@ -234,15 +420,44 @@ def build_pdf(
 
     trailer_extra = b""
     fkey = None
-    if encrypt:
-        o_val, u_val, id0, p, fkey = _make_encryption(len(objects) + 1)
-        objects = _encrypt_object_streams(objects, fkey)
+    if enc_mode == "aes256":
+        o_val, u_val, oe, ue, perms, p, fkey = _make_encryption_aes256()
+        objects = _reencrypt_streams(objects, fkey, enc_mode)
         enc_num = len(objects) + 1
         objects.append(
-            b"<< /Filter /Standard /V 2 /R 3 /Length 128 /P %d"
-            b" /O <%s> /U <%s> >>"
-            % (p, o_val.hex().upper().encode(), u_val.hex().upper().encode())
+            b"<< /Filter /Standard /V 5 /R 6 /Length 256"
+            b" /CF << /StdCF << /CFM /AESV3 /Length 32 >> >>"
+            b" /StmF /StdCF /StrF /StdCF /P %d"
+            b" /O <%s> /U <%s> /OE <%s> /UE <%s> /Perms <%s> >>"
+            % (
+                p,
+                o_val.hex().upper().encode(),
+                u_val.hex().upper().encode(),
+                oe.hex().upper().encode(),
+                ue.hex().upper().encode(),
+                perms.hex().upper().encode(),
+            )
         )
+        # spec: the encryption dict may not live inside an object stream
+        is_stream_obj.append(True)
+        trailer_extra = b" /Encrypt %d 0 R" % enc_num
+    elif enc_mode is not None:
+        o_val, u_val, id0, p, fkey = _make_encryption(len(objects) + 1)
+        objects = _reencrypt_streams(objects, fkey, enc_mode)
+        enc_num = len(objects) + 1
+        if enc_mode == "aesv2":
+            objects.append(
+                b"<< /Filter /Standard /V 4 /R 4 /Length 128"
+                b" /CF << /StdCF << /CFM /AESV2 /Length 16 >> >>"
+                b" /StmF /StdCF /StrF /StdCF /P %d /O <%s> /U <%s> >>"
+                % (p, o_val.hex().upper().encode(), u_val.hex().upper().encode())
+            )
+        else:
+            objects.append(
+                b"<< /Filter /Standard /V 2 /R 3 /Length 128 /P %d"
+                b" /O <%s> /U <%s> >>"
+                % (p, o_val.hex().upper().encode(), u_val.hex().upper().encode())
+            )
         # spec: the encryption dict may not live inside an object stream
         is_stream_obj.append(True)
         idhex = id0.hex().upper().encode()
@@ -289,9 +504,7 @@ def build_pdf(
         first = len(head_pairs) + 1
         data = zlib.compress(payload)
         if fkey is not None:  # ObjStm bodies are encrypted like any stream
-            from .parse import _object_key, rc4
-
-            data = rc4(_object_key(fkey, objstm_num, 0), data)
+            data = _cipher_stream(enc_mode, fkey, objstm_num, data)
         stm = (
             b"<< /Type /ObjStm /N %d /First %d /Length %d /Filter /FlateDecode >>"
             % (len(packed_nums), first, len(data))

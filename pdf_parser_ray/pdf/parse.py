@@ -24,13 +24,17 @@ Determinism note: run ordering uses stable sorts keyed only on content
 geometry, so identical bytes always yield identical text — required for
 byte-identical per-url output under Ray task retry.
 
-Simple fonts only (byte strings decode as Latin-1 ≈ WinAnsi/PDFDoc);
-``/FlateDecode`` and ``/ASCIIHexDecode`` stream filters with PNG/TIFF
-predictors; PDF 1.5 cross-reference streams (``/Type /XRef``, W fields,
-/Index subsections) and object streams (``/Type /ObjStm``) are
-supported — the trailer dict merges from XRef stream dicts and
-compressed objects are expanded exhaustively.  No encryption or CID
-fonts yet.
+Coverage: simple fonts (Latin-1 ≈ WinAnsi/PDFDoc, /Encoding
+/Differences remaps) and composite Type0/CID fonts (Identity-H +
+ToUnicode CMaps); /FlateDecode, /ASCIIHexDecode, /ASCII85Decode,
+/LZWDecode (EarlyChange) and /RunLengthDecode stream filters with
+PNG/TIFF predictors; PDF 1.5 cross-reference streams (``/Type /XRef``,
+W fields, /Index subsections) and object streams (``/Type /ObjStm``) —
+the trailer dict merges from XRef stream dicts and compressed objects
+are expanded exhaustively; standard-security-handler decryption for
+RC4 (V 1-2 / R 2-3), crypt-filter RC4/AES-128 (V 4 / CFM V2|AESV2) and
+AES-256 (V 5 / R 6), all for the empty-user-password ("any reader can
+open") case.
 """
 
 from __future__ import annotations
@@ -103,6 +107,107 @@ def _png_unpredict(data: bytes, columns: int, bpp: int) -> bytes:
     return bytes(out)
 
 
+def _lzw_decode(data: bytes, early: int = 1) -> bytes:
+    """PDF LZWDecode: variable 9-12 bit codes, clear=256, EOD=257,
+    ``/EarlyChange`` (default 1) widens the code one step early — the
+    TIFF/PDF convention virtually every producer uses."""
+    table: dict[int, bytes] = {i: bytes([i]) for i in range(256)}
+    next_code = 258
+    width = 9
+    prev: bytes | None = None
+    out = bytearray()
+    buf = 0
+    nbits = 0
+    for byte in data:
+        buf = (buf << 8) | byte
+        nbits += 8
+        while nbits >= width:
+            nbits -= width
+            code = (buf >> nbits) & ((1 << width) - 1)
+            buf &= (1 << nbits) - 1
+            if code == 256:
+                table = {i: bytes([i]) for i in range(256)}
+                next_code = 258
+                width = 9
+                prev = None
+                continue
+            if code == 257:
+                return bytes(out)
+            if code in table:
+                entry = table[code]
+            elif code == next_code and prev is not None:
+                entry = prev + prev[:1]
+            else:
+                raise PDFSyntaxError(f"bad LZW code {code}")
+            if prev is not None:
+                table[next_code] = prev + entry[:1]
+                next_code += 1
+            out += entry
+            prev = entry
+            if width < 12 and next_code >= (1 << width) - early:
+                width += 1
+    return bytes(out)
+
+
+def _ascii85_decode(data: bytes) -> bytes:
+    """ASCII85Decode: 5 chars ('!'..'u') -> 4 bytes base-85; 'z' is a
+    zero group; whitespace ignored; '~>' terminates; a trailing partial
+    group of n chars yields n-1 bytes (pad with 'u')."""
+    end = data.find(b"~>")
+    if end >= 0:
+        data = data[:end]
+    out = bytearray()
+    group: list[int] = []
+    for c in data:
+        if c in _WS:
+            continue
+        if c == 0x7A:  # 'z'
+            if group:
+                raise PDFSyntaxError("'z' inside ascii85 group")
+            out += b"\x00\x00\x00\x00"
+            continue
+        if not 0x21 <= c <= 0x75:
+            raise PDFSyntaxError(f"bad ascii85 char {c}")
+        group.append(c - 0x21)
+        if len(group) == 5:
+            v = 0
+            for g in group:
+                v = v * 85 + g
+            out += v.to_bytes(4, "big")
+            group = []
+    if group:
+        if len(group) == 1:
+            raise PDFSyntaxError("lone trailing ascii85 char")
+        n = len(group)
+        group += [84] * (5 - n)  # pad with 'u'
+        v = 0
+        for g in group:
+            v = v * 85 + g
+        out += v.to_bytes(4, "big")[: n - 1]
+    return bytes(out)
+
+
+def _rle_decode(data: bytes) -> bytes:
+    """RunLengthDecode: length byte L — 0-127 copies the next L+1 bytes,
+    129-255 repeats the next byte 257-L times, 128 is EOD."""
+    out = bytearray()
+    pos = 0
+    n = len(data)
+    while pos < n:
+        l = data[pos]
+        pos += 1
+        if l == 128:
+            break
+        if l < 128:
+            out += data[pos : pos + l + 1]
+            pos += l + 1
+        else:
+            if pos < n:
+                out += bytes([data[pos]]) * (257 - l)
+                pos += 1
+    return bytes(out)
+
+
 @dataclass
 class Stream:
     attrs: dict
@@ -131,6 +236,10 @@ class Stream:
         out = self.raw
         for f, p in zip(filters, parms_list):
             name = str(f)
+            if doc is not None:
+                p = doc.resolve(p)
+                if isinstance(p, dict):
+                    p = {k: doc.resolve(v) for k, v in p.items()}
             if name == "FlateDecode":
                 try:
                     out = zlib.decompress(out)
@@ -143,11 +252,18 @@ class Stream:
                 if len(hexbody) % 2:
                     hexbody += b"0"
                 out = bytes.fromhex(hexbody.decode("ascii"))
+            elif name == "LZWDecode":
+                early = 1
+                if isinstance(p, dict):
+                    early = int(p.get("EarlyChange", 1) or 0)
+                out = _lzw_decode(out, early)
+            elif name == "ASCII85Decode":
+                out = _ascii85_decode(out)
+            elif name == "RunLengthDecode":
+                out = _rle_decode(out)
             else:
                 raise PDFSyntaxError(f"unsupported stream filter {name}")
             if isinstance(p, dict):
-                if doc is not None:
-                    p = {k: doc.resolve(v) for k, v in p.items()}
                 pred = int(p.get("Predictor", 1) or 1)
                 if pred >= 10:
                     colors = int(p.get("Colors", 1) or 1)
@@ -409,13 +525,57 @@ def _file_key(
     return key[:key_len]
 
 
-def _object_key(file_key: bytes, num: int, gen: int) -> bytes:
+def _object_key(file_key: bytes, num: int, gen: int, aes: bool = False) -> bytes:
     import hashlib
 
+    salt = b"sAlT" if aes else b""  # AESV2 appends the fixed salt (§7.6.2)
     h = hashlib.md5(
-        file_key + num.to_bytes(3, "little") + gen.to_bytes(2, "little")
+        file_key + num.to_bytes(3, "little") + gen.to_bytes(2, "little") + salt
     ).digest()
     return h[: min(len(file_key) + 5, 16)]
+
+
+def _aes_cbc(key: bytes, iv: bytes, data: bytes, *, encrypt: bool) -> bytes:
+    """Raw AES-CBC (no padding handling) via the ``cryptography``
+    package; raises ImportError when the package is absent — callers
+    degrade to leaving bytes untouched."""
+    from cryptography.hazmat.primitives.ciphers import Cipher, algorithms, modes
+
+    c = Cipher(algorithms.AES(key), modes.CBC(iv))
+    ctx = c.encryptor() if encrypt else c.decryptor()
+    return ctx.update(data) + ctx.finalize()
+
+
+def _aes_stream_decrypt(key: bytes, data: bytes) -> bytes:
+    """PDF AES stream layout: 16-byte IV prefix + CBC ciphertext with
+    PKCS#5 padding.  Tolerates truncated/ragged input by returning it
+    unchanged (extraction then degrades, never crashes)."""
+    if len(data) < 32 or (len(data) - 16) % 16:
+        return data
+    plain = _aes_cbc(key, data[:16], data[16:], encrypt=False)
+    pad = plain[-1]
+    if 1 <= pad <= 16:
+        plain = plain[:-pad]
+    return plain
+
+
+def _hash_2b(password: bytes, salt: bytes, udata: bytes = b"") -> bytes:
+    """ISO 32000-2 Algorithm 2.B (R 6 password hash): iterated
+    SHA-256/384/512 keyed by an AES-128-CBC round, ≥64 rounds, stop when
+    the last byte of the AES output ≤ round-32."""
+    import hashlib
+
+    k = hashlib.sha256(password + salt + udata).digest()
+    i = 0
+    while True:
+        k1 = (password + k + udata) * 64
+        e = _aes_cbc(k[:16], k[16:32], k1, encrypt=True)
+        k = (hashlib.sha256, hashlib.sha384, hashlib.sha512)[sum(e[:16]) % 3](
+            e
+        ).digest()
+        i += 1
+        if i >= 64 and e[-1] <= i - 32:
+            return k[:32]
 
 
 def _decrypt_streams(doc: "PDFDocument") -> None:
@@ -430,8 +590,50 @@ def _decrypt_streams(doc: "PDFDocument") -> None:
         return
     v = int(doc.resolve(enc.get("V")) or 0)
     r = int(doc.resolve(enc.get("R")) or 2)
-    if v not in (1, 2):
-        return  # AES (V 4/5) unsupported — leave bytes as-is
+
+    aes = False
+    if v == 5:
+        # AES-256 (R 5/6): the file key is recovered from /UE with the
+        # intermediate key hashed from the empty user password and the
+        # key salt (U[40:48]); streams are AES-256-CBC with IV prefix
+        u_entry = doc.resolve(enc.get("U"))
+        ue = doc.resolve(enc.get("UE"))
+        if not (isinstance(u_entry, bytes) and isinstance(ue, bytes)) or len(
+            u_entry
+        ) < 48:
+            return
+        import hashlib
+
+        try:
+            ikey = (
+                _hash_2b(b"", u_entry[40:48])
+                if r >= 6
+                else hashlib.sha256(u_entry[40:48]).digest()
+            )
+            fkey = _aes_cbc(ikey, bytes(16), ue[:32], encrypt=False)
+        except ImportError:
+            return  # no AES backend — leave bytes untouched
+        for num, obj in doc.objects.items():
+            if isinstance(obj, Stream) and str(obj.attrs.get("Type", "")) != "XRef":
+                obj.raw = _aes_stream_decrypt(fkey, obj.raw)
+        return
+
+    if v == 4:
+        # crypt filters: /StmF names the filter applied to streams;
+        # /CF /<name> /CFM is V2 (RC4) or AESV2 (AES-128-CBC)
+        stmf = str(doc.resolve(enc.get("StmF", "Identity")))
+        if stmf == "Identity":
+            return
+        cf = doc.resolve(enc.get("CF")) or {}
+        cfd = doc.resolve(cf.get(stmf)) if isinstance(cf, dict) else None
+        cfm = str(doc.resolve(cfd.get("CFM", ""))) if isinstance(cfd, dict) else ""
+        if cfm == "AESV2":
+            aes = True
+        elif cfm != "V2":
+            return
+    elif v not in (1, 2):
+        return
+
     key_bits = int(doc.resolve(enc.get("Length")) or 40)
     o_entry = doc.resolve(enc.get("O"))
     p = int(doc.resolve(enc.get("P")) or -1)
@@ -439,11 +641,18 @@ def _decrypt_streams(doc: "PDFDocument") -> None:
     id0 = ids[0] if isinstance(ids, list) and ids and isinstance(ids[0], bytes) else b""
     if not isinstance(o_entry, bytes):
         return
-    fkey = _file_key(o_entry, p, id0, r, max(5, key_bits // 8))
+    fkey = _file_key(o_entry, p, id0, r, 16 if aes else max(5, key_bits // 8))
     for num, obj in doc.objects.items():
         if isinstance(obj, Stream) and str(obj.attrs.get("Type", "")) != "XRef":
             gen = doc.generations.get(num, 0)
-            obj.raw = rc4(_object_key(fkey, num, gen), obj.raw)
+            okey = _object_key(fkey, num, gen, aes=aes)
+            if aes:
+                try:
+                    obj.raw = _aes_stream_decrypt(okey, obj.raw)
+                except ImportError:
+                    return
+            else:
+                obj.raw = rc4(okey, obj.raw)
 
 
 @dataclass
