@@ -154,6 +154,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_filtered": relational.orders_filtered,
         "events_hourly": relational.events_hourly,
         "sessionize_events": relational.sessionize_events,
+        "error_attribution": relational.error_attribution,
         # -- multimodal plumbing (stubbed decode, real Ray contract) --
         "media_features": lambda sf_dir: multimodal.media_pipeline(300),
         "frame_sample": lambda sf_dir: multimodal.frame_sample_pipeline(300),
@@ -483,6 +484,15 @@ def oracle_sql() -> dict[str, str]:
             " CAST(min(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS min_cents,"
             " CAST(max(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS max_cents"
             " FROM events GROUP BY event_type, date_trunc('hour', ts)"
+        ),
+        "error_attribution": (
+            "SELECT e.event_id,"
+            " CAST(epoch_us(e.ts) - epoch_us(m.ts) AS BIGINT) AS gap_micros"
+            " FROM (SELECT event_id, user_id, ts FROM events"
+            "       WHERE event_type = 'error') e"
+            " ASOF JOIN (SELECT user_id, ts FROM events"
+            "            WHERE event_type <> 'error') m"
+            " ON e.user_id = m.user_id AND e.ts >= m.ts"
         ),
         "sessionize_events": (
             "SELECT user_id,"

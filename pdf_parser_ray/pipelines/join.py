@@ -130,3 +130,92 @@ def _dim_types(dim: rd.Dataset, dim_cols: list[str]) -> list[pa.DataType]:
     schema = dim.schema()
     by_name = dict(zip(schema.names, schema.types))
     return [by_name[c] for c in dim_cols]
+
+
+def asof_attach(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    key_col: str,
+    ts_col: str,
+    match_col: str = "match_ts",
+    buckets: int = _DEFAULT_BUCKETS,
+) -> rd.Dataset:
+    """Backward as-of join (an operator Ray Data lacks): every left row
+    gains ``match_col`` = the timestamp of the LATEST right row with the
+    same ``key_col`` and ``right.ts <= left.ts``; unmatched left rows
+    are dropped (inner semantics, mirroring DuckDB's ``ASOF JOIN``).
+
+    Shape: both sides co-shuffle once on ``hash(key) % buckets``; inside
+    each group a single vectorized ``pandas.merge_asof`` (sort-merge in
+    C) handles every key of the bucket at once.  Partitioning
+    assumption: one bucket's rows fit in a group — at 100 TB raise
+    ``buckets`` (keys are hashed, so only one pathological hot key can
+    skew a bucket; salt such a key by coarse time range if it appears).
+    """
+    left_schema = left.schema()
+    left_names = list(left_schema.names)
+    left_types = list(left_schema.types)
+    if match_col in left_names:
+        raise ValueError(f"{match_col} already a left column")
+    if key_col not in left_names or ts_col not in left_names:
+        raise ValueError("key_col/ts_col must be left columns")
+
+    def left_rows(batch: pa.Table) -> pa.Table:
+        k = batch.column(key_col).to_numpy(zero_copy_only=False)
+        cols: dict[str, Any] = {
+            "key": pa.array(_key_bucket(k.astype(np.int64), buckets)),
+            "__role": pa.array(np.zeros(len(k), np.int8)),
+        }
+        for name in left_names:
+            cols[name] = batch.column(name)
+        return pa.table(cols)
+
+    def right_rows(batch: pa.Table) -> pa.Table:
+        k = batch.column(key_col).to_numpy(zero_copy_only=False)
+        cols = {
+            "key": pa.array(_key_bucket(k.astype(np.int64), buckets)),
+            "__role": pa.array(np.ones(len(k), np.int8)),
+        }
+        for name, typ in zip(left_names, left_types):
+            if name == key_col or name == ts_col:
+                cols[name] = batch.column(name)
+            else:
+                cols[name] = pa.nulls(len(batch), typ)
+        return pa.table(cols)
+
+    cast = {}
+    for name, typ in zip(left_names, left_types):
+        try:
+            cast[name] = typ.to_pandas_dtype()
+        except NotImplementedError:
+            pass
+
+    def asof_group(g: pd.DataFrame) -> pd.DataFrame:
+        is_right = g["__role"].to_numpy() == 1
+        r = (
+            g.loc[is_right, [key_col, ts_col]]
+            .rename(columns={ts_col: match_col})
+            .sort_values(match_col)
+        )
+        l = g.loc[~is_right].drop(columns=["key", "__role"]).sort_values(ts_col)
+        if not len(l) or not len(r):
+            out = l.iloc[0:0].copy()
+            out[match_col] = pd.Series([], dtype=r[match_col].dtype if len(r) else "datetime64[us]")
+            return out
+        m = pd.merge_asof(
+            l,
+            r,
+            left_on=ts_col,
+            right_on=match_col,
+            by=key_col,
+            direction="backward",
+            allow_exact_matches=True,
+        )
+        m = m[m[match_col].notna()]
+        return m[left_names + [match_col]].astype(cast)
+
+    lrows = left.map_batches(left_rows, batch_format="pyarrow", zero_copy_batch=True)
+    rrows = right.map_batches(right_rows, batch_format="pyarrow", zero_copy_batch=True)
+    return (
+        lrows.union(rrows).groupby("key").map_groups(asof_group, batch_format="pandas")
+    )

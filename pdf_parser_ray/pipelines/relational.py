@@ -256,3 +256,44 @@ def sessionize_events(sf_dir: str, gap_minutes: int = 30) -> rd.Dataset:
         .groupby("coarse")
         .map_groups(sessions, batch_format="pandas")
     )
+
+
+def error_attribution(sf_dir: str) -> rd.Dataset:
+    """(event_id, gap_micros): for every 'error' event, the time since
+    the same user's latest preceding non-error event (backward as-of
+    join; errors with no preceding activity are dropped).  The as-of
+    operator itself is pipelines/join.py::asof_attach — one co-shuffle
+    on hash(user) and a vectorized merge_asof per bucket.  Oracle:
+    DuckDB's native ASOF JOIN."""
+    from .join import asof_attach
+
+    ev = _t(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+
+    def split(want_error: bool):
+        def f(batch: pa.Table) -> pa.Table:
+            mask = pc.equal(batch.column("event_type"), "error")
+            if not want_error:
+                mask = pc.invert(mask)
+            t = batch.filter(mask)
+            return t.select(
+                ["event_id", "user_id", "ts"] if want_error else ["user_id", "ts"]
+            )
+
+        return f
+
+    left = ev.map_batches(split(True), batch_format="pyarrow", zero_copy_batch=True)
+    right = ev.map_batches(split(False), batch_format="pyarrow", zero_copy_batch=True)
+    joined = asof_attach(left, right, key_col="user_id", ts_col="ts")
+
+    def gap(batch: pa.Table) -> pa.Table:
+        d = pc.subtract(batch.column("ts"), batch.column("match_ts"))
+        return pa.table(
+            {
+                "event_id": batch.column("event_id"),
+                "gap_micros": pc.cast(
+                    pc.cast(d, pa.duration("us")), pa.int64()
+                ),
+            }
+        )
+
+    return joined.map_batches(gap, batch_format="pyarrow", zero_copy_batch=True)

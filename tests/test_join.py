@@ -105,3 +105,82 @@ class TestIVFIndex:
         # a 9-bucket probe opens strictly fewer files than the index holds
         some = probed_index_paths(index_dir, all_buckets[:9])
         assert 0 < len(some) < len(full)
+
+
+class TestAsofAttach:
+    """Backward as-of join: latest right.ts <= left.ts per key, inner
+    semantics, exact-timestamp matches allowed."""
+
+    @staticmethod
+    def _ts(*seconds):
+        import numpy as np
+
+        return pa.array(
+            np.array(seconds, dtype="int64") * 1_000_000, pa.timestamp("us")
+        )
+
+    def _run(self, left_tbl, right_tbl):
+        import ray.data as rd
+
+        from pdf_parser_ray.pipelines.join import asof_attach
+
+        out = asof_attach(
+            rd.from_arrow(left_tbl),
+            rd.from_arrow(right_tbl),
+            key_col="uid",
+            ts_col="ts",
+        ).to_pandas()
+        if len(out) == 0:
+            return out
+        return out.sort_values("eid").reset_index(drop=True)
+
+    def test_backward_match_and_drop(self, ray_session, quiet_data_context):
+        left = pa.table(
+            {
+                "eid": pa.array([1, 2, 3], pa.int64()),
+                "uid": pa.array([7, 7, 7], pa.int64()),
+                "ts": self._ts(5, 50, 1),
+            }
+        )
+        right = pa.table(
+            {"uid": pa.array([7, 7], pa.int64()), "ts": self._ts(3, 40)}
+        )
+        out = self._run(left, right)
+        # eid=3 (ts=1) has no preceding right row -> dropped
+        assert list(out["eid"]) == [1, 2]
+        got = [t.timestamp() for t in out["match_ts"]]
+        assert got == [3.0, 40.0]
+
+    def test_exact_match_and_key_isolation(self, ray_session, quiet_data_context):
+        left = pa.table(
+            {
+                "eid": pa.array([1, 2], pa.int64()),
+                "uid": pa.array([1, 2], pa.int64()),
+                "ts": self._ts(10, 10),
+            }
+        )
+        right = pa.table(
+            {
+                "uid": pa.array([1, 2, 2], pa.int64()),
+                "ts": self._ts(10, 2, 9),
+            }
+        )
+        out = self._run(left, right)
+        # uid=1 matches its own exact-ts row; uid=2 takes its latest (9),
+        # never uid=1's ts=10 row
+        got = [t.timestamp() for t in out["match_ts"]]
+        assert got == [10.0, 9.0]
+
+    def test_empty_right_side(self, ray_session, quiet_data_context):
+        left = pa.table(
+            {
+                "eid": pa.array([1], pa.int64()),
+                "uid": pa.array([5], pa.int64()),
+                "ts": self._ts(10),
+            }
+        )
+        right = pa.table(
+            {"uid": pa.array([], pa.int64()), "ts": self._ts()}
+        )
+        out = self._run(left, right)
+        assert len(out) == 0
