@@ -155,6 +155,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": relational.events_hourly,
         "sessionize_events": relational.sessionize_events,
         "error_attribution": relational.error_attribution,
+        "event_quantiles": relational.event_quantiles,
+        "top_orders_per_nation": relational.top_orders_per_nation,
         # -- multimodal plumbing (stubbed decode, real Ray contract) --
         "media_features": lambda sf_dir: multimodal.media_pipeline(300),
         "frame_sample": lambda sf_dir: multimodal.frame_sample_pipeline(300),
@@ -484,6 +486,25 @@ def oracle_sql() -> dict[str, str]:
             " CAST(min(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS min_cents,"
             " CAST(max(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS max_cents"
             " FROM events GROUP BY event_type, date_trunc('hour', ts)"
+        ),
+        "event_quantiles": (
+            "SELECT event_type,"
+            " CAST(quantile_disc(cents, 0.5) AS BIGINT) AS p50_cents,"
+            " CAST(quantile_disc(cents, 0.95) AS BIGINT) AS p95_cents"
+            " FROM (SELECT event_type, CAST(round(value * 100) AS BIGINT)"
+            "       AS cents FROM events) GROUP BY event_type"
+        ),
+        "top_orders_per_nation": (
+            "SELECT n_name, o_orderkey, price_cents, rnk FROM ("
+            " SELECT n.n_name, o.o_orderkey,"
+            " CAST(round(o.o_totalprice * 100) AS BIGINT) AS price_cents,"
+            " CAST(ROW_NUMBER() OVER (PARTITION BY n.n_name"
+            "   ORDER BY CAST(round(o.o_totalprice * 100) AS BIGINT) DESC,"
+            "   o.o_orderkey) AS BIGINT) AS rnk"
+            " FROM orders o"
+            " JOIN customer c ON o.o_custkey = c.c_custkey"
+            " JOIN nation n ON c.c_nationkey = n.n_nationkey)"
+            " WHERE rnk <= 3"
         ),
         "error_attribution": (
             "SELECT e.event_id,"

@@ -297,3 +297,128 @@ def error_attribution(sf_dir: str) -> rd.Dataset:
         )
 
     return joined.map_batches(gap, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def event_quantiles(sf_dir: str) -> rd.Dataset:
+    """(event_type, p50_cents, p95_cents): exact discrete quantiles of
+    the event value per type.
+
+    Scale shape: values are integer cents, so the op is a HISTOGRAM
+    aggregate — per-batch (type, cents, n) partial counts, one groupby
+    sum over the (small) distinct-value domain, then the quantile is
+    read off the sorted cumulative counts per type.  The shuffle carries
+    distinct (type, cents) partials, never the raw rows; exactness costs
+    nothing because the domain is bounded (vs a t-digest sketch for
+    unbounded floats).  Quantile index = ceil(q*n)-1, matching DuckDB's
+    quantile_disc."""
+    import math
+
+    import pandas as pd
+
+    def partials(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.round(pc.multiply(batch.column("value"), 100.0)), pa.int64()
+        )
+        df = pd.DataFrame(
+            {
+                "event_type": batch.column("event_type").to_pandas(),
+                "cents": cents.to_pandas(),
+            }
+        )
+        g = df.groupby(["event_type", "cents"], sort=False).size().reset_index(name="n")
+        return pa.table(
+            {
+                "event_type": pa.array(g["event_type"], pa.string()),
+                "cents": pa.array(g["cents"], pa.int64()),
+                "n": pa.array(g["n"], pa.int64()),
+            }
+        )
+
+    def quantiles(g) -> "pd.DataFrame":
+        g = g.sort_values("cents")
+        cum = g["n"].to_numpy().cumsum()
+        total = int(cum[-1])
+        vals = g["cents"].to_numpy()
+
+        def pick(q: float) -> int:
+            rank = max(1, math.ceil(q * total))  # 1-based rank, disc
+            return int(vals[np.searchsorted(cum, rank, side="left")])
+
+        return pd.DataFrame(
+            {
+                "event_type": [g["event_type"].iloc[0]],
+                "p50_cents": [pick(0.5)],
+                "p95_cents": [pick(0.95)],
+            }
+        )
+
+    return (
+        _t(sf_dir, "events", ["event_type", "value"])
+        .map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["event_type", "cents"])
+        .aggregate(Sum("n", alias_name="n"))
+        .groupby("event_type")
+        .map_groups(quantiles, batch_format="pandas")
+    )
+
+
+def top_orders_per_nation(sf_dir: str, k: int = 3) -> rd.Dataset:
+    """(n_name, o_orderkey, price_cents, rnk): the k most expensive
+    orders per nation with their rank — the windowed-rank op (SQL
+    ROW_NUMBER() OVER (PARTITION BY ... ORDER BY ...)).
+
+    Scale shape: after the distributed customer join, each batch keeps
+    only its LOCAL top-k per nation (<= k x 25 rows per batch), so the
+    final per-nation groupby sees k x batches candidates, not the fact
+    table.  Ties break on o_orderkey for determinism."""
+    import pandas as pd
+
+    from .join import attach_dim, broadcast_lookup
+
+    def to_cents(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": batch.column("o_orderkey"),
+                "o_custkey": batch.column("o_custkey"),
+                "price_cents": pc.cast(
+                    pc.round(pc.multiply(batch.column("o_totalprice"), 100.0)),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    orders = _t(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"]
+    ).map_batches(to_cents, batch_format="pyarrow", zero_copy_batch=True)
+    joined = attach_dim(
+        orders,
+        _t(sf_dir, "customer", ["c_custkey", "c_nationkey"]),
+        "o_custkey",
+        "c_custkey",
+        ["c_nationkey"],
+    )
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = df.sort_values(
+            ["c_nationkey", "price_cents", "o_orderkey"],
+            ascending=[True, False, True],
+        )
+        return pa.Table.from_pandas(
+            df.groupby("c_nationkey", sort=False).head(k), preserve_index=False
+        )
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["price_cents", "o_orderkey"], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rnk"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["c_nationkey", "o_orderkey", "price_cents", "rnk"]]
+
+    nation_name = _small_table_dict(sf_dir, "nation", "n_nationkey", "n_name")
+    ranked = (
+        joined.map_batches(local_topk, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("c_nationkey")
+        .map_groups(final_topk, batch_format="pandas")
+    )
+    named = broadcast_lookup(ranked, nation_name, "c_nationkey", "n_name", "UNKNOWN")
+    return named.select_columns(["n_name", "o_orderkey", "price_cents", "rnk"])
