@@ -138,26 +138,36 @@ class FrameSampler:
         )
 
 
+def _media_blocks(n: int, n_blocks: int = 8) -> rd.Dataset:
+    """Synthesized media table pre-split into blocks so the actor pool
+    has parallel inputs from the start (a single from_arrow block would
+    feed only one actor — at real scale the read_parquet sharding does
+    this for free)."""
+    tbl = synthesize_media(n)
+    step = max(1, (tbl.num_rows + n_blocks - 1) // n_blocks)
+    return rd.from_arrow(
+        [tbl.slice(i, step) for i in range(0, tbl.num_rows, step)]
+    )
+
+
 def media_pipeline(n: int = 300) -> rd.Dataset:
     """Synthesize → decode/featurize (actor pool, small batches for wide
     binary rows) — the multimodal flagship."""
-    ds = rd.from_arrow(synthesize_media(n))
-    return ds.map_batches(
+    return _media_blocks(n).map_batches(
         DecodeAndFeaturize,
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=16,  # binary rows are wide; keep batch bytes bounded
-        concurrency=2,
+        concurrency=(1, 2),
     )
 
 
 def frame_sample_pipeline(n: int = 300, fps_out: float = 1.0) -> rd.Dataset:
-    ds = rd.from_arrow(synthesize_media(n))
-    return ds.map_batches(
+    return _media_blocks(n).map_batches(
         FrameSampler,
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=32,
-        concurrency=2,
+        concurrency=(1, 2),
         fn_constructor_args=(fps_out,),
     )
