@@ -157,6 +157,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "error_attribution": relational.error_attribution,
         "event_quantiles": relational.event_quantiles,
         "top_orders_per_nation": relational.top_orders_per_nation,
+        "events_sliding": relational.events_sliding,
+        "distinct_users_per_type": relational.distinct_users_per_type,
         # -- multimodal plumbing (stubbed decode, real Ray contract) --
         "media_features": lambda sf_dir: multimodal.media_pipeline(300),
         "frame_sample": lambda sf_dir: multimodal.frame_sample_pipeline(300),
@@ -486,6 +488,22 @@ def oracle_sql() -> dict[str, str]:
             " CAST(min(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS min_cents,"
             " CAST(max(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS max_cents"
             " FROM events GROUP BY event_type, date_trunc('hour', ts)"
+        ),
+        "events_sliding": (
+            "SELECT event_type, make_timestamp(ws) AS window_start,"
+            " CAST(count(*) AS BIGINT) AS n,"
+            " CAST(sum(cents) AS BIGINT) AS total_cents"
+            " FROM (SELECT event_type,"
+            "   (epoch_us(ts) // 900000000) * 900000000"
+            "     - CAST(i.i AS BIGINT) * 900000000 AS ws,"
+            "   CAST(round(value * 100) AS BIGINT) AS cents"
+            "   FROM events, (SELECT unnest([0, 1, 2, 3]) AS i) i)"
+            " GROUP BY event_type, ws"
+        ),
+        "distinct_users_per_type": (
+            "SELECT event_type,"
+            " CAST(count(DISTINCT user_id) AS BIGINT) AS n_users"
+            " FROM events GROUP BY event_type"
         ),
         "event_quantiles": (
             "SELECT event_type,"

@@ -422,3 +422,81 @@ def top_orders_per_nation(sf_dir: str, k: int = 3) -> rd.Dataset:
     )
     named = broadcast_lookup(ranked, nation_name, "c_nationkey", "n_name", "UNKNOWN")
     return named.select_columns(["n_name", "o_orderkey", "price_cents", "rnk"])
+
+
+def events_sliding(sf_dir: str, window_min: int = 60, slide_min: int = 15) -> rd.Dataset:
+    """(event_type, window_start, n, total_cents): 1-hour windows
+    sliding every 15 min — each event lands in window_min/slide_min
+    windows, emitted per batch (vectorized repeat) before one grouped
+    aggregate.  The exchange carries (type, window) partials; the
+    fan-out factor (4 here) is the only data growth."""
+    k = window_min // slide_min
+    slide_us = slide_min * 60 * 1_000_000
+
+    def expand(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        cents = pc.cast(
+            pc.round(pc.multiply(batch.column("value"), 100.0)), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        etype = batch.column("event_type").to_numpy(zero_copy_only=False)
+        # windows containing ts: starts floor(ts/slide)-i for i in 0..k-1
+        base = (ts // slide_us) * slide_us
+        starts = np.concatenate([base - i * slide_us for i in range(k)])
+        return pa.table(
+            {
+                "event_type": pa.array(np.tile(etype, k)),
+                "window_start": pa.array(starts).cast(pa.timestamp("us")),
+                "cents": pa.array(np.tile(cents, k), pa.int64()),
+            }
+        )
+
+    def widen_key(batch: pa.Table) -> pa.Table:
+        # same dtype fix as events_hourly: the grouped aggregate narrows
+        # the timestamp key; restore [us] to match the oracle TIMESTAMP
+        i = batch.schema.get_field_index("window_start")
+        return batch.set_column(
+            i, "window_start", batch.column("window_start").cast(pa.timestamp("us"))
+        )
+
+    return (
+        _t(sf_dir, "events", ["event_type", "ts", "value"])
+        .map_batches(expand, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["event_type", "window_start"])
+        .aggregate(Count(alias_name="n"), Sum("cents", alias_name="total_cents"))
+        .map_batches(widen_key, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+
+def distinct_users_per_type(sf_dir: str) -> rd.Dataset:
+    """(event_type, n_users): EXACT distinct-user count per event type —
+    the two-phase shape: per-batch local dedup of (type, user) pairs
+    (the partial), one groupby over the deduped pairs, then a count per
+    type.  The shuffle carries distinct pairs, not events; for
+    cardinalities too large even deduped, swap the exact phase for an
+    HLL sketch in the same partial/combine shape."""
+    import pandas as pd
+
+    def local_pairs(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "event_type": batch.column("event_type").to_pandas(),
+                "user_id": batch.column("user_id").to_pandas(),
+            }
+        ).drop_duplicates()
+        return pa.table(
+            {
+                "event_type": pa.array(df["event_type"], pa.string()),
+                "user_id": pa.array(df["user_id"], pa.int64()),
+            }
+        )
+
+    # first groupby dedups pairs globally (Count aggregate unused — the
+    # group key IS the distinct pair); second counts pairs per type
+    pairs = (
+        _t(sf_dir, "events", ["event_type", "user_id"])
+        .map_batches(local_pairs, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["event_type", "user_id"])
+        .aggregate(Count(alias_name="dummy"))
+        .drop_columns(["dummy"])
+    )
+    return pairs.groupby("event_type").aggregate(Count(alias_name="n_users"))
