@@ -212,15 +212,18 @@ def run_scaling() -> dict:
 
     lo_cpus = int(os.environ.get("GRAFT_SCALING_LO", "8"))
     hi_cpus = int(os.environ.get("GRAFT_SCALING_HI", "32"))
+    # samples per level (interleaved rounds); 1 keeps the whole run under
+    # ~10 min when the corpus is already generated
+    samples = int(os.environ.get("GRAFT_SCALING_SAMPLES", "2"))
     run(hi_cpus, reps=1)  # untimed warm-up: generates + page-caches the corpus
-    # best-of-two per level, interleaved, with more in-process repeats on
+    # best-of-N per level, interleaved, with more in-process repeats on
     # the cheap high-parallelism side: this VM shows minutes-long noisy
     # windows (±20-25% wall); min across samples is the standard
     # least-noise estimator
-    hi_runs = [run(hi_cpus, reps=4)]
-    lo_runs = [run(lo_cpus, reps=2)]
-    hi_runs.append(run(hi_cpus, reps=4))
-    lo_runs.append(run(lo_cpus, reps=2))
+    hi_runs, lo_runs = [], []
+    for _ in range(samples):
+        hi_runs.append(run(hi_cpus, reps=4))
+        lo_runs.append(run(lo_cpus, reps=2))
     hi = min(hi_runs, key=lambda r: r["value"])
     lo = min(lo_runs, key=lambda r: r["value"])
     eff = (lo["value"] / hi["value"]) / (hi_cpus / lo_cpus)
