@@ -131,9 +131,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprints": analysis.fingerprints,
         "ngram_stats": analysis.ngram_stats,
         "repetition_stats": analysis.repetition_stats,
-        # -- curation filters --
+        # -- curation filters / sampling --
         "quality_filter": filter_ops.quality_filter,
         "pii_scrub": filter_ops.pii_scrub,
+        "sample_documents": filter_ops.sample_documents,
+        "token_histogram": filter_ops.token_histogram,
         # -- dedup --
         "exact_dedup": dedup.exact_dedup,
         "minhash_dedup": dedup.minhash_dedup,
@@ -430,6 +432,20 @@ def oracle_sql() -> dict[str, str]:
         ),
         "langid": _langid_sql(),
         "fingerprints": _fingerprint_sql(),
+        "sample_documents": (
+            "SELECT source, CAST(count(*) AS BIGINT) AS n_sampled,"
+            " CAST(sum(n_chars) AS BIGINT) AS total_chars FROM documents"
+            " WHERE (doc_id * 2654435761) % 4294967296 * 1000"
+            "   < 4294967296 * 200"
+            " GROUP BY source"
+        ),
+        "token_histogram": (
+            "SELECT (n_tokens // 10) * 10 AS bucket_lo,"
+            " CAST(count(*) AS BIGINT) AS n_docs FROM"
+            " (SELECT CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),"
+            "   x -> x <> '')) AS BIGINT) AS n_tokens FROM documents)"
+            " GROUP BY bucket_lo"
+        ),
         "ngram_stats": _ngram_sql(),
         "repetition_stats": _repetition_sql(),
         "quality_filter": _quality_filter_sql(),

@@ -242,9 +242,12 @@ def curate_documents(
 ) -> rd.Dataset:
     """(doc_id, lang_pred, n_tokens, drop_reason): one row per document
     of the (near-dup-augmented) corpus with its curation verdict —
-    ``drop_reason`` in {'', 'exact_dup', 'near_dup', 'too_short'}; empty
-    means kept.  Returning verdicts rather than a filtered table keeps
-    the output auditable (the filtered corpus is one ``filter`` away).
+    ``drop_reason`` in {'', 'exact_dup', 'near_dup', 'too_short',
+    'low_quality'}; empty means kept.  'low_quality' applies the
+    Gopher-style ordered rules from pipelines/filter.py (repetition,
+    diversity, word-length bounds) after the dedup and length gates.
+    Returning verdicts rather than a filtered table keeps the output
+    auditable (the filtered corpus is one ``filter`` away).
 
     Only the two *drop-sets* are collected and broadcast — both scale
     with the duplicate count, not the corpus (the round-1 keep-set was
@@ -262,6 +265,9 @@ def curate_documents(
     verdict_ref = ray.put((exact_drops, near_dup_drops))
 
     def verdicts(batch: pa.Table) -> pa.Table:
+        from .analysis import word_counter_stats
+        from .filter import quality_verdict
+
         exact_set, near_set = ray.get(verdict_ref)
         ids = batch.column("doc_id").to_pylist()
         texts = batch.column("text").to_pylist()
@@ -282,6 +288,8 @@ def curate_documents(
                 reasons.append("exact_dup")
             elif len(toks) < min_tokens:
                 reasons.append("too_short")
+            elif quality_verdict(*word_counter_stats(text)) != "ok":
+                reasons.append("low_quality")
             else:
                 reasons.append("")
         return pa.table(

@@ -136,3 +136,74 @@ def pii_scrub(sf_dir: str) -> rd.Dataset:
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
         run, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+# -- deterministic sampling ---------------------------------------------------
+
+KNUTH = 2654435761  # Knuth multiplicative hash constant (2^32 / phi)
+SAMPLE_MOD = 1 << 32
+
+
+def sample_keep(doc_id: int, permille: int) -> bool:
+    """Deterministic corpus sampling: keep iff the multiplicative hash
+    of doc_id falls in the first permille/1000 of the 32-bit ring.
+    Pure integer arithmetic so the SQL oracle is exact, uniform enough
+    for stratification, and stable across runs/machines (no RNG)."""
+    return (doc_id * KNUTH) % SAMPLE_MOD * 1000 < SAMPLE_MOD * permille
+
+
+def sample_documents(sf_dir: str, permille: int = 200) -> rd.Dataset:
+    """(source, n_sampled, total_chars): a deterministic ~20% hash
+    sample of the corpus, aggregated per source — the
+    sampling-for-eval / debugging op every corpus pipeline needs.
+    Single pass + tiny groupby (per-batch filter, no shuffle of kept
+    rows beyond the grouped partials)."""
+    from ray.data.aggregate import Count, Sum
+
+    import numpy as np
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        with np.errstate(over="ignore"):
+            h = (ids.astype(np.uint64) * np.uint64(KNUTH)) % np.uint64(SAMPLE_MOD)
+        mask = h * np.uint64(1000) < np.uint64(SAMPLE_MOD) * np.uint64(permille)
+        t = batch.filter(pa.array(mask))
+        return t.select(["source", "n_chars"])
+
+    return (
+        _docs(sf_dir, ["doc_id", "source", "n_chars"])
+        .map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("source")
+        .aggregate(Count(alias_name="n_sampled"), Sum("n_chars", alias_name="total_chars"))
+    )
+
+
+def token_histogram(sf_dir: str, bucket: int = 10) -> rd.Dataset:
+    """(bucket_lo, n_docs): corpus length distribution — token counts
+    floored to `bucket`-wide buckets, counted.  Partial counts combine
+    inside each batch; the exchange carries one row per bucket per
+    batch."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    def partials(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        n_tok = pc.cast(
+            pc.count_substring_regex(batch.column("text"), r"\S+"), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        lo = (n_tok // bucket) * bucket
+        vals, counts = np.unique(lo, return_counts=True)
+        return pa.table(
+            {
+                "bucket_lo": pa.array(vals, pa.int64()),
+                "n_docs": pa.array(counts, pa.int64()),
+            }
+        )
+
+    return (
+        _docs(sf_dir, ["text"])
+        .map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket_lo")
+        .aggregate(Sum("n_docs", alias_name="n_docs"))
+    )
