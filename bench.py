@@ -159,6 +159,8 @@ def run_bench() -> dict:
             "mb_per_sec": round(input_bytes / timings["extract"] / 1e6, 2),
         }
 
+    from pdf_parser_ray.pipelines import filter as filter_ops
+
     timed("exact_dedup", dedup.exact_dedup)
     timed("minhash_dedup", dedup.minhash_dedup)
     timed("simhash_dedup", dedup.simhash_dedup)
@@ -168,6 +170,9 @@ def run_bench() -> dict:
     timed("quality_stats", analysis.quality_stats)
     timed("lineitem_agg", relational.lineitem_agg)
     timed("events_hourly", relational.events_hourly)
+    timed("quality_filter", filter_ops.quality_filter)
+    timed("ngram_stats", analysis.ngram_stats)
+    timed("error_attribution", relational.error_attribution)
 
     ray.shutdown()
 

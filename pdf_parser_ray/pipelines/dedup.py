@@ -452,16 +452,37 @@ def minhash_dedup(sf_dir: str, threshold_millis: int = 500) -> rd.Dataset:
 # -- SimHash ----------------------------------------------------------------
 
 
-def simhash64(text: str) -> int:
-    acc = np.zeros(64, dtype=np.int64)
-    for token in set(text.split()):
+# per-worker token->bit-vector memo: text token frequency is Zipfian, so
+# the vast majority of blake2b+unpackbits calls hit the cache; capped so
+# a pathological vocabulary can't grow worker heap unboundedly
+_SIMHASH_MEMO: dict[str, np.ndarray] = {}
+_SIMHASH_MEMO_CAP = 1_000_000
+
+
+def _token_bits(token: str) -> np.ndarray:
+    bits = _SIMHASH_MEMO.get(token)
+    if bits is None:
         digest = hashlib.blake2b(token.encode(), digest_size=8).digest()
-        bits = np.unpackbits(np.frombuffer(digest, dtype=np.uint8)).astype(np.int64)
-        acc += bits * 2 - 1
+        bits = np.unpackbits(np.frombuffer(digest, dtype=np.uint8))
+        if len(_SIMHASH_MEMO) < _SIMHASH_MEMO_CAP:
+            _SIMHASH_MEMO[token] = bits
+    return bits
+
+
+def simhash64(text: str) -> int:
+    tokens = set(text.split())
+    if not tokens:
+        return 0
+    # sum of 0/1 bit rows; bit i of the signature is set when the
+    # majority vote 2*sum - n is positive (identical to the per-token
+    # +1/-1 accumulation, vectorized across the whole doc)
+    acc = np.zeros(64, dtype=np.int64)
+    for t in tokens:
+        acc += _token_bits(t)
+    votes = 2 * acc - len(tokens)
     out = 0
-    for i, v in enumerate(acc):
-        if v > 0:
-            out |= 1 << i
+    for i in np.nonzero(votes > 0)[0]:
+        out |= 1 << int(i)
     return out
 
 
