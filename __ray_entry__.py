@@ -85,6 +85,39 @@ def _extract_records(sf_dir: str):
     return ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _extract_spans(sf_dir: str):
+    """Exploded span table (url, span_idx, span_start, span_end, kind)
+    — puts the north-star's per-url span offsets into the driver's
+    value-hash gate against generator-side goldens."""
+    import pyarrow as pa
+
+    from pdf_parser_ray.pipelines.extract import extract_dir
+
+    def explode(batch: pa.Table) -> pa.Table:
+        urls, idxs, starts, ends, kinds = [], [], [], [], []
+        for url, spans in zip(
+            batch.column("url").to_pylist(), batch.column("spans").to_pylist()
+        ):
+            for i, s in enumerate(spans):
+                urls.append(url)
+                idxs.append(i)
+                starts.append(s["start"])
+                ends.append(s["end"])
+                kinds.append(s["kind"])
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "span_idx": pa.array(idxs, pa.int64()),
+                "span_start": pa.array(starts, pa.int64()),
+                "span_end": pa.array(ends, pa.int64()),
+                "kind": pa.array(kinds, pa.string()),
+            }
+        )
+
+    ds = extract_dir(_pages_dir_for(sf_dir), batch_size=32)
+    return ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def _records_by_direction(sf_dir: str):
     from ray.data.aggregate import Count
 
@@ -117,6 +150,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- extraction flagship (not SQL-expressible: HTML/PDF parse) --
         "extract_pages": _extract_pages,
         "extract_records": _extract_records,
+        "extract_spans": _extract_spans,
         "records_by_direction": _records_by_direction,
         "extract_dedup": _extract_dedup,
         # -- text analysis (oracle-checked) --
@@ -225,6 +259,14 @@ def _extract_oracle_sql() -> dict[str, str]:
         "extract_records": (
             f"SELECT url, date, description, amount_cents, direction"
             f" FROM read_parquet('{records_path}')"
+        ),
+        "extract_spans": (
+            "SELECT url, CAST(i - 1 AS BIGINT) AS span_idx,"
+            " CAST(spans[CAST(i AS INT)].start AS BIGINT) AS span_start,"
+            " CAST(spans[CAST(i AS INT)].\"end\" AS BIGINT) AS span_end,"
+            " spans[CAST(i AS INT)].kind AS kind"
+            " FROM (SELECT url, spans, unnest(range(1, len(spans) + 1)) AS i"
+            f"       FROM read_parquet('{golden_path}'))"
         ),
         "records_by_direction": (
             f"SELECT direction, CAST(count(*) AS BIGINT) AS n"
