@@ -120,6 +120,29 @@ _DETECTION_FUSED: list[tuple[str, re.Pattern[str]]] = [
     for key, pats in _DETECTION_SPECS
 ]
 
+# pre-screen: the overwhelming majority of a web corpus matches no bank
+# at all, and Python-regex alternations cost ~0.2 ms even on short
+# texts.  Every detection pattern contains one of these lowercase
+# literals, so `any(lit in head.lower())` (C-speed substring scans) is a
+# SUPERSET screen: a miss settles "generic"; a hit falls through to the
+# ordered regex loop, which alone decides priority.  Applied only to
+# ASCII heads — exotic-unicode case folding could differ from re.I, so
+# non-ASCII text always takes the full loop.  test_extractors pins the
+# superset property against the pattern table.
+_TRIGGER_LITS: tuple[str, ...] = (
+    "bank of america", "bankofamerica", "bofa", "business advantage",
+    "1.888.business",                      # bofa
+    "chase",                               # chase (all five patterns)
+    "international", "ifb",                # ifb
+    "valley",                              # valley
+    "mercury", "choice financial",         # mercury
+    "pacific national", "012620", "acct ending",  # pnb
+    "wells fargo", "wellsfargo",
+    "navigate business checking", "initiate business checking",  # wf
+    "citi",                                # citi (citibusiness/citibank/citi)
+    "truist", "zelle business payment",    # truist
+)
+
 # The reference caps classification input "para performance"
 # (parsers/__init__.py:102); same constant here.
 DETECT_TEXT_CAP = 20_000
@@ -131,6 +154,10 @@ def detect_source(full_text: str) -> str:
     if not full_text:
         return "generic"
     head = full_text[:DETECT_TEXT_CAP]
+    if head.isascii():
+        low = head.lower()
+        if not any(lit in low for lit in _TRIGGER_LITS):
+            return "generic"
     for key, fused in _DETECTION_FUSED:
         if fused.search(head):
             return key

@@ -426,3 +426,45 @@ class TestChaseZipRegressionGoldens:
         recs = run("chase", lines)
         assert [r["amount"] for r in recs] == [a for _, a in self.GOLDENS]
         assert all(r["direction"] == "in" for r in recs)
+
+
+class TestDetectionScreen:
+    """The literal trigger pre-screen must be a SUPERSET of the ordered
+    regex table: any text matching any detection pattern must also hit
+    a trigger, or the screen would misroute that source to generic."""
+
+    @staticmethod
+    def _representative(pat: str) -> str:
+        # the detection patterns are literals modulo \b, \s+ and escapes
+        import re as _re
+
+        rep = _re.sub(r"\\b", "", pat)
+        rep = rep.replace("\\s+", " ").replace("\\.", ".")
+        return rep
+
+    def test_every_pattern_hits_a_trigger(self):
+        from pdf_parser_ray.extractors import (
+            _DETECTION_SPECS,
+            _TRIGGER_LITS,
+            detect_source,
+        )
+
+        for key, pats in _DETECTION_SPECS:
+            for pat in pats:
+                rep = self._representative(pat)
+                low = rep.lower()
+                assert any(lit in low for lit in _TRIGGER_LITS), (key, pat)
+                # end-to-end: a page whose head contains the pattern
+                # still classifies to its source through the screen
+                assert detect_source(f"page header {rep} trailing text") == key
+
+    def test_generic_text_screened_out(self):
+        from pdf_parser_ray.extractors import detect_source
+
+        assert detect_source("spark table join filter group sort " * 50) == "generic"
+
+    def test_non_ascii_text_takes_full_loop(self):
+        from pdf_parser_ray.extractors import detect_source
+
+        # unicode text must still detect (screen bypassed, not misapplied)
+        assert detect_source("Überweisung — Wells Fargo статья") == "wf"
