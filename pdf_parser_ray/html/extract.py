@@ -159,7 +159,12 @@ class _BlockSegmenter(HTMLParser):
         if not self._buf:
             return
         raw = "".join(self._buf)
-        text = _ASCII_WS_RE.sub(" ", raw).strip()
+        if raw.isascii():
+            # identical to the regex path for ASCII (str.split splits on
+            # exactly the ASCII ws set there), at C speed
+            text = " ".join(raw.split())
+        else:
+            text = _ASCII_WS_RE.sub(" ", raw).strip()
         link_chars = self._buf_link_chars
         total_chars = self._buf_total_chars
         self._buf = []
