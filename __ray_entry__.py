@@ -144,7 +144,7 @@ def _extract_dedup(sf_dir: str):
 def queries() -> dict[str, Callable[[str], Any]]:
     from pdf_parser_ray.pipelines import analysis, curate, dedup, relational, similarity
     from pdf_parser_ray.pipelines import filter as filter_ops
-    from pdf_parser_ray.pipelines import multimodal
+    from pdf_parser_ray.pipelines import multimodal, sketch
 
     return {
         # -- extraction flagship (not SQL-expressible: HTML/PDF parse) --
@@ -195,6 +195,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_orders_per_nation": relational.top_orders_per_nation,
         "events_sliding": relational.events_sliding,
         "distinct_users_per_type": relational.distinct_users_per_type,
+        # approximate (mergeable HLL sketch — no SQL hash mirror;
+        # accuracy pinned against exact counts in tests)
+        "approx_distinct_users": sketch.approx_distinct_users,
         # -- multimodal plumbing (stubbed decode, real Ray contract) --
         "media_features": lambda sf_dir: multimodal.media_pipeline(300),
         "frame_sample": lambda sf_dir: multimodal.frame_sample_pipeline(300),

@@ -1,0 +1,67 @@
+"""HyperLogLog mergeable-sketch aggregate: register math pinned against
+an int.bit_length ground truth, accuracy pinned against exact counts,
+and merge associativity (the property the distributed combine relies
+on)."""
+
+import numpy as np
+
+from pdf_parser_ray.pipelines.sketch import (
+    _mix64,
+    hll_accumulate,
+    hll_estimate,
+)
+
+P = 12
+M = 1 << P
+
+
+def _ground_truth_regs(keys: np.ndarray) -> np.ndarray:
+    regs = np.zeros(M, np.uint8)
+    for x in _mix64(keys):
+        idx = int(x) >> (64 - P)
+        rest = (int(x) << P) & ((1 << 64) - 1)
+        lz = 64 - rest.bit_length() if rest else 64
+        regs[idx] = max(regs[idx], min(lz + 1, 64 - P + 1))
+    return regs
+
+
+class TestHLL:
+    def test_vectorized_rank_matches_bit_length(self):
+        rng = np.random.default_rng(3)
+        keys = rng.integers(0, 2**62, 5000, dtype=np.int64)
+        regs = hll_accumulate(np.zeros(M, np.uint8), keys, P)
+        assert np.array_equal(regs, _ground_truth_regs(keys))
+
+    def test_estimate_accuracy(self):
+        # p=12 -> ~1.6% typical relative error; assert a loose 5% bound
+        for n in (100, 1_000, 20_000, 300_000):
+            keys = np.arange(n, dtype=np.int64) * 7919 + 13
+            regs = hll_accumulate(np.zeros(M, np.uint8), keys, P)
+            est = hll_estimate(regs)
+            assert abs(est - n) / n < 0.05, (n, est)
+
+    def test_merge_equals_single_pass(self):
+        rng = np.random.default_rng(7)
+        keys = rng.integers(0, 2**62, 10_000, dtype=np.int64)
+        whole = hll_accumulate(np.zeros(M, np.uint8), keys, P)
+        a = hll_accumulate(np.zeros(M, np.uint8), keys[:3000], P)
+        b = hll_accumulate(np.zeros(M, np.uint8), keys[3000:], P)
+        assert np.array_equal(np.maximum(a, b), whole)
+
+    def test_grouped_aggregate_matches_exact(self, ray_session, quiet_data_context):
+        import duckdb
+
+        from pdf_parser_ray.pipelines.sketch import approx_distinct_users
+
+        got = (
+            approx_distinct_users("/root/testdata/sf0.001")
+            .to_pandas()
+            .set_index("event_type")["n_users_approx"]
+        )
+        exact = duckdb.sql(
+            "SELECT event_type, count(DISTINCT user_id) AS n FROM"
+            " read_parquet('/root/testdata/sf0.001/events.parquet')"
+            " GROUP BY event_type"
+        ).df().set_index("event_type")["n"]
+        for etype, n in exact.items():
+            assert abs(int(got[etype]) - int(n)) / int(n) < 0.05
