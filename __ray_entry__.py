@@ -170,6 +170,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_scrub": filter_ops.pii_scrub,
         "sample_documents": filter_ops.sample_documents,
         "token_histogram": filter_ops.token_histogram,
+        "blocklist_filter": filter_ops.blocklist_filter,
         # -- dedup --
         "exact_dedup": dedup.exact_dedup,
         "minhash_dedup": dedup.minhash_dedup,
@@ -483,6 +484,9 @@ def oracle_sql() -> dict[str, str]:
             " WHERE (doc_id * 2654435761) % 4294967296 * 1000"
             "   < 4294967296 * 200"
             " GROUP BY source"
+        ),
+        "blocklist_filter": (
+            "SELECT doc_id, source FROM documents WHERE doc_id % 17 <> 0"
         ),
         "token_histogram": (
             "SELECT (n_tokens // 10) * 10 AS bucket_lo,"

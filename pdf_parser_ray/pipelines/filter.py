@@ -207,3 +207,40 @@ def token_histogram(sf_dir: str, bucket: int = 10) -> rd.Dataset:
         .groupby("bucket_lo")
         .aggregate(Sum("n_docs", alias_name="n_docs"))
     )
+
+
+# -- blocklist anti-join ------------------------------------------------------
+
+
+def synth_blocklist(sf_dir: str) -> set[int]:
+    """Deterministic stand-in for an external blocklist (every 17th
+    doc_id) — in production this is a parquet/sidecar read.  Small by
+    contract: blocklists are curated, not corpus-scale."""
+    import pyarrow.parquet as pq
+    import os
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    )
+    return {int(d) for d in t.column("doc_id").to_pylist() if d % 17 == 0}
+
+
+def blocklist_filter(sf_dir: str) -> rd.Dataset:
+    """(doc_id, source): the corpus minus blocklisted documents — a
+    broadcast ANTI-join: the (small, curated) blocklist ships once via
+    ray.put and each batch drops members with one vectorized isin;
+    nothing corpus-sized is collected or shuffled."""
+    import numpy as np
+    import ray
+
+    block_ref = ray.put(np.fromiter(synth_blocklist(sf_dir), dtype=np.int64))
+
+    def drop(batch: pa.Table) -> pa.Table:
+        blocked = ray.get(block_ref)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        keep = ~np.isin(ids, blocked)
+        return batch.filter(pa.array(keep))
+
+    return _docs(sf_dir, ["doc_id", "source"]).map_batches(
+        drop, batch_format="pyarrow", zero_copy_batch=True
+    )

@@ -86,6 +86,7 @@ def test_entry_smoke(ray_session, quiet_data_context):
         "curate_documents",
         "knn_lsh",
         "knn_ivf",
+        "approx_distinct_users",
         "media_features",
         "frame_sample",
     ],
