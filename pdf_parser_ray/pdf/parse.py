@@ -1183,8 +1183,18 @@ class _ContentInterpreter:
             elif op == b"TJ" and args:
                 arr = args[-1]
                 if isinstance(arr, list):
-                    text = b"".join(e for e in arr if isinstance(e, bytes))
-                    self._show(text)
+                    # per-element shows with the numeric kerning applied
+                    # between them: a large negative adjustment is how
+                    # real producers encode inter-word spacing, and the
+                    # gap it creates is what assemble_lines turns into a
+                    # space (x_tolerance, pdfplumber semantics); small
+                    # kerning stays below tolerance and concatenates
+                    for e in arr:
+                        if isinstance(e, (bytes, bytearray)):
+                            self._show(bytes(e))
+                        elif isinstance(e, (int, float)):
+                            adv = -float(e) / 1000.0 * (self.size or 12.0)
+                            self.tm = _mat_mul(_translate(adv, 0.0), self.tm)
         except (TypeError, ValueError):
             pass
 

@@ -36,6 +36,19 @@ class TestTextPositioning:
         out = interpret(b"BT /F1 12 Tf 1 0 0 1 72 720 Tm [(con) -20 (cat)] TJ ET")
         assert out == "concat"
 
+    def test_tj_word_space_kerning(self):
+        # real producers encode inter-word gaps as large negative TJ
+        # adjustments (-600/1000 * 12pt = 7.2pt > x_tolerance -> space)
+        out = interpret(
+            b"BT /F1 12 Tf 1 0 0 1 72 720 Tm [(Hello) -600 (World)] TJ ET"
+        )
+        assert out == "Hello World"
+
+    def test_tj_positive_kerning_tightens(self):
+        # positive adjustments move the pen LEFT (tighter); still no space
+        out = interpret(b"BT /F1 12 Tf 1 0 0 1 72 720 Tm [(A) 40 (B)] TJ ET")
+        assert out == "AB"
+
     def test_consecutive_tj_same_line_ordered(self):
         # pen advance keeps x-order without explicit positioning
         out = interpret(b"BT /F1 12 Tf 1 0 0 1 72 720 Tm (left ) Tj (right) Tj ET")
