@@ -45,7 +45,7 @@ _ENCODINGS = ("utf-8", "cp1252", "latin-1", "utf-8")
 _EPOCH_2024_US = 1_704_067_200_000_000  # 2024-01-01T00:00:00Z in microseconds
 
 # bump when generator/statement content changes so cached corpora regenerate
-CORPUS_VERSION = 9
+CORPUS_VERSION = 10
 
 
 def _spans_for_lines(lines: list[str], kinds: list[str]) -> list[dict]:
@@ -158,6 +158,8 @@ _PDF_FORMS = (
     {"encrypt_aes256": True},
     {"encrypt_aes256": True, "objstm": True, "cid_font": True},
     {"encrypt_aes": True, "content_filter": "lzw"},
+    {"form_xobject": True},
+    {"form_xobject": True, "objstm": True},
 )
 
 

@@ -339,6 +339,7 @@ def build_pdf(
     encrypt_aes: bool = False,
     encrypt_aes256: bool = False,
     content_filter: str = "flate",
+    form_xobject: bool = False,
 ) -> bytes:
     """``xref_stream`` writes a PDF 1.5 cross-reference stream instead
     of the classic table; ``objstm`` additionally packs every non-stream
@@ -351,7 +352,10 @@ def build_pdf(
     the V 4 / R 4 crypt-filter form with /CFM /AESV2 (AES-128-CBC), and
     ``encrypt_aes256`` the V 5 / R 6 form (AES-256) — all with empty
     user and owner passwords; ``content_filter`` picks the content
-    stream encoding ("flate" | "lzw" | "rle" | "a85+lzw")."""
+    stream encoding ("flate" | "lzw" | "rle" | "a85+lzw");
+    ``form_xobject`` moves every page's text into a /Subtype /Form
+    XObject invoked by ``Do`` (the real-producer pattern the parser's
+    form execution is tested against)."""
     if objstm:
         xref_stream = True
     enc_mode = (
@@ -383,19 +387,31 @@ def build_pdf(
             b" /Encoding /WinAnsiEncoding >>"
         )
     is_stream_obj = [False, False, False]
+    # form XObjects are appended after the fixed layout (pages, cid
+    # objects); their numbers are computed up front so page dicts can
+    # reference them
+    form_base = 4 + 2 * n_pages + (2 if cid_font else 0)
+    form_bodies: list[bytes] = []
     for i, page_lines in enumerate(pages):
         page_num = 4 + 2 * i
         content_num = page_num + 1
+        resources = b" /Resources << /Font << /F1 3 0 R >>"
+        if form_xobject:
+            resources += b" /XObject << /Fm%d %d 0 R >>" % (i, form_base + i)
+        resources += b" >>"
         objects.append(
             b"<< /Type /Page /Parent 2 0 R"
             b" /MediaBox [0 0 %d %d]" % (PAGE_WIDTH, PAGE_HEIGHT)
-            + b" /Resources << /Font << /F1 3 0 R >> >>"
+            + resources
             + b" /Contents %d 0 R >>" % content_num
         )
         is_stream_obj.append(False)
         body = _content_stream(
             page_lines, font_size, leading, shuffle_order, cid_font
         )
+        if form_xobject:
+            form_bodies.append(body)
+            body = b"q /Fm%d Do Q" % i
         if compress:
             data, filt = _encode_content(body, content_filter)
             head = b"<< /Length %d " % len(data) + filt + b" >>"
@@ -415,6 +431,18 @@ def build_pdf(
         objects.append(
             b"<< /Length %d /Filter /FlateDecode >>" % len(tu)
             + b"\nstream\n" + tu + b"\nendstream"
+        )
+        is_stream_obj.append(True)
+
+    for i, body in enumerate(form_bodies):
+        assert len(objects) + 1 == form_base + i  # numbering invariant
+        data, filt = _encode_content(body, content_filter)
+        objects.append(
+            b"<< /Type /XObject /Subtype /Form /BBox [0 0 %d %d]"
+            % (PAGE_WIDTH, PAGE_HEIGHT)
+            + b" /Resources << /Font << /F1 3 0 R >> >>"
+            + b" /Length %d " % len(data) + filt
+            + b" >>\nstream\n" + data + b"\nendstream"
         )
         is_stream_obj.append(True)
 

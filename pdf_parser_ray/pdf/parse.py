@@ -1012,18 +1012,69 @@ class FontInfo:
 _DEFAULT_FONT = FontInfo()
 
 
-def _page_fonts(doc: "PDFDocument", page: dict) -> dict[str, FontInfo]:
-    """Font name -> FontInfo for a page; /Resources may be inherited
-    from an ancestor /Pages node (walk /Parent)."""
+def _page_resources(doc: "PDFDocument", page: dict) -> dict:
+    """The page's resolved /Resources dict; may be inherited from an
+    ancestor /Pages node (walk /Parent)."""
     node: Any = page
     res: Any = None
     for _ in range(8):
         if not isinstance(node, dict):
             break
         res = doc.resolve(node.get("Resources"))
-        if isinstance(res, dict) and res.get("Font") is not None:
+        if isinstance(res, dict) and (
+            res.get("Font") is not None or res.get("XObject") is not None
+        ):
             break
         node = doc.resolve(node.get("Parent"))
+    return res if isinstance(res, dict) else {}
+
+
+def _form_xobjects(
+    doc: "PDFDocument", res: dict, depth: int = 0
+) -> "dict[str, FormXObject]":
+    """Name -> FormXObject for every /Subtype /Form entry in the
+    resource dict's /XObject (recursing into each form's own resources,
+    capped so reference cycles can't loop)."""
+    if depth > 4 or not isinstance(res, dict):
+        return {}
+    xdict = doc.resolve(res.get("XObject"))
+    if not isinstance(xdict, dict):
+        return {}
+    out: dict[str, FormXObject] = {}
+    for name, ref in xdict.items():
+        xo = doc.resolve(ref)
+        if not isinstance(xo, Stream):
+            continue
+        if str(doc.resolve(xo.attrs.get("Subtype", ""))) != "Form":
+            continue
+        xres = doc.resolve(xo.attrs.get("Resources"))
+        xres = xres if isinstance(xres, dict) else res  # inherit caller's
+        matrix = doc.resolve(xo.attrs.get("Matrix"))
+        mat: Matrix | None = None
+        if isinstance(matrix, list) and len(matrix) == 6:
+            try:
+                mat = tuple(float(v) for v in matrix)  # type: ignore[assignment]
+            except (TypeError, ValueError):
+                mat = None
+        try:
+            content = xo.data(doc)
+        except (PDFSyntaxError, ValueError, zlib.error):
+            continue
+        out[str(name)] = FormXObject(
+            content=content,
+            fonts=_fonts_from_resources(doc, xres),
+            xobjects=_form_xobjects(doc, xres, depth + 1),
+            matrix=mat,
+        )
+    return out
+
+
+def _page_fonts(doc: "PDFDocument", page: dict) -> dict[str, FontInfo]:
+    """Font name -> FontInfo for a page (inherited /Resources)."""
+    return _fonts_from_resources(doc, _page_resources(doc, page))
+
+
+def _fonts_from_resources(doc: "PDFDocument", res: dict) -> dict[str, FontInfo]:
     if not isinstance(res, dict):
         return {}
     fonts = doc.resolve(res.get("Font"))
@@ -1087,6 +1138,17 @@ class TextRun:
     size: float
 
 
+@dataclass
+class FormXObject:
+    """A /Subtype /Form XObject prepared for interpretation: decoded
+    content plus its own resource scope (fonts, nested forms, /Matrix)."""
+
+    content: bytes
+    fonts: "dict[str, FontInfo]"
+    xobjects: "dict[str, FormXObject]"
+    matrix: "Matrix | None"
+
+
 _OP_RE = re.compile(rb"[A-Za-z'\"][A-Za-z0-9*'\"]*")
 
 # average glyph width as a fraction of font size — used only to advance
@@ -1095,7 +1157,11 @@ _AVG_GLYPH_W = 0.5
 
 
 class _ContentInterpreter:
-    def __init__(self, fonts: dict[str, FontInfo] | None = None) -> None:
+    def __init__(
+        self,
+        fonts: dict[str, FontInfo] | None = None,
+        xobjects: "dict[str, FormXObject] | None" = None,
+    ) -> None:
         self.runs: list[TextRun] = []
         self.ctm: Matrix = _IDENTITY
         self._gs_stack: list[Matrix] = []
@@ -1105,6 +1171,35 @@ class _ContentInterpreter:
         self.size = 0.0
         self.fonts = fonts or {}
         self.font: FontInfo = _DEFAULT_FONT
+        self.xobjects = xobjects or {}
+        self._do_depth = 0
+
+    def _do_form(self, name: str) -> None:
+        """Execute a /Subtype /Form XObject (PDF §8.10.1: Do saves the
+        graphics state, concatenates /Matrix, paints the form's content,
+        restores).  Text inside forms is how many real producers emit
+        headers/footers/entire pages."""
+        xo = self.xobjects.get(name)
+        if xo is None or self._do_depth >= 4:
+            return
+        saved = (
+            self.ctm, self.tm, self.tlm, self.leading, self.size,
+            self.font, self.fonts, self.xobjects,
+        )
+        if xo.matrix is not None:
+            self.ctm = _mat_mul(xo.matrix, self.ctm)
+        self.fonts = xo.fonts or self.fonts
+        self.xobjects = xo.xobjects
+        self._do_depth += 1
+        try:
+            self.run(xo.content)
+        except Exception:
+            pass
+        self._do_depth -= 1
+        (
+            self.ctm, self.tm, self.tlm, self.leading, self.size,
+            self.font, self.fonts, self.xobjects,
+        ) = saved
 
     def run(self, content: bytes) -> None:
         lex = _Lexer(content)
@@ -1151,6 +1246,8 @@ class _ContentInterpreter:
             elif op == b"Q":
                 if self._gs_stack:
                     self.ctm = self._gs_stack.pop()
+            elif op == b"Do" and args and isinstance(args[-1], str):
+                self._do_form(str(args[-1]))
             elif op == b"cm" and len(args) >= 6:
                 self.ctm = _mat_mul(tuple(float(v) for v in args[-6:]), self.ctm)
             elif op == b"BT":
@@ -1277,7 +1374,10 @@ def extract_page_texts(data: bytes) -> list[str]:
     doc = parse_document(data)
     texts: list[str] = []
     for page in doc.pages():
-        interp = _ContentInterpreter(_page_fonts(doc, page))
+        res = _page_resources(doc, page)
+        interp = _ContentInterpreter(
+            _fonts_from_resources(doc, res), _form_xobjects(doc, res)
+        )
         try:
             interp.run(_page_content(doc, page))
         except Exception:

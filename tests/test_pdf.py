@@ -489,3 +489,50 @@ class TestFilterAndAESForms:
         # corrupt the tail (likely inside the last stream body)
         data[-400:-380] = b"\x00" * 20
         extract_text(bytes(data))  # must not raise
+
+
+class TestFormXObjects:
+    """Text inside /Subtype /Form XObjects (the Do operator) — many
+    real producers emit headers/footers/entire pages this way."""
+
+    PAGES = TestFilterAndAESForms.PAGES
+
+    def test_form_forms_identical_text(self):
+        from pdf_parser_ray.pdf.parse import extract_text
+
+        base = extract_text(build_pdf(self.PAGES))
+        for kw in (
+            dict(form_xobject=True),
+            dict(form_xobject=True, objstm=True),
+            dict(form_xobject=True, cid_font=True),
+            dict(form_xobject=True, encrypt_aes256=True),
+            dict(form_xobject=True, content_filter="lzw"),
+        ):
+            assert extract_text(build_pdf(self.PAGES, **kw)) == base, kw
+
+    def test_missing_xobject_ignored(self):
+        from pdf_parser_ray.pdf.parse import _ContentInterpreter, assemble_lines
+
+        interp = _ContentInterpreter()
+        interp.run(b"BT /F1 12 Tf 1 0 0 1 72 720 Tm (kept) Tj ET /NoSuch Do")
+        assert assemble_lines(interp.runs) == "kept"
+
+    def test_recursion_depth_capped(self):
+        from pdf_parser_ray.pdf.parse import (
+            FormXObject,
+            _ContentInterpreter,
+            assemble_lines,
+        )
+
+        # a form that invokes itself: must terminate and keep its text
+        xo = FormXObject(
+            content=b"BT /F1 12 Tf 1 0 0 1 72 720 Tm (loop) Tj ET /F Do",
+            fonts={},
+            xobjects={},
+            matrix=None,
+        )
+        xo.xobjects = {"F": xo}
+        interp = _ContentInterpreter(xobjects={"F": xo})
+        interp.run(b"/F Do")
+        text = assemble_lines(interp.runs)
+        assert "loop" in text and len(text) < 100
