@@ -1136,6 +1136,9 @@ class TextRun:
     y: float
     text: str
     size: float
+    # the actual pen advance applied when the run was shown (reflects
+    # char/word spacing and horizontal scaling); None -> estimate
+    width: "float | None" = None
 
 
 @dataclass
@@ -1173,6 +1176,11 @@ class _ContentInterpreter:
         self.font: FontInfo = _DEFAULT_FONT
         self.xobjects = xobjects or {}
         self._do_depth = 0
+        # text state affecting pen advance (PDF 9.3): char spacing (Tc),
+        # word spacing (Tw), horizontal scaling (Tz, stored as /100)
+        self.char_spacing = 0.0
+        self.word_spacing = 0.0
+        self.hscale = 1.0
 
     def _do_form(self, name: str) -> None:
         """Execute a /Subtype /Form XObject (PDF §8.10.1: Do saves the
@@ -1185,6 +1193,7 @@ class _ContentInterpreter:
         saved = (
             self.ctm, self.tm, self.tlm, self.leading, self.size,
             self.font, self.fonts, self.xobjects,
+            self.char_spacing, self.word_spacing, self.hscale,
         )
         if xo.matrix is not None:
             self.ctm = _mat_mul(xo.matrix, self.ctm)
@@ -1199,6 +1208,7 @@ class _ContentInterpreter:
         (
             self.ctm, self.tm, self.tlm, self.leading, self.size,
             self.font, self.fonts, self.xobjects,
+            self.char_spacing, self.word_spacing, self.hscale,
         ) = saved
 
     def run(self, content: bytes) -> None:
@@ -1260,6 +1270,12 @@ class _ContentInterpreter:
                     self.font = self.fonts.get(str(args[-2]), _DEFAULT_FONT)
             elif op == b"TL" and args:
                 self.leading = float(args[-1])
+            elif op == b"Tc" and args:
+                self.char_spacing = float(args[-1])
+            elif op == b"Tw" and args:
+                self.word_spacing = float(args[-1])
+            elif op == b"Tz" and args:
+                self.hscale = float(args[-1]) / 100.0
             elif op == b"Td" and len(args) >= 2:
                 self._td(float(args[-2]), float(args[-1]))
             elif op == b"TD" and len(args) >= 2:
@@ -1290,7 +1306,10 @@ class _ContentInterpreter:
                         if isinstance(e, (bytes, bytearray)):
                             self._show(bytes(e))
                         elif isinstance(e, (int, float)):
-                            adv = -float(e) / 1000.0 * (self.size or 12.0)
+                            adv = (
+                                -float(e) / 1000.0 * (self.size or 12.0)
+                                * self.hscale
+                            )
                             self.tm = _mat_mul(_translate(adv, 0.0), self.tm)
         except (TypeError, ValueError):
             pass
@@ -1306,10 +1325,17 @@ class _ContentInterpreter:
         if not text:
             return
         dev = _mat_mul(self.tm, self.ctm)
-        self.runs.append(TextRun(x=dev[4], y=dev[5], text=text, size=self.size))
         # advance the pen by an approximate width so consecutive shows on
-        # one baseline keep their x-order
-        width = len(text) * (self.size or 12.0) * _AVG_GLYPH_W
+        # one baseline keep their x-order; the run records the same
+        # advance so line assembly measures gaps from true pen positions
+        width = (
+            len(text) * (self.size or 12.0) * _AVG_GLYPH_W
+            + len(text) * self.char_spacing
+            + text.count(" ") * self.word_spacing
+        ) * self.hscale
+        self.runs.append(
+            TextRun(x=dev[4], y=dev[5], text=text, size=self.size, width=width)
+        )
         self.tm = _mat_mul(_translate(width, 0.0), self.tm)
 
 
@@ -1364,7 +1390,11 @@ def assemble_lines(
                 pieces.append(r.text)
             else:
                 pieces.append(r.text)
-            pen_x = r.x + len(r.text) * (r.size or 12.0) * _AVG_GLYPH_W
+            pen_x = r.x + (
+                r.width
+                if r.width is not None
+                else len(r.text) * (r.size or 12.0) * _AVG_GLYPH_W
+            )
         out_lines.append("".join(pieces))
     return "\n".join(out_lines)
 

@@ -83,3 +83,29 @@ class TestTextPositioning:
     def test_malformed_operands_tolerated(self):
         out = interpret(b"BT (noTf) Tj 1 0 0 Tm (bad) garbage ET BT /F1 9 Tf 1 0 0 1 10 10 Tm (ok) Tj ET")
         assert "ok" in out
+
+
+class TestTextState:
+    def test_tw_word_spacing_separates_shows(self):
+        # Tw widens the advance of space-bearing shows; the next show on
+        # the same baseline lands farther right but stays ordered
+        out = interpret(
+            b"BT /F1 12 Tf 8 Tw 1 0 0 1 72 720 Tm (a b ) Tj (c) Tj ET"
+        )
+        assert out.startswith("a b") and out.endswith("c")
+
+    def test_tz_scales_kerning(self):
+        # at 50% horizontal scale the same -600 kerning is only 3.6pt
+        # -> above x_tolerance still (space), but -300 gives 0.9pt (none)
+        wide = interpret(
+            b"BT /F1 12 Tf 50 Tz 1 0 0 1 72 720 Tm [(Hello) -600 (World)] TJ ET"
+        )
+        tight = interpret(
+            b"BT /F1 12 Tf 50 Tz 1 0 0 1 72 720 Tm [(Hello) -300 (World)] TJ ET"
+        )
+        assert wide == "Hello World"
+        assert tight == "HelloWorld"
+
+    def test_tc_only_affects_advance_not_text(self):
+        out = interpret(b"BT /F1 12 Tf 2 Tc 1 0 0 1 72 720 Tm (abc) Tj ET")
+        assert out == "abc"
