@@ -58,9 +58,34 @@ def _cpu_calibration() -> float:
     return time.perf_counter() - t0
 
 
+def _quiet_ray_data_logging() -> None:
+    """Raise the ray.data console handler to ERROR via the documented
+    RAY_DATA_LOGGING_CONFIG hook (plain setLevel doesn't survive the
+    per-dataset logging re-configuration).  Full logs still land in the
+    session's ray-data.log; only driver-console noise (schema-hash /
+    RefBundle-schema warnings, per-dataset INFO) is suppressed so the
+    bench log tail stays readable."""
+    try:
+        import copy
+
+        import yaml
+        from ray.data._internal.logging import DEFAULT_CONFIG
+
+        cfg = copy.deepcopy(DEFAULT_CONFIG)
+        cfg["handlers"]["console"]["level"] = "ERROR"
+        path = os.path.join(CACHE_ROOT, "ray_data_quiet_logging.yaml")
+        os.makedirs(CACHE_ROOT, exist_ok=True)
+        with open(path, "w") as f:
+            yaml.safe_dump(cfg, f)
+        os.environ["RAY_DATA_LOGGING_CONFIG"] = path
+    except Exception:
+        pass  # private-module layout changed: keep default logging
+
+
 def run_bench() -> dict:
     import ray
 
+    _quiet_ray_data_logging()
     ray.init(
         address="local",
         num_cpus=NUM_CPUS,
