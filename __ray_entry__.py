@@ -118,6 +118,15 @@ def _extract_spans(sf_dir: str):
     return ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _url_domain_stats(sf_dir: str):
+    """Per-domain rollup of the extraction output (host, n_pages,
+    total extracted chars) — oracled against the generator goldens, so
+    the driver's hash gate covers extraction volume per domain."""
+    from pdf_parser_ray.pipelines.extract import domain_stats
+
+    return domain_stats(_pages_dir_for(sf_dir), batch_size=32)
+
+
 def _records_by_direction(sf_dir: str):
     from ray.data.aggregate import Count
 
@@ -153,6 +162,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_spans": _extract_spans,
         "records_by_direction": _records_by_direction,
         "extract_dedup": _extract_dedup,
+        "url_domain_stats": _url_domain_stats,
         # -- text analysis (oracle-checked) --
         "token_counts": analysis.token_counts,
         "quality_stats": analysis.quality_stats,
@@ -165,6 +175,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprints": analysis.fingerprints,
         "ngram_stats": analysis.ngram_stats,
         "repetition_stats": analysis.repetition_stats,
+        "unigram_logprob": analysis.unigram_logprob,
         # -- curation filters / sampling --
         "quality_filter": filter_ops.quality_filter,
         "pii_scrub": filter_ops.pii_scrub,
@@ -279,6 +290,12 @@ def _extract_oracle_sql() -> dict[str, str]:
         "extract_dedup": (
             f"SELECT content_sha256, min(url) AS url"
             f" FROM read_parquet('{golden_path}') GROUP BY content_sha256"
+        ),
+        "url_domain_stats": (
+            "SELECT regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,"
+            " CAST(count(*) AS BIGINT) AS n_pages,"
+            " CAST(sum(length(extracted_text)) AS BIGINT) AS total_chars"
+            f" FROM read_parquet('{golden_path}') GROUP BY host"
         ),
     }
 
@@ -496,6 +513,22 @@ def oracle_sql() -> dict[str, str]:
             " GROUP BY bucket_lo"
         ),
         "ngram_stats": _ngram_sql(),
+        "unigram_logprob": (
+            # mirror of analysis.unigram_logprob: integer-micros floor of
+            # ln(count(w)/N) summed per token occurrence (associative)
+            f"WITH w AS (SELECT doc_id, unnest({_WORDS_EXPR}) AS word"
+            "   FROM documents),"
+            " c AS (SELECT word, count(*) AS c FROM w GROUP BY word),"
+            " t AS (SELECT sum(c) AS n FROM c),"
+            " s AS (SELECT w.doc_id, CAST(count(*) AS BIGINT) AS n_words,"
+            "   CAST(sum(CAST(floor(ln(CAST(c.c AS DOUBLE) / t.n) * 1000000)"
+            "     AS BIGINT)) AS BIGINT) AS logprob_micros"
+            "   FROM w JOIN c USING (word) CROSS JOIN t GROUP BY w.doc_id)"
+            " SELECT d.doc_id,"
+            " CAST(coalesce(s.n_words, 0) AS BIGINT) AS n_words,"
+            " CAST(coalesce(s.logprob_micros, 0) AS BIGINT) AS logprob_micros"
+            " FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id"
+        ),
         "repetition_stats": _repetition_sql(),
         "quality_filter": _quality_filter_sql(),
         "pii_scrub": _pii_sql(),

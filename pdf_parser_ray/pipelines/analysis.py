@@ -356,3 +356,73 @@ def direction_classify(sf_dir: str) -> rd.Dataset:
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
         classify, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+# -- unigram language-model scoring -----------------------------------------
+
+
+def unigram_logprob(sf_dir: str) -> rd.Dataset:
+    """(doc_id, n_words, logprob_micros): unigram LM score per document
+    — the sum over token occurrences of floor(ln(count(w)/N) * 1e6),
+    carried as integer micros so the distributed sum is associative and
+    the DuckDB oracle is float-safe (ln and the double division are
+    bit-identical libm ops on both sides; floor avoids the
+    banker's-rounding mismatch between Python round and SQL round).
+
+    Two-phase train-small/score-wide shape: phase 1 fits the unigram
+    table with in-batch partial counts -> vocabulary-keyed groupby (the
+    exchange carries vocab-sized partials, not the token stream); the
+    fitted table — a model artifact, vocab-sized rather than
+    corpus-sized — is broadcast once via ``ray.put`` and every batch is
+    scored against local plasma.  An open-web corpus would cap the
+    table (top-V + OOV floor probability) to bound the broadcast."""
+    import math
+    from collections import Counter
+
+    import ray
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        counts: Counter = Counter()
+        for text in batch.column("text").to_pylist():
+            counts.update(text.split())
+        words = list(counts)
+        return pa.table(
+            {
+                "word": pa.array(words, pa.string()),
+                "n": pa.array([counts[w] for w in words], pa.int64()),
+            }
+        )
+
+    vocab = (
+        _docs(sf_dir, ["text"])
+        .map_batches(partial_counts, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("word")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    total = int(vocab["n"].sum())
+    micros = {
+        w: math.floor(math.log(int(c) / total) * 1e6)
+        for w, c in zip(vocab["word"], vocab["n"])
+    }
+    ref = ray.put(micros)
+
+    def score(batch: pa.Table) -> pa.Table:
+        table = ray.get(ref)
+        n_words, scores = [], []
+        for text in batch.column("text").to_pylist():
+            words = text.split()
+            n_words.append(len(words))
+            c = Counter(words)
+            scores.append(sum(table[w] * k for w, k in c.items()))
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_words": pa.array(n_words, pa.int64()),
+                "logprob_micros": pa.array(scores, pa.int64()),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        score, batch_format="pyarrow", zero_copy_batch=True
+    )

@@ -65,3 +65,57 @@ def extract_dir(
     return build_extraction_pipeline(
         read_pages(pages_dir), concurrency=concurrency, batch_size=batch_size
     )
+
+
+def domain_stats(
+    pages_dir: str, *, batch_size: int = DEFAULT_BATCH_SIZE
+) -> rd.Dataset:
+    """(host, n_pages, total_chars): per-host page counts and extracted
+    main-content volume — the standard per-domain curation rollup
+    (domain blocklists, crawl budgeting, per-site quality triage).
+
+    Scale shape: the host is computed with a vectorized Arrow regex on
+    the ``url`` column, and each batch is collapsed to one partial row
+    per distinct host (Arrow ``group_by``) before the global groupby, so
+    the exchange carries domain-cardinality partials, not
+    page-cardinality rows.  Runs on the extraction output, so the
+    oracle covers the full HTML/PDF extraction path per domain."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        m = pc.extract_regex(
+            batch.column("url"), pattern=r"^[a-z]+://(?P<host>[^/]+)"
+        )
+        hosts = pc.fill_null(pc.struct_field(m, "host"), "")
+        t = pa.table(
+            {
+                "host": hosts,
+                "n_pages": pa.array([1] * len(batch), pa.int64()),
+                "total_chars": pc.cast(
+                    pc.utf8_length(batch.column("extracted_text")), pa.int64()
+                ),
+            }
+        )
+        g = t.group_by("host").aggregate(
+            [("n_pages", "sum"), ("total_chars", "sum")]
+        )
+        return pa.table(
+            {
+                "host": g.column("host"),
+                "n_pages": g.column("n_pages_sum"),
+                "total_chars": g.column("total_chars_sum"),
+            }
+        )
+
+    return (
+        extract_dir(pages_dir, batch_size=batch_size)
+        .select_columns(["url", "extracted_text"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("host")
+        .aggregate(
+            Sum("n_pages", alias_name="n_pages"),
+            Sum("total_chars", alias_name="total_chars"),
+        )
+    )
