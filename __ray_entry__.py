@@ -127,6 +127,14 @@ def _url_domain_stats(sf_dir: str):
     return domain_stats(_pages_dir_for(sf_dir), batch_size=32)
 
 
+def _line_dedup(sf_dir: str):
+    """Corpus-frequent-line (boilerplate) removal over the extraction
+    output; hash-matched end-to-end via md5 of each cleaned page."""
+    from pdf_parser_ray.pipelines.extract import line_dedup
+
+    return line_dedup(_pages_dir_for(sf_dir), batch_size=32)
+
+
 def _records_by_direction(sf_dir: str):
     from ray.data.aggregate import Count
 
@@ -163,6 +171,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "records_by_direction": _records_by_direction,
         "extract_dedup": _extract_dedup,
         "url_domain_stats": _url_domain_stats,
+        "line_dedup": _line_dedup,
         # -- text analysis (oracle-checked) --
         "token_counts": analysis.token_counts,
         "quality_stats": analysis.quality_stats,
@@ -296,6 +305,30 @@ def _extract_oracle_sql() -> dict[str, str]:
             " CAST(count(*) AS BIGINT) AS n_pages,"
             " CAST(sum(length(extracted_text)) AS BIGINT) AS total_chars"
             f" FROM read_parquet('{golden_path}') GROUP BY host"
+        ),
+        "line_dedup": (
+            # mirror of extract.line_dedup (min_count=5): drop lines
+            # appearing >= 5 times corpus-wide, md5 the cleaned page
+            f"WITH g AS (SELECT url, extracted_text"
+            f"   FROM read_parquet('{golden_path}')),"
+            " l AS (SELECT url, i, lines[CAST(i AS INT)] AS line FROM ("
+            "   SELECT url, lines, unnest(range(1, len(lines) + 1)) AS i"
+            "   FROM (SELECT url, string_split(extracted_text, chr(10))"
+            "         AS lines FROM g))),"
+            " c AS (SELECT line, count(*) AS n FROM l GROUP BY line),"
+            " freq AS (SELECT line FROM c WHERE n >= 5),"
+            " k AS (SELECT url, i, line FROM l"
+            "   WHERE line NOT IN (SELECT line FROM freq)),"
+            " agg AS (SELECT url, count(*) AS n_kept,"
+            "   md5(string_agg(line, chr(10) ORDER BY i)) AS clean_md5"
+            "   FROM k GROUP BY url),"
+            " tot AS (SELECT url, count(*) AS n_lines FROM l GROUP BY url)"
+            " SELECT g.url, CAST(tot.n_lines AS BIGINT) AS n_lines,"
+            " CAST(tot.n_lines - coalesce(agg.n_kept, 0) AS BIGINT)"
+            "   AS n_dropped,"
+            " coalesce(agg.clean_md5, md5('')) AS clean_md5"
+            " FROM g JOIN tot USING (url)"
+            " LEFT JOIN agg ON g.url = agg.url"
         ),
     }
 

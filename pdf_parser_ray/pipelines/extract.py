@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from typing import Any
 
+import pyarrow as pa
 import ray.data as rd
 
 from ..stages.extract import ExtractPages, extract_batch
@@ -80,7 +81,6 @@ def domain_stats(
     the exchange carries domain-cardinality partials, not
     page-cardinality rows.  Runs on the extraction output, so the
     oracle covers the full HTML/PDF extraction path per domain."""
-    import pyarrow as pa
     import pyarrow.compute as pc
     from ray.data.aggregate import Sum
 
@@ -118,4 +118,95 @@ def domain_stats(
             Sum("n_pages", alias_name="n_pages"),
             Sum("total_chars", alias_name="total_chars"),
         )
+    )
+
+
+def line_dedup(
+    pages_dir: str,
+    *,
+    min_count: int = 5,
+    batch_size: int = DEFAULT_BATCH_SIZE,
+) -> rd.Dataset:
+    """(url, n_lines, n_dropped, clean_md5): corpus-frequent-line
+    removal over the extraction output — the CCNet/RefinedWeb-style
+    pass that strips boilerplate lines (page headers, section banners,
+    nav remnants) appearing ``>= min_count`` times corpus-wide, and
+    fingerprints each page's cleaned text with md5 so the oracle can
+    hash-match the full result.
+
+    Two-pass shape: the narrow (url, extracted_text) projection is
+    persisted ONCE (object-store-backed, spills under pressure — the
+    single-node analogue of writing the extracted parquet and reading
+    it twice; the payload is never re-extracted).  Pass 1 collapses
+    each batch to per-distinct-line partial counts before the groupby
+    (the exchange carries line-vocabulary partials), and only the
+    frequent tail — boilerplate-cardinality, 24 lines at sf0.01, not
+    corpus-cardinality — is collected and broadcast via ``ray.put``.
+    Pass 2 drops those lines per page with a local set probe."""
+    import hashlib
+    from collections import Counter
+
+    import ray
+    from ray.data.aggregate import Sum
+
+    extracted = (
+        extract_dir(pages_dir, batch_size=batch_size)
+        .select_columns(["url", "extracted_text"])
+        .materialize()
+    )
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        counts: Counter = Counter()
+        for text in batch.column("extracted_text").to_pylist():
+            counts.update(text.split("\n"))
+        lines = list(counts)
+        return pa.table(
+            {
+                "line": pa.array(lines, pa.string()),
+                "n": pa.array([counts[ln] for ln in lines], pa.int64()),
+            }
+        )
+
+    def keep_frequent(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.filter(pc.greater_equal(batch.column("n"), min_count))
+
+    frequent = set(
+        (
+            extracted.map_batches(
+                partial_counts, batch_format="pyarrow", zero_copy_batch=True
+            )
+            .groupby("line")
+            .aggregate(Sum("n", alias_name="n"))
+            .map_batches(
+                keep_frequent, batch_format="pyarrow", zero_copy_batch=True
+            )
+            .to_pandas()["line"]
+        )
+    )
+    ref = ray.put(frequent)
+
+    def scrub(batch: pa.Table) -> pa.Table:
+        drop = ray.get(ref)
+        n_lines, n_dropped, digests = [], [], []
+        for text in batch.column("extracted_text").to_pylist():
+            lines = text.split("\n")
+            kept = [ln for ln in lines if ln not in drop]
+            n_lines.append(len(lines))
+            n_dropped.append(len(lines) - len(kept))
+            digests.append(
+                hashlib.md5("\n".join(kept).encode("utf-8")).hexdigest()
+            )
+        return pa.table(
+            {
+                "url": batch.column("url"),
+                "n_lines": pa.array(n_lines, pa.int64()),
+                "n_dropped": pa.array(n_dropped, pa.int64()),
+                "clean_md5": pa.array(digests, pa.string()),
+            }
+        )
+
+    return extracted.map_batches(
+        scrub, batch_format="pyarrow", zero_copy_batch=True
     )
