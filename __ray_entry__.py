@@ -185,6 +185,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_stats": analysis.ngram_stats,
         "repetition_stats": analysis.repetition_stats,
         "unigram_logprob": analysis.unigram_logprob,
+        "bpe_token_counts": analysis.bpe_token_counts,
         # -- curation filters / sampling --
         "quality_filter": filter_ops.quality_filter,
         "pii_scrub": filter_ops.pii_scrub,
@@ -464,6 +465,21 @@ def _pii_sql() -> str:
     )
 
 
+def _bpe_token_sql() -> str:
+    """Mirror of analysis.bpe_token_counts: DuckDB's RE2 and Arrow's RE2
+    scan the same pattern leftmost-first, so the match counts agree."""
+    from pdf_parser_ray.pipelines.analysis import BPE_TOKEN_PATTERN
+
+    # standard SQL literals pass backslashes through untouched; only the
+    # quote needs doubling
+    pat = BPE_TOKEN_PATTERN.replace("'", "''")
+    return (
+        "SELECT doc_id,"
+        f" CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT)"
+        " AS n_bpe_tokens FROM documents"
+    )
+
+
 def _fingerprint_sql() -> str:
     """Mirror of analysis.rolling_fingerprint: min over all 8-char
     windows of the polynomial hash sum_k ord(char_{i+k}) * BASE^(7-k)
@@ -546,6 +562,7 @@ def oracle_sql() -> dict[str, str]:
             " GROUP BY bucket_lo"
         ),
         "ngram_stats": _ngram_sql(),
+        "bpe_token_counts": _bpe_token_sql(),
         "unigram_logprob": (
             # mirror of analysis.unigram_logprob: integer-micros floor of
             # ln(count(w)/N) summed per token occurrence (associative)

@@ -358,6 +358,39 @@ def direction_classify(sf_dir: str) -> rd.Dataset:
     )
 
 
+# -- BPE-style sub-word token counting --------------------------------------
+
+# GPT-2-style pre-tokenizer, restricted to constructs with identical
+# semantics in Python re, Arrow's RE2, and DuckDB's RE2 (no lookahead,
+# no unicode property classes — the synthetic corpus is ASCII; all
+# three engines scan leftmost-first non-overlapping, verified in
+# tests/test_oracle.py via the bpe_token_counts hash match)
+BPE_TOKEN_PATTERN = (
+    r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+"
+)
+
+
+def bpe_token_counts(sf_dir: str) -> rd.Dataset:
+    """(doc_id, n_bpe_tokens): sub-word token counts under a GPT-2-style
+    pre-tokenizer split — the standard training-data budget unit (a
+    closer proxy for LLM token cost than whitespace words).  One
+    vectorized Arrow regex-count kernel per batch, no per-row Python."""
+    import pyarrow.compute as pc
+
+    def count(batch: pa.Table) -> pa.Table:
+        n = pc.count_substring_regex(batch.column("text"), BPE_TOKEN_PATTERN)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_bpe_tokens": pc.cast(n, pa.int64()),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        count, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
 # -- unigram language-model scoring -----------------------------------------
 
 
