@@ -198,6 +198,18 @@ def run_bench() -> dict:
     timed("quality_filter", filter_ops.quality_filter)
     timed("ngram_stats", analysis.ngram_stats)
     timed("error_attribution", relational.error_attribution)
+    timed("bpe_token_counts", analysis.bpe_token_counts)
+    timed("unigram_logprob", analysis.unigram_logprob)
+
+    from pdf_parser_ray.pipelines.extract import domain_stats, line_dedup
+
+    for name, make_pages in (
+        ("url_domain_stats", domain_stats),
+        ("line_dedup", line_dedup),
+    ):
+        t = time.perf_counter()
+        make_pages(pages_dir, batch_size=BATCH_SIZE).count()
+        timings[name] = time.perf_counter() - t
 
     ray.shutdown()
 
