@@ -45,7 +45,7 @@ _ENCODINGS = ("utf-8", "cp1252", "latin-1", "utf-8")
 _EPOCH_2024_US = 1_704_067_200_000_000  # 2024-01-01T00:00:00Z in microseconds
 
 # bump when generator/statement content changes so cached corpora regenerate
-CORPUS_VERSION = 10
+CORPUS_VERSION = 11
 
 
 def _spans_for_lines(lines: list[str], kinds: list[str]) -> list[dict]:
@@ -136,10 +136,11 @@ def _html_page(
 
 # cycle of writer forms — classic PDF 1.4, bare xref stream,
 # ObjStm-packed, ObjStm+PNG-predictor, CID/Type0 font,
-# CID+ObjStm+predictor combined, RC4/AES-128/AES-256 encryption, and
-# LZW / RunLength / ASCII85+LZW content filters — so the fixture corpus
-# exercises every cross-reference, text-encoding, filter and
-# security-handler form the parser supports, end-to-end through the Ray
+# CID+ObjStm+predictor combined, RC4/AES-128/AES-256 encryption,
+# LZW / RunLength / ASCII85+LZW content filters, form XObjects, and
+# /Rotate 90/270 pages — so the fixture corpus exercises every
+# cross-reference, text-encoding, filter, security-handler and page-
+# orientation form the parser supports, end-to-end through the Ray
 # pipeline and the driver oracle
 _PDF_FORMS = (
     {},
@@ -160,6 +161,8 @@ _PDF_FORMS = (
     {"encrypt_aes": True, "content_filter": "lzw"},
     {"form_xobject": True},
     {"form_xobject": True, "objstm": True},
+    {"rotate": 90},
+    {"rotate": 270, "objstm": True},
 )
 
 

@@ -340,6 +340,7 @@ def build_pdf(
     encrypt_aes256: bool = False,
     content_filter: str = "flate",
     form_xobject: bool = False,
+    rotate: int = 0,
 ) -> bytes:
     """``xref_stream`` writes a PDF 1.5 cross-reference stream instead
     of the classic table; ``objstm`` additionally packs every non-stream
@@ -355,7 +356,17 @@ def build_pdf(
     stream encoding ("flate" | "lzw" | "rle" | "a85+lzw");
     ``form_xobject`` moves every page's text into a /Subtype /Form
     XObject invoked by ``Do`` (the real-producer pattern the parser's
-    form execution is tested against)."""
+    form execution is tested against); ``rotate`` (90/180/270) writes
+    /Rotate on each page and pre-rotates the content with the inverse
+    ``cm`` so the page displays upright — extracted text must come out
+    identical to the unrotated form."""
+    pre_rotate = {
+        0: b"",
+        # inverse of the viewer rotation: layout -> device
+        90: b"q 0 1 -1 0 %d 0 cm " % PAGE_WIDTH,
+        180: b"q -1 0 0 -1 %d %d cm " % (PAGE_WIDTH, PAGE_HEIGHT),
+        270: b"q 0 -1 1 0 0 %d cm " % PAGE_HEIGHT,
+    }[rotate]
     if objstm:
         xref_stream = True
     enc_mode = (
@@ -402,6 +413,7 @@ def build_pdf(
         objects.append(
             b"<< /Type /Page /Parent 2 0 R"
             b" /MediaBox [0 0 %d %d]" % (PAGE_WIDTH, PAGE_HEIGHT)
+            + (b" /Rotate %d" % rotate if rotate else b"")
             + resources
             + b" /Contents %d 0 R >>" % content_num
         )
@@ -412,6 +424,8 @@ def build_pdf(
         if form_xobject:
             form_bodies.append(body)
             body = b"q /Fm%d Do Q" % i
+        if pre_rotate:
+            body = pre_rotate + body + b" Q"
         if compress:
             data, filt = _encode_content(body, content_filter)
             head = b"<< /Length %d " % len(data) + filt + b" >>"

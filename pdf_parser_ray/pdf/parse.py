@@ -1164,9 +1164,12 @@ class _ContentInterpreter:
         self,
         fonts: dict[str, FontInfo] | None = None,
         xobjects: "dict[str, FormXObject] | None" = None,
+        base_ctm: Matrix | None = None,
     ) -> None:
         self.runs: list[TextRun] = []
-        self.ctm: Matrix = _IDENTITY
+        # base_ctm seeds device space (e.g. the /Rotate derotation); cm
+        # multiplies onto it, q/Q save/restore above it
+        self.ctm: Matrix = base_ctm if base_ctm is not None else _IDENTITY
         self._gs_stack: list[Matrix] = []
         self.tm: Matrix = _IDENTITY
         self.tlm: Matrix = _IDENTITY
@@ -1399,6 +1402,44 @@ def assemble_lines(
     return "\n".join(out_lines)
 
 
+def _page_attr(doc: "PDFDocument", page: dict, key: str) -> Any:
+    """Resolve an inheritable page attribute (/Rotate, /MediaBox) by
+    walking /Parent (PDF §7.7.3.4)."""
+    node: Any = page
+    for _ in range(8):
+        if not isinstance(node, dict):
+            break
+        v = doc.resolve(node.get(key))
+        if v is not None:
+            return v
+        node = doc.resolve(node.get("Parent"))
+    return None
+
+
+def _rotation_ctm(doc: "PDFDocument", page: dict) -> Matrix:
+    """Base CTM undoing the page's /Rotate so text runs come out in
+    reader orientation (a 90/180/270 viewer rotation would otherwise
+    turn columns into rows for the y-then-x line assembler); identity
+    for unrotated pages."""
+    try:
+        rot = int(_page_attr(doc, page, "Rotate") or 0) % 360
+    except (TypeError, ValueError):
+        return _IDENTITY
+    if rot not in (90, 180, 270):
+        return _IDENTITY
+    box = _page_attr(doc, page, "MediaBox")
+    try:
+        x0, y0, x1, y1 = (float(doc.resolve(v)) for v in box)
+        w, h = x1 - x0, y1 - y0
+    except (TypeError, ValueError):
+        w, h = 612.0, 792.0  # letter default
+    if rot == 90:  # viewer rotates CW: reader = (y, w - x)
+        return (0.0, -1.0, 1.0, 0.0, 0.0, w)
+    if rot == 180:  # reader = (w - x, h - y)
+        return (-1.0, 0.0, 0.0, -1.0, w, h)
+    return (0.0, 1.0, -1.0, 0.0, h, 0.0)  # 270: reader = (h - y, x)
+
+
 def extract_page_texts(data: bytes) -> list[str]:
     """PDF bytes -> per-page layout-ordered text."""
     doc = parse_document(data)
@@ -1406,7 +1447,9 @@ def extract_page_texts(data: bytes) -> list[str]:
     for page in doc.pages():
         res = _page_resources(doc, page)
         interp = _ContentInterpreter(
-            _fonts_from_resources(doc, res), _form_xobjects(doc, res)
+            _fonts_from_resources(doc, res),
+            _form_xobjects(doc, res),
+            base_ctm=_rotation_ctm(doc, page),
         )
         try:
             interp.run(_page_content(doc, page))

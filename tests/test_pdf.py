@@ -536,3 +536,43 @@ class TestFormXObjects:
         interp.run(b"/F Do")
         text = assemble_lines(interp.runs)
         assert "loop" in text and len(text) < 100
+
+
+class TestRotatedPages:
+    """/Rotate 90/180/270 pages (scanned-statement orientation): the
+    builder pre-rotates content so the page displays upright; the
+    parser must undo the rotation or the y-then-x line assembler would
+    read columns as rows."""
+
+    PAGES = TestFilterAndAESForms.PAGES
+
+    def test_rotations_identical_text(self):
+        base = extract_page_texts(build_pdf(self.PAGES))
+        for rot in (90, 180, 270):
+            assert extract_page_texts(build_pdf(self.PAGES, rotate=rot)) == base, rot
+
+    def test_rotate_composes_with_other_forms(self):
+        base = extract_page_texts(build_pdf(self.PAGES))
+        for kw in (
+            dict(rotate=90, objstm=True),
+            dict(rotate=270, cid_font=True),
+            dict(rotate=90, form_xobject=True),
+            dict(rotate=180, encrypt_aes=True),
+        ):
+            assert extract_page_texts(build_pdf(self.PAGES, **kw)) == base, kw
+
+    def test_rotate_inherited_from_pages_node(self):
+        # /Rotate on the /Pages parent, not the page: §7.7.3.4 inheritance
+        data = build_pdf(self.PAGES, rotate=90, compress=False)
+        moved = data.replace(b" /Rotate 90", b"").replace(
+            b"/Type /Pages /Kids", b"/Type /Pages /Rotate 90 /Kids"
+        )
+        assert b"/Rotate 90 /Kids" in moved
+        assert extract_page_texts(moved) == extract_page_texts(build_pdf(self.PAGES))
+
+    def test_bogus_rotate_value_tolerated(self):
+        data = build_pdf(self.PAGES)
+        broken = data.replace(
+            b"/Type /Page /Parent 2 0 R", b"/Type /Page /Rotate /Bad /Parent 2 0 R"
+        )
+        assert extract_page_texts(broken) == extract_page_texts(data)
