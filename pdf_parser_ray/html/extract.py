@@ -199,17 +199,32 @@ def segment_blocks_stdlib(html_text: str) -> list[Block]:
 
 # -- fast tokenizer path ----------------------------------------------------
 
-# One scan over the markup: tags with quoted-attribute awareness; raw-text
-# elements (script/style/...) are skipped wholesale with a single find.
-_TAG_RE = re.compile(
-    r"""<(?:
-        (?P<end>/)?(?P<name>[a-zA-Z][a-zA-Z0-9:-]*)      # opening/closing tag
-        (?P<attrs>(?:"[^"]*"|'[^']*'|[^>"'])*)           # attrs, quote-aware
-        |(?P<bang>![^>]*)                                # <!doctype, <!--
-        |(?P<pi>\?[^>]*)                                 # processing instr.
-    )>""",
+# One scan over the markup; raw-text elements (script/style/...) are
+# skipped wholesale with a single find.
+#
+# The start-tag regex is deliberately CONSERVATIVE: it matches only
+# clean, well-formed tags (name, space-separated attrs, quotes only as
+# `=`-introduced values).  Wherever it matches, html.parser's tolerant
+# machinery (tagfind_tolerant / locatestarttagend_tolerant) provably
+# parses the identical span to the identical (name, end) — every
+# component below is a subset of the stdlib pattern.  Anything weirder
+# (`<P<p>`, quotes in attr names, unclosed quotes, `<![`) bails out to
+# segment_blocks_stdlib for the WHOLE document, so garbage markup gets
+# exact stdlib semantics instead of a divergent guess.
+_CLEAN_START = re.compile(
+    r"""<(?P<name>[a-zA-Z][a-zA-Z0-9:_-]*)       # clean tag name
+    (?P<attrs>(?:\s+[^\s/>=\x00"'<]+             # space + clean attr name
+        (?:\s*=\s*(?:"[^"]*"|'[^']*'             # = then quoted value
+            |(?!["'])[^>\s]*))?                  # ... or bare value
+    )*\s*)
+    (?P<selfclose>/?)>""",                       # "/" ONLY directly before ">"
     re.VERBOSE | re.DOTALL,
 )
+# stdlib html.parser's endtagfind / tagfind_tolerant, replicated so the
+# fast end-tag path walks the exact decision ladder parse_endtag does
+_ENDTAG_STRICT = re.compile(r"</\s*([a-zA-Z][-.a-zA-Z0-9:_]*)\s*>")
+_NAME_TOLERANT = re.compile(r"([a-zA-Z][^\t\n\r\f />\x00]*)(?:\s|/(?!>))*")
+_COMMENT_CLOSE = re.compile(r"--\s*>")
 _RAWTEXT_CLOSERS = {
     t: re.compile(rf"</{t}\s*>", re.IGNORECASE)
     for t in ("script", "style", "noscript", "template", "svg", "iframe",
@@ -220,7 +235,7 @@ _RAWTEXT_CLOSERS = {
 def segment_blocks_fast(html_text: str) -> list[Block]:
     """Fast single-pass tokenizer producing the same blocks as
     :func:`segment_blocks_stdlib` (differential-tested on the golden
-    corpus).  ~3-4x faster than html.parser: raw-text subtrees are
+    corpus).  ~2-4x faster than html.parser: raw-text subtrees are
     skipped with one ``find`` instead of being tokenized, and entity
     decoding runs only on text runs that actually contain ``&``."""
     seg = _BlockSegmenter()
@@ -238,24 +253,81 @@ def segment_blocks_fast(html_text: str) -> list[Block]:
         if lt > pos:
             text = html_text[pos:lt]
             emit(unescape(text) if "&" in text else text)
-        if html_text.startswith("<!--", lt):
-            end = find("-->", lt + 4)
-            pos = n if end < 0 else end + 3
+        c = html_text[lt + 1 : lt + 2]
+        if c == "!":
+            if html_text.startswith("<!--", lt):
+                m = _COMMENT_CLOSE.search(html_text, lt + 4)
+                if m:
+                    pos = m.end()
+                    continue
+                # unterminated comment: stdlib's goahead() EOF recovery
+                # emits "<!-- ... >" (to the first ">", else to the next
+                # "<") as DATA and resumes after it
+                gt = find(">", lt + 1)
+                if gt >= 0:
+                    text = html_text[lt : gt + 1]
+                    emit(unescape(text) if "&" in text else text)
+                    pos = gt + 1
+                else:
+                    emit("<")
+                    pos = lt + 1
+                continue
+            if html_text.startswith("<![", lt):
+                # marked section (<![CDATA[ / <![if ...) closes at "]]>",
+                # not ">" — rare; take the exact-semantics path
+                return segment_blocks_stdlib(html_text)
+            # <!doctype ...> / bogus comment <!x...>: eat through ">"
+            gt = find(">", lt + 2)
+            if gt >= 0:
+                pos = gt + 1
+            else:
+                emit("<")
+                pos = lt + 1
             continue
-        m = _TAG_RE.match(html_text, lt)
-        if not m:
+        if c == "?":
+            # processing instruction: eat through the first ">"
+            gt = find(">", lt + 2)
+            if gt >= 0:
+                pos = gt + 1
+            else:
+                emit("<")
+                pos = lt + 1
+            continue
+        if c == "/":
+            # mirror html.parser parse_endtag's decision ladder
+            if find(">", lt + 1) < 0:
+                emit("<")
+                pos = lt + 1
+                continue
+            m = _ENDTAG_STRICT.match(html_text, lt)
+            if m:
+                seg.handle_endtag(m.group(1).lower())
+                pos = m.end()
+                continue
+            m = _NAME_TOLERANT.match(html_text, lt + 2)
+            if m:
+                # junk between name and ">" is skipped, exactly as stdlib
+                seg.handle_endtag(m.group(1).lower())
+                pos = find(">", m.end()) + 1
+                continue
+            if html_text.startswith("</>", lt):
+                pos = lt + 3
+                continue
+            # "</" + non-letter: bogus comment, eat through ">"
+            pos = find(">", lt + 2) + 1
+            continue
+        if not c.isalpha() or not c.isascii():
             emit("<")
             pos = lt + 1
             continue
+        m = _CLEAN_START.match(html_text, lt)
+        if not m:
+            # tolerant-parser territory — hand the whole document to the
+            # stdlib oracle rather than guess
+            return segment_blocks_stdlib(html_text)
         pos = m.end()
-        name = m.group("name")
-        if not name:  # doctype / PI — ignore
-            continue
-        name = name.lower()
-        if m.group("end"):
-            seg.handle_endtag(name)
-            continue
-        self_closing = (m.group("attrs") or "").rstrip().endswith("/")
+        name = m.group("name").lower()
+        self_closing = bool(m.group("selfclose"))
         if name in _RAWTEXT_CLOSERS and not self_closing:
             closer = _RAWTEXT_CLOSERS[name].search(html_text, pos)
             # the subtree is invisible: skip its content wholesale
