@@ -604,6 +604,11 @@ def embedding_dedup(sf_dir: str, threshold_millis: int = 990) -> rd.Dataset:
 
     def clone_and_bucket(batch: pa.Table) -> pa.Table:
         ids = batch.column("vec_id").to_pylist()
+        if ids and max(ids) >= NEAR_DUP_ID_OFFSET:
+            raise ValueError(
+                f"vec_id >= NEAR_DUP_ID_OFFSET ({NEAR_DUP_ID_OFFSET}): clone ids"
+                " would collide; raise the offset or use an is_clone column"
+            )
         vecs = np.array(batch.column("embedding").to_pylist(), dtype=np.float32)
         out_ids, out_vecs = list(ids), list(vecs)
         for i, v in zip(ids, vecs):
