@@ -15,6 +15,8 @@ import re
 
 import pyarrow as pa
 import ray.data as rd
+
+from .io_util import read_parquet_clean
 from ray.data.aggregate import Count, Sum
 
 from ..functions.directions import classify_direction
@@ -26,7 +28,7 @@ def _docs(sf_dir: str, columns: list[str]) -> rd.Dataset:
     from .dedup import _blocks_for
 
     path = os.path.join(sf_dir, "documents.parquet")
-    return rd.read_parquet(
+    return read_parquet_clean(
         path, columns=columns, override_num_blocks=_blocks_for(path)
     )
 

@@ -34,6 +34,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray.data as rd
+
+from .io_util import read_parquet_clean, strip_schema_metadata
 from ray.data.aggregate import Min
 
 NEAR_DUP_ID_OFFSET = 10_000_000
@@ -57,7 +59,7 @@ def _blocks_for(path: str, per_block: int = 16 << 20, floor: int = 8) -> int:
 
 def _docs(sf_dir: str, columns: list[str]) -> rd.Dataset:
     path = os.path.join(sf_dir, "documents.parquet")
-    return rd.read_parquet(
+    return read_parquet_clean(
         path, columns=columns, override_num_blocks=_blocks_for(path)
     )
 
@@ -230,9 +232,13 @@ def _bucket_join_verify(
     def add_pair_coarse(batch: pa.Table) -> pa.Table:
         a = batch.column("doc_id_a").to_numpy(zero_copy_only=False)
         b = batch.column("doc_id_b").to_numpy(zero_copy_only=False)
-        return batch.append_column(
-            "coarse",
-            pa.array(((a * 1_000_003 + b) % _COARSE_BUCKETS).astype(np.int32)),
+        # strip the b'pandas' metadata the upstream pandas map_groups
+        # re-injected — unhashable schemas defeat reduce-side dedup
+        return strip_schema_metadata(
+            batch.append_column(
+                "coarse",
+                pa.array(((a * 1_000_003 + b) % _COARSE_BUCKETS).astype(np.int32)),
+            )
         )
 
     def verify_group(g: pd.DataFrame) -> pd.DataFrame:
@@ -306,8 +312,10 @@ def _coarse_candidate_pairs(ds: rd.Dataset, key_cols: list[str]) -> rd.Dataset:
 
     def add_coarse(batch: pa.Table) -> pa.Table:
         h = batch.column("band_hash").to_numpy(zero_copy_only=False)
-        return batch.append_column(
-            "coarse", pa.array((h % _COARSE_BUCKETS).astype(np.int32))
+        return strip_schema_metadata(
+            batch.append_column(
+                "coarse", pa.array((h % _COARSE_BUCKETS).astype(np.int32))
+            )
         )
 
     def pairs_in_coarse(g: pd.DataFrame) -> pd.DataFrame:
@@ -345,9 +353,11 @@ def _dedup_pairs(
     def add_coarse(batch: pa.Table) -> pa.Table:
         a = batch.column(id_a).to_numpy(zero_copy_only=False)
         b = batch.column(id_b).to_numpy(zero_copy_only=False)
-        return batch.append_column(
-            "coarse",
-            pa.array(((a * 1_000_003 + b) % _COARSE_BUCKETS).astype(np.int32)),
+        return strip_schema_metadata(
+            batch.append_column(
+                "coarse",
+                pa.array(((a * 1_000_003 + b) % _COARSE_BUCKETS).astype(np.int32)),
+            )
         )
 
     def dd(g: pd.DataFrame) -> pd.DataFrame:
@@ -513,8 +523,10 @@ def simhash_dedup(sf_dir: str, max_hamming: int = 6) -> rd.Dataset:
 
     def add_coarse(batch: pa.Table) -> pa.Table:
         h = batch.column("band_hash").to_numpy(zero_copy_only=False)
-        return batch.append_column(
-            "coarse", pa.array((h % _COARSE_BUCKETS).astype(np.int32))
+        return strip_schema_metadata(
+            batch.append_column(
+                "coarse", pa.array((h % _COARSE_BUCKETS).astype(np.int32))
+            )
         )
 
     def pairs_in_coarse(g: pd.DataFrame) -> pd.DataFrame:
@@ -656,7 +668,7 @@ def embedding_dedup(sf_dir: str, threshold_millis: int = 990) -> rd.Dataset:
             }
         )
 
-    ds = rd.read_parquet(
+    ds = read_parquet_clean(
         emb_path,
         columns=["vec_id", "embedding"],
         override_num_blocks=_blocks_for(emb_path),

@@ -21,6 +21,8 @@ from typing import Any
 import pyarrow as pa
 import ray.data as rd
 
+from .io_util import read_parquet_clean
+
 from ..stages.extract import ExtractPages, extract_batch
 
 PAGES_COLUMNS = ["url", "warc_ts", "html", "text", "lang"]
@@ -28,7 +30,7 @@ DEFAULT_BATCH_SIZE = 64
 
 
 def read_pages(paths: str | list[str], **read_kwargs: Any) -> rd.Dataset:
-    return rd.read_parquet(paths, columns=PAGES_COLUMNS, **read_kwargs)
+    return read_parquet_clean(paths, columns=PAGES_COLUMNS, **read_kwargs)
 
 
 def build_extraction_pipeline(

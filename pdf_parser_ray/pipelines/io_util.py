@@ -1,0 +1,35 @@
+"""Shared parquet-read helper.
+
+Parquet files written through pandas carry a ``b'pandas'`` entry in the
+schema metadata.  pyarrow schemas holding dict metadata are unhashable,
+which defeats Ray Data's schema deduplication in every shuffle reduce
+(``transform_pyarrow.unify_schemas`` logs "Failed to hash the schemas
+(for deduplication)" per reduce task and falls back to a linear unify)
+and spams worker logs.  Stripping the metadata right at the read — a
+zero-copy ``replace_schema_metadata`` over whole blocks, fused by Ray
+into the ReadParquet operator — fixes both, and costs nothing: the
+pandas index-reconstruction hints the metadata carries are meaningless
+for Arrow-native pipelines.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import ray.data as rd
+
+
+def strip_schema_metadata(batch: pa.Table) -> pa.Table:
+    if batch.schema.metadata:
+        return batch.replace_schema_metadata(None)
+    return batch
+
+
+def read_parquet_clean(paths, **read_kwargs) -> rd.Dataset:
+    """``ray.data.read_parquet`` with schema metadata stripped from every
+    block (fused map; ``batch_size=None`` = one zero-copy call per block)."""
+    return rd.read_parquet(paths, **read_kwargs).map_batches(
+        strip_schema_metadata,
+        batch_format="pyarrow",
+        batch_size=None,
+        zero_copy_batch=True,
+    )

@@ -16,6 +16,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
+
+from .io_util import read_parquet_clean
 from ray.data.aggregate import Count, Max, Min, Sum
 
 
@@ -23,7 +25,7 @@ def _t(sf_dir: str, name: str, columns: list[str] | None = None) -> rd.Dataset:
     from .dedup import _blocks_for
 
     path = os.path.join(sf_dir, f"{name}.parquet")
-    return rd.read_parquet(
+    return read_parquet_clean(
         path, columns=columns, override_num_blocks=_blocks_for(path)
     )
 
@@ -200,7 +202,7 @@ def orders_filtered(sf_dir: str, min_price: float = 150_000.0) -> rd.Dataset:
     """(o_orderpriority, n): big-order count per priority with the
     predicate pushed into the parquet read (row-group pruning + filter at
     the scan — "prune at the read"; only two columns leave storage)."""
-    ds = rd.read_parquet(
+    ds = read_parquet_clean(
         os.path.join(sf_dir, "orders.parquet"),
         columns=["o_orderpriority", "o_totalprice"],
         filter=(pc.field("o_totalprice") > min_price),

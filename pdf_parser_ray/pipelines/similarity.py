@@ -26,6 +26,8 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 import ray.data as rd
 
+from .io_util import read_parquet_clean
+
 from .dedup import _blocks_for
 
 
@@ -71,7 +73,7 @@ def knn_cosine(sf_dir: str, query_vec_id: int = 0, k: int = 10) -> rd.Dataset:
         )
 
     emb_path = os.path.join(sf_dir, "embeddings.parquet")
-    ds = rd.read_parquet(
+    ds = read_parquet_clean(
         emb_path,
         columns=["vec_id", "embedding"],
         override_num_blocks=_blocks_for(emb_path),
@@ -125,7 +127,7 @@ def knn_lsh(sf_dir: str, query_vec_id: int = 0, k: int = 10) -> rd.Dataset:
         )
 
     emb_path = os.path.join(sf_dir, "embeddings.parquet")
-    ds = rd.read_parquet(
+    ds = read_parquet_clean(
         emb_path,
         columns=["vec_id", "embedding"],
         override_num_blocks=_blocks_for(emb_path),
@@ -153,7 +155,7 @@ def embedding_norms(sf_dir: str) -> rd.Dataset:
         )
 
     emb_path = os.path.join(sf_dir, "embeddings.parquet")
-    return rd.read_parquet(
+    return read_parquet_clean(
         emb_path,
         columns=["vec_id", "embedding"],
         override_num_blocks=_blocks_for(emb_path),
@@ -192,7 +194,7 @@ def build_ivf_index(sf_dir: str, index_dir: str, bits: int = _LSH_BITS) -> str:
 
     tmp = index_dir + ".tmp"
     (
-        rd.read_parquet(
+        read_parquet_clean(
             emb_path,
             columns=["vec_id", "embedding"],
             override_num_blocks=_blocks_for(emb_path),
@@ -268,7 +270,7 @@ def knn_ivf(sf_dir: str, query_vec_id: int = 0, k: int = 10) -> rd.Dataset:
                 {"vec_id": pa.array([], pa.int64()), "cos_micros": pa.array([], pa.int64())}
             )
         )
-    ds = rd.read_parquet(paths, columns=["vec_id", "embedding"])
+    ds = read_parquet_clean(paths, columns=["vec_id", "embedding"])
     return (
         ds.map_batches(local_topk, batch_format="pyarrow", zero_copy_batch=True)
         .sort(["cos_micros", "vec_id"], descending=[True, False])

@@ -22,6 +22,8 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 import ray.data as rd
+
+from .io_util import read_parquet_clean
 from ray.data.aggregate import AggregateFn
 
 _MIX1 = np.uint64(0xFF51AFD7ED558CCD)
@@ -107,7 +109,7 @@ def approx_distinct_users(sf_dir: str) -> rd.Dataset:
     from .dedup import _blocks_for
 
     path = os.path.join(sf_dir, "events.parquet")
-    ds = rd.read_parquet(
+    ds = read_parquet_clean(
         path, columns=["event_type", "user_id"], override_num_blocks=_blocks_for(path)
     )
     return ds.groupby("event_type").aggregate(
