@@ -161,7 +161,7 @@ def _extract_dedup(sf_dir: str):
 def queries() -> dict[str, Callable[[str], Any]]:
     from pdf_parser_ray.pipelines import analysis, curate, dedup, relational, similarity
     from pdf_parser_ray.pipelines import filter as filter_ops
-    from pdf_parser_ray.pipelines import multimodal, sketch
+    from pdf_parser_ray.pipelines import multimodal, pack, sketch
 
     return {
         # -- extraction flagship (not SQL-expressible: HTML/PDF parse) --
@@ -192,6 +192,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_documents": filter_ops.sample_documents,
         "token_histogram": filter_ops.token_histogram,
         "blocklist_filter": filter_ops.blocklist_filter,
+        "decontaminate": filter_ops.decontaminate,
+        "pack_sequences": pack.pack_sequences,
         # -- dedup --
         "exact_dedup": dedup.exact_dedup,
         "minhash_dedup": dedup.minhash_dedup,
@@ -505,6 +507,59 @@ def _fingerprint_sql() -> str:
     )
 
 
+def _decontaminate_sql() -> str:
+    """Mirror of filter.decontaminate over the near-dup-augmented corpus:
+    the clone construction (every 7th real doc, every 10th word dropped)
+    is rebuilt in SQL with an indexed list_filter (DuckDB lambda ``i`` is
+    1-based: ``i % 10 != 0`` == Python's 0-based ``k % 10 != 9``), word
+    8-grams via inclusive list slices, and benchmark membership is the
+    same every-97th-REAL-doc rule on both sides."""
+    from pdf_parser_ray.pipelines.dedup import NEAR_DUP_ID_OFFSET
+    from pdf_parser_ray.pipelines.filter import DECON_MOD, DECON_NGRAM
+
+    n, off = DECON_NGRAM, NEAR_DUP_ID_OFFSET
+    member = f"(doc_id % {DECON_MOD} = 0 AND doc_id < {off})"
+    return (
+        f"WITH corpus AS (SELECT doc_id, {_WORDS_EXPR} AS w FROM documents"
+        f"   UNION ALL SELECT doc_id + {off} AS doc_id,"
+        f"     list_filter({_WORDS_EXPR}, (x, i) -> i % 10 != 0) AS w"
+        "     FROM documents WHERE doc_id % 7 = 0),"
+        " grams AS (SELECT doc_id,"
+        f"   array_to_string(w[CAST(i AS INT):CAST(i AS INT) + {n - 1}], ' ') AS g"
+        f"   FROM (SELECT doc_id, w, unnest(range(1, len(w) - {n - 2})) AS i"
+        "         FROM corpus)),"
+        f" bench AS (SELECT DISTINCT g FROM grams WHERE {member}),"
+        " hits AS (SELECT gr.doc_id, count(DISTINCT gr.g) AS n_hits"
+        "   FROM grams gr JOIN bench b ON gr.g = b.g GROUP BY gr.doc_id)"
+        " SELECT c.doc_id,"
+        f"  CAST(CASE WHEN {member.replace('doc_id', 'c.doc_id')} THEN 1 ELSE 0 END"
+        "    AS BIGINT) AS is_benchmark,"
+        "  CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,"
+        f"  CASE WHEN {member.replace('doc_id', 'c.doc_id')} THEN 'benchmark'"
+        "    WHEN coalesce(h.n_hits, 0) > 0 THEN 'contaminated' ELSE '' END"
+        "    AS verdict"
+        " FROM corpus c LEFT JOIN hits h ON c.doc_id = h.doc_id"
+    )
+
+
+def _pack_sql() -> str:
+    """Mirror of pack.pack_sequences: per-bucket window cumulative sum of
+    whitespace token counts, integer-divided into seq_len packs."""
+    from pdf_parser_ray.pipelines.pack import PACK_BUCKETS, PACK_SEQ_LEN
+
+    return (
+        f"WITH t AS (SELECT doc_id, doc_id % {PACK_BUCKETS} AS bucket,"
+        f"   CAST(len({_WORDS_EXPR}) AS BIGINT) AS n_tokens FROM documents),"
+        " c AS (SELECT doc_id, bucket, n_tokens,"
+        "   CAST(SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id"
+        "     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens"
+        "     AS BIGINT) AS s FROM t)"
+        " SELECT doc_id, CAST(bucket AS BIGINT) AS bucket, n_tokens,"
+        f"  CAST(s // {PACK_SEQ_LEN} AS BIGINT) AS pack_id,"
+        f"  CAST(s % {PACK_SEQ_LEN} AS BIGINT) AS pack_offset FROM c"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     synth_desc = (
         "CASE doc_id % 6 "
@@ -561,6 +616,8 @@ def oracle_sql() -> dict[str, str]:
             "   x -> x <> '')) AS BIGINT) AS n_tokens FROM documents)"
             " GROUP BY bucket_lo"
         ),
+        "decontaminate": _decontaminate_sql(),
+        "pack_sequences": _pack_sql(),
         "ngram_stats": _ngram_sql(),
         "bpe_token_counts": _bpe_token_sql(),
         "unigram_logprob": (

@@ -201,6 +201,11 @@ def run_bench() -> dict:
     timed("bpe_token_counts", analysis.bpe_token_counts)
     timed("unigram_logprob", analysis.unigram_logprob)
 
+    from pdf_parser_ray.pipelines import pack as pack_ops
+
+    timed("decontaminate", filter_ops.decontaminate)
+    timed("pack_sequences", pack_ops.pack_sequences)
+
     from pdf_parser_ray.pipelines.extract import domain_stats, line_dedup
 
     for name, make_pages in (

@@ -244,3 +244,84 @@ def blocklist_filter(sf_dir: str) -> rd.Dataset:
     return _docs(sf_dir, ["doc_id", "source"]).map_batches(
         drop, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+# -- benchmark decontamination ----------------------------------------------
+
+DECON_NGRAM = 8  # word n-gram length compared against the eval set
+DECON_MOD = 97  # doc_id % DECON_MOD == 0 (real ids only) -> benchmark member
+
+
+def _gram_set(words: list[str], n: int = DECON_NGRAM) -> set[str]:
+    if len(words) < n:
+        return set()
+    return {" ".join(words[i : i + n]) for i in range(len(words) - n + 1)}
+
+
+def benchmark_grams(sf_dir: str) -> rd.Dataset:
+    """(g,): distinct word-8-grams of the benchmark slice.  The slice is
+    a deterministic stand-in for an external eval set (every 97th REAL
+    doc_id); in production this is its own small table.  Computed
+    distributed; the output is eval-set-sized, not corpus-sized."""
+    from .dedup import NEAR_DUP_ID_OFFSET
+
+    def grams(batch: pa.Table) -> pa.Table:
+        out: set[str] = set()
+        for i, t in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            if i % DECON_MOD == 0 and i < NEAR_DUP_ID_OFFSET:
+                out |= _gram_set(t.split())
+        return pa.table({"g": pa.array(sorted(out), pa.string())})
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        grams, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def decontaminate(sf_dir: str) -> rd.Dataset:
+    """(doc_id, is_benchmark, n_hits, verdict): GPT-3-style training-set
+    decontamination over the near-dup-augmented corpus — a document is
+    'contaminated' when any of its word-8-grams appears in the benchmark
+    (eval) slice; benchmark members themselves are tagged 'benchmark'.
+    ``n_hits`` counts the document's DISTINCT overlapping 8-grams.
+
+    Scale shape: the eval set is a model artifact (MBs at the 100 TB
+    corpus scale) — its distinct grams are computed distributed,
+    collected once, and broadcast via ``ray.put``; the corpus pass is a
+    single ``map_batches`` probe with no shuffle of corpus rows."""
+    import ray
+
+    from .dedup import NEAR_DUP_ID_OFFSET, with_near_dups
+
+    grams_df = benchmark_grams(sf_dir).to_pandas()
+    bench: set[str] = set(grams_df["g"]) if "g" in grams_df else set()
+    bench_ref = ray.put(bench)
+
+    def verdicts(batch: pa.Table) -> pa.Table:
+        b = ray.get(bench_ref)
+        ids, is_b, hits, verd = [], [], [], []
+        for i, t in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            n = len(_gram_set(t.split()) & b)
+            member = 1 if (i % DECON_MOD == 0 and i < NEAR_DUP_ID_OFFSET) else 0
+            ids.append(i)
+            is_b.append(member)
+            hits.append(n)
+            verd.append(
+                "benchmark" if member else ("contaminated" if n else "")
+            )
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "is_benchmark": pa.array(is_b, pa.int64()),
+                "n_hits": pa.array(hits, pa.int64()),
+                "verdict": pa.array(verd, pa.string()),
+            }
+        )
+
+    corpus = with_near_dups(_docs(sf_dir, ["doc_id", "text"]))
+    return corpus.map_batches(
+        verdicts, batch_format="pyarrow", zero_copy_batch=True
+    )
