@@ -428,6 +428,45 @@ class TestChaseZipRegressionGoldens:
         assert all(r["direction"] == "in" for r in recs)
 
 
+class TestChaseImprovementsDocGoldens:
+    """The before/after comparison table from the reference's
+    CHASE_PARSER_IMPROVEMENTS.md (83-90), re-expressed against the
+    snapshot code's ladder (reference chase.py:235-258): wire fees in
+    CARGOS classify out via the 'cargo' pattern, the fee reversal
+    classifies in because the reversal rule precedes the fee rule,
+    wires follow pattern-then-section, and *end* markup (the
+    dailyendingbalance row) is filtered as noise, never a $196k
+    transaction."""
+
+    def test_comparison_table_rows(self):
+        lines = [
+            "CARGOS",
+            "12/05 Cargo por transferencia electrónica bancaria"
+            " internacional entrante $15.00",
+            "12/06 Cargo por transferencia electrónica bancaria"
+            " nacional $15.00",
+            "DEPÓSITOS Y ADICIONES",
+            "12/07 Reversión de cargo misceláneo. Fee reversal $40.00",
+            "12/08 Transferencia electrónica entrante de Acme Corp"
+            " $16,236.00",
+            "*end*dailyendingbalance2 $196,453.06",
+            "RETIROS ELECTRÓNICOS",
+            "12/09 Online International Wire Transfer A/C: Acme Gmbh"
+            " $43,572.00",
+        ]
+        recs = run("chase", lines)
+        got = [(r["amount"], r["direction"]) for r in recs]
+        assert got == [
+            (15.00, "out"),       # wire fee (international) — CARGOS
+            (15.00, "out"),       # wire fee (domestic) — CARGOS
+            (40.00, "in"),        # fee reversal — reversal rule wins
+            (16_236.00, "in"),    # wire in — deposits section
+            (43_572.00, "out"),   # wire out — wire-transfer pattern
+        ]
+        # the $196,453.06 markup row must not survive as a transaction
+        assert all(abs(r["amount"] - 196_453.06) > 1e-9 for r in recs)
+
+
 class TestDetectionScreen:
     """The literal trigger pre-screen must be a SUPERSET of the ordered
     regex table: any text matching any detection pattern must also hit
