@@ -135,6 +135,15 @@ def _line_dedup(sf_dir: str):
     return line_dedup(_pages_dir_for(sf_dir), batch_size=32)
 
 
+def _host_page_cap(sf_dir: str):
+    """Crawl-budget sampling over the extraction output: at most 3 pages
+    per host, deterministically ranked — oracled via a window rank over
+    the generator goldens."""
+    from pdf_parser_ray.pipelines.extract import host_page_cap
+
+    return host_page_cap(_pages_dir_for(sf_dir), batch_size=32)
+
+
 def _records_by_direction(sf_dir: str):
     from ray.data.aggregate import Count
 
@@ -172,6 +181,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_dedup": _extract_dedup,
         "url_domain_stats": _url_domain_stats,
         "line_dedup": _line_dedup,
+        "host_page_cap": _host_page_cap,
         # -- text analysis (oracle-checked) --
         "token_counts": analysis.token_counts,
         "quality_stats": analysis.quality_stats,
@@ -308,6 +318,17 @@ def _extract_oracle_sql() -> dict[str, str]:
             " CAST(count(*) AS BIGINT) AS n_pages,"
             " CAST(sum(length(extracted_text)) AS BIGINT) AS total_chars"
             f" FROM read_parquet('{golden_path}') GROUP BY host"
+        ),
+        "host_page_cap": (
+            # mirror of extract.host_page_cap (cap=3): keep at most 3
+            # pages per host, ranked by (content_sha256, url)
+            "SELECT host, url, host_rank FROM ("
+            " SELECT regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,"
+            " url, CAST(ROW_NUMBER() OVER ("
+            "   PARTITION BY regexp_extract(url, '^[a-z]+://([^/]+)', 1)"
+            "   ORDER BY content_sha256, url) AS BIGINT) AS host_rank"
+            f" FROM read_parquet('{golden_path}'))"
+            " WHERE host_rank <= 3"
         ),
         "line_dedup": (
             # mirror of extract.line_dedup (min_count=5): drop lines

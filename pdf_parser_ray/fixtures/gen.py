@@ -45,7 +45,7 @@ _ENCODINGS = ("utf-8", "cp1252", "latin-1", "utf-8")
 _EPOCH_2024_US = 1_704_067_200_000_000  # 2024-01-01T00:00:00Z in microseconds
 
 # bump when generator/statement content changes so cached corpora regenerate
-CORPUS_VERSION = 11
+CORPUS_VERSION = 12
 
 
 def _spans_for_lines(lines: list[str], kinds: list[str]) -> list[dict]:
@@ -201,7 +201,7 @@ def synthesize_pages(
     for replica in range(replicate):
         for doc_id, doc_text, lang in zip(doc_ids, texts, langs):
             rng = random.Random(f"{seed}:{doc_id}:{replica}")
-            url = f"https://site{doc_id}.example/r{replica}/p{doc_id}"
+            url = f"https://site{doc_id % 101}.example/r{replica}/p{doc_id}"
             ts = _EPOCH_2024_US + (doc_id * 86_400 + replica * 997) * 1_000_000
             year = 2024
             if rng.random() < pdf_fraction:
@@ -304,7 +304,7 @@ def synthesize_row(
     """One pages-table row, a pure function of (seed, doc_id, replica) —
     the unit the Ray-parallel generator maps over."""
     rng = random.Random(f"{seed}:{doc_id}:{replica}")
-    url = f"https://site{doc_id}.example/r{replica}/p{doc_id}"
+    url = f"https://site{doc_id % 101}.example/r{replica}/p{doc_id}"
     ts = _EPOCH_2024_US + (doc_id * 86_400 + replica * 997) * 1_000_000
     if rng.random() < pdf_fraction:
         payload, _lines, _bank, _pages = _pdf_page(doc_id, replica, 2024, rng)

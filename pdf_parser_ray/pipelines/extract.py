@@ -212,3 +212,66 @@ def line_dedup(
     return extracted.map_batches(
         scrub, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def host_page_cap(
+    pages_dir: str,
+    *,
+    cap: int = 3,
+    batch_size: int = DEFAULT_BATCH_SIZE,
+) -> rd.Dataset:
+    """(host, url, host_rank): crawl-budget sampling over the extraction
+    output — keep at most ``cap`` pages per host, ranked
+    deterministically by (content_sha256, url) so reruns and the oracle
+    agree.  The standard per-site quota pass between extraction and
+    dedup (hot hosts dominate raw crawls).
+
+    Scale shape: the exchange carries (host, url, sha) narrow rows
+    only — the page payload never shuffles; hosts are legion and small,
+    so the shuffle key is a coarse crc32(host) bucket and the per-host
+    rank is one vectorized sort + grouped cumcount inside each bucket
+    (same coarse-group pattern as the dedup pair stages)."""
+    import zlib
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    def narrow(batch: pa.Table) -> pa.Table:
+        m = pc.extract_regex(
+            batch.column("url"), pattern=r"^[a-z]+://(?P<host>[^/]+)"
+        )
+        hosts = pc.fill_null(pc.struct_field(m, "host"), "")
+        coarse = np.fromiter(
+            (zlib.crc32(h.encode()) % 256 for h in hosts.to_pylist()),
+            np.int32,
+            count=len(batch),
+        )
+        return pa.table(
+            {
+                "host": hosts,
+                "url": batch.column("url"),
+                "content_sha256": batch.column("content_sha256"),
+                "coarse": pa.array(coarse),
+            }
+        )
+
+    def rank_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["host", "content_sha256", "url"])
+        r = g.groupby("host", sort=False).cumcount().to_numpy() + 1
+        keep = r <= cap
+        return pd.DataFrame(
+            {
+                "host": g["host"].to_numpy()[keep],
+                "url": g["url"].to_numpy()[keep],
+                "host_rank": r[keep].astype(np.int64),
+            }
+        )
+
+    return (
+        extract_dir(pages_dir, batch_size=batch_size)
+        .select_columns(["url", "content_sha256"])
+        .map_batches(narrow, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("coarse")
+        .map_groups(rank_in_bucket, batch_format="pandas")
+    )
