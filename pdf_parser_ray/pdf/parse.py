@@ -967,6 +967,34 @@ def glyph_to_unicode(name: str) -> str | None:
     return None
 
 
+#: named simple-font base encodings -> Python codec.  The default decode
+#: is latin-1; WinAnsi (cp1252) differs in 0x80-0x9F (smart quotes,
+#: dashes, Euro — ubiquitous in real-world statements) and MacRoman
+#: differs across the whole high half, so both get explicit code->char
+#: maps layered under any /Differences.
+_BASE_ENCODING_CODECS = {
+    "WinAnsiEncoding": "cp1252",
+    "MacRomanEncoding": "mac_roman",
+}
+_BASE_ENCODING_CACHE: dict[str, CMap | None] = {}
+
+
+def _base_encoding_cmap(name: str) -> CMap | None:
+    if name not in _BASE_ENCODING_CACHE:
+        codec = _BASE_ENCODING_CODECS.get(name)
+        cmap = None
+        if codec is not None:
+            chars: dict[int, str] = {}
+            for code in range(0x80, 0x100):
+                try:
+                    chars[code] = bytes([code]).decode(codec)
+                except UnicodeDecodeError:
+                    pass  # cp1252 leaves 0x81/0x8D/0x8F/0x90/0x9D undefined
+            cmap = CMap(chars, [])
+        _BASE_ENCODING_CACHE[name] = cmap
+    return _BASE_ENCODING_CACHE[name]
+
+
 def _differences_cmap(diffs: list) -> CMap:
     """An /Encoding /Differences array ([code /name /name code /name …])
     as a CMap: explicit code->unicode entries where the glyph name is
@@ -990,6 +1018,11 @@ class FontInfo:
 
     two_byte: bool = False  # Type0/Identity-H composite font
     cmap: CMap | None = None
+    # lazily-built 256-entry code->str table for single-byte cmapped
+    # fonts, so per-glyph decode is one C-speed list lookup instead of a
+    # CMap.get call per byte (matters: base encodings now give every
+    # simple font a cmap)
+    _table: list[str] | None = None
 
     def decode(self, raw: bytes) -> str:
         if self.two_byte:
@@ -1001,11 +1034,14 @@ class FontInfo:
                 out.append(mapped if mapped is not None else chr(code))
             return "".join(out)
         if self.cmap:
-            out = []
-            for b in raw:
-                mapped = self.cmap.get(b)
-                out.append(mapped if mapped is not None else bytes([b]).decode("latin-1"))
-            return "".join(out)
+            table = self._table
+            if table is None:
+                get = self.cmap.get
+                table = self._table = [
+                    (lambda m, b: m if m is not None else chr(b))(get(b), b)
+                    for b in range(256)
+                ]
+            return "".join(map(table.__getitem__, raw))
         return raw.decode("latin-1")
 
 
@@ -1094,12 +1130,28 @@ def _fonts_from_resources(doc: "PDFDocument", res: dict) -> dict[str, FontInfo]:
             except (PDFSyntaxError, ValueError, zlib.error):
                 cmap = None
         if cmap is None and not two:
-            # simple-font /Encoding /Differences glyph remapping
+            # simple-font /Encoding: named base encoding, and/or a
+            # /Differences remap layered over /BaseEncoding
             enc = doc.resolve(fd.get("Encoding"))
-            if isinstance(enc, dict):
+            if isinstance(enc, Name):
+                cmap = _base_encoding_cmap(str(enc))
+            elif isinstance(enc, dict):
+                base = doc.resolve(enc.get("BaseEncoding"))
+                base_cmap = (
+                    _base_encoding_cmap(str(base))
+                    if isinstance(base, Name)
+                    else None
+                )
                 diffs = doc.resolve(enc.get("Differences"))
                 if isinstance(diffs, list):
                     cmap = _differences_cmap(diffs)
+                    if base_cmap is not None:
+                        # differences win; base fills the rest
+                        merged = dict(base_cmap.chars)
+                        merged.update(cmap.chars)
+                        cmap = CMap(merged, cmap.ranges)
+                else:
+                    cmap = base_cmap
         out[str(name)] = FontInfo(two_byte=two, cmap=cmap)
     return out
 

@@ -342,12 +342,14 @@ class TestDifferencesEncoding:
     of byte codes (the common subsetted-font form from office-suite
     producers)."""
 
-    def _pdf_with_differences(self):
+    def _pdf_with_differences(self, shown: bytes = b"caf\x01 \x02 \x03"):
         """Hand-build a PDF whose font remaps codes 0x01->eacute,
-        0x02->Euro, 0x03->uni2603 (snowman), then shows them."""
+        0x02->Euro, 0x03->uni2603 (snowman), then shows ``shown``."""
         import zlib as z
 
-        content = b"BT /F1 12.00 Tf 1 0 0 1 72.00 720.00 Tm (caf\x01 \x02 \x03) Tj ET"
+        content = (
+            b"BT /F1 12.00 Tf 1 0 0 1 72.00 720.00 Tm (" + shown + b") Tj ET"
+        )
         data = z.compress(content)
         objs = [
             b"<< /Type /Catalog /Pages 2 0 R >>",
@@ -377,6 +379,42 @@ class TestDifferencesEncoding:
     def test_differences_decode(self):
         pages = extract_page_texts(self._pdf_with_differences())
         assert pages == ["café € ☃"]
+
+    def test_base_encoding_fills_unmapped_codes(self):
+        """Codes not named in /Differences decode through the
+        /BaseEncoding (WinAnsi 0x93 -> left double quote), not latin-1
+        C1 controls."""
+        pdf = self._pdf_with_differences(shown=b"caf\x01 \x93ok\x94")
+        assert extract_page_texts(pdf) == ["café “ok”"]
+
+
+class TestBaseEncodings:
+    """Named simple-font base encodings: WinAnsi (cp1252) differs from
+    the latin-1 default in 0x80-0x9F — smart quotes/dashes/Euro, the
+    bytes real-world statement PDFs actually use — and MacRoman differs
+    across the whole high half.  pdfplumber resolves these via pdfminer's
+    encoding tables (reference parsers/base.py:29); parity requires the
+    same code->char results."""
+
+    def test_winansi_smart_punctuation(self):
+        # build_pdf writes /Encoding /WinAnsiEncoding on simple fonts;
+        # latin-1-encoding the fixture string puts the raw cp1252 bytes
+        # in the content stream
+        pdf = build_pdf([["\x93Hello\x94 \x96 world \x85 \x80 fin"]])
+        assert extract_text(pdf) == "“Hello” – world … € fin"
+
+    def test_macroman_high_range(self):
+        pdf = build_pdf([["caf\x8e \xa5 \xd0ok\xd1"]])
+        # swap the font's named encoding to MacRoman: 0x8e->é,
+        # 0xa5->bullet, 0xd0/0xd1->en/em dash
+        pdf = pdf.replace(b"/Encoding /WinAnsiEncoding", b"/Encoding /MacRomanEncoding")
+        assert extract_text(pdf) == "café • –ok—"
+
+    def test_latin1_fallback_without_encoding(self):
+        # no /Encoding entry at all -> latin-1 passthrough (unchanged)
+        pdf = build_pdf([["caf\xe9 plain"]])
+        pdf = pdf.replace(b" /Encoding /WinAnsiEncoding", b"")
+        assert extract_text(pdf) == "café plain"
 
     def test_glyph_table_spot_checks(self):
         from pdf_parser_ray.pdf.parse import glyph_to_unicode
