@@ -39,6 +39,7 @@ open") case.
 
 from __future__ import annotations
 
+import codecs
 import re
 import zlib
 from dataclasses import dataclass, field
@@ -1012,16 +1013,27 @@ def _differences_cmap(diffs: list) -> CMap:
     return CMap(chars, [])
 
 
+def _latin1_fallback(err: UnicodeError) -> tuple[str, int]:
+    """Codec error handler: undefined codes (e.g. cp1252 0x81) pass
+    through as latin-1, matching the cmap-miss fallback."""
+    return err.object[err.start : err.end].decode("latin-1"), err.end
+
+
+codecs.register_error("pdfparse_latin1", _latin1_fallback)
+
+
 @dataclass
 class FontInfo:
     """What the interpreter needs per font: code width + unicode map."""
 
     two_byte: bool = False  # Type0/Identity-H composite font
     cmap: CMap | None = None
+    # pure named base encoding (no /Differences): decode through the
+    # Python codec at C speed instead of a per-byte cmap walk — the
+    # common real-world case (/Encoding /WinAnsiEncoding on every font)
+    codec: str | None = None
     # lazily-built 256-entry code->str table for single-byte cmapped
-    # fonts, so per-glyph decode is one C-speed list lookup instead of a
-    # CMap.get call per byte (matters: base encodings now give every
-    # simple font a cmap)
+    # fonts (Differences remaps), one C-speed list lookup per glyph
     _table: list[str] | None = None
 
     def decode(self, raw: bytes) -> str:
@@ -1033,6 +1045,8 @@ class FontInfo:
                 mapped = cmap.get(code) if cmap is not None else None
                 out.append(mapped if mapped is not None else chr(code))
             return "".join(out)
+        if self.codec is not None:
+            return raw.decode(self.codec, "pdfparse_latin1")
         if self.cmap:
             table = self._table
             if table is None:
@@ -1129,30 +1143,32 @@ def _fonts_from_resources(doc: "PDFDocument", res: dict) -> dict[str, FontInfo]:
                 cmap = _cached_tounicode(tu.raw, tu.data(doc))
             except (PDFSyntaxError, ValueError, zlib.error):
                 cmap = None
+        codec = None
         if cmap is None and not two:
-            # simple-font /Encoding: named base encoding, and/or a
-            # /Differences remap layered over /BaseEncoding
+            # simple-font /Encoding: named base encoding (decoded via
+            # its Python codec, C speed), and/or a /Differences remap
+            # layered over /BaseEncoding
             enc = doc.resolve(fd.get("Encoding"))
             if isinstance(enc, Name):
-                cmap = _base_encoding_cmap(str(enc))
+                codec = _BASE_ENCODING_CODECS.get(str(enc))
             elif isinstance(enc, dict):
                 base = doc.resolve(enc.get("BaseEncoding"))
-                base_cmap = (
-                    _base_encoding_cmap(str(base))
-                    if isinstance(base, Name)
-                    else None
-                )
                 diffs = doc.resolve(enc.get("Differences"))
                 if isinstance(diffs, list):
                     cmap = _differences_cmap(diffs)
+                    base_cmap = (
+                        _base_encoding_cmap(str(base))
+                        if isinstance(base, Name)
+                        else None
+                    )
                     if base_cmap is not None:
                         # differences win; base fills the rest
                         merged = dict(base_cmap.chars)
                         merged.update(cmap.chars)
                         cmap = CMap(merged, cmap.ranges)
-                else:
-                    cmap = base_cmap
-        out[str(name)] = FontInfo(two_byte=two, cmap=cmap)
+                elif isinstance(base, Name):
+                    codec = _BASE_ENCODING_CODECS.get(str(base))
+        out[str(name)] = FontInfo(two_byte=two, cmap=cmap, codec=codec)
     return out
 
 
