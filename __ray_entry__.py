@@ -144,6 +144,15 @@ def _host_page_cap(sf_dir: str):
     return host_page_cap(_pages_dir_for(sf_dir), batch_size=32)
 
 
+def _canonical_urls(sf_dir: str):
+    """URL canonicalization over the pages corpus (messy variant ->
+    canonical form), hash-checked against a full SQL mirror of both
+    transforms."""
+    from pdf_parser_ray.pipelines.extract import canonical_urls
+
+    return canonical_urls(_pages_dir_for(sf_dir))
+
+
 def _records_by_direction(sf_dir: str):
     from ray.data.aggregate import Count
 
@@ -182,6 +191,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_domain_stats": _url_domain_stats,
         "line_dedup": _line_dedup,
         "host_page_cap": _host_page_cap,
+        "canonical_urls": _canonical_urls,
         # -- text analysis (oracle-checked) --
         "token_counts": analysis.token_counts,
         "quality_stats": analysis.quality_stats,
@@ -329,6 +339,40 @@ def _extract_oracle_sql() -> dict[str, str]:
             "   ORDER BY content_sha256, url) AS BIGINT) AS host_rank"
             f" FROM read_parquet('{golden_path}'))"
             " WHERE host_rank <= 3"
+        ),
+        "canonical_urls": (
+            # mirror of extract.canonical_urls: the messy-variant
+            # synthesis (length % 4 cases) and the canonicalization
+            # (lower scheme/host, strip default port, drop utm_*,
+            # sort query params)
+            "WITH m AS (SELECT url, CASE length(url) % 4"
+            "  WHEN 0 THEN url || '?utm_source=feed&b=2&a=1'"
+            "  WHEN 1 THEN regexp_extract(url, '^([a-zA-Z]+://)', 1)"
+            "    || upper(regexp_extract(url, '^[a-zA-Z]+://([^/?]+)', 1))"
+            "    || regexp_extract(url, '^[a-zA-Z]+://[^/?]+(.*)$', 1)"
+            "  WHEN 2 THEN regexp_replace(url, '^([a-zA-Z]+://[^/?]+)', '\\1:443')"
+            "  ELSE url || '/?z=1&y=2&utm_campaign=x' END AS messy_url"
+            f"  FROM read_parquet('{golden_path}')),"
+            " c AS (SELECT url, messy_url,"
+            "  lower(regexp_extract(messy_url, '^([a-zA-Z]+)://', 1)) AS scheme,"
+            "  lower(regexp_extract(messy_url, '^[a-zA-Z]+://([^/?]+)', 1)) AS hostport,"
+            "  regexp_extract(messy_url, '^[a-zA-Z]+://[^/?]+([^?]*)', 1) AS path,"
+            "  CASE WHEN contains(messy_url, '?')"
+            "    THEN regexp_extract(messy_url, '\\?(.*)$', 1) ELSE '' END AS query"
+            "  FROM m),"
+            " c2 AS (SELECT url, messy_url, scheme, path,"
+            "  CASE WHEN scheme = 'https' AND hostport LIKE '%:443'"
+            "    THEN substr(hostport, 1, length(hostport) - 4)"
+            "   WHEN scheme = 'http' AND hostport LIKE '%:80'"
+            "    THEN substr(hostport, 1, length(hostport) - 3)"
+            "   ELSE hostport END AS host,"
+            # coalesce: array_to_string of an empty list is NULL in DuckDB
+            "  coalesce(array_to_string(list_sort(list_filter(string_split(query, '&'),"
+            "    p -> p <> '' AND NOT starts_with(p, 'utm_'))), '&'), '') AS q"
+            "  FROM c)"
+            " SELECT url, messy_url, scheme || '://' || host || path"
+            "  || CASE WHEN q = '' THEN '' ELSE '?' || q END AS canonical_url"
+            " FROM c2"
         ),
         "line_dedup": (
             # mirror of extract.line_dedup (min_count=5): drop lines

@@ -275,3 +275,66 @@ def host_page_cap(
         .groupby("coarse")
         .map_groups(rank_in_bucket, batch_format="pandas")
     )
+
+
+def canonical_urls(pages_dir: str) -> rd.Dataset:
+    """(url, messy_url, canonical_url): URL canonicalization — the
+    normalization pass URL-level crawl dedup keys on.  Each corpus url
+    is first perturbed into a deterministic "messy" variant (tracking
+    params appended, host upper-cased, default :443 port, trailing
+    slash + unsorted query — the variants real crawls contain), then
+    canonicalized: scheme/host lower-cased, default port dropped,
+    ``utm_*`` params dropped, remaining query params sorted.
+
+    Single projected-column pass (only ``url`` leaves storage), no
+    shuffle; the messy/canonical pair is emitted so the DuckDB oracle
+    mirrors both transforms and hash-checks end-to-end."""
+    import re as _re
+
+    scheme_re = _re.compile(r"^([a-zA-Z]+)://")
+    hostport_re = _re.compile(r"^[a-zA-Z]+://([^/?]+)")
+
+    def messy(u: str) -> str:
+        case = len(u) % 4
+        if case == 0:
+            return u + "?utm_source=feed&b=2&a=1"
+        if case == 1:
+            hp = hostport_re.match(u)
+            host = hp.group(1)
+            return u[: hp.start(1)] + host.upper() + u[hp.end(1):]
+        if case == 2:
+            hp = hostport_re.match(u)
+            return u[: hp.end(1)] + ":443" + u[hp.end(1):]
+        return u + "/?z=1&y=2&utm_campaign=x"
+
+    def canonical(u: str) -> str:
+        scheme = scheme_re.match(u).group(1).lower()
+        hostport = hostport_re.match(u).group(1).lower()
+        if scheme == "https" and hostport.endswith(":443"):
+            hostport = hostport[:-4]
+        elif scheme == "http" and hostport.endswith(":80"):
+            hostport = hostport[:-3]
+        rest = u[hostport_re.match(u).end(1):]
+        path, _, query = rest.partition("?")
+        params = sorted(
+            p for p in query.split("&") if p and not p.startswith("utm_")
+        )
+        return (
+            scheme + "://" + hostport + path
+            + ("?" + "&".join(params) if params else "")
+        )
+
+    def transform(batch: pa.Table) -> pa.Table:
+        urls = batch.column("url").to_pylist()
+        ms = [messy(u) for u in urls]
+        return pa.table(
+            {
+                "url": batch.column("url"),
+                "messy_url": pa.array(ms, pa.string()),
+                "canonical_url": pa.array([canonical(m) for m in ms], pa.string()),
+            }
+        )
+
+    return read_parquet_clean(pages_dir, columns=["url"]).map_batches(
+        transform, batch_format="pyarrow", zero_copy_batch=True
+    )
