@@ -205,6 +205,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_stats": analysis.ngram_stats,
         "repetition_stats": analysis.repetition_stats,
         "unigram_logprob": analysis.unigram_logprob,
+        "tfidf_scores": analysis.tfidf_scores,
         "bpe_token_counts": analysis.bpe_token_counts,
         # -- curation filters / sampling --
         "quality_filter": filter_ops.quality_filter,
@@ -683,6 +684,28 @@ def oracle_sql() -> dict[str, str]:
         ),
         "decontaminate": _decontaminate_sql(),
         "pack_sequences": _pack_sql(),
+        "tfidf_scores": (
+            # mirror of analysis.tfidf_scores: integer-micros floor of
+            # ln(N/df) summed tf-weighted per document
+            f"WITH w AS (SELECT doc_id, unnest({_WORDS_EXPR}) AS word"
+            "   FROM documents),"
+            " t AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf"
+            "   FROM w GROUP BY doc_id, word),"
+            " df AS (SELECT word, CAST(count(*) AS BIGINT) AS df"
+            "   FROM t GROUP BY word),"
+            " n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),"
+            " idf AS (SELECT word,"
+            "   CAST(floor(ln(n.n / df.df) * 1000000) AS BIGINT) AS m"
+            "   FROM df, n),"
+            " sc AS (SELECT t.doc_id,"
+            "   CAST(sum(t.tf) AS BIGINT) AS n_words,"
+            "   CAST(sum(t.tf * i.m) AS BIGINT) AS tfidf_micros"
+            "   FROM t JOIN idf i USING (word) GROUP BY t.doc_id)"
+            " SELECT d.doc_id,"
+            "  CAST(coalesce(sc.n_words, 0) AS BIGINT) AS n_words,"
+            "  CAST(coalesce(sc.tfidf_micros, 0) AS BIGINT) AS tfidf_micros"
+            " FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id"
+        ),
         "ngram_stats": _ngram_sql(),
         "bpe_token_counts": _bpe_token_sql(),
         "unigram_logprob": (

@@ -461,3 +461,69 @@ def unigram_logprob(sf_dir: str) -> rd.Dataset:
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
         score, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def tfidf_scores(sf_dir: str) -> rd.Dataset:
+    """(doc_id, n_words, tfidf_micros): TF-IDF relevance mass per
+    document — the sum over the document's terms of tf(doc, w) ·
+    floor(ln(N / df(w)) · 1e6), carried as integer micros so the
+    distributed sum is associative and the DuckDB oracle is float-safe
+    (same ln/floor discipline as ``unigram_logprob``).
+
+    Train-small/score-wide shape: document frequencies come from
+    in-batch partials (a document lives wholly inside one batch, so the
+    per-batch distinct-word counts are exact df contributions) ->
+    vocabulary-keyed groupby; the fitted idf table — a model artifact,
+    vocab-sized — broadcasts once via ``ray.put`` and the scoring pass
+    is embarrassingly parallel.  An open-web corpus caps the table
+    (top-V by df + OOV default) to bound the broadcast."""
+    import math
+    from collections import Counter
+
+    import ray
+
+    def partial_df(batch: pa.Table) -> pa.Table:
+        counts: Counter = Counter()
+        for text in batch.column("text").to_pylist():
+            counts.update(set(text.split()))
+        words = list(counts)
+        return pa.table(
+            {
+                "word": pa.array(words, pa.string()),
+                "df": pa.array([counts[w] for w in words], pa.int64()),
+            }
+        )
+
+    df_tbl = (
+        _docs(sf_dir, ["text"])
+        .map_batches(partial_df, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("word")
+        .aggregate(Sum("df", alias_name="df"))
+        .to_pandas()
+    )
+    n_docs = int(_docs(sf_dir, ["doc_id"]).count())
+    idf = {
+        w: math.floor(math.log(n_docs / int(d)) * 1e6)
+        for w, d in zip(df_tbl["word"], df_tbl["df"])
+    }
+    ref = ray.put(idf)
+
+    def score(batch: pa.Table) -> pa.Table:
+        table = ray.get(ref)
+        n_words, scores = [], []
+        for text in batch.column("text").to_pylist():
+            words = text.split()
+            n_words.append(len(words))
+            c = Counter(words)
+            scores.append(sum(table[w] * k for w, k in c.items()))
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_words": pa.array(n_words, pa.int64()),
+                "tfidf_micros": pa.array(scores, pa.int64()),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        score, batch_format="pyarrow", zero_copy_batch=True
+    )
