@@ -32,10 +32,18 @@ def _t(sf_dir: str, name: str, columns: list[str] | None = None) -> rd.Dataset:
 
 def lineitem_agg(sf_dir: str) -> rd.Dataset:
     """TPC-H Q1-shaped pricing summary in integer cents:
-    (l_returnflag, l_linestatus, sum_qty_cents, sum_price_cents, n)."""
+    (l_returnflag, l_linestatus, sum_qty_cents, sum_price_cents, n).
 
-    def to_cents(batch: pa.Table) -> pa.Table:
-        return pa.table(
+    Each batch collapses to one partial row per (flag, status) with an
+    Arrow ``group_by`` (a C-speed hash aggregate over ~6 groups) before
+    the Ray groupby — the exchange and Ray's sort-based aggregate see
+    key-cardinality × blocks rows, not the fact table.  (Measured: Ray's
+    AggregateMap alone spent ~2 s/block sorting 75k-row blocks on the
+    two-string key; the in-batch partial drops the whole aggregate to
+    milliseconds.)"""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
             {
                 "l_returnflag": batch.column("l_returnflag"),
                 "l_linestatus": batch.column("l_linestatus"),
@@ -48,16 +56,28 @@ def lineitem_agg(sf_dir: str) -> rd.Dataset:
                 ),
             }
         )
+        g = t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("qty_cents", "sum"), ("price_cents", "sum"), ("qty_cents", "count")]
+        )
+        return pa.table(
+            {
+                "l_returnflag": g.column("l_returnflag"),
+                "l_linestatus": g.column("l_linestatus"),
+                "qty_cents": g.column("qty_cents_sum"),
+                "price_cents": g.column("price_cents_sum"),
+                "n": pc.cast(g.column("qty_cents_count"), pa.int64()),
+            }
+        )
 
     return (
         _t(sf_dir, "lineitem",
            ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"])
-        .map_batches(to_cents, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
         .groupby(["l_returnflag", "l_linestatus"])
         .aggregate(
             Sum("qty_cents", alias_name="sum_qty_cents"),
             Sum("price_cents", alias_name="sum_price_cents"),
-            Count(alias_name="n"),
+            Sum("n", alias_name="n"),
         )
     )
 
