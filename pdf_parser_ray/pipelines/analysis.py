@@ -14,6 +14,7 @@ import os
 import re
 
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data as rd
 
 from .io_util import read_parquet_clean
@@ -94,20 +95,49 @@ def quality_stats(sf_dir: str) -> rd.Dataset:
 
 
 def lang_distribution(sf_dir: str) -> rd.Dataset:
-    """(lang, n): document count per language tag."""
+    """(lang, n): document count per language tag.  Each batch collapses
+    to one partial row per lang (Arrow hash aggregate) so the exchange
+    and Ray's sort-based aggregate carry key-cardinality × blocks rows,
+    never the corpus."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by("lang").aggregate([([], "count_all")])
+        return pa.table(
+            {"lang": g.column("lang"), "n": pc.cast(g.column("count_all"), pa.int64())}
+        )
+
     return (
         _docs(sf_dir, ["lang"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("lang")
-        .aggregate(Count(alias_name="n"))
+        .aggregate(Sum("n", alias_name="n"))
     )
 
 
 def source_stats(sf_dir: str) -> rd.Dataset:
-    """(source, n_docs, total_chars): per-source volume."""
+    """(source, n_docs, total_chars): per-source volume, with the same
+    in-batch partial collapse as ``lang_distribution``."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by("source").aggregate(
+            [([], "count_all"), ("n_chars", "sum")]
+        )
+        return pa.table(
+            {
+                "source": g.column("source"),
+                "n_docs": pc.cast(g.column("count_all"), pa.int64()),
+                "total_chars": pc.cast(g.column("n_chars_sum"), pa.int64()),
+            }
+        )
+
     return (
         _docs(sf_dir, ["source", "n_chars"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("source")
-        .aggregate(Count(alias_name="n_docs"), Sum("n_chars", alias_name="total_chars"))
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("total_chars", alias_name="total_chars"),
+        )
     )
 
 
