@@ -154,12 +154,26 @@ def _canonical_urls(sf_dir: str):
 
 
 def _records_by_direction(sf_dir: str):
-    from ray.data.aggregate import Count
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.select(["direction"]).group_by("direction").aggregate(
+            [([], "count_all")]
+        )
+        return pa.table(
+            {
+                "direction": g.column("direction"),
+                "n": pc.cast(g.column("count_all"), pa.int64()),
+            }
+        )
 
     return (
         _extract_records(sf_dir)
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("direction")
-        .aggregate(Count(alias_name="n"))
+        .aggregate(Sum("n", alias_name="n"))
     )
 
 

@@ -227,10 +227,22 @@ def orders_filtered(sf_dir: str, min_price: float = 150_000.0) -> rd.Dataset:
         columns=["o_orderpriority", "o_totalprice"],
         filter=(pc.field("o_totalprice") > min_price),
     )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.select(["o_orderpriority"]).group_by("o_orderpriority").aggregate(
+            [([], "count_all")]
+        )
+        return pa.table(
+            {
+                "o_orderpriority": g.column("o_orderpriority"),
+                "n": pc.cast(g.column("count_all"), pa.int64()),
+            }
+        )
+
     return (
-        ds.select_columns(["o_orderpriority"])
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("o_orderpriority")
-        .aggregate(Count(alias_name="n"))
+        .aggregate(Sum("n", alias_name="n"))
     )
 
 
