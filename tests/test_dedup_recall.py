@@ -89,3 +89,30 @@ class TestPlantedCloneRecall:
             if int(v) % 9 == 0
         )
         assert len(planted_hits) / n_planted >= 0.5
+
+
+def test_cluster_output_pinned_golden(ray_session, quiet_data_context):
+    """Full near_dup_clusters output at sf0.001 pinned by value hash —
+    catches silent regressions in the LSH parameters, pair emission,
+    bucket-join verification, or label propagation (all deterministic:
+    fixed-seed permutations, sorted pair emission, content-defined
+    groups).  Regenerate the hash intentionally when retuning:
+    sort by doc_id, join doc_id:cluster_id:cluster_size with ';', md5."""
+    import hashlib
+
+    from pdf_parser_ray.pipelines.curate import near_dup_clusters
+
+    df = (
+        near_dup_clusters("/root/testdata/sf0.001")
+        .to_pandas()
+        .sort_values(["doc_id"])
+        .reset_index(drop=True)
+    )
+    ser = ";".join(
+        f"{r.doc_id}:{r.cluster_id}:{r.cluster_size}" for r in df.itertuples()
+    )
+    assert len(df) == 179
+    assert df.cluster_id.nunique() == 86
+    assert hashlib.md5(ser.encode()).hexdigest() == (
+        "7d6c3ba85921a29b185fd03184bdc59c"
+    )
