@@ -260,6 +260,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- multimodal plumbing (stubbed decode, real Ray contract) --
         "media_features": lambda sf_dir: multimodal.media_pipeline(300),
         "frame_sample": lambda sf_dir: multimodal.frame_sample_pipeline(300),
+        "audio_features": lambda sf_dir: multimodal.audio_features_pipeline(300),
     }
 
 

@@ -171,3 +171,66 @@ def frame_sample_pipeline(n: int = 300, fps_out: float = 1.0) -> rd.Dataset:
         concurrency=(1, 2),
         fn_constructor_args=(fps_out,),
     )
+
+
+class AudioFeatures:
+    """Actor-pool stage for audio rows: frame-level energy + spectral
+    centroid.  The DSP is real (numpy rFFT over int8 frames —
+    deterministic, vectorized); only the *codec* is faked, since no
+    audio library ships in this environment: payload bytes stand in for
+    PCM samples.  With a real decoder the ``_pcm`` hook is the only
+    thing that changes."""
+
+    FRAME = 512  # samples per analysis frame
+
+    def __init__(self):
+        # per-actor warm state: the rFFT bin index vector
+        self.bins = np.arange(self.FRAME // 2 + 1, dtype=np.float64)
+
+    def _pcm(self, payload: bytes) -> np.ndarray:
+        # fake decode: bytes as int8 PCM; a real build decodes here
+        return np.frombuffer(payload, dtype=np.int8).astype(np.float64)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, n_frames, rms_m, cent_m = [], [], [], []
+        for mid, kind, payload in zip(
+            batch.column("media_id").to_pylist(),
+            batch.column("kind").to_pylist(),
+            batch.column("payload").to_pylist(),
+        ):
+            if kind != "audio":
+                continue
+            pcm = self._pcm(payload)
+            usable = (len(pcm) // self.FRAME) * self.FRAME
+            if usable == 0:
+                continue
+            frames = pcm[:usable].reshape(-1, self.FRAME)
+            rms = np.sqrt((frames**2).mean(axis=1))
+            spec = np.abs(np.fft.rfft(frames, axis=1))
+            denom = spec.sum(axis=1)
+            denom[denom == 0.0] = 1.0
+            centroid = (spec * self.bins).sum(axis=1) / denom
+            ids.append(mid)
+            n_frames.append(frames.shape[0])
+            rms_m.append(int(rms.mean() * 1000))
+            cent_m.append(int(centroid.mean() * 1000))
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "n_frames": pa.array(n_frames, pa.int64()),
+                "rms_milli": pa.array(rms_m, pa.int64()),
+                "centroid_milli": pa.array(cent_m, pa.int64()),
+            }
+        )
+
+
+def audio_features_pipeline(n: int = 300) -> rd.Dataset:
+    """Synthesize -> audio feature extraction (actor pool; one output
+    row per audio item, image/video rows dropped in-stage)."""
+    return _media_blocks(n).map_batches(
+        AudioFeatures,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=16,
+        concurrency=(1, 2),
+    )
