@@ -144,6 +144,15 @@ def _host_page_cap(sf_dir: str):
     return host_page_cap(_pages_dir_for(sf_dir), batch_size=32)
 
 
+def _curate_pages(sf_dir: str):
+    """End-to-end page curation composition (extract -> exact content
+    dedup -> host cap -> quality gate), verdict per url, oracled via
+    windows + word aggregates over the generator goldens."""
+    from pdf_parser_ray.pipelines.curate import curate_pages
+
+    return curate_pages(_pages_dir_for(sf_dir), batch_size=32)
+
+
 def _canonical_urls(sf_dir: str):
     """URL canonicalization over the pages corpus (messy variant ->
     canonical form), hash-checked against a full SQL mirror of both
@@ -206,6 +215,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "line_dedup": _line_dedup,
         "host_page_cap": _host_page_cap,
         "canonical_urls": _canonical_urls,
+        "curate_pages": _curate_pages,
         # -- text analysis (oracle-checked) --
         "token_counts": analysis.token_counts,
         "quality_stats": analysis.quality_stats,
@@ -314,7 +324,49 @@ def _extract_oracle_sql() -> dict[str, str]:
     out = os.path.join(_CACHE_ROOT, tag)
     os.makedirs(out, exist_ok=True)
     golden_path, records_path = golden_paths_for(_ORACLE_SF_DIR, out)
+    from pdf_parser_ray.pipelines.filter import (
+        DISTINCT_PCT, MAX_WORDS, MIN_WORDS, TOP_WORD_PCT,
+    )
+
+    # Python str.split() treats unicode whitespace (NBSP etc., present in
+    # extracted HTML text) as separators; RE2's \s is ASCII-only, so the
+    # class lists the unicode whitespace code points explicitly
+    ext_words = (
+        "list_filter(regexp_split_to_array(extracted_text,"
+        " '[\\s\\x{0085}\\x{00A0}\\x{1680}\\x{2000}-\\x{200A}"
+        "\\x{2028}\\x{2029}\\x{202F}\\x{205F}\\x{3000}]+'), x -> x <> '')"
+    )
+    curate_pages_sql = (
+        # mirror of curate.curate_pages (cap=3): verdict priority
+        # exact_dup > host_cap > low_quality over the goldens
+        f"WITH g AS (SELECT url, content_sha256, extracted_text"
+        f"   FROM read_parquet('{golden_path}')),"
+        f" w AS (SELECT url, unnest({ext_words}) AS word FROM g),"
+        " wc AS (SELECT url, word, count(*) AS c FROM w GROUP BY url, word),"
+        " agg AS (SELECT url, sum(c) AS n_words, count(*) AS n_distinct,"
+        "   max(c) AS top_word_n, sum(c * length(word)) AS swc"
+        "   FROM wc GROUP BY url),"
+        " q AS (SELECT g.url, CASE"
+        f"  WHEN coalesce(a.n_words, 0) < {MIN_WORDS} THEN 1"
+        f"  WHEN a.n_words > {MAX_WORDS} THEN 1"
+        "  WHEN 10 * a.swc < 20 * a.n_words THEN 1"
+        "  WHEN 10 * a.swc > 120 * a.n_words THEN 1"
+        f"  WHEN 100 * a.top_word_n > {TOP_WORD_PCT} * a.n_words THEN 1"
+        f"  WHEN 100 * a.n_distinct < {DISTINCT_PCT} * a.n_words THEN 1"
+        "  ELSE 0 END AS lowq"
+        "  FROM g LEFT JOIN agg a ON g.url = a.url),"
+        " dup AS (SELECT url, ROW_NUMBER() OVER ("
+        "   PARTITION BY content_sha256 ORDER BY url) AS rn FROM g),"
+        " h AS (SELECT url, ROW_NUMBER() OVER ("
+        "   PARTITION BY regexp_extract(url, '^[a-z]+://([^/]+)', 1)"
+        "   ORDER BY content_sha256, url) AS hr FROM g)"
+        " SELECT g.url, CASE WHEN dup.rn > 1 THEN 'exact_dup'"
+        "  WHEN h.hr > 3 THEN 'host_cap'"
+        "  WHEN q.lowq = 1 THEN 'low_quality' ELSE '' END AS verdict"
+        " FROM g JOIN dup USING (url) JOIN h USING (url) JOIN q USING (url)"
+    )
     return {
+        "curate_pages": curate_pages_sql,
         "extract_pages": (
             f"SELECT url, content_type, parser_key, n_records, content_sha256"
             f" FROM read_parquet('{golden_path}')"

@@ -303,3 +303,153 @@ def curate_documents(
 
     corpus = with_near_dups(_docs(sf_dir, ["doc_id", "text"]))
     return corpus.map_batches(verdicts, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def curate_pages(
+    pages_dir: str, *, cap: int = 3, batch_size: int = 64
+) -> rd.Dataset:
+    """(url, verdict): the end-to-end page-curation composition over the
+    extraction output — exact content dedup (keep the minimum url per
+    content sha), per-host crawl-budget cap, Gopher-style quality gate —
+    with verdict priority exact_dup > host_cap > low_quality > keep
+    (empty string).  The flagship composition a crawl pipeline runs
+    between extraction and training-corpus assembly.
+
+    Scale shape: the extraction output is materialized once
+    (object-store backed; the cluster analogue is the extracted parquet
+    the job driver already writes).  Each verdict pass exchanges only
+    narrow rows — (url, priority) — keyed by coarse crc32 buckets
+    (sha-bucket for dedup, host-bucket for the cap, url-bucket for the
+    final priority combine); the wide ``extracted_text`` column is read
+    exactly once by the stateless quality pass and never shuffles.
+    Nothing corpus-sized touches the driver."""
+    import zlib
+
+    from .analysis import word_counter_stats
+    from .extract import extract_dir
+    from .filter import quality_verdict
+
+    extracted = (
+        extract_dir(pages_dir, batch_size=batch_size)
+        .select_columns(["url", "content_sha256", "extracted_text"])
+        .materialize()
+    )
+
+    def _coarse(strings: list[str]) -> pa.Array:
+        return pa.array(
+            [zlib.crc32(s.encode()) % _COARSE_BUCKETS for s in strings],
+            pa.int32(),
+        )
+
+    # priority codes: 3 exact_dup, 2 host_cap, 1 low_quality, 0 keep
+    def quality_rows(batch: pa.Table) -> pa.Table:
+        urls = batch.column("url").to_pylist()
+        pris = [
+            1 if quality_verdict(*word_counter_stats(t)) != "ok" else 0
+            for t in batch.column("extracted_text").to_pylist()
+        ]
+        return pa.table(
+            {
+                "key": _coarse(urls),
+                "url": batch.column("url"),
+                "pri": pa.array(pris, pa.int32()),
+            }
+        )
+
+    def sha_rows(batch: pa.Table) -> pa.Table:
+        shas = batch.column("content_sha256").to_pylist()
+        return pa.table(
+            {
+                "key": _coarse(shas),
+                "sha": batch.column("content_sha256"),
+                "url": batch.column("url"),
+            }
+        )
+
+    def dup_drops(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["sha", "url"])
+        dup = g.duplicated(subset=["sha"], keep="first").to_numpy()
+        urls = g["url"].to_numpy()[dup]
+        return pd.DataFrame(
+            {
+                "key": np.fromiter(
+                    (zlib.crc32(u.encode()) % _COARSE_BUCKETS for u in urls),
+                    np.int32,
+                    count=len(urls),
+                ),
+                "url": urls,
+                "pri": np.full(len(urls), 3, np.int32),
+            }
+        )
+
+    def host_rows(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        m = pc.extract_regex(
+            batch.column("url"), pattern=r"^[a-z]+://(?P<host>[^/]+)"
+        )
+        hosts = pc.fill_null(pc.struct_field(m, "host"), "").to_pylist()
+        return pa.table(
+            {
+                "key": _coarse(hosts),
+                "host": pa.array(hosts, pa.string()),
+                "sha": batch.column("content_sha256"),
+                "url": batch.column("url"),
+            }
+        )
+
+    def cap_drops(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["host", "sha", "url"])
+        rank = g.groupby("host", sort=False).cumcount().to_numpy() + 1
+        urls = g["url"].to_numpy()[rank > cap]
+        return pd.DataFrame(
+            {
+                "key": np.fromiter(
+                    (zlib.crc32(u.encode()) % _COARSE_BUCKETS for u in urls),
+                    np.int32,
+                    count=len(urls),
+                ),
+                "url": urls,
+                "pri": np.full(len(urls), 2, np.int32),
+            }
+        )
+
+    _VERDICT = {3: "exact_dup", 2: "host_cap", 1: "low_quality", 0: ""}
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        best = g.groupby("url", sort=False)["pri"].max()
+        return pd.DataFrame(
+            {
+                "url": best.index.to_numpy(),
+                "verdict": [_VERDICT[int(p)] for p in best.to_numpy()],
+            }
+        )
+
+    quality = extracted.map_batches(
+        quality_rows, batch_format="pyarrow", zero_copy_batch=True
+    )
+    dups = (
+        extracted.select_columns(["url", "content_sha256"])
+        .map_batches(sha_rows, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("key")
+        .map_groups(dup_drops, batch_format="pandas")
+    )
+    caps = (
+        extracted.select_columns(["url", "content_sha256"])
+        .map_batches(host_rows, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("key")
+        .map_groups(cap_drops, batch_format="pandas")
+    )
+
+    def rekey(batch: pa.Table) -> pa.Table:
+        # drop rows come back without the url-bucket key column order;
+        # normalize column order for the union
+        return batch.select(["key", "url", "pri"])
+
+    return (
+        quality.select_columns(["key", "url", "pri"])
+        .union(dups.map_batches(rekey, batch_format="pyarrow", zero_copy_batch=True))
+        .union(caps.map_batches(rekey, batch_format="pyarrow", zero_copy_batch=True))
+        .groupby("key")
+        .map_groups(combine, batch_format="pandas")
+    )
