@@ -205,16 +205,26 @@ def run_bench() -> dict:
 
     timed("decontaminate", filter_ops.decontaminate)
     timed("pack_sequences", pack_ops.pack_sequences)
+    timed("tfidf_scores", analysis.tfidf_scores)
 
-    from pdf_parser_ray.pipelines.extract import domain_stats, line_dedup
+    from pdf_parser_ray.pipelines.curate import curate_pages
+    from pdf_parser_ray.pipelines.extract import (
+        canonical_urls, domain_stats, host_page_cap, line_dedup,
+    )
 
     for name, make_pages in (
         ("url_domain_stats", domain_stats),
         ("line_dedup", line_dedup),
+        ("host_page_cap", host_page_cap),
+        ("curate_pages", curate_pages),
     ):
         t = time.perf_counter()
         make_pages(pages_dir, batch_size=BATCH_SIZE).count()
         timings[name] = time.perf_counter() - t
+
+    t = time.perf_counter()
+    canonical_urls(pages_dir).count()
+    timings["canonical_urls"] = time.perf_counter() - t
 
     ray.shutdown()
 
