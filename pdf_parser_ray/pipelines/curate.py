@@ -356,52 +356,58 @@ def curate_pages(
             }
         )
 
-    def sha_rows(batch: pa.Table) -> pa.Table:
-        shas = batch.column("content_sha256").to_pylist()
-        return pa.table(
-            {
-                "key": _coarse(shas),
-                "sha": batch.column("content_sha256"),
-                "url": batch.column("url"),
-            }
-        )
-
-    def dup_drops(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["sha", "url"])
-        dup = g.duplicated(subset=["sha"], keep="first").to_numpy()
-        urls = g["url"].to_numpy()[dup]
-        return pd.DataFrame(
-            {
-                "key": np.fromiter(
-                    (zlib.crc32(u.encode()) % _COARSE_BUCKETS for u in urls),
-                    np.int32,
-                    count=len(urls),
-                ),
-                "url": urls,
-                "pri": np.full(len(urls), 3, np.int32),
-            }
-        )
-
-    def host_rows(batch: pa.Table) -> pa.Table:
+    # the dedup and host-cap passes share ONE multiplexed shuffle: dup
+    # rows take coarse keys [0, B) on crc32(sha), cap rows take
+    # [B, 2B) on crc32(host) — disjoint key ranges, so every group the
+    # handler sees is homogeneous, and the all-to-all rounds drop from
+    # three to two (multiplexed verdicts + final url combine)
+    def tagged_rows(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
         m = pc.extract_regex(
             batch.column("url"), pattern=r"^[a-z]+://(?P<host>[^/]+)"
         )
         hosts = pc.fill_null(pc.struct_field(m, "host"), "").to_pylist()
+        shas = batch.column("content_sha256").to_pylist()
+        n = len(batch)
+        sha_key = np.fromiter(
+            (zlib.crc32(s.encode()) % _COARSE_BUCKETS for s in shas),
+            np.int32,
+            count=n,
+        )
+        host_key = np.fromiter(
+            (
+                _COARSE_BUCKETS + zlib.crc32(h.encode()) % _COARSE_BUCKETS
+                for h in hosts
+            ),
+            np.int32,
+            count=n,
+        )
         return pa.table(
             {
-                "key": _coarse(hosts),
-                "host": pa.array(hosts, pa.string()),
-                "sha": batch.column("content_sha256"),
-                "url": batch.column("url"),
+                "key": pa.array(np.concatenate([sha_key, host_key])),
+                # grp: the exact group-by value inside the coarse bucket
+                "grp": pa.array(shas + hosts, pa.string()),
+                # aux: secondary rank order (unused by dup rows)
+                "aux": pa.array([""] * n + shas, pa.string()),
+                "url": pa.concat_arrays(
+                    [batch.column("url").combine_chunks()] * 2
+                ),
             }
         )
 
-    def cap_drops(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["host", "sha", "url"])
-        rank = g.groupby("host", sort=False).cumcount().to_numpy() + 1
-        urls = g["url"].to_numpy()[rank > cap]
+    def verdict_drops(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["grp", "aux", "url"])
+        if int(g["key"].iloc[0]) < _COARSE_BUCKETS:
+            # dup rows: every non-first url within a sha group
+            keep = g.duplicated(subset=["grp"], keep="first").to_numpy()
+            pri = 3
+        else:
+            # cap rows: rank within the host group beyond the cap
+            rank = g.groupby("grp", sort=False).cumcount().to_numpy() + 1
+            keep = rank > cap
+            pri = 2
+        urls = g["url"].to_numpy()[keep]
         return pd.DataFrame(
             {
                 "key": np.fromiter(
@@ -410,7 +416,7 @@ def curate_pages(
                     count=len(urls),
                 ),
                 "url": urls,
-                "pri": np.full(len(urls), 2, np.int32),
+                "pri": np.full(len(urls), pri, np.int32),
             }
         )
 
@@ -428,17 +434,11 @@ def curate_pages(
     quality = extracted.map_batches(
         quality_rows, batch_format="pyarrow", zero_copy_batch=True
     )
-    dups = (
+    drops = (
         extracted.select_columns(["url", "content_sha256"])
-        .map_batches(sha_rows, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(tagged_rows, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("key")
-        .map_groups(dup_drops, batch_format="pandas")
-    )
-    caps = (
-        extracted.select_columns(["url", "content_sha256"])
-        .map_batches(host_rows, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("key")
-        .map_groups(cap_drops, batch_format="pandas")
+        .map_groups(verdict_drops, batch_format="pandas")
     )
 
     def rekey(batch: pa.Table) -> pa.Table:
@@ -448,8 +448,7 @@ def curate_pages(
 
     return (
         quality.select_columns(["key", "url", "pri"])
-        .union(dups.map_batches(rekey, batch_format="pyarrow", zero_copy_batch=True))
-        .union(caps.map_batches(rekey, batch_format="pyarrow", zero_copy_batch=True))
+        .union(drops.map_batches(rekey, batch_format="pyarrow", zero_copy_batch=True))
         .groupby("key")
         .map_groups(combine, batch_format="pandas")
     )
