@@ -116,3 +116,31 @@ def test_cluster_output_pinned_golden(ray_session, quiet_data_context):
     assert hashlib.md5(ser.encode()).hexdigest() == (
         "7d6c3ba85921a29b185fd03184bdc59c"
     )
+
+
+import pytest
+
+
+@pytest.mark.parametrize(
+    "name,n_rows,md5",
+    [
+        ("simhash_dedup", 1894, "0c8c56dc6fe40b773d14ccfa824e5140"),
+        ("embedding_dedup", 42, "2877a81ff60f8a9cd36dfe4416d6d5ca"),
+        ("ngram_jaccard_dedup", 107, "511646403753ccbbc7dd8eb8b986cc80"),
+    ],
+)
+def test_near_dup_outputs_pinned_golden(
+    ray_session, quiet_data_context, name, n_rows, md5
+):
+    """Full output of each deterministic near-dup operator at sf0.001
+    pinned by value hash (canonical: sorted columns, sorted rows, csv,
+    md5) — regenerate intentionally when retuning parameters."""
+    import hashlib
+
+    import __ray_entry__ as entrymod
+
+    df = entrymod.queries()[name]("/root/testdata/sf0.001").to_pandas()
+    df = df[sorted(df.columns)].sort_values(by=sorted(df.columns))
+    got = hashlib.md5(df.reset_index(drop=True).to_csv(index=False).encode())
+    assert len(df) == n_rows, name
+    assert got.hexdigest() == md5, name
