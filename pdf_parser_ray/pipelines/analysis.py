@@ -326,20 +326,54 @@ def word_counter_stats(text: str) -> tuple[int, int, int, int]:
     )
 
 
+def word_stats_arrays(texts) -> tuple:
+    """Vectorized per-row (n_words, n_distinct, top_word_n,
+    sum_word_chars) over a string array/chunked-array — Arrow
+    list-flatten + two hash group_bys, no per-row Python.  Exactly
+    matches ``word_counter_stats`` (unicode whitespace split, codepoint
+    word lengths; empty rows -> all zeros)."""
+    import numpy as np
+
+    n = len(texts)
+    words = pc.utf8_split_whitespace(texts)
+    flat = pc.list_flatten(words)
+    idx = pc.list_parent_indices(words)
+    mask = pc.not_equal(flat, "")  # split emits '' for edge whitespace
+    t = pa.table({"i": pc.filter(idx, mask), "w": pc.filter(flat, mask)})
+    g = t.group_by(["i", "w"]).aggregate([([], "count_all")])
+    c = pc.cast(g.column("count_all"), pa.int64())
+    wc = pc.multiply(c, pc.cast(pc.utf8_length(g.column("w")), pa.int64()))
+    a = (
+        pa.table({"i": g.column("i"), "c": c, "wc": wc})
+        .group_by("i")
+        .aggregate([("c", "sum"), ("c", "count"), ("c", "max"), ("wc", "sum")])
+    )
+    ii = a.column("i").to_numpy(zero_copy_only=False)
+    n_words = np.zeros(n, np.int64)
+    n_distinct = np.zeros(n, np.int64)
+    top = np.zeros(n, np.int64)
+    swc = np.zeros(n, np.int64)
+    n_words[ii] = a.column("c_sum").to_numpy(zero_copy_only=False)
+    n_distinct[ii] = a.column("c_count").to_numpy(zero_copy_only=False)
+    top[ii] = a.column("c_max").to_numpy(zero_copy_only=False)
+    swc[ii] = a.column("wc_sum").to_numpy(zero_copy_only=False)
+    return n_words, n_distinct, top, swc
+
+
 def repetition_stats(sf_dir: str) -> rd.Dataset:
     """(doc_id, n_words, n_distinct, top_word_n): per-document word
     diversity — total words, distinct words, and the count of the most
     frequent word (the numerator of Gopher's most-common-word-fraction
-    filter).  Single pass, no shuffle."""
+    filter).  Single pass, no shuffle, Arrow-vectorized."""
 
     def stats(batch: pa.Table) -> pa.Table:
-        rows = [word_counter_stats(t) for t in batch.column("text").to_pylist()]
+        n_words, n_distinct, top, _swc = word_stats_arrays(batch.column("text"))
         return pa.table(
             {
                 "doc_id": batch.column("doc_id"),
-                "n_words": pa.array([r[0] for r in rows], pa.int64()),
-                "n_distinct": pa.array([r[1] for r in rows], pa.int64()),
-                "top_word_n": pa.array([r[2] for r in rows], pa.int64()),
+                "n_words": pa.array(n_words),
+                "n_distinct": pa.array(n_distinct),
+                "top_word_n": pa.array(top),
             }
         )
 

@@ -325,7 +325,6 @@ def curate_pages(
     Nothing corpus-sized touches the driver."""
     import zlib
 
-    from .analysis import word_counter_stats
     from .extract import extract_dir
     from .filter import quality_verdict
 
@@ -343,10 +342,13 @@ def curate_pages(
 
     # priority codes: 3 exact_dup, 2 host_cap, 1 low_quality, 0 keep
     def quality_rows(batch: pa.Table) -> pa.Table:
+        from .analysis import word_stats_arrays
+
         urls = batch.column("url").to_pylist()
+        stats = word_stats_arrays(batch.column("extracted_text"))
         pris = [
-            1 if quality_verdict(*word_counter_stats(t)) != "ok" else 0
-            for t in batch.column("extracted_text").to_pylist()
+            1 if quality_verdict(int(w), int(d), int(t), int(s)) != "ok" else 0
+            for w, d, t, s in zip(*stats)
         ]
         return pa.table(
             {

@@ -16,7 +16,7 @@ import re
 import pyarrow as pa
 import ray.data as rd
 
-from .analysis import _docs, word_counter_stats
+from .analysis import _docs
 
 # -- quality gate -----------------------------------------------------------
 
@@ -56,9 +56,13 @@ def quality_filter(sf_dir: str) -> rd.Dataset:
     keep=0 rows without ever re-reading the text."""
 
     def verdict(batch: pa.Table) -> pa.Table:
-        reasons = []
-        for t in batch.column("text").to_pylist():
-            reasons.append(quality_verdict(*word_counter_stats(t)))
+        from .analysis import word_stats_arrays
+
+        stats = word_stats_arrays(batch.column("text"))
+        reasons = [
+            quality_verdict(int(w), int(d), int(t), int(s))
+            for w, d, t, s in zip(*stats)
+        ]
         return pa.table(
             {
                 "doc_id": batch.column("doc_id"),

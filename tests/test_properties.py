@@ -174,3 +174,34 @@ def test_html_fast_matches_stdlib(markup):
     ref = [(b.text, b.tag, b.link_chars, b.total_chars, b.boilerplate_container)
            for b in segment_blocks_stdlib(markup)]
     assert fast == ref
+
+
+class TestWordStatsVectorizedEquivalence:
+    """word_stats_arrays (Arrow list kernels) must agree with
+    word_counter_stats (per-text Counter) on arbitrary unicode text —
+    the quality/repetition oracles pin values computed through both."""
+
+    @given(
+        st.lists(
+            st.text(
+                alphabet=st.characters(
+                    blacklist_categories=("Cs",), max_codepoint=0x2FFF
+                ),
+                max_size=60,
+            ),
+            max_size=8,
+        )
+    )
+    @settings(max_examples=200, deadline=None)
+    def test_matches_counter(self, texts):
+        import pyarrow as pa
+
+        from pdf_parser_ray.pipelines.analysis import (
+            word_counter_stats, word_stats_arrays,
+        )
+
+        arrs = word_stats_arrays(pa.array(texts, pa.string()))
+        for k, text in enumerate(texts):
+            assert (
+                int(arrs[0][k]), int(arrs[1][k]), int(arrs[2][k]), int(arrs[3][k])
+            ) == word_counter_stats(text), repr(text)
