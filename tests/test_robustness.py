@@ -88,3 +88,44 @@ class TestHostilePayloads:
         out = extract_batch(batch)
         assert out.num_rows == 2
         assert out.column("content_type").to_pylist() == ["empty", "html"]
+
+
+class TestCorruptionFuzz:
+    """Seeded byte-level corruption of every writer form must never
+    crash the fused extraction stage — real crawls contain truncated
+    and bit-rotted PDFs, and the reference's pdfplumber survives them
+    by raising inside a caught path.  Extraction degrades to partial
+    or empty text, never an exception."""
+
+    def test_mutated_pdfs_never_raise(self):
+        import random
+
+        from pdf_parser_ray.fixtures.gen import _PDF_FORMS
+
+        lines = [
+            "Community Credit Union statement 2024",
+            "1/05 ACH CREDIT ACME PAYROLL REF 123 1,500.00 2,000.00",
+            "1/07 CHECK 1234 250.00 1,750.00",
+        ]
+        for fi, form in enumerate(_PDF_FORMS):
+            pdf = build_pdf([lines], **form)
+            rng = random.Random(fi)
+            for trial in range(12):
+                data = bytearray(pdf)
+                mode = trial % 4
+                if mode == 0:  # flip a few bytes
+                    for _ in range(3):
+                        data[rng.randrange(len(data))] ^= 1 << rng.randrange(8)
+                elif mode == 1:  # truncate
+                    data = data[: rng.randrange(16, len(data))]
+                elif mode == 2:  # delete a chunk
+                    a = rng.randrange(len(data) // 2)
+                    b = a + rng.randrange(1, 200)
+                    del data[a:b]
+                else:  # duplicate a chunk (shifts offsets)
+                    a = rng.randrange(len(data) // 2)
+                    b = a + rng.randrange(1, 120)
+                    data[a:a] = data[a:b]
+                out = extract_one(bytes(data), 2024)
+                assert isinstance(out["extracted_text"], str), (fi, trial)
+                assert isinstance(out["records"], list), (fi, trial)
