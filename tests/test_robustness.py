@@ -129,3 +129,42 @@ class TestCorruptionFuzz:
                 out = extract_one(bytes(data), 2024)
                 assert isinstance(out["extracted_text"], str), (fi, trial)
                 assert isinstance(out["records"], list), (fi, trial)
+
+
+class TestHtmlCorruptionFuzz:
+    """Seeded corruption of HTML payloads (byte flips, truncation,
+    chunk shuffling, charset damage) must never crash extraction —
+    the fast tokenizer either survives or bails to the stdlib parser,
+    and both degrade to partial text."""
+
+    def test_mutated_html_never_raises(self):
+        import random
+
+        base = (
+            '<html><head><meta charset="utf-8"><title>t</title></head>'
+            "<body><header><div>nav words</div></header>"
+            "<p>Main content paragraph with enough words to score as a "
+            "real block of extracted text here.</p>"
+            '<div class="sidebar"><a href="/x">link</a><a href="/y">links'
+            "</a></div><p>Second paragraph – café &amp; more words here "
+            "for density scoring purposes.</p></body></html>"
+        ).encode("utf-8")
+        rng = random.Random(20240817)
+        for trial in range(120):
+            data = bytearray(base)
+            mode = trial % 4
+            if mode == 0:
+                for _ in range(4):
+                    data[rng.randrange(len(data))] ^= 1 << rng.randrange(8)
+            elif mode == 1:
+                data = data[: rng.randrange(8, len(data))]
+            elif mode == 2:
+                a = rng.randrange(len(data) // 2)
+                del data[a : a + rng.randrange(1, 80)]
+            else:
+                a = rng.randrange(len(data))
+                b = rng.randrange(len(data))
+                data[a], data[b] = data[b], data[a]
+            out = extract_one(bytes(data), 2024)
+            assert isinstance(out["extracted_text"], str), trial
+            assert isinstance(out["spans"], list), trial
