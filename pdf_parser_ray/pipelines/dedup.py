@@ -302,8 +302,14 @@ def _emit_pairs(ids_iter) -> tuple[list[int], list[int]]:
 # per-group python overhead dominate.  Instead the shuffle key is a
 # *coarse* bucket (key-hash % _COARSE_BUCKETS) and the exact grouping
 # happens vectorized (pandas groupby) inside each coarse group — one
-# shuffle, ~256 group invocations instead of tens of thousands.
-_COARSE_BUCKETS = 256
+# shuffle, ~_COARSE_BUCKETS group invocations instead of tens of
+# thousands.  Sizing rule (the partitioning assumption every coarse
+# consumer relies on): one coarse group holds ~rows/buckets NARROW rows
+# and is processed as one vectorized pandas group, so pick buckets ≈
+# corpus_rows / 5M to keep a group in the hundreds of MB.  256 fits the
+# test scales; a 10^12-row corpus wants ~200k — override via env
+# without code changes.
+_COARSE_BUCKETS = int(os.environ.get("GRAFT_COARSE_BUCKETS", "256"))
 
 
 def _coarse_candidate_pairs(ds: rd.Dataset, key_cols: list[str]) -> rd.Dataset:

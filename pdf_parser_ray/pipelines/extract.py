@@ -251,8 +251,10 @@ def host_page_cap(
             batch.column("url"), pattern=r"^[a-z]+://(?P<host>[^/]+)"
         )
         hosts = pc.fill_null(pc.struct_field(m, "host"), "")
+        from .dedup import _COARSE_BUCKETS
+
         coarse = np.fromiter(
-            (zlib.crc32(h.encode()) % 256 for h in hosts.to_pylist()),
+            (zlib.crc32(h.encode()) % _COARSE_BUCKETS for h in hosts.to_pylist()),
             np.int32,
             count=len(batch),
         )
