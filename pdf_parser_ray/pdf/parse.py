@@ -273,11 +273,17 @@ class Stream:
                     bpp = max(1, (colors * bpc + 7) // 8)
                     out = _png_unpredict(out, columns * bpp, bpp)
                 elif pred == 2:  # TIFF horizontal differencing (8-bit)
+                    colors = int(p.get("Colors", 1) or 1)
+                    bpc = int(p.get("BitsPerComponent", 8) or 8)
                     columns = int(p.get("Columns", 1) or 1)
+                    # per-component stride: component i differences
+                    # against the same component of the previous pixel
+                    bpp = max(1, (colors * bpc + 7) // 8)
+                    row_bytes = columns * bpp
                     buf = bytearray(out)
-                    for r in range(0, len(buf), columns):
-                        for i in range(r + 1, min(r + columns, len(buf))):
-                            buf[i] = (buf[i] + buf[i - 1]) & 0xFF
+                    for r in range(0, len(buf), row_bytes):
+                        for i in range(r + bpp, min(r + row_bytes, len(buf))):
+                            buf[i] = (buf[i] + buf[i - bpp]) & 0xFF
                     out = bytes(buf)
         return out
 
@@ -893,12 +899,15 @@ _CMAP_CACHE: dict[bytes, CMap] = {}
 _CMAP_CACHE_MAX = 256
 
 
-def _cached_tounicode(raw: bytes, decoded: bytes) -> CMap:
+def _cached_tounicode(raw: bytes, decode) -> CMap:
+    """``decode`` is a thunk so a cache hit skips the stream
+    decompression too, not just the CMap parse — the memo is on the
+    extraction hot path (fonts repeat per page and per producer)."""
     got = _CMAP_CACHE.get(raw)
     if got is None:
         if len(_CMAP_CACHE) >= _CMAP_CACHE_MAX:
             _CMAP_CACHE.clear()
-        got = _CMAP_CACHE[raw] = parse_tounicode(decoded)
+        got = _CMAP_CACHE[raw] = parse_tounicode(decode())
     return got
 
 
@@ -1140,7 +1149,7 @@ def _fonts_from_resources(doc: "PDFDocument", res: dict) -> dict[str, FontInfo]:
         tu = doc.resolve(fd.get("ToUnicode"))
         if isinstance(tu, Stream):
             try:
-                cmap = _cached_tounicode(tu.raw, tu.data(doc))
+                cmap = _cached_tounicode(tu.raw, lambda: tu.data(doc))
             except (PDFSyntaxError, ValueError, zlib.error):
                 cmap = None
         codec = None
@@ -1266,6 +1275,10 @@ class _ContentInterpreter:
             self.font, self.fonts, self.xobjects,
             self.char_spacing, self.word_spacing, self.hscale,
         )
+        # isolate the graphics-state stack too: a stray unbalanced Q
+        # inside the form must not pop the PAGE's saved entries (nor a
+        # stray q leave extras behind) — restore the stack wholesale
+        saved_gs = list(self._gs_stack)
         if xo.matrix is not None:
             self.ctm = _mat_mul(xo.matrix, self.ctm)
         self.fonts = xo.fonts or self.fonts
@@ -1276,6 +1289,7 @@ class _ContentInterpreter:
         except Exception:
             pass
         self._do_depth -= 1
+        self._gs_stack[:] = saved_gs
         (
             self.ctm, self.tm, self.tlm, self.leading, self.size,
             self.font, self.fonts, self.xobjects,
@@ -1362,6 +1376,14 @@ class _ContentInterpreter:
                 self._td(0.0, -self.leading)
                 self._show(args[-1])
             elif op == b'"' and len(args) >= 3:
+                # aw ac string " : set word/char spacing, next line, show
+                # (PDF §9.4.3) — spacing must update BEFORE the show so
+                # the recorded run width and pen advance use it
+                try:
+                    self.word_spacing = float(args[-3])
+                    self.char_spacing = float(args[-2])
+                except (TypeError, ValueError):
+                    pass
                 self._td(0.0, -self.leading)
                 self._show(args[-1])
             elif op == b"TJ" and args:

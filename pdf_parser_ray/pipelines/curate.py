@@ -140,12 +140,25 @@ def near_dup_clusters(
     )
 
     prev_sum = _label_sum(labels)
+    converged = False
     for _ in range(max_iters):
         labels = _propagate_once(edges, labels).materialize()
         cur_sum = _label_sum(labels)
         if cur_sum == prev_sum:  # labels are monotone non-increasing
+            converged = True
             break
         prev_sum = cur_sum
+    if not converged:
+        # still-decreasing labels at exhaustion = a component with
+        # min-id eccentricity > max_iters; silently returning would
+        # split it into multiple "clusters" and let duplicates through
+        # curation — fail loudly instead (the exact union-find this
+        # replaced could not under-merge)
+        raise RuntimeError(
+            f"near-dup label propagation did not converge in {max_iters}"
+            " rounds; raise max_iters (components deeper than the round"
+            " count exist)"
+        )
 
     # attach cluster sizes: count per label, co-shuffled back on a
     # hash(label) bucket (no driver-side dict)

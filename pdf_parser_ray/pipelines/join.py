@@ -200,7 +200,12 @@ def asof_attach(
         l = g.loc[~is_right].drop(columns=["key", "__role"]).sort_values(ts_col)
         if not len(l) or not len(r):
             out = l.iloc[0:0].copy()
-            out[match_col] = pd.Series([], dtype=r[match_col].dtype if len(r) else "datetime64[us]")
+            # empty right side: match_col must carry the LEFT ts dtype so
+            # block schemas unify across buckets (a literal fallback
+            # dtype breaks integer-ts uses of this generic operator)
+            out[match_col] = pd.Series(
+                [], dtype=r[match_col].dtype if len(r) else l[ts_col].dtype
+            )
             return out
         m = pd.merge_asof(
             l,

@@ -180,6 +180,14 @@ def build_ivf_index(sf_dir: str, index_dir: str, bits: int = _LSH_BITS) -> str:
     done = os.path.join(index_dir, "_DONE")
     if os.path.exists(done):
         return index_dir
+    # crash safety: a build that died mid-way leaves either a stale tmp
+    # dir (write_parquet would append duplicate uuid-named files next
+    # to the old partials) or a replaced index without _DONE (the next
+    # os.replace would raise ENOTEMPTY forever) — sweep both first
+    import shutil
+
+    shutil.rmtree(index_dir + ".tmp", ignore_errors=True)
+    shutil.rmtree(index_dir, ignore_errors=True)
     emb_path = os.path.join(sf_dir, "embeddings.parquet")
     first = pq.ParquetFile(emb_path).read_row_group(0, columns=["embedding"])
     dim = len(first.column("embedding")[0].as_py())

@@ -51,7 +51,6 @@ def hll_accumulate(regs: np.ndarray, keys: np.ndarray, p: int) -> np.ndarray:
     rest = h << np.uint64(p)  # remaining 64-p bits, left-aligned
     # rank = leading zeros of `rest` + 1, capped at 64-p+1 (rest == 0)
     # bit_length via float log2 is unsafe; use a descending bit probe
-    rank = np.ones(len(h), np.uint8)
     probe = rest
     # leading-zero count by halving steps (6 vector ops for 64 bits)
     shift = 32

@@ -109,3 +109,55 @@ class TestTextState:
     def test_tc_only_affects_advance_not_text(self):
         out = interpret(b"BT /F1 12 Tf 2 Tc 1 0 0 1 72 720 Tm (abc) Tj ET")
         assert out == "abc"
+
+
+class TestReviewRegressions:
+    """Pinned fixes from the round-2 code review."""
+
+    def test_double_quote_sets_spacing_before_show(self):
+        # " must apply aw/ac (PDF §9.4.3) so the shown run's width and
+        # the pen advance reflect the new spacing
+        interp = _ContentInterpreter()
+        interp.run(b'BT /F1 12 Tf 16 TL 1 0 0 1 72 720 Tm 5 2 (a b) " ET')
+        assert interp.word_spacing == 5.0
+        assert interp.char_spacing == 2.0
+
+    def test_form_stray_Q_does_not_corrupt_page_stack(self):
+        from pdf_parser_ray.pdf.parse import FormXObject
+
+        interp = _ContentInterpreter()
+        # page pushes one state; the form pops TWO (one stray) —
+        # after Do the page's Q must still restore its own push
+        interp.xobjects = {
+            "Fm1": FormXObject(
+                content=b"Q Q BT /F1 12 Tf (inner) Tj ET",
+                fonts={},
+                xobjects={},
+                matrix=None,
+            )
+        }
+        interp.run(
+            b"q 2 0 0 2 0 0 cm /Fm1 Do Q BT /F1 12 Tf 1 0 0 1 72 720 Tm (after) Tj ET"
+        )
+        # the Q after Do restored the identity CTM saved by q
+        assert interp.ctm == (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
+
+    def test_tiff_predictor2_multicomponent_stride(self):
+        import zlib as z
+
+        from pdf_parser_ray.pdf.parse import Stream
+
+        # 2 pixels x 3 components, row of 6 bytes, differenced per
+        # component: raw [1,2,3, 1,1,1] -> pixels (1,2,3), (2,3,4)
+        body = z.compress(bytes([1, 2, 3, 1, 1, 1]))
+        s = Stream(
+            attrs={
+                "Filter": "FlateDecode",
+                "DecodeParms": {
+                    "Predictor": 2, "Colors": 3,
+                    "BitsPerComponent": 8, "Columns": 2,
+                },
+            },
+            raw=body,
+        )
+        assert s.data(None) == bytes([1, 2, 3, 2, 3, 4])
