@@ -336,22 +336,15 @@ def curate_pages(
     final priority combine); the wide ``extracted_text`` column is read
     exactly once by the stateless quality pass and never shuffles.
     Nothing corpus-sized touches the driver."""
-    import zlib
-
     from .extract import extract_dir
     from .filter import quality_verdict
+    from .io_util import coarse_crc, host_of
 
     extracted = (
         extract_dir(pages_dir, batch_size=batch_size)
         .select_columns(["url", "content_sha256", "extracted_text"])
         .materialize()
     )
-
-    def _coarse(strings: list[str]) -> pa.Array:
-        return pa.array(
-            [zlib.crc32(s.encode()) % _COARSE_BUCKETS for s in strings],
-            pa.int32(),
-        )
 
     # priority codes: 3 exact_dup, 2 host_cap, 1 low_quality, 0 keep
     def quality_rows(batch: pa.Table) -> pa.Table:
@@ -365,7 +358,7 @@ def curate_pages(
         ]
         return pa.table(
             {
-                "key": _coarse(urls),
+                "key": pa.array(coarse_crc(urls, _COARSE_BUCKETS)),
                 "url": batch.column("url"),
                 "pri": pa.array(pris, pa.int32()),
             }
@@ -377,27 +370,11 @@ def curate_pages(
     # handler sees is homogeneous, and the all-to-all rounds drop from
     # three to two (multiplexed verdicts + final url combine)
     def tagged_rows(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        m = pc.extract_regex(
-            batch.column("url"), pattern=r"^[a-z]+://(?P<host>[^/]+)"
-        )
-        hosts = pc.fill_null(pc.struct_field(m, "host"), "").to_pylist()
+        hosts = host_of(batch.column("url")).to_pylist()
         shas = batch.column("content_sha256").to_pylist()
         n = len(batch)
-        sha_key = np.fromiter(
-            (zlib.crc32(s.encode()) % _COARSE_BUCKETS for s in shas),
-            np.int32,
-            count=n,
-        )
-        host_key = np.fromiter(
-            (
-                _COARSE_BUCKETS + zlib.crc32(h.encode()) % _COARSE_BUCKETS
-                for h in hosts
-            ),
-            np.int32,
-            count=n,
-        )
+        sha_key = coarse_crc(shas, _COARSE_BUCKETS)
+        host_key = coarse_crc(hosts, _COARSE_BUCKETS, offset=_COARSE_BUCKETS)
         return pa.table(
             {
                 "key": pa.array(np.concatenate([sha_key, host_key])),
@@ -425,11 +402,7 @@ def curate_pages(
         urls = g["url"].to_numpy()[keep]
         return pd.DataFrame(
             {
-                "key": np.fromiter(
-                    (zlib.crc32(u.encode()) % _COARSE_BUCKETS for u in urls),
-                    np.int32,
-                    count=len(urls),
-                ),
+                "key": coarse_crc(list(urls), _COARSE_BUCKETS),
                 "url": urls,
                 "pri": np.full(len(urls), pri, np.int32),
             }

@@ -87,13 +87,11 @@ def domain_stats(
     from ray.data.aggregate import Sum
 
     def partial(batch: pa.Table) -> pa.Table:
-        m = pc.extract_regex(
-            batch.column("url"), pattern=r"^[a-z]+://(?P<host>[^/]+)"
-        )
-        hosts = pc.fill_null(pc.struct_field(m, "host"), "")
+        from .io_util import host_of
+
         t = pa.table(
             {
-                "host": hosts,
+                "host": host_of(batch.column("url")),
                 "n_pages": pa.array([1] * len(batch), pa.int64()),
                 "total_chars": pc.cast(
                     pc.utf8_length(batch.column("extracted_text")), pa.int64()
@@ -247,17 +245,11 @@ def host_page_cap(
     import pyarrow.compute as pc
 
     def narrow(batch: pa.Table) -> pa.Table:
-        m = pc.extract_regex(
-            batch.column("url"), pattern=r"^[a-z]+://(?P<host>[^/]+)"
-        )
-        hosts = pc.fill_null(pc.struct_field(m, "host"), "")
         from .dedup import _COARSE_BUCKETS
+        from .io_util import coarse_crc, host_of
 
-        coarse = np.fromiter(
-            (zlib.crc32(h.encode()) % _COARSE_BUCKETS for h in hosts.to_pylist()),
-            np.int32,
-            count=len(batch),
-        )
+        hosts = host_of(batch.column("url"))
+        coarse = coarse_crc(hosts, _COARSE_BUCKETS)
         return pa.table(
             {
                 "host": hosts,

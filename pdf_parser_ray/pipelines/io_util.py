@@ -33,3 +33,29 @@ def read_parquet_clean(paths, **read_kwargs) -> rd.Dataset:
         batch_size=None,
         zero_copy_batch=True,
     )
+
+
+def host_of(urls) -> "pa.Array":
+    """Vectorized url -> host (empty string when no scheme://host
+    prefix).  The single definition the per-domain operators share —
+    keep in lockstep with the SQL oracles' regexp_extract."""
+    import pyarrow.compute as pc
+
+    m = pc.extract_regex(urls, pattern=r"^[a-z]+://(?P<host>[^/]+)")
+    return pc.fill_null(pc.struct_field(m, "host"), "")
+
+
+def coarse_crc(strings, buckets: int, offset: int = 0):
+    """crc32-based coarse shuffle key for an iterable of strings
+    (int32 numpy array; ``offset`` shifts into a disjoint key range
+    for multiplexed shuffles)."""
+    import zlib
+
+    import numpy as np
+
+    it = strings.to_pylist() if hasattr(strings, "to_pylist") else strings
+    return np.fromiter(
+        (offset + zlib.crc32(s.encode()) % buckets for s in it),
+        np.int32,
+        count=len(it),
+    )
