@@ -26,6 +26,10 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--size-routing", type=int, default=None, metavar="BYTES",
                     help="route payloads over BYTES to a dedicated "
                          "1-row-per-task branch (skew handling)")
+    ap.add_argument("--curate", action="store_true",
+                    help="after extraction, run the page-curation "
+                         "composition (exact dedup + host cap + quality "
+                         "gate) and write per-url verdicts parquet")
     args = ap.parse_args(argv)
 
     import ray
@@ -49,6 +53,28 @@ def main(argv: list[str] | None = None) -> int:
         batch_size=args.batch_size,
         size_routing_threshold=args.size_routing,
     )
+
+    if args.curate:
+        import os
+
+        verdict_dir = os.path.join(args.output, "curation")
+        done = os.path.join(verdict_dir, "_DONE")
+        if os.path.exists(done):
+            summary["curation"] = "skipped"
+        else:
+            import shutil
+
+            from pdf_parser_ray.pipelines.curate import curate_pages
+
+            tmp = verdict_dir + ".tmp"
+            shutil.rmtree(tmp, ignore_errors=True)
+            shutil.rmtree(verdict_dir, ignore_errors=True)
+            curate_pages(args.input, batch_size=args.batch_size).write_parquet(tmp)
+            os.replace(tmp, verdict_dir)
+            with open(done, "w") as f:
+                f.write("ok")
+            summary["curation"] = verdict_dir
+
     print(json.dumps(summary))
     ray.shutdown()
     return 0
