@@ -267,6 +267,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # approximate (mergeable HLL sketch — no SQL hash mirror;
         # accuracy pinned against exact counts in tests)
         "approx_distinct_users": sketch.approx_distinct_users,
+        "heavy_hitters": sketch.heavy_hitters,
         # -- multimodal plumbing (stubbed decode, real Ray contract) --
         "media_features": lambda sf_dir: multimodal.media_pipeline(300),
         "frame_sample": lambda sf_dir: multimodal.frame_sample_pipeline(300),

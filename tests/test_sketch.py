@@ -65,3 +65,48 @@ class TestHLL:
         ).df().set_index("event_type")["n"]
         for etype, n in exact.items():
             assert abs(int(got[etype]) - int(n)) / int(n) < 0.05
+
+
+class TestCountMin:
+    def test_accumulate_merge_query_bounds(self):
+        import numpy as np
+
+        from pdf_parser_ray.pipelines.sketch import (
+            cms_accumulate, cms_query,
+        )
+
+        rng = np.random.default_rng(7)
+        keys = rng.integers(0, 500, size=20_000).astype(np.int64)
+        # split into two halves, accumulate separately, merge by sum
+        a = np.zeros((4, 4096), np.int64)
+        b = np.zeros((4, 4096), np.int64)
+        cms_accumulate(a, keys[:10_000], np.ones(10_000, np.int64))
+        cms_accumulate(b, keys[10_000:], np.ones(10_000, np.int64))
+        merged = a + b
+        ids, exact = np.unique(keys, return_counts=True)
+        est = cms_query(merged, ids)
+        assert (est >= exact).all()  # CMS never undercounts
+        # e*N/w expected overshoot; allow 5x slack for the tail
+        assert (est - exact).max() <= 5 * np.e * len(keys) / 4096
+
+    def test_heavy_hitters_vs_exact(self, ray_session, quiet_data_context):
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from pdf_parser_ray.pipelines.sketch import heavy_hitters
+
+        sf = "/root/testdata/sf0.01"
+        df = heavy_hitters(sf, k=10).to_pandas()
+        assert len(df) == 10
+        users = pq.read_table(
+            f"{sf}/events.parquet", columns=["user_id"]
+        ).column("user_id").to_numpy(zero_copy_only=False)
+        ids, counts = np.unique(users, return_counts=True)
+        exact = dict(zip(ids.tolist(), counts.tolist()))
+        n = len(users)
+        for uid, est in zip(df.user_id, df.n_est):
+            true = exact[int(uid)]
+            assert est >= true  # upper bound property
+            assert est - true <= 5 * np.e * n / 4096
+        # the estimated top-1 count is at least the true max count
+        assert int(df.n_est.max()) >= int(counts.max())
