@@ -676,6 +676,186 @@ def _decontaminate_sql() -> str:
     )
 
 
+def _jaccard_pairs_sql(threshold_millis: int) -> str:
+    """Brute-force word-3-gram Jaccard pair mirror of the MinHash/anchor
+    LSH dedup operators over the clone-augmented corpus (same clone rule
+    as _decontaminate_sql).  The SQL enumerates ALL qualifying pairs;
+    the pipelines enumerate LSH candidates — equality holds because the
+    candidate stages are empirically complete at the oracle scales
+    (pinned by tests/test_dedup_recall.py goldens and the oracle run
+    itself).  Millis use the pipeline's divide-then-multiply-then-trunc
+    float order."""
+    from pdf_parser_ray.pipelines.dedup import NEAR_DUP_ID_OFFSET
+
+    off = NEAR_DUP_ID_OFFSET
+    return (
+        f"SELECT * FROM ("
+        f" WITH corpus AS (SELECT doc_id, {_WORDS_EXPR} AS w FROM documents"
+        f"   UNION ALL SELECT doc_id + {off} AS doc_id,"
+        f"     list_filter({_WORDS_EXPR}, (x, i) -> i % 10 != 0) AS w"
+        "     FROM documents WHERE doc_id % 7 = 0),"
+        " grams AS ("
+        "   SELECT DISTINCT doc_id,"
+        "     array_to_string(w[CAST(i AS INT):CAST(i AS INT) + 2], ' ') AS g"
+        "   FROM (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i"
+        "         FROM corpus WHERE len(w) >= 3)"
+        "   UNION"
+        "   SELECT doc_id, array_to_string(w, ' ') AS g"
+        "   FROM corpus WHERE len(w) BETWEEN 1 AND 2),"
+        " sz AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),"
+        " ix AS (SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,"
+        "   count(*) AS i FROM grams a JOIN grams b"
+        "   ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2)"
+        " SELECT CAST(doc_id_a AS BIGINT) AS doc_id_a,"
+        "  CAST(doc_id_b AS BIGINT) AS doc_id_b,"
+        "  CAST(trunc((CAST(ix.i AS DOUBLE) / (sa.n + sb.n - ix.i)) * 1000)"
+        "    AS BIGINT) AS jaccard_millis"
+        " FROM ix JOIN sz sa ON ix.doc_id_a = sa.doc_id"
+        " JOIN sz sb ON ix.doc_id_b = sb.doc_id"
+        f") WHERE jaccard_millis >= {threshold_millis}"
+    )
+
+
+def _clusters_sql(threshold_millis: int = 500) -> str:
+    """Mirror of curate.near_dup_clusters: connected components over the
+    verified MinHash pair set, cluster_id = min doc_id, via a recursive
+    min-label transitive closure (component sizes are tiny — planted
+    clone pairs — so the closure stays linear in practice)."""
+    return (
+        "WITH RECURSIVE pairs AS ("
+        + _jaccard_pairs_sql(threshold_millis)
+        + "),"
+        " edges AS (SELECT doc_id_a AS u, doc_id_b AS v FROM pairs"
+        "   UNION ALL SELECT doc_id_b, doc_id_a FROM pairs),"
+        " reach(node, label) AS ("
+        "   SELECT u, u FROM edges"
+        "   UNION"
+        "   SELECT e.v, r.label FROM reach r JOIN edges e ON e.u = r.node),"
+        " cc AS (SELECT node, min(label) AS cid FROM reach GROUP BY node)"
+        " SELECT CAST(node AS BIGINT) AS doc_id,"
+        "  CAST(cid AS BIGINT) AS cluster_id,"
+        "  CAST(count(*) OVER (PARTITION BY cid) AS BIGINT) AS cluster_size"
+        " FROM cc"
+    )
+
+
+def _curate_documents_sql(min_tokens: int = 10) -> str:
+    """Mirror of curate.curate_documents over the clone-augmented corpus:
+    verdict priority near_dup > exact_dup > too_short > low_quality,
+    language pick and quality rules identical to the langid /
+    quality_filter mirrors (exact-dup drops come from the RAW corpus
+    only, matching the pipeline)."""
+    from pdf_parser_ray.pipelines.analysis import _LANG_PROFILES
+    from pdf_parser_ray.pipelines.dedup import NEAR_DUP_ID_OFFSET
+    from pdf_parser_ray.pipelines.filter import (
+        DISTINCT_PCT, MAX_WORDS, MIN_WORDS, TOP_WORD_PCT,
+    )
+
+    off = NEAR_DUP_ID_OFFSET
+    langs = sorted(_LANG_PROFILES)
+    score_exprs = ", ".join(
+        "len(list_filter(lw, x -> list_contains(["
+        + ", ".join(f"'{w}'" for w in sorted(_LANG_PROFILES[lang]))
+        + f"], x))) AS s_{lang}"
+        for lang in langs
+    )
+    gmax = "greatest(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
+    pick = " ".join(
+        f"WHEN s_{lang} = gmax THEN '{lang}'" for lang in langs[:-1]
+    ) + f" ELSE '{langs[-1]}'"
+    return (
+        "WITH RECURSIVE pairs AS ("
+        + _jaccard_pairs_sql(500)
+        + "),"
+        " edges AS (SELECT doc_id_a AS u, doc_id_b AS v FROM pairs"
+        "   UNION ALL SELECT doc_id_b, doc_id_a FROM pairs),"
+        " reach(node, label) AS ("
+        "   SELECT u, u FROM edges"
+        "   UNION"
+        "   SELECT e.v, r.label FROM reach r JOIN edges e ON e.u = r.node),"
+        " cc AS (SELECT node, min(label) AS cid FROM reach GROUP BY node),"
+        " near_drops AS (SELECT node AS doc_id FROM cc WHERE node <> cid),"
+        " exact_drops AS (SELECT doc_id FROM ("
+        "   SELECT doc_id, ROW_NUMBER() OVER ("
+        "     PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM documents)"
+        "   WHERE rn > 1),"
+        f" corpus AS (SELECT doc_id, {_WORDS_EXPR} AS w FROM documents"
+        f"   UNION ALL SELECT doc_id + {off} AS doc_id,"
+        f"     list_filter({_WORDS_EXPR}, (x, i) -> i % 10 != 0) AS w"
+        "     FROM documents WHERE doc_id % 7 = 0),"
+        " wx AS (SELECT doc_id, unnest(w) AS word FROM corpus),"
+        " wc AS (SELECT doc_id, word, count(*) AS c FROM wx"
+        "   GROUP BY doc_id, word),"
+        " agg AS (SELECT doc_id, sum(c) AS n_words, count(*) AS n_distinct,"
+        "   max(c) AS top_word_n, sum(c * length(word)) AS swc"
+        "   FROM wc GROUP BY doc_id),"
+        " lng AS (SELECT doc_id,"
+        f"   CASE WHEN nw = 0 OR gmax = 0 THEN 'und' ELSE (CASE {pick} END)"
+        "     END AS lang_pred"
+        f"   FROM (SELECT doc_id, nw, {gmax} AS gmax,"
+        f"     {', '.join(f's_{lang}' for lang in langs)}"
+        f"     FROM (SELECT doc_id, len(lw) AS nw, {score_exprs}"
+        "       FROM (SELECT doc_id, list_transform(w, x -> lower(x)) AS lw"
+        "             FROM corpus))))"
+        " SELECT c.doc_id, lng.lang_pred,"
+        "  CAST(len(c.w) AS BIGINT) AS n_tokens,"
+        "  CASE WHEN nd.doc_id IS NOT NULL THEN 'near_dup'"
+        "   WHEN ed.doc_id IS NOT NULL THEN 'exact_dup'"
+        f"  WHEN len(c.w) < {min_tokens} THEN 'too_short'"
+        f"  WHEN coalesce(a.n_words, 0) < {MIN_WORDS} THEN 'low_quality'"
+        f"  WHEN a.n_words > {MAX_WORDS} THEN 'low_quality'"
+        "   WHEN 10 * a.swc < 20 * a.n_words THEN 'low_quality'"
+        "   WHEN 10 * a.swc > 120 * a.n_words THEN 'low_quality'"
+        f"  WHEN 100 * a.top_word_n > {TOP_WORD_PCT} * a.n_words"
+        "     THEN 'low_quality'"
+        f"  WHEN 100 * a.n_distinct < {DISTINCT_PCT} * a.n_words"
+        "     THEN 'low_quality'"
+        "   ELSE '' END AS drop_reason"
+        " FROM corpus c"
+        " LEFT JOIN near_drops nd ON c.doc_id = nd.doc_id"
+        " LEFT JOIN exact_drops ed ON c.doc_id = ed.doc_id"
+        " LEFT JOIN agg a ON c.doc_id = a.doc_id"
+        " LEFT JOIN lng ON c.doc_id = lng.doc_id"
+    )
+
+
+def _embedding_dedup_sql(threshold_millis: int = 990) -> str:
+    """Mirror of dedup.embedding_dedup: the clone perturbation and the
+    LSH hyperplanes are integer-formula-derived (dedup._clone_noise /
+    dedup._hyperplanes), so the SQL recomputes the exact same float64
+    values; pairs join on equal 12-bit sign buckets and keep exact
+    cosine >= the trunc-millis threshold."""
+    from pdf_parser_ray.pipelines.dedup import _EMB_PLANES, NEAR_DUP_ID_OFFSET
+
+    off = NEAR_DUP_ID_OFFSET
+    return (
+        "WITH v AS ("
+        " SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e"
+        "  FROM embeddings"
+        " UNION ALL"
+        f" SELECT vec_id + {off} AS vec_id,"
+        "  list_transform(embedding, (x, i) -> CAST(x AS DOUBLE)"
+        "   + ((((vec_id * 31 + (i - 1) * 17) % 97) - 48) / 4800.0)) AS e"
+        "  FROM embeddings WHERE vec_id % 9 = 0),"
+        " ed AS (SELECT vec_id, CAST(i - 1 AS BIGINT) AS d,"
+        "   e[CAST(i AS INT)] AS x"
+        "   FROM (SELECT vec_id, e, unnest(range(1, len(e) + 1)) AS i FROM v)),"
+        " dots AS (SELECT vec_id, pp.p AS p,"
+        "   sum(x * ((((d * 131 + pp.p * 137) % 251) - 125) / 125.0)) AS dot"
+        f"  FROM ed CROSS JOIN (SELECT unnest(range({_EMB_PLANES})) AS p) pp"
+        "   GROUP BY vec_id, pp.p),"
+        " bk AS (SELECT vec_id, CAST(sum(CASE WHEN dot > 0"
+        "   THEN 1 << CAST(p AS INT) ELSE 0 END) AS BIGINT) AS bucket"
+        "   FROM dots GROUP BY vec_id),"
+        " vb AS (SELECT bk.vec_id, bk.bucket, v.e FROM bk JOIN v USING (vec_id)),"
+        " pr AS (SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,"
+        "   CAST(trunc(list_cosine_similarity(a.e, b.e) * 1000) AS BIGINT)"
+        "     AS cos_millis"
+        "   FROM vb a JOIN vb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)"
+        f" SELECT * FROM pr WHERE cos_millis >= {threshold_millis}"
+    )
+
+
 def _pack_sql() -> str:
     """Mirror of pack.pack_sequences: per-bucket window cumulative sum of
     whitespace token counts, integer-divided into seq_len packs."""
@@ -799,6 +979,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT md5(text) AS text_hash, CAST(min(doc_id) AS BIGINT) AS doc_id"
             " FROM documents GROUP BY md5(text)"
         ),
+        "minhash_dedup": _jaccard_pairs_sql(500),
+        "ngram_jaccard_dedup": _jaccard_pairs_sql(400),
+        "near_dup_clusters": _clusters_sql(),
+        "curate_documents": _curate_documents_sql(),
+        "embedding_dedup": _embedding_dedup_sql(),
         "knn_cosine": (
             "SELECT e.vec_id FROM embeddings e,"
             " (SELECT embedding FROM embeddings WHERE vec_id = 0) q"

@@ -379,11 +379,14 @@ def _dedup_pairs(
 # -- MinHash + LSH ----------------------------------------------------------
 
 _MINHASH_PERMS = 32
-# 10 bands x 3 rows (30 of the 32 perms): band-match probability at
-# Jaccard 0.6 is 1-(1-0.6^3)^10 ~ 0.91 vs 0.67 for 8x4 — tuned for the
-# J ~ 0.6-0.9 near-dup regime this operator targets
-_LSH_BANDS = 10
-_LSH_ROWS = 3
+# 16 bands x 2 rows (all 32 perms): band-match probability at Jaccard
+# 0.6 is 1-(1-0.6^2)^16 ~ 0.999 (vs ~0.91 for 10x3) — recall-tuned so
+# the candidate stage is empirically complete on the test corpora and
+# the exact-verify output equals the brute-force pair set (the DuckDB
+# oracle).  The cost is more spurious candidates (2-row bands collide
+# more), all discarded by the exact-Jaccard verification.
+_LSH_BANDS = 16
+_LSH_ROWS = 2
 _rng = np.random.default_rng(20240817)
 # odd multipliers for the multiply-shift hash family over Z/2^64 —
 # fully vectorizable (uint64 wraparound is the modulus)
@@ -606,19 +609,41 @@ def ngram_jaccard_dedup(sf_dir: str, threshold_millis: int = 400) -> rd.Dataset:
 # -- embedding cosine near-dup ----------------------------------------------
 
 
+_EMB_PLANES = 12
+
+
+def _clone_noise(vec_id: int, dim: int) -> np.ndarray:
+    """Deterministic clone perturbation from integer arithmetic only
+    (exactly reproducible in SQL — the DuckDB oracle recomputes it):
+    noise_d = (((vec_id*31 + d*17) % 97) - 48) / 4800  ∈ [-0.01, 0.01]."""
+    d = np.arange(dim, dtype=np.int64)
+    return (((vec_id * 31 + d * 17) % 97) - 48) / 4800.0
+
+
+def _hyperplanes(dim: int) -> np.ndarray:
+    """LSH hyperplanes from the same integer-formula family:
+    plane[d, p] = (((d*131 + p*137) % 251) - 125) / 125 — decorrelated
+    enough for bucketing, and recomputable in the SQL oracle."""
+    d = np.arange(dim, dtype=np.int64)[:, None]
+    p = np.arange(_EMB_PLANES, dtype=np.int64)[None, :]
+    return (((d * 131 + p * 137) % 251) - 125) / 125.0
+
+
 def embedding_dedup(sf_dir: str, threshold_millis: int = 990) -> rd.Dataset:
     """(vec_id_a, vec_id_b, cos_millis): near-duplicate vectors via
     random-hyperplane LSH buckets + exact cosine inside buckets.  A
     deterministic perturbation clones every 9th vector with small noise
-    so the operator demonstrably fires."""
+    so the operator demonstrably fires.  All arithmetic is float64 over
+    integer-formula noise/planes so the DuckDB oracle reproduces the
+    output bit-stably (float32 accumulation would flip trunc-millis
+    boundaries vs the oracle's double math)."""
     import pyarrow.parquet as pq
 
     emb_path = os.path.join(sf_dir, "embeddings.parquet")
     # dimension probe: first row group only, not the whole column
     first = pq.ParquetFile(emb_path).read_row_group(0, columns=["embedding"])
     dim = len(first.column("embedding")[0].as_py())
-    rng = np.random.default_rng(7)
-    planes = rng.standard_normal((dim, 12))
+    planes = _hyperplanes(dim)
 
     def clone_and_bucket(batch: pa.Table) -> pa.Table:
         ids = batch.column("vec_id").to_pylist()
@@ -627,28 +652,27 @@ def embedding_dedup(sf_dir: str, threshold_millis: int = 990) -> rd.Dataset:
                 f"vec_id >= NEAR_DUP_ID_OFFSET ({NEAR_DUP_ID_OFFSET}): clone ids"
                 " would collide; raise the offset or use an is_clone column"
             )
-        vecs = np.array(batch.column("embedding").to_pylist(), dtype=np.float32)
+        vecs = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
         out_ids, out_vecs = list(ids), list(vecs)
         for i, v in zip(ids, vecs):
             if i % 9 == 0:
-                noise_rng = np.random.default_rng(i)
                 out_ids.append(i + NEAR_DUP_ID_OFFSET)
-                out_vecs.append(v + noise_rng.standard_normal(dim).astype(np.float32) * 0.01)
+                out_vecs.append(v + _clone_noise(i, dim))
         arr = np.stack(out_vecs)
         signs = (arr @ planes) > 0
-        buckets = signs.dot(1 << np.arange(12)).astype(np.int64)
+        buckets = signs.dot(1 << np.arange(_EMB_PLANES)).astype(np.int64)
         return pa.table(
             {
                 "bucket": pa.array(buckets, pa.int64()),
                 "vec_id": pa.array(out_ids, pa.int64()),
                 "embedding": pa.array([v.tolist() for v in out_vecs],
-                                      pa.list_(pa.float32())),
+                                      pa.list_(pa.float64())),
             }
         )
 
     def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
         ids = group["vec_id"].tolist()
-        vecs = np.array(group["embedding"].tolist(), dtype=np.float32)
+        vecs = np.array(group["embedding"].tolist(), dtype=np.float64)
         norms = np.linalg.norm(vecs, axis=1)
         a_out, b_out, c_out = [], [], []
         order = np.argsort(ids)

@@ -78,12 +78,7 @@ def test_entry_smoke(ray_session, quiet_data_context):
         "records_by_direction",
         "langid",
         "fingerprints",
-        "minhash_dedup",
         "simhash_dedup",
-        "ngram_jaccard_dedup",
-        "embedding_dedup",
-        "near_dup_clusters",
-        "curate_documents",
         "knn_lsh",
         "knn_ivf",
         "approx_distinct_users",
@@ -96,5 +91,5 @@ def test_rows_only_queries_run(ray_session, quiet_data_context, name):
 
     df = _to_df(entrymod.queries()[name]("/root/testdata/sf0.001"))
     assert len(df) >= 0
-    if name in ("extract_records", "minhash_dedup", "ngram_jaccard_dedup"):
-        assert len(df) > 0  # these provably fire on the test corpus
+    if name == "extract_records":
+        assert len(df) > 0  # provably fires on the test corpus
