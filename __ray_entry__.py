@@ -201,6 +201,7 @@ def _extract_dedup(sf_dir: str):
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from pdf_parser_ray.pipelines import analysis, curate, dedup, relational, similarity
+    from pdf_parser_ray.pipelines import cluster as cluster_ops
     from pdf_parser_ray.pipelines import filter as filter_ops
     from pdf_parser_ray.pipelines import multimodal, pack, sketch
 
@@ -247,7 +248,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dedup": dedup.embedding_dedup,
         "near_dup_clusters": curate.near_dup_clusters,
         "curate_documents": curate.curate_documents,
-        # -- similarity search --
+        # -- similarity search / embedding clustering --
+        "kmeans_embeddings": cluster_ops.kmeans_embeddings,
         "knn_cosine": similarity.knn_cosine,
         "knn_lsh": similarity.knn_lsh,
         "knn_ivf": similarity.knn_ivf,
@@ -819,6 +821,50 @@ def _curate_documents_sql(min_tokens: int = 10) -> str:
     )
 
 
+def _kmeans_sql() -> str:
+    """Mirror of cluster.kmeans_embeddings: Lloyd's iterations unrolled
+    as CTE rounds — distance = per-dimension sum of squared differences
+    (the same formula the numpy side computes), argmin ties to the
+    lowest cluster index via ROW_NUMBER, empty clusters keep the
+    previous centroid via COALESCE."""
+    from pdf_parser_ray.pipelines.cluster import KM_ITERS, KM_K
+
+    parts = [
+        "WITH ed AS (SELECT vec_id, CAST(i - 1 AS BIGINT) AS d,"
+        "   CAST(e[CAST(i AS INT)] AS DOUBLE) AS x"
+        "   FROM (SELECT vec_id, embedding AS e,"
+        "         unnest(range(1, len(embedding) + 1)) AS i FROM embeddings)),"
+        " dims AS (SELECT DISTINCT d FROM ed),"
+        " cent0 AS (SELECT jj.j, dims.d,"
+        "   (((jj.j * 61 + dims.d * 53) % 41) - 20) / 20.0 AS c"
+        f"  FROM (SELECT unnest(range({KM_K})) AS j) jj, dims)"
+    ]
+    for t in range(1, KM_ITERS + 2):
+        parts.append(
+            f", dist{t} AS (SELECT ed.vec_id, c.j,"
+            "   sum((ed.x - c.c) * (ed.x - c.c)) AS dd"
+            f"  FROM ed JOIN cent{t - 1} c ON ed.d = c.d"
+            "   GROUP BY ed.vec_id, c.j),"
+            f" asg{t} AS (SELECT vec_id, j FROM (SELECT vec_id, j,"
+            "   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dd, j) AS rn"
+            f"  FROM dist{t}) WHERE rn = 1)"
+        )
+        if t <= KM_ITERS:
+            parts.append(
+                f", sums{t} AS (SELECT a.j, ed.d, sum(ed.x) AS s,"
+                "   count(*) AS n"
+                f"  FROM asg{t} a JOIN ed ON a.vec_id = ed.vec_id"
+                "   GROUP BY a.j, ed.d),"
+                f" cent{t} AS (SELECT c0.j, c0.d, coalesce(s.s / s.n, c0.c) AS c"
+                f"  FROM cent{t - 1} c0 LEFT JOIN sums{t} s"
+                "   ON c0.j = s.j AND c0.d = s.d)"
+            )
+    parts.append(
+        f" SELECT vec_id, CAST(j AS BIGINT) AS cluster FROM asg{KM_ITERS + 1}"
+    )
+    return "".join(parts)
+
+
 def _embedding_dedup_sql(threshold_millis: int = 990) -> str:
     """Mirror of dedup.embedding_dedup: the clone perturbation and the
     LSH hyperplanes are integer-formula-derived (dedup._clone_noise /
@@ -984,6 +1030,7 @@ def oracle_sql() -> dict[str, str]:
         "near_dup_clusters": _clusters_sql(),
         "curate_documents": _curate_documents_sql(),
         "embedding_dedup": _embedding_dedup_sql(),
+        "kmeans_embeddings": _kmeans_sql(),
         "knn_cosine": (
             "SELECT e.vec_id FROM embeddings e,"
             " (SELECT embedding FROM embeddings WHERE vec_id = 0) q"

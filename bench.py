@@ -207,6 +207,10 @@ def run_bench() -> dict:
     timed("pack_sequences", pack_ops.pack_sequences)
     timed("tfidf_scores", analysis.tfidf_scores)
 
+    from pdf_parser_ray.pipelines.cluster import kmeans_embeddings
+
+    timed("kmeans_embeddings", kmeans_embeddings)
+
     from pdf_parser_ray.pipelines.curate import curate_pages
     from pdf_parser_ray.pipelines.extract import (
         canonical_urls, domain_stats, host_page_cap, line_dedup,

@@ -246,6 +246,17 @@ def _bucket_join_verify(
         oa: list[int] = []
         ob: list[int] = []
         sim: list[int] = []
+        # docs recur across pairs (a hub doc pairs with many others, and
+        # 2-row LSH bands emit many spurious candidates) — shingle each
+        # text once per group, not once per pair
+        shingle_memo: dict[int, set[str]] = {}
+
+        def shingles_of(doc_id: int, text: str) -> set[str]:
+            s = shingle_memo.get(doc_id)
+            if s is None:
+                s = shingle_memo[doc_id] = _word_shingles(text)
+            return s
+
         for (a, b), sub in g.groupby(["doc_id_a", "doc_id_b"], sort=False):
             ta = tb = None
             for side, text in zip(sub["side"], sub["text"]):
@@ -255,7 +266,9 @@ def _bucket_join_verify(
                     tb = text
             if ta is None or tb is None:
                 continue
-            score = int(_jaccard(_word_shingles(ta), _word_shingles(tb)) * 1000)
+            score = int(
+                _jaccard(shingles_of(int(a), ta), shingles_of(int(b), tb)) * 1000
+            )
             if score >= threshold_millis:
                 oa.append(int(a))
                 ob.append(int(b))

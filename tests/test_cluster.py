@@ -1,0 +1,52 @@
+"""k-means over embeddings: assignment math, determinism, and shape.
+The full pipeline-vs-DuckDB equality runs in test_oracle.py (the
+kmeans_embeddings oracle entry)."""
+
+import numpy as np
+
+
+class TestAssignMath:
+    def test_argmin_tie_breaks_low_index(self):
+        from pdf_parser_ray.pipelines.cluster import _assign
+
+        cents = np.array([[1.0, 0.0], [-1.0, 0.0]])
+        # equidistant point -> cluster 0 (numpy argmin takes the first)
+        a = _assign(np.array([[0.0, 5.0]]), cents)
+        assert a.tolist() == [0]
+
+    def test_nearest_wins(self):
+        from pdf_parser_ray.pipelines.cluster import _assign
+
+        cents = np.array([[0.0, 0.0], [10.0, 0.0], [0.0, 10.0]])
+        pts = np.array([[1.0, 1.0], [9.0, 1.0], [1.0, 9.0]])
+        assert _assign(pts, cents).tolist() == [0, 1, 2]
+
+    def test_init_formula(self):
+        from pdf_parser_ray.pipelines.cluster import _init_centroids
+
+        c = _init_centroids(8, 64)
+        assert c.shape == (8, 64)
+        assert c[0, 0] == (((0 * 61 + 0 * 53) % 41) - 20) / 20.0
+        assert c[3, 5] == (((3 * 61 + 5 * 53) % 41) - 20) / 20.0
+        assert (np.abs(c) <= 1.0).all()
+
+
+class TestPipeline:
+    def test_deterministic_and_complete(self, ray_session, quiet_data_context):
+        import pyarrow.parquet as pq
+
+        from pdf_parser_ray.pipelines.cluster import KM_K, kmeans_embeddings
+
+        sf = "/root/testdata/sf0.001"
+        a = kmeans_embeddings(sf).to_pandas().sort_values("vec_id")
+        b = kmeans_embeddings(sf).to_pandas().sort_values("vec_id")
+        assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
+        want_ids = set(
+            pq.read_table(sf + "/embeddings.parquet", columns=["vec_id"])
+            .column("vec_id")
+            .to_pylist()
+        )
+        assert set(a.vec_id) == want_ids
+        assert a.cluster.between(0, KM_K - 1).all()
+        # the deterministic init should split this corpus non-trivially
+        assert a.cluster.nunique() > 1
