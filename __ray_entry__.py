@@ -250,6 +250,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curate_documents": curate.curate_documents,
         # -- similarity search / embedding clustering --
         "kmeans_embeddings": cluster_ops.kmeans_embeddings,
+        "semantic_dedup": cluster_ops.semantic_dedup,
         "knn_cosine": similarity.knn_cosine,
         "knn_lsh": similarity.knn_lsh,
         "knn_ivf": similarity.knn_ivf,
@@ -821,19 +822,22 @@ def _curate_documents_sql(min_tokens: int = 10) -> str:
     )
 
 
-def _kmeans_sql() -> str:
-    """Mirror of cluster.kmeans_embeddings: Lloyd's iterations unrolled
-    as CTE rounds — distance = per-dimension sum of squared differences
-    (the same formula the numpy side computes), argmin ties to the
-    lowest cluster index via ROW_NUMBER, empty clusters keep the
-    previous centroid via COALESCE."""
+def _kmeans_rounds_sql(vsrc: str) -> tuple[str, str]:
+    """Lloyd's iterations unrolled as CTE rounds over ``vsrc`` (a
+    subquery yielding (vec_id, e DOUBLE[])) — distance = per-dimension
+    sum of squared differences (the same formula the numpy side
+    computes), argmin ties to the lowest cluster index via ROW_NUMBER,
+    empty clusters keep the previous centroid via COALESCE.  Returns
+    (cte_chain, final_assignment_cte_name); the chain defines ``vv``
+    (the vectors) through ``asg{iters+1}`` (vec_id, j)."""
     from pdf_parser_ray.pipelines.cluster import KM_ITERS, KM_K
 
     parts = [
-        "WITH ed AS (SELECT vec_id, CAST(i - 1 AS BIGINT) AS d,"
-        "   CAST(e[CAST(i AS INT)] AS DOUBLE) AS x"
-        "   FROM (SELECT vec_id, embedding AS e,"
-        "         unnest(range(1, len(embedding) + 1)) AS i FROM embeddings)),"
+        f"vv AS ({vsrc}),"
+        " ed AS (SELECT vec_id, CAST(i - 1 AS BIGINT) AS d,"
+        "   e[CAST(i AS INT)] AS x"
+        "   FROM (SELECT vec_id, e, unnest(range(1, len(e) + 1)) AS i"
+        "         FROM vv)),"
         " dims AS (SELECT DISTINCT d FROM ed),"
         " cent0 AS (SELECT jj.j, dims.d,"
         "   (((jj.j * 61 + dims.d * 53) % 41) - 20) / 20.0 AS c"
@@ -859,10 +863,54 @@ def _kmeans_sql() -> str:
                 f"  FROM cent{t - 1} c0 LEFT JOIN sums{t} s"
                 "   ON c0.j = s.j AND c0.d = s.d)"
             )
-    parts.append(
-        f" SELECT vec_id, CAST(j AS BIGINT) AS cluster FROM asg{KM_ITERS + 1}"
+    return "".join(parts), f"asg{KM_ITERS + 1}"
+
+
+_RAW_VECS_SQL = (
+    "SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e"
+    " FROM embeddings"
+)
+
+
+def _kmeans_sql() -> str:
+    """Mirror of cluster.kmeans_embeddings over the raw vectors."""
+    ctes, asg = _kmeans_rounds_sql(_RAW_VECS_SQL)
+    return f"WITH {ctes} SELECT vec_id, CAST(j AS BIGINT) AS cluster FROM {asg}"
+
+
+def _semantic_dedup_sql() -> str:
+    """Mirror of cluster.semantic_dedup: k-means over the clone-augmented
+    vectors (same augmentation as _embedding_dedup_sql), then keep=0 for
+    a vector when a smaller-id same-cluster vector clears the
+    trunc-millis cosine threshold."""
+    from pdf_parser_ray.pipelines.cluster import SEMDEDUP_THRESHOLD_MILLIS
+    from pdf_parser_ray.pipelines.dedup import NEAR_DUP_ID_OFFSET
+
+    off = NEAR_DUP_ID_OFFSET
+    aug = (
+        "SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e"
+        " FROM embeddings"
+        f" UNION ALL SELECT vec_id + {off} AS vec_id,"
+        " list_transform(embedding, (x, i) -> CAST(x AS DOUBLE)"
+        " + ((((vec_id * 31 + (i - 1) * 17) % 97) - 48) / 4800.0)) AS e"
+        " FROM embeddings WHERE vec_id % 9 = 0"
     )
-    return "".join(parts)
+    ctes, asg = _kmeans_rounds_sql(aug)
+    return (
+        f"WITH {ctes},"
+        " sim AS (SELECT a.vec_id,"
+        "   max(CASE WHEN CAST(trunc(list_cosine_similarity(va.e, vb.e)"
+        f"    * 1000) AS BIGINT) >= {SEMDEDUP_THRESHOLD_MILLIS}"
+        "    THEN 1 ELSE 0 END) AS has_dup"
+        f"  FROM {asg} a JOIN {asg} b ON a.j = b.j AND b.vec_id < a.vec_id"
+        "   JOIN vv va ON va.vec_id = a.vec_id"
+        "   JOIN vv vb ON vb.vec_id = b.vec_id"
+        "   GROUP BY a.vec_id)"
+        f" SELECT a.vec_id, CAST(a.j AS BIGINT) AS cluster,"
+        "  CAST(CASE WHEN coalesce(sim.has_dup, 0) = 1 THEN 0 ELSE 1 END"
+        "    AS BIGINT) AS keep"
+        f" FROM {asg} a LEFT JOIN sim ON a.vec_id = sim.vec_id"
+    )
 
 
 def _embedding_dedup_sql(threshold_millis: int = 990) -> str:
@@ -1031,6 +1079,7 @@ def oracle_sql() -> dict[str, str]:
         "curate_documents": _curate_documents_sql(),
         "embedding_dedup": _embedding_dedup_sql(),
         "kmeans_embeddings": _kmeans_sql(),
+        "semantic_dedup": _semantic_dedup_sql(),
         "knn_cosine": (
             "SELECT e.vec_id FROM embeddings e,"
             " (SELECT embedding FROM embeddings WHERE vec_id = 0) q"

@@ -207,9 +207,10 @@ def run_bench() -> dict:
     timed("pack_sequences", pack_ops.pack_sequences)
     timed("tfidf_scores", analysis.tfidf_scores)
 
-    from pdf_parser_ray.pipelines.cluster import kmeans_embeddings
+    from pdf_parser_ray.pipelines.cluster import kmeans_embeddings, semantic_dedup
 
     timed("kmeans_embeddings", kmeans_embeddings)
+    timed("semantic_dedup", semantic_dedup)
 
     from pdf_parser_ray.pipelines.curate import curate_pages
     from pdf_parser_ray.pipelines.extract import (

@@ -100,15 +100,46 @@ def _one_pass_centroids(ds: rd.Dataset, cents: np.ndarray) -> np.ndarray:
     return new
 
 
+def _emb_dim(emb_path: str) -> int:
+    import pyarrow.parquet as pq
+
+    first = pq.ParquetFile(emb_path).read_row_group(0, columns=["embedding"])
+    return len(first.column("embedding")[0].as_py())
+
+
+def _fit_centroids(make_ds, dim: int, k: int, iters: int) -> np.ndarray:
+    """Lloyd's loop over a dataset factory: the parquet is re-read per
+    iteration on purpose — at corpus scale a ``materialize()`` would pin
+    the vectors in the object store, while re-reading streams them with
+    backpressure."""
+    cents = _init_centroids(k, dim)
+    for _ in range(iters):
+        cents = _one_pass_centroids(make_ds(), cents)
+    return cents
+
+
+def _assign_ds(make_ds, cents: np.ndarray) -> rd.Dataset:
+    def assign_batch(batch: pa.Table) -> pa.Table:
+        vecs = np.array(batch.column("embedding").to_pylist(), np.float64)
+        a = _assign(vecs, cents) if len(vecs) else np.zeros(0, np.int64)
+        return pa.table(
+            {
+                "vec_id": batch.column("vec_id"),
+                "cluster": pa.array(a.astype(np.int64)),
+            }
+        )
+
+    return make_ds().map_batches(
+        assign_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
 def kmeans_embeddings(
     sf_dir: str, k: int = KM_K, iters: int = KM_ITERS
 ) -> rd.Dataset:
     """(vec_id, cluster): Lloyd's k-means assignment after ``iters``
     full-pass iterations from the deterministic init.  Empty clusters
-    keep their previous centroid (mirrored by the oracle's COALESCE).
-    The parquet is re-read per iteration on purpose: at corpus scale a
-    ``materialize()`` would pin the vectors in the object store, while
-    re-reading streams them with backpressure."""
+    keep their previous centroid (mirrored by the oracle's COALESCE)."""
     from .dedup import _blocks_for
 
     emb_path = os.path.join(sf_dir, "embeddings.parquet")
@@ -120,26 +151,92 @@ def kmeans_embeddings(
             override_num_blocks=_blocks_for(emb_path),
         )
 
-    import pyarrow.parquet as pq
+    dim = _emb_dim(emb_path)
+    cents = _fit_centroids(ds, dim, k, iters)
+    return _assign_ds(ds, cents)
 
-    first = pq.ParquetFile(emb_path).read_row_group(0, columns=["embedding"])
-    dim = len(first.column("embedding")[0].as_py())
 
-    cents = _init_centroids(k, dim)
-    for _ in range(iters):
-        cents = _one_pass_centroids(ds(), cents)
-    final = cents
+SEMDEDUP_THRESHOLD_MILLIS = 950
 
-    def assign_batch(batch: pa.Table) -> pa.Table:
-        vecs = np.array(batch.column("embedding").to_pylist(), np.float64)
-        a = _assign(vecs, final) if len(vecs) else np.zeros(0, np.int64)
+
+def semantic_dedup(
+    sf_dir: str,
+    threshold_millis: int = SEMDEDUP_THRESHOLD_MILLIS,
+    k: int = KM_K,
+    iters: int = KM_ITERS,
+) -> rd.Dataset:
+    """(vec_id, cluster, keep): SemDeDup-style semantic deduplication —
+    k-means clusters the (clone-augmented) embedding corpus, then within
+    each cluster a vector is dropped (keep=0) when a SMALLER-id vector
+    in the same cluster has cosine >= the trunc-millis threshold.
+
+    Scale shape: clustering is the bucketing structure that makes
+    within-bucket pairwise feasible — pick k ≈ N / target_cluster_size
+    so each ``map_groups`` matmul stays bounded (SemDeDup uses k in the
+    tens of thousands at corpus scale; the per-cluster work never
+    leaves the workers).  The same clone augmentation as
+    embedding_dedup guarantees the operator provably fires."""
+    import pandas as pd
+
+    from .dedup import _blocks_for, vec_clone_arrays
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    dim = _emb_dim(emb_path)
+
+    def clone_stage(batch: pa.Table) -> pa.Table:
+        ids, arr = vec_clone_arrays(batch, dim)
         return pa.table(
             {
-                "vec_id": batch.column("vec_id"),
-                "cluster": pa.array(a.astype(np.int64)),
+                "vec_id": pa.array(ids, pa.int64()),
+                "embedding": pa.array(
+                    [v.tolist() for v in arr], pa.list_(pa.float64())
+                ),
             }
         )
 
-    return ds().map_batches(
-        assign_batch, batch_format="pyarrow", zero_copy_batch=True
+    def ds() -> rd.Dataset:
+        return read_parquet_clean(
+            emb_path,
+            columns=["vec_id", "embedding"],
+            override_num_blocks=_blocks_for(emb_path),
+        ).map_batches(clone_stage, batch_format="pyarrow", zero_copy_batch=True)
+
+    cents = _fit_centroids(ds, dim, k, iters)
+
+    def assign_with_vec(batch: pa.Table) -> pa.Table:
+        vecs = np.array(batch.column("embedding").to_pylist(), np.float64)
+        a = _assign(vecs, cents) if len(vecs) else np.zeros(0, np.int64)
+        return pa.table(
+            {
+                "cluster": pa.array(a.astype(np.int64)),
+                "vec_id": batch.column("vec_id"),
+                "embedding": batch.column("embedding"),
+            }
+        )
+
+    def prune(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g["vec_id"].to_numpy().astype(np.int64)
+        order = np.argsort(ids)
+        ids = ids[order]
+        vecs = np.array(g["embedding"].tolist(), np.float64)[order]
+        norms = np.linalg.norm(vecs, axis=1)
+        denom = np.outer(norms, norms)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = np.where(denom > 0, (vecs @ vecs.T) / denom, 0.0)
+        millis = np.trunc(cos * 1000)
+        # row i is a dup when some j < i (smaller id) clears the bar
+        dup = np.tril(millis >= threshold_millis, k=-1).any(axis=1)
+        return pd.DataFrame(
+            {
+                "vec_id": ids,
+                "cluster": np.full(len(ids), int(g["cluster"].iloc[0]), np.int64),
+                "keep": (~dup).astype(np.int64),
+            }
+        )
+
+    return (
+        ds()
+        .map_batches(assign_with_vec, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("cluster")
+        .map_groups(prune, batch_format="pandas")
     )

@@ -642,6 +642,28 @@ def _hyperplanes(dim: int) -> np.ndarray:
     return (((d * 131 + p * 137) % 251) - 125) / 125.0
 
 
+def vec_clone_arrays(
+    batch: pa.Table, dim: int
+) -> tuple[list[int], np.ndarray]:
+    """Clone-augment a batch of vectors (every 9th vec_id + the
+    integer-formula noise, float64) — shared by embedding_dedup and
+    semantic_dedup so both operators and their oracles see the same
+    provably-near-duplicated corpus."""
+    ids = batch.column("vec_id").to_pylist()
+    if ids and max(ids) >= NEAR_DUP_ID_OFFSET:
+        raise ValueError(
+            f"vec_id >= NEAR_DUP_ID_OFFSET ({NEAR_DUP_ID_OFFSET}): clone ids"
+            " would collide; raise the offset or use an is_clone column"
+        )
+    vecs = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+    out_ids, out_vecs = list(ids), list(vecs)
+    for i, v in zip(ids, vecs):
+        if i % 9 == 0:
+            out_ids.append(i + NEAR_DUP_ID_OFFSET)
+            out_vecs.append(v + _clone_noise(i, dim))
+    return out_ids, np.stack(out_vecs) if out_vecs else np.zeros((0, dim))
+
+
 def embedding_dedup(sf_dir: str, threshold_millis: int = 990) -> rd.Dataset:
     """(vec_id_a, vec_id_b, cos_millis): near-duplicate vectors via
     random-hyperplane LSH buckets + exact cosine inside buckets.  A
@@ -659,26 +681,14 @@ def embedding_dedup(sf_dir: str, threshold_millis: int = 990) -> rd.Dataset:
     planes = _hyperplanes(dim)
 
     def clone_and_bucket(batch: pa.Table) -> pa.Table:
-        ids = batch.column("vec_id").to_pylist()
-        if ids and max(ids) >= NEAR_DUP_ID_OFFSET:
-            raise ValueError(
-                f"vec_id >= NEAR_DUP_ID_OFFSET ({NEAR_DUP_ID_OFFSET}): clone ids"
-                " would collide; raise the offset or use an is_clone column"
-            )
-        vecs = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
-        out_ids, out_vecs = list(ids), list(vecs)
-        for i, v in zip(ids, vecs):
-            if i % 9 == 0:
-                out_ids.append(i + NEAR_DUP_ID_OFFSET)
-                out_vecs.append(v + _clone_noise(i, dim))
-        arr = np.stack(out_vecs)
+        out_ids, arr = vec_clone_arrays(batch, dim)
         signs = (arr @ planes) > 0
         buckets = signs.dot(1 << np.arange(_EMB_PLANES)).astype(np.int64)
         return pa.table(
             {
                 "bucket": pa.array(buckets, pa.int64()),
                 "vec_id": pa.array(out_ids, pa.int64()),
-                "embedding": pa.array([v.tolist() for v in out_vecs],
+                "embedding": pa.array([v.tolist() for v in arr],
                                       pa.list_(pa.float64())),
             }
         )

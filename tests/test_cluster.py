@@ -50,3 +50,21 @@ class TestPipeline:
         assert a.cluster.between(0, KM_K - 1).all()
         # the deterministic init should split this corpus non-trivially
         assert a.cluster.nunique() > 1
+
+
+class TestSemanticDedup:
+    def test_planted_clones_dropped(self, ray_session, quiet_data_context):
+        from pdf_parser_ray.pipelines.cluster import semantic_dedup
+        from pdf_parser_ray.pipelines.dedup import NEAR_DUP_ID_OFFSET
+
+        df = semantic_dedup("/root/testdata/sf0.001").to_pandas()
+        clones = df[df.vec_id >= NEAR_DUP_ID_OFFSET]
+        originals = df[df.vec_id < NEAR_DUP_ID_OFFSET]
+        assert len(clones) > 0
+        # clones share a cluster with their (smaller-id) original in the
+        # overwhelming majority of cases -> dropped; allow the odd
+        # cluster-boundary split (the method's documented limitation)
+        assert (clones.keep == 0).mean() >= 0.8
+        # at cosine >= 0.95, unrelated originals never collide: every
+        # original is kept unless it exactly duplicates a smaller id
+        assert (originals.keep == 1).mean() >= 0.95
