@@ -231,6 +231,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats": analysis.repetition_stats,
         "unigram_logprob": analysis.unigram_logprob,
         "tfidf_scores": analysis.tfidf_scores,
+        "importance_weights": analysis.importance_weights,
         "bpe_token_counts": analysis.bpe_token_counts,
         # -- curation filters / sampling --
         "quality_filter": filter_ops.quality_filter,
@@ -1064,6 +1065,31 @@ def oracle_sql() -> dict[str, str]:
             " SELECT d.doc_id,"
             " CAST(coalesce(s.n_words, 0) AS BIGINT) AS n_words,"
             " CAST(coalesce(s.logprob_micros, 0) AS BIGINT) AS logprob_micros"
+            " FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id"
+        ),
+        "importance_weights": (
+            # mirror of analysis.importance_weights: per-word unigram
+            # log-ratio (add-one-smoothed target / corpus) in floored
+            # integer micros, summed per token occurrence
+            f"WITH w AS (SELECT doc_id, unnest({_WORDS_EXPR}) AS word"
+            "   FROM documents),"
+            " ca AS (SELECT word, count(*) AS n_all,"
+            "   sum(CASE WHEN doc_id % 97 = 0 THEN 1 ELSE 0 END) AS n_tgt"
+            "   FROM w GROUP BY word),"
+            " tot AS (SELECT sum(n_all) AS na, sum(n_tgt) AS nt,"
+            "   count(*) AS v FROM ca),"
+            " r AS (SELECT word,"
+            "   CAST(floor(ln((CAST(n_tgt AS DOUBLE) + 1) / (tot.nt + tot.v))"
+            "     * 1000000) AS BIGINT)"
+            "   - CAST(floor(ln(CAST(n_all AS DOUBLE) / tot.na) * 1000000)"
+            "     AS BIGINT) AS m"
+            "   FROM ca, tot),"
+            " s AS (SELECT w.doc_id, CAST(count(*) AS BIGINT) AS n_words,"
+            "   CAST(sum(r.m) AS BIGINT) AS weight_micros"
+            "   FROM w JOIN r USING (word) GROUP BY w.doc_id)"
+            " SELECT d.doc_id,"
+            "  CAST(coalesce(s.n_words, 0) AS BIGINT) AS n_words,"
+            "  CAST(coalesce(s.weight_micros, 0) AS BIGINT) AS weight_micros"
             " FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id"
         ),
         "repetition_stats": _repetition_sql(),

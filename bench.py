@@ -211,6 +211,7 @@ def run_bench() -> dict:
 
     timed("kmeans_embeddings", kmeans_embeddings)
     timed("semantic_dedup", semantic_dedup)
+    timed("importance_weights", analysis.importance_weights)
 
     from pdf_parser_ray.pipelines.curate import curate_pages
     from pdf_parser_ray.pipelines.extract import (

@@ -591,3 +591,89 @@ def tfidf_scores(sf_dir: str) -> rd.Dataset:
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
         score, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+# -- DSIR-style importance weights -------------------------------------------
+
+IW_TARGET_MOD = 97  # doc_id % 97 == 0 -> target-domain member (same
+# membership rule as filter.decontaminate's benchmark set)
+
+
+def importance_weights(sf_dir: str) -> rd.Dataset:
+    """(doc_id, n_words, weight_micros): DSIR-style importance weight per
+    document — the unigram log-likelihood ratio between a small TARGET
+    domain (the benchmark subset, ``doc_id % 97 == 0``) and the full
+    corpus, used to resample a raw crawl toward a target distribution
+    (Xie et al., "Data Selection for Language Models via Importance
+    Resampling", public method).  Per word: ratio_micros =
+    floor(ln((c_t+1)/(N_t+V))·1e6) − floor(ln(c_all/N_all)·1e6)
+    (add-one smoothing over the corpus vocabulary keeps unseen target
+    words finite); per document: Σ tf·ratio_micros — an associative
+    integer sum, float-safe for the DuckDB oracle.
+
+    Scale shape: ONE counting pass emits in-batch partial (word,
+    n_all, n_target) rows -> vocabulary-keyed groupby; the fitted ratio
+    table (vocab-sized model artifact, NOT corpus-sized) broadcasts
+    once via ``ray.put``; scoring is a stateless second pass."""
+    import math
+    from collections import Counter
+
+    import ray
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        c_all: Counter = Counter()
+        c_tgt: Counter = Counter()
+        for doc_id, text in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            words = text.split()
+            c_all.update(words)
+            if doc_id % IW_TARGET_MOD == 0:
+                c_tgt.update(words)
+        words = list(c_all)
+        return pa.table(
+            {
+                "word": pa.array(words, pa.string()),
+                "n_all": pa.array([c_all[w] for w in words], pa.int64()),
+                "n_tgt": pa.array([c_tgt[w] for w in words], pa.int64()),
+            }
+        )
+
+    vocab = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(partial_counts, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("word")
+        .aggregate(Sum("n_all", alias_name="n_all"), Sum("n_tgt", alias_name="n_tgt"))
+        .to_pandas()
+    )
+    n_all_total = int(vocab["n_all"].sum())
+    n_tgt_total = int(vocab["n_tgt"].sum())
+    v_size = len(vocab)
+    ratio = {
+        w: (
+            math.floor(math.log((int(ct) + 1) / (n_tgt_total + v_size)) * 1e6)
+            - math.floor(math.log(int(ca) / n_all_total) * 1e6)
+        )
+        for w, ca, ct in zip(vocab["word"], vocab["n_all"], vocab["n_tgt"])
+    }
+    ref = ray.put(ratio)
+
+    def score(batch: pa.Table) -> pa.Table:
+        table = ray.get(ref)
+        n_words, weights = [], []
+        for text in batch.column("text").to_pylist():
+            words = text.split()
+            n_words.append(len(words))
+            c = Counter(words)
+            weights.append(sum(table[w] * k for w, k in c.items()))
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_words": pa.array(n_words, pa.int64()),
+                "weight_micros": pa.array(weights, pa.int64()),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        score, batch_format="pyarrow", zero_copy_batch=True
+    )
