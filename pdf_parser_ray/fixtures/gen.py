@@ -45,7 +45,7 @@ _ENCODINGS = ("utf-8", "cp1252", "latin-1", "utf-8")
 _EPOCH_2024_US = 1_704_067_200_000_000  # 2024-01-01T00:00:00Z in microseconds
 
 # bump when generator/statement content changes so cached corpora regenerate
-CORPUS_VERSION = 12
+CORPUS_VERSION = 13
 
 
 def _spans_for_lines(lines: list[str], kinds: list[str]) -> list[dict]:
@@ -138,7 +138,8 @@ def _html_page(
 # ObjStm-packed, ObjStm+PNG-predictor, CID/Type0 font,
 # CID+ObjStm+predictor combined, RC4/AES-128/AES-256 encryption,
 # LZW / RunLength / ASCII85+LZW content filters, form XObjects, and
-# /Rotate 90/270 pages — so the fixture corpus exercises every
+# /Rotate 90/270 pages, and incremental-update files (/Prev xref
+# chain, latest object version wins) — so the fixture corpus exercises every
 # cross-reference, text-encoding, filter, security-handler and page-
 # orientation form the parser supports, end-to-end through the Ray
 # pipeline and the driver oracle
@@ -163,6 +164,7 @@ _PDF_FORMS = (
     {"form_xobject": True, "objstm": True},
     {"rotate": 90},
     {"rotate": 270, "objstm": True},
+    {"incremental": True},
 )
 
 

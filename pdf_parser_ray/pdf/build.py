@@ -341,6 +341,7 @@ def build_pdf(
     content_filter: str = "flate",
     form_xobject: bool = False,
     rotate: int = 0,
+    incremental: bool = False,
 ) -> bytes:
     """``xref_stream`` writes a PDF 1.5 cross-reference stream instead
     of the classic table; ``objstm`` additionally packs every non-stream
@@ -359,7 +360,20 @@ def build_pdf(
     form execution is tested against); ``rotate`` (90/180/270) writes
     /Rotate on each page and pre-rotates the content with the inverse
     ``cm`` so the page displays upright — extracted text must come out
-    identical to the unrotated form."""
+    identical to the unrotated form; ``incremental`` writes a classic
+    PDF whose page-1 content stream is a STALE draft, then appends an
+    incremental-update section (new object version + xref subsection +
+    trailer /Prev chain — PDF's save-in-place mechanism, ubiquitous in
+    real corpora) carrying the real content: a reader must resolve to
+    the LATEST object version or it extracts the stale marker."""
+    if incremental:
+        return _build_incremental(
+            pages,
+            font_size=font_size,
+            leading=leading,
+            compress=compress,
+            shuffle_order=shuffle_order,
+        )
     pre_rotate = {
         0: b"",
         # inverse of the viewer rotation: layout -> device
@@ -611,4 +625,57 @@ def build_pdf(
         + b"\nendstream\nendobj\n"
     )
     out += b"startxref\n%d\n%%%%EOF\n" % xref_pos
+    return bytes(out)
+
+
+def _build_incremental(
+    pages: list[list[Line]],
+    *,
+    font_size: float,
+    leading: float,
+    compress: bool,
+    shuffle_order: bool,
+) -> bytes:
+    """Classic PDF + appended incremental update: the base body holds a
+    stale draft of page 1's content stream (object 5 in the fixed
+    layout); the update appends the real version of that object, an
+    ``xref`` subsection for it, and a trailer whose /Prev points at the
+    base xref.  Extracted text must equal the non-incremental form."""
+    stale_first: list[Line] = ["STALE DRAFT - SUPERSEDED BY INCREMENTAL UPDATE"]
+    base = build_pdf(
+        [stale_first] + list(pages[1:]),
+        font_size=font_size,
+        leading=leading,
+        compress=compress,
+        shuffle_order=shuffle_order,
+    )
+    m = re.search(rb"startxref\s+(\d+)", base)
+    assert m is not None
+    prev_pos = int(m.group(1))
+    n_objects = 3 + 2 * len(pages)  # catalog, pages, font + 2 per page
+
+    content_num = 5  # page 1's content stream in the fixed layout
+    body = _content_stream(pages[0], font_size, leading, shuffle_order)
+    if compress:
+        data, filt = _encode_content(body, "flate")
+        head = b"<< /Length %d " % len(data) + filt + b" >>"
+    else:
+        data = body
+        head = b"<< /Length %d >>" % len(data)
+
+    out = bytearray(base)
+    obj_off = len(out)
+    out += (
+        b"%d 0 obj\n" % content_num
+        + head
+        + b"\nstream\n"
+        + data
+        + b"\nendstream\nendobj\n"
+    )
+    xref_pos = len(out)
+    out += b"xref\n%d 1\n%010d 00000 n \n" % (content_num, obj_off)
+    out += (
+        b"trailer\n<< /Size %d /Root 1 0 R /Prev %d >>\nstartxref\n%d\n%%%%EOF\n"
+        % (n_objects + 1, prev_pos, xref_pos)
+    )
     return bytes(out)

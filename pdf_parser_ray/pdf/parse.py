@@ -392,9 +392,14 @@ class _Lexer:
             if c in _WS or c in _DELIM:
                 break
             if c == 0x23 and self.pos + 2 < n:  # '#xx' escape
-                buf += bytes.fromhex(d[self.pos + 1 : self.pos + 3].decode("ascii"))
-                self.pos += 3
-                continue
+                try:
+                    buf += bytes.fromhex(
+                        d[self.pos + 1 : self.pos + 3].decode("ascii")
+                    )
+                    self.pos += 3
+                    continue
+                except (ValueError, UnicodeDecodeError):
+                    pass  # malformed escape: keep the literal '#'
             buf.append(c)
             self.pos += 1
         if self.pos == start and not buf:

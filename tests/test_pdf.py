@@ -208,6 +208,23 @@ class TestXrefStreamForms:
         )
         assert got == classic
 
+    def test_incremental_update_identical(self):
+        """Incremental-update form (appended object version + /Prev
+        trailer chain): the LATEST version of page 1's content stream
+        must win — the stale base-body draft never leaks into output."""
+        classic = self._classic_text()
+        data = build_pdf(self.PAGES, incremental=True)
+        got = extract_page_texts(data)
+        assert got == classic
+        assert b"/Prev" in data and data.count(b"5 0 obj") == 2
+        assert "STALE DRAFT" not in "\n".join(got)
+        # the stale draft IS present in the base body (the form really
+        # exercises version resolution, not a no-op append)
+        assert b"STALE DRAFT" in zlib.decompress(
+            data[data.find(b"stream\n", data.find(b"5 0 obj")) + 7:
+                 data.find(b"endstream", data.find(b"5 0 obj"))]
+        )
+
     def test_objstm_hides_page_dicts_from_flat_scan(self):
         """The ObjStm variant must actually exercise the expansion: the
         catalog/page dicts may not appear as top-level `N 0 obj` text."""
