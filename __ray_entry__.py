@@ -200,13 +200,11 @@ def _extract_dedup(sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from pdf_parser_ray.pipelines import analysis, curate, dedup, relational, similarity
-    from pdf_parser_ray.pipelines import cluster as cluster_ops
-    from pdf_parser_ray.pipelines import filter as filter_ops
-    from pdf_parser_ray.pipelines import multimodal, pack, sketch
+    from pdf_parser_ray.registry import queries as table_queries
 
-    return {
-        # -- extraction flagship (not SQL-expressible: HTML/PDF parse) --
+    out: dict[str, Callable[[str], Any]] = {
+        # -- extraction flagship (not SQL-expressible: HTML/PDF parse;
+        # inputs are the synthesized fixture pages corpus) --
         "extract_pages": _extract_pages,
         "extract_records": _extract_records,
         "extract_spans": _extract_spans,
@@ -217,66 +215,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_page_cap": _host_page_cap,
         "canonical_urls": _canonical_urls,
         "curate_pages": _curate_pages,
-        # -- text analysis (oracle-checked) --
-        "token_counts": analysis.token_counts,
-        "quality_stats": analysis.quality_stats,
-        "lang_distribution": analysis.lang_distribution,
-        "source_stats": analysis.source_stats,
-        "top_docs_by_chars": analysis.top_docs_by_chars,
-        "direction_classify": analysis.direction_classify,
-        # -- text analysis (heuristic) --
-        "langid": analysis.langid,
-        "fingerprints": analysis.fingerprints,
-        "ngram_stats": analysis.ngram_stats,
-        "repetition_stats": analysis.repetition_stats,
-        "unigram_logprob": analysis.unigram_logprob,
-        "tfidf_scores": analysis.tfidf_scores,
-        "importance_weights": analysis.importance_weights,
-        "bpe_token_counts": analysis.bpe_token_counts,
-        # -- curation filters / sampling --
-        "quality_filter": filter_ops.quality_filter,
-        "pii_scrub": filter_ops.pii_scrub,
-        "sample_documents": filter_ops.sample_documents,
-        "token_histogram": filter_ops.token_histogram,
-        "blocklist_filter": filter_ops.blocklist_filter,
-        "decontaminate": filter_ops.decontaminate,
-        "pack_sequences": pack.pack_sequences,
-        # -- dedup --
-        "exact_dedup": dedup.exact_dedup,
-        "minhash_dedup": dedup.minhash_dedup,
-        "simhash_dedup": dedup.simhash_dedup,
-        "ngram_jaccard_dedup": dedup.ngram_jaccard_dedup,
-        "embedding_dedup": dedup.embedding_dedup,
-        "near_dup_clusters": curate.near_dup_clusters,
-        "curate_documents": curate.curate_documents,
-        # -- similarity search / embedding clustering --
-        "kmeans_embeddings": cluster_ops.kmeans_embeddings,
-        "semantic_dedup": cluster_ops.semantic_dedup,
-        "knn_cosine": similarity.knn_cosine,
-        "knn_lsh": similarity.knn_lsh,
-        "knn_ivf": similarity.knn_ivf,
-        "embedding_norms": similarity.embedding_norms,
-        # -- relational / windows --
-        "lineitem_agg": relational.lineitem_agg,
-        "orders_by_nation": relational.orders_by_nation,
-        "region_revenue": relational.region_revenue,
-        "orders_filtered": relational.orders_filtered,
-        "events_hourly": relational.events_hourly,
-        "sessionize_events": relational.sessionize_events,
-        "error_attribution": relational.error_attribution,
-        "event_quantiles": relational.event_quantiles,
-        "top_orders_per_nation": relational.top_orders_per_nation,
-        "events_sliding": relational.events_sliding,
-        "distinct_users_per_type": relational.distinct_users_per_type,
-        # approximate (mergeable HLL sketch — no SQL hash mirror;
-        # accuracy pinned against exact counts in tests)
-        "approx_distinct_users": sketch.approx_distinct_users,
-        "heavy_hitters": sketch.heavy_hitters,
-        # -- multimodal plumbing (stubbed decode, real Ray contract) --
-        "media_features": lambda sf_dir: multimodal.media_pipeline(300),
-        "frame_sample": lambda sf_dir: multimodal.frame_sample_pipeline(300),
-        "audio_features": lambda sf_dir: multimodal.audio_features_pipeline(300),
     }
+    # every table operator (analysis / filter / dedup / similarity /
+    # cluster / relational / sketch / multimodal) comes from the shared
+    # registry — the same map `python -m pdf_parser_ray.job --query`
+    # serves from the CLI
+    out.update(table_queries())
+    return out
 
 
 def _direction_case_sql(desc_col: str) -> str:

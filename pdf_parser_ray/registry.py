@@ -1,0 +1,84 @@
+"""Named pipeline registry: every operator the engine exposes, keyed by
+the same names the driver contract (`__ray_entry__.queries()`) and the
+job CLI (`python -m pdf_parser_ray.job --query NAME`) use.  Each entry
+is a callable taking an sf-style data directory and returning a
+``ray.data.Dataset`` (or a small DataFrame)."""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from typing import Any
+
+
+def queries() -> dict[str, Callable[[str], Any]]:
+    """Build the name -> callable map over the sf-style parquet tables
+    (documents / embeddings / events / TPC-H).  The extraction-family
+    queries (extract_pages, line_dedup, curate_pages, ...) operate on a
+    pages corpus instead and are exposed by the job CLI's main mode and
+    by ``__ray_entry__`` (which synthesizes the fixture corpus)."""
+    from pdf_parser_ray.pipelines import (
+        analysis, curate, dedup, relational, similarity,
+    )
+    from pdf_parser_ray.pipelines import cluster as cluster_ops
+    from pdf_parser_ray.pipelines import filter as filter_ops
+    from pdf_parser_ray.pipelines import multimodal, pack, sketch
+
+    return {
+        # -- text analysis (oracle-checked) --
+        "token_counts": analysis.token_counts,
+        "quality_stats": analysis.quality_stats,
+        "lang_distribution": analysis.lang_distribution,
+        "source_stats": analysis.source_stats,
+        "top_docs_by_chars": analysis.top_docs_by_chars,
+        "direction_classify": analysis.direction_classify,
+        "langid": analysis.langid,
+        "fingerprints": analysis.fingerprints,
+        "ngram_stats": analysis.ngram_stats,
+        "repetition_stats": analysis.repetition_stats,
+        "unigram_logprob": analysis.unigram_logprob,
+        "tfidf_scores": analysis.tfidf_scores,
+        "importance_weights": analysis.importance_weights,
+        "bpe_token_counts": analysis.bpe_token_counts,
+        # -- curation filters / sampling --
+        "quality_filter": filter_ops.quality_filter,
+        "pii_scrub": filter_ops.pii_scrub,
+        "sample_documents": filter_ops.sample_documents,
+        "token_histogram": filter_ops.token_histogram,
+        "blocklist_filter": filter_ops.blocklist_filter,
+        "decontaminate": filter_ops.decontaminate,
+        "pack_sequences": pack.pack_sequences,
+        # -- dedup --
+        "exact_dedup": dedup.exact_dedup,
+        "minhash_dedup": dedup.minhash_dedup,
+        "simhash_dedup": dedup.simhash_dedup,
+        "ngram_jaccard_dedup": dedup.ngram_jaccard_dedup,
+        "embedding_dedup": dedup.embedding_dedup,
+        "near_dup_clusters": curate.near_dup_clusters,
+        "curate_documents": curate.curate_documents,
+        # -- similarity search / embedding clustering --
+        "kmeans_embeddings": cluster_ops.kmeans_embeddings,
+        "semantic_dedup": cluster_ops.semantic_dedup,
+        "knn_cosine": similarity.knn_cosine,
+        "knn_lsh": similarity.knn_lsh,
+        "knn_ivf": similarity.knn_ivf,
+        "embedding_norms": similarity.embedding_norms,
+        # -- relational / windows --
+        "lineitem_agg": relational.lineitem_agg,
+        "orders_by_nation": relational.orders_by_nation,
+        "region_revenue": relational.region_revenue,
+        "orders_filtered": relational.orders_filtered,
+        "events_hourly": relational.events_hourly,
+        "sessionize_events": relational.sessionize_events,
+        "error_attribution": relational.error_attribution,
+        "event_quantiles": relational.event_quantiles,
+        "top_orders_per_nation": relational.top_orders_per_nation,
+        "events_sliding": relational.events_sliding,
+        "distinct_users_per_type": relational.distinct_users_per_type,
+        # -- approximate sketches --
+        "approx_distinct_users": sketch.approx_distinct_users,
+        "heavy_hitters": sketch.heavy_hitters,
+        # -- multimodal plumbing (stubbed decode, real Ray contract) --
+        "media_features": lambda sf_dir: multimodal.media_pipeline(300),
+        "frame_sample": lambda sf_dir: multimodal.frame_sample_pipeline(300),
+        "audio_features": lambda sf_dir: multimodal.audio_features_pipeline(300),
+    }

@@ -67,6 +67,38 @@ def completed_groups(out_dir: str) -> set[int]:
     return done
 
 
+def _jsonl_group_stats(tmp_dir: str) -> tuple[int, int, int]:
+    """Lineage stats over a group's JSONL output.  JSON has no column
+    pruning, so each file is line-scanned by a Ray task (the driver
+    only collects three ints per file, never the data)."""
+    import ray
+
+    @ray.remote
+    def stat_file(path: str) -> tuple[int, int, int]:
+        rows = n_records = rollup = 0
+        with open(path) as f:
+            for line in f:
+                if not line.strip():
+                    continue
+                rec = json.loads(line)
+                rows += 1
+                n_records += int(rec.get("n_records") or 0)
+                rollup ^= int(str(rec["content_sha256"])[:16], 16)
+        return rows, n_records, rollup
+
+    paths = [
+        os.path.join(tmp_dir, n)
+        for n in sorted(os.listdir(tmp_dir))
+        if n.endswith(".json")
+    ]
+    rows = n_records = rollup = 0
+    for r, nr, h in ray.get([stat_file.remote(p) for p in paths]):
+        rows += r
+        n_records += nr
+        rollup ^= h
+    return rows, n_records, rollup
+
+
 def run_job(
     input_dir: str,
     out_dir: str,
@@ -75,6 +107,7 @@ def run_job(
     concurrency: int | tuple[int, int] | None = None,
     batch_size: int = 64,
     size_routing_threshold: int | None = None,
+    output_format: str = "parquet",
 ) -> dict:
     """Run (or resume) the extraction job over a directory of pages
     parquet shards.  Returns a summary with per-group metrics.
@@ -82,7 +115,13 @@ def run_job(
     ``size_routing_threshold`` switches to the byte-size-aware plan
     (giant rows on a dedicated 1-row-per-task branch, see
     stages/skew.py) — use for corpora with multi-hundred-MB documents.
-    """
+
+    ``output_format="jsonl"`` writes newline-delimited JSON instead of
+    parquet — the reference service's native output shape (app.py
+    returns a JSON record array per document).  Parquet remains the
+    at-scale sink: JSONL lineage stats can't column-prune, so each
+    output file is line-scanned by a Ray task.  Nested record/span
+    columns serialize as JSON objects either way."""
     os.makedirs(os.path.join(out_dir, "_manifest"), exist_ok=True)
     # sweep tmp dirs left by crashed writes — resume only trusts
     # manifests, so these are dead weight that would otherwise
@@ -117,26 +156,31 @@ def run_job(
         final_dir = os.path.join(out_dir, f"shard={gid:05d}")
         tmp_dir = os.path.join(out_dir, f"_tmp.shard={gid:05d}.{uuid.uuid4().hex[:8]}")
         # the heavy write is distributed (workers stream blocks straight
-        # to parquet); the driver never materializes the data
-        ds.write_parquet(tmp_dir)
+        # to parquet/json); the driver never materializes the data
+        if output_format == "jsonl":
+            ds.write_json(tmp_dir)
+            rows, n_records, hash_rollup = _jsonl_group_stats(tmp_dir)
+        else:
+            ds.write_parquet(tmp_dir)
 
-        # lineage stats from the written files' narrow columns only
-        import pyarrow.parquet as pq
+            # lineage stats from the written files' narrow columns only
+            import pyarrow.parquet as pq
 
-        rows = 0
-        n_records = 0
-        hash_rollup = 0
-        for name in sorted(os.listdir(tmp_dir)):
-            if not name.endswith(".parquet"):
-                continue
-            t = pq.read_table(
-                os.path.join(tmp_dir, name), columns=["n_records", "content_sha256"]
-            )
-            rows += t.num_rows
-            n_records += pc.sum(t.column("n_records")).as_py() or 0
-            # order-insensitive rollup of per-row content hashes
-            for h in t.column("content_sha256").to_pylist():
-                hash_rollup ^= int(h[:16], 16)
+            rows = 0
+            n_records = 0
+            hash_rollup = 0
+            for name in sorted(os.listdir(tmp_dir)):
+                if not name.endswith(".parquet"):
+                    continue
+                t = pq.read_table(
+                    os.path.join(tmp_dir, name),
+                    columns=["n_records", "content_sha256"],
+                )
+                rows += t.num_rows
+                n_records += pc.sum(t.column("n_records")).as_py() or 0
+                # order-insensitive rollup of per-row content hashes
+                for h in t.column("content_sha256").to_pylist():
+                    hash_rollup ^= int(h[:16], 16)
         if os.path.isdir(final_dir):
             import shutil
 

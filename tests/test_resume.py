@@ -88,3 +88,48 @@ class TestResume:
         out = str(tmp_path / "out_crash")
         os.makedirs(os.path.join(out, "_tmp.shard=00000.deadbeef"), exist_ok=True)
         assert completed_groups(out) == set()
+
+
+class TestJsonlSink:
+    def test_jsonl_format_same_lineage_as_parquet(
+        self, ray_session, quiet_data_context, pages_dir, tmp_path
+    ):
+        """The JSONL sink (the reference's native output shape) must
+        produce identical lineage stats (rows, records, content-hash
+        rollup) to the parquet sink on the same input, and resume must
+        skip completed groups the same way."""
+        import json
+        import os
+
+        from pdf_parser_ray.state.manifest import run_job
+
+        out_pq = str(tmp_path / "pq")
+        out_jl = str(tmp_path / "jl")
+        run_job(pages_dir, out_pq, group_size=2)
+        summary = run_job(pages_dir, out_jl, group_size=2, output_format="jsonl")
+        assert summary["skipped"] == 0 and summary["rows"] > 0
+        for name in sorted(os.listdir(os.path.join(out_pq, "_manifest"))):
+            a = json.load(open(os.path.join(out_pq, "_manifest", name)))
+            b = json.load(open(os.path.join(out_jl, "_manifest", name)))
+            for k in ("rows", "records", "content_hash_rollup"):
+                assert a[k] == b[k], (name, k)
+        # the shard dirs hold .json files, and resume skips everything
+        shard0 = os.path.join(out_jl, "shard=00000")
+        assert any(n.endswith(".json") for n in os.listdir(shard0))
+        again = run_job(pages_dir, out_jl, group_size=2, output_format="jsonl")
+        assert again["skipped"] == summary["groups"] and not again["ran"]
+
+
+class TestQueryCLI:
+    def test_registry_matches_driver_contract(self):
+        """Every registry operator is exposed through the driver
+        contract under the same name (the CLI and the oracle gate serve
+        one map)."""
+        import sys
+
+        sys.path.insert(0, "/root/repo")
+        import __ray_entry__ as entrymod
+
+        from pdf_parser_ray.registry import queries
+
+        assert set(queries()) <= set(entrymod.queries())
