@@ -665,6 +665,35 @@ def _jaccard_pairs_sql(threshold_millis: int) -> str:
     )
 
 
+def _substring_dedup_sql() -> str:
+    """Mirror of dedup.substring_dedup over the clone-augmented corpus:
+    distinct word-8-grams per doc, a gram is 'shared' when >= 2 distinct
+    docs carry it (the SQL joins on gram text; the pipeline exchanges
+    64-bit gram hashes — equal absent a same-pair collision)."""
+    from pdf_parser_ray.pipelines.dedup import NEAR_DUP_ID_OFFSET, SUBSTR_NGRAM
+
+    off, n = NEAR_DUP_ID_OFFSET, SUBSTR_NGRAM
+    return (
+        f"WITH corpus AS (SELECT doc_id, {_WORDS_EXPR} AS w FROM documents"
+        f"   UNION ALL SELECT doc_id + {off} AS doc_id,"
+        f"     list_filter({_WORDS_EXPR}, (x, i) -> i % 10 != 0) AS w"
+        "     FROM documents WHERE doc_id % 7 = 0),"
+        " grams AS (SELECT DISTINCT doc_id,"
+        f"   array_to_string(w[CAST(i AS INT):CAST(i AS INT) + {n - 1}], ' ')"
+        "     AS g"
+        f"  FROM (SELECT doc_id, w, unnest(range(1, len(w) - {n - 2})) AS i"
+        f"        FROM corpus WHERE len(w) >= {n})),"
+        " gc AS (SELECT g, count(DISTINCT doc_id) AS nd FROM grams GROUP BY g),"
+        " per AS (SELECT grams.doc_id, count(*) AS n_grams,"
+        "   sum(CASE WHEN gc.nd >= 2 THEN 1 ELSE 0 END) AS n_shared"
+        "   FROM grams JOIN gc USING (g) GROUP BY grams.doc_id)"
+        " SELECT c.doc_id,"
+        "  CAST(coalesce(per.n_grams, 0) AS BIGINT) AS n_grams,"
+        "  CAST(coalesce(per.n_shared, 0) AS BIGINT) AS n_shared_grams"
+        " FROM corpus c LEFT JOIN per ON c.doc_id = per.doc_id"
+    )
+
+
 def _clusters_sql(threshold_millis: int = 500) -> str:
     """Mirror of curate.near_dup_clusters: connected components over the
     verified MinHash pair set, cluster_id = min doc_id, via a recursive
@@ -1045,6 +1074,7 @@ def oracle_sql() -> dict[str, str]:
             " FROM documents GROUP BY md5(text)"
         ),
         "minhash_dedup": _jaccard_pairs_sql(500),
+        "substring_dedup": _substring_dedup_sql(),
         "ngram_jaccard_dedup": _jaccard_pairs_sql(400),
         "near_dup_clusters": _clusters_sql(),
         "curate_documents": _curate_documents_sql(),

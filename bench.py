@@ -187,6 +187,7 @@ def run_bench() -> dict:
     from pdf_parser_ray.pipelines import filter as filter_ops
 
     timed("exact_dedup", dedup.exact_dedup)
+    timed("substring_dedup", dedup.substring_dedup)
     timed("minhash_dedup", dedup.minhash_dedup)
     timed("simhash_dedup", dedup.simhash_dedup)
     timed("embedding_dedup", dedup.embedding_dedup)

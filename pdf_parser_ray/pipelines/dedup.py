@@ -732,3 +732,100 @@ def embedding_dedup(sf_dir: str, threshold_millis: int = 990) -> rd.Dataset:
         .map_groups(bucket_pairs, batch_format="pandas")
     )
     return _dedup_pairs(pairs, "vec_id_a", "vec_id_b")
+
+
+# -- cross-document duplicated-substring detection (ExactSubstr-style) -------
+
+SUBSTR_NGRAM = 8  # word n-gram length treated as "a duplicated substring"
+
+
+def substring_dedup(sf_dir: str) -> rd.Dataset:
+    """(doc_id, n_grams, n_shared_grams): for every document of the
+    clone-augmented corpus, how many of its distinct word-8-grams also
+    appear in at least one OTHER document — the signal behind
+    ExactSubstr-style training-data dedup (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better", public method), where
+    long substrings repeated across documents are cut.
+
+    Scale shape: the exchange carries (gram_hash64, doc_id) int pairs
+    (never gram text), coarse-bucketed on the hash; each coarse group
+    counts distinct docs per gram vectorized and emits one partial
+    (doc_id, n_shared) row per member of a shared gram; a final
+    doc-keyed Sum folds the partials with the per-doc gram totals.  A
+    count changes only if two distinct grams collide in 64 bits AND in
+    the same document pair — negligible, and absent on the oracle
+    corpus (the DuckDB mirror joins on gram text and hash-matches)."""
+
+    def gram_rows(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        out_g, out_d, tot_d, tot_n = [], [], [], []
+        for doc_id, text in zip(ids, texts):
+            words = text.split()
+            grams = {
+                " ".join(words[i : i + SUBSTR_NGRAM])
+                for i in range(len(words) - SUBSTR_NGRAM + 1)
+            }
+            tot_d.append(doc_id)
+            tot_n.append(len(grams))
+            for g in grams:
+                out_g.append(_stable64(g) % (1 << 62))
+                out_d.append(doc_id)
+        # gram rows carry kind=0; per-doc total rows ride along (kind=1,
+        # bucketed by doc hash) so the whole operator is two shuffles
+        n_g, n_t = len(out_g), len(tot_d)
+        return pa.table(
+            {
+                "g": pa.array(out_g + [0] * n_t, pa.int64()),
+                "doc_id": pa.array(out_d + tot_d, pa.int64()),
+                "n": pa.array([0] * n_g + tot_n, pa.int64()),
+                "kind": pa.array([0] * n_g + [1] * n_t, pa.int32()),
+            }
+        )
+
+    def add_coarse(batch: pa.Table) -> pa.Table:
+        g = batch.column("g").to_numpy(zero_copy_only=False)
+        d = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        kind = batch.column("kind").to_numpy(zero_copy_only=False)
+        key = np.where(kind == 0, g % _COARSE_BUCKETS, _COARSE_BUCKETS + (d % _COARSE_BUCKETS))
+        return strip_schema_metadata(
+            batch.append_column("coarse", pa.array(key.astype(np.int32)))
+        )
+
+    def partials(gdf: pd.DataFrame) -> pd.DataFrame:
+        if int(gdf["kind"].iloc[0]) == 1:
+            # total rows pass through as (doc_id, n_grams, 0)
+            return pd.DataFrame(
+                {
+                    "doc_id": gdf["doc_id"].to_numpy().astype(np.int64),
+                    "n_grams": gdf["n"].to_numpy().astype(np.int64),
+                    "n_shared_grams": np.zeros(len(gdf), np.int64),
+                }
+            )
+        # gram rows: a gram is shared when >= 2 distinct docs carry it
+        dd = gdf.drop_duplicates(subset=["g", "doc_id"])
+        nd = dd.groupby("g", sort=False)["doc_id"].transform("nunique")
+        shared = dd[nd >= 2]
+        per_doc = shared.groupby("doc_id", sort=False).size()
+        return pd.DataFrame(
+            {
+                "doc_id": per_doc.index.to_numpy().astype(np.int64),
+                "n_grams": np.zeros(len(per_doc), np.int64),
+                "n_shared_grams": per_doc.to_numpy().astype(np.int64),
+            }
+        )
+
+    docs = with_near_dups(_docs(sf_dir, ["doc_id", "text"]))
+    from ray.data.aggregate import Sum
+
+    return (
+        docs.map_batches(gram_rows, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(add_coarse, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("coarse")
+        .map_groups(partials, batch_format="pandas")
+        .groupby("doc_id")
+        .aggregate(
+            Sum("n_grams", alias_name="n_grams"),
+            Sum("n_shared_grams", alias_name="n_shared_grams"),
+        )
+    )

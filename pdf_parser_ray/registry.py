@@ -53,6 +53,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_dedup": dedup.simhash_dedup,
         "ngram_jaccard_dedup": dedup.ngram_jaccard_dedup,
         "embedding_dedup": dedup.embedding_dedup,
+        "substring_dedup": dedup.substring_dedup,
         "near_dup_clusters": curate.near_dup_clusters,
         "curate_documents": curate.curate_documents,
         # -- similarity search / embedding clustering --
