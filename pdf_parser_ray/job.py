@@ -80,6 +80,9 @@ def main(argv: list[str] | None = None) -> int:
         summary = {"query": args.query, "sf_dir": args.sf_dir}
         if hasattr(result, "write_parquet"):  # a Dataset
             if args.output:
+                # materialize once: count() after a write would re-run
+                # the whole lazy pipeline a second time
+                result = result.materialize()
                 if args.format == "jsonl":
                     result.write_json(args.output)
                 else:
