@@ -94,8 +94,12 @@ def main(argv: list[str] | None = None) -> int:
                 import os
 
                 os.makedirs(args.output, exist_ok=True)
-                path = f"{args.output}/{args.query}.parquet"
-                result.to_parquet(path, index=False)
+                if args.format == "jsonl":
+                    path = f"{args.output}/{args.query}.jsonl"
+                    result.to_json(path, orient="records", lines=True)
+                else:
+                    path = f"{args.output}/{args.query}.parquet"
+                    result.to_parquet(path, index=False)
                 summary["output"] = path
             summary["rows"] = len(result)
         print(json.dumps(summary))

@@ -61,7 +61,11 @@ def _one_pass_centroids(ds: rd.Dataset, cents: np.ndarray) -> np.ndarray:
     def partials(batch: pa.Table) -> pa.Table:
         vecs = np.array(batch.column("embedding").to_pylist(), np.float64)
         state = np.zeros((k, dim + 1), np.float64)
-        seq = 0
+        # seq orders the merge: first vec_id is unique across non-empty
+        # batches (row ids are unique), and empty batches (-1, possibly
+        # several) carry all-zero states whose addition is exact at any
+        # position — so equal-seq rows can never perturb the float sum
+        seq = -1
         if len(vecs):
             a = _assign(vecs, cents)
             np.add.at(state[:, :dim], a, vecs)
