@@ -82,8 +82,10 @@ def test_entry_smoke(ray_session, quiet_data_context):
         "knn_lsh",
         "knn_ivf",
         "approx_distinct_users",
+        "heavy_hitters",
         "media_features",
         "frame_sample",
+        "audio_features",
     ],
 )
 def test_rows_only_queries_run(ray_session, quiet_data_context, name):
