@@ -147,3 +147,47 @@ def test_near_dup_outputs_pinned_golden(
     got = hashlib.md5(df.reset_index(drop=True).to_csv(index=False).encode())
     assert len(df) == n_rows, name
     assert got.hexdigest() == md5, name
+
+
+def test_candidate_stage_complete_vs_brute_force(ray_session, quiet_data_context):
+    """The brute-force DuckDB oracles for minhash/ngram dedup are only
+    valid while the LSH candidate stages are COMPLETE on the test
+    corpora (every pair >= threshold surfaces as a candidate).  Guard
+    that assumption directly: enumerate all pairs in-process and
+    require exact equality with both pipelines at sf0.001."""
+    import itertools
+
+    import pyarrow.parquet as pq
+
+    from pdf_parser_ray.pipelines.dedup import (
+        NEAR_DUP_ID_OFFSET, _jaccard, _word_shingles,
+        minhash_dedup, ngram_jaccard_dedup,
+    )
+
+    t = pq.read_table(SF_DIR + "/documents.parquet", columns=["doc_id", "text"])
+    aug = list(zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()))
+    for i, txt in list(aug):
+        if i % 7 == 0:
+            words = txt.split()
+            kept = [w for k, w in enumerate(words) if k % 10 != 9]
+            aug.append((i + NEAR_DUP_ID_OFFSET, " ".join(kept)))
+    sh = {i: _word_shingles(txt) for i, txt in aug}
+
+    def brute(threshold_millis):
+        out = set()
+        for a, b in itertools.combinations(sorted(sh), 2):
+            score = int(_jaccard(sh[a], sh[b]) * 1000)
+            if score >= threshold_millis:
+                out.add((a, b, score))
+        return out
+
+    got_mh = {
+        (int(r.doc_id_a), int(r.doc_id_b), int(r.jaccard_millis))
+        for r in minhash_dedup(SF_DIR).to_pandas().itertuples()
+    }
+    assert got_mh == brute(500)
+    got_ng = {
+        (int(r.doc_id_a), int(r.doc_id_b), int(r.jaccard_millis))
+        for r in ngram_jaccard_dedup(SF_DIR).to_pandas().itertuples()
+    }
+    assert got_ng == brute(400)
