@@ -925,6 +925,43 @@ def _embedding_dedup_sql(threshold_millis: int = 990) -> str:
     )
 
 
+def _knn_lsh_sql(query_vec_id: int = 0, k: int = 10) -> str:
+    """Shared mirror of knn_lsh AND knn_ivf (identical planes, probe
+    set, scoring, ranking — the IVF index holds the same vectors, just
+    partitioned): 8 integer-formula hyperplanes bucket every vector,
+    candidates are the query's bucket plus its eight 1-bit XOR flips,
+    ranked by round-micros cosine with a vec_id tie-break."""
+    from pdf_parser_ray.pipelines.similarity import _LSH_BITS
+
+    return (
+        "WITH v AS (SELECT vec_id,"
+        "   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e"
+        "   FROM embeddings),"
+        " ed AS (SELECT vec_id, CAST(i - 1 AS BIGINT) AS d,"
+        "   e[CAST(i AS INT)] AS x"
+        "   FROM (SELECT vec_id, e, unnest(range(1, len(e) + 1)) AS i"
+        "         FROM v)),"
+        " dots AS (SELECT vec_id, pp.p AS p,"
+        "   sum(x * ((((d * 131 + pp.p * 137) % 251) - 125) / 125.0)) AS dot"
+        f"  FROM ed CROSS JOIN (SELECT unnest(range({_LSH_BITS})) AS p) pp"
+        "   GROUP BY vec_id, pp.p),"
+        " bk AS (SELECT vec_id, CAST(sum(CASE WHEN dot > 0"
+        "   THEN 1 << CAST(p AS INT) ELSE 0 END) AS BIGINT) AS bucket"
+        "   FROM dots GROUP BY vec_id),"
+        f" qb AS (SELECT bucket FROM bk WHERE vec_id = {query_vec_id}),"
+        " probes AS (SELECT bucket AS b FROM qb"
+        "   UNION SELECT xor(qb.bucket, 1 << CAST(t.p AS INT))"
+        f"  FROM qb CROSS JOIN (SELECT unnest(range({_LSH_BITS})) AS p) t),"
+        f" q AS (SELECT e FROM v WHERE vec_id = {query_vec_id})"
+        " SELECT v.vec_id,"
+        "  CAST(round(list_cosine_similarity(v.e, q.e) * 1000000) AS BIGINT)"
+        "    AS cos_micros"
+        " FROM v JOIN bk USING (vec_id) CROSS JOIN q"
+        f" WHERE bk.bucket IN (SELECT b FROM probes) AND v.vec_id <> {query_vec_id}"
+        f" ORDER BY cos_micros DESC, v.vec_id LIMIT {k}"
+    )
+
+
 def _pack_sql() -> str:
     """Mirror of pack.pack_sequences: per-bucket window cumulative sum of
     whitespace token counts, integer-divided into seq_len packs."""
@@ -1081,6 +1118,8 @@ def oracle_sql() -> dict[str, str]:
         "embedding_dedup": _embedding_dedup_sql(),
         "kmeans_embeddings": _kmeans_sql(),
         "semantic_dedup": _semantic_dedup_sql(),
+        "knn_lsh": _knn_lsh_sql(),
+        "knn_ivf": _knn_lsh_sql(),
         "knn_cosine": (
             "SELECT e.vec_id FROM embeddings e,"
             " (SELECT embedding FROM embeddings WHERE vec_id = 0) q"

@@ -633,12 +633,14 @@ def _clone_noise(vec_id: int, dim: int) -> np.ndarray:
     return (((vec_id * 31 + d * 17) % 97) - 48) / 4800.0
 
 
-def _hyperplanes(dim: int) -> np.ndarray:
+def _hyperplanes(dim: int, n_planes: int = _EMB_PLANES) -> np.ndarray:
     """LSH hyperplanes from the same integer-formula family:
     plane[d, p] = (((d*131 + p*137) % 251) - 125) / 125 — decorrelated
-    enough for bucketing, and recomputable in the SQL oracle."""
+    enough for bucketing, and recomputable in the SQL oracle.  Shared
+    by embedding_dedup (12 planes) and the knn_lsh / knn_ivf probing
+    (8 planes)."""
     d = np.arange(dim, dtype=np.int64)[:, None]
-    p = np.arange(_EMB_PLANES, dtype=np.int64)[None, :]
+    p = np.arange(n_planes, dtype=np.int64)[None, :]
     return (((d * 131 + p * 137) % 251) - 125) / 125.0
 
 

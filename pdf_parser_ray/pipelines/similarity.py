@@ -28,7 +28,7 @@ import ray.data as rd
 
 from .io_util import read_parquet_clean
 
-from .dedup import _blocks_for
+from .dedup import _blocks_for, _hyperplanes
 
 
 def _query_vector(sf_dir: str, query_vec_id: int) -> np.ndarray:
@@ -98,8 +98,7 @@ def knn_lsh(sf_dir: str, query_vec_id: int = 0, k: int = 10) -> rd.Dataset:
     whose hyperplane signature is within hamming distance 1 of the
     query's (multi-probe LSH)."""
     q = _query_vector(sf_dir, query_vec_id)
-    rng = np.random.default_rng(20240817)
-    planes = rng.standard_normal((q.shape[0], _LSH_BITS))
+    planes = _hyperplanes(q.shape[0], _LSH_BITS)
     q_sig = int(_signatures(q[None, :], planes)[0])
     probe = {q_sig} | {q_sig ^ (1 << b) for b in range(_LSH_BITS)}
 
@@ -164,7 +163,7 @@ def embedding_norms(sf_dir: str) -> rd.Dataset:
 
 # -- IVF-style ANN: prebuilt signature-partitioned index --------------------
 
-_IVF_VERSION = 1
+_IVF_VERSION = 2  # v2: integer-formula planes (SQL-oracle-expressible)
 _IVF_CACHE_ROOT = "/tmp/pdf_parser_ray_index"
 
 
@@ -175,8 +174,8 @@ def build_ivf_index(sf_dir: str, index_dir: str, bits: int = _LSH_BITS) -> str:
     the build cost amortizes across queries, and each query reads only
     its probed partitions (directory pruning at the scan), i.e.
     ~(probes / 2^bits) of the data instead of a full scan.  Idempotent
-    via a _DONE marker; deterministic planes (seeded) shared with the
-    query side."""
+    via a _DONE marker; integer-formula planes (dedup._hyperplanes)
+    shared with the query side and the DuckDB oracle."""
     done = os.path.join(index_dir, "_DONE")
     if os.path.exists(done):
         return index_dir
@@ -191,8 +190,7 @@ def build_ivf_index(sf_dir: str, index_dir: str, bits: int = _LSH_BITS) -> str:
     emb_path = os.path.join(sf_dir, "embeddings.parquet")
     first = pq.ParquetFile(emb_path).read_row_group(0, columns=["embedding"])
     dim = len(first.column("embedding")[0].as_py())
-    rng = np.random.default_rng(20240817)
-    planes = rng.standard_normal((dim, bits))
+    planes = _hyperplanes(dim, bits)
 
     def add_bucket(batch: pa.Table) -> pa.Table:
         vecs = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
@@ -244,8 +242,7 @@ def knn_ivf(sf_dir: str, query_vec_id: int = 0, k: int = 10) -> rd.Dataset:
     build_ivf_index(sf_dir, index_dir)
 
     q = _query_vector(sf_dir, query_vec_id)
-    rng = np.random.default_rng(20240817)
-    planes = rng.standard_normal((q.shape[0], _LSH_BITS))
+    planes = _hyperplanes(q.shape[0], _LSH_BITS)
     q_sig = int(_signatures(q[None, :], planes)[0])
     probe = sorted({q_sig} | {q_sig ^ (1 << b) for b in range(_LSH_BITS)})
 

@@ -79,8 +79,6 @@ def test_entry_smoke(ray_session, quiet_data_context):
         "langid",
         "fingerprints",
         "simhash_dedup",
-        "knn_lsh",
-        "knn_ivf",
         "approx_distinct_users",
         "heavy_hitters",
         "media_features",
