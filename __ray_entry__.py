@@ -930,7 +930,9 @@ def _knn_lsh_sql(query_vec_id: int = 0, k: int = 10) -> str:
     set, scoring, ranking — the IVF index holds the same vectors, just
     partitioned): 8 integer-formula hyperplanes bucket every vector,
     candidates are the query's bucket plus its eight 1-bit XOR flips,
-    ranked by round-micros cosine with a vec_id tie-break."""
+    ranked by trunc-micros cosine with a vec_id tie-break (truncation
+    on both sides — np.rint's half-to-even vs SQL round's half-away
+    would be a latent divergence)."""
     from pdf_parser_ray.pipelines.similarity import _LSH_BITS
 
     return (
@@ -954,7 +956,7 @@ def _knn_lsh_sql(query_vec_id: int = 0, k: int = 10) -> str:
         f"  FROM qb CROSS JOIN (SELECT unnest(range({_LSH_BITS})) AS p) t),"
         f" q AS (SELECT e FROM v WHERE vec_id = {query_vec_id})"
         " SELECT v.vec_id,"
-        "  CAST(round(list_cosine_similarity(v.e, q.e) * 1000000) AS BIGINT)"
+        "  CAST(trunc(list_cosine_similarity(v.e, q.e) * 1000000) AS BIGINT)"
         "    AS cos_micros"
         " FROM v JOIN bk USING (vec_id) CROSS JOIN q"
         f" WHERE bk.bucket IN (SELECT b FROM probes) AND v.vec_id <> {query_vec_id}"

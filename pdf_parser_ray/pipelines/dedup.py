@@ -752,8 +752,9 @@ def substring_dedup(sf_dir: str) -> rd.Dataset:
     Scale shape: the exchange carries (gram_hash64, doc_id) int pairs
     (never gram text), coarse-bucketed on the hash; each coarse group
     counts distinct docs per gram vectorized and emits one partial
-    (doc_id, n_shared) row per member of a shared gram; a final
-    doc-keyed Sum folds the partials with the per-doc gram totals.  A
+    (doc_id, n_shared) row per member of a shared gram; a second
+    coarse-bucket shuffle keyed on the doc id folds the partials with
+    the per-doc gram totals in a vectorized pandas sum.  A
     count changes only if two distinct grams collide in 64 bits AND in
     the same document pair — negligible, and absent on the oracle
     corpus (the DuckDB mirror joins on gram text and hash-matches)."""

@@ -120,7 +120,7 @@ def knn_lsh(sf_dir: str, query_vec_id: int = 0, k: int = 10) -> rd.Dataset:
             {
                 "vec_id": pa.array(ids, pa.int64()),
                 "cos_micros": pa.array(
-                    np.rint(cos * 1_000_000).astype(np.int64), pa.int64()
+                    np.trunc(cos * 1_000_000).astype(np.int64), pa.int64()
                 ),
             }
         )
@@ -263,7 +263,7 @@ def knn_ivf(sf_dir: str, query_vec_id: int = 0, k: int = 10) -> rd.Dataset:
             {
                 "vec_id": pa.array(ids, pa.int64()),
                 "cos_micros": pa.array(
-                    np.rint(cos * 1_000_000).astype(np.int64), pa.int64()
+                    np.trunc(cos * 1_000_000).astype(np.int64), pa.int64()
                 ),
             }
         )
