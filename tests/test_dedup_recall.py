@@ -34,6 +34,19 @@ def test_no_driver_text_materialization():
     assert "_broadcast" not in src
 
 
+def test_curate_no_driver_id_sets():
+    """curate.py must never collect id/drop sets to the driver — the
+    verdict join is a distributed co-shuffle (VERDICT r02 'What's
+    wrong' #1): no ray.put broadcast, no .to_pandas() collection."""
+    import inspect
+
+    import pdf_parser_ray.pipelines.curate as cu
+
+    src = inspect.getsource(cu)
+    assert "ray.put" not in src
+    assert ".to_pandas()" not in src
+
+
 class TestPlantedCloneRecall:
     def test_minhash_recall(self, ray_session, quiet_data_context):
         from pdf_parser_ray.pipelines.dedup import minhash_dedup
