@@ -983,6 +983,14 @@ def _pack_sql() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    # the top-V broadcast-model cap the registry passes to
+    # unigram_logprob / tfidf_scores / importance_weights — mirrored in
+    # their oracle SQL so the cap and the OOV path are hash-verified
+    # (it binds: the synthetic corpus has a 31-word vocabulary)
+    from pdf_parser_ray.pipelines.analysis import (
+        ORACLE_VOCAB_CAP as _VOCAB_CAP_SQL,
+    )
+
     synth_desc = (
         "CASE doc_id % 6 "
         "WHEN 0 THEN 'ACH DEBIT ' WHEN 1 THEN 'WIRE IN ' "
@@ -1042,21 +1050,30 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences": _pack_sql(),
         "tfidf_scores": (
             # mirror of analysis.tfidf_scores: integer-micros floor of
-            # ln(N/df) summed tf-weighted per document
+            # ln(N/df) summed tf-weighted per document, idf table capped
+            # at the top-V words by (df DESC, word ASC); OOV words take
+            # the df=1 default — same cap the Ray pipeline broadcasts
             f"WITH w AS (SELECT doc_id, unnest({_WORDS_EXPR}) AS word"
             "   FROM documents),"
             " t AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf"
             "   FROM w GROUP BY doc_id, word),"
             " df AS (SELECT word, CAST(count(*) AS BIGINT) AS df"
             "   FROM t GROUP BY word),"
+            " top AS (SELECT word, df FROM (SELECT word, df,"
+            "   row_number() OVER (ORDER BY df DESC, word) AS rk FROM df)"
+            f"   WHERE rk <= {_VOCAB_CAP_SQL}),"
             " n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),"
             " idf AS (SELECT word,"
-            "   CAST(floor(ln(n.n / df.df) * 1000000) AS BIGINT) AS m"
-            "   FROM df, n),"
+            "   CAST(floor(ln(n.n / top.df) * 1000000) AS BIGINT) AS m"
+            "   FROM top, n),"
+            " oov AS (SELECT CAST(floor(ln(n.n / 1.0) * 1000000) AS BIGINT)"
+            "   AS m FROM n),"
             " sc AS (SELECT t.doc_id,"
             "   CAST(sum(t.tf) AS BIGINT) AS n_words,"
-            "   CAST(sum(t.tf * i.m) AS BIGINT) AS tfidf_micros"
-            "   FROM t JOIN idf i USING (word) GROUP BY t.doc_id)"
+            "   CAST(sum(t.tf * coalesce(i.m, oov.m)) AS BIGINT)"
+            "     AS tfidf_micros"
+            "   FROM t LEFT JOIN idf i USING (word) CROSS JOIN oov"
+            "   GROUP BY t.doc_id)"
             " SELECT d.doc_id,"
             "  CAST(coalesce(sc.n_words, 0) AS BIGINT) AS n_words,"
             "  CAST(coalesce(sc.tfidf_micros, 0) AS BIGINT) AS tfidf_micros"
@@ -1066,15 +1083,26 @@ def oracle_sql() -> dict[str, str]:
         "bpe_token_counts": _bpe_token_sql(),
         "unigram_logprob": (
             # mirror of analysis.unigram_logprob: integer-micros floor of
-            # ln(count(w)/N) summed per token occurrence (associative)
+            # ln(count(w)/N) summed per token occurrence (associative);
+            # unigram table capped at the top-V words by (count DESC,
+            # word ASC), N stays the FULL corpus token total, OOV words
+            # take the floor ln(1/N) — same cap the Ray pipeline
+            # broadcasts
             f"WITH w AS (SELECT doc_id, unnest({_WORDS_EXPR}) AS word"
             "   FROM documents),"
             " c AS (SELECT word, count(*) AS c FROM w GROUP BY word),"
             " t AS (SELECT sum(c) AS n FROM c),"
+            " top AS (SELECT word, c FROM (SELECT word, c,"
+            "   row_number() OVER (ORDER BY c DESC, word) AS rk FROM c)"
+            f"   WHERE rk <= {_VOCAB_CAP_SQL}),"
+            " m AS (SELECT word, CAST(floor(ln(CAST(c AS DOUBLE) / t.n)"
+            "   * 1000000) AS BIGINT) AS m FROM top, t),"
+            " oov AS (SELECT CAST(floor(ln(1.0 / t.n) * 1000000) AS BIGINT)"
+            "   AS m FROM t),"
             " s AS (SELECT w.doc_id, CAST(count(*) AS BIGINT) AS n_words,"
-            "   CAST(sum(CAST(floor(ln(CAST(c.c AS DOUBLE) / t.n) * 1000000)"
-            "     AS BIGINT)) AS BIGINT) AS logprob_micros"
-            "   FROM w JOIN c USING (word) CROSS JOIN t GROUP BY w.doc_id)"
+            "   CAST(sum(coalesce(m.m, oov.m)) AS BIGINT) AS logprob_micros"
+            "   FROM w LEFT JOIN m USING (word) CROSS JOIN oov"
+            "   GROUP BY w.doc_id)"
             " SELECT d.doc_id,"
             " CAST(coalesce(s.n_words, 0) AS BIGINT) AS n_words,"
             " CAST(coalesce(s.logprob_micros, 0) AS BIGINT) AS logprob_micros"
@@ -1083,23 +1111,34 @@ def oracle_sql() -> dict[str, str]:
         "importance_weights": (
             # mirror of analysis.importance_weights: per-word unigram
             # log-ratio (add-one-smoothed target / corpus) in floored
-            # integer micros, summed per token occurrence
+            # integer micros, summed per token occurrence; ratio table
+            # capped at the top-V words by (n_all DESC, word ASC) with
+            # the smoothing denominator over the CAPPED table size;
+            # totals stay full-corpus; OOV words take (c_t=0, c_all=1)
             f"WITH w AS (SELECT doc_id, unnest({_WORDS_EXPR}) AS word"
             "   FROM documents),"
             " ca AS (SELECT word, count(*) AS n_all,"
             "   sum(CASE WHEN doc_id % 97 = 0 THEN 1 ELSE 0 END) AS n_tgt"
             "   FROM w GROUP BY word),"
-            " tot AS (SELECT sum(n_all) AS na, sum(n_tgt) AS nt,"
-            "   count(*) AS v FROM ca),"
+            " tot AS (SELECT sum(n_all) AS na, sum(n_tgt) AS nt FROM ca),"
+            " top AS (SELECT word, n_all, n_tgt FROM (SELECT word, n_all,"
+            "   n_tgt, row_number() OVER (ORDER BY n_all DESC, word) AS rk"
+            f"   FROM ca) WHERE rk <= {_VOCAB_CAP_SQL}),"
+            " vs AS (SELECT count(*) AS v FROM top),"
             " r AS (SELECT word,"
-            "   CAST(floor(ln((CAST(n_tgt AS DOUBLE) + 1) / (tot.nt + tot.v))"
+            "   CAST(floor(ln((CAST(n_tgt AS DOUBLE) + 1) / (tot.nt + vs.v))"
             "     * 1000000) AS BIGINT)"
             "   - CAST(floor(ln(CAST(n_all AS DOUBLE) / tot.na) * 1000000)"
             "     AS BIGINT) AS m"
-            "   FROM ca, tot),"
+            "   FROM top, tot, vs),"
+            " oov AS (SELECT"
+            "   CAST(floor(ln(1.0 / (tot.nt + vs.v)) * 1000000) AS BIGINT)"
+            "   - CAST(floor(ln(1.0 / tot.na) * 1000000) AS BIGINT) AS m"
+            "   FROM tot, vs),"
             " s AS (SELECT w.doc_id, CAST(count(*) AS BIGINT) AS n_words,"
-            "   CAST(sum(r.m) AS BIGINT) AS weight_micros"
-            "   FROM w JOIN r USING (word) GROUP BY w.doc_id)"
+            "   CAST(sum(coalesce(r.m, oov.m)) AS BIGINT) AS weight_micros"
+            "   FROM w LEFT JOIN r USING (word) CROSS JOIN oov"
+            "   GROUP BY w.doc_id)"
             " SELECT d.doc_id,"
             "  CAST(coalesce(s.n_words, 0) AS BIGINT) AS n_words,"
             "  CAST(coalesce(s.weight_micros, 0) AS BIGINT) AS weight_micros"

@@ -7,6 +7,7 @@ is a callable taking an sf-style data directory and returning a
 from __future__ import annotations
 
 from collections.abc import Callable
+from functools import partial
 from typing import Any
 
 
@@ -35,9 +36,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprints": analysis.fingerprints,
         "ngram_stats": analysis.ngram_stats,
         "repetition_stats": analysis.repetition_stats,
-        "unigram_logprob": analysis.unigram_logprob,
-        "tfidf_scores": analysis.tfidf_scores,
-        "importance_weights": analysis.importance_weights,
+        # vocab_cap = ORACLE_VOCAB_CAP (24) so the top-V broadcast cap
+        # and the OOV path BIND on the synthetic 31-word vocabulary and
+        # are verified by the driver's DuckDB oracles; the functions'
+        # own default is the production VOCAB_CAP
+        "unigram_logprob": partial(
+            analysis.unigram_logprob, vocab_cap=analysis.ORACLE_VOCAB_CAP
+        ),
+        "tfidf_scores": partial(
+            analysis.tfidf_scores, vocab_cap=analysis.ORACLE_VOCAB_CAP
+        ),
+        "importance_weights": partial(
+            analysis.importance_weights, vocab_cap=analysis.ORACLE_VOCAB_CAP
+        ),
         "bpe_token_counts": analysis.bpe_token_counts,
         # -- curation filters / sampling --
         "quality_filter": filter_ops.quality_filter,

@@ -126,3 +126,48 @@ class TestRollingFingerprint:
             f"/root/testdata/{sf}/documents.parquet", columns=["text"]
         )
         assert all(s.isascii() for s in t.column("text").to_pylist())
+
+
+class TestVocabCap:
+    """The train-small/score-wide fits must broadcast a BOUNDED model:
+    top-V words + an OOV default (VERDICT r02 'What's wrong' #2).  At
+    100 TB the uncapped open-web vocabulary is billions of keys."""
+
+    SF = "/root/testdata/sf0.001"
+
+    def test_unigram_table_bounded(self, ray_session, quiet_data_context):
+        from pdf_parser_ray.pipelines.analysis import fit_unigram_table
+
+        table, oov = fit_unigram_table(self.SF, vocab_cap=5)
+        assert len(table) <= 5
+        # OOV floor is below every in-table score (count 1 vs count >= 1
+        # of the top words)
+        assert oov <= min(table.values())
+        assert "" not in table  # the totals sentinel never leaks
+
+    def test_idf_table_bounded(self, ray_session, quiet_data_context):
+        from pdf_parser_ray.pipelines.analysis import fit_idf_table
+
+        table, oov = fit_idf_table(self.SF, vocab_cap=5)
+        assert len(table) <= 5
+        # OOV default is df=1 -> the maximum idf
+        assert oov >= max(table.values())
+        assert "" not in table
+
+    def test_ratio_table_bounded(self, ray_session, quiet_data_context):
+        from pdf_parser_ray.pipelines.analysis import fit_ratio_table
+
+        table, _oov = fit_ratio_table(self.SF, vocab_cap=5)
+        assert len(table) <= 5
+        assert "" not in table
+
+    def test_cap_keeps_most_frequent(self, ray_session, quiet_data_context):
+        # capped fit = the top-V rows of the uncapped fit (count DESC,
+        # word ASC tie-break), same scores — the cap only prunes
+        from pdf_parser_ray.pipelines.analysis import fit_unigram_table
+
+        full, _ = fit_unigram_table(self.SF, vocab_cap=1 << 20)
+        capped, _ = fit_unigram_table(self.SF, vocab_cap=5)
+        assert set(capped) <= set(full)
+        for w, m in capped.items():
+            assert full[w] == m
