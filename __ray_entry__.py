@@ -393,8 +393,10 @@ def _extract_oracle_sql() -> dict[str, str]:
             " FROM c2"
         ),
         "line_dedup": (
-            # mirror of extract.line_dedup (min_count=5): drop lines
-            # appearing >= 5 times corpus-wide, md5 the cleaned page
+            # mirror of extract.line_dedup: drop lines appearing >=
+            # max(min_count=5, ceil(n_pages / pages_per_boiler=1000))
+            # times corpus-wide (the corpus-scaled threshold that
+            # bounds the broadcast set), md5 the cleaned page
             f"WITH g AS (SELECT url, extracted_text"
             f"   FROM read_parquet('{golden_path}')),"
             " l AS (SELECT url, i, lines[CAST(i AS INT)] AS line FROM ("
@@ -402,7 +404,8 @@ def _extract_oracle_sql() -> dict[str, str]:
             "   FROM (SELECT url, string_split(extracted_text, chr(10))"
             "         AS lines FROM g))),"
             " c AS (SELECT line, count(*) AS n FROM l GROUP BY line),"
-            " freq AS (SELECT line FROM c WHERE n >= 5),"
+            " freq AS (SELECT line FROM c WHERE n >="
+            "   greatest(5, ((SELECT count(*) FROM g) + 999) // 1000)),"
             " k AS (SELECT url, i, line FROM l"
             "   WHERE line NOT IN (SELECT line FROM freq)),"
             " agg AS (SELECT url, count(*) AS n_kept,"

@@ -143,3 +143,46 @@ class TestActorPoolVariant:
             .sort_index()
         )
         assert a.equals(b)
+
+
+class TestLineDedupBound:
+    """The boilerplate broadcast set must be bounded independent of
+    corpus size (VERDICT r02 'What's wrong' #3): |frequent| <=
+    total_line_occurrences / eff_min <= pages_per_boiler * avg lines
+    per page."""
+
+    def test_effective_min_count_scales(self):
+        from pdf_parser_ray.pipelines.extract import effective_min_count
+
+        # floor at min_count on small corpora (test scale: unchanged)
+        assert effective_min_count(500, 5, 1000) == 5
+        # scales with the corpus: 10M pages -> threshold 10k
+        assert effective_min_count(10_000_000, 5, 1000) == 10_000
+        # ceil, not floor
+        assert effective_min_count(1001, 1, 1000) == 2
+
+    def test_frequent_set_bound_holds(
+        self, ray_session, quiet_data_context, corpus
+    ):
+        from pdf_parser_ray.pipelines.extract import (
+            extract_dir,
+            frequent_line_hashes,
+        )
+
+        pages_dir, _ = corpus
+        extracted = (
+            extract_dir(pages_dir, batch_size=32)
+            .select_columns(["url", "extracted_text"])
+            .materialize()
+        )
+        total_lines = sum(
+            len(t.split("\n"))
+            for t in extracted.to_pandas()["extracted_text"]
+        )
+        for eff_min in (5, 20):
+            freq = frequent_line_hashes(extracted, eff_min)
+            assert len(freq) <= total_lines // eff_min
+        # a higher threshold can only shrink the set
+        assert len(frequent_line_hashes(extracted, 20)) <= len(
+            frequent_line_hashes(extracted, 5)
+        )
