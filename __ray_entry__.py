@@ -668,6 +668,74 @@ def _jaccard_pairs_sql(threshold_millis: int) -> str:
     )
 
 
+def _simhash_sql() -> str:
+    """Full mirror of dedup.simhash_dedup over the clone-augmented
+    corpus: the char-wise polynomial token hash (Z/(2^61-1), same
+    family as rolling_fingerprint — chosen so blake2b's no_oracle gap
+    closes), per-bit majority-vote signatures, 4x16-bit banding,
+    hamming <= 6 within band buckets, the deterministic
+    MAX_PAIRS_PER_GROUP truncation (pairs in (a, b) order, stop at the
+    50th qualifying pair), and the per-coarse-bucket overflow marker
+    rows (doc_id_a = -1, doc_id_b = coarse, hamming = unexamined-pair
+    count)."""
+    from pdf_parser_ray.pipelines.dedup import (
+        _COARSE_BUCKETS,
+        _SIMHASH_HASH_BASE,
+        _SIMHASH_HASH_MOD,
+        MAX_PAIRS_PER_GROUP,
+        NEAR_DUP_ID_OFFSET,
+    )
+
+    off = NEAR_DUP_ID_OFFSET
+    cap = MAX_PAIRS_PER_GROUP
+    return (
+        f"WITH corpus AS (SELECT doc_id, {_WORDS_EXPR} AS w FROM documents"
+        f"   UNION ALL SELECT doc_id + {off} AS doc_id,"
+        f"     list_filter({_WORDS_EXPR}, (x, i) -> i % 10 != 0) AS w"
+        "     FROM documents WHERE doc_id % 7 = 0),"
+        " tok AS (SELECT DISTINCT doc_id, unnest(w) AS t FROM corpus),"
+        " th AS (SELECT t, CAST(list_reduce(list_transform("
+        "     range(1, length(t) + 1),"
+        "     i -> CAST(ord(substr(t, CAST(i AS INT), 1)) AS HUGEINT)),"
+        f"     (a, b) -> (a * {_SIMHASH_HASH_BASE} + b) % {_SIMHASH_HASH_MOD})"
+        "     AS BIGINT) AS h"
+        "   FROM (SELECT DISTINCT t FROM tok)),"
+        " bit AS (SELECT t, j, CAST((CAST(h AS HUGEINT) //"
+        "     (CAST(1 AS HUGEINT) << CAST(j AS INT))) % 2 AS BIGINT) AS bit"
+        "   FROM th, range(0, 61) AS r(j)),"
+        " v AS (SELECT tok.doc_id, j, sum(bit) AS s, count(*) AS n"
+        "   FROM tok JOIN bit USING (t) GROUP BY tok.doc_id, j),"
+        " sig AS (SELECT doc_id, CAST(sum(CASE WHEN 2 * s > n"
+        "     THEN CAST(1 AS HUGEINT) << CAST(j AS INT) ELSE 0 END)"
+        "     AS BIGINT) AS sig FROM v GROUP BY doc_id),"
+        " band AS (SELECT doc_id, sig, b, CAST((CAST(sig AS HUGEINT) //"
+        "     (CAST(1 AS HUGEINT) << CAST(16 * b AS INT))) % 65536"
+        "     AS BIGINT) AS bh FROM sig, range(0, 4) AS rb(b)),"
+        " pr AS (SELECT x.b, x.bh, x.doc_id AS ida, y.doc_id AS idb,"
+        "     bit_count(xor(x.sig, y.sig)) AS ham,"
+        "     row_number() OVER (PARTITION BY x.b, x.bh"
+        "       ORDER BY x.doc_id, y.doc_id) AS pos"
+        "   FROM band x JOIN band y"
+        "   ON x.b = y.b AND x.bh = y.bh AND x.doc_id < y.doc_id),"
+        " qq AS (SELECT *, row_number() OVER (PARTITION BY b, bh"
+        "     ORDER BY ida, idb) AS qrank FROM pr WHERE ham <= 6),"
+        " gsz AS (SELECT b, bh, count(*) AS m FROM band"
+        "   GROUP BY b, bh HAVING count(*) >= 2),"
+        f" stop AS (SELECT b, bh, max(CASE WHEN qrank = {cap} THEN pos END)"
+        "     AS stop_pos FROM qq GROUP BY b, bh),"
+        " dropped AS (SELECT g.b, g.bh, CASE WHEN s.stop_pos IS NOT NULL"
+        "     THEN g.m * (g.m - 1) // 2 - s.stop_pos ELSE 0 END AS d"
+        "   FROM gsz g LEFT JOIN stop s ON g.b = s.b AND g.bh = s.bh)"
+        " SELECT DISTINCT CAST(ida AS BIGINT) AS doc_id_a,"
+        "   CAST(idb AS BIGINT) AS doc_id_b, CAST(ham AS BIGINT) AS hamming"
+        f" FROM qq WHERE qrank <= {cap}"
+        " UNION ALL"
+        f" SELECT CAST(-1 AS BIGINT), CAST(bh % {_COARSE_BUCKETS} AS BIGINT),"
+        "   CAST(sum(d) AS BIGINT)"
+        f" FROM dropped GROUP BY bh % {_COARSE_BUCKETS} HAVING sum(d) > 0"
+    )
+
+
 def _substring_dedup_sql() -> str:
     """Mirror of dedup.substring_dedup over the clone-augmented corpus:
     distinct word-8-grams per doc, a gram is 'shared' when >= 2 distinct
@@ -1155,6 +1223,7 @@ def oracle_sql() -> dict[str, str]:
             " FROM documents GROUP BY md5(text)"
         ),
         "minhash_dedup": _jaccard_pairs_sql(500),
+        "simhash_dedup": _simhash_sql(),
         "substring_dedup": _substring_dedup_sql(),
         "ngram_jaccard_dedup": _jaccard_pairs_sql(400),
         "near_dup_clusters": _clusters_sql(),

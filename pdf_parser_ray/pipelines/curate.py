@@ -43,6 +43,8 @@ def _symmetric_edges(pairs: rd.Dataset) -> rd.Dataset:
     def sym(batch: pa.Table) -> pa.Table:
         a = batch.column("doc_id_a").to_numpy(zero_copy_only=False).astype(np.int64)
         b = batch.column("doc_id_b").to_numpy(zero_copy_only=False).astype(np.int64)
+        real = a >= 0  # skip overflow marker rows (dedup.OVERFLOW_MARKER_ID)
+        a, b = a[real], b[real]
         return pa.table(
             {
                 "u": pa.array(np.concatenate([a, b])),

