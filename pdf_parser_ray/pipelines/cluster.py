@@ -28,7 +28,7 @@ import pandas as pd
 import pyarrow as pa
 import ray.data as rd
 
-from .io_util import read_parquet_clean
+from .io_util import list_column_matrix, read_parquet_clean
 
 KM_K = 8
 KM_ITERS = 3
@@ -59,7 +59,7 @@ def _one_pass_centroids(ds: rd.Dataset, cents: np.ndarray) -> np.ndarray:
     k, dim = cents.shape
 
     def partials(batch: pa.Table) -> pa.Table:
-        vecs = np.array(batch.column("embedding").to_pylist(), np.float64)
+        vecs = list_column_matrix(batch.column("embedding"))
         state = np.zeros((k, dim + 1), np.float64)
         # seq orders the merge: first vec_id is unique across non-empty
         # batches (row ids are unique), and empty batches (-1, possibly
@@ -124,7 +124,7 @@ def _fit_centroids(make_ds, dim: int, k: int, iters: int) -> np.ndarray:
 
 def _assign_ds(make_ds, cents: np.ndarray) -> rd.Dataset:
     def assign_batch(batch: pa.Table) -> pa.Table:
-        vecs = np.array(batch.column("embedding").to_pylist(), np.float64)
+        vecs = list_column_matrix(batch.column("embedding"))
         a = _assign(vecs, cents) if len(vecs) else np.zeros(0, np.int64)
         return pa.table(
             {
@@ -208,7 +208,7 @@ def semantic_dedup(
     cents = _fit_centroids(ds, dim, k, iters)
 
     def assign_with_vec(batch: pa.Table) -> pa.Table:
-        vecs = np.array(batch.column("embedding").to_pylist(), np.float64)
+        vecs = list_column_matrix(batch.column("embedding"))
         a = _assign(vecs, cents) if len(vecs) else np.zeros(0, np.int64)
         return pa.table(
             {

@@ -35,7 +35,7 @@ import pandas as pd
 import pyarrow as pa
 import ray.data as rd
 
-from .io_util import read_parquet_clean, strip_schema_metadata
+from .io_util import list_column_matrix, read_parquet_clean, strip_schema_metadata
 from ray.data.aggregate import Min
 
 NEAR_DUP_ID_OFFSET = 10_000_000
@@ -769,7 +769,7 @@ def vec_clone_arrays(
             f"vec_id >= NEAR_DUP_ID_OFFSET ({NEAR_DUP_ID_OFFSET}): clone ids"
             " would collide; raise the offset or use an is_clone column"
         )
-    vecs = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+    vecs = list_column_matrix(batch.column("embedding"))
     out_ids, out_vecs = list(ids), list(vecs)
     for i, v in zip(ids, vecs):
         if i % 9 == 0:
