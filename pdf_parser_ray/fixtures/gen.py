@@ -39,13 +39,14 @@ from ..functions.scalars import text_to_lines
 from ..pdf.build import build_pdf
 from .statements import BANK_CYCLE, STATEMENT_BUILDERS
 
-_ASCII_WS_RE = re.compile(r"[ \t\r\n\f\v]+")
+_ASCII_WS_RE = re.compile(r"[ \t\r\n\f\v\x1c-\x1f]+")  # mirror html/extract.py
 _ENCODINGS = ("utf-8", "cp1252", "latin-1", "utf-8")
 
 _EPOCH_2024_US = 1_704_067_200_000_000  # 2024-01-01T00:00:00Z in microseconds
 
 # bump when generator/statement content changes so cached corpora regenerate
-CORPUS_VERSION = 13
+CORPUS_VERSION = 14  # v14: \x1c-\x1f in the ws class (content-identical
+# on the clean corpora; bumped so caches can't go stale silently)
 
 
 def _spans_for_lines(lines: list[str], kinds: list[str]) -> list[dict]:

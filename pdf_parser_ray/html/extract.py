@@ -54,7 +54,10 @@ _BLOCK_TAGS = frozenset(
 )
 _HEADING_TAGS = frozenset({"h1", "h2", "h3", "h4", "h5", "h6"})
 # Collapse ASCII whitespace only; NBSP (\xa0) survives.
-_ASCII_WS_RE = re.compile(r"[ \t\r\n\f\v]+")
+# includes \x1c-\x1f (FS/GS/RS/US): Python's str.split() treats those
+# four control chars as whitespace, so the regex must too or the ASCII
+# fast path below silently diverges from this canonical path (ADVICE r02)
+_ASCII_WS_RE = re.compile(r"[ \t\r\n\f\v\x1c-\x1f]+")
 _VOID_TAGS = frozenset({"br", "hr", "img", "input", "meta", "link", "area", "base",
                         "col", "source", "track", "wbr"})
 

@@ -66,3 +66,20 @@ class TestDifferential:
     def test_rawtext_without_closer(self):
         # unterminated script swallows the rest in both paths
         _same("<p>before words here now ok</p><script>var x = 1;")
+
+
+class TestControlCharWhitespace:
+    """\\x1c-\\x1f (FS/GS/RS/US) are whitespace to Python's str.split(),
+    so the ASCII fast path collapsed them; the regex path must agree
+    (ADVICE r02 — the shared-_flush differential can't see this, so pin
+    the two branches against each other directly)."""
+
+    def test_fast_and_regex_branch_agree_on_fs_gs_rs_us(self):
+        body = "alpha\x1cbeta\x1dgamma\x1edelta\x1fepsilon"
+        ascii_html = f"<html><body><p>{body}</p></body></html>"
+        # the same text with one non-ASCII char forces the regex branch
+        uni_html = f"<html><body><p>{body} café</p></body></html>"
+        a = segment_blocks_fast(ascii_html)
+        u = segment_blocks_fast(uni_html)
+        assert a[0].text == "alpha beta gamma delta epsilon"
+        assert u[0].text == "alpha beta gamma delta epsilon café"
