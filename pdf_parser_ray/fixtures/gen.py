@@ -45,8 +45,9 @@ _ENCODINGS = ("utf-8", "cp1252", "latin-1", "utf-8")
 _EPOCH_2024_US = 1_704_067_200_000_000  # 2024-01-01T00:00:00Z in microseconds
 
 # bump when generator/statement content changes so cached corpora regenerate
-CORPUS_VERSION = 14  # v14: \x1c-\x1f in the ws class (content-identical
-# on the clean corpora; bumped so caches can't go stale silently)
+CORPUS_VERSION = 15  # v15: 23 PDF writer forms (+cid_cmap mixed-width
+# embedded-CMap encoding, +Type3 CharProcs/Differences fonts); v14:
+# \x1c-\x1f joined the ws class
 
 
 def _spans_for_lines(lines: list[str], kinds: list[str]) -> list[dict]:
@@ -135,15 +136,16 @@ def _html_page(
     return payload, enc, golden_lines, title
 
 
-# cycle of writer forms — classic PDF 1.4, bare xref stream,
+# cycle of 23 writer forms — classic PDF 1.4, bare xref stream,
 # ObjStm-packed, ObjStm+PNG-predictor, CID/Type0 font,
 # CID+ObjStm+predictor combined, RC4/AES-128/AES-256 encryption,
-# LZW / RunLength / ASCII85+LZW content filters, form XObjects, and
-# /Rotate 90/270 pages, and incremental-update files (/Prev xref
-# chain, latest object version wins) — so the fixture corpus exercises every
-# cross-reference, text-encoding, filter, security-handler and page-
-# orientation form the parser supports, end-to-end through the Ray
-# pipeline and the driver oracle
+# LZW / RunLength / ASCII85+LZW content filters, form XObjects,
+# /Rotate 90/270 pages, incremental-update files (/Prev xref chain,
+# latest object version wins), non-Identity embedded-CMap composite
+# fonts (mixed 1/2-byte codespaces), and Type3 CharProcs fonts — so the
+# fixture corpus exercises every cross-reference, text-encoding,
+# filter, security-handler and page-orientation form the parser
+# supports, end-to-end through the Ray pipeline and the driver oracle
 _PDF_FORMS = (
     {},
     {"xref_stream": True},
@@ -166,6 +168,10 @@ _PDF_FORMS = (
     {"rotate": 90},
     {"rotate": 270, "objstm": True},
     {"incremental": True},
+    # non-Identity embedded /Encoding CMap (mixed 1/2-byte codespaces)
+    {"cid_cmap": True},
+    # Type3 font: CharProcs + non-identity /Differences code assignment
+    {"type3_font": True, "objstm": True},
 )
 
 

@@ -35,18 +35,53 @@ def _escape(text: str) -> bytes:
     return raw.replace(b"\\", b"\\\\").replace(b"(", b"\\(").replace(b")", b"\\)")
 
 
+def _mixed_cid_bytes(text: str) -> bytes:
+    """Encode a show for the non-Identity CMap form: uppercase A-Z as
+    2-byte codes 0x8100+ord (inside the <8140><81ff> codespace), every
+    other printable-ASCII char as its 1-byte code (<20><7e>) — the
+    mixed-width encoding real CJK-style CMaps use."""
+    out = bytearray()
+    for ch in text:
+        o = ord(ch)
+        if 0x41 <= o <= 0x5A:
+            out += bytes((0x81, o))
+        elif 0x20 <= o <= 0x7E:
+            out.append(o)
+        else:
+            raise ValueError(f"cid_cmap fixture text must be printable ASCII: {ch!r}")
+    return bytes(out)
+
+
+def _type3_bytes(text: str) -> bytes:
+    """Encode a show for the Type3 form: the deliberately NON-identity
+    code assignment code = ord(ch) - 0x1f (so 0x20 -> 1 ... 0x7e ->
+    0x5f), matching the /Differences array the font writes — extraction
+    must go through Differences -> glyph name -> unicode."""
+    out = bytearray()
+    for ch in text:
+        o = ord(ch)
+        if not 0x20 <= o <= 0x7E:
+            raise ValueError(f"type3 fixture text must be printable ASCII: {ch!r}")
+        out.append(o - 0x1F)
+    return bytes(out)
+
+
 def _content_stream(
     lines: list[Line],
     font_size: float,
     leading: float,
     shuffle_order: bool,
     cid_font: bool = False,
+    cid_cmap: bool = False,
+    type3: bool = False,
 ) -> bytes:
     """Build the page description.  With ``shuffle_order`` the runs are
     emitted in reversed order — the visual layout is identical but the
     stream order is scrambled, exercising bbox-based reassembly.  With
     ``cid_font`` shows are hex strings of 2-byte Identity-H codes
-    (code = Unicode code point, mapped back by the ToUnicode CMap)."""
+    (code = Unicode code point, mapped back by the ToUnicode CMap);
+    ``cid_cmap`` emits the mixed 1/2-byte codes of the embedded CMap
+    form; ``type3`` the shifted single-byte codes of the Type3 form."""
     shows: list[tuple[float, float, str]] = []
     y = TOP_Y
     for line in lines:
@@ -65,6 +100,12 @@ def _content_stream(
         ops.append(b"1 0 0 1 %.2f %.2f Tm" % (x, y))
         if cid_font:
             codes = text.encode("utf-16-be").hex().upper().encode("ascii")
+            ops.append(b"<" + codes + b"> Tj")
+        elif cid_cmap:
+            codes = _mixed_cid_bytes(text).hex().upper().encode("ascii")
+            ops.append(b"<" + codes + b"> Tj")
+        elif type3:
+            codes = _type3_bytes(text).hex().upper().encode("ascii")
             ops.append(b"<" + codes + b"> Tj")
         else:
             ops.append(b"(" + _escape(text) + b") Tj")
@@ -88,6 +129,65 @@ endcmap
 CMap currentdict /CMap defineresource pop
 end
 end"""
+
+
+# ToUnicode for the mixed 1/2-byte embedded-CMap form: 1-byte printable
+# ASCII maps identically, 2-byte <8141>-<815a> maps to A-Z
+_MIXED_TOUNICODE_CMAP = b"""/CIDInit /ProcSet findresource begin
+12 dict begin
+begincmap
+/CIDSystemInfo << /Registry (Graft) /Ordering (MixedUCS) /Supplement 0 >> def
+/CMapName /Graft-Mixed-UCS def
+/CMapType 2 def
+2 begincodespacerange
+<20> <7e>
+<8140> <81ff>
+endcodespacerange
+2 beginbfrange
+<20> <7e> <0020>
+<8141> <815a> <0041>
+endbfrange
+endcmap
+CMap currentdict /CMap defineresource pop
+end
+end"""
+
+# the /Encoding CMap itself (CMapType 1, code -> CID): its codespace
+# ranges are what the parser needs to split mixed-width codes
+_MIXED_ENCODING_CMAP = b"""/CIDInit /ProcSet findresource begin
+12 dict begin
+begincmap
+/CIDSystemInfo << /Registry (Graft) /Ordering (Mixed1) /Supplement 0 >> def
+/CMapName /Graft-Mixed1 def
+/CMapType 1 def
+2 begincodespacerange
+<20> <7e>
+<8140> <81ff>
+endcodespacerange
+2 begincidrange
+<20> <7e> 32
+<8141> <815a> 321
+endcidrange
+endcmap
+CMap currentdict /CMap defineresource pop
+end
+end"""
+
+
+def _type3_glyph_names() -> "list[str]":
+    from .parse import _ASCII_GLYPHS
+
+    return list(_ASCII_GLYPHS)
+
+
+def _type3_differences() -> bytes:
+    """The Type3 /Differences array: codes 1..0x5f name the standard
+    glyphs for 0x20..0x7e — a deliberately non-identity assignment
+    (single-sourced from the parser's glyph-name table so builder and
+    extractor cannot drift)."""
+    from .parse import _ASCII_GLYPHS
+
+    return b"[1 " + b" ".join(b"/" + g.encode() for g in _ASCII_GLYPHS) + b"]"
 
 
 def _lzw_encode(data: bytes, early: int = 1) -> bytes:
@@ -335,6 +435,8 @@ def build_pdf(
     objstm: bool = False,
     predictor: bool = False,
     cid_font: bool = False,
+    cid_cmap: bool = False,
+    type3_font: bool = False,
     encrypt: bool = False,
     encrypt_aes: bool = False,
     encrypt_aes256: bool = False,
@@ -349,7 +451,14 @@ def build_pdf(
     stream (implies ``xref_stream``); ``predictor`` applies the PNG Up
     predictor (/Predictor 12) to the xref stream body; ``cid_font``
     writes the font as a composite Type0/Identity-H font with a
-    ToUnicode CMap and 2-byte hex-string shows; ``encrypt`` applies the
+    ToUnicode CMap and 2-byte hex-string shows; ``cid_cmap`` writes a
+    composite font whose /Encoding is an EMBEDDED CMap stream with
+    mixed 1- and 2-byte codespace ranges (uppercase rides the 2-byte
+    <8140> page) — the non-Identity form CJK-style producers emit;
+    ``type3_font`` writes a /Subtype /Type3 font (FontMatrix, CharProcs
+    glyph streams, a non-identity /Encoding /Differences code
+    assignment) so extraction must resolve codes through glyph names;
+    ``encrypt`` applies the
     standard security handler (V 2 / R 3 / 128-bit RC4), ``encrypt_aes``
     the V 4 / R 4 crypt-filter form with /CFM /AESV2 (AES-128-CBC), and
     ``encrypt_aes256`` the V 5 / R 6 form (AES-256) — all with empty
@@ -392,19 +501,47 @@ def build_pdf(
     n_pages = len(pages)
     # object layout: 1 catalog, 2 pages root, 3 font,
     # then per page i: page object (4+2i), content stream (5+2i);
-    # cid_font appends descendant-font + ToUnicode objects at the end
+    # cid_font/cid_cmap append descendant-font + ToUnicode (+ /Encoding
+    # CMap) objects at the end; type3_font appends one glyph-proc stream
     descendant_num = 4 + 2 * n_pages
     tounicode_num = descendant_num + 1
+    encoding_num = descendant_num + 2  # cid_cmap only
+    glyphproc_num = 4 + 2 * n_pages  # type3_font only
     kids = b" ".join(b"%d 0 R" % (4 + 2 * i) for i in range(n_pages))
     objects.append(b"<< /Type /Catalog /Pages 2 0 R >>")
     objects.append(
         b"<< /Type /Pages /Kids [" + kids + b"] /Count %d >>" % n_pages
     )
-    if cid_font:
+    if cid_cmap:
+        objects.append(
+            b"<< /Type /Font /Subtype /Type0 /BaseFont /Helvetica"
+            b" /Encoding %d 0 R /DescendantFonts [%d 0 R]"
+            b" /ToUnicode %d 0 R >>"
+            % (encoding_num, descendant_num, tounicode_num)
+        )
+    elif cid_font:
         objects.append(
             b"<< /Type /Font /Subtype /Type0 /BaseFont /Helvetica"
             b" /Encoding /Identity-H /DescendantFonts [%d 0 R]"
             b" /ToUnicode %d 0 R >>" % (descendant_num, tounicode_num)
+        )
+    elif type3_font:
+        objects.append(
+            b"<< /Type /Font /Subtype /Type3"
+            b" /FontBBox [0 0 1000 1000]"
+            b" /FontMatrix [0.001 0 0 0.001 0 0]"
+            b" /CharProcs << "
+            + b" ".join(
+                b"/%s %d 0 R" % (g.encode(), glyphproc_num)
+                for g in _type3_glyph_names()
+            )
+            + b" >>"
+            b" /Encoding << /Type /Encoding /Differences "
+            + _type3_differences()
+            + b" >>"
+            b" /FirstChar 1 /LastChar 95"
+            b" /Widths [" + b" ".join(b"500" for _ in range(95)) + b"]"
+            b" /Resources << >> >>"
         )
     else:
         objects.append(
@@ -415,7 +552,9 @@ def build_pdf(
     # form XObjects are appended after the fixed layout (pages, cid
     # objects); their numbers are computed up front so page dicts can
     # reference them
-    form_base = 4 + 2 * n_pages + (2 if cid_font else 0)
+    form_base = 4 + 2 * n_pages + (
+        3 if cid_cmap else 2 if cid_font else 1 if type3_font else 0
+    )
     form_bodies: list[bytes] = []
     for i, page_lines in enumerate(pages):
         page_num = 4 + 2 * i
@@ -433,7 +572,8 @@ def build_pdf(
         )
         is_stream_obj.append(False)
         body = _content_stream(
-            page_lines, font_size, leading, shuffle_order, cid_font
+            page_lines, font_size, leading, shuffle_order, cid_font,
+            cid_cmap=cid_cmap, type3=type3_font,
         )
         if form_xobject:
             form_bodies.append(body)
@@ -448,17 +588,40 @@ def build_pdf(
             head = b"<< /Length %d >>" % len(data)
         objects.append(head + b"\nstream\n" + data + b"\nendstream")
         is_stream_obj.append(True)
-    if cid_font:
+    if cid_font or cid_cmap:
         objects.append(
             b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /Helvetica"
             b" /CIDSystemInfo << /Registry (Adobe) /Ordering (Identity)"
             b" /Supplement 0 >> /CIDToGIDMap /Identity >>"
         )
         is_stream_obj.append(False)
-        tu = zlib.compress(_TOUNICODE_CMAP)
+        tu = zlib.compress(
+            _MIXED_TOUNICODE_CMAP if cid_cmap else _TOUNICODE_CMAP
+        )
         objects.append(
             b"<< /Length %d /Filter /FlateDecode >>" % len(tu)
             + b"\nstream\n" + tu + b"\nendstream"
+        )
+        is_stream_obj.append(True)
+    if cid_cmap:
+        enc_body = zlib.compress(_MIXED_ENCODING_CMAP)
+        assert len(objects) + 1 == encoding_num
+        objects.append(
+            b"<< /Type /CMap /CMapName /Graft-Mixed1"
+            b" /CIDSystemInfo << /Registry (Graft) /Ordering (Mixed1)"
+            b" /Supplement 0 >>"
+            b" /Length %d /Filter /FlateDecode >>" % len(enc_body)
+            + b"\nstream\n" + enc_body + b"\nendstream"
+        )
+        is_stream_obj.append(True)
+    if type3_font:
+        # one shared empty glyph proc (d0 sets the advance; no marks):
+        # every CharProcs name references it
+        assert len(objects) + 1 == glyphproc_num
+        proc = b"500 0 d0"
+        objects.append(
+            b"<< /Length %d >>" % len(proc)
+            + b"\nstream\n" + proc + b"\nendstream"
         )
         is_stream_obj.append(True)
 

@@ -25,8 +25,11 @@ geometry, so identical bytes always yield identical text — required for
 byte-identical per-url output under Ray task retry.
 
 Coverage: simple fonts (Latin-1 ≈ WinAnsi/PDFDoc, /Encoding
-/Differences remaps) and composite Type0/CID fonts (Identity-H +
-ToUnicode CMaps); /FlateDecode, /ASCIIHexDecode, /ASCII85Decode,
+/Differences remaps), Type3 fonts (CharProcs + /Differences glyph-name
+resolution), and composite Type0/CID fonts — Identity-H + ToUnicode
+CMaps AND non-Identity embedded /Encoding CMap streams, whose codespace
+ranges drive variable-length (mixed 1/2-byte) code splitting;
+/FlateDecode, /ASCIIHexDecode, /ASCII85Decode,
 /LZWDecode (EarlyChange) and /RunLengthDecode stream filters with
 PNG/TIFF predictors; PDF 1.5 cross-reference streams (``/Type /XRef``,
 W fields, /Index subsections) and object streams (``/Type /ObjStm``) —
@@ -901,6 +904,45 @@ def parse_tounicode(data: bytes) -> CMap:
 # per-worker-process memo: fonts repeat across documents from the same
 # producer, and a ToUnicode stream's raw bytes key its parsed CMap
 _CMAP_CACHE: dict[bytes, CMap] = {}
+
+
+def parse_cmap_codespaces(data: bytes) -> list[tuple[int, int, int]]:
+    """Parse the ``begincodespacerange`` blocks of an embedded CMap
+    stream (a Type0 font's non-Identity /Encoding): returns (nbytes,
+    lo, hi) tuples sorted by code width, the information needed to
+    split a show string into variable-length character codes (PDF 32000
+    §9.7.6.2 — code length is decided by which codespace range the
+    leading bytes fall in)."""
+    spaces: list[tuple[int, int, int]] = []
+    for m in re.finditer(
+        rb"begincodespacerange(.*?)endcodespacerange", data, re.S
+    ):
+        lex = _Lexer(m.group(1))
+        try:
+            while True:
+                lo = lex.parse()
+                hi = lex.parse()
+                if isinstance(lo, bytes) and isinstance(hi, bytes) and lo:
+                    spaces.append(
+                        (
+                            len(lo),
+                            int.from_bytes(lo, "big"),
+                            int.from_bytes(hi, "big"),
+                        )
+                    )
+        except PDFSyntaxError:
+            pass
+    return sorted(spaces)
+
+
+_CODESPACE_CACHE: dict[bytes, list[tuple[int, int, int]]] = {}
+
+
+def _cached_codespaces(raw: bytes, decode) -> list[tuple[int, int, int]]:
+    got = _CODESPACE_CACHE.get(raw)
+    if got is None:
+        got = _CODESPACE_CACHE[raw] = parse_cmap_codespaces(decode())
+    return got
 _CMAP_CACHE_MAX = 256
 
 
@@ -1041,6 +1083,10 @@ class FontInfo:
     """What the interpreter needs per font: code width + unicode map."""
 
     two_byte: bool = False  # Type0/Identity-H composite font
+    # Type0 with an embedded (non-Identity) /Encoding CMap: codespace
+    # ranges (nbytes, lo, hi) sorted by width — shows split into
+    # variable-length codes, each mapped through the ToUnicode cmap
+    codespaces: "list[tuple[int, int, int]] | None" = None
     cmap: CMap | None = None
     # pure named base encoding (no /Differences): decode through the
     # Python codec at C speed instead of a per-byte cmap walk — the
@@ -1051,6 +1097,27 @@ class FontInfo:
     _table: list[str] | None = None
 
     def decode(self, raw: bytes) -> str:
+        if self.codespaces is not None:
+            out = []
+            cmap = self.cmap
+            i = 0
+            n = len(raw)
+            while i < n:
+                for nb, lo, hi in self.codespaces:  # shortest width first
+                    if i + nb <= n:
+                        code = int.from_bytes(raw[i : i + nb], "big")
+                        if lo <= code <= hi:
+                            mapped = (
+                                cmap.get(code) if cmap is not None else None
+                            )
+                            out.append(
+                                mapped if mapped is not None else chr(code)
+                            )
+                            i += nb
+                            break
+                else:
+                    i += 1  # byte outside every codespace: skip it
+            return "".join(out)
         if self.two_byte:
             out = []
             cmap = self.cmap
@@ -1150,6 +1217,20 @@ def _fonts_from_resources(doc: "PDFDocument", res: dict) -> dict[str, FontInfo]:
         if not isinstance(fd, dict):
             continue
         two = str(doc.resolve(fd.get("Subtype", ""))) == "Type0"
+        codespaces = None
+        if two:
+            # non-Identity composite encoding: an embedded CMap stream
+            # whose codespace ranges drive variable-length code splits
+            enc0 = doc.resolve(fd.get("Encoding"))
+            if isinstance(enc0, Stream):
+                try:
+                    codespaces = _cached_codespaces(
+                        enc0.raw, lambda: enc0.data(doc)
+                    ) or None
+                except (PDFSyntaxError, ValueError, zlib.error):
+                    codespaces = None
+                if codespaces:
+                    two = False  # the codespace decode replaces fixed-2-byte
         cmap = None
         tu = doc.resolve(fd.get("ToUnicode"))
         if isinstance(tu, Stream):
@@ -1182,7 +1263,9 @@ def _fonts_from_resources(doc: "PDFDocument", res: dict) -> dict[str, FontInfo]:
                         cmap = CMap(merged, cmap.ranges)
                 elif isinstance(base, Name):
                     codec = _BASE_ENCODING_CODECS.get(str(base))
-        out[str(name)] = FontInfo(two_byte=two, cmap=cmap, codec=codec)
+        out[str(name)] = FontInfo(
+            two_byte=two, codespaces=codespaces, cmap=cmap, codec=codec
+        )
     return out
 
 

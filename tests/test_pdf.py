@@ -631,3 +631,99 @@ class TestRotatedPages:
             b"/Type /Page /Parent 2 0 R", b"/Type /Page /Rotate /Bad /Parent 2 0 R"
         )
         assert extract_page_texts(broken) == extract_page_texts(data)
+
+
+class TestNonIdentityCMap:
+    """Type0 fonts whose /Encoding is an EMBEDDED CMap stream with
+    mixed 1/2-byte codespace ranges (the CJK-style producer form):
+    the parser must split shows into variable-length codes by
+    codespace before mapping through ToUnicode."""
+
+    PAGES = [
+        ["Statement For ACME Corp", "01/02 ACH DEBIT 1,200.00"],
+        ["TOTAL DUE 950.17"],
+    ]
+
+    def test_identical_to_simple(self):
+        classic = extract_page_texts(build_pdf(self.PAGES))
+        got = extract_page_texts(build_pdf(self.PAGES, cid_cmap=True))
+        assert got == classic
+
+    def test_composes_with_xref_stream_and_forms(self):
+        classic = extract_page_texts(build_pdf(self.PAGES))
+        for kw in (
+            dict(cid_cmap=True, xref_stream=True),
+            dict(cid_cmap=True, objstm=True, predictor=True),
+            dict(cid_cmap=True, form_xobject=True),
+            dict(cid_cmap=True, shuffle_order=True),
+        ):
+            assert extract_page_texts(build_pdf(self.PAGES, **kw)) == classic, kw
+
+    def test_build_is_byte_deterministic(self):
+        a = build_pdf(self.PAGES, cid_cmap=True)
+        b = build_pdf(self.PAGES, cid_cmap=True)
+        assert a == b
+
+    def test_mixed_width_codes_on_the_wire(self):
+        data = build_pdf(self.PAGES, cid_cmap=True, compress=False)
+        assert b"(Statement" not in data  # hex shows only
+        assert b"/Identity-H" not in data  # embedded CMap, not Identity
+        # uppercase rides the 2-byte 0x81 page: 'A' -> 8141
+        assert b"8141" in data
+
+    def test_parse_cmap_codespaces(self):
+        from pdf_parser_ray.pdf.parse import parse_cmap_codespaces
+
+        spaces = parse_cmap_codespaces(
+            b"2 begincodespacerange\n<20> <7e>\n<8140> <81ff>\n"
+            b"endcodespacerange"
+        )
+        assert spaces == [(1, 0x20, 0x7E), (2, 0x8140, 0x81FF)]
+
+    def test_variable_length_decode(self):
+        from pdf_parser_ray.pdf.parse import CMap, FontInfo
+
+        font = FontInfo(
+            codespaces=[(1, 0x20, 0x7E), (2, 0x8140, 0x81FF)],
+            cmap=CMap({}, [(0x20, 0x7E, 0x20, 2), (0x8141, 0x815A, 0x41, 2)]),
+        )
+        # "a" 1-byte, "B" 2-byte, space 1-byte, "Z" 2-byte
+        assert font.decode(b"a\x81\x42 \x81\x5a") == "aB Z"
+        # bytes outside every codespace are skipped, not crashed on
+        assert font.decode(b"\x01a\xff") == "a"
+
+
+class TestType3Fonts:
+    """/Subtype /Type3 fonts: CharProcs glyph streams and a
+    non-identity /Encoding /Differences code assignment — extraction
+    resolves codes through glyph names (no base encoding exists)."""
+
+    PAGES = TestNonIdentityCMap.PAGES
+
+    def test_identical_to_simple(self):
+        classic = extract_page_texts(build_pdf(self.PAGES))
+        got = extract_page_texts(build_pdf(self.PAGES, type3_font=True))
+        assert got == classic
+
+    def test_composes_with_other_forms(self):
+        classic = extract_page_texts(build_pdf(self.PAGES))
+        for kw in (
+            dict(type3_font=True, objstm=True),
+            dict(type3_font=True, xref_stream=True, predictor=True),
+            dict(type3_font=True, shuffle_order=True),
+            dict(type3_font=True, content_filter="lzw"),
+        ):
+            assert extract_page_texts(build_pdf(self.PAGES, **kw)) == classic, kw
+
+    def test_build_is_byte_deterministic(self):
+        assert build_pdf(self.PAGES, type3_font=True) == build_pdf(
+            self.PAGES, type3_font=True
+        )
+
+    def test_codes_are_shifted_not_ascii(self):
+        data = build_pdf(self.PAGES, type3_font=True, compress=False)
+        assert b"/Type3" in data and b"/CharProcs" in data
+        # 'S' (0x53) encodes as 0x34 under code = ord - 0x1f; the raw
+        # ASCII string must not appear anywhere in the content
+        assert b"(Statement" not in data
+        assert b"/Differences" in data
