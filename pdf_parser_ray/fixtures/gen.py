@@ -45,9 +45,10 @@ _ENCODINGS = ("utf-8", "cp1252", "latin-1", "utf-8")
 _EPOCH_2024_US = 1_704_067_200_000_000  # 2024-01-01T00:00:00Z in microseconds
 
 # bump when generator/statement content changes so cached corpora regenerate
-CORPUS_VERSION = 15  # v15: 23 PDF writer forms (+cid_cmap mixed-width
-# embedded-CMap encoding, +Type3 CharProcs/Differences fonts); v14:
-# \x1c-\x1f joined the ws class
+CORPUS_VERSION = 16  # v16: 23 PDF writer forms (+cid_cmap mixed-width
+# embedded-CMap encoding, +Type3 CharProcs/Differences fonts), both
+# covering printable Latin-1 (Chase Spanish sections); v14: \x1c-\x1f
+# joined the ws class
 
 
 def _spans_for_lines(lines: list[str], kinds: list[str]) -> list[dict]:

@@ -37,31 +37,41 @@ def _escape(text: str) -> bytes:
 
 def _mixed_cid_bytes(text: str) -> bytes:
     """Encode a show for the non-Identity CMap form: uppercase A-Z as
-    2-byte codes 0x8100+ord (inside the <8140><81ff> codespace), every
-    other printable-ASCII char as its 1-byte code (<20><7e>) — the
-    mixed-width encoding real CJK-style CMaps use."""
+    2-byte codes 0x8100+ord (codespace <8141><815a>), Latin-1 high
+    chars 0xA0-0xFF as 2-byte 0x8200+ord (codespace <82a0><82ff>),
+    every other printable-ASCII char as its 1-byte code (<20><7e>) —
+    the mixed-width encoding real CJK-style CMaps use."""
     out = bytearray()
     for ch in text:
         o = ord(ch)
         if 0x41 <= o <= 0x5A:
             out += bytes((0x81, o))
+        elif 0xA0 <= o <= 0xFF:
+            out += bytes((0x82, o))
         elif 0x20 <= o <= 0x7E:
             out.append(o)
         else:
-            raise ValueError(f"cid_cmap fixture text must be printable ASCII: {ch!r}")
+            raise ValueError(
+                f"cid_cmap fixture text must be printable latin-1: {ch!r}"
+            )
     return bytes(out)
 
 
 def _type3_bytes(text: str) -> bytes:
     """Encode a show for the Type3 form: the deliberately NON-identity
-    code assignment code = ord(ch) - 0x1f (so 0x20 -> 1 ... 0x7e ->
-    0x5f), matching the /Differences array the font writes — extraction
-    must go through Differences -> glyph name -> unicode."""
+    code assignment code = ord(ch) - 0x1f (0x20 -> 1 ... 0x7e -> 0x5f;
+    0xa0 -> 0x81 ... 0xff -> 0xe0), matching the /Differences array the
+    font writes — extraction must go through Differences -> glyph name
+    -> unicode."""
     out = bytearray()
     for ch in text:
         o = ord(ch)
-        if not 0x20 <= o <= 0x7E:
-            raise ValueError(f"type3 fixture text must be printable ASCII: {ch!r}")
+        # 0xAD excluded: the standard glyph list names soft hyphen
+        # /hyphen, which round-trips to U+002D, not U+00AD
+        if not (0x20 <= o <= 0x7E or 0xA0 <= o <= 0xFF) or o == 0xAD:
+            raise ValueError(
+                f"type3 fixture text must be printable latin-1: {ch!r}"
+            )
         out.append(o - 0x1F)
     return bytes(out)
 
@@ -139,13 +149,15 @@ begincmap
 /CIDSystemInfo << /Registry (Graft) /Ordering (MixedUCS) /Supplement 0 >> def
 /CMapName /Graft-Mixed-UCS def
 /CMapType 2 def
-2 begincodespacerange
+3 begincodespacerange
 <20> <7e>
 <8140> <81ff>
+<82a0> <82ff>
 endcodespacerange
-2 beginbfrange
+3 beginbfrange
 <20> <7e> <0020>
 <8141> <815a> <0041>
+<82a0> <82ff> <00a0>
 endbfrange
 endcmap
 CMap currentdict /CMap defineresource pop
@@ -160,13 +172,15 @@ begincmap
 /CIDSystemInfo << /Registry (Graft) /Ordering (Mixed1) /Supplement 0 >> def
 /CMapName /Graft-Mixed1 def
 /CMapType 1 def
-2 begincodespacerange
+3 begincodespacerange
 <20> <7e>
 <8140> <81ff>
+<82a0> <82ff>
 endcodespacerange
-2 begincidrange
+3 begincidrange
 <20> <7e> 32
 <8141> <815a> 321
+<82a0> <82ff> 400
 endcidrange
 endcmap
 CMap currentdict /CMap defineresource pop
@@ -175,19 +189,24 @@ end"""
 
 
 def _type3_glyph_names() -> "list[str]":
-    from .parse import _ASCII_GLYPHS
+    from .parse import _ASCII_GLYPHS, _LATIN1_GLYPHS
 
-    return list(_ASCII_GLYPHS)
+    return list(_ASCII_GLYPHS) + ["nbspace"] + list(_LATIN1_GLYPHS)
 
 
 def _type3_differences() -> bytes:
     """The Type3 /Differences array: codes 1..0x5f name the standard
-    glyphs for 0x20..0x7e — a deliberately non-identity assignment
-    (single-sourced from the parser's glyph-name table so builder and
-    extractor cannot drift)."""
-    from .parse import _ASCII_GLYPHS
+    glyphs for 0x20..0x7e and codes 0x81..0xe0 the Latin-1 glyphs for
+    0xa0..0xff — a deliberately non-identity assignment (single-sourced
+    from the parser's glyph-name table so builder and extractor cannot
+    drift)."""
+    from .parse import _ASCII_GLYPHS, _LATIN1_GLYPHS
 
-    return b"[1 " + b" ".join(b"/" + g.encode() for g in _ASCII_GLYPHS) + b"]"
+    ascii_part = b" ".join(b"/" + g.encode() for g in _ASCII_GLYPHS)
+    latin_part = b" ".join(
+        b"/" + g.encode() for g in ["nbspace"] + list(_LATIN1_GLYPHS)
+    )
+    return b"[1 " + ascii_part + b" 129 " + latin_part + b"]"
 
 
 def _lzw_encode(data: bytes, early: int = 1) -> bytes:
@@ -539,8 +558,8 @@ def build_pdf(
             b" /Encoding << /Type /Encoding /Differences "
             + _type3_differences()
             + b" >>"
-            b" /FirstChar 1 /LastChar 95"
-            b" /Widths [" + b" ".join(b"500" for _ in range(95)) + b"]"
+            b" /FirstChar 1 /LastChar 224"
+            b" /Widths [" + b" ".join(b"500" for _ in range(224)) + b"]"
             b" /Resources << >> >>"
         )
     else:

@@ -727,3 +727,33 @@ class TestType3Fonts:
         # ASCII string must not appear anywhere in the content
         assert b"(Statement" not in data
         assert b"/Differences" in data
+
+
+class TestNewFontFormsLatin1:
+    """Both new forms must carry printable Latin-1 (the Chase Spanish
+    sections: Depósito/crédito/DÉBITO) — uppercase on the 0x81 page,
+    high Latin-1 on the 0x82 page (cid_cmap) / codes 0x81-0xe0 through
+    the Latin-1 glyph names (type3)."""
+
+    PAGES = [
+        ["Depósito Ó á é crédito", "TRANSFERENCIA DÉBITO 1,200.00"],
+    ]
+
+    def test_full_latin1_roundtrip(self):
+        # every printable latin-1 char except soft hyphen (its standard
+        # glyph name /hyphen round-trips to U+002D)
+        latin = "".join(
+            chr(o)
+            for o in list(range(0x20, 0x7F)) + [0xA0] + list(range(0xA1, 0x100))
+            if o != 0xAD
+        )
+        pages = [[latin[:80]], [latin[80:]]]
+        base = extract_page_texts(build_pdf(pages))
+        assert extract_page_texts(build_pdf(pages, cid_cmap=True)) == base
+        assert extract_page_texts(build_pdf(pages, type3_font=True)) == base
+
+    def test_spanish_sections_identical(self):
+        base = extract_page_texts(build_pdf(self.PAGES))
+        assert "Depósito" in base[0]
+        for kw in (dict(cid_cmap=True), dict(type3_font=True)):
+            assert extract_page_texts(build_pdf(self.PAGES, **kw)) == base, kw
