@@ -1224,6 +1224,34 @@ def oracle_sql() -> dict[str, str]:
         ),
         "minhash_dedup": _jaccard_pairs_sql(500),
         "simhash_dedup": _simhash_sql(),
+        "brand_revenue": (
+            # mirror of relational.brand_revenue: rev_cc = price_cents x
+            # (100 - disc_pct) — integer after the per-column rounding
+            "WITH l AS (SELECT l_partkey,"
+            "   CAST(round(l_extendedprice * 100) AS BIGINT)"
+            "   * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev"
+            "   FROM lineitem)"
+            " SELECT p.p_brand, CAST(count(*) AS BIGINT) AS n_items,"
+            "  CAST(sum(l.rev) AS BIGINT) AS revenue_cc"
+            " FROM l JOIN part p ON l.l_partkey = p.p_partkey"
+            " GROUP BY p.p_brand"
+        ),
+        "supplier_value_by_nation": (
+            # mirror of relational.supplier_value_by_nation: per-suppkey
+            # revenue -> supplier -> nation; suppliers without lineitems
+            # drop (inner join both sides)
+            "WITH l AS (SELECT l_suppkey,"
+            "   CAST(round(l_extendedprice * 100) AS BIGINT)"
+            "   * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev"
+            "   FROM lineitem),"
+            " per_s AS (SELECT l_suppkey, sum(rev) AS v FROM l"
+            "   GROUP BY l_suppkey)"
+            " SELECT n.n_name, CAST(count(*) AS BIGINT) AS n_suppliers,"
+            "  CAST(sum(per_s.v) AS BIGINT) AS value_cc"
+            " FROM per_s JOIN supplier s ON per_s.l_suppkey = s.s_suppkey"
+            " JOIN nation n ON s.s_nationkey = n.n_nationkey"
+            " GROUP BY n.n_name"
+        ),
         "substring_dedup": _substring_dedup_sql(),
         "ngram_jaccard_dedup": _jaccard_pairs_sql(400),
         "near_dup_clusters": _clusters_sql(),

@@ -184,23 +184,44 @@ def _bucket_join_verify(
     dropped vectorized at the reunite stage, so callers pass raw
     candidates without a separate ``_dedup_pairs`` shuffle round.
     Total exchange: the corpus text once, the (small) pair set twice.
+
+    Overflow marker rows (doc_id_a == OVERFLOW_MARKER_ID, carrying an
+    ``n_overflow`` column) ride THROUGH the join on a side=3 fast path
+    — the count travels in the text column — so truncation accounting
+    reaches the verified output without a second pass or a materialize
+    barrier over the candidate stream.
     """
 
     def halves(batch: pa.Table) -> pa.Table:
-        a = batch.column("doc_id_a").to_numpy(zero_copy_only=False).astype(np.int64)
-        b = batch.column("doc_id_b").to_numpy(zero_copy_only=False).astype(np.int64)
+        a_all = batch.column("doc_id_a").to_numpy(zero_copy_only=False).astype(np.int64)
+        b_all = batch.column("doc_id_b").to_numpy(zero_copy_only=False).astype(np.int64)
+        is_marker = a_all < 0
+        a, b = a_all[~is_marker], b_all[~is_marker]
         n = len(a)
+        keys = [np.concatenate([_id_bucket(a), _id_bucket(b)])]
+        ids_a = [np.concatenate([a, a])]
+        ids_b = [np.concatenate([b, b])]
+        sides = [np.concatenate([np.zeros(n, np.int32), np.ones(n, np.int32)])]
+        texts: list = [None] * (2 * n)
+        if is_marker.any():
+            ovf = (
+                batch.column("n_overflow")
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)[is_marker]
+            )
+            mb = b_all[is_marker]
+            keys.append(_id_bucket(mb))
+            ids_a.append(a_all[is_marker])
+            ids_b.append(mb)
+            sides.append(np.full(len(mb), 3, np.int32))
+            texts.extend(str(int(v)) for v in ovf)  # count rides the text col
         return pa.table(
             {
-                "key": pa.array(np.concatenate([_id_bucket(a), _id_bucket(b)])),
-                "doc_id_a": pa.array(np.concatenate([a, a])),
-                "doc_id_b": pa.array(np.concatenate([b, b])),
-                "side": pa.array(
-                    np.concatenate(
-                        [np.zeros(n, np.int32), np.ones(n, np.int32)]
-                    )
-                ),
-                "text": pa.array([None] * (2 * n), pa.large_string()),
+                "key": pa.array(np.concatenate(keys)),
+                "doc_id_a": pa.array(np.concatenate(ids_a)),
+                "doc_id_b": pa.array(np.concatenate(ids_b)),
+                "side": pa.array(np.concatenate(sides)),
+                "text": pa.array(texts, pa.large_string()),
             }
         )
 
@@ -222,18 +243,20 @@ def _bucket_join_verify(
             zip(g["doc_id_a"].to_numpy()[is_text], g["text"].to_numpy()[is_text])
         )
         h = g[~is_text]
-        need = np.where(
-            h["side"].to_numpy() == 0,
-            h["doc_id_a"].to_numpy(),
-            h["doc_id_b"].to_numpy(),
-        )
-        texts_got = [lookup.get(i) for i in need]
+        sides = h["side"].to_numpy()
+        need = np.where(sides == 0, h["doc_id_a"].to_numpy(), h["doc_id_b"].to_numpy())
+        orig = h["text"].to_numpy()
+        # markers (side 3) pass through with their count-in-text intact
+        texts_got = [
+            o if s == 3 else lookup.get(i)
+            for i, s, o in zip(need, sides, orig)
+        ]
         keep = np.array([t is not None for t in texts_got], dtype=bool)
         return pd.DataFrame(
             {
                 "doc_id_a": h["doc_id_a"].to_numpy()[keep].astype(np.int64),
                 "doc_id_b": h["doc_id_b"].to_numpy()[keep].astype(np.int64),
-                "side": h["side"].to_numpy()[keep].astype(np.int32),
+                "side": sides[keep].astype(np.int32),
                 "text": pd.array(
                     [t for t, k in zip(texts_got, keep) if k], dtype=object
                 ),
@@ -257,6 +280,13 @@ def _bucket_join_verify(
         oa: list[int] = []
         ob: list[int] = []
         sim: list[int] = []
+        is_marker = g["side"].to_numpy() == 3
+        if is_marker.any():
+            for _, row in g[is_marker].iterrows():
+                oa.append(int(row["doc_id_a"]))
+                ob.append(int(row["doc_id_b"]))
+                sim.append(int(row["text"]))  # the unexamined-pair count
+            g = g[~is_marker]
         # docs recur across pairs (a hub doc pairs with many others, and
         # 2-row LSH bands emit many spurious candidates) — shingle each
         # text once per group, not once per pair
@@ -392,49 +422,6 @@ def _coarse_candidate_pairs(ds: rd.Dataset, key_cols: list[str]) -> rd.Dataset:
     )
 
 
-def _split_overflow(cands: rd.Dataset) -> tuple[rd.Dataset, rd.Dataset]:
-    """Split a candidate stream carrying overflow markers into (pure
-    pair rows, marker rows).  The stream is materialized once (narrow
-    int rows, ≤ MAX_PAIRS_PER_GROUP per exact group — object-store
-    backed, spills) because both halves consume it."""
-    import pyarrow.compute as pc
-
-    cands = cands.materialize()
-
-    def only_pairs(t: pa.Table) -> pa.Table:
-        keep = t.filter(pc.greater_equal(t.column("doc_id_a"), 0))
-        return keep.drop_columns(["n_overflow"])
-
-    def only_markers(t: pa.Table) -> pa.Table:
-        return t.filter(pc.less(t.column("doc_id_a"), 0))
-
-    return (
-        cands.map_batches(only_pairs, batch_format="pyarrow", zero_copy_batch=True),
-        cands.map_batches(
-            only_markers, batch_format="pyarrow", zero_copy_batch=True
-        ),
-    )
-
-
-def _markers_as(
-    markers: rd.Dataset, id_a: str, id_b: str, metric: str
-) -> rd.Dataset:
-    """Project overflow marker rows into a pair output's schema so they
-    ride the result: (id_a = OVERFLOW_MARKER_ID, id_b = coarse bucket,
-    metric = unexamined-pair count)."""
-
-    def conv(t: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                id_a: t.column("doc_id_a"),
-                id_b: t.column("doc_id_b"),
-                metric: t.column("n_overflow"),
-            }
-        )
-
-    return markers.map_batches(conv, batch_format="pyarrow", zero_copy_batch=True)
-
-
 def _dedup_pairs(
     ds: rd.Dataset, id_a: str = "doc_id_a", id_b: str = "doc_id_b"
 ) -> rd.Dataset:
@@ -554,10 +541,7 @@ def minhash_dedup(sf_dir: str, threshold_millis: int = 500) -> rd.Dataset:
         docs.map_batches(band_rows, batch_format="pyarrow", zero_copy_batch=True),
         ["band", "band_hash"],
     )
-    pairs, markers = _split_overflow(candidates)
-    return _bucket_join_verify(pairs, docs, threshold_millis).union(
-        _markers_as(markers, "doc_id_a", "doc_id_b", "jaccard_millis")
-    )
+    return _bucket_join_verify(candidates, docs, threshold_millis)
 
 
 # -- SimHash ----------------------------------------------------------------
@@ -725,10 +709,7 @@ def ngram_jaccard_dedup(sf_dir: str, threshold_millis: int = 400) -> rd.Dataset:
         docs.map_batches(anchor_rows, batch_format="pyarrow", zero_copy_batch=True),
         ["band_hash"],
     )
-    pairs, markers = _split_overflow(candidates)
-    return _bucket_join_verify(pairs, docs, threshold_millis).union(
-        _markers_as(markers, "doc_id_a", "doc_id_b", "jaccard_millis")
-    )
+    return _bucket_join_verify(candidates, docs, threshold_millis)
 
 
 # -- embedding cosine near-dup ----------------------------------------------

@@ -534,3 +534,90 @@ def distinct_users_per_type(sf_dir: str) -> rd.Dataset:
         .drop_columns(["dummy"])
     )
     return pairs.groupby("event_type").aggregate(Count(alias_name="n_users"))
+
+
+def _lineitem_revenue_partials(sf_dir: str, key: str) -> rd.Dataset:
+    """In-batch partials of discounted lineitem revenue per ``key``
+    (l_partkey / l_suppkey): rev_cc = price_cents × (100 − disc_pct) is
+    PURE INTEGER arithmetic after the per-column cents/percent rounding
+    (both 2-decimal columns, so ×100 lands on integers ± fp noise and
+    the rounding mode can't diverge from the SQL oracle) — the sum is
+    associative and float-safe at any reduction order."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        price = pc.cast(
+            pc.round(pc.multiply(batch.column("l_extendedprice"), 100.0)),
+            pa.int64(),
+        )
+        disc = pc.cast(
+            pc.round(pc.multiply(batch.column("l_discount"), 100.0)), pa.int64()
+        )
+        rev = pc.multiply(price, pc.subtract(pa.scalar(100, pa.int64()), disc))
+        t = pa.table({key: batch.column(key), "rev_cc": rev})
+        g = t.group_by([key]).aggregate(
+            [("rev_cc", "sum"), ("rev_cc", "count")]
+        )
+        return pa.table(
+            {
+                key: g.column(key),
+                "rev_cc": g.column("rev_cc_sum"),
+                "n": pc.cast(g.column("rev_cc_count"), pa.int64()),
+            }
+        )
+
+    return (
+        _t(sf_dir, "lineitem", [key, "l_extendedprice", "l_discount"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(key)
+        .aggregate(Sum("rev_cc", alias_name="rev_cc"), Sum("n", alias_name="n"))
+    )
+
+
+def brand_revenue(sf_dir: str) -> rd.Dataset:
+    """(p_brand, n_items, revenue_cc): TPC-H Q14-shaped lineitem→part
+    rollup.  The fact side pre-aggregates per partkey (one shuffle that
+    shrinks |lineitem| to |part| rows), then — because ``part`` SCALES
+    with the data (10^8 rows at 100 TB, never a broadcast dict) — the
+    brand column attaches via :func:`join.attach_dim`'s co-shuffle on
+    hash(partkey) % K; the final brand groupby is key-cardinality-sized."""
+    from .join import attach_dim
+
+    joined = attach_dim(
+        _lineitem_revenue_partials(sf_dir, "l_partkey"),
+        _t(sf_dir, "part", ["p_partkey", "p_brand"]),
+        "l_partkey",
+        "p_partkey",
+        ["p_brand"],
+    )
+    return joined.groupby("p_brand").aggregate(
+        Sum("n", alias_name="n_items"),
+        Sum("rev_cc", alias_name="revenue_cc"),
+    )
+
+
+def supplier_value_by_nation(sf_dir: str) -> rd.Dataset:
+    """(n_name, n_suppliers, value_cc): TPC-H Q11-shaped supplier value
+    rollup — lineitem revenue pre-aggregated per suppkey, supplier's
+    nationkey attached via the distributed co-shuffle (supplier scales
+    with the data), only the 25-row nation table broadcast.  Suppliers
+    with no lineitems drop (inner join), mirroring the SQL oracle."""
+    from .join import attach_dim, broadcast_lookup
+
+    joined = attach_dim(
+        _lineitem_revenue_partials(sf_dir, "l_suppkey"),
+        _t(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]),
+        "l_suppkey",
+        "s_suppkey",
+        ["s_nationkey"],
+    )
+    named = broadcast_lookup(
+        joined,
+        _small_table_dict(sf_dir, "nation", "n_nationkey", "n_name"),
+        "s_nationkey",
+        "n_name",
+        "UNKNOWN",
+    )
+    return named.groupby("n_name").aggregate(
+        Count(alias_name="n_suppliers"),
+        Sum("rev_cc", alias_name="value_cc"),
+    )

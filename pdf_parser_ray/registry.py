@@ -28,7 +28,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- text analysis (oracle-checked) --
         "token_counts": analysis.token_counts,
         "quality_stats": analysis.quality_stats,
-        "source_stats": analysis.source_stats,
         "direction_classify": analysis.direction_classify,
         "langid": analysis.langid,
         "fingerprints": analysis.fingerprints,
@@ -67,10 +66,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semantic_dedup": cluster_ops.semantic_dedup,
         "knn_cosine": similarity.knn_cosine,
         "knn_ivf": similarity.knn_ivf,
-        "embedding_norms": similarity.embedding_norms,
         # -- relational / windows --
         "lineitem_agg": relational.lineitem_agg,
         "orders_by_nation": relational.orders_by_nation,
+        "brand_revenue": relational.brand_revenue,
+        "supplier_value_by_nation": relational.supplier_value_by_nation,
         "region_revenue": relational.region_revenue,
         "orders_filtered": relational.orders_filtered,
         "events_hourly": relational.events_hourly,
@@ -90,6 +90,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the others are thin groupby/top-k/filter variants), then the
         # rows-only approximations and multimodal stages.
         "knn_lsh": similarity.knn_lsh,
+        "embedding_norms": similarity.embedding_norms,
+        "source_stats": analysis.source_stats,
         "lang_distribution": analysis.lang_distribution,
         "top_docs_by_chars": analysis.top_docs_by_chars,
         "sample_documents": filter_ops.sample_documents,
