@@ -61,23 +61,27 @@ def _extract_records(sf_dir: str):
     from pdf_parser_ray.pipelines.extract import extract_dir
 
     def explode(batch: pa.Table) -> pa.Table:
-        urls, dates, descs, cents, dirs = [], [], [], [], []
-        for url, recs in zip(
-            batch.column("url").to_pylist(), batch.column("records").to_pylist()
-        ):
-            for r in recs:
-                urls.append(url)
-                dates.append(r["date"])
-                descs.append(r["description"])
-                cents.append(int(round(r["amount"] * 100)))
-                dirs.append(r["direction"])
+        # vectorized list-of-struct explode: parent indices repeat the
+        # url per record, flatten exposes the struct fields as arrays —
+        # no per-row Python (half_to_even rounding matches the scalar
+        # path's round())
+        import pyarrow.compute as pc
+
+        recs = batch.column("records").combine_chunks()
+        parent = pc.list_parent_indices(recs)
+        flat = recs.flatten()
         return pa.table(
             {
-                "url": pa.array(urls, pa.string()),
-                "date": pa.array(dates, pa.string()),
-                "description": pa.array(descs, pa.string()),
-                "amount_cents": pa.array(cents, pa.int64()),
-                "direction": pa.array(dirs, pa.string()),
+                "url": pc.take(
+                    batch.column("url").combine_chunks(), parent
+                ).cast(pa.string()),
+                "date": flat.field("date").cast(pa.string()),
+                "description": flat.field("description").cast(pa.string()),
+                "amount_cents": pc.cast(
+                    pc.round(pc.multiply(flat.field("amount"), 100.0)),
+                    pa.int64(),
+                ),
+                "direction": flat.field("direction").cast(pa.string()),
             }
         )
 
@@ -94,23 +98,29 @@ def _extract_spans(sf_dir: str):
     from pdf_parser_ray.pipelines.extract import extract_dir
 
     def explode(batch: pa.Table) -> pa.Table:
-        urls, idxs, starts, ends, kinds = [], [], [], [], []
-        for url, spans in zip(
-            batch.column("url").to_pylist(), batch.column("spans").to_pylist()
-        ):
-            for i, s in enumerate(spans):
-                urls.append(url)
-                idxs.append(i)
-                starts.append(s["start"])
-                ends.append(s["end"])
-                kinds.append(s["kind"])
+        # vectorized explode; span_idx = element position within its
+        # list, computed from the flattened offsets (no Python rows)
+        import numpy as np
+        import pyarrow.compute as pc
+
+        spans = batch.column("spans").combine_chunks()
+        parent = pc.list_parent_indices(spans)
+        flat = spans.flatten()
+        lens = pc.list_value_length(spans).to_numpy(zero_copy_only=False)
+        lens = np.nan_to_num(lens.astype(np.float64)).astype(np.int64)
+        cum_before = np.cumsum(lens) - lens
+        idx = np.arange(int(lens.sum()), dtype=np.int64) - np.repeat(
+            cum_before, lens
+        )
         return pa.table(
             {
-                "url": pa.array(urls, pa.string()),
-                "span_idx": pa.array(idxs, pa.int64()),
-                "span_start": pa.array(starts, pa.int64()),
-                "span_end": pa.array(ends, pa.int64()),
-                "kind": pa.array(kinds, pa.string()),
+                "url": pc.take(
+                    batch.column("url").combine_chunks(), parent
+                ).cast(pa.string()),
+                "span_idx": pa.array(idx),
+                "span_start": flat.field("start").cast(pa.int64()),
+                "span_end": flat.field("end").cast(pa.int64()),
+                "kind": flat.field("kind").cast(pa.string()),
             }
         )
 
