@@ -195,6 +195,8 @@ def run_bench() -> dict:
     timed("token_counts", analysis.token_counts)
     timed("quality_stats", analysis.quality_stats)
     timed("lineitem_agg", relational.lineitem_agg)
+    timed("brand_revenue", relational.brand_revenue)
+    timed("supplier_value_by_nation", relational.supplier_value_by_nation)
     timed("events_hourly", relational.events_hourly)
     timed("quality_filter", filter_ops.quality_filter)
     timed("ngram_stats", analysis.ngram_stats)

@@ -45,10 +45,11 @@ _ENCODINGS = ("utf-8", "cp1252", "latin-1", "utf-8")
 _EPOCH_2024_US = 1_704_067_200_000_000  # 2024-01-01T00:00:00Z in microseconds
 
 # bump when generator/statement content changes so cached corpora regenerate
-CORPUS_VERSION = 16  # v16: 23 PDF writer forms (+cid_cmap mixed-width
-# embedded-CMap encoding, +Type3 CharProcs/Differences fonts), both
-# covering printable Latin-1 (Chase Spanish sections); v14: \x1c-\x1f
-# joined the ws class
+CORPUS_VERSION = 17  # v17: 24 PDF writer forms (+symbolic TrueType with
+# a real embedded sfnt: (3,0) format-4 cmap + post-2.0 names); v16:
+# +cid_cmap mixed-width embedded-CMap encoding, +Type3
+# CharProcs/Differences fonts, both covering printable Latin-1; v14:
+# \x1c-\x1f joined the ws class
 
 
 def _spans_for_lines(lines: list[str], kinds: list[str]) -> list[dict]:
@@ -173,6 +174,9 @@ _PDF_FORMS = (
     {"cid_cmap": True},
     # Type3 font: CharProcs + non-identity /Differences code assignment
     {"type3_font": True, "objstm": True},
+    # symbolic TrueType: no /Encoding — decode via the embedded sfnt's
+    # (3,0) format-4 cmap + post-2.0 glyph names
+    {"truetype_symbolic": True, "xref_stream": True},
 )
 
 

@@ -84,6 +84,7 @@ def _content_stream(
     cid_font: bool = False,
     cid_cmap: bool = False,
     type3: bool = False,
+    truetype_sym: bool = False,
 ) -> bytes:
     """Build the page description.  With ``shuffle_order`` the runs are
     emitted in reversed order — the visual layout is identical but the
@@ -116,6 +117,9 @@ def _content_stream(
             ops.append(b"<" + codes + b"> Tj")
         elif type3:
             codes = _type3_bytes(text).hex().upper().encode("ascii")
+            ops.append(b"<" + codes + b"> Tj")
+        elif truetype_sym:
+            codes = _symbolic_bytes(text).hex().upper().encode("ascii")
             ops.append(b"<" + codes + b"> Tj")
         else:
             ops.append(b"(" + _escape(text) + b") Tj")
@@ -207,6 +211,168 @@ def _type3_differences() -> bytes:
         b"/" + g.encode() for g in ["nbspace"] + list(_LATIN1_GLYPHS)
     )
     return b"[1 " + ascii_part + b" 129 " + latin_part + b"]"
+
+
+# ---- minimal real TrueType (sfnt) builder for the symbolic-font form ----
+
+
+def _sfnt_checksum(data: bytes) -> int:
+    if len(data) % 4:
+        data = data + b"\x00" * (4 - len(data) % 4)
+    total = 0
+    for i in range(0, len(data), 4):
+        total = (total + int.from_bytes(data[i : i + 4], "big")) & 0xFFFFFFFF
+    return total
+
+
+def _cmap_format4(code_to_glyph: "dict[int, int]") -> bytes:
+    """A real format-4 cmap subtable.  Segments are maximal contiguous
+    code runs; every segment maps through the glyphIdArray (idDelta 0,
+    idRangeOffset into the array) so glyph order is free to differ from
+    code order — which the symbolic fixture exploits."""
+    import struct as st
+
+    codes = sorted(code_to_glyph)
+    segs: list[tuple[int, int]] = []
+    for c in codes:
+        if segs and c == segs[-1][1] + 1:
+            segs[-1] = (segs[-1][0], c)
+        else:
+            segs.append((c, c))
+    segs.append((0xFFFF, 0xFFFF))  # required terminator
+    seg_count = len(segs)
+    # glyphIdArray: concatenated per-segment glyph runs (terminator maps
+    # via idDelta, contributing nothing)
+    glyph_runs: list[list[int]] = [
+        [code_to_glyph[c] for c in range(lo, hi + 1)] for lo, hi in segs[:-1]
+    ]
+    end_codes = [hi for _, hi in segs]
+    start_codes = [lo for lo, _ in segs]
+    id_deltas = [0] * (seg_count - 1) + [1]  # 0xFFFF + 1 -> glyph 0
+    id_range_offsets = []
+    cum = 0
+    for i, run in enumerate(glyph_runs):
+        # byte distance from &idRangeOffset[i] to glyphIdArray[cum]:
+        # remaining offset entries (seg_count - i) plus glyphs before
+        id_range_offsets.append(2 * (seg_count - i + cum))
+        cum += len(run)
+    id_range_offsets.append(0)  # terminator uses idDelta
+    glyph_ids = [g for run in glyph_runs for g in run]
+    seg_x2 = seg_count * 2
+    search_range = 2 * (2 ** (seg_count.bit_length() - 1))
+    entry_selector = seg_count.bit_length() - 1
+    body = st.pack(
+        ">HHHH", seg_x2, search_range, entry_selector, seg_x2 - search_range
+    )
+    body += st.pack(f">{seg_count}H", *end_codes) + b"\x00\x00"
+    body += st.pack(f">{seg_count}H", *start_codes)
+    body += st.pack(f">{seg_count}h", *id_deltas)
+    body += st.pack(f">{seg_count}H", *id_range_offsets)
+    body += st.pack(f">{len(glyph_ids)}H", *glyph_ids)
+    return st.pack(">HHH", 4, 6 + len(body), 0) + body  # format, len, lang
+
+
+def _sfnt_symbolic(glyph_names: "list[str]", code_of: "dict[str, int]") -> bytes:
+    """A structurally-valid TrueType font program carrying the two
+    tables symbolic-font text extraction reads: a (3,0) format-4 cmap
+    mapping 0xF000+code -> glyph id, and a post 2.0 table naming every
+    glyph (custom indices >= 258, so no Mac-standard-order dependency).
+    head/maxp/hhea/hmtx ride along for structural sanity.  Glyph ids
+    are assigned in REVERSED name order so code order != glyph order —
+    extraction must honestly resolve cmap -> post -> unicode."""
+    import struct as st
+
+    n_glyphs = len(glyph_names) + 1  # + .notdef at 0
+    order = list(range(len(glyph_names)))[::-1]
+    glyph_of_name = {
+        glyph_names[idx]: 1 + pos for pos, idx in enumerate(order)
+    }
+    code_to_glyph = {
+        0xF000 + code: glyph_of_name[name] for name, code in code_of.items()
+    }
+    cmap_sub = _cmap_format4(code_to_glyph)
+    cmap = (
+        st.pack(">HH", 0, 1)  # version, numTables
+        + st.pack(">HHI", 3, 0, 12)  # platform 3, encoding 0, offset
+        + cmap_sub
+    )
+    # post 2.0: names ordered by GLYPH id
+    names_by_glyph = [".notdef"] + [
+        glyph_names[idx] for idx in order
+    ]
+    # version, italicAngle, underline pos/thickness, isFixedPitch, 4x mem
+    post = st.pack(">IihhI", 0x00020000, 0, 0, 0, 0) + st.pack(
+        ">IIII", 0, 0, 0, 0
+    )
+    post += st.pack(">H", n_glyphs)
+    post += st.pack(f">{n_glyphs}H", *[258 + i for i in range(n_glyphs)])
+    for nm in names_by_glyph:
+        raw = nm.encode("ascii")
+        post += bytes([len(raw)]) + raw
+    head = st.pack(
+        ">IIIIHHQQhhhhHHhhh",
+        0x00010000, 0, 0, 0x5F0F3CF5, 3, 1000, 0, 0,
+        0, -250, 612, 750, 0, 8, 2, 0, 0,
+    )
+    maxp = st.pack(">IH", 0x00010000, n_glyphs) + b"\x00" * 26
+    hhea = st.pack(">IhhhHhhhhhh", 0x00010000, 750, -250, 0, 1000,
+                   0, 0, 0, 1, 0, 0) + b"\x00" * 8 + st.pack(">hH", 0, n_glyphs)
+    hmtx = st.pack(f">{2 * n_glyphs}H", *([500, 0] * n_glyphs))
+    tables = [
+        (b"cmap", cmap),
+        (b"head", head),
+        (b"hhea", hhea),
+        (b"hmtx", hmtx),
+        (b"maxp", maxp),
+        (b"post", post),
+    ]
+    n = len(tables)
+    sr = 16 * (2 ** (n.bit_length() - 1))
+    out = st.pack(">IHHHH", 0x00010000, n, sr, n.bit_length() - 1, 16 * n - sr)
+    offset = 12 + 16 * n
+    dir_entries = b""
+    bodies = b""
+    for tag, data in tables:
+        pad = (-len(data)) % 4
+        dir_entries += st.pack(
+            ">4sIII", tag, _sfnt_checksum(data), offset, len(data)
+        )
+        bodies += data + b"\x00" * pad
+        offset += len(data) + pad
+    return out + dir_entries + bodies
+
+
+def _symbolic_code_of() -> "dict[str, int]":
+    """glyph name -> single-byte character code for the symbolic form.
+    Codes are ord XOR 1 — deliberately NON-identity, so extraction that
+    skips the sfnt cmap/post chain and falls back to chr(code) produces
+    pair-swapped garbage instead of silently passing.  (Same
+    standard-name tables as the Type3 form; the duplicate /hyphen name
+    keeps its ASCII-derived code, and char 0xAD is excluded from
+    fixture text.)"""
+    from .parse import _ASCII_GLYPHS, _LATIN1_GLYPHS
+
+    code_of: dict[str, int] = {}
+    for i, g in enumerate(_ASCII_GLYPHS):
+        code_of.setdefault(g, (0x20 + i) ^ 1)
+    code_of.setdefault("nbspace", 0xA0 ^ 1)
+    for i, g in enumerate(_LATIN1_GLYPHS):
+        code_of.setdefault(g, (0xA1 + i) ^ 1)
+    return code_of
+
+
+def _symbolic_bytes(text: str) -> bytes:
+    """Encode a show for the symbolic TrueType form: code = ord ^ 1
+    (the inverse of _symbolic_code_of's assignment)."""
+    out = bytearray()
+    for ch in text:
+        o = ord(ch)
+        if not (0x20 <= o <= 0x7E or 0xA0 <= o <= 0xFF) or o == 0xAD:
+            raise ValueError(
+                f"symbolic fixture text must be printable latin-1: {ch!r}"
+            )
+        out.append(o ^ 1)
+    return bytes(out)
 
 
 def _lzw_encode(data: bytes, early: int = 1) -> bytes:
@@ -456,6 +622,7 @@ def build_pdf(
     cid_font: bool = False,
     cid_cmap: bool = False,
     type3_font: bool = False,
+    truetype_symbolic: bool = False,
     encrypt: bool = False,
     encrypt_aes: bool = False,
     encrypt_aes256: bool = False,
@@ -526,6 +693,8 @@ def build_pdf(
     tounicode_num = descendant_num + 1
     encoding_num = descendant_num + 2  # cid_cmap only
     glyphproc_num = 4 + 2 * n_pages  # type3_font only
+    descriptor_num = 4 + 2 * n_pages  # truetype_symbolic only
+    fontfile_num = descriptor_num + 1
     kids = b" ".join(b"%d 0 R" % (4 + 2 * i) for i in range(n_pages))
     objects.append(b"<< /Type /Catalog /Pages 2 0 R >>")
     objects.append(
@@ -543,6 +712,17 @@ def build_pdf(
             b"<< /Type /Font /Subtype /Type0 /BaseFont /Helvetica"
             b" /Encoding /Identity-H /DescendantFonts [%d 0 R]"
             b" /ToUnicode %d 0 R >>" % (descendant_num, tounicode_num)
+        )
+    elif truetype_symbolic:
+        code_of = _symbolic_code_of()
+        codes = sorted(code_of.values())
+        objects.append(
+            b"<< /Type /Font /Subtype /TrueType /BaseFont /GraftSymbol"
+            b" /FirstChar %d /LastChar %d /Widths [" % (codes[0], codes[-1])
+            + b" ".join(
+                b"500" for _ in range(codes[-1] - codes[0] + 1)
+            )
+            + b"] /FontDescriptor %d 0 R >>" % descriptor_num
         )
     elif type3_font:
         objects.append(
@@ -572,7 +752,11 @@ def build_pdf(
     # objects); their numbers are computed up front so page dicts can
     # reference them
     form_base = 4 + 2 * n_pages + (
-        3 if cid_cmap else 2 if cid_font else 1 if type3_font else 0
+        3 if cid_cmap
+        else 2 if cid_font
+        else 1 if type3_font
+        else 2 if truetype_symbolic
+        else 0
     )
     form_bodies: list[bytes] = []
     for i, page_lines in enumerate(pages):
@@ -593,6 +777,7 @@ def build_pdf(
         body = _content_stream(
             page_lines, font_size, leading, shuffle_order, cid_font,
             cid_cmap=cid_cmap, type3=type3_font,
+            truetype_sym=truetype_symbolic,
         )
         if form_xobject:
             form_bodies.append(body)
@@ -641,6 +826,25 @@ def build_pdf(
         objects.append(
             b"<< /Length %d >>" % len(proc)
             + b"\nstream\n" + proc + b"\nendstream"
+        )
+        is_stream_obj.append(True)
+    if truetype_symbolic:
+        # FontDescriptor (Flags bit 3 = symbolic: 4) + the real sfnt
+        code_of = _symbolic_code_of()
+        sfnt = _sfnt_symbolic(list(code_of), code_of)
+        assert len(objects) + 1 == descriptor_num
+        objects.append(
+            b"<< /Type /FontDescriptor /FontName /GraftSymbol /Flags 4"
+            b" /FontBBox [0 -250 1000 750] /ItalicAngle 0 /Ascent 750"
+            b" /Descent -250 /CapHeight 700 /StemV 80"
+            b" /FontFile2 %d 0 R >>" % fontfile_num
+        )
+        is_stream_obj.append(False)
+        ff = zlib.compress(sfnt)
+        objects.append(
+            b"<< /Length %d /Length1 %d /Filter /FlateDecode >>"
+            % (len(ff), len(sfnt))
+            + b"\nstream\n" + ff + b"\nendstream"
         )
         is_stream_obj.append(True)
 

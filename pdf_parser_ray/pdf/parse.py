@@ -943,6 +943,139 @@ def _cached_codespaces(raw: bytes, decode) -> list[tuple[int, int, int]]:
     if got is None:
         got = _CODESPACE_CACHE[raw] = parse_cmap_codespaces(decode())
     return got
+
+
+# ---- symbolic TrueType: sfnt cmap (format 4) + post (2.0) names ----------
+
+
+def _sfnt_tables(data: bytes) -> dict[bytes, bytes]:
+    import struct
+
+    if len(data) < 12:
+        return {}
+    (num_tables,) = struct.unpack(">H", data[4:6])
+    out: dict[bytes, bytes] = {}
+    for i in range(num_tables):
+        rec = data[12 + 16 * i : 28 + 16 * i]
+        if len(rec) < 16:
+            break
+        tag = rec[0:4]
+        offset, length = struct.unpack(">II", rec[8:16])
+        out[tag] = data[offset : offset + length]
+    return out
+
+
+def _cmap_format4_to_glyphs(sub: bytes) -> dict[int, int]:
+    """Parse a format-4 cmap subtable into code -> glyph id (both the
+    idDelta and idRangeOffset/glyphIdArray segment forms)."""
+    import struct
+
+    (seg_x2,) = struct.unpack(">H", sub[6:8])
+    seg = seg_x2 // 2
+    ends = struct.unpack(f">{seg}H", sub[14 : 14 + seg_x2])
+    base = 16 + seg_x2
+    starts = struct.unpack(f">{seg}H", sub[base : base + seg_x2])
+    base += seg_x2
+    deltas = struct.unpack(f">{seg}h", sub[base : base + seg_x2])
+    base += seg_x2
+    offsets = struct.unpack(f">{seg}H", sub[base : base + seg_x2])
+    offsets_pos = base  # byte position of idRangeOffset[0] within sub
+    out: dict[int, int] = {}
+    for i in range(seg):
+        if starts[i] == 0xFFFF:
+            continue
+        for c in range(starts[i], ends[i] + 1):
+            if offsets[i] == 0:
+                g = (c + deltas[i]) & 0xFFFF
+            else:
+                pos = offsets_pos + 2 * i + offsets[i] + 2 * (c - starts[i])
+                if pos + 2 > len(sub):
+                    continue
+                (g,) = struct.unpack(">H", sub[pos : pos + 2])
+                if g:
+                    g = (g + deltas[i]) & 0xFFFF
+            if g:
+                out[c] = g
+    return out
+
+
+def _post2_names(post: bytes) -> dict[int, str]:
+    """Glyph id -> name from a post 2.0 table.  Standard-order indices
+    (< 258) are left unnamed — the fixture writer emits custom indices
+    only; real fonts using the Mac standard order carry ASCII glyphs a
+    symbolic font wouldn't rename anyway."""
+    import struct
+
+    if len(post) < 34 or struct.unpack(">I", post[0:4])[0] != 0x00020000:
+        return {}
+    (n,) = struct.unpack(">H", post[32:34])
+    idx = struct.unpack(f">{n}H", post[34 : 34 + 2 * n])
+    names: list[str] = []
+    pos = 34 + 2 * n
+    while pos < len(post):
+        ln = post[pos]
+        names.append(post[pos + 1 : pos + 1 + ln].decode("latin-1"))
+        pos += 1 + ln
+    out: dict[int, str] = {}
+    for g, ix in enumerate(idx):
+        if ix >= 258 and ix - 258 < len(names):
+            out[g] = names[ix - 258]
+    return out
+
+
+def parse_truetype_unicode_map(data: bytes) -> CMap:
+    """code -> unicode for a symbolic TrueType font program: the (3,0)
+    — or (3,1)/(1,0) fallback — format-4 cmap gives code -> glyph id,
+    the post 2.0 table names each glyph, and the standard glyph-name
+    table resolves unicode.  Codes on the 0xF000 symbol page fold back
+    to their low byte (the single-byte show codes)."""
+    import struct
+
+    tables = _sfnt_tables(data)
+    cmap_tbl = tables.get(b"cmap")
+    post_tbl = tables.get(b"post")
+    if not cmap_tbl or not post_tbl:
+        return CMap({}, [])
+    (n_enc,) = struct.unpack(">H", cmap_tbl[2:4])
+    recs = {}
+    for i in range(n_enc):
+        pid, eid, off = struct.unpack(
+            ">HHI", cmap_tbl[4 + 8 * i : 12 + 8 * i]
+        )
+        recs[(pid, eid)] = off
+    off = recs.get((3, 0), recs.get((3, 1), recs.get((1, 0))))
+    if off is None or off + 8 > len(cmap_tbl):
+        return CMap({}, [])
+    sub = cmap_tbl[off:]
+    (fmt,) = struct.unpack(">H", sub[0:2])
+    if fmt != 4:
+        return CMap({}, [])
+    code_to_glyph = _cmap_format4_to_glyphs(sub)
+    glyph_names = _post2_names(post_tbl)
+    chars: dict[int, str] = {}
+    for code, g in code_to_glyph.items():
+        name = glyph_names.get(g)
+        uni = glyph_to_unicode(name) if name else None
+        if uni is None:
+            continue
+        b = code & 0xFF if 0xF000 <= code <= 0xF0FF else code
+        if b <= 0xFF:
+            chars[b] = uni
+    return CMap(chars, [])
+
+
+_TRUETYPE_CACHE: dict[bytes, CMap] = {}
+
+
+def _cached_truetype(raw: bytes, decode) -> CMap:
+    got = _TRUETYPE_CACHE.get(raw)
+    if got is None:
+        try:
+            got = parse_truetype_unicode_map(decode())
+        except Exception:  # malformed font program: no usable map
+            got = CMap({}, [])
+        _TRUETYPE_CACHE[raw] = got
+    return got
 _CMAP_CACHE_MAX = 256
 
 
@@ -1263,6 +1396,23 @@ def _fonts_from_resources(doc: "PDFDocument", res: dict) -> dict[str, FontInfo]:
                         cmap = CMap(merged, cmap.ranges)
                 elif isinstance(base, Name):
                     codec = _BASE_ENCODING_CODECS.get(str(base))
+        if cmap is None and codec is None and not two:
+            # symbolic TrueType: no ToUnicode, no /Encoding — the
+            # embedded font program's (3,0) cmap + post names are the
+            # only decode source (Flags bit 3 marks symbolic)
+            if str(doc.resolve(fd.get("Subtype", ""))) == "TrueType":
+                fdesc = doc.resolve(fd.get("FontDescriptor"))
+                if isinstance(fdesc, dict):
+                    flags = doc.resolve(fdesc.get("Flags", 0))
+                    ff2 = doc.resolve(fdesc.get("FontFile2"))
+                    if (
+                        isinstance(flags, (int, float))
+                        and int(flags) & 4
+                        and isinstance(ff2, Stream)
+                    ):
+                        got = _cached_truetype(ff2.raw, lambda: ff2.data(doc))
+                        if got:
+                            cmap = got
         out[str(name)] = FontInfo(
             two_byte=two, codespaces=codespaces, cmap=cmap, codec=codec
         )

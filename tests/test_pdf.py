@@ -757,3 +757,65 @@ class TestNewFontFormsLatin1:
         assert "Depósito" in base[0]
         for kw in (dict(cid_cmap=True), dict(type3_font=True)):
             assert extract_page_texts(build_pdf(self.PAGES, **kw)) == base, kw
+
+
+class TestSymbolicTrueType:
+    """/Subtype /TrueType, /Flags bit 3, NO /Encoding: text decodes
+    through the embedded sfnt — (3,0) format-4 cmap (0xF000 symbol
+    page) -> glyph id -> post-2.0 glyph name -> unicode.  Glyph ids are
+    assigned in reversed name order, so a decoder that skips the post
+    table cannot pass."""
+
+    PAGES = TestNonIdentityCMap.PAGES
+
+    def test_identical_to_simple(self):
+        classic = extract_page_texts(build_pdf(self.PAGES))
+        got = extract_page_texts(build_pdf(self.PAGES, truetype_symbolic=True))
+        assert got == classic
+
+    def test_full_latin1_roundtrip(self):
+        latin = "".join(
+            chr(o)
+            for o in list(range(0x20, 0x7F)) + [0xA0] + list(range(0xA1, 0x100))
+            if o != 0xAD
+        )
+        pages = [[latin[:80]], [latin[80:]]]
+        base = extract_page_texts(build_pdf(pages))
+        got = extract_page_texts(build_pdf(pages, truetype_symbolic=True))
+        assert got == base
+
+    def test_composes_with_other_forms(self):
+        classic = extract_page_texts(build_pdf(self.PAGES))
+        for kw in (
+            dict(truetype_symbolic=True, objstm=True),
+            dict(truetype_symbolic=True, xref_stream=True, predictor=True),
+            dict(truetype_symbolic=True, shuffle_order=True),
+            dict(truetype_symbolic=True, form_xobject=True),
+        ):
+            assert extract_page_texts(build_pdf(self.PAGES, **kw)) == classic, kw
+
+    def test_sfnt_cmap_and_post_parse(self):
+        from pdf_parser_ray.pdf.build import _sfnt_symbolic, _symbolic_code_of
+        from pdf_parser_ray.pdf.parse import parse_truetype_unicode_map
+
+        code_of = _symbolic_code_of()
+        cmap = parse_truetype_unicode_map(
+            _sfnt_symbolic(list(code_of), code_of)
+        )
+        # codes are ord ^ 1: a decoder skipping the cmap/post chain and
+        # falling back to chr(code) produces pair-swapped garbage
+        assert cmap.get(ord("A") ^ 1) == "A"
+        assert cmap.get(0x20 ^ 1) == " "
+        assert cmap.get(0xE9 ^ 1) == "é"  # eacute via post name
+        assert cmap.get(ord("A")) != "A"
+
+    def test_malformed_font_degrades_not_crashes(self):
+        from pdf_parser_ray.pdf.parse import parse_truetype_unicode_map
+
+        assert not parse_truetype_unicode_map(b"\x00\x01\x00\x00")
+        assert not parse_truetype_unicode_map(b"garbage")
+
+    def test_no_encoding_on_the_wire(self):
+        data = build_pdf(self.PAGES, truetype_symbolic=True, compress=False)
+        assert b"/TrueType" in data and b"/FontFile2" in data
+        assert b"/ToUnicode" not in data and b"/Differences" not in data
