@@ -352,7 +352,15 @@ def synthesize_pages_ray(
     import pyarrow as pa
     import ray.data as rd
 
-    tag = f"v{CORPUS_VERSION}_ray_seed{seed}_rep{replicate}_pdf{int(pdf_fraction * 100)}_ps{page_scale}"
+    # rg4k: fine row groups so parquet reads can split WITHIN files —
+    # 16 coarse shards gave the 640k-page read only ~32 splittable
+    # units, capping the extract stage at ~1 task per core at 32 CPUs
+    # (the measured 8->32 ceiling); the tag encodes the layout so
+    # coarse-row-group caches regenerate
+    tag = (
+        f"v{CORPUS_VERSION}_ray_seed{seed}_rep{replicate}"
+        f"_pdf{int(pdf_fraction * 100)}_ps{page_scale}_rg4k"
+    )
     pages_dir = os.path.join(out_dir, f"pages_{tag}")
     done_marker = os.path.join(pages_dir, "_DONE")
     if os.path.exists(done_marker):
@@ -386,7 +394,7 @@ def synthesize_pages_ray(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text", "lang"]
     )
     ds.map_batches(gen, batch_format="pyarrow", zero_copy_batch=True, batch_size=256).write_parquet(
-        tmp_dir
+        tmp_dir, row_group_size=4096
     )
     os.replace(tmp_dir, pages_dir)
     with open(done_marker, "w") as f:

@@ -145,6 +145,37 @@ class TestActorPoolVariant:
         assert a.equals(b)
 
 
+class TestReadGranularity:
+    """read_pages must split a modest file set into row-sized tasks
+    (~4k pages each): Ray's byte-based default left the 640k-page bench
+    corpus at ~1 task per core at 32 CPUs, capping 8->32 scaling."""
+
+    def test_blocks_sized_by_rows(self, corpus):
+        from pdf_parser_ray.pipelines.extract import _pages_num_blocks
+
+        pages_dir, _ = corpus
+        rows = sum(
+            pq.ParquetFile(os.path.join(pages_dir, f)).metadata.num_rows
+            for f in os.listdir(pages_dir)
+            if f.endswith(".parquet")
+        )
+        nb = _pages_num_blocks(pages_dir)
+        assert nb == max(8, min(4096, -(-rows // 4000)))
+
+    def test_stands_down_on_many_shards(self):
+        from pdf_parser_ray.pipelines.extract import _pages_num_blocks
+
+        # at real scale the file count already provides parallelism
+        assert _pages_num_blocks([f"s{i}.parquet" for i in range(513)]) is None
+
+    def test_explicit_override_wins(self, ray_session, quiet_data_context, corpus):
+        from pdf_parser_ray.pipelines.extract import read_pages
+
+        pages_dir, _ = corpus
+        ds = read_pages(pages_dir, override_num_blocks=3)
+        assert ds.count() > 0
+
+
 class TestLineDedupBound:
     """The boilerplate broadcast set must be bounded independent of
     corpus size (VERDICT r02 'What's wrong' #3): |frequent| <=
