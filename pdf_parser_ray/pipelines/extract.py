@@ -35,13 +35,17 @@ def _pages_num_blocks(
 ) -> "int | None":
     """Task-granularity block sizing for the extraction read.  The
     parse costs ~0.4 ms/page, so ~4k pages ≈ a 1-2 s task — enough
-    tasks to fill AND pipeline every core.  Ray's byte-based default
-    sized the 640k-page bench corpus at ~32 splittable units (16
-    shards × 2 row groups): ~1 task per core at 32 CPUs, so a single
-    straggler stretched the makespan — the measured 8→32 scaling
-    ceiling.  Row counts come from parquet footers (one cheap metadata
-    read per file); with many shards (real scale) the file count
-    already provides parallelism and the default stands."""
+    tasks to fill AND pipeline every core on long jobs.  Ray's
+    byte-based default sized the 640k-page bench corpus at ~32
+    splittable units (16 shards × 2 row groups): ~1 task per core at
+    32 CPUs, so a single straggler stretched the makespan — the
+    measured 8→32 scaling ceiling.  On SHORT jobs the row target
+    alone underfills the cluster (40k pages / 4k = 10 tasks at 32
+    CPUs measured 6.1 s vs 2.1 s at ~2.5×CPU tasks), so the count is
+    floored at 3×CPU provided tasks keep ≥500 rows.  Row counts come
+    from parquet footers (one cheap metadata read per file); with
+    many shards (real scale) the file count already provides
+    parallelism and the default stands."""
     import pyarrow.parquet as pq
 
     if isinstance(paths, str) and os.path.isdir(paths):
@@ -64,7 +68,16 @@ def _pages_num_blocks(
             return None
     if total <= 0:
         return None
-    return max(8, min(4096, -(-total // rows_per_block)))
+    nb = -(-total // rows_per_block)
+    try:
+        import ray
+
+        if ray.is_initialized():
+            cpus = int(ray.cluster_resources().get("CPU", 0))
+            nb = max(nb, min(3 * cpus, -(-total // 500)))
+    except Exception:
+        pass
+    return max(8, min(4096, nb))
 
 
 def read_pages(paths: str | list[str], **read_kwargs: Any) -> rd.Dataset:

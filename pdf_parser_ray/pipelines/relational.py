@@ -83,8 +83,9 @@ def lineitem_agg(sf_dir: str) -> rd.Dataset:
 
 
 def _orders_per_cust(sf_dir: str) -> rd.Dataset:
-    """Pre-aggregate the fact table per custkey: one shuffle that
-    shrinks |orders| rows to |customer| rows before any join."""
+    """In-batch order-count/cents partials per custkey (no global
+    groupby — :func:`_dim_rollup` consumers co-shuffle once and
+    tolerate multiple partial rows per key)."""
 
     def to_cents(batch: pa.Table) -> pa.Table:
         return pa.table(
@@ -97,11 +98,22 @@ def _orders_per_cust(sf_dir: str) -> rd.Dataset:
             }
         )
 
-    return (
-        _t(sf_dir, "orders", ["o_custkey", "o_totalprice"])
-        .map_batches(to_cents, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("o_custkey")
-        .aggregate(Count(alias_name="n_orders"), Sum("price_cents", alias_name="cents"))
+    def partial(batch: pa.Table) -> pa.Table:
+        g = (
+            to_cents(batch)
+            .group_by(["o_custkey"])
+            .aggregate([("price_cents", "sum"), ("price_cents", "count")])
+        )
+        return pa.table(
+            {
+                "o_custkey": g.column("o_custkey"),
+                "cents": g.column("price_cents_sum"),
+                "n_orders": pc.cast(g.column("price_cents_count"), pa.int64()),
+            }
+        )
+
+    return _t(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
     )
 
 
@@ -114,44 +126,30 @@ def _small_table_dict(sf_dir: str, name: str, key: str, val: str) -> dict:
 
 def orders_by_nation(sf_dir: str) -> rd.Dataset:
     """(n_name, n_orders, total_cents): the orders→customer join runs
-    **distributed** — orders pre-aggregate per custkey, then
-    :func:`join.attach_dim` co-shuffles with the customer table on
-    hash(custkey) % K.  Only ``nation`` (25 rows, the genuinely-small
-    side) is broadcast; no driver-side dict ever scales with the fact
-    or customer table."""
-    from .join import attach_dim, broadcast_lookup
-
-    joined = attach_dim(
+    **distributed** — in-batch order partials per custkey, then ONE
+    :func:`_dim_rollup` co-shuffle with the customer table on
+    custkey % K.  Only ``nation`` (25 rows, the genuinely-small side)
+    rides along as the bucket-local ``val_map``; no driver-side dict
+    ever scales with the fact or customer table."""
+    return _dim_rollup(
         _orders_per_cust(sf_dir),
         _t(sf_dir, "customer", ["c_custkey", "c_nationkey"]),
         "o_custkey",
         "c_custkey",
-        ["c_nationkey"],
-    )
-    named = broadcast_lookup(
-        joined,
-        _small_table_dict(sf_dir, "nation", "n_nationkey", "n_name"),
         "c_nationkey",
-        "n_name",
-        "UNKNOWN",
-    )
-    return (
-        named.groupby("n_name")
-        .aggregate(
-            Sum("n_orders", alias_name="n_orders"),
-            Sum("cents", alias_name="total_cents"),
-        )
+        sums=[("n_orders", "n_orders"), ("cents", "total_cents")],
+        out_key="n_name",
+        val_map=_small_table_dict(sf_dir, "nation", "n_nationkey", "n_name"),
     )
 
 
 def region_revenue(sf_dir: str) -> rd.Dataset:
     """(r_name, n_orders, total_cents): orders rolled up to regions
     through customer→nation→region — the multi-hop join plan at scale:
-    pre-aggregate the fact per custkey, ONE distributed attach of the
-    customer dim, then the two genuinely-small dims (nation 25 rows,
-    region 5 rows) compose into one broadcast lookup."""
-    from .join import attach_dim, broadcast_lookup
-
+    in-batch fact partials per custkey, ONE :func:`_dim_rollup`
+    co-shuffle with the customer dim; the two genuinely-small dims
+    (nation 25 rows, region 5 rows) compose into the bucket-local
+    ``val_map``."""
     region_name = _small_table_dict(sf_dir, "region", "r_regionkey", "r_name")
     nation_region = {
         nk: region_name.get(rk, "UNKNOWN")
@@ -159,20 +157,15 @@ def region_revenue(sf_dir: str) -> rd.Dataset:
             sf_dir, "nation", "n_nationkey", "n_regionkey"
         ).items()
     }
-    joined = attach_dim(
+    return _dim_rollup(
         _orders_per_cust(sf_dir),
         _t(sf_dir, "customer", ["c_custkey", "c_nationkey"]),
         "o_custkey",
         "c_custkey",
-        ["c_nationkey"],
-    )
-    named = broadcast_lookup(joined, nation_region, "c_nationkey", "r_name", "UNKNOWN")
-    return (
-        named.groupby("r_name")
-        .aggregate(
-            Sum("n_orders", alias_name="n_orders"),
-            Sum("cents", alias_name="total_cents"),
-        )
+        "c_nationkey",
+        sums=[("n_orders", "n_orders"), ("cents", "total_cents")],
+        out_key="r_name",
+        val_map=nation_region,
     )
 
 
@@ -536,13 +529,138 @@ def distinct_users_per_type(sf_dir: str) -> rd.Dataset:
     return pairs.groupby("event_type").aggregate(Count(alias_name="n_users"))
 
 
+def _dim_rollup(
+    fact: rd.Dataset,
+    dim: rd.Dataset,
+    key: str,
+    dim_key: str,
+    dim_val: str,
+    sums: "list[tuple[str, str]]",
+    out_key: str,
+    val_map: dict | None = None,
+    val_default="UNKNOWN",
+    distinct_alias: str | None = None,
+    buckets: int = 64,
+) -> rd.Dataset:
+    """Joined rollup in ONE data exchange: fact partial rows
+    ``(key, *sum_cols)`` and dim rows ``(dim_key, dim_val)`` co-shuffle
+    on ``key % buckets`` (multiplexed union, the curate_pages pattern),
+    each bucket merges and collapses to ≤|distinct dim_val| partial
+    rows, and a final constant-key combine sums the ≤ buckets×|vals|
+    leftovers.  Replaces the pre-agg-groupby → attach_dim-sort →
+    global-aggregate plan whose THREE AllToAll passes each carried
+    seconds of fixed overhead (brand_revenue measured 15.3 s at sf0.1;
+    Ray's AggregateMap alone spent ~600 ms/block sorting 1.2k-row
+    string-keyed blocks — SCALE.md §aggregate-overhead).
+
+    ``sums`` maps fact columns to output aliases (summed); a key's fact
+    rows may arrive as multiple in-batch partials — sums are
+    associative, and ``distinct_alias`` (count of distinct fact keys,
+    e.g. n_suppliers) stays exact because a key lives wholly in one
+    bucket.  ``val_map`` composes a genuinely-tiny second dim (e.g.
+    nationkey→region name) inside the bucket, so multi-hop rollups
+    still pay one exchange.  Int64 sums never pass through the pandas
+    float64 null-padding path — the union pads with typed ZEROS, so
+    values stay exact past 2^53 (the attach_dim cast note does not
+    apply here)."""
+    import pandas as pd
+
+    sum_cols = [c for c, _ in sums]
+    dim_val_type = dict(zip(dim.schema().names, dim.schema().types))[dim_val]
+    str_val = pa.types.is_string(dim_val_type) or pa.types.is_large_string(
+        dim_val_type
+    )
+
+    def _pad_val(n: int):
+        return pa.array([""] * n, dim_val_type) if str_val else pa.array(
+            np.zeros(n, np.int64), dim_val_type
+        )
+
+    def fact_rows(batch: pa.Table) -> pa.Table:
+        k = batch.column(key).to_numpy(zero_copy_only=False).astype(np.int64)
+        cols: dict = {
+            "bkt": pa.array((k % buckets).astype(np.int32)),
+            "__role": pa.array(np.zeros(len(k), np.int8)),
+            "__k": pa.array(k),
+            "__v": _pad_val(len(k)),
+        }
+        for c in sum_cols:
+            cols[c] = batch.column(c)
+        return pa.table(cols)
+
+    def dim_rows(batch: pa.Table) -> pa.Table:
+        k = batch.column(dim_key).to_numpy(zero_copy_only=False).astype(np.int64)
+        cols: dict = {
+            "bkt": pa.array((k % buckets).astype(np.int32)),
+            "__role": pa.array(np.ones(len(k), np.int8)),
+            "__k": pa.array(k),
+            "__v": batch.column(dim_val),
+        }
+        for c in sum_cols:
+            cols[c] = pa.array(np.zeros(len(k), np.int64))
+        return pa.table(cols)
+
+    out_aliases = [a for _, a in sums]
+    if distinct_alias:
+        out_aliases = [distinct_alias, *out_aliases]
+
+    def _typed(df_cols: dict) -> pd.DataFrame:
+        out = pd.DataFrame(df_cols)
+        for a in out_aliases:
+            out[a] = out[a].astype(np.int64)
+        return out
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        is_dim = g["__role"].to_numpy() == 1
+        d = g.loc[is_dim, ["__k", "__v"]]
+        f = g.loc[~is_dim, ["__k", *sum_cols]]
+        m = f.merge(d, on="__k", how="inner")
+        if val_map is not None:
+            m["__v"] = m["__v"].map(val_map).fillna(val_default)
+        grp = m.groupby("__v", sort=False)
+        cols: dict = {out_key: None}
+        agg = grp[sum_cols].sum()
+        cols[out_key] = agg.index.to_numpy()
+        for c, a in sums:
+            cols[a] = agg[c].to_numpy()
+        if distinct_alias:
+            cols[distinct_alias] = grp["__k"].nunique().to_numpy()
+        return _typed(cols)[[out_key, *out_aliases]]
+
+    def add_const(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "__fk", pa.array(np.zeros(batch.num_rows, np.int8))
+        )
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby(out_key, sort=False)[out_aliases].sum()
+        cols: dict = {out_key: agg.index.to_numpy()}
+        for a in out_aliases:
+            cols[a] = agg[a].to_numpy()
+        return _typed(cols)[[out_key, *out_aliases]]
+
+    return (
+        fact.map_batches(fact_rows, batch_format="pyarrow", zero_copy_batch=True)
+        .union(
+            dim.map_batches(dim_rows, batch_format="pyarrow", zero_copy_batch=True)
+        )
+        .groupby("bkt")
+        .map_groups(combine, batch_format="pandas")
+        .map_batches(add_const, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__fk")
+        .map_groups(final, batch_format="pandas")
+    )
+
+
 def _lineitem_revenue_partials(sf_dir: str, key: str) -> rd.Dataset:
     """In-batch partials of discounted lineitem revenue per ``key``
     (l_partkey / l_suppkey): rev_cc = price_cents × (100 − disc_pct) is
     PURE INTEGER arithmetic after the per-column cents/percent rounding
     (both 2-decimal columns, so ×100 lands on integers ± fp noise and
     the rounding mode can't diverge from the SQL oracle) — the sum is
-    associative and float-safe at any reduction order."""
+    associative and float-safe at any reduction order.  No global
+    groupby here: consumers co-shuffle the partials once in
+    :func:`_dim_rollup`, which tolerates multiple partial rows per key."""
 
     def partial(batch: pa.Table) -> pa.Table:
         price = pc.cast(
@@ -565,59 +683,45 @@ def _lineitem_revenue_partials(sf_dir: str, key: str) -> rd.Dataset:
             }
         )
 
-    return (
-        _t(sf_dir, "lineitem", [key, "l_extendedprice", "l_discount"])
-        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(key)
-        .aggregate(Sum("rev_cc", alias_name="rev_cc"), Sum("n", alias_name="n"))
+    return _t(sf_dir, "lineitem", [key, "l_extendedprice", "l_discount"]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
     )
 
 
 def brand_revenue(sf_dir: str) -> rd.Dataset:
     """(p_brand, n_items, revenue_cc): TPC-H Q14-shaped lineitem→part
-    rollup.  The fact side pre-aggregates per partkey (one shuffle that
-    shrinks |lineitem| to |part| rows), then — because ``part`` SCALES
-    with the data (10^8 rows at 100 TB, never a broadcast dict) — the
-    brand column attaches via :func:`join.attach_dim`'s co-shuffle on
-    hash(partkey) % K; the final brand groupby is key-cardinality-sized."""
-    from .join import attach_dim
-
-    joined = attach_dim(
+    rollup.  In-batch revenue partials per partkey, then — because
+    ``part`` SCALES with the data (10^8 rows at 100 TB, never a
+    broadcast dict) — ONE :func:`_dim_rollup` co-shuffle on
+    partkey % K merges brands in-bucket and collapses straight to the
+    25-brand result."""
+    return _dim_rollup(
         _lineitem_revenue_partials(sf_dir, "l_partkey"),
         _t(sf_dir, "part", ["p_partkey", "p_brand"]),
         "l_partkey",
         "p_partkey",
-        ["p_brand"],
-    )
-    return joined.groupby("p_brand").aggregate(
-        Sum("n", alias_name="n_items"),
-        Sum("rev_cc", alias_name="revenue_cc"),
+        "p_brand",
+        sums=[("n", "n_items"), ("rev_cc", "revenue_cc")],
+        out_key="p_brand",
     )
 
 
 def supplier_value_by_nation(sf_dir: str) -> rd.Dataset:
     """(n_name, n_suppliers, value_cc): TPC-H Q11-shaped supplier value
-    rollup — lineitem revenue pre-aggregated per suppkey, supplier's
-    nationkey attached via the distributed co-shuffle (supplier scales
-    with the data), only the 25-row nation table broadcast.  Suppliers
-    with no lineitems drop (inner join), mirroring the SQL oracle."""
-    from .join import attach_dim, broadcast_lookup
-
-    joined = attach_dim(
+    rollup — in-batch lineitem revenue partials per suppkey, supplier's
+    nation attached via ONE :func:`_dim_rollup` co-shuffle (supplier
+    scales with the data), the 25-row nation table composed in as the
+    bucket-local ``val_map``.  ``n_suppliers`` is the distinct-suppkey
+    count (exact: a suppkey lives wholly in one bucket); suppliers with
+    no lineitems drop (inner join), mirroring the SQL oracle."""
+    return _dim_rollup(
         _lineitem_revenue_partials(sf_dir, "l_suppkey"),
         _t(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]),
         "l_suppkey",
         "s_suppkey",
-        ["s_nationkey"],
-    )
-    named = broadcast_lookup(
-        joined,
-        _small_table_dict(sf_dir, "nation", "n_nationkey", "n_name"),
         "s_nationkey",
-        "n_name",
-        "UNKNOWN",
-    )
-    return named.groupby("n_name").aggregate(
-        Count(alias_name="n_suppliers"),
-        Sum("rev_cc", alias_name="value_cc"),
+        sums=[("rev_cc", "value_cc")],
+        out_key="n_name",
+        val_map=_small_table_dict(sf_dir, "nation", "n_nationkey", "n_name"),
+        distinct_alias="n_suppliers",
     )

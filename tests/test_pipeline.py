@@ -150,7 +150,9 @@ class TestReadGranularity:
     (~4k pages each): Ray's byte-based default left the 640k-page bench
     corpus at ~1 task per core at 32 CPUs, capping 8->32 scaling."""
 
-    def test_blocks_sized_by_rows(self, corpus):
+    def test_blocks_sized_by_rows(self, ray_session, corpus):
+        import ray
+
         from pdf_parser_ray.pipelines.extract import _pages_num_blocks
 
         pages_dir, _ = corpus
@@ -159,8 +161,9 @@ class TestReadGranularity:
             for f in os.listdir(pages_dir)
             if f.endswith(".parquet")
         )
-        nb = _pages_num_blocks(pages_dir)
-        assert nb == max(8, min(4096, -(-rows // 4000)))
+        cpus = int(ray.cluster_resources().get("CPU", 0))
+        want = max(-(-rows // 4000), min(3 * cpus, -(-rows // 500)))
+        assert _pages_num_blocks(pages_dir) == max(8, min(4096, want))
 
     def test_stands_down_on_many_shards(self):
         from pdf_parser_ray.pipelines.extract import _pages_num_blocks
