@@ -1295,6 +1295,19 @@ def oracle_sql() -> dict[str, str]:
             "SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n"
             " FROM orders WHERE o_totalprice > 150000.0 GROUP BY o_orderpriority"
         ),
+        "range_join_events": (
+            # mirror of relational.range_join_events: every 'error'
+            # event opens a [ts, ts+10min) window; interval-containment
+            # join counts events and sums integer cents per window
+            "WITH w AS (SELECT event_id AS window_id, ts AS t0 FROM events"
+            "   WHERE event_type = 'error')"
+            " SELECT w.window_id, CAST(count(*) AS BIGINT) AS n_events,"
+            "  CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT)"
+            "    AS sum_cents"
+            " FROM w JOIN events e"
+            "   ON e.ts >= w.t0 AND e.ts < w.t0 + INTERVAL 10 MINUTE"
+            " GROUP BY w.window_id"
+        ),
         "orders_by_nation": (
             "SELECT n.n_name, CAST(count(*) AS BIGINT) AS n_orders,"
             " CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)"

@@ -201,6 +201,7 @@ def run_bench() -> dict:
     timed("quality_filter", filter_ops.quality_filter)
     timed("ngram_stats", analysis.ngram_stats)
     timed("error_attribution", relational.error_attribution)
+    timed("range_join_events", relational.range_join_events)
     timed("bpe_token_counts", analysis.bpe_token_counts)
     timed("unigram_logprob", analysis.unigram_logprob)
 

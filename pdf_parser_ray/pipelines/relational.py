@@ -529,6 +529,140 @@ def distinct_users_per_type(sf_dir: str) -> rd.Dataset:
     return pairs.groupby("event_type").aggregate(Count(alias_name="n_users"))
 
 
+def range_join_events(
+    sf_dir: str, window_s: int = 600, buckets: int = 64
+) -> rd.Dataset:
+    """(window_id, n_events, sum_cents): distributed RANGE JOIN — every
+    'error' event opens an incident window ``[ts, ts+window_s)``; each
+    window joins, by interval containment (a non-equi predicate no hash
+    join expresses), every event whose timestamp falls inside it.
+
+    Partitioning assumption: both sides co-shuffle on the time bucket
+    ``ts // window_s`` (coarse-hashed to ``buckets`` groups), and a
+    window spans AT MOST TWO buckets because the bucket width equals
+    the window length — each window row is emitted to both, partials
+    sum exactly (a point belongs to exactly one bucket).  The
+    per-bucket kernel is sort + ``searchsorted`` + prefix sums:
+    O((P+W)·log P) with NO pairwise blowup, so a boilerplate-dense
+    bucket costs log, not quadratic, work.  Value sums ride as integer
+    cents (events_hourly's convention) so partial order can't shift
+    the hash.  Wider-than-bucket windows would need the interval
+    fanned to ceil(len/width)+1 buckets — the emission is the only
+    line that changes."""
+    import pandas as pd
+
+    w_us = window_s * 1_000_000
+
+    def point_rows(batch: pa.Table) -> pa.Table:
+        ts = pc.cast(batch.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
+        cents = (
+            pc.cast(pc.round(pc.multiply(batch.column("value"), 100.0)), pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        tb = ts // w_us
+        n = len(ts)
+        return pa.table(
+            {
+                "coarse": pa.array((tb % buckets).astype(np.int32)),
+                "tb": pa.array(tb),
+                "__role": pa.array(np.zeros(n, np.int8)),
+                "ts": pa.array(ts),
+                "cents": pa.array(cents),
+                "window_id": pa.array(np.zeros(n, np.int64)),
+            }
+        )
+
+    def window_rows(batch: pa.Table) -> pa.Table:
+        mask = pc.equal(batch.column("event_type"), "error")
+        sel = batch.filter(mask)
+        ts = pc.cast(sel.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
+        wid = sel.column("event_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        tb0 = ts // w_us
+        # both overlapped buckets; dedup when the window fits in one is
+        # unnecessary (the second copy just matches zero points)
+        tb = np.concatenate([tb0, tb0 + 1])
+        ts2 = np.concatenate([ts, ts])
+        wid2 = np.concatenate([wid, wid])
+        n = len(tb)
+        return pa.table(
+            {
+                "coarse": pa.array((tb % buckets).astype(np.int32)),
+                "tb": pa.array(tb),
+                "__role": pa.array(np.ones(n, np.int8)),
+                "ts": pa.array(ts2),
+                "cents": pa.array(np.zeros(n, np.int64)),
+                "window_id": pa.array(wid2),
+            }
+        )
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        wids: list[np.ndarray] = []
+        ns: list[np.ndarray] = []
+        sums: list[np.ndarray] = []
+        for _, sub in g.groupby("tb", sort=False):
+            roles = sub["__role"].to_numpy()
+            wins = sub.loc[roles == 1]
+            if not len(wins):
+                continue
+            pts = sub.loc[roles == 0]
+            ts = pts["ts"].to_numpy()
+            order = np.argsort(ts, kind="stable")
+            ts_s = ts[order]
+            cum = np.concatenate(
+                [[0], np.cumsum(pts["cents"].to_numpy()[order])]
+            )
+            t0 = wins["ts"].to_numpy()
+            lo = np.searchsorted(ts_s, t0, side="left")
+            hi = np.searchsorted(ts_s, t0 + w_us, side="left")
+            wids.append(wins["window_id"].to_numpy())
+            ns.append(hi - lo)
+            sums.append(cum[hi] - cum[lo])
+        if not wids:
+            return pd.DataFrame(
+                {
+                    "window_id": np.array([], np.int64),
+                    "n_events": np.array([], np.int64),
+                    "sum_cents": np.array([], np.int64),
+                }
+            )
+        return pd.DataFrame(
+            {
+                "window_id": np.concatenate(wids).astype(np.int64),
+                "n_events": np.concatenate(ns).astype(np.int64),
+                "sum_cents": np.concatenate(sums).astype(np.int64),
+            }
+        )
+
+    def rekey(batch: pa.Table) -> pa.Table:
+        w = batch.column("window_id").to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "wkey", pa.array((w % buckets).astype(np.int32))
+        )
+
+    def final_sum(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("window_id", sort=False)[["n_events", "sum_cents"]].sum()
+        return pd.DataFrame(
+            {
+                "window_id": agg.index.to_numpy().astype(np.int64),
+                "n_events": agg["n_events"].to_numpy().astype(np.int64),
+                "sum_cents": agg["sum_cents"].to_numpy().astype(np.int64),
+            }
+        )
+
+    ev = _t(sf_dir, "events", ["event_id", "ts", "event_type", "value"])
+    return (
+        ev.map_batches(point_rows, batch_format="pyarrow", zero_copy_batch=True)
+        .union(
+            ev.map_batches(window_rows, batch_format="pyarrow", zero_copy_batch=True)
+        )
+        .groupby("coarse")
+        .map_groups(join_bucket, batch_format="pandas")
+        .map_batches(rekey, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("wkey")
+        .map_groups(final_sum, batch_format="pandas")
+    )
+
+
 def _dim_rollup(
     fact: rd.Dataset,
     dim: rd.Dataset,

@@ -71,7 +71,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_by_nation": relational.orders_by_nation,
         "brand_revenue": relational.brand_revenue,
         "supplier_value_by_nation": relational.supplier_value_by_nation,
-        "region_revenue": relational.region_revenue,
+        "range_join_events": relational.range_join_events,
         "orders_filtered": relational.orders_filtered,
         "events_hourly": relational.events_hourly,
         "sessionize_events": relational.sessionize_events,
@@ -87,9 +87,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # oracle-backed queries that were already driver-green in BOTH
         # r01 and r02 and whose semantics are represented in-gate by a
         # sibling (knn_lsh shares knn_ivf's identical oracle statement;
-        # the others are thin groupby/top-k/filter variants), then the
-        # rows-only approximations and multimodal stages.
+        # region_revenue is orders_by_nation's multi-hop variant on the
+        # same _dim_rollup; the others are thin groupby/top-k/filter
+        # variants), then the rows-only approximations and multimodal
+        # stages.
         "knn_lsh": similarity.knn_lsh,
+        "region_revenue": relational.region_revenue,
         "embedding_norms": similarity.embedding_norms,
         "source_stats": analysis.source_stats,
         "lang_distribution": analysis.lang_distribution,

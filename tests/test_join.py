@@ -184,3 +184,48 @@ class TestAsofAttach:
         )
         out = self._run(left, right)
         assert len(out) == 0
+
+
+class TestRangeJoin:
+    """range_join_events: interval-containment join via time-bucket
+    co-shuffle.  Bucket width == window length, so every unaligned
+    window crosses a boundary and exercises the two-partial sum path;
+    the 1-minute variant pins that window_s parameterizes both the
+    bucketing and the predicate together."""
+
+    def test_matches_duckdb_at_other_window(self, ray_session, quiet_data_context):
+        import duckdb
+        import pandas as pd
+
+        from pdf_parser_ray.pipelines.relational import range_join_events
+
+        sf = "/root/testdata/sf0.001"
+        got = (
+            range_join_events(sf, window_s=60)
+            .to_pandas()
+            .sort_values("window_id")
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW events AS SELECT *"
+            f" FROM read_parquet('{sf}/events.parquet')"
+        )
+        want = con.sql(
+            "WITH w AS (SELECT event_id AS window_id, ts AS t0 FROM events"
+            "  WHERE event_type = 'error')"
+            " SELECT w.window_id, CAST(count(*) AS BIGINT) AS n_events,"
+            "  CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT)"
+            "    AS sum_cents"
+            " FROM w JOIN events e"
+            "   ON e.ts >= w.t0 AND e.ts < w.t0 + INTERVAL 1 MINUTE"
+            " GROUP BY w.window_id ORDER BY w.window_id"
+        ).df()
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    def test_window_includes_itself(self, ray_session, quiet_data_context):
+        # every error event is inside its own window -> n_events >= 1
+        from pdf_parser_ray.pipelines.relational import range_join_events
+
+        out = range_join_events("/root/testdata/sf0.001").to_pandas()
+        assert (out["n_events"] >= 1).all()
