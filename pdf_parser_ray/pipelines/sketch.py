@@ -223,3 +223,109 @@ def heavy_hitters(sf_dir: str, k: int = 10, w: int = 4096, d: int = 4) -> rd.Dat
             }
         )
     )
+
+
+# -- DDSketch approximate quantiles ------------------------------------------
+
+_DD_ALPHA = 0.01  # relative-error guarantee of the log-bucket histogram
+
+
+def _dd_gamma(alpha: float) -> float:
+    return (1.0 + alpha) / (1.0 - alpha)
+
+
+def dd_accumulate(state: dict, vals: np.ndarray, alpha: float) -> dict:
+    """Fold a value batch into the bucket-count dict.  Bucket index =
+    ceil(log_gamma(x)) — every value in bucket i lies within a
+    (1±alpha) relative band of gamma^i·2/(gamma+1), the DDSketch
+    invariant (public Datadog construction).  Bucket COUNTS add, so the
+    merge is order-invariant and rerun-deterministic — unlike
+    buffer-compaction sketches (GK/KLL), whose state depends on arrival
+    order.  Non-positive values land in the pinned zero bucket (the
+    events stream is positive; the guard keeps the sketch total)."""
+    if len(vals) == 0:
+        return state
+    pos = vals[vals > 0]
+    state["zero"] += int(len(vals) - len(pos))
+    if len(pos):
+        idx = np.ceil(
+            np.log(pos) / np.log(_dd_gamma(alpha)) - 1e-12
+        ).astype(np.int64)
+        uniq, counts = np.unique(idx, return_counts=True)
+        b = state["b"]
+        for i, c in zip(uniq.tolist(), counts.tolist()):
+            b[i] = b.get(i, 0) + int(c)
+    return state
+
+
+def dd_merge(a: dict, b: dict) -> dict:
+    out = {"zero": a["zero"] + b["zero"], "b": dict(a["b"])}
+    for i, c in b["b"].items():
+        out["b"][i] = out["b"].get(i, 0) + c
+    return out
+
+
+def dd_quantile_micros(state: dict, q: float, alpha: float) -> int:
+    """The q-quantile as integer micros of the bucket's geometric
+    midpoint — within alpha relative error of the true item value."""
+    n = state["zero"] + sum(state["b"].values())
+    if n == 0:
+        return 0
+    rank = int(np.ceil(q * n)) if q > 0 else 1
+    rank = max(1, min(n, rank))
+    if rank <= state["zero"]:
+        return 0
+    cum = state["zero"]
+    gamma = _dd_gamma(alpha)
+    for i in sorted(state["b"]):
+        cum += state["b"][i]
+        if cum >= rank:
+            mid = (gamma ** i) * 2.0 / (gamma + 1.0)
+            return int(round(mid * 1_000_000))
+    raise AssertionError("rank exceeded sketch total")  # unreachable
+
+
+def dd_quantile(
+    on: str, q: float, alpha: float = _DD_ALPHA, alias_name: str | None = None
+) -> AggregateFn:
+    """A mergeable approximate-quantile aggregate over column ``on``
+    (DDSketch log-bucket histogram, ≤ ``alpha`` relative value error;
+    state size = occupied buckets ≈ log_gamma(max/min), independent of
+    row count).  Completes the sketch trio next to :func:`hll_distinct`
+    and :func:`cms_counts`."""
+
+    def accumulate(state: dict, block) -> dict:
+        if isinstance(block, pa.Table):
+            vals = block.column(on).to_numpy(zero_copy_only=False)
+        else:
+            vals = block[on].to_numpy()
+        return dd_accumulate(state, vals.astype(np.float64), alpha)
+
+    return AggregateFn(
+        init=lambda k: {"zero": 0, "b": {}},
+        accumulate_block=accumulate,
+        merge=dd_merge,
+        finalize=lambda s: dd_quantile_micros(s, q, alpha),
+        name=alias_name or f"dd_q{int(q * 100)}_{on}",
+    )
+
+
+def approx_event_quantiles(sf_dir: str) -> rd.Dataset:
+    """(event_type, q50_micros, q90_micros, q99_micros): approximate
+    per-type value quantiles via DDSketch — the sketch counterpart of
+    relational.event_quantiles (exact histogram).  Rows-only for the
+    driver (approximate results have no SQL hash mirror); the relative
+    -error bound is pinned against exact quantiles in tests."""
+    import os
+
+    from .dedup import _blocks_for
+
+    path = os.path.join(sf_dir, "events.parquet")
+    ds = read_parquet_clean(
+        path, columns=["event_type", "value"], override_num_blocks=_blocks_for(path)
+    )
+    return ds.groupby("event_type").aggregate(
+        dd_quantile("value", 0.50, alias_name="q50_micros"),
+        dd_quantile("value", 0.90, alias_name="q90_micros"),
+        dd_quantile("value", 0.99, alias_name="q99_micros"),
+    )

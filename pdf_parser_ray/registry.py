@@ -103,6 +103,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- approximate sketches --
         "approx_distinct_users": sketch.approx_distinct_users,
         "heavy_hitters": sketch.heavy_hitters,
+        "approx_event_quantiles": sketch.approx_event_quantiles,
         # -- multimodal (real stdlib PNG/WAV decode; video stubbed) --
         "media_features": lambda sf_dir: multimodal.media_pipeline(300),
         "frame_sample": lambda sf_dir: multimodal.frame_sample_pipeline(300),

@@ -80,6 +80,7 @@ def test_entry_smoke(ray_session, quiet_data_context):
         "fingerprints",
         "approx_distinct_users",
         "heavy_hitters",
+        "approx_event_quantiles",
         "media_features",
         "frame_sample",
         "audio_features",

@@ -110,3 +110,76 @@ class TestCountMin:
             assert est - true <= 5 * np.e * n / 4096
         # the estimated top-1 count is at least the true max count
         assert int(df.n_est.max()) >= int(counts.max())
+
+
+class TestDDSketch:
+    ALPHA = 0.01
+
+    def _exact_rank_value(self, vals: np.ndarray, q: float) -> float:
+        s = np.sort(vals)
+        rank = max(1, int(np.ceil(q * len(s))))
+        return float(s[rank - 1])
+
+    def test_merge_order_invariance(self):
+        from pdf_parser_ray.pipelines.sketch import (
+            dd_accumulate, dd_merge, dd_quantile_micros,
+        )
+
+        rng = np.random.default_rng(11)
+        vals = rng.lognormal(mean=2.0, sigma=1.5, size=30_000)
+        whole = dd_accumulate({"zero": 0, "b": {}}, vals, self.ALPHA)
+        parts = [
+            dd_accumulate({"zero": 0, "b": {}}, chunk, self.ALPHA)
+            for chunk in np.array_split(vals, 7)
+        ]
+        # left fold and right fold must agree with the single pass
+        left = parts[0]
+        for p in parts[1:]:
+            left = dd_merge(left, p)
+        right = parts[-1]
+        for p in reversed(parts[:-1]):
+            right = dd_merge(p, right)
+        assert left == whole == right
+        for q in (0.5, 0.9, 0.99):
+            assert dd_quantile_micros(left, q, self.ALPHA) == dd_quantile_micros(
+                whole, q, self.ALPHA
+            )
+
+    def test_relative_error_bound(self):
+        from pdf_parser_ray.pipelines.sketch import (
+            dd_accumulate, dd_quantile_micros,
+        )
+
+        rng = np.random.default_rng(5)
+        for vals in (
+            rng.lognormal(mean=1.0, sigma=2.0, size=50_000),
+            rng.uniform(0.01, 500.0, size=20_000),
+            np.concatenate([np.zeros(100), rng.exponential(30.0, 5_000)]),
+        ):
+            state = dd_accumulate({"zero": 0, "b": {}}, vals, self.ALPHA)
+            for q in (0.01, 0.25, 0.5, 0.9, 0.99, 1.0):
+                exact = self._exact_rank_value(vals, q)
+                got = dd_quantile_micros(state, q, self.ALPHA) / 1e6
+                if exact == 0.0:
+                    assert got == 0.0
+                else:
+                    # alpha guarantee + boundary fudge + micros rounding
+                    assert abs(got - exact) <= exact * (self.ALPHA + 1e-3) + 1e-6
+
+    def test_grouped_aggregate_vs_exact(self, ray_session, quiet_data_context):
+        import pyarrow.parquet as pq
+
+        from pdf_parser_ray.pipelines.sketch import approx_event_quantiles
+
+        sf = "/root/testdata/sf0.001"
+        got = approx_event_quantiles(sf).to_pandas().set_index("event_type")
+        t = pq.read_table(f"{sf}/events.parquet", columns=["event_type", "value"])
+        df = t.to_pandas()
+        for etype, grp in df.groupby("event_type"):
+            vals = grp["value"].to_numpy()
+            for q, col in ((0.5, "q50_micros"), (0.9, "q90_micros"), (0.99, "q99_micros")):
+                exact = self._exact_rank_value(vals, q)
+                est = got.loc[etype, col] / 1e6
+                assert abs(est - exact) <= exact * (self.ALPHA + 1e-3) + 1e-6, (
+                    etype, q, exact, est,
+                )
