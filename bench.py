@@ -58,6 +58,29 @@ def _cpu_calibration() -> float:
     return time.perf_counter() - t0
 
 
+def _mt_burn(_arg: int) -> int:
+    s = 0
+    for i in range(4_000_000):
+        s += i * i
+    return s
+
+
+def _cpu_calibration_mt(workers: int = 16) -> float:
+    """The same fixed burn run simultaneously on ``workers`` processes
+    (seconds for all to finish).  The single-thread number misses
+    windows where the host is *multicore*-contended (neighbor VMs):
+    round-2 vs round-3 benches measured identical code 1.4-2.5x apart
+    while the single-thread calib read ~1.3 both times.  Comparing
+    ``cpu_calib_mt_sec`` across runs exposes exactly those windows."""
+    import multiprocessing as mp
+
+    ctx = mp.get_context("fork")
+    t0 = time.perf_counter()
+    with ctx.Pool(workers) as pool:
+        pool.map(_mt_burn, range(workers))
+    return time.perf_counter() - t0
+
+
 def _quiet_ray_data_logging() -> None:
     """Raise the ray.data console handler to ERROR via the documented
     RAY_DATA_LOGGING_CONFIG hook (plain setLevel doesn't survive the
@@ -134,6 +157,7 @@ def run_bench() -> dict:
 
     timings: dict[str, float] = {}
     cpu_calib = round(_cpu_calibration(), 2)
+    cpu_calib_mt = round(_cpu_calibration_mt(), 2)
 
     # untimed warm-up: one full pass spins up every worker process, pays
     # the per-worker package imports and OS page-cache fill once, so the
@@ -179,6 +203,7 @@ def run_bench() -> dict:
             "sf": SF_DIR,
             "num_cpus": NUM_CPUS,
             "cpu_calib_sec": cpu_calib,
+            "cpu_calib_mt_sec": cpu_calib_mt,
             "pages": n_pages,
             "docs_per_sec": round(n_pages / timings["extract"], 1),
             "mb_per_sec": round(input_bytes / timings["extract"] / 1e6, 2),
@@ -247,6 +272,7 @@ def run_bench() -> dict:
         "sf": SF_DIR,
         "num_cpus": NUM_CPUS,
         "cpu_calib_sec": cpu_calib,
+        "cpu_calib_mt_sec": cpu_calib_mt,
         "pages": n_pages,
         "page_scale": PAGE_SCALE,
         "docs_per_sec": round(n_pages / headline, 1) if headline else None,
