@@ -678,6 +678,62 @@ def _jaccard_pairs_sql(threshold_millis: int) -> str:
     )
 
 
+def _incremental_sql(threshold_millis: int) -> str:
+    """Mirror of dedup.incremental_dedup: the deterministic delta
+    (odd ids, exact re-crawls of every 11th base doc, word-dropped
+    re-crawls of every 7th), exact verdicts by text equality (the
+    pipeline's md5 digests are equality stand-ins), near verdicts by
+    brute-force delta-x-base word-3-gram Jaccard — valid while the
+    cross-side LSH candidate stage is complete on the test corpora
+    (guarded by test_dedup_recall's brute-force equality test)."""
+    from pdf_parser_ray.pipelines.dedup import (
+        NEAR_DUP_ID_OFFSET,
+        RECRAWL_EXACT_OFFSET,
+    )
+
+    return (
+        "WITH base AS (SELECT doc_id, text FROM documents"
+        "   WHERE doc_id % 2 = 0),"
+        " delta AS ("
+        "   SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1"
+        f"  UNION ALL SELECT doc_id + {RECRAWL_EXACT_OFFSET} AS doc_id, text"
+        "     FROM documents WHERE doc_id % 22 = 0"
+        f"  UNION ALL SELECT doc_id + {NEAR_DUP_ID_OFFSET} AS doc_id,"
+        f"    array_to_string(list_filter({_WORDS_EXPR},"
+        "      (x, i) -> i % 10 != 0), ' ') AS text"
+        "     FROM documents WHERE doc_id % 14 = 0),"
+        " corpus AS ("
+        f"  SELECT doc_id, {_WORDS_EXPR} AS w FROM base"
+        f"  UNION ALL SELECT doc_id, {_WORDS_EXPR} AS w FROM delta),"
+        " grams AS ("
+        "   SELECT DISTINCT doc_id,"
+        "     array_to_string(w[CAST(i AS INT):CAST(i AS INT) + 2], ' ') AS g"
+        "   FROM (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i"
+        "         FROM corpus WHERE len(w) >= 3)"
+        "   UNION"
+        "   SELECT doc_id, array_to_string(w, ' ') AS g"
+        "   FROM corpus WHERE len(w) BETWEEN 1 AND 2),"
+        " sz AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),"
+        " ix AS (SELECT d.doc_id AS doc_id_a, b.doc_id AS doc_id_b,"
+        "   count(*) AS i FROM grams d JOIN grams b ON d.g = b.g"
+        "   WHERE d.doc_id IN (SELECT doc_id FROM delta)"
+        "     AND b.doc_id IN (SELECT doc_id FROM base)"
+        "   GROUP BY 1, 2),"
+        " near AS (SELECT DISTINCT doc_id_a AS doc_id FROM ix"
+        "   JOIN sz sa ON ix.doc_id_a = sa.doc_id"
+        "   JOIN sz sb ON ix.doc_id_b = sb.doc_id"
+        "   WHERE CAST(trunc((CAST(ix.i AS DOUBLE) / (sa.n + sb.n - ix.i))"
+        f"     * 1000) AS BIGINT) >= {threshold_millis}),"
+        " ex AS (SELECT DISTINCT d.doc_id FROM delta d"
+        "   JOIN base b ON b.text = d.text)"
+        " SELECT CAST(d.doc_id AS BIGINT) AS doc_id,"
+        "   CASE WHEN d.doc_id IN (SELECT doc_id FROM ex) THEN 'exact_dup'"
+        "        WHEN d.doc_id IN (SELECT doc_id FROM near) THEN 'near_dup'"
+        "        ELSE 'new' END AS verdict"
+        " FROM delta d"
+    )
+
+
 def _simhash_sql() -> str:
     """Full mirror of dedup.simhash_dedup over the clone-augmented
     corpus: the char-wise polynomial token hash (Z/(2^61-1), same
@@ -1120,6 +1176,18 @@ def oracle_sql() -> dict[str, str]:
         "blocklist_filter": (
             "SELECT doc_id, source FROM documents WHERE doc_id % 17 <> 0"
         ),
+        "stratified_sample": (
+            # mirror of filter.stratified_sample: expected-50-per-lang
+            # keep iff hash-ring position * stratum size clears the
+            # target (the pipeline's threshold form is the same
+            # inequality rearranged overflow-safe)
+            "WITH c AS (SELECT lang, count(*) AS cnt FROM documents"
+            " GROUP BY lang)"
+            " SELECT CAST(d.doc_id AS BIGINT) AS doc_id, d.lang"
+            " FROM documents d JOIN c USING (lang)"
+            " WHERE (d.doc_id * 2654435761) % 4294967296 * c.cnt"
+            "   < 4294967296 * 50"
+        ),
         "token_histogram": (
             "SELECT (n_tokens // 10) * 10 AS bucket_lo,"
             " CAST(count(*) AS BIGINT) AS n_docs FROM"
@@ -1233,6 +1301,7 @@ def oracle_sql() -> dict[str, str]:
             " FROM documents GROUP BY md5(text)"
         ),
         "minhash_dedup": _jaccard_pairs_sql(500),
+        "incremental_dedup": _incremental_sql(500),
         "simhash_dedup": _simhash_sql(),
         "brand_revenue": (
             # mirror of relational.brand_revenue: rev_cc = price_cents x

@@ -214,6 +214,7 @@ def run_bench() -> dict:
     timed("exact_dedup", dedup.exact_dedup)
     timed("substring_dedup", dedup.substring_dedup)
     timed("minhash_dedup", dedup.minhash_dedup)
+    timed("incremental_dedup", dedup.incremental_dedup)
     timed("simhash_dedup", dedup.simhash_dedup)
     timed("embedding_dedup", dedup.embedding_dedup)
     timed("knn_cosine", similarity.knn_cosine)

@@ -1002,3 +1002,304 @@ def substring_dedup(sf_dir: str) -> rd.Dataset:
         .groupby("dkey")
         .map_groups(final_sum, batch_format="pandas")
     )
+
+
+# -- incremental (delta-vs-base) dedup ---------------------------------------
+
+# "Today's crawl" id offsets for the deterministic delta stand-in:
+# re-crawled-unchanged copies and lightly-edited re-crawls of base docs.
+RECRAWL_EXACT_OFFSET = 2 * NEAR_DUP_ID_OFFSET
+
+
+def _base_corpus(sf_dir: str) -> rd.Dataset:
+    """'Yesterday's deduped corpus' stand-in: the even-doc_id half of
+    the documents table.  In production this is simply a second parquet
+    directory — the operator itself never assumes the split rule."""
+
+    def keep_even(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(ids % 2 == 0))
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        keep_even, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def _delta_corpus(sf_dir: str) -> rd.Dataset:
+    """'Today's crawl' stand-in, deterministic so the DuckDB oracle can
+    rebuild it: the odd-doc_id half (organic new pages), plus an exact
+    re-crawl of every 11th base doc (id + RECRAWL_EXACT_OFFSET, text
+    unchanged) and a lightly-edited re-crawl of every 7th base doc
+    (id + NEAR_DUP_ID_OFFSET, every 10th word dropped — the same edit
+    rule as :func:`with_near_dups`)."""
+
+    def mk(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        if ids and max(ids) >= NEAR_DUP_ID_OFFSET:
+            raise ValueError(
+                f"doc_id >= NEAR_DUP_ID_OFFSET ({NEAR_DUP_ID_OFFSET}):"
+                " re-crawl ids would collide; raise the offsets"
+            )
+        texts = batch.column("text").to_pylist()
+        out_ids: list[int] = []
+        out_texts: list[str] = []
+        for i, t in zip(ids, texts):
+            if i % 2 == 1:
+                out_ids.append(i)
+                out_texts.append(t)
+                continue
+            if i % 22 == 0:
+                out_ids.append(i + RECRAWL_EXACT_OFFSET)
+                out_texts.append(t)
+            if i % 14 == 0:
+                words = t.split()
+                kept = [w for k, w in enumerate(words) if k % 10 != 9]
+                out_ids.append(i + NEAR_DUP_ID_OFFSET)
+                out_texts.append(" ".join(kept))
+        return pa.table(
+            {
+                "doc_id": pa.array(out_ids, pa.int64()),
+                "text": pa.array(out_texts, pa.string()),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        mk, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def incremental_dedup(sf_dir: str, threshold_millis: int = 500) -> rd.Dataset:
+    """(doc_id, verdict): one row per DELTA document, verdict in
+    {'exact_dup', 'near_dup', 'new'} against the BASE corpus — the
+    daily-crawl-vs-existing-corpus dedup every continuously-fed
+    training pipeline runs.  Unlike the whole-corpus operators above,
+    candidate pairs here are strictly CROSS-side (delta x base): the
+    delta never pairs with itself, and the base (the 100-TB side) is
+    touched only by streaming passes.
+
+    Scale shape: nothing on the driver.  Layer 1 (exact) co-shuffles
+    narrow (md5, doc_id, side) rows on a hash of the digest and marks
+    delta docs whose digest appears on the base side.  Layer 2 (near)
+    reuses the MinHash band machinery: band rows from BOTH sides meet
+    in one coarse groupby, emit only delta-x-base candidates (capped
+    per band bucket with the usual overflow markers), and verify via
+    the distributed :func:`_bucket_join_verify`.  A final multiplexed
+    priority union (exact 2 > near 1 > new 0, the curate_documents
+    pattern) assembles per-delta-doc verdicts.  Overflow markers
+    surface as (doc_id = OVERFLOW_MARKER_ID, verdict = 'overflow:N')
+    rows — absent on the oracle corpora."""
+    base = _base_corpus(sf_dir)
+    delta = _delta_corpus(sf_dir)
+
+    # -- layer 1: exact digests, co-shuffled on hash(md5) -----------------
+    def md5_rows(is_base: int):
+        def f(batch: pa.Table) -> pa.Table:
+            texts = batch.column("text").to_pylist()
+            md5s = [hashlib.md5(t.encode("utf-8")).hexdigest() for t in texts]
+            keys = np.fromiter(
+                (zlib.crc32(h.encode()) % _COARSE_BUCKETS for h in md5s),
+                dtype=np.int64,
+                count=len(md5s),
+            )
+            return pa.table(
+                {
+                    "key": pa.array(keys),
+                    "text_hash": pa.array(md5s, pa.string()),
+                    "doc_id": batch.column("doc_id"),
+                    "is_base": pa.array(
+                        np.full(len(md5s), is_base, np.int8)
+                    ),
+                }
+            )
+
+        return f
+
+    def exact_hits(g: pd.DataFrame) -> pd.DataFrame:
+        base_h = set(g.loc[g["is_base"] == 1, "text_hash"])
+        d = g[(g["is_base"] == 0) & g["text_hash"].isin(base_h)]
+        return pd.DataFrame(
+            {"doc_id": d["doc_id"].to_numpy().astype(np.int64)}
+        )
+
+    exact_ids = (
+        base.map_batches(md5_rows(1), batch_format="pyarrow", zero_copy_batch=True)
+        .union(
+            delta.map_batches(
+                md5_rows(0), batch_format="pyarrow", zero_copy_batch=True
+            )
+        )
+        .groupby("key")
+        .map_groups(exact_hits, batch_format="pandas")
+    )
+
+    # -- layer 2: MinHash bands, cross-side candidates, bucket-join verify
+    def band_rows(is_base: int):
+        def f(batch: pa.Table) -> pa.Table:
+            ids = batch.column("doc_id").to_pylist()
+            texts = batch.column("text").to_pylist()
+            out_band, out_hash, out_id = [], [], []
+            word_cache: dict[str, int] = {}
+            for doc_id, text in zip(ids, texts):
+                sig = minhash_signature(text, word_cache)
+                for band in range(_LSH_BANDS):
+                    chunk = sig[band * _LSH_ROWS : (band + 1) * _LSH_ROWS]
+                    out_band.append(band)
+                    out_hash.append(int(zlib.crc32(chunk.tobytes())))
+                    out_id.append(doc_id)
+            n = len(out_id)
+            return pa.table(
+                {
+                    "band": pa.array(out_band, pa.int32()),
+                    "band_hash": pa.array(out_hash, pa.int64()),
+                    "doc_id": pa.array(out_id, pa.int64()),
+                    "is_base": pa.array(np.full(n, is_base, np.int8)),
+                }
+            )
+
+        return f
+
+    def add_coarse(batch: pa.Table) -> pa.Table:
+        bh = batch.column("band_hash").to_numpy(zero_copy_only=False)
+        bd = batch.column("band").to_numpy(zero_copy_only=False).astype(np.int64)
+        coarse = (bh * 31 + bd) % _COARSE_BUCKETS
+        return batch.append_column("coarse", pa.array(coarse.astype(np.int64)))
+
+    def cross_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        a_out: list[int] = []
+        b_out: list[int] = []
+        dropped = 0
+        for _, sub in g.groupby(["band", "band_hash"], sort=False):
+            side = sub["is_base"].to_numpy()
+            d_ids = sorted(set(sub.loc[side == 0, "doc_id"]))
+            b_ids = sorted(set(sub.loc[side == 1, "doc_id"]))
+            if not d_ids or not b_ids:
+                continue
+            total = len(d_ids) * len(b_ids)
+            count = 0
+            capped = False
+            for di in d_ids:
+                if capped:
+                    break
+                for bi in b_ids:
+                    a_out.append(di)
+                    b_out.append(bi)
+                    count += 1
+                    if count >= MAX_PAIRS_PER_GROUP:
+                        capped = True
+                        break
+            dropped += total - count
+        df = pd.DataFrame(
+            {
+                "doc_id_a": np.array(a_out, np.int64),
+                "doc_id_b": np.array(b_out, np.int64),
+            }
+        ).drop_duplicates()
+        df["n_overflow"] = np.zeros(len(df), np.int64)
+        if dropped:
+            df = pd.concat(
+                [
+                    df,
+                    pd.DataFrame(
+                        {
+                            "doc_id_a": np.array([OVERFLOW_MARKER_ID], np.int64),
+                            "doc_id_b": np.array([int(g["coarse"].iloc[0])], np.int64),
+                            "n_overflow": np.array([dropped], np.int64),
+                        }
+                    ),
+                ],
+                ignore_index=True,
+            )
+        return df
+
+    candidates = (
+        base.map_batches(band_rows(1), batch_format="pyarrow", zero_copy_batch=True)
+        .union(
+            delta.map_batches(
+                band_rows(0), batch_format="pyarrow", zero_copy_batch=True
+            )
+        )
+        .map_batches(add_coarse, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("coarse")
+        .map_groups(cross_pairs, batch_format="pandas")
+    )
+    verified = _bucket_join_verify(
+        candidates, base.union(delta), threshold_millis
+    )
+
+    # -- priority union: exact(2) > near(1) > new(0); markers pri=-count --
+    def delta_pri(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "key": pa.array(_id_bucket(ids)),
+                "doc_id": pa.array(ids),
+                "pri": pa.array(np.zeros(len(ids), np.int64)),
+            }
+        )
+
+    def exact_pri(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "key": pa.array(_id_bucket(ids)),
+                "doc_id": pa.array(ids),
+                "pri": pa.array(np.full(len(ids), 2, np.int64)),
+            }
+        )
+
+    def near_pri(batch: pa.Table) -> pa.Table:
+        a = batch.column("doc_id_a").to_numpy(zero_copy_only=False).astype(np.int64)
+        jm = (
+            batch.column("jaccard_millis")
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        is_marker = a < 0
+        real = a[~is_marker]
+        keys = [_id_bucket(real)]
+        ids = [real]
+        pris = [np.ones(len(real), np.int64)]
+        if is_marker.any():
+            m = a[is_marker]
+            keys.append(_id_bucket(m))
+            ids.append(m)
+            pris.append(-jm[is_marker])  # marker: pri = -unexamined count
+        return pa.table(
+            {
+                "key": pa.array(np.concatenate(keys)),
+                "doc_id": pa.array(np.concatenate(ids)),
+                "pri": pa.array(np.concatenate(pris)),
+            }
+        )
+
+    _VERDICT = {0: "new", 1: "near_dup", 2: "exact_dup"}
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        pri = g["pri"].to_numpy()
+        is_marker = pri < 0
+        out_ids = g.loc[is_marker, "doc_id"].to_numpy().astype(np.int64).tolist()
+        out_v = [f"overflow:{-int(p)}" for p in pri[is_marker]]
+        gg = g[~is_marker]
+        best = gg.groupby("doc_id", sort=False)["pri"].max()
+        out_ids.extend(int(i) for i in best.index)
+        out_v.extend(_VERDICT[int(p)] for p in best.to_numpy())
+        return pd.DataFrame(
+            {
+                "doc_id": np.array(out_ids, np.int64),
+                "verdict": pd.array(out_v, dtype=object),
+            }
+        )
+
+    return (
+        delta.map_batches(delta_pri, batch_format="pyarrow", zero_copy_batch=True)
+        .union(
+            exact_ids.map_batches(
+                exact_pri, batch_format="pyarrow", zero_copy_batch=True
+            ),
+            verified.map_batches(
+                near_pri, batch_format="pyarrow", zero_copy_batch=True
+            ),
+        )
+        .groupby("key")
+        .map_groups(combine, batch_format="pandas")
+    )

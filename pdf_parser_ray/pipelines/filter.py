@@ -182,6 +182,64 @@ def sample_documents(sf_dir: str, permille: int = 200) -> rd.Dataset:
     )
 
 
+def stratified_sample(sf_dir: str, per_stratum: int = 50) -> rd.Dataset:
+    """(doc_id, lang): a deterministic expected-``per_stratum``-per-
+    language sample — the balanced-eval-set draw a multilingual corpus
+    pipeline needs (uniform sampling would mirror the corpus skew).
+
+    Scale shape: pass 1 reduces the corpus to per-language counts via
+    in-batch partials + a tiny groupby (rows = #languages, bounded by
+    definition — the only driver state, same contract as the 25-row
+    nation broadcast).  Pass 2 keeps a document iff its hash-ring
+    position clears the per-language threshold — a stateless vectorized
+    filter, no shuffle of kept rows.  The threshold form
+    ``h <= (MOD*per - 1) // cnt`` equals ``h * cnt < MOD * per``
+    without the uint64 overflow the product form would hit at 10^12
+    rows per stratum."""
+    import numpy as np
+    from ray.data.aggregate import Sum
+
+    def count_partials(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        vc = batch.column("lang").value_counts()
+        return pa.table(
+            {
+                "lang": vc.field("values"),
+                "cnt": pc.cast(vc.field("counts"), pa.int64()),
+            }
+        )
+
+    counts = (
+        _docs(sf_dir, ["lang"])
+        .map_batches(count_partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("lang")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()
+    )
+    thresholds = {
+        lang: (SAMPLE_MOD * per_stratum - 1) // int(cnt)
+        for lang, cnt in zip(counts["lang"], counts["cnt"])
+    }
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        thr = (
+            batch.column("lang")
+            .to_pandas()
+            .map(thresholds)
+            .to_numpy(dtype=np.uint64)
+        )
+        with np.errstate(over="ignore"):
+            h = (ids.astype(np.uint64) * np.uint64(KNUTH)) % np.uint64(SAMPLE_MOD)
+        t = batch.filter(pa.array(h <= thr))
+        return t.select(["doc_id", "lang"])
+
+    return _docs(sf_dir, ["doc_id", "lang"]).map_batches(
+        keep, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
 def token_histogram(sf_dir: str, bucket: int = 10) -> rd.Dataset:
     """(bucket_lo, n_docs): corpus length distribution — token counts
     floored to `bucket`-wide buckets, counted.  Partial counts combine

@@ -92,12 +92,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # variants), then the rows-only approximations and multimodal
         # stages.
         "knn_lsh": similarity.knn_lsh,
+        "incremental_dedup": dedup.incremental_dedup,
         "region_revenue": relational.region_revenue,
         "embedding_norms": similarity.embedding_norms,
         "source_stats": analysis.source_stats,
         "lang_distribution": analysis.lang_distribution,
         "top_docs_by_chars": analysis.top_docs_by_chars,
         "sample_documents": filter_ops.sample_documents,
+        "stratified_sample": filter_ops.stratified_sample,
         "token_histogram": filter_ops.token_histogram,
         "blocklist_filter": filter_ops.blocklist_filter,
         # -- approximate sketches --

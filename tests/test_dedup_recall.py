@@ -209,6 +209,52 @@ def test_candidate_stage_complete_vs_brute_force(ray_session, quiet_data_context
     assert got_ng == brute(400)
 
 
+def test_incremental_dedup_complete_vs_brute_force(
+    ray_session, quiet_data_context
+):
+    """Same validity guard for the CROSS-side (delta x base) candidate
+    stage of incremental_dedup: every delta doc's brute-force verdict
+    (text equality for exact, any >= 0.5 Jaccard base partner for
+    near) must match the pipeline exactly at sf0.001."""
+    import pyarrow.parquet as pq
+
+    from pdf_parser_ray.pipelines.dedup import (
+        NEAR_DUP_ID_OFFSET, RECRAWL_EXACT_OFFSET,
+        _jaccard, _word_shingles, incremental_dedup,
+    )
+
+    t = pq.read_table(SF_DIR + "/documents.parquet", columns=["doc_id", "text"])
+    rows = list(zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()))
+    base = {i: txt for i, txt in rows if i % 2 == 0}
+    delta = {i: txt for i, txt in rows if i % 2 == 1}
+    for i, txt in base.items():
+        if i % 22 == 0:
+            delta[i + RECRAWL_EXACT_OFFSET] = txt
+        if i % 14 == 0:
+            words = txt.split()
+            kept = [w for k, w in enumerate(words) if k % 10 != 9]
+            delta[i + NEAR_DUP_ID_OFFSET] = " ".join(kept)
+    base_texts = set(base.values())
+    base_sh = {i: _word_shingles(txt) for i, txt in base.items()}
+    want = {}
+    for i, txt in delta.items():
+        if txt in base_texts:
+            want[i] = "exact_dup"
+        elif any(
+            int(_jaccard(_word_shingles(txt), s) * 1000) >= 500
+            for s in base_sh.values()
+        ):
+            want[i] = "near_dup"
+        else:
+            want[i] = "new"
+
+    got = {
+        int(r.doc_id): str(r.verdict)
+        for r in incremental_dedup(SF_DIR).to_pandas().itertuples()
+    }
+    assert got == want
+
+
 class TestOverflowMarkers:
     """MAX_PAIRS_PER_GROUP truncation must be reported, not silent
     (VERDICT r02 'What's wrong' #4): plant a 60-way duplicate group

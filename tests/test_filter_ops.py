@@ -171,3 +171,34 @@ class TestVocabCap:
         assert set(capped) <= set(full)
         for w, m in capped.items():
             assert full[w] == m
+
+
+class TestStratifiedSample:
+    SF = "/root/testdata/sf0.001"
+
+    def test_balanced_within_tolerance(self, ray_session, quiet_data_context):
+        """Every language stratum lands near the per_stratum target
+        (hash sampling: expected N, binomial spread), where uniform
+        corpus sampling would mirror the language skew instead."""
+        import pyarrow.parquet as pq
+
+        from pdf_parser_ray.pipelines.filter import stratified_sample
+
+        df = stratified_sample(self.SF, per_stratum=50).to_pandas()
+        got = df.groupby("lang").size()
+        langs = set(
+            pq.read_table(self.SF + "/documents.parquet", columns=["lang"])
+            .column("lang")
+            .to_pylist()
+        )
+        assert set(got.index) == langs
+        for lang, n in got.items():
+            # expected 50 (or the full stratum if smaller); 3-sigma-ish
+            assert 20 <= n <= 85, (lang, n)
+
+    def test_deterministic(self, ray_session, quiet_data_context):
+        from pdf_parser_ray.pipelines.filter import stratified_sample
+
+        a = stratified_sample(self.SF).to_pandas().sort_values("doc_id")
+        b = stratified_sample(self.SF).to_pandas().sort_values("doc_id")
+        assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
