@@ -350,3 +350,41 @@ class TestOverflowMarkers:
         real = out[out["vec_id_a"] >= 0]
         assert int(markers["cos_millis"].sum()) == 60 * 59 // 2 - MAX_PAIRS_PER_GROUP
         assert len(real) == MAX_PAIRS_PER_GROUP
+
+
+def test_incremental_overflow_reported(ray_session, quiet_data_context, tmp_path):
+    """incremental_dedup's cross-side candidate cap must also be
+    accounted: plant 30 identical base docs x 30 identical delta docs
+    (900 cross pairs per band bucket, cap 50) and assert the
+    'overflow:N' verdict rows carry the exact unexamined-pair count
+    while the exact layer (cap-free set membership) still marks every
+    delta doc exact_dup."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_parser_ray.pipelines.dedup import (
+        _LSH_BANDS,
+        MAX_PAIRS_PER_GROUP,
+        incremental_dedup,
+    )
+
+    # evens avoiding the re-crawl injection rules (%14, %22); 30 odds
+    evens = [i for i in range(2, 200, 2) if i % 14 != 0 and i % 22 != 0][:30]
+    odds = list(range(1, 61, 2))
+    text = "the same exact document body repeated for every id here"
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(evens + odds, pa.int64()),
+                "text": pa.array([text] * 60, pa.string()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    out = incremental_dedup(str(tmp_path)).to_pandas()
+    markers = out[out["doc_id"] < 0]
+    real = out[out["doc_id"] >= 0]
+    assert len(real) == 30
+    assert set(real["verdict"]) == {"exact_dup"}
+    dropped = sum(int(v.split(":")[1]) for v in markers["verdict"])
+    assert dropped == _LSH_BANDS * (30 * 30 - MAX_PAIRS_PER_GROUP)
