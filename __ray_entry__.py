@@ -1197,6 +1197,20 @@ def oracle_sql() -> dict[str, str]:
         ),
         "decontaminate": _decontaminate_sql(),
         "pack_sequences": _pack_sql(),
+        "chunk_documents": (
+            # mirror of pack.chunk_documents: 0-based chunk starts every
+            # 32 words (greatest(...,1) gives empty docs one empty
+            # chunk); DuckDB list slices are 1-based inclusive
+            f"WITH w AS (SELECT doc_id, {_WORDS_EXPR} AS w FROM documents),"
+            " s AS (SELECT doc_id, w,"
+            "   unnest(range(0, greatest(len(w), 1), 32)) AS s FROM w)"
+            " SELECT CAST(doc_id AS BIGINT) AS doc_id,"
+            "  CAST(s // 32 AS BIGINT) AS chunk_idx,"
+            "  CAST(least(len(w), s + 32) - s AS BIGINT) AS n_chunk_tokens,"
+            "  array_to_string(w[CAST(s + 1 AS INT):CAST(s + 32 AS INT)], ' ')"
+            "    AS chunk_text"
+            " FROM s"
+        ),
         "tfidf_scores": (
             # mirror of analysis.tfidf_scores: integer-micros floor of
             # ln(N/df) summed tf-weighted per document, idf table capped
@@ -1302,6 +1316,15 @@ def oracle_sql() -> dict[str, str]:
         ),
         "minhash_dedup": _jaccard_pairs_sql(500),
         "incremental_dedup": _incremental_sql(500),
+        "normalized_dedup": (
+            # mirror of dedup.normalized_dedup (RE2 semantics match
+            # Arrow's: non-[a-z0-9 ] runs deleted, spaces collapsed)
+            "SELECT md5(trim(regexp_replace(regexp_replace(lower(text),"
+            " '[^a-z0-9 ]+', '', 'g'), ' +', ' ', 'g'), ' ')) AS text_hash,"
+            " CAST(min(doc_id) AS BIGINT) AS doc_id,"
+            " CAST(count(*) AS BIGINT) AS n_members"
+            " FROM documents GROUP BY 1"
+        ),
         "simhash_dedup": _simhash_sql(),
         "brand_revenue": (
             # mirror of relational.brand_revenue: rev_cc = price_cents x

@@ -75,3 +75,51 @@ def pack_sequences(
         .groupby("bucket")
         .map_groups(pack, batch_format="pandas")
     )
+
+
+CHUNK_TOKENS = 32
+
+
+def chunk_documents(sf_dir: str, chunk_tokens: int = CHUNK_TOKENS) -> rd.Dataset:
+    """(doc_id, chunk_idx, n_chunk_tokens, chunk_text): fixed-context
+    splitting — each document cut into consecutive ``chunk_tokens``-word
+    chunks (last chunk short; an empty document yields one empty chunk)
+    — the embedding-/RAG-side dual of :func:`pack_sequences`.
+
+    Scale shape: a pure per-batch flat-map — no shuffle at all; output
+    rows inherit the input partitioning.  The whitespace token
+    convention is shared with ``pack_sequences`` so the DuckDB oracle
+    (unnest over an integer range) mirrors the cuts exactly."""
+
+    def chunks(batch: pa.Table) -> pa.Table:
+        out_id: list[int] = []
+        out_idx: list[int] = []
+        out_n: list[int] = []
+        out_text: list[str] = []
+        texts = batch.column("text").to_pylist()
+        for doc_id, text in zip(batch.column("doc_id").to_pylist(), texts):
+            words = text.split()
+            if not words:
+                out_id.append(doc_id)
+                out_idx.append(0)
+                out_n.append(0)
+                out_text.append("")
+                continue
+            for k, s in enumerate(range(0, len(words), chunk_tokens)):
+                piece = words[s : s + chunk_tokens]
+                out_id.append(doc_id)
+                out_idx.append(k)
+                out_n.append(len(piece))
+                out_text.append(" ".join(piece))
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, pa.int64()),
+                "chunk_idx": pa.array(out_idx, pa.int64()),
+                "n_chunk_tokens": pa.array(out_n, pa.int64()),
+                "chunk_text": pa.array(out_text, pa.string()),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        chunks, batch_format="pyarrow", zero_copy_batch=True
+    )

@@ -89,10 +89,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # sibling (knn_lsh shares knn_ivf's identical oracle statement;
         # region_revenue is orders_by_nation's multi-hop variant on the
         # same _dim_rollup; the others are thin groupby/top-k/filter
-        # variants), then the rows-only approximations and multimodal
-        # stages.
+        # variants), the round-3 additions (incremental/normalized
+        # dedup, stratified_sample, chunk_documents — oracle-backed in
+        # tests/test_oracle.py; displacing a gated slot would cost an
+        # established driver-green row), then the rows-only
+        # approximations and multimodal stages.
         "knn_lsh": similarity.knn_lsh,
         "incremental_dedup": dedup.incremental_dedup,
+        "normalized_dedup": dedup.normalized_dedup,
         "region_revenue": relational.region_revenue,
         "embedding_norms": similarity.embedding_norms,
         "source_stats": analysis.source_stats,
@@ -100,6 +104,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_docs_by_chars": analysis.top_docs_by_chars,
         "sample_documents": filter_ops.sample_documents,
         "stratified_sample": filter_ops.stratified_sample,
+        "chunk_documents": pack.chunk_documents,
         "token_histogram": filter_ops.token_histogram,
         "blocklist_filter": filter_ops.blocklist_filter,
         # -- approximate sketches --
