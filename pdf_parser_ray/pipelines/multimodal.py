@@ -362,3 +362,158 @@ def audio_features_pipeline(n: int = 300) -> rd.Dataset:
         batch_size=16,
         concurrency=(1, 2),
     )
+
+
+# -- image near-dup via average-hash ------------------------------------------
+
+IMAGE_CLONE_OFFSET = 1_000_000
+
+
+def ahash64(pixels: np.ndarray) -> int:
+    """64-bit average hash of a decoded image: grayscale, block-mean
+    reduce to an 8x8 grid (index-split bins — no resampling library),
+    bit = cell above the grid mean.  Robust to small pixel noise and
+    re-encoding; two independent noise images land ~32 bits apart."""
+    gray = pixels.mean(axis=2) if pixels.ndim == 3 else pixels.astype(np.float64)
+    rs = np.array_split(np.arange(gray.shape[0]), 8)
+    cs = np.array_split(np.arange(gray.shape[1]), 8)
+    cells = np.empty((8, 8))
+    for i, r in enumerate(rs):
+        for j, c in enumerate(cs):
+            cells[i, j] = gray[np.ix_(r, c)].mean()
+    bits = (cells > cells.mean()).ravel()
+    with np.errstate(over="ignore"):
+        h = int(
+            (bits.astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum(
+                dtype=np.uint64
+            )
+        )
+    # signed int64 carrier (never ship uint64 keys through an exchange)
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+class ImageHasher:
+    """Actor-pool stage: decode PNG payloads (real stdlib decode), plant
+    a lightly-perturbed clone of every 4th image (+-2 pixel noise,
+    id + IMAGE_CLONE_OFFSET — the multimodal analogue of
+    dedup.with_near_dups), and emit (media_id, ahash) rows."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids_out: list[int] = []
+        hashes: list[int] = []
+        kinds = batch.column("kind").to_pylist()
+        mids = batch.column("media_id").to_pylist()
+        payloads = batch.column("payload").to_pylist()
+        for mid, kind, payload in zip(mids, kinds, payloads):
+            if kind != "image":
+                continue
+            px = decode_png(payload)
+            ids_out.append(mid)
+            hashes.append(ahash64(px))
+            if mid % 12 == 0:  # images sit at media_id % 3 == 0
+                rng = np.random.default_rng(mid + 7)
+                noisy = np.clip(
+                    px.astype(np.int16) + rng.integers(-2, 3, px.shape),
+                    0,
+                    255,
+                ).astype(np.uint8)
+                ids_out.append(mid + IMAGE_CLONE_OFFSET)
+                hashes.append(ahash64(noisy))
+        return pa.table(
+            {
+                "media_id": pa.array(ids_out, pa.int64()),
+                "ahash": pa.array(hashes, pa.int64()),
+            }
+        )
+
+
+def image_dedup_pipeline(n: int = 300, max_hamming: int = 6) -> rd.Dataset:
+    """(media_id_a, media_id_b, hamming): near-duplicate images whose
+    64-bit average hashes agree on at least one of four 16-bit bands
+    and differ in <= max_hamming bits — the simhash skeleton applied to
+    perceptual image hashes.  Scale shape: hashing is an actor-pool
+    map over the binary column; the pair stage shuffles only
+    (band, band_hash, media_id, ahash) narrow rows through a coarse
+    groupby with the standard pair cap + overflow markers."""
+    import pandas as pd
+
+    from .dedup import MAX_PAIRS_PER_GROUP, OVERFLOW_MARKER_ID, _dedup_pairs
+
+    n_coarse = 64
+
+    def band_rows(batch: pa.Table) -> pa.Table:
+        h = batch.column("ahash").to_numpy(zero_copy_only=False).view(np.uint64)
+        mids = batch.column("media_id").to_numpy(zero_copy_only=False)
+        bands, band_hash, out_id, out_sig = [], [], [], []
+        for b in range(4):
+            bands.append(np.full(len(h), b, np.int32))
+            band_hash.append(((h >> np.uint64(16 * b)) & np.uint64(0xFFFF)).astype(np.int64))
+            out_id.append(mids)
+            out_sig.append(h.view(np.int64))
+        coarse = (np.concatenate(band_hash) * 4 + np.concatenate(bands)) % n_coarse
+        return pa.table(
+            {
+                "coarse": pa.array(coarse.astype(np.int64)),
+                "band": pa.array(np.concatenate(bands)),
+                "band_hash": pa.array(np.concatenate(band_hash)),
+                "media_id": pa.array(np.concatenate(out_id), pa.int64()),
+                "sig": pa.array(np.concatenate(out_sig), pa.int64()),
+            }
+        )
+
+    def pairs_in_coarse(g: "pd.DataFrame") -> "pd.DataFrame":
+        a_out: list[int] = []
+        b_out: list[int] = []
+        h_out: list[int] = []
+        dropped = 0
+        for _, sub in g.groupby(["band", "band_hash"], sort=False):
+            rows = sorted(set(zip(sub["media_id"].tolist(), sub["sig"].tolist())))
+            total = len(rows) * (len(rows) - 1) // 2
+            examined = 0
+            n_before = len(a_out)
+            capped = False
+            for i in range(len(rows)):
+                if capped:
+                    break
+                for j in range(i + 1, len(rows)):
+                    examined += 1
+                    ham = bin(
+                        (int(rows[i][1]) ^ int(rows[j][1])) & ((1 << 64) - 1)
+                    ).count("1")
+                    if ham <= max_hamming:
+                        a_out.append(rows[i][0])
+                        b_out.append(rows[j][0])
+                        h_out.append(ham)
+                        if len(a_out) - n_before >= MAX_PAIRS_PER_GROUP:
+                            capped = True
+                            break
+            dropped += total - examined
+        if dropped:
+            a_out.append(OVERFLOW_MARKER_ID)
+            b_out.append(int(g["coarse"].iloc[0]))
+            h_out.append(dropped)
+        df = pd.DataFrame(
+            {
+                "media_id_a": np.array(a_out, np.int64),
+                "media_id_b": np.array(b_out, np.int64),
+                "hamming": np.array(h_out, np.int64),
+            }
+        )
+        return df.drop_duplicates()
+
+    raw = (
+        _media_blocks(n)
+        .map_batches(
+            ImageHasher,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=16,
+            concurrency=(1, 2),
+        )
+        .map_batches(band_rows, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("coarse")
+        .map_groups(pairs_in_coarse, batch_format="pandas")
+    )
+    # a pair surfaces once per matching band — one more coarse shuffle
+    # dedups globally (hamming is identical across those duplicates)
+    return _dedup_pairs(raw, "media_id_a", "media_id_b")

@@ -130,3 +130,44 @@ def test_pipeline_value_hash_golden(
     assert len(df) == n_rows, name
     got = hashlib.md5(df.to_csv(index=False).encode()).hexdigest()
     assert got == md5, name
+
+
+class TestImageDedup:
+    def test_planted_clones_recovered_no_false_positives(
+        self, ray_session, quiet_data_context
+    ):
+        """The +-2-noise clones of every 4th image (hamming <= 2 after
+        aHash) must all surface; independent noise images (~32 bits
+        apart) must not."""
+        from pdf_parser_ray.pipelines.multimodal import (
+            IMAGE_CLONE_OFFSET,
+            image_dedup_pipeline,
+        )
+
+        df = image_dedup_pipeline(300).to_pandas()
+        real = df[df["media_id_a"] >= 0]
+        got = set(
+            zip(real["media_id_a"].astype(int), real["media_id_b"].astype(int))
+        )
+        planted = {(m, m + IMAGE_CLONE_OFFSET) for m in range(0, 300, 12)}
+        assert got == planted  # full recall, zero false positives
+        assert len(real) == len(planted)  # band duplicates removed
+        assert (real["hamming"] <= 2).all()
+
+    def test_ahash_properties(self):
+        import numpy as np
+
+        from pdf_parser_ray.pipelines.multimodal import ahash64
+
+        rng = np.random.default_rng(3)
+        px = rng.integers(0, 256, size=(40, 60, 3), dtype=np.uint8)
+        h = ahash64(px)
+        assert ahash64(px) == h  # deterministic
+        assert -(1 << 63) <= h < (1 << 63)  # signed int64 carrier
+        noisy = np.clip(
+            px.astype(np.int16) + rng.integers(-2, 3, px.shape), 0, 255
+        ).astype(np.uint8)
+        other = rng.integers(0, 256, size=(40, 60, 3), dtype=np.uint8)
+        ham = lambda a, b: bin((a ^ b) & ((1 << 64) - 1)).count("1")
+        assert ham(h, ahash64(noisy)) <= 6
+        assert ham(h, ahash64(other)) > 12

@@ -84,6 +84,7 @@ def test_entry_smoke(ray_session, quiet_data_context):
         "media_features",
         "frame_sample",
         "audio_features",
+        "image_dedup",
     ],
 )
 def test_rows_only_queries_run(ray_session, quiet_data_context, name):
