@@ -427,14 +427,15 @@ class ImageHasher:
         )
 
 
-def image_dedup_pipeline(n: int = 300, max_hamming: int = 6) -> rd.Dataset:
-    """(media_id_a, media_id_b, hamming): near-duplicate images whose
-    64-bit average hashes agree on at least one of four 16-bit bands
-    and differ in <= max_hamming bits — the simhash skeleton applied to
-    perceptual image hashes.  Scale shape: hashing is an actor-pool
-    map over the binary column; the pair stage shuffles only
-    (band, band_hash, media_id, ahash) narrow rows through a coarse
-    groupby with the standard pair cap + overflow markers."""
+def _phash_pairs(
+    hashes: rd.Dataset, hash_col: str, max_hamming: int
+) -> rd.Dataset:
+    """Near-dup pairs from 64-bit perceptual hashes (image aHash, audio
+    energy-diff): the simhash skeleton — agree on >= 1 of four 16-bit
+    bands, hamming <= max_hamming overall.  Shuffles only narrow
+    (band, band_hash, media_id, sig) rows through a coarse groupby with
+    the standard pair cap + overflow markers, then one pair-dedup
+    exchange (a pair surfaces once per matching band)."""
     import pandas as pd
 
     from .dedup import MAX_PAIRS_PER_GROUP, OVERFLOW_MARKER_ID, _dedup_pairs
@@ -442,7 +443,7 @@ def image_dedup_pipeline(n: int = 300, max_hamming: int = 6) -> rd.Dataset:
     n_coarse = 64
 
     def band_rows(batch: pa.Table) -> pa.Table:
-        h = batch.column("ahash").to_numpy(zero_copy_only=False).view(np.uint64)
+        h = batch.column(hash_col).to_numpy(zero_copy_only=False).view(np.uint64)
         mids = batch.column("media_id").to_numpy(zero_copy_only=False)
         bands, band_hash, out_id, out_sig = [], [], [], []
         for b in range(4):
@@ -502,18 +503,93 @@ def image_dedup_pipeline(n: int = 300, max_hamming: int = 6) -> rd.Dataset:
         return df.drop_duplicates()
 
     raw = (
-        _media_blocks(n)
-        .map_batches(
-            ImageHasher,
-            batch_format="pyarrow",
-            zero_copy_batch=True,
-            batch_size=16,
-            concurrency=(1, 2),
-        )
-        .map_batches(band_rows, batch_format="pyarrow", zero_copy_batch=True)
+        hashes.map_batches(band_rows, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("coarse")
         .map_groups(pairs_in_coarse, batch_format="pandas")
     )
-    # a pair surfaces once per matching band — one more coarse shuffle
-    # dedups globally (hamming is identical across those duplicates)
+    # hamming is identical across a pair's band duplicates
     return _dedup_pairs(raw, "media_id_a", "media_id_b")
+
+
+def image_dedup_pipeline(n: int = 300, max_hamming: int = 6) -> rd.Dataset:
+    """(media_id_a, media_id_b, hamming): near-duplicate images via
+    64-bit average hashes through :func:`_phash_pairs`.  Hashing is an
+    actor-pool map over the binary column; everything downstream
+    shuffles narrow rows only."""
+    hashes = _media_blocks(n).map_batches(
+        ImageHasher,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=16,
+        concurrency=(1, 2),
+    )
+    return _phash_pairs(hashes, "ahash", max_hamming)
+
+
+class AudioHasher:
+    """Actor-pool stage: decode WAV payloads (real stdlib decode), plant
+    a noise-perturbed clone of every 4th audio item (+-50 on int16 PCM,
+    id + IMAGE_CLONE_OFFSET), and emit (media_id, ehash) rows."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids_out: list[int] = []
+        hashes: list[int] = []
+        kinds = batch.column("kind").to_pylist()
+        mids = batch.column("media_id").to_pylist()
+        payloads = batch.column("payload").to_pylist()
+        for mid, kind, payload in zip(mids, kinds, payloads):
+            if kind != "audio":
+                continue
+            samples, _rate = decode_wav(payload)
+            ids_out.append(mid)
+            hashes.append(ehash64(samples))
+            if mid % 12 == 1:  # audio sits at media_id % 3 == 1
+                rng = np.random.default_rng(mid + 11)
+                noisy = np.clip(
+                    samples.astype(np.int32)
+                    + rng.integers(-50, 51, samples.shape),
+                    -32768,
+                    32767,
+                ).astype(np.int16)
+                ids_out.append(mid + IMAGE_CLONE_OFFSET)
+                hashes.append(ehash64(noisy))
+        return pa.table(
+            {
+                "media_id": pa.array(ids_out, pa.int64()),
+                "ehash": pa.array(hashes, pa.int64()),
+            }
+        )
+
+
+def ehash64(samples: np.ndarray) -> int:
+    """64-bit energy-difference fingerprint of mono PCM: split into 65
+    equal windows, RMS energy per window, bit k = E[k+1] > E[k] — the
+    classic gain-invariant audio hash (small additive noise barely
+    moves window energies; independent signals coin-flip every bit)."""
+    x = samples.astype(np.float64)
+    if len(x) < 65:
+        x = np.pad(x, (0, 65 - len(x)))
+    windows = np.array_split(x, 65)
+    e = np.array([float(np.sqrt(np.mean(w * w))) if len(w) else 0.0 for w in windows])
+    bits = e[1:] > e[:-1]
+    with np.errstate(over="ignore"):
+        h = int(
+            (bits.astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum(
+                dtype=np.uint64
+            )
+        )
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def audio_dedup_pipeline(n: int = 300, max_hamming: int = 6) -> rd.Dataset:
+    """(media_id_a, media_id_b, hamming): near-duplicate audio items via
+    the energy-diff fingerprint through the same :func:`_phash_pairs`
+    banding — image_dedup's audio twin."""
+    hashes = _media_blocks(n).map_batches(
+        AudioHasher,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=16,
+        concurrency=(1, 2),
+    )
+    return _phash_pairs(hashes, "ehash", max_hamming)

@@ -114,6 +114,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- multimodal (real stdlib PNG/WAV decode; video stubbed) --
         "media_features": lambda sf_dir: multimodal.media_pipeline(300),
         "image_dedup": lambda sf_dir: multimodal.image_dedup_pipeline(300),
+        "audio_dedup": lambda sf_dir: multimodal.audio_dedup_pipeline(300),
         "frame_sample": lambda sf_dir: multimodal.frame_sample_pipeline(300),
         "audio_features": lambda sf_dir: multimodal.audio_features_pipeline(300),
     }

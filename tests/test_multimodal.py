@@ -171,3 +171,44 @@ class TestImageDedup:
         ham = lambda a, b: bin((a ^ b) & ((1 << 64) - 1)).count("1")
         assert ham(h, ahash64(noisy)) <= 6
         assert ham(h, ahash64(other)) > 12
+
+
+class TestAudioDedup:
+    def test_planted_clones_recovered_no_false_positives(
+        self, ray_session, quiet_data_context
+    ):
+        from pdf_parser_ray.pipelines.multimodal import (
+            IMAGE_CLONE_OFFSET,
+            audio_dedup_pipeline,
+        )
+
+        df = audio_dedup_pipeline(300).to_pandas()
+        real = df[df["media_id_a"] >= 0]
+        got = set(
+            zip(real["media_id_a"].astype(int), real["media_id_b"].astype(int))
+        )
+        planted = {(m, m + IMAGE_CLONE_OFFSET) for m in range(1, 300, 12)}
+        assert got == planted
+        assert len(real) == len(planted)
+
+    def test_ehash_properties(self):
+        import numpy as np
+
+        from pdf_parser_ray.pipelines.multimodal import ehash64
+
+        rng = np.random.default_rng(5)
+        x = rng.integers(-20_000, 20_000, size=8_000).astype(np.int16)
+        h = ehash64(x)
+        assert ehash64(x) == h
+        assert -(1 << 63) <= h < (1 << 63)
+        ham = lambda a, b: bin((a ^ b) & ((1 << 64) - 1)).count("1")
+        noisy = np.clip(
+            x.astype(np.int32) + rng.integers(-50, 51, x.shape), -32768, 32767
+        ).astype(np.int16)
+        assert ham(h, ehash64(noisy)) <= 6
+        # gain invariance: half-volume signal hashes identically
+        assert ehash64((x // 2).astype(np.int16)) == h or ham(
+            h, ehash64((x // 2).astype(np.int16))
+        ) <= 6
+        other = rng.integers(-20_000, 20_000, size=8_000).astype(np.int16)
+        assert ham(h, ehash64(other)) > 12

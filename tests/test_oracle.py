@@ -85,6 +85,7 @@ def test_entry_smoke(ray_session, quiet_data_context):
         "frame_sample",
         "audio_features",
         "image_dedup",
+        "audio_dedup",
     ],
 )
 def test_rows_only_queries_run(ray_session, quiet_data_context, name):
