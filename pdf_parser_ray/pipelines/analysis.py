@@ -772,3 +772,167 @@ def importance_weights(sf_dir: str, *, vocab_cap: int = VOCAB_CAP) -> rd.Dataset
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
         score, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def fit_bigram_table(
+    sf_dir: str, vocab_cap: int
+) -> "tuple[dict, dict, int]":
+    """Fit the capped interpolated-bigram LM: (bigram micros table over
+    <= vocab_cap pairs, per-word backoff micros over <= vocab_cap
+    words, OOV backoff micros).
+
+    Two bounded fitting exchanges:
+      1. unigram counts (same shape as :func:`fit_unigram_table`) ->
+         top-``vocab_cap`` words by (count DESC, word ASC); N is the
+         full-corpus token total via the '' sentinel row.
+      2. bigram counts restricted to adjacent pairs whose BOTH words
+         are in the capped vocabulary (the <= V-word set broadcasts
+         into the counting stage, so the exchange carries at most V^2
+         pair types, never the open-web bigram tail) ->
+         top-``vocab_cap`` pairs by (count DESC, w1 ASC, w2 ASC).
+
+    Model (Jelinek-Mercer interpolation, lambda = 0.75):
+      p(w2|w1) = 0.75 * c12/c1 + 0.25 * c2/N   for capped pairs,
+      p(w2|w1) = 0.25 * c2/N                    unseen pair, w2 in vocab,
+      p(w2|w1) = 0.25 * 1/N                     w2 out of vocab,
+    each stored as floor(ln(p) * 1e6) so the per-document sum is an
+    associative integer and the DuckDB oracle is float-safe."""
+    import math
+    from collections import Counter
+
+    import ray
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        counts: Counter = Counter()
+        total = 0
+        for text in batch.column("text").to_pylist():
+            words = text.split()
+            counts.update(words)
+            total += len(words)
+        words = list(counts)
+        return pa.table(
+            {
+                "word": pa.array([""] + words, pa.string()),
+                "n": pa.array([total] + [counts[w] for w in words], pa.int64()),
+            }
+        )
+
+    vocab_ds = (
+        _docs(sf_dir, ["text"])
+        .map_batches(partial_counts, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("word")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    sent, top = _capped_vocab(vocab_ds, "n", vocab_cap)
+    n_total = int(sent["n"].sum())
+    uni = {w: int(c) for w, c in zip(top["word"], top["n"])}
+    vocab_ref = ray.put(set(uni))
+
+    def partial_bigrams(batch: pa.Table) -> pa.Table:
+        vocab = ray.get(vocab_ref)
+        counts: Counter = Counter()
+        for text in batch.column("text").to_pylist():
+            words = text.split()
+            counts.update(
+                (a, b)
+                for a, b in zip(words, words[1:])
+                if a in vocab and b in vocab
+            )
+        pairs = list(counts)
+        return pa.table(
+            {
+                "w1": pa.array([p[0] for p in pairs], pa.string()),
+                "w2": pa.array([p[1] for p in pairs], pa.string()),
+                "c12": pa.array([counts[p] for p in pairs], pa.int64()),
+            }
+        )
+
+    import pandas as pd
+
+    def local_topv(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(
+            ["c12", "w1", "w2"], ascending=[False, True, True]
+        ).head(vocab_cap)
+
+    head = (
+        _docs(sf_dir, ["text"])
+        .map_batches(partial_bigrams, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["w1", "w2"])
+        .aggregate(Sum("c12", alias_name="c12"))
+        .map_batches(local_topv, batch_format="pandas")
+        .to_pandas()
+    )
+    btop = head.sort_values(
+        ["c12", "w1", "w2"], ascending=[False, True, True]
+    ).head(vocab_cap)
+
+    bigram = {
+        (w1, w2): math.floor(
+            math.log(0.75 * (int(c12) / uni[w1]) + 0.25 * (uni[w2] / n_total))
+            * 1e6
+        )
+        for w1, w2, c12 in zip(btop["w1"], btop["w2"], btop["c12"])
+    }
+    backoff = {
+        w: math.floor(math.log(0.25 * (c / n_total)) * 1e6)
+        for w, c in uni.items()
+    }
+    oov = math.floor(math.log(0.25 * (1.0 / n_total)) * 1e6)
+    return bigram, backoff, oov
+
+
+def perplexity_scores(sf_dir: str, *, vocab_cap: int = VOCAB_CAP) -> rd.Dataset:
+    """(doc_id, n_bigrams, logprob_micros, ppl_micros): CCNet-style LM
+    perplexity per document under an interpolated bigram model — the
+    standard web-corpus quality signal (Wenzek et al., "CCNet:
+    Extracting High Quality Monolingual Datasets from Web Crawl Data"
+    score documents with a KenLM n-gram model; this is the same
+    train-small/score-wide shape with a from-scratch bigram LM).
+
+    logprob_micros = sum over adjacent word pairs of the fitted
+    floor(ln p(w2|w1) * 1e6) (see :func:`fit_bigram_table`);
+    ppl_micros = floor(exp(-logprob_micros / (n_bigrams * 1e6)) * 1e6)
+    — integer end-to-end so the DuckDB oracle hash-matches.  Documents
+    with fewer than two words carry (0, 0, -1): perplexity undefined.
+
+    Scale shape: both fitting passes exchange only capped-vocabulary
+    partials; the fitted model (<= 2V+1 entries) broadcasts once via
+    ``ray.put``; scoring is a stateless single pass."""
+    import math
+
+    import ray
+
+    bigram, backoff, oov = fit_bigram_table(sf_dir, vocab_cap)
+    ref = ray.put((bigram, backoff, oov))
+
+    def score(batch: pa.Table) -> pa.Table:
+        btab, btof, default = ray.get(ref)
+        n_bi, lps, ppls = [], [], []
+        for text in batch.column("text").to_pylist():
+            words = text.split()
+            n = max(len(words) - 1, 0)
+            n_bi.append(n)
+            if n == 0:
+                lps.append(0)
+                ppls.append(-1)
+                continue
+            lp = 0
+            for pair in zip(words, words[1:]):
+                m = btab.get(pair)
+                if m is None:
+                    m = btof.get(pair[1], default)
+                lp += m
+            lps.append(lp)
+            ppls.append(math.floor(math.exp(-lp / (n * 1e6)) * 1e6))
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_bigrams": pa.array(n_bi, pa.int64()),
+                "logprob_micros": pa.array(lps, pa.int64()),
+                "ppl_micros": pa.array(ppls, pa.int64()),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        score, batch_format="pyarrow", zero_copy_batch=True
+    )

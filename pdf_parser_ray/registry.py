@@ -95,6 +95,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # established driver-green row), then the rows-only
         # approximations and multimodal stages.
         "knn_lsh": similarity.knn_lsh,
+        "perplexity_scores": partial(
+            analysis.perplexity_scores, vocab_cap=analysis.ORACLE_VOCAB_CAP
+        ),
         "incremental_dedup": dedup.incremental_dedup,
         "normalized_dedup": dedup.normalized_dedup,
         "region_revenue": relational.region_revenue,

@@ -161,6 +161,33 @@ class TestVocabCap:
         assert len(table) <= 5
         assert "" not in table
 
+    def test_bigram_table_bounded(self, ray_session, quiet_data_context):
+        from pdf_parser_ray.pipelines.analysis import fit_bigram_table
+
+        bigram, backoff, oov = fit_bigram_table(self.SF, vocab_cap=5)
+        # the broadcast model is <= 2V+1 entries total
+        assert len(bigram) <= 5 and len(backoff) <= 5
+        # every capped bigram's words are in the capped unigram vocab
+        for w1, w2 in bigram:
+            assert w1 in backoff and w2 in backoff
+        # OOV backoff (count 1) is below every in-vocab backoff, and an
+        # observed bigram always scores above its pure-backoff floor
+        assert oov <= min(backoff.values())
+        for (_w1, w2), m in bigram.items():
+            assert m > backoff[w2]
+
+    def test_perplexity_paths_bind(self, ray_session, quiet_data_context):
+        # with V=5 on the 31-word vocab all three scoring paths (capped
+        # bigram, unigram backoff, OOV floor) must fire; short docs get
+        # the -1 sentinel iff they have < 2 words
+        from pdf_parser_ray.pipelines.analysis import perplexity_scores
+
+        df = perplexity_scores(self.SF, vocab_cap=5).to_pandas()
+        assert (df.loc[df["n_bigrams"] == 0, "ppl_micros"] == -1).all()
+        scored = df[df["n_bigrams"] > 0]
+        assert (scored["ppl_micros"] > 0).all()
+        assert (scored["logprob_micros"] < 0).all()
+
     def test_cap_keeps_most_frequent(self, ray_session, quiet_data_context):
         # capped fit = the top-V rows of the uncapped fit (count DESC,
         # word ASC tie-break), same scores — the cap only prunes
