@@ -1375,6 +1375,14 @@ def oracle_sql() -> dict[str, str]:
             " FROM documents GROUP BY 1"
         ),
         "simhash_dedup": _simhash_sql(),
+        "copartitioned_join": (
+            # mirror of relational.copartitioned_order_customer: the SMB
+            # layout only changes WHERE rows live, never the join result
+            "SELECT CAST(o.o_orderkey AS BIGINT) AS o_orderkey,"
+            " CAST(c.c_custkey AS BIGINT) AS c_custkey, c.c_mktsegment,"
+            " CAST(round(o.o_totalprice * 100) AS BIGINT) AS total_cents"
+            " FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey"
+        ),
         "brand_revenue": (
             # mirror of relational.brand_revenue: rev_cc = price_cents x
             # (100 - disc_pct) — integer after the per-column rounding

@@ -17,6 +17,7 @@ pathological hot key can skew a bucket).
 
 from __future__ import annotations
 
+import os
 from typing import Any
 
 import numpy as np
@@ -224,3 +225,111 @@ def asof_attach(
     return (
         lrows.union(rrows).groupby("key").map_groups(asof_group, batch_format="pandas")
     )
+
+
+# -- co-partitioned (sort-merge-bucket) join ---------------------------------
+
+_SMB_VERSION = 1
+_SMB_CACHE_ROOT = "/tmp/pdf_parser_ray_index"
+_SMB_BUCKETS = 32
+
+
+def build_bucketed(
+    src_path: str,
+    key_col: str,
+    columns: list[str],
+    out_dir: str,
+    buckets: int = _SMB_BUCKETS,
+) -> str:
+    """One pass over ``src_path``: attach ``bucket = mult-hash(key) %
+    buckets``, co-locate each bucket with a groupby, sort within the
+    bucket by the key, and write parquet PARTITIONED BY bucket — the
+    classic sort-merge-bucket table layout.  The (one-time) build
+    shuffle amortizes across every later join touching this key: two
+    tables bucketed the same way join with ZERO query-time shuffle
+    (each bucket pair merges locally — :func:`smb_join`).  Idempotent
+    via a _DONE marker, crash-safe like the IVF index build."""
+    import shutil
+
+    done = os.path.join(out_dir, "_DONE")
+    if os.path.exists(done):
+        return out_dir
+    shutil.rmtree(out_dir + ".tmp", ignore_errors=True)
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    from .dedup import _blocks_for
+    from .io_util import read_parquet_clean
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        k = batch.column(key_col).to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "bucket", pa.array(_key_bucket(k.astype(np.int64), buckets))
+        )
+
+    def sort_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(key_col)
+
+    tmp = out_dir + ".tmp"
+    (
+        read_parquet_clean(
+            src_path, columns=columns, override_num_blocks=_blocks_for(src_path)
+        )
+        .map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(sort_bucket, batch_format="pandas")
+        .write_parquet(tmp, partition_cols=["bucket"])
+    )
+    os.replace(tmp, out_dir)
+    with open(done, "w") as f:
+        f.write("ok")
+    return out_dir
+
+
+def _bucket_paths(bucketed_dir: str, b: int) -> list[str]:
+    d = os.path.join(bucketed_dir, f"bucket={b}")
+    if not os.path.isdir(d):
+        return []
+    return [
+        os.path.join(d, f) for f in sorted(os.listdir(d)) if f.endswith(".parquet")
+    ]
+
+
+def smb_join(
+    dir_left: str,
+    dir_right: str,
+    left_key: str,
+    right_key: str,
+    out_schema: pa.Schema,
+    buckets: int = _SMB_BUCKETS,
+) -> rd.Dataset:
+    """Shuffle-free inner join of two tables PRE-BUCKETED on the same
+    hashed key (:func:`build_bucketed`): one task per bucket id opens
+    exactly the two matching ``bucket=N`` directories and merges them
+    locally (both sides arrive key-sorted, so the merge is the
+    sort-merge fast path).  Nothing moves between workers at query
+    time — this is how a 100 TB fact/dim join avoids the all-to-all
+    exchange when the layout can be chosen ahead of time.  Contrast
+    with :func:`attach_dim`, which pays the co-shuffle per query."""
+    import pyarrow.parquet as pq
+
+    names = list(out_schema.names)
+
+    def join_bucket(batch: pa.Table) -> pa.Table:
+        frames = []
+        for b in batch.column("bucket").to_pylist():
+            lp, rp = _bucket_paths(dir_left, b), _bucket_paths(dir_right, b)
+            if not lp or not rp:
+                continue
+            l = pq.read_table(lp).to_pandas()
+            r = pq.read_table(rp).to_pandas()
+            frames.append(
+                l.merge(r, left_on=left_key, right_on=right_key, how="inner")
+            )
+        if not frames:
+            return out_schema.empty_table()
+        out = pd.concat(frames)[names]
+        return pa.Table.from_pandas(out, schema=out_schema, preserve_index=False)
+
+    return rd.from_items(
+        [{"bucket": b} for b in range(buckets)], override_num_blocks=buckets
+    ).map_batches(join_bucket, batch_format="pyarrow")

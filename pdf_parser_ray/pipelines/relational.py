@@ -859,3 +859,63 @@ def supplier_value_by_nation(sf_dir: str) -> rd.Dataset:
         val_map=_small_table_dict(sf_dir, "nation", "n_nationkey", "n_name"),
         distinct_alias="n_suppliers",
     )
+
+
+def copartitioned_order_customer(sf_dir: str) -> rd.Dataset:
+    """(o_orderkey, c_custkey, c_mktsegment, total_cents): every order
+    enriched with its customer's market segment via a SHUFFLE-FREE
+    co-partitioned join — both tables are pre-bucketed on the customer
+    key into a sort-merge-bucket layout (``join.build_bucketed``, a
+    one-time amortized pass) and the query merges each ``bucket=N``
+    directory pair locally (``join.smb_join``).  The scale story: at
+    100 TB a fact/dim join whose layout can be chosen ahead of time
+    should pay the exchange once at ingest, not per query — contrast
+    with :func:`orders_by_nation`, which co-shuffles per query."""
+    from .join import _SMB_BUCKETS, _SMB_VERSION, build_bucketed, smb_join
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    root = os.path.join("/tmp/pdf_parser_ray_index", tag)
+    os.makedirs(root, exist_ok=True)
+    odir = build_bucketed(
+        os.path.join(sf_dir, "orders.parquet"),
+        "o_custkey",
+        ["o_orderkey", "o_custkey", "o_totalprice"],
+        os.path.join(root, f"smb_v{_SMB_VERSION}_orders_b{_SMB_BUCKETS}"),
+    )
+    cdir = build_bucketed(
+        os.path.join(sf_dir, "customer.parquet"),
+        "c_custkey",
+        ["c_custkey", "c_mktsegment"],
+        os.path.join(root, f"smb_v{_SMB_VERSION}_customer_b{_SMB_BUCKETS}"),
+    )
+    joined = smb_join(odir, cdir, "o_custkey", "c_custkey", _smb_oc_schema())
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": pc.cast(batch.column("o_orderkey"), pa.int64()),
+                "c_custkey": pc.cast(batch.column("c_custkey"), pa.int64()),
+                "c_mktsegment": batch.column("c_mktsegment"),
+                "total_cents": pc.cast(
+                    pc.round(pc.multiply(batch.column("o_totalprice"), 100.0)),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _smb_oc_schema() -> pa.Schema:
+    """Raw merge schema of the bucketed orders x customer join (cents
+    conversion happens after the merge so the bucketed layout stores
+    the source column unchanged and stays reusable by other queries)."""
+    return pa.schema(
+        [
+            ("o_orderkey", pa.int64()),
+            ("o_custkey", pa.int64()),
+            ("o_totalprice", pa.float64()),
+            ("c_custkey", pa.int64()),
+            ("c_mktsegment", pa.string()),
+        ]
+    )

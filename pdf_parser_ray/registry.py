@@ -101,6 +101,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_dedup": dedup.incremental_dedup,
         "normalized_dedup": dedup.normalized_dedup,
         "region_revenue": relational.region_revenue,
+        "copartitioned_join": relational.copartitioned_order_customer,
         "embedding_norms": similarity.embedding_norms,
         "source_stats": analysis.source_stats,
         "lang_distribution": analysis.lang_distribution,

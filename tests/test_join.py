@@ -229,3 +229,90 @@ class TestRangeJoin:
 
         out = range_join_events("/root/testdata/sf0.001").to_pandas()
         assert (out["n_events"] >= 1).all()
+
+
+class TestSMBJoin:
+    SF = "/root/testdata/sf0.001"
+
+    def _dirs(self):
+        import os
+
+        from pdf_parser_ray.pipelines.join import _SMB_BUCKETS, _SMB_VERSION
+
+        tag = os.path.basename(self.SF)
+        root = os.path.join("/tmp/pdf_parser_ray_index", tag)
+        return (
+            os.path.join(root, f"smb_v{_SMB_VERSION}_orders_b{_SMB_BUCKETS}"),
+            os.path.join(root, f"smb_v{_SMB_VERSION}_customer_b{_SMB_BUCKETS}"),
+        )
+
+    def test_matches_plain_join(self, ray_session, quiet_data_context):
+        import duckdb
+        import pandas as pd
+
+        from pdf_parser_ray.pipelines.relational import (
+            copartitioned_order_customer,
+        )
+
+        got = (
+            copartitioned_order_customer(self.SF)
+            .to_pandas()
+            .sort_values(["o_orderkey"])
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        for t in ("orders", "customer"):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM"
+                f" read_parquet('{self.SF}/{t}.parquet')"
+            )
+        want = con.sql(
+            "SELECT CAST(o.o_orderkey AS BIGINT) AS o_orderkey,"
+            " CAST(c.c_custkey AS BIGINT) AS c_custkey, c.c_mktsegment,"
+            " CAST(round(o.o_totalprice * 100) AS BIGINT) AS total_cents"
+            " FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey"
+            " ORDER BY o_orderkey"
+        ).df()
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    def test_layout_bucketed_and_sorted(self, ray_session, quiet_data_context):
+        """The SMB invariants the join relies on: co-partitioning (both
+        sides bucket the key with the same hash) and within-bucket key
+        order (the sort-merge fast path)."""
+        import os
+
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from pdf_parser_ray.pipelines.join import _SMB_BUCKETS, _key_bucket
+        from pdf_parser_ray.pipelines.relational import (
+            copartitioned_order_customer,
+        )
+
+        copartitioned_order_customer(self.SF).materialize()
+        odir, cdir = self._dirs()
+        for d, key in ((odir, "o_custkey"), (cdir, "c_custkey")):
+            assert os.path.exists(os.path.join(d, "_DONE"))
+            seen = 0
+            for b in range(_SMB_BUCKETS):
+                bd = os.path.join(d, f"bucket={b}")
+                if not os.path.isdir(bd):
+                    continue
+                t = pq.read_table(bd)
+                k = t.column(key).to_numpy()
+                seen += len(k)
+                assert (np.diff(k) >= 0).all(), f"{d} bucket {b} unsorted"
+                assert (
+                    _key_bucket(k.astype(np.int64), _SMB_BUCKETS) == b
+                ).all(), f"{d} bucket {b} mis-partitioned"
+            assert seen > 0
+
+    def test_query_plan_has_no_shuffle(self, ray_session, quiet_data_context):
+        """Query-time plan: bucket-id fan-out -> local merges.  No
+        AllToAll operator may appear (the exchange was paid at build)."""
+        from pdf_parser_ray.pipelines.relational import (
+            copartitioned_order_customer,
+        )
+
+        ds = copartitioned_order_customer(self.SF).materialize()
+        assert "AllToAll" not in ds.stats() and "Sort" not in ds.stats()
