@@ -1119,6 +1119,70 @@ def _pack_sql() -> str:
     )
 
 
+def _c4_sql() -> str:
+    """Mirror of filter.c4_line_filter: rebuild the identical
+    deterministic multi-line page (6-word lines, (doc_id + 7*j) % 5
+    decorations, page markers on line 0), apply the C4 line predicate
+    (terminal punctuation, >= 3 words, no 'javascript') and the ordered
+    page rules (curly brace, lorem ipsum, < 3 retained sentences)."""
+    from pdf_parser_ray.pipelines.filter import (
+        C4_LINE_WORDS as LW,
+        C4_MIN_LINE_WORDS,
+        C4_MIN_SENTENCES,
+    )
+
+    def seg(hi: int) -> str:
+        return (
+            f"array_to_string(ws[CAST({LW}*j+1 AS INT):"
+            f"CAST({LW}*j+{hi} AS INT)], ' ')"
+        )
+
+    return (
+        f"WITH w AS (SELECT doc_id, {_WORDS_EXPR} AS ws FROM documents),"
+        " l AS (SELECT doc_id, ws, unnest(range(0,"
+        f"   greatest(CAST(ceil(len(ws) / {LW}.0) AS BIGINT), 1), 1)) AS j"
+        "   FROM w),"
+        " d AS (SELECT doc_id, j,"
+        "   CASE CAST((doc_id + 7 * j) % 5 AS INT)"
+        f"     WHEN 0 THEN {seg(LW)} || '.'"
+        f"     WHEN 1 THEN {seg(LW)} || '!'"
+        f"     WHEN 2 THEN {seg(LW)}"
+        f"     WHEN 3 THEN {seg(2)} || '.'"
+        f"     ELSE {seg(LW)} || ' javascript required.'"
+        "   END"
+        "   || CASE WHEN j = 0 AND doc_id % 13 = 0 THEN ' {' ELSE '' END"
+        "   || CASE WHEN j = 0 AND doc_id % 17 = 3 THEN ' lorem ipsum.'"
+        "      ELSE '' END AS line"
+        "  FROM l),"
+        " k AS (SELECT doc_id, j, line,"
+        "   CASE WHEN regexp_matches(line, '[.!?\"]$')"
+        "     AND len(list_filter(string_split(line, ' '), x -> x <> ''))"
+        f"       >= {C4_MIN_LINE_WORDS}"
+        "     AND NOT contains(lower(line), 'javascript')"
+        "    THEN 1 ELSE 0 END AS kept"
+        "  FROM d),"
+        " agg AS (SELECT doc_id,"
+        "   CAST(count(*) AS BIGINT) AS n_lines,"
+        "   CAST(sum(kept) AS BIGINT) AS n_kept,"
+        "   max(CASE WHEN contains(line, '{') THEN 1 ELSE 0 END) AS curly,"
+        "   max(CASE WHEN contains(lower(line), 'lorem ipsum') THEN 1"
+        "       ELSE 0 END) AS lorem,"
+        "   coalesce(string_agg(CASE WHEN kept = 1 THEN line END, chr(10)"
+        "       ORDER BY j), '') AS clean"
+        "  FROM k GROUP BY doc_id)"
+        " SELECT CAST(doc_id AS BIGINT) AS doc_id, n_lines, n_kept,"
+        f"  CASE WHEN curly = 1 OR lorem = 1 OR n_kept < {C4_MIN_SENTENCES}"
+        "    THEN 0 ELSE 1 END AS keep,"
+        "  CASE WHEN curly = 1 THEN 'curly_brace'"
+        "    WHEN lorem = 1 THEN 'lorem_ipsum'"
+        f"    WHEN n_kept < {C4_MIN_SENTENCES} THEN 'too_few_sentences'"
+        "    ELSE 'ok' END AS reason,"
+        f"  CASE WHEN curly = 0 AND lorem = 0 AND n_kept >= {C4_MIN_SENTENCES}"
+        "    THEN clean ELSE '' END AS clean_text"
+        " FROM agg"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     # the top-V broadcast-model cap the registry passes to
     # unigram_logprob / tfidf_scores / importance_weights — mirrored in
@@ -1197,6 +1261,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "decontaminate": _decontaminate_sql(),
         "pack_sequences": _pack_sql(),
+        "c4_line_filter": _c4_sql(),
         "chunk_documents": (
             # mirror of pack.chunk_documents: 0-based chunk starts every
             # 32 words (greatest(...,1) gives empty docs one empty

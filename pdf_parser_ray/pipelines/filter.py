@@ -387,3 +387,110 @@ def decontaminate(sf_dir: str) -> rd.Dataset:
     return corpus.map_batches(
         verdicts, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+# -- C4-style line-level cleaning --------------------------------------------
+
+# Line/page heuristics from the C4 corpus construction (Raffel et al.
+# 2020, "Exploring the Limits of Transfer Learning", §2.2): keep only
+# lines ending in terminal punctuation with >= C4_MIN_LINE_WORDS words
+# and no "javascript"; drop whole pages containing a curly brace or
+# "lorem ipsum", or retaining fewer than C4_MIN_SENTENCES lines.  The
+# documents corpus is single-line word soup, so — like pii_scrub's
+# synth_contact — each doc is first expanded into a deterministic
+# multi-line page (both the Ray stage and the SQL oracle rebuild the
+# identical page from doc_id + text, so the filter itself is what the
+# hash-match checks).
+C4_LINE_WORDS = 6  # words per synthesized line
+C4_MIN_LINE_WORDS = 3
+C4_MIN_SENTENCES = 3
+C4_TERMINAL = (".", "!", "?", '"')
+
+
+def synth_page_lines(doc_id: int, text: str) -> list[str]:
+    """Deterministic multi-line page for one doc: 6-word lines, each
+    decorated by (doc_id + 7*j) % 5 — terminal '.', terminal '!',
+    no terminal punctuation, truncated-to-2-words '.', or a trailing
+    ' javascript required.' — plus page-level markers ' {' (doc_id %
+    13 == 0) and ' lorem ipsum.' (doc_id % 17 == 3) on line 0."""
+    words = [w for w in text.split() if w]
+    n_lines = max(-(-len(words) // C4_LINE_WORDS), 1)
+    lines = []
+    for j in range(n_lines):
+        chunk = words[C4_LINE_WORDS * j : C4_LINE_WORDS * (j + 1)]
+        m = (doc_id + 7 * j) % 5
+        if m == 0:
+            line = " ".join(chunk) + "."
+        elif m == 1:
+            line = " ".join(chunk) + "!"
+        elif m == 2:
+            line = " ".join(chunk)
+        elif m == 3:
+            line = " ".join(chunk[:2]) + "."
+        else:
+            line = " ".join(chunk) + " javascript required."
+        if j == 0 and doc_id % 13 == 0:
+            line += " {"
+        if j == 0 and doc_id % 17 == 3:
+            line += " lorem ipsum."
+        lines.append(line)
+    return lines
+
+
+def c4_line_keep(line: str) -> bool:
+    """The C4 per-line predicate: terminal punctuation, >= 3 words,
+    no 'javascript' (case-insensitive)."""
+    return (
+        line.endswith(C4_TERMINAL)
+        and len([w for w in line.split(" ") if w]) >= C4_MIN_LINE_WORDS
+        and "javascript" not in line.lower()
+    )
+
+
+def c4_page_verdict(lines: list[str]) -> tuple[str, list[str]]:
+    """(reason, kept_lines): ordered page rules — curly brace, lorem
+    ipsum, then too-few-retained-sentences; 'ok' keeps the page."""
+    kept = [ln for ln in lines if c4_line_keep(ln)]
+    if any("{" in ln for ln in lines):
+        return "curly_brace", kept
+    if any("lorem ipsum" in ln.lower() for ln in lines):
+        return "lorem_ipsum", kept
+    if len(kept) < C4_MIN_SENTENCES:
+        return "too_few_sentences", kept
+    return "ok", kept
+
+
+def c4_line_filter(sf_dir: str) -> rd.Dataset:
+    """(doc_id, n_lines, n_kept, keep, reason, clean_text): C4-style
+    line-level cleaning over synthesized multi-line pages.  One
+    map_batches pass — per-line verdicts never leave the worker; only
+    the cleaned text and narrow counters stream out (at 100 TB the
+    page text is read once, scrubbed in place, and the driver holds
+    nothing)."""
+
+    def run(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        n_lines, n_kept, keeps, reasons, cleans = [], [], [], [], []
+        for i, t in zip(ids, texts):
+            lines = synth_page_lines(i, t)
+            reason, kept = c4_page_verdict(lines)
+            n_lines.append(len(lines))
+            n_kept.append(len(kept))
+            keeps.append(1 if reason == "ok" else 0)
+            reasons.append(reason)
+            cleans.append("\n".join(kept) if reason == "ok" else "")
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_lines": pa.array(n_lines, pa.int64()),
+                "n_kept": pa.array(n_kept, pa.int64()),
+                "keep": pa.array(keeps, pa.int64()),
+                "reason": pa.array(reasons, pa.string()),
+                "clean_text": pa.array(cleans, pa.string()),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        run, batch_format="pyarrow", zero_copy_batch=True
+    )

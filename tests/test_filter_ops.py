@@ -229,3 +229,48 @@ class TestStratifiedSample:
         a = stratified_sample(self.SF).to_pandas().sort_values("doc_id")
         b = stratified_sample(self.SF).to_pandas().sort_values("doc_id")
         assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
+
+
+class TestC4LineFilter:
+    def test_line_predicate(self):
+        from pdf_parser_ray.pipelines.filter import c4_line_keep
+
+        assert c4_line_keep("three proper words.")
+        assert c4_line_keep('quoted sentence ends right"')
+        assert not c4_line_keep("no terminal punctuation here")
+        assert not c4_line_keep("two words.")
+        assert not c4_line_keep("please enable JavaScript now.")
+
+    def test_page_rules_ordered(self):
+        from pdf_parser_ray.pipelines.filter import c4_page_verdict
+
+        good = ["one fine line."] * 3
+        assert c4_page_verdict(good)[0] == "ok"
+        # curly brace wins over lorem ipsum wins over too-few
+        assert c4_page_verdict(["a { b", "lorem ipsum."])[0] == "curly_brace"
+        assert c4_page_verdict(["has lorem ipsum."])[0] == "lorem_ipsum"
+        assert c4_page_verdict(["one fine line."] * 2)[0] == "too_few_sentences"
+
+    def test_synth_deterministic_and_diverse(self):
+        from pdf_parser_ray.pipelines.filter import (
+            c4_page_verdict,
+            synth_page_lines,
+        )
+
+        text = " ".join(f"w{i}" for i in range(40))
+        assert synth_page_lines(7, text) == synth_page_lines(7, text)
+        reasons = {
+            c4_page_verdict(synth_page_lines(i, text))[0] for i in range(60)
+        }
+        assert {"ok", "curly_brace", "lorem_ipsum"} <= reasons
+
+    def test_clean_text_only_kept_lines(self, ray_session, quiet_data_context):
+        from pdf_parser_ray.pipelines.filter import c4_line_filter, c4_line_keep
+
+        df = c4_line_filter("/root/testdata/sf0.001").to_pandas()
+        assert (df["keep"] == (df["reason"] == "ok").astype(int)).all()
+        assert (df.loc[df.keep == 0, "clean_text"] == "").all()
+        kept = df[df.keep == 1]
+        assert len(kept) > 0
+        for t in kept["clean_text"].head(20):
+            assert all(c4_line_keep(ln) for ln in t.split("\n"))
