@@ -1183,6 +1183,52 @@ def _c4_sql() -> str:
     )
 
 
+def _bloom_sql() -> str:
+    """Mirror of sketch.bloom_dedup: the set of SET BITS in a Bloom
+    filter equals the set of all base-key positions, so SQL membership
+    of each probe position in a DISTINCT base-positions table is
+    bit-for-bit the Bloom probe.  h1/h2 are 15-hex-digit md5 slices
+    (h2 forced odd), position_i = (h1 + i*h2) % M — identical integer
+    arithmetic on both sides."""
+    from pdf_parser_ray.pipelines.dedup import (
+        NEAR_DUP_ID_OFFSET,
+        RECRAWL_EXACT_OFFSET,
+    )
+    from pdf_parser_ray.pipelines.sketch import BLOOM_BITS, BLOOM_K
+
+    def h(col: str) -> str:
+        a = f"CAST(('0x' || substr(md5({col}), 1, 15)) AS BIGINT)"
+        b = f"CAST(('0x' || substr(md5({col}), 16, 15)) AS BIGINT)"
+        return f"{a} AS h1, {b} - {b} % 2 + 1 AS h2"
+
+    return (
+        "WITH base AS (SELECT doc_id, text FROM documents"
+        "   WHERE doc_id % 2 = 0),"
+        " delta AS ("
+        "   SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1"
+        f"  UNION ALL SELECT doc_id + {RECRAWL_EXACT_OFFSET} AS doc_id, text"
+        "     FROM documents WHERE doc_id % 22 = 0"
+        f"  UNION ALL SELECT doc_id + {NEAR_DUP_ID_OFFSET} AS doc_id,"
+        f"    array_to_string(list_filter({_WORDS_EXPR},"
+        "      (x, i) -> i % 10 != 0), ' ') AS text"
+        "     FROM documents WHERE doc_id % 14 = 0),"
+        f" ii AS (SELECT unnest(range(0, {BLOOM_K}, 1)) AS i),"
+        f" bh AS (SELECT {h('text')} FROM base),"
+        f" bp AS (SELECT DISTINCT (h1 + i * h2) % {BLOOM_BITS} AS p"
+        "    FROM bh CROSS JOIN ii),"
+        f" dh AS (SELECT doc_id, {h('text')} FROM delta),"
+        f" dp AS (SELECT doc_id, (h1 + i * h2) % {BLOOM_BITS} AS p"
+        "    FROM dh CROSS JOIN ii),"
+        " hits AS (SELECT doc_id, count(*) AS n_hits FROM dp"
+        "   WHERE p IN (SELECT p FROM bp) GROUP BY doc_id)"
+        " SELECT CAST(d.doc_id AS BIGINT) AS doc_id,"
+        "  CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,"
+        f"  CAST(CASE WHEN coalesce(h.n_hits, 0) = {BLOOM_K} THEN 1"
+        "    ELSE 0 END AS BIGINT) AS maybe_dup"
+        " FROM delta d LEFT JOIN hits h ON d.doc_id = h.doc_id"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     # the top-V broadcast-model cap the registry passes to
     # unigram_logprob / tfidf_scores / importance_weights — mirrored in
@@ -1262,6 +1308,7 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": _decontaminate_sql(),
         "pack_sequences": _pack_sql(),
         "c4_line_filter": _c4_sql(),
+        "bloom_dedup": _bloom_sql(),
         "chunk_documents": (
             # mirror of pack.chunk_documents: 0-based chunk starts every
             # 32 words (greatest(...,1) gives empty docs one empty

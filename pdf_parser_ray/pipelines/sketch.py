@@ -329,3 +329,106 @@ def approx_event_quantiles(sf_dir: str) -> rd.Dataset:
         dd_quantile("value", 0.90, alias_name="q90_micros"),
         dd_quantile("value", 0.99, alias_name="q99_micros"),
     )
+
+
+# -- Bloom-filter membership (delta-vs-base exact dedup, constant state) -----
+
+# Bloom geometry: M bits (128 KiB), K double-hashed probes per key.
+# h1/h2 come from the md5 hex digest (15 hex digits each, < 2^60, h2
+# forced odd), so the DuckDB oracle recomputes the exact positions:
+# position_i = (h1 + i*h2) % M, and the set of SET BITS equals the set
+# of all base positions — SQL membership over a positions table is
+# bit-for-bit the Bloom probe.  With n ≈ M/16 base keys the false-
+# positive rate is ~ (1 - e^(-K*n/M))^K ≈ 0.1%.
+BLOOM_BITS = 1 << 20
+BLOOM_K = 7
+
+
+def bloom_positions(texts: list[str]) -> np.ndarray:
+    """(len(texts), BLOOM_K) int64 positions via md5 double hashing."""
+    import hashlib
+
+    out = np.empty((len(texts), BLOOM_K), np.int64)
+    ks = np.arange(BLOOM_K, dtype=np.int64)
+    for r, t in enumerate(texts):
+        hx = hashlib.md5(t.encode("utf-8")).hexdigest()
+        h1 = int(hx[:15], 16)
+        h2 = int(hx[15:30], 16) | 1
+        out[r] = (h1 + ks * h2) % BLOOM_BITS
+    return out
+
+
+def bloom_or(bitsets: list[bytes]) -> np.ndarray:
+    """Associative merge of packed Bloom bitsets (bitwise OR)."""
+    acc = np.zeros(BLOOM_BITS // 8, np.uint8)
+    for b in bitsets:
+        acc |= np.frombuffer(b, np.uint8)
+    return acc
+
+
+def bloom_dedup(sf_dir: str) -> rd.Dataset:
+    """(doc_id, n_hits, maybe_dup): probe every DELTA document against
+    a Bloom filter of the BASE corpus's exact text digests — the
+    constant-memory alternative to incremental_dedup's exact layer.
+    maybe_dup = 1 iff all BLOOM_K probe bits are set: never a false
+    negative (every exact re-crawl flags), false positives bounded by
+    the filter geometry.
+
+    Scale shape: the base pass emits ONE 128 KiB partial bitset per
+    block, tree-reduced through a 16-way groupby OR so the driver
+    collects at most 16 bitsets (2 MiB) REGARDLESS of corpus size —
+    that constant-size state is the entire point of a Bloom filter,
+    and the legitimate broadcast case (`ray.put` once, read per
+    probe batch).  At 100 TB, size M to the base-key budget; the
+    probe side stays a stateless single pass."""
+    import ray
+
+    from .dedup import _base_corpus, _delta_corpus
+
+    _REDUCE_FAN = 16
+
+    def partial_bits(batch: pa.Table) -> pa.Table:
+        pos = bloom_positions(batch.column("text").to_pylist())
+        bits = np.zeros(BLOOM_BITS // 8, np.uint8)
+        flat = pos.ravel()
+        np.bitwise_or.at(bits, flat // 8, np.uint8(1) << (flat % 8).astype(np.uint8))
+        fan = int(batch.column("doc_id")[0].as_py()) % _REDUCE_FAN
+        return pa.table(
+            {"fan": pa.array([fan], pa.int64()),
+             "bits": pa.array([bits.tobytes()], pa.binary())}
+        )
+
+    def or_group(df) -> "pa.Table":
+        import pandas as pd
+
+        merged = bloom_or(list(df["bits"]))
+        return pd.DataFrame({"fan": [int(df["fan"].iloc[0])],
+                             "bits": [merged.tobytes()]})
+
+    partials = (
+        _base_corpus(sf_dir)
+        .map_batches(partial_bits, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("fan")
+        .map_groups(or_group, batch_format="pandas")
+        .take_all()
+    )
+    bits_ref = ray.put(bloom_or([r["bits"] for r in partials]).tobytes())
+
+    def probe(batch: pa.Table) -> pa.Table:
+        bits = np.frombuffer(ray.get(bits_ref), np.uint8)
+        pos = bloom_positions(batch.column("text").to_pylist())
+        set_ = (bits[pos // 8] >> (pos % 8).astype(np.uint8)) & 1
+        n_hits = set_.sum(axis=1).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_hits": pa.array(n_hits),
+                "maybe_dup": pa.array(
+                    (n_hits == BLOOM_K).astype(np.int64)
+                ),
+            }
+        )
+
+    return _delta_corpus(sf_dir).map_batches(
+        probe, batch_format="pyarrow", zero_copy_batch=True
+    )

@@ -112,6 +112,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_histogram": filter_ops.token_histogram,
         "blocklist_filter": filter_ops.blocklist_filter,
         "c4_line_filter": filter_ops.c4_line_filter,
+        "bloom_dedup": sketch.bloom_dedup,
         # -- approximate sketches --
         "approx_distinct_users": sketch.approx_distinct_users,
         "heavy_hitters": sketch.heavy_hitters,

@@ -183,3 +183,48 @@ class TestDDSketch:
                 assert abs(est - exact) <= exact * (self.ALPHA + 1e-3) + 1e-6, (
                     etype, q, exact, est,
                 )
+
+
+class TestBloomDedup:
+    def test_positions_deterministic_in_range(self):
+        from pdf_parser_ray.pipelines.sketch import (
+            BLOOM_BITS,
+            BLOOM_K,
+            bloom_positions,
+        )
+
+        p = bloom_positions(["alpha", "beta", "alpha"])
+        assert p.shape == (3, BLOOM_K)
+        assert (p == bloom_positions(["alpha", "beta", "alpha"])).all()
+        assert (p[0] == p[2]).all() and (p[0] != p[1]).any()
+        assert (p >= 0).all() and (p < BLOOM_BITS).all()
+
+    def test_or_merge_associative(self):
+        import numpy as np
+
+        from pdf_parser_ray.pipelines.sketch import BLOOM_BITS, bloom_or
+
+        rng = np.random.default_rng(7)
+        parts = [
+            rng.integers(0, 256, BLOOM_BITS // 8, dtype=np.uint8).tobytes()
+            for _ in range(4)
+        ]
+        a = bloom_or(parts)
+        b = bloom_or([bloom_or(parts[:2]).tobytes(), bloom_or(parts[2:]).tobytes()])
+        c = bloom_or(parts[::-1])
+        assert (a == b).all() and (a == c).all()
+
+    def test_no_false_negatives_and_fp_bound(self, ray_session, quiet_data_context):
+        """Every exact re-crawl must flag (Bloom never misses a real
+        member); non-members stay under a generous FP allowance."""
+        from pdf_parser_ray.pipelines.dedup import RECRAWL_EXACT_OFFSET
+        from pdf_parser_ray.pipelines.sketch import BLOOM_K, bloom_dedup
+
+        df = bloom_dedup("/root/testdata/sf0.001").to_pandas()
+        recrawl = df[df.doc_id >= RECRAWL_EXACT_OFFSET]
+        assert len(recrawl) > 0
+        assert (recrawl.maybe_dup == 1).all()
+        assert (recrawl.n_hits == BLOOM_K).all()
+        rest = df[df.doc_id < RECRAWL_EXACT_OFFSET]
+        # geometry gives ~0.1% FP; allow 2% on the tiny corpus
+        assert rest.maybe_dup.sum() <= max(1, len(rest) // 50)
