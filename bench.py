@@ -242,6 +242,12 @@ def run_bench() -> dict:
     timed("kmeans_embeddings", kmeans_embeddings)
     timed("semantic_dedup", semantic_dedup)
     timed("importance_weights", analysis.importance_weights)
+    timed("c4_line_filter", filter_ops.c4_line_filter)
+
+    from pdf_parser_ray.pipelines import sketch as sketch_ops
+
+    timed("bloom_dedup", sketch_ops.bloom_dedup)
+    timed("copartitioned_join", relational.copartitioned_order_customer)
 
     from pdf_parser_ray.pipelines.curate import curate_pages
     from pdf_parser_ray.pipelines.extract import (
