@@ -1183,6 +1183,41 @@ def _c4_sql() -> str:
     )
 
 
+def _pmi_sql(k: int = 20) -> str:
+    """Mirror of analysis.pmi_bigrams: unigram/bigram corpus counts,
+    pmi = ln(((((c_xy * N_uni) * N_uni) / N_bi) / c_x) / c_y) floored
+    to micros — the division/multiplication order matches the Python
+    side exactly so the double rounding is identical."""
+    from pdf_parser_ray.pipelines.analysis import PMI_MIN_COUNT
+
+    return (
+        f"WITH w AS (SELECT {_WORDS_EXPR} AS ws FROM documents),"
+        " uni AS (SELECT unnest(ws) AS word FROM w),"
+        " cu AS (SELECT word, CAST(count(*) AS BIGINT) AS c"
+        "   FROM uni GROUP BY word),"
+        " bi AS (SELECT ws[CAST(i AS INT)] || ' ' || ws[CAST(i + 1 AS INT)]"
+        "     AS bigram"
+        "   FROM (SELECT ws, unnest(range(1, len(ws), 1)) AS i FROM w)),"
+        " cb AS (SELECT bigram, CAST(count(*) AS BIGINT) AS c"
+        "   FROM bi GROUP BY bigram),"
+        " nu AS (SELECT CAST(sum(c) AS DOUBLE) AS v FROM cu),"
+        " nb AS (SELECT CAST(sum(c) AS DOUBLE) AS v FROM cb),"
+        " q AS (SELECT bigram, c AS n_xy,"
+        "   string_split(bigram, ' ')[1] AS w1,"
+        "   string_split(bigram, ' ')[2] AS w2"
+        f"  FROM cb WHERE c >= {PMI_MIN_COUNT}),"
+        " j AS (SELECT q.bigram, q.n_xy, cx.c AS cx, cy.c AS cy"
+        "   FROM q JOIN cu cx ON q.w1 = cx.word"
+        "   JOIN cu cy ON q.w2 = cy.word)"
+        " SELECT bigram, n_xy,"
+        "  CAST(floor(ln(((((CAST(n_xy AS DOUBLE) * nu.v) * nu.v) / nb.v)"
+        "    / CAST(cx AS DOUBLE)) / CAST(cy AS DOUBLE)) * 1000000)"
+        "    AS BIGINT) AS pmi_micros"
+        " FROM j, nu, nb"
+        f" ORDER BY pmi_micros DESC, bigram LIMIT {k}"
+    )
+
+
 def _bloom_sql() -> str:
     """Mirror of sketch.bloom_dedup: the set of SET BITS in a Bloom
     filter equals the set of all base-key positions, so SQL membership
@@ -1309,6 +1344,7 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences": _pack_sql(),
         "c4_line_filter": _c4_sql(),
         "bloom_dedup": _bloom_sql(),
+        "pmi_bigrams": _pmi_sql(),
         "chunk_documents": (
             # mirror of pack.chunk_documents: 0-based chunk starts every
             # 32 words (greatest(...,1) gives empty docs one empty

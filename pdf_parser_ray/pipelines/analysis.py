@@ -936,3 +936,169 @@ def perplexity_scores(sf_dir: str, *, vocab_cap: int = VOCAB_CAP) -> rd.Dataset:
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
         score, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+# -- PMI collocations --------------------------------------------------------
+
+PMI_MIN_COUNT = 3
+_PMI_COARSE = 64
+
+
+def pmi_bigrams(sf_dir: str, k: int = 20) -> rd.Dataset:
+    """(bigram, n_xy, pmi_micros): the k strongest word collocations by
+    pointwise mutual information — pmi = ln(p(xy) / (p(x) p(y))) with
+    p(xy) = c_xy / N_bi and p(w) = c_w / N_uni, floored to integer
+    micros, over bigrams seen >= PMI_MIN_COUNT times.
+
+    Scale shape (no corpus-sized exchange, no whole-vocab broadcast):
+    1. unigram AND bigram counts combine inside each batch, then ONE
+       coarse-bucket groupby (crc32(gram) % 64) sums globally —
+       vocabulary-sized partial rows only.
+    2. corpus totals (N_uni, N_bi) come from per-block partial sums —
+       the driver adds two ints per block, never sees a gram.
+    3. each qualifying bigram emits two probe half-rows keyed by its
+       words; a word-keyed co-shuffle attaches c_x / c_y (exact string
+       merge inside the bucket — no hashed-key collision risk), and a
+       bigram-keyed regroup combines the sides and computes the PMI.
+    4. per-batch local top-k bounds the final sort at k rows per batch.
+    The word-count table is never collected or broadcast (contrast the
+    deliberately-capped broadcast models in unigram_logprob and
+    friends: the top-V cap there changes results; a co-shuffle here
+    keeps PMI exact at any vocabulary size)."""
+    import math
+    import zlib
+    from collections import Counter
+
+    def partials(batch: pa.Table) -> pa.Table:
+        uni: Counter = Counter()
+        bi: Counter = Counter()
+        for text in batch.column("text").to_pylist():
+            words = text.split()
+            uni.update(words)
+            bi.update(f"{a} {b}" for a, b in zip(words, words[1:]))
+        grams = [*uni.keys(), *bi.keys()]
+        kinds = [0] * len(uni) + [1] * len(bi)
+        ns = [*uni.values(), *bi.values()]
+        return pa.table(
+            {
+                "coarse": pa.array(
+                    [zlib.crc32(g.encode()) % _PMI_COARSE for g in grams],
+                    pa.int64(),
+                ),
+                "kind": pa.array(kinds, pa.int8()),
+                "gram": pa.array(grams, pa.string()),
+                "n": pa.array(ns, pa.int64()),
+            }
+        )
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["kind", "gram"], as_index=False)["n"].sum()
+
+    import pandas as pd
+
+    counts = (
+        _docs(sf_dir, ["text"])
+        .map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("coarse")
+        .map_groups(combine, batch_format="pandas")
+        .materialize()
+    )
+
+    def block_totals(batch: pa.Table) -> pa.Table:
+        kind = batch.column("kind").to_numpy(zero_copy_only=False)
+        n = batch.column("n").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "n_uni": pa.array([int(n[kind == 0].sum())], pa.int64()),
+                "n_bi": pa.array([int(n[kind == 1].sum())], pa.int64()),
+            }
+        )
+
+    tot = counts.map_batches(
+        block_totals, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all()
+    n_uni = float(sum(r["n_uni"] for r in tot))
+    n_bi = float(sum(r["n_bi"] for r in tot))
+
+    def word_rows(batch: pa.Table) -> pa.Table:
+        kind = batch.column("kind").to_numpy(zero_copy_only=False)
+        grams = batch.column("gram").to_pylist()
+        n = batch.column("n").to_numpy(zero_copy_only=False)
+        words, roles, sides, bigrams, n_xy, cnt = [], [], [], [], [], []
+        for kd, g, c in zip(kind, grams, n):
+            if kd == 0:
+                words.append(g)
+                roles.append(0)
+                sides.append(0)
+                bigrams.append("")
+                n_xy.append(0)
+                cnt.append(int(c))
+            elif c >= PMI_MIN_COUNT:
+                for side, w in enumerate(g.split(" "), start=1):
+                    words.append(w)
+                    roles.append(1)
+                    sides.append(side)
+                    bigrams.append(g)
+                    n_xy.append(int(c))
+                    cnt.append(0)
+        return pa.table(
+            {
+                "coarse": pa.array(
+                    [zlib.crc32(w.encode()) % _PMI_COARSE for w in words],
+                    pa.int64(),
+                ),
+                "word": pa.array(words, pa.string()),
+                "role": pa.array(roles, pa.int8()),
+                "side": pa.array(sides, pa.int8()),
+                "bigram": pa.array(bigrams, pa.string()),
+                "n_xy": pa.array(n_xy, pa.int64()),
+                "cnt": pa.array(cnt, pa.int64()),
+            }
+        )
+
+    def join_words(df: pd.DataFrame) -> pd.DataFrame:
+        u = df.loc[df["role"] == 0, ["word", "cnt"]].rename(columns={"cnt": "c_w"})
+        p = df.loc[df["role"] == 1, ["word", "side", "bigram", "n_xy"]]
+        return p.merge(u, on="word")[["bigram", "side", "n_xy", "c_w"]]
+
+    def bigram_key(batch: pa.Table) -> pa.Table:
+        bgs = batch.column("bigram").to_pylist()
+        return batch.append_column(
+            "coarse2",
+            pa.array(
+                [zlib.crc32(b.encode()) % _PMI_COARSE for b in bgs], pa.int64()
+            ),
+        )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        piv = df.pivot_table(
+            index=["bigram", "n_xy"], columns="side", values="c_w", aggfunc="first"
+        ).reset_index()
+        rows = []
+        for b, nxy, cx, cy in zip(piv["bigram"], piv["n_xy"], piv[1], piv[2]):
+            r = float(nxy)
+            r = r * n_uni
+            r = r * n_uni
+            r = r / n_bi
+            r = r / float(cx)
+            r = r / float(cy)
+            rows.append((b, int(nxy), math.floor(math.log(r) * 1e6)))
+        return pd.DataFrame(rows, columns=["bigram", "n_xy", "pmi_micros"])
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        idx = pc.select_k_unstable(
+            batch, k, [("pmi_micros", "descending"), ("bigram", "ascending")]
+        )
+        return batch.take(idx)
+
+    return (
+        counts.map_batches(word_rows, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("coarse")
+        .map_groups(join_words, batch_format="pandas")
+        .map_batches(bigram_key, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("coarse2")
+        .map_groups(finish, batch_format="pandas")
+        .map_batches(local_topk, batch_format="pyarrow", zero_copy_batch=True)
+        .sort(["pmi_micros", "bigram"], descending=[True, False])
+        .limit(k)
+    )

@@ -113,6 +113,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "blocklist_filter": filter_ops.blocklist_filter,
         "c4_line_filter": filter_ops.c4_line_filter,
         "bloom_dedup": sketch.bloom_dedup,
+        "pmi_bigrams": analysis.pmi_bigrams,
         # -- approximate sketches --
         "approx_distinct_users": sketch.approx_distinct_users,
         "heavy_hitters": sketch.heavy_hitters,

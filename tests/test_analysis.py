@@ -1,0 +1,50 @@
+"""Unit tests for corpus-analysis operators beyond the oracle gate
+(pmi_bigrams; the rest are exercised via test_oracle)."""
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+class TestPMIBigrams:
+    def _mk_corpus(self, tmp_path):
+        # common filler words everywhere; "zx qv" is a rare pair that
+        # ALWAYS co-occurs -> highest PMI despite low count
+        docs = []
+        for i in range(40):
+            filler = "the cat sat on the mat " * 3
+            if i % 10 == 0:
+                filler += "zx qv "
+            docs.append(filler.strip())
+        t = pa.table(
+            {
+                "doc_id": pa.array(range(len(docs)), pa.int64()),
+                "text": pa.array(docs, pa.string()),
+                "lang": pa.array(["en"] * len(docs)),
+                "source": pa.array(["s"] * len(docs)),
+                "n_chars": pa.array([len(d) for d in docs], pa.int64()),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "documents.parquet"))
+        return str(tmp_path)
+
+    def test_planted_collocation_ranks_first(
+        self, tmp_path, ray_session, quiet_data_context
+    ):
+        from pdf_parser_ray.pipelines.analysis import pmi_bigrams
+
+        sf = self._mk_corpus(tmp_path)
+        df = pmi_bigrams(sf, k=5).to_pandas()
+        assert df.iloc[0]["bigram"] == "zx qv"
+        assert df.iloc[0]["n_xy"] == 4
+        # PMI ordering is strictly decreasing down the list (ties broken
+        # by bigram, but the planted pair is strictly strongest)
+        assert df.iloc[0]["pmi_micros"] > df.iloc[1]["pmi_micros"]
+
+    def test_min_count_threshold(self, tmp_path, ray_session, quiet_data_context):
+        from pdf_parser_ray.pipelines.analysis import PMI_MIN_COUNT, pmi_bigrams
+
+        sf = self._mk_corpus(tmp_path)
+        df = pmi_bigrams(sf, k=100).to_pandas()
+        assert (df["n_xy"] >= PMI_MIN_COUNT).all()
+        # once-only pairs never surface
+        assert "qv the" not in set(df["bigram"])
