@@ -1218,6 +1218,20 @@ def _pmi_sql(k: int = 20) -> str:
     )
 
 
+def _split_sql() -> str:
+    """Mirror of filter.leakage_safe_split: md5-hex-slice hash of the
+    SOURCE decides the split for every doc in that source."""
+    from pdf_parser_ray.pipelines.filter import VAL_PERMILLE
+
+    h = "CAST(('0x' || substr(md5(source), 1, 15)) AS BIGINT)"
+    return (
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id, source,"
+        f" CASE WHEN {h} % 1000 < {VAL_PERMILLE} THEN 'val'"
+        " ELSE 'train' END AS split"
+        " FROM documents"
+    )
+
+
 def _bloom_sql() -> str:
     """Mirror of sketch.bloom_dedup: the set of SET BITS in a Bloom
     filter equals the set of all base-key positions, so SQL membership
@@ -1345,6 +1359,7 @@ def oracle_sql() -> dict[str, str]:
         "c4_line_filter": _c4_sql(),
         "bloom_dedup": _bloom_sql(),
         "pmi_bigrams": _pmi_sql(),
+        "leakage_safe_split": _split_sql(),
         "chunk_documents": (
             # mirror of pack.chunk_documents: 0-based chunk starts every
             # 32 words (greatest(...,1) gives empty docs one empty

@@ -494,3 +494,48 @@ def c4_line_filter(sf_dir: str) -> rd.Dataset:
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
         run, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+# -- leakage-safe train/validation split -------------------------------------
+
+# Split assignment hashes the GROUP key (source), never the document:
+# every page from one source lands in the same split, so near-dups and
+# boilerplate siblings (which cluster within a source) cannot straddle
+# the train/val boundary and leak evaluation data into training.  The
+# hash is an md5 hex slice -> int (same device as sketch.bloom_dedup),
+# so the DuckDB oracle reproduces it exactly.
+VAL_PERMILLE = 150
+
+
+def split_of(source: str, val_permille: int = VAL_PERMILLE) -> str:
+    import hashlib
+
+    h = int(hashlib.md5(source.encode("utf-8")).hexdigest()[:15], 16)
+    return "val" if h % 1000 < val_permille else "train"
+
+
+def leakage_safe_split(sf_dir: str) -> rd.Dataset:
+    """(doc_id, source, split): deterministic group-aware train/val
+    assignment — hash the source, not the doc.  One stateless
+    map_batches pass (the hash IS the routing; no shuffle, no driver
+    state, trivially resumable), with the per-batch source->split map
+    memoized since source cardinality << row count."""
+
+    def assign(batch: pa.Table) -> pa.Table:
+        srcs = batch.column("source").to_pylist()
+        memo: dict[str, str] = {}
+        splits = [
+            memo.setdefault(s, split_of(s)) if s not in memo else memo[s]
+            for s in srcs
+        ]
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "source": batch.column("source"),
+                "split": pa.array(splits, pa.string()),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "source"]).map_batches(
+        assign, batch_format="pyarrow", zero_copy_batch=True
+    )

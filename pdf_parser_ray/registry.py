@@ -114,6 +114,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "c4_line_filter": filter_ops.c4_line_filter,
         "bloom_dedup": sketch.bloom_dedup,
         "pmi_bigrams": analysis.pmi_bigrams,
+        "leakage_safe_split": filter_ops.leakage_safe_split,
         # -- approximate sketches --
         "approx_distinct_users": sketch.approx_distinct_users,
         "heavy_hitters": sketch.heavy_hitters,

@@ -274,3 +274,29 @@ class TestC4LineFilter:
         assert len(kept) > 0
         for t in kept["clean_text"].head(20):
             assert all(c4_line_keep(ln) for ln in t.split("\n"))
+
+
+class TestLeakageSafeSplit:
+    def test_group_atomicity_and_balance(self, ray_session, quiet_data_context):
+        """The leakage-safety property: a source never straddles the
+        boundary, and both splits are populated."""
+        from pdf_parser_ray.pipelines.filter import leakage_safe_split
+
+        df = leakage_safe_split("/root/testdata/sf0.01").to_pandas()
+        per_source = df.groupby("source")["split"].nunique()
+        assert (per_source == 1).all()
+        assert set(df["split"].unique()) == {"train", "val"}
+
+    def test_deterministic(self):
+        from pdf_parser_ray.pipelines.filter import split_of
+
+        assert split_of("web-03") == split_of("web-03")
+        # permille sweep is monotone: raising the cut only moves
+        # sources from train to val, never the reverse
+        for s in ("a", "b", "c", "web-1", "web-2"):
+            seen_val = False
+            for pm in range(0, 1001, 100):
+                v = split_of(s, pm) == "val"
+                assert v or not seen_val
+                seen_val = seen_val or v
+            assert split_of(s, 1000) == "val"
