@@ -1218,6 +1218,35 @@ def _pmi_sql(k: int = 20) -> str:
     )
 
 
+def _knn_ivfkm_sql(query_vec_id: int = 0, k: int = 10) -> str:
+    """Mirror of similarity.knn_ivf_kmeans: the unrolled-Lloyd CTEs
+    give the final centroids and assignment; the query's nprobe
+    nearest centroids (ORDER BY dist, j — the same tie order as the
+    numpy lexsort) define the candidate set; exact cosine micros rank
+    within it."""
+    from pdf_parser_ray.pipelines.cluster import KM_ITERS
+    from pdf_parser_ray.pipelines.similarity import IVFKM_NPROBE
+
+    ctes, asg = _kmeans_rounds_sql(_RAW_VECS_SQL)
+    return (
+        f"WITH {ctes},"
+        f" qd AS (SELECT c.j, sum((q.x - c.c) * (q.x - c.c)) AS dd"
+        f"  FROM (SELECT d, x FROM ed WHERE vec_id = {query_vec_id}) q"
+        f"  JOIN cent{KM_ITERS} c ON q.d = c.d GROUP BY c.j),"
+        " probe AS (SELECT j FROM (SELECT j,"
+        "   ROW_NUMBER() OVER (ORDER BY dd, j) AS rn FROM qd)"
+        f"  WHERE rn <= {IVFKM_NPROBE}),"
+        f" qv AS (SELECT e FROM vv WHERE vec_id = {query_vec_id})"
+        " SELECT CAST(a.vec_id AS BIGINT) AS vec_id,"
+        "  CAST(trunc(list_cosine_similarity(v.e, qv.e) * 1000000)"
+        "    AS BIGINT) AS cos_micros"
+        f" FROM {asg} a JOIN probe p ON a.j = p.j"
+        " JOIN vv v ON v.vec_id = a.vec_id, qv"
+        f" WHERE a.vec_id != {query_vec_id}"
+        f" ORDER BY cos_micros DESC, vec_id LIMIT {k}"
+    )
+
+
 def _split_sql() -> str:
     """Mirror of filter.leakage_safe_split: md5-hex-slice hash of the
     SOURCE decides the split for every doc in that source."""
@@ -1360,6 +1389,7 @@ def oracle_sql() -> dict[str, str]:
         "bloom_dedup": _bloom_sql(),
         "pmi_bigrams": _pmi_sql(),
         "leakage_safe_split": _split_sql(),
+        "knn_ivf_kmeans": _knn_ivfkm_sql(),
         "chunk_documents": (
             # mirror of pack.chunk_documents: 0-based chunk starts every
             # 32 words (greatest(...,1) gives empty docs one empty

@@ -289,3 +289,119 @@ def knn_ivf(sf_dir: str, query_vec_id: int = 0, k: int = 10) -> rd.Dataset:
         .sort(["cos_micros", "vec_id"], descending=[True, False])
         .limit(k)
     )
+
+
+# -- k-means-trained IVF (real inverted-file ANN) ----------------------------
+
+_IVFKM_VERSION = 1
+IVFKM_NPROBE = 2
+
+
+def build_ivf_kmeans_index(sf_dir: str, index_dir: str) -> str:
+    """The classic IVF build: fit KM_K coarse centroids with the SAME
+    distributed Lloyd's loop as cluster.kmeans_embeddings (per-batch
+    partial sums, constant driver state), then one assignment pass
+    writes the corpus parquet PARTITIONED BY nearest-centroid cluster.
+    Unlike the signature index (:func:`build_ivf_index`), the
+    partitions adapt to the data distribution — the standard trade:
+    a training pass buys better recall per probed fraction.  Centroids
+    persist beside the partitions for the query side; idempotent via
+    _DONE, crash-safe via the tmp-dir sweep."""
+    import shutil
+
+    from .cluster import KM_ITERS, KM_K, _assign, _emb_dim, _fit_centroids
+
+    done = os.path.join(index_dir, "_DONE")
+    cents_path = os.path.join(index_dir, "centroids.npy")
+    if os.path.exists(done):
+        return index_dir
+    shutil.rmtree(index_dir + ".tmp", ignore_errors=True)
+    shutil.rmtree(index_dir, ignore_errors=True)
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+
+    def make_ds():
+        return read_parquet_clean(
+            emb_path,
+            columns=["vec_id", "embedding"],
+            override_num_blocks=_blocks_for(emb_path),
+        )
+
+    cents = _fit_centroids(make_ds, _emb_dim(emb_path), KM_K, KM_ITERS)
+
+    def add_cluster(batch: pa.Table) -> pa.Table:
+        vecs = list_column_matrix(batch.column("embedding"))
+        a = _assign(vecs, cents) if len(vecs) else np.zeros(0, np.int64)
+        return batch.append_column("cluster", pa.array(a.astype(np.int64)))
+
+    tmp = index_dir + ".tmp"
+    make_ds().map_batches(
+        add_cluster, batch_format="pyarrow", zero_copy_batch=True
+    ).write_parquet(tmp, partition_cols=["cluster"])
+    os.replace(tmp, index_dir)
+    np.save(cents_path, cents)
+    with open(done, "w") as f:
+        f.write("ok")
+    return index_dir
+
+
+def knn_ivf_kmeans(
+    sf_dir: str, query_vec_id: int = 0, k: int = 10, nprobe: int = IVFKM_NPROBE
+) -> rd.Dataset:
+    """(vec_id, cos_micros): approximate top-k against the k-means IVF
+    index — the query probes only its ``nprobe`` nearest-centroid
+    partitions (ties to the lowest cluster id, the same order the
+    assignment and the SQL oracle use), i.e. ~nprobe/KM_K of the
+    corpus leaves storage.  Within the probed partitions: exact
+    cosine, micros-truncated local top-k, tiny global sort."""
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    index_dir = os.path.join(_IVF_CACHE_ROOT, tag, f"ivfkm_v{_IVFKM_VERSION}")
+    os.makedirs(os.path.dirname(index_dir), exist_ok=True)
+    build_ivf_kmeans_index(sf_dir, index_dir)
+
+    cents = np.load(os.path.join(index_dir, "centroids.npy"))
+    q = _query_vector(sf_dir, query_vec_id)
+    dd = ((q[None, :] - cents) ** 2).sum(axis=1)
+    probe = np.lexsort((np.arange(len(cents)), dd))[:nprobe].tolist()
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        ids, vecs = _ids_vecs(batch)
+        mask = ids != query_vec_id
+        ids, vecs = ids[mask], vecs[mask]
+        if len(ids) == 0:
+            return pa.table(
+                {
+                    "vec_id": pa.array([], pa.int64()),
+                    "cos_micros": pa.array([], pa.int64()),
+                }
+            )
+        micros = np.trunc(_batch_cosine(vecs, q) * 1_000_000).astype(np.int64)
+        ids, micros = _local_topk_micros(ids, micros, k)
+        return pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "cos_micros": pa.array(micros, pa.int64()),
+            }
+        )
+
+    paths = [
+        os.path.join(index_dir, f"cluster={c}", f)
+        for c in probe
+        if os.path.isdir(os.path.join(index_dir, f"cluster={c}"))
+        for f in sorted(os.listdir(os.path.join(index_dir, f"cluster={c}")))
+        if f.endswith(".parquet")
+    ]
+    if not paths:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "vec_id": pa.array([], pa.int64()),
+                    "cos_micros": pa.array([], pa.int64()),
+                }
+            )
+        )
+    ds = read_parquet_clean(paths, columns=["vec_id", "embedding"])
+    return (
+        ds.map_batches(local_topk, batch_format="pyarrow", zero_copy_batch=True)
+        .sort(["cos_micros", "vec_id"], descending=[True, False])
+        .limit(k)
+    )

@@ -115,6 +115,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_dedup": sketch.bloom_dedup,
         "pmi_bigrams": analysis.pmi_bigrams,
         "leakage_safe_split": filter_ops.leakage_safe_split,
+        "knn_ivf_kmeans": similarity.knn_ivf_kmeans,
         # -- approximate sketches --
         "approx_distinct_users": sketch.approx_distinct_users,
         "heavy_hitters": sketch.heavy_hitters,

@@ -316,3 +316,80 @@ class TestSMBJoin:
 
         ds = copartitioned_order_customer(self.SF).materialize()
         assert "AllToAll" not in ds.stats() and "Sort" not in ds.stats()
+
+
+class TestIVFKMeans:
+    SF = "/root/testdata/sf0.001"
+
+    def test_partitions_match_assignment(self, ray_session, quiet_data_context):
+        """Every vector sits in the partition of its nearest final
+        centroid (ties to the lowest cluster id) — the invariant the
+        probe-time pruning relies on."""
+        import os
+
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from pdf_parser_ray.pipelines.cluster import _assign
+        from pdf_parser_ray.pipelines.similarity import (
+            _IVF_CACHE_ROOT,
+            _IVFKM_VERSION,
+            knn_ivf_kmeans,
+        )
+
+        assert len(knn_ivf_kmeans(self.SF).to_pandas()) > 0  # builds
+        index_dir = os.path.join(
+            _IVF_CACHE_ROOT, "sf0.001", f"ivfkm_v{_IVFKM_VERSION}"
+        )
+        cents = np.load(os.path.join(index_dir, "centroids.npy"))
+        seen = 0
+        for d in os.listdir(index_dir):
+            if not d.startswith("cluster="):
+                continue
+            c = int(d.split("=")[1])
+            t = pq.read_table(os.path.join(index_dir, d))
+            vecs = np.array(t.column("embedding").to_pylist(), np.float64)
+            seen += len(vecs)
+            assert (_assign(vecs, cents) == c).all(), f"cluster {c}"
+        assert seen > 0
+
+    def test_probed_fraction_sublinear(self, ray_session, quiet_data_context):
+        """nprobe=2 of KM_K=8 partitions: the query must touch well
+        under half the corpus rows."""
+        import os
+
+        import pyarrow.parquet as pq
+
+        from pdf_parser_ray.pipelines.cluster import KM_K
+        from pdf_parser_ray.pipelines.similarity import (
+            _IVF_CACHE_ROOT,
+            _IVFKM_VERSION,
+            IVFKM_NPROBE,
+            knn_ivf_kmeans,
+        )
+
+        knn_ivf_kmeans(self.SF).materialize()
+        index_dir = os.path.join(
+            _IVF_CACHE_ROOT, "sf0.001", f"ivfkm_v{_IVFKM_VERSION}"
+        )
+        sizes = {
+            int(d.split("=")[1]): pq.read_table(
+                os.path.join(index_dir, d), columns=["vec_id"]
+            ).num_rows
+            for d in os.listdir(index_dir)
+            if d.startswith("cluster=")
+        }
+        total = sum(sizes.values())
+        worst_probe = sum(sorted(sizes.values())[-IVFKM_NPROBE:])
+        assert IVFKM_NPROBE < KM_K
+        assert worst_probe < total  # pruning is real even worst-case
+
+    def test_recall_vs_exact(self, ray_session, quiet_data_context):
+        """The probed top-k must overlap the exact top-k (the query's
+        own cluster is always probed, so near neighbors that share the
+        cluster are found)."""
+        from pdf_parser_ray.pipelines.similarity import knn_cosine, knn_ivf_kmeans
+
+        approx = set(knn_ivf_kmeans(self.SF).to_pandas()["vec_id"])
+        exact = set(knn_cosine(self.SF).to_pandas()["vec_id"])
+        assert len(approx & exact) >= len(exact) // 2
