@@ -90,10 +90,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # region_revenue is orders_by_nation's multi-hop variant on the
         # same _dim_rollup; the others are thin groupby/top-k/filter
         # variants), the round-3 additions (incremental/normalized
-        # dedup, stratified_sample, chunk_documents — oracle-backed in
-        # tests/test_oracle.py; displacing a gated slot would cost an
-        # established driver-green row), then the rows-only
-        # approximations and multimodal stages.
+        # dedup, stratified_sample, chunk_documents, copartitioned_join,
+        # c4_line_filter, bloom_dedup, pmi_bigrams, leakage_safe_split,
+        # knn_ivf_kmeans — each oracle-backed in tests/test_oracle.py;
+        # displacing a gated slot would cost an established
+        # driver-green row), then the rows-only approximations and
+        # multimodal stages.
         "knn_lsh": similarity.knn_lsh,
         "perplexity_scores": partial(
             analysis.perplexity_scores, vocab_cap=analysis.ORACLE_VOCAB_CAP
