@@ -1390,6 +1390,19 @@ def oracle_sql() -> dict[str, str]:
         "pmi_bigrams": _pmi_sql(),
         "leakage_safe_split": _split_sql(),
         "knn_ivf_kmeans": _knn_ivfkm_sql(),
+        "incremental_events_hourly": (
+            # full recompute over ALL events — the incremental merge
+            # must equal it exactly (merge == recompute)
+            "SELECT event_type, date_trunc('hour', ts) AS hour_start,"
+            " CAST(count(*) AS BIGINT) AS n,"
+            " CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)"
+            "   AS total_cents,"
+            " CAST(min(CAST(round(value * 100) AS BIGINT)) AS BIGINT)"
+            "   AS min_cents,"
+            " CAST(max(CAST(round(value * 100) AS BIGINT)) AS BIGINT)"
+            "   AS max_cents"
+            " FROM events GROUP BY event_type, date_trunc('hour', ts)"
+        ),
         "chunk_documents": (
             # mirror of pack.chunk_documents: 0-based chunk starts every
             # 32 words (greatest(...,1) gives empty docs one empty

@@ -919,3 +919,121 @@ def _smb_oc_schema() -> pa.Schema:
             ("c_mktsegment", pa.string()),
         ]
     )
+
+
+# -- incremental materialized rollup -----------------------------------------
+
+_MV_VERSION = 1
+MV_DELTA_MOD = 8  # event_id % 8 == 0 is the late-arriving delta shard
+
+
+def _shard_filter(delta: bool):
+    """Vectorized base/delta shard mask (Ray's filter expr has no
+    modulo support)."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        ids = batch.column("event_id").to_numpy(zero_copy_only=False)
+        m = (ids % MV_DELTA_MOD == 0) if delta else (ids % MV_DELTA_MOD != 0)
+        return batch.filter(pa.array(m))
+
+    return f
+
+
+def _hourly_rollup(ds: rd.Dataset) -> rd.Dataset:
+    """The shared hourly-rollup shape of :func:`events_hourly`, applied
+    to an arbitrary events dataset (base or delta)."""
+
+    def window_key(batch: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(batch.column("ts"), unit="hour")
+        cents = pc.cast(
+            pc.round(pc.multiply(batch.column("value"), 100.0)), pa.int64()
+        )
+        return pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "hour_start": hour,
+                "cents": cents,
+            }
+        )
+
+    return (
+        ds.map_batches(window_key, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["event_type", "hour_start"])
+        .aggregate(
+            Count(alias_name="n"),
+            Sum("cents", alias_name="total_cents"),
+            Min("cents", alias_name="min_cents"),
+            Max("cents", alias_name="max_cents"),
+        )
+    )
+
+
+def _widen_hour(batch: pa.Table) -> pa.Table:
+    i = batch.schema.get_field_index("hour_start")
+    return batch.set_column(
+        i, "hour_start", batch.column("hour_start").cast(pa.timestamp("us"))
+    )
+
+
+def build_events_rollup(sf_dir: str, out_dir: str) -> str:
+    """'Yesterday's materialized view' stand-in: the hourly rollup of
+    the BASE events shard (event_id % MV_DELTA_MOD != 0), written once
+    to partitioned parquet.  Idempotent via _DONE, crash-safe via the
+    tmp sweep — the same build discipline as the IVF/SMB indexes."""
+    import shutil
+
+    done = os.path.join(out_dir, "_DONE")
+    if os.path.exists(done):
+        return out_dir
+    shutil.rmtree(out_dir + ".tmp", ignore_errors=True)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    base = _t(sf_dir, "events", ["event_id", "ts", "event_type", "value"]).map_batches(
+        _shard_filter(False), batch_format="pyarrow", zero_copy_batch=True
+    )
+    tmp = out_dir + ".tmp"
+    _hourly_rollup(base).map_batches(
+        _widen_hour, batch_format="pyarrow", zero_copy_batch=True
+    ).write_parquet(tmp)
+    os.replace(tmp, out_dir)
+    with open(done, "w") as f:
+        f.write("ok")
+    return out_dir
+
+
+def incremental_events_hourly(sf_dir: str) -> rd.Dataset:
+    """(event_type, hour_start, n, total_cents, min_cents, max_cents):
+    the events_hourly rollup maintained INCREMENTALLY — read the cached
+    base rollup parquet (never the base events), aggregate only the
+    late-arriving delta shard, and merge the two rollups with the
+    mergeable forms of each aggregate (sum-of-n, sum, min, max).
+
+    The 100-TB story: appending a day to a year-long materialized view
+    costs O(delta + rollup), not O(history) — the historical events are
+    not re-read (pinned by the tamper test: edits to the cached rollup
+    flow straight into the output).  The oracle is the full recompute
+    over ALL events, proving merge == recompute."""
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    out_dir = os.path.join(
+        "/tmp/pdf_parser_ray_index", tag, f"mv_v{_MV_VERSION}_events_hourly"
+    )
+    os.makedirs(os.path.dirname(out_dir), exist_ok=True)
+    build_events_rollup(sf_dir, out_dir)
+
+    base = read_parquet_clean(out_dir)
+    delta_events = _t(
+        sf_dir, "events", ["event_id", "ts", "event_type", "value"]
+    ).map_batches(_shard_filter(True), batch_format="pyarrow", zero_copy_batch=True)
+    delta = _hourly_rollup(delta_events).map_batches(
+        _widen_hour, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return (
+        base.union(delta)
+        .groupby(["event_type", "hour_start"])
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("total_cents", alias_name="total_cents"),
+            Min("min_cents", alias_name="min_cents"),
+            Max("max_cents", alias_name="max_cents"),
+        )
+        .map_batches(_widen_hour, batch_format="pyarrow", zero_copy_batch=True)
+    )

@@ -393,3 +393,81 @@ class TestIVFKMeans:
         approx = set(knn_ivf_kmeans(self.SF).to_pandas()["vec_id"])
         exact = set(knn_cosine(self.SF).to_pandas()["vec_id"])
         assert len(approx & exact) >= len(exact) // 2
+
+
+class TestIncrementalRollup:
+    SF = "/root/testdata/sf0.001"
+
+    def _cache_dir(self):
+        import os
+
+        from pdf_parser_ray.pipelines.relational import _MV_VERSION
+
+        return os.path.join(
+            "/tmp/pdf_parser_ray_index", "sf0.001",
+            f"mv_v{_MV_VERSION}_events_hourly",
+        )
+
+    def test_merge_equals_recompute(self, ray_session, quiet_data_context):
+        import shutil
+
+        import pandas as pd
+
+        from pdf_parser_ray.pipelines.relational import (
+            events_hourly,
+            incremental_events_hourly,
+        )
+
+        shutil.rmtree(self._cache_dir(), ignore_errors=True)
+        key = ["event_type", "hour_start"]
+        inc = incremental_events_hourly(self.SF).to_pandas()
+        full = events_hourly(self.SF).to_pandas()
+        pd.testing.assert_frame_equal(
+            inc.sort_values(key).reset_index(drop=True),
+            full.sort_values(key).reset_index(drop=True),
+            check_dtype=False,
+        )
+
+    def test_cached_rollup_is_read_not_recomputed(
+        self, ray_session, quiet_data_context
+    ):
+        """Tamper the cached base rollup: the edit must flow straight
+        into the merged output — proof the history shard is served from
+        the materialized parquet, not re-aggregated."""
+        import glob
+        import os
+        import shutil
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pdf_parser_ray.pipelines.relational import (
+            incremental_events_hourly,
+        )
+
+        cache = self._cache_dir()
+        shutil.rmtree(cache, ignore_errors=True)
+        before = incremental_events_hourly(self.SF).to_pandas()
+        f = sorted(glob.glob(os.path.join(cache, "*.parquet")))[0]
+        t = pq.read_table(f)
+        n = t.column("n").to_pylist()
+        n[0] += 1000
+        t = t.set_column(t.schema.get_field_index("n"), "n",
+                         pa.array(n, t.schema.field("n").type))
+        pq.write_table(t, f)
+        after = incremental_events_hourly(self.SF).to_pandas()
+        assert after["n"].sum() == before["n"].sum() + 1000
+        shutil.rmtree(cache, ignore_errors=True)  # leave a clean cache
+
+    def test_build_idempotent(self, ray_session, quiet_data_context):
+        import os
+        import time
+
+        from pdf_parser_ray.pipelines.relational import build_events_rollup
+
+        cache = self._cache_dir()
+        build_events_rollup(self.SF, cache)
+        assert os.path.exists(os.path.join(cache, "_DONE"))
+        t0 = time.perf_counter()
+        build_events_rollup(self.SF, cache)
+        assert time.perf_counter() - t0 < 0.05  # _DONE short-circuits
