@@ -1183,6 +1183,28 @@ def _c4_sql() -> str:
     )
 
 
+def _vocab_sql() -> str:
+    """Mirror of analysis.vocab_coverage: top-V vocabulary by
+    (count DESC, word ASC) with integer cumulative coverage."""
+    from pdf_parser_ray.pipelines.analysis import VOCAB_TOP_V
+
+    return (
+        f"WITH w AS (SELECT unnest({_WORDS_EXPR}) AS word FROM documents),"
+        " c AS (SELECT word, CAST(count(*) AS BIGINT) AS n"
+        "   FROM w GROUP BY word),"
+        " tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM c),"
+        " top AS (SELECT word, n,"
+        "   CAST(ROW_NUMBER() OVER (ORDER BY n DESC, word) AS BIGINT)"
+        "     AS rank FROM c ORDER BY n DESC, word"
+        f"   LIMIT {VOCAB_TOP_V})"
+        " SELECT rank, word, n,"
+        "  CAST(SUM(n) OVER (ORDER BY rank) AS BIGINT) AS cum_n,"
+        "  CAST(SUM(n) OVER (ORDER BY rank) * 1000000 // tot.t AS BIGINT)"
+        "    AS coverage_micros"
+        " FROM top, tot"
+    )
+
+
 def _pmi_sql(k: int = 20) -> str:
     """Mirror of analysis.pmi_bigrams: unigram/bigram corpus counts,
     pmi = ln(((((c_xy * N_uni) * N_uni) / N_bi) / c_x) / c_y) floored
@@ -1388,6 +1410,7 @@ def oracle_sql() -> dict[str, str]:
         "c4_line_filter": _c4_sql(),
         "bloom_dedup": _bloom_sql(),
         "pmi_bigrams": _pmi_sql(),
+        "vocab_coverage": _vocab_sql(),
         "leakage_safe_split": _split_sql(),
         "knn_ivf_kmeans": _knn_ivfkm_sql(),
         "incremental_events_hourly": (

@@ -1102,3 +1102,81 @@ def pmi_bigrams(sf_dir: str, k: int = 20) -> rd.Dataset:
         .sort(["pmi_micros", "bigram"], descending=[True, False])
         .limit(k)
     )
+
+
+# -- vocabulary construction -------------------------------------------------
+
+VOCAB_TOP_V = 50
+
+
+def vocab_coverage(sf_dir: str, v: int = VOCAB_TOP_V) -> "pd.DataFrame":
+    """(rank, word, n, cum_n, coverage_micros): the top-V corpus
+    vocabulary by (count DESC, word ASC) with cumulative token
+    coverage — the artifact a tokenizer build starts from.
+
+    Scale shape: in-batch partial counts → one coarse-bucket groupby
+    (vocabulary-sized rows) → per-block local top-V prune → global
+    sort over ≤ V × blocks candidates → LIMIT V.  The corpus total
+    comes from per-block partial sums (the driver adds one int per
+    block).  Only the final V rows (bounded by definition) leave the
+    cluster; coverage is pure integer arithmetic (cum * 1e6 // total)
+    so the oracle hashes exactly."""
+    import zlib
+    from collections import Counter
+
+    import pandas as pd
+
+    def partials(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for text in batch.column("text").to_pylist():
+            c.update(text.split())
+        words = list(c.keys())
+        return pa.table(
+            {
+                "coarse": pa.array(
+                    [zlib.crc32(w.encode()) % 64 for w in words], pa.int64()
+                ),
+                "word": pa.array(words, pa.string()),
+                "n": pa.array(list(c.values()), pa.int64()),
+            }
+        )
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("word", as_index=False)["n"].sum()
+
+    counts = (
+        _docs(sf_dir, ["text"])
+        .map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("coarse")
+        .map_groups(combine, batch_format="pandas")
+        .materialize()
+    )
+
+    def block_total(batch: pa.Table) -> pa.Table:
+        n = batch.column("n").to_numpy(zero_copy_only=False)
+        return pa.table({"t": pa.array([int(n.sum())], pa.int64())})
+
+    total = sum(
+        r["t"]
+        for r in counts.map_batches(
+            block_total, batch_format="pyarrow", zero_copy_batch=True
+        ).take_all()
+    )
+
+    def local_topv(batch: pa.Table) -> pa.Table:
+        idx = pc.select_k_unstable(
+            batch, v, [("n", "descending"), ("word", "ascending")]
+        )
+        return batch.take(idx)
+
+    top = (
+        counts.map_batches(local_topv, batch_format="pyarrow", zero_copy_batch=True)
+        .sort(["n", "word"], descending=[True, False])
+        .limit(v)
+        .to_pandas()
+    )
+    top = top[["word", "n"]]
+    top.insert(0, "rank", range(1, len(top) + 1))
+    top["cum_n"] = top["n"].cumsum()
+    top["coverage_micros"] = top["cum_n"] * 1_000_000 // int(total)
+    return top

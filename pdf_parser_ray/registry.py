@@ -119,6 +119,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "leakage_safe_split": filter_ops.leakage_safe_split,
         "knn_ivf_kmeans": similarity.knn_ivf_kmeans,
         "incremental_events_hourly": relational.incremental_events_hourly,
+        "vocab_coverage": analysis.vocab_coverage,
         # -- approximate sketches --
         "approx_distinct_users": sketch.approx_distinct_users,
         "heavy_hitters": sketch.heavy_hitters,

@@ -48,3 +48,22 @@ class TestPMIBigrams:
         assert (df["n_xy"] >= PMI_MIN_COUNT).all()
         # once-only pairs never surface
         assert "qv the" not in set(df["bigram"])
+
+
+class TestVocabCoverage:
+    def test_monotone_and_complete(self, ray_session, quiet_data_context):
+        from pdf_parser_ray.pipelines.analysis import vocab_coverage
+
+        df = vocab_coverage("/root/testdata/sf0.001")
+        assert list(df["rank"]) == list(range(1, len(df) + 1))
+        assert (df["n"].diff().dropna() <= 0).all()  # count-descending
+        assert (df["coverage_micros"].diff().dropna() > 0).all()
+        # the 31-word synthetic vocab fits inside V=50 -> full coverage
+        assert df["coverage_micros"].iloc[-1] == 1_000_000
+
+    def test_v_cap_binds(self, ray_session, quiet_data_context):
+        from pdf_parser_ray.pipelines.analysis import vocab_coverage
+
+        df = vocab_coverage("/root/testdata/sf0.001", v=5)
+        assert len(df) == 5
+        assert df["coverage_micros"].iloc[-1] < 1_000_000
