@@ -1020,12 +1020,50 @@ def incremental_events_hourly(sf_dir: str) -> rd.Dataset:
     build_events_rollup(sf_dir, out_dir)
 
     base = read_parquet_clean(out_dir)
-    delta_events = _t(
+
+    def delta_partials(batch: pa.Table) -> pa.Table:
+        # in-batch Arrow hash aggregate (the lineitem_agg partial
+        # pattern): the query pays ONE merge exchange total — the
+        # base rollup rows and the delta's per-batch partial rows go
+        # straight into the same mergeable groupby (a separate global
+        # delta aggregate measured ~2 s of fixed AllToAll overhead)
+        ids = batch.column("event_id").to_numpy(zero_copy_only=False)
+        batch = batch.filter(pa.array(ids % MV_DELTA_MOD == 0))
+        t = pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "hour_start": pc.cast(
+                    pc.floor_temporal(batch.column("ts"), unit="hour"),
+                    pa.timestamp("us"),
+                ),
+                "cents": pc.cast(
+                    pc.round(pc.multiply(batch.column("value"), 100.0)),
+                    pa.int64(),
+                ),
+            }
+        )
+        g = t.group_by(["event_type", "hour_start"]).aggregate(
+            [
+                ("cents", "count"),
+                ("cents", "sum"),
+                ("cents", "min"),
+                ("cents", "max"),
+            ]
+        )
+        return pa.table(
+            {
+                "event_type": g.column("event_type"),
+                "hour_start": g.column("hour_start"),
+                "n": pc.cast(g.column("cents_count"), pa.int64()),
+                "total_cents": g.column("cents_sum"),
+                "min_cents": g.column("cents_min"),
+                "max_cents": g.column("cents_max"),
+            }
+        )
+
+    delta = _t(
         sf_dir, "events", ["event_id", "ts", "event_type", "value"]
-    ).map_batches(_shard_filter(True), batch_format="pyarrow", zero_copy_batch=True)
-    delta = _hourly_rollup(delta_events).map_batches(
-        _widen_hour, batch_format="pyarrow", zero_copy_batch=True
-    )
+    ).map_batches(delta_partials, batch_format="pyarrow", zero_copy_batch=True)
     return (
         base.union(delta)
         .groupby(["event_type", "hour_start"])
