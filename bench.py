@@ -248,6 +248,12 @@ def run_bench() -> dict:
 
     timed("bloom_dedup", sketch_ops.bloom_dedup)
     timed("copartitioned_join", relational.copartitioned_order_customer)
+    timed("pmi_bigrams", analysis.pmi_bigrams)
+    timed("incremental_events_hourly", relational.incremental_events_hourly)
+
+    t = time.perf_counter()
+    analysis.vocab_coverage(SF_DIR)  # returns a small DataFrame
+    timings["vocab_coverage"] = time.perf_counter() - t
 
     from pdf_parser_ray.pipelines.curate import curate_pages
     from pdf_parser_ray.pipelines.extract import (

@@ -950,17 +950,20 @@ def pmi_bigrams(sf_dir: str, k: int = 20) -> rd.Dataset:
     p(xy) = c_xy / N_bi and p(w) = c_w / N_uni, floored to integer
     micros, over bigrams seen >= PMI_MIN_COUNT times.
 
-    Scale shape (no corpus-sized exchange, no whole-vocab broadcast):
-    1. unigram AND bigram counts combine inside each batch, then ONE
-       coarse-bucket groupby (crc32(gram) % 64) sums globally —
-       vocabulary-sized partial rows only.
-    2. corpus totals (N_uni, N_bi) come from per-block partial sums —
-       the driver adds two ints per block, never sees a gram.
-    3. each qualifying bigram emits two probe half-rows keyed by its
-       words; a word-keyed co-shuffle attaches c_x / c_y (exact string
-       merge inside the bucket — no hashed-key collision risk), and a
-       bigram-keyed regroup combines the sides and computes the PMI.
-    4. per-batch local top-k bounds the final sort at k rows per batch.
+    Scale shape (no corpus-sized exchange, no whole-vocab broadcast,
+    TWO AllToAll passes total + a ≤ k×batches sort):
+    1. each batch emits partial unigram-count rows keyed by the word
+       and partial bigram half-rows keyed by each side's word — the
+       counting exchange and the count-attachment exchange are FUSED:
+       inside a word bucket the partials sum to global counts (every
+       partial of a word, and of a bigram keyed by that side, lands in
+       the same bucket), the min-count filter binds, and c_x / c_y
+       attach by exact string merge.  Per-group total rows
+       (partitioned partials of N_uni / N_bi) ride the same output.
+    2. the vocabulary-sized half-row output materializes once; the
+       driver folds the ≤ #buckets total rows into two scalars.
+    3. a bigram-keyed regroup combines the two sides and computes the
+       PMI; per-batch local top-k bounds the final sort.
     The word-count table is never collected or broadcast (contrast the
     deliberately-capped broadcast models in unigram_logprob and
     friends: the top-V cap there changes results; a co-shuffle here
@@ -969,6 +972,8 @@ def pmi_bigrams(sf_dir: str, k: int = 20) -> rd.Dataset:
     import zlib
     from collections import Counter
 
+    import pandas as pd
+
     def partials(batch: pa.Table) -> pa.Table:
         uni: Counter = Counter()
         bi: Counter = Counter()
@@ -976,98 +981,107 @@ def pmi_bigrams(sf_dir: str, k: int = 20) -> rd.Dataset:
             words = text.split()
             uni.update(words)
             bi.update(f"{a} {b}" for a, b in zip(words, words[1:]))
-        grams = [*uni.keys(), *bi.keys()]
-        kinds = [0] * len(uni) + [1] * len(bi)
-        ns = [*uni.values(), *bi.values()]
+        wkey, roles, sides, bigrams, ns = [], [], [], [], []
+        for w, c in uni.items():
+            wkey.append(w)
+            roles.append(0)
+            sides.append(0)
+            bigrams.append("")
+            ns.append(c)
+        for g, c in bi.items():
+            for side, w in enumerate(g.split(" "), start=1):
+                wkey.append(w)
+                roles.append(1)
+                sides.append(side)
+                bigrams.append(g)
+                ns.append(c)
         return pa.table(
             {
                 "coarse": pa.array(
-                    [zlib.crc32(g.encode()) % _PMI_COARSE for g in grams],
+                    [zlib.crc32(w.encode()) % _PMI_COARSE for w in wkey],
                     pa.int64(),
                 ),
-                "kind": pa.array(kinds, pa.int8()),
-                "gram": pa.array(grams, pa.string()),
+                "word": pa.array(wkey, pa.string()),
+                "role": pa.array(roles, pa.int8()),
+                "side": pa.array(sides, pa.int8()),
+                "bigram": pa.array(bigrams, pa.string()),
                 "n": pa.array(ns, pa.int64()),
             }
         )
 
-    def combine(df: pd.DataFrame) -> pd.DataFrame:
-        return df.groupby(["kind", "gram"], as_index=False)["n"].sum()
+    def join_words(df: pd.DataFrame) -> pd.DataFrame:
+        u = (
+            df.loc[df["role"] == 0]
+            .groupby("word", as_index=False)["n"]
+            .sum()
+            .rename(columns={"n": "c_w"})
+        )
+        p = (
+            df.loc[df["role"] == 1]
+            .groupby(["bigram", "side", "word"], as_index=False)["n"]
+            .sum()
+        )
+        # totals partials: every unigram count lands in exactly one
+        # bucket; side-1 half-rows partition the bigrams
+        tot = pd.DataFrame(
+            {
+                "bigram": [""],
+                "side": [0],
+                "n": [0],
+                "c_w": [0],
+                "n_uni_part": [int(u["c_w"].sum())],
+                "n_bi_part": [int(p.loc[p["side"] == 1, "n"].sum())],
+            }
+        )
+        p = p[p["n"] >= PMI_MIN_COUNT].merge(u, on="word")[
+            ["bigram", "side", "n", "c_w"]
+        ]
+        p["n_uni_part"] = 0
+        p["n_bi_part"] = 0
+        return pd.concat([p, tot], ignore_index=True)
 
-    import pandas as pd
-
-    counts = (
+    sided = (
         _docs(sf_dir, ["text"])
         .map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("coarse")
-        .map_groups(combine, batch_format="pandas")
+        .map_groups(join_words, batch_format="pandas")
         .materialize()
     )
 
     def block_totals(batch: pa.Table) -> pa.Table:
-        kind = batch.column("kind").to_numpy(zero_copy_only=False)
-        n = batch.column("n").to_numpy(zero_copy_only=False)
         return pa.table(
             {
-                "n_uni": pa.array([int(n[kind == 0].sum())], pa.int64()),
-                "n_bi": pa.array([int(n[kind == 1].sum())], pa.int64()),
+                "u": pa.array(
+                    [int(batch.column("n_uni_part").to_numpy().sum())], pa.int64()
+                ),
+                "b": pa.array(
+                    [int(batch.column("n_bi_part").to_numpy().sum())], pa.int64()
+                ),
             }
         )
 
-    tot = counts.map_batches(
+    tot = sided.map_batches(
         block_totals, batch_format="pyarrow", zero_copy_batch=True
     ).take_all()
-    n_uni = float(sum(r["n_uni"] for r in tot))
-    n_bi = float(sum(r["n_bi"] for r in tot))
-
-    def word_rows(batch: pa.Table) -> pa.Table:
-        kind = batch.column("kind").to_numpy(zero_copy_only=False)
-        grams = batch.column("gram").to_pylist()
-        n = batch.column("n").to_numpy(zero_copy_only=False)
-        words, roles, sides, bigrams, n_xy, cnt = [], [], [], [], [], []
-        for kd, g, c in zip(kind, grams, n):
-            if kd == 0:
-                words.append(g)
-                roles.append(0)
-                sides.append(0)
-                bigrams.append("")
-                n_xy.append(0)
-                cnt.append(int(c))
-            elif c >= PMI_MIN_COUNT:
-                for side, w in enumerate(g.split(" "), start=1):
-                    words.append(w)
-                    roles.append(1)
-                    sides.append(side)
-                    bigrams.append(g)
-                    n_xy.append(int(c))
-                    cnt.append(0)
-        return pa.table(
-            {
-                "coarse": pa.array(
-                    [zlib.crc32(w.encode()) % _PMI_COARSE for w in words],
-                    pa.int64(),
-                ),
-                "word": pa.array(words, pa.string()),
-                "role": pa.array(roles, pa.int8()),
-                "side": pa.array(sides, pa.int8()),
-                "bigram": pa.array(bigrams, pa.string()),
-                "n_xy": pa.array(n_xy, pa.int64()),
-                "cnt": pa.array(cnt, pa.int64()),
-            }
-        )
-
-    def join_words(df: pd.DataFrame) -> pd.DataFrame:
-        u = df.loc[df["role"] == 0, ["word", "cnt"]].rename(columns={"cnt": "c_w"})
-        p = df.loc[df["role"] == 1, ["word", "side", "bigram", "n_xy"]]
-        return p.merge(u, on="word")[["bigram", "side", "n_xy", "c_w"]]
+    n_uni = float(sum(r["u"] for r in tot))
+    n_bi = float(sum(r["b"] for r in tot))
 
     def bigram_key(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(
+            pc.not_equal(batch.column("side"), pa.scalar(0, pa.int8()))
+        )
         bgs = batch.column("bigram").to_pylist()
-        return batch.append_column(
-            "coarse2",
-            pa.array(
-                [zlib.crc32(b.encode()) % _PMI_COARSE for b in bgs], pa.int64()
-            ),
+        return pa.table(
+            {
+                "coarse2": pa.array(
+                    [zlib.crc32(b.encode()) % _PMI_COARSE for b in bgs],
+                    pa.int64(),
+                ),
+                "bigram": batch.column("bigram"),
+                "side": batch.column("side"),
+                "n_xy": batch.column("n"),
+                "c_w": batch.column("c_w"),
+            }
         )
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
@@ -1092,10 +1106,7 @@ def pmi_bigrams(sf_dir: str, k: int = 20) -> rd.Dataset:
         return batch.take(idx)
 
     return (
-        counts.map_batches(word_rows, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("coarse")
-        .map_groups(join_words, batch_format="pandas")
-        .map_batches(bigram_key, batch_format="pyarrow", zero_copy_batch=True)
+        sided.map_batches(bigram_key, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("coarse2")
         .map_groups(finish, batch_format="pandas")
         .map_batches(local_topk, batch_format="pyarrow", zero_copy_batch=True)
