@@ -1119,17 +1119,13 @@ def _pack_sql() -> str:
     )
 
 
-def _c4_sql() -> str:
-    """Mirror of filter.c4_line_filter: rebuild the identical
-    deterministic multi-line page (6-word lines, (doc_id + 7*j) % 5
-    decorations, page markers on line 0), apply the C4 line predicate
-    (terminal punctuation, >= 3 words, no 'javascript') and the ordered
-    page rules (curly brace, lorem ipsum, < 3 retained sentences)."""
-    from pdf_parser_ray.pipelines.filter import (
-        C4_LINE_WORDS as LW,
-        C4_MIN_LINE_WORDS,
-        C4_MIN_SENTENCES,
-    )
+def _c4_lines_cte() -> str:
+    """Shared CTE chain rebuilding the deterministic multi-line page of
+    filter.synth_page_lines: defines ``w`` (words), ``l`` (line index
+    explode with per-doc line count ``nl``) and ``d`` (doc_id, nl, j,
+    line) — used by the c4_line_filter and dedup_lines_within_doc
+    oracles."""
+    from pdf_parser_ray.pipelines.filter import C4_LINE_WORDS as LW
 
     def seg(hi: int) -> str:
         return (
@@ -1138,11 +1134,13 @@ def _c4_sql() -> str:
         )
 
     return (
-        f"WITH w AS (SELECT doc_id, {_WORDS_EXPR} AS ws FROM documents),"
-        " l AS (SELECT doc_id, ws, unnest(range(0,"
+        f"w AS (SELECT doc_id, {_WORDS_EXPR} AS ws FROM documents),"
+        " l AS (SELECT doc_id, ws,"
+        f"   greatest(CAST(ceil(len(ws) / {LW}.0) AS BIGINT), 1) AS nl,"
+        "   unnest(range(0,"
         f"   greatest(CAST(ceil(len(ws) / {LW}.0) AS BIGINT), 1), 1)) AS j"
         "   FROM w),"
-        " d AS (SELECT doc_id, j,"
+        " d AS (SELECT doc_id, nl, j,"
         "   CASE CAST((doc_id + 7 * j) % 5 AS INT)"
         f"     WHEN 0 THEN {seg(LW)} || '.'"
         f"     WHEN 1 THEN {seg(LW)} || '!'"
@@ -1153,7 +1151,23 @@ def _c4_sql() -> str:
         "   || CASE WHEN j = 0 AND doc_id % 13 = 0 THEN ' {' ELSE '' END"
         "   || CASE WHEN j = 0 AND doc_id % 17 = 3 THEN ' lorem ipsum.'"
         "      ELSE '' END AS line"
-        "  FROM l),"
+        "  FROM l)"
+    )
+
+
+def _c4_sql() -> str:
+    """Mirror of filter.c4_line_filter: rebuild the identical
+    deterministic multi-line page (shared CTE), apply the C4 line
+    predicate (terminal punctuation, >= 3 words, no 'javascript') and
+    the ordered page rules (curly brace, lorem ipsum, < 3 retained
+    sentences)."""
+    from pdf_parser_ray.pipelines.filter import (
+        C4_MIN_LINE_WORDS,
+        C4_MIN_SENTENCES,
+    )
+
+    return (
+        f"WITH {_c4_lines_cte()},"
         " k AS (SELECT doc_id, j, line,"
         "   CASE WHEN regexp_matches(line, '[.!?\"]$')"
         "     AND len(list_filter(string_split(line, ' '), x -> x <> ''))"
@@ -1180,6 +1194,28 @@ def _c4_sql() -> str:
         f"  CASE WHEN curly = 0 AND lorem = 0 AND n_kept >= {C4_MIN_SENTENCES}"
         "    THEN clean ELSE '' END AS clean_text"
         " FROM agg"
+    )
+
+
+def _withindoc_sql() -> str:
+    """Mirror of filter.dedup_lines_within_doc: the shared synthesized
+    page plus the planted duplicate (line doc_id % nl appended at
+    j = nl), then first-occurrence dedup per (doc_id, line)."""
+    return (
+        f"WITH {_c4_lines_cte()},"
+        " extra AS (SELECT doc_id, nl, nl AS j, line FROM d"
+        "   WHERE j = doc_id % nl),"
+        " allr AS (SELECT doc_id, j, line FROM d"
+        "   UNION ALL SELECT doc_id, j, line FROM extra),"
+        " k AS (SELECT doc_id, j, line, ROW_NUMBER() OVER"
+        "   (PARTITION BY doc_id, line ORDER BY j) AS rn FROM allr)"
+        " SELECT CAST(doc_id AS BIGINT) AS doc_id,"
+        "  CAST(count(*) AS BIGINT) AS n_lines,"
+        "  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)"
+        "    AS n_unique,"
+        "  string_agg(CASE WHEN rn = 1 THEN line END, chr(10) ORDER BY j)"
+        "    AS clean_text"
+        " FROM k GROUP BY doc_id"
     )
 
 
@@ -1408,6 +1444,7 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": _decontaminate_sql(),
         "pack_sequences": _pack_sql(),
         "c4_line_filter": _c4_sql(),
+        "dedup_lines_within_doc": _withindoc_sql(),
         "bloom_dedup": _bloom_sql(),
         "pmi_bigrams": _pmi_sql(),
         "vocab_coverage": _vocab_sql(),

@@ -539,3 +539,47 @@ def leakage_safe_split(sf_dir: str) -> rd.Dataset:
     return _docs(sf_dir, ["doc_id", "source"]).map_batches(
         assign, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+# -- within-document line dedup ----------------------------------------------
+
+
+def dedup_lines_within_doc(sf_dir: str) -> rd.Dataset:
+    """(doc_id, n_lines, n_unique, clean_text): remove repeated lines
+    WITHIN each document, keeping the first occurrence in order — the
+    Gopher/Dolma in-document boilerplate rule, complementary to the
+    corpus-frequency `extract.line_dedup`.  Pages are the same
+    deterministic synthesis as :func:`c4_line_filter` plus one planted
+    duplicate (a copy of line ``doc_id % n_lines`` appended) so the
+    rule provably fires on every document; the SQL oracle rebuilds the
+    identical page.  Pure per-document map_batches — no shuffle, no
+    state, the dedup set lives and dies inside the row."""
+
+    def run(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        n_lines, n_unique, cleans = [], [], []
+        for i, t in zip(ids, texts):
+            lines = synth_page_lines(i, t)
+            lines.append(lines[i % len(lines)])
+            seen: set[str] = set()
+            kept = []
+            for ln in lines:
+                if ln not in seen:
+                    seen.add(ln)
+                    kept.append(ln)
+            n_lines.append(len(lines))
+            n_unique.append(len(kept))
+            cleans.append("\n".join(kept))
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_lines": pa.array(n_lines, pa.int64()),
+                "n_unique": pa.array(n_unique, pa.int64()),
+                "clean_text": pa.array(cleans, pa.string()),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        run, batch_format="pyarrow", zero_copy_batch=True
+    )

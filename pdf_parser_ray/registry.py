@@ -120,6 +120,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf_kmeans": similarity.knn_ivf_kmeans,
         "incremental_events_hourly": relational.incremental_events_hourly,
         "vocab_coverage": analysis.vocab_coverage,
+        "dedup_lines_within_doc": filter_ops.dedup_lines_within_doc,
         # -- approximate sketches --
         "approx_distinct_users": sketch.approx_distinct_users,
         "heavy_hitters": sketch.heavy_hitters,

@@ -300,3 +300,33 @@ class TestLeakageSafeSplit:
                 assert v or not seen_val
                 seen_val = seen_val or v
             assert split_of(s, 1000) == "val"
+
+
+class TestWithinDocLineDedup:
+    def test_planted_dup_removed_first_kept(self, ray_session, quiet_data_context):
+        from pdf_parser_ray.pipelines.filter import (
+            dedup_lines_within_doc,
+            synth_page_lines,
+        )
+
+        df = dedup_lines_within_doc("/root/testdata/sf0.001").to_pandas()
+        # the planted duplicate guarantees n_unique < n_lines everywhere
+        assert (df["n_unique"] < df["n_lines"]).all()
+        # spot-check: clean keeps first occurrences in original order
+        row = df.iloc[0]
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(
+            "/root/testdata/sf0.001/documents.parquet",
+            columns=["doc_id", "text"],
+        )
+        texts = dict(zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()))
+        i = int(row["doc_id"])
+        lines = synth_page_lines(i, texts[i])
+        lines.append(lines[i % len(lines)])
+        seen, kept = set(), []
+        for ln in lines:
+            if ln not in seen:
+                seen.add(ln)
+                kept.append(ln)
+        assert row["clean_text"] == "\n".join(kept)
