@@ -445,3 +445,68 @@ def canonical_urls(pages_dir: str) -> rd.Dataset:
     return read_parquet_clean(pages_dir, columns=["url"]).map_batches(
         transform, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+# -- JSONL pages interchange --------------------------------------------------
+
+# Newline-delimited JSON round-trip for the pages corpus (the
+# interchange format crawl tooling emits): binary payloads travel
+# base64, timestamps as epoch micros.  Closes the loop with the job
+# sink's `--format jsonl` so one job's JSONL output region can feed
+# another engine — and vice versa — without parquet in between.
+
+
+def write_pages_jsonl(pages: rd.Dataset, out_dir: str) -> str:
+    import base64
+
+    import pyarrow.compute as pc
+
+    def enc(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "url": batch.column("url"),
+                "warc_ts_us": pc.cast(batch.column("warc_ts"), pa.int64()),
+                "html_b64": pa.array(
+                    [
+                        base64.b64encode(x).decode("ascii")
+                        for x in batch.column("html").to_pylist()
+                    ],
+                    pa.string(),
+                ),
+                "text": batch.column("text"),
+                "lang": batch.column("lang"),
+            }
+        )
+
+    pages.map_batches(enc, batch_format="pyarrow", zero_copy_batch=True).write_json(
+        out_dir
+    )
+    return out_dir
+
+
+def read_pages_jsonl(paths: "str | list[str]", **read_kwargs: Any) -> rd.Dataset:
+    """A pages Dataset from JSONL shards, schema-identical to
+    :func:`read_pages` — the decode is a per-batch stage, so the
+    extraction pipeline downstream is byte-for-byte the parquet path."""
+    import base64
+
+    def dec(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "url": batch.column("url"),
+                "warc_ts": batch.column("warc_ts_us").cast(pa.timestamp("us")),
+                "html": pa.array(
+                    [
+                        base64.b64decode(x)
+                        for x in batch.column("html_b64").to_pylist()
+                    ],
+                    pa.binary(),
+                ),
+                "text": batch.column("text"),
+                "lang": batch.column("lang"),
+            }
+        )
+
+    return rd.read_json(paths, **read_kwargs).map_batches(
+        dec, batch_format="pyarrow", zero_copy_batch=True
+    )

@@ -220,3 +220,43 @@ class TestLineDedupBound:
         assert len(frequent_line_hashes(extracted, 20)) <= len(
             frequent_line_hashes(extracted, 5)
         )
+
+
+class TestJsonlPagesSource:
+    def test_roundtrip_extraction_identical(
+        self, ray_session, quiet_data_context, tmp_path
+    ):
+        """pages -> JSONL -> pages -> extraction must equal the parquet
+        path byte-for-byte (schema and content_sha256 multiset)."""
+        import os
+
+        from pdf_parser_ray.fixtures.gen import synthesize_to_dir
+        from pdf_parser_ray.pipelines.extract import (
+            build_extraction_pipeline,
+            read_pages,
+            read_pages_jsonl,
+            write_pages_jsonl,
+        )
+
+        cache = "/tmp/pdf_parser_ray_cache/sf0.001"
+        os.makedirs(cache, exist_ok=True)
+        pages_dir, _ = synthesize_to_dir("/root/testdata/sf0.001", cache)
+        out = str(tmp_path / "pages_jsonl")
+        write_pages_jsonl(read_pages(pages_dir), out)
+
+        via_parquet = (
+            build_extraction_pipeline(read_pages(pages_dir))
+            .to_pandas()
+            .sort_values("url")
+            .reset_index(drop=True)
+        )
+        via_jsonl = (
+            build_extraction_pipeline(read_pages_jsonl(out))
+            .to_pandas()
+            .sort_values("url")
+            .reset_index(drop=True)
+        )
+        assert list(via_parquet.columns) == list(via_jsonl.columns)
+        import pandas as pd
+
+        pd.testing.assert_frame_equal(via_parquet, via_jsonl)
