@@ -1445,6 +1445,18 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences": _pack_sql(),
         "c4_line_filter": _c4_sql(),
         "dedup_lines_within_doc": _withindoc_sql(),
+        "user_running_totals": (
+            # mirror of relational.user_running_totals: the unbounded-
+            # preceding running window, (ts, event_id) orders ties
+            "SELECT CAST(event_id AS BIGINT) AS event_id,"
+            " CAST(user_id AS BIGINT) AS user_id,"
+            " CAST(ROW_NUMBER() OVER w AS BIGINT) AS run_n,"
+            " CAST(SUM(CAST(round(value * 100) AS BIGINT)) OVER w"
+            "   AS BIGINT) AS run_cents"
+            " FROM events WINDOW w AS (PARTITION BY user_id"
+            "   ORDER BY ts, event_id"
+            "   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+        ),
         "bloom_dedup": _bloom_sql(),
         "pmi_bigrams": _pmi_sql(),
         "vocab_coverage": _vocab_sql(),

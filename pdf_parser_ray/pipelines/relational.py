@@ -1075,3 +1075,53 @@ def incremental_events_hourly(sf_dir: str) -> rd.Dataset:
         )
         .map_batches(_widen_hour, batch_format="pyarrow", zero_copy_batch=True)
     )
+
+
+def user_running_totals(sf_dir: str) -> rd.Dataset:
+    """(event_id, user_id, run_n, run_cents): per-user RUNNING count and
+    cumulative value over the event stream ordered by (ts, event_id) —
+    the unbounded-preceding window aggregate (the tumbling/sliding
+    windows above report per-window rows; this one carries state down
+    an ordered partition).
+
+    Scale shape: one coarse user-bucket co-shuffle (the sessionize
+    pattern), then a vectorized pandas sort + grouped cumsum inside
+    each group handles thousands of users at once.  Partitioning
+    assumption: one user's events fit in a coarse group."""
+    import pandas as pd
+
+    coarse_buckets = 256
+
+    def add_coarse(batch: pa.Table) -> pa.Table:
+        u = batch.column("user_id").to_numpy(zero_copy_only=False)
+        cents = pc.cast(
+            pc.round(pc.multiply(batch.column("value"), 100.0)), pa.int64()
+        )
+        return pa.table(
+            {
+                "coarse": pa.array((u % coarse_buckets).astype(np.int32)),
+                "event_id": batch.column("event_id"),
+                "user_id": batch.column("user_id"),
+                "ts": batch.column("ts"),
+                "cents": cents,
+            }
+        )
+
+    def running(g: pd.DataFrame) -> pd.DataFrame:
+        df = g.sort_values(["user_id", "ts", "event_id"])
+        grp = df.groupby("user_id", sort=False)
+        return pd.DataFrame(
+            {
+                "event_id": df["event_id"].to_numpy(),
+                "user_id": df["user_id"].to_numpy(),
+                "run_n": grp.cumcount().to_numpy().astype(np.int64) + 1,
+                "run_cents": grp["cents"].cumsum().to_numpy().astype(np.int64),
+            }
+        )
+
+    return (
+        _t(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+        .map_batches(add_coarse, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("coarse")
+        .map_groups(running, batch_format="pandas")
+    )

@@ -121,6 +121,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_events_hourly": relational.incremental_events_hourly,
         "vocab_coverage": analysis.vocab_coverage,
         "dedup_lines_within_doc": filter_ops.dedup_lines_within_doc,
+        "user_running_totals": relational.user_running_totals,
         # -- approximate sketches --
         "approx_distinct_users": sketch.approx_distinct_users,
         "heavy_hitters": sketch.heavy_hitters,
