@@ -1445,6 +1445,18 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences": _pack_sql(),
         "c4_line_filter": _c4_sql(),
         "dedup_lines_within_doc": _withindoc_sql(),
+        "label_centroids": (
+            # mirror of cluster.label_centroids: floor-to-micros BEFORE
+            # the sum keeps the aggregate order-free and exact
+            "SELECT CAST(label AS BIGINT) AS label,"
+            " CAST(i - 1 AS BIGINT) AS d,"
+            " CAST(sum(CAST(floor(CAST(e[CAST(i AS INT)] AS DOUBLE)"
+            "   * 1000000) AS BIGINT)) AS BIGINT) AS sum_micros,"
+            " CAST(count(*) AS BIGINT) AS n"
+            " FROM (SELECT label, embedding AS e,"
+            "   unnest(range(1, len(embedding) + 1)) AS i FROM embeddings)"
+            " GROUP BY label, i"
+        ),
         "user_running_totals": (
             # mirror of relational.user_running_totals: the unbounded-
             # preceding running window, (ts, event_id) orders ties

@@ -244,3 +244,68 @@ def semantic_dedup(
         .groupby("cluster")
         .map_groups(prune, batch_format="pandas")
     )
+
+
+def label_centroids(sf_dir: str) -> rd.Dataset:
+    """(label, d, sum_micros, n): per-label embedding centroid as EXACT
+    per-dimension integer sums — each component floors to micros BEFORE
+    summation, so the aggregate is order-free and the SQL oracle hashes
+    identically (a float sum would depend on reduction order).  The
+    mean is sum_micros / n downstream.
+
+    Scale shape: per-batch partial (label, component-sum vector, n)
+    rows — one narrow row per label per batch — then a label groupby
+    combines partials and explodes to (label, d) rows.  The exchange
+    carries labels × blocks rows, never vectors."""
+    import os
+
+    import pandas as pd
+
+    from .dedup import _blocks_for
+    from .io_util import list_column_matrix, read_parquet_clean
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    ds = read_parquet_clean(
+        path,
+        columns=["label", "embedding"],
+        override_num_blocks=_blocks_for(path),
+    )
+
+    def partials(batch: pa.Table) -> pa.Table:
+        vecs = list_column_matrix(batch.column("embedding"))
+        micros = np.floor(vecs * 1_000_000).astype(np.int64)
+        labels = batch.column("label").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        uniq = np.unique(labels)
+        dim = micros.shape[1] if len(micros) else 0
+        sums = np.zeros((len(uniq), dim), np.int64)
+        ns = np.zeros(len(uniq), np.int64)
+        idx = np.searchsorted(uniq, labels)
+        np.add.at(sums, idx, micros)
+        np.add.at(ns, idx, 1)
+        return pa.table(
+            {
+                "label": pa.array(uniq),
+                "state": pa.array(sums.tolist(), pa.list_(pa.int64())),
+                "n": pa.array(ns),
+            }
+        )
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        s = np.array(g["state"].tolist(), np.int64).sum(axis=0)
+        rows = pd.DataFrame(
+            {
+                "label": int(g["label"].iloc[0]),
+                "d": np.arange(len(s), dtype=np.int64),
+                "sum_micros": s,
+                "n": int(g["n"].sum()),
+            }
+        )
+        return rows
+
+    return (
+        ds.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("label")
+        .map_groups(combine, batch_format="pandas")
+    )
