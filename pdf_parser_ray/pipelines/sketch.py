@@ -388,6 +388,11 @@ def bloom_dedup(sf_dir: str) -> rd.Dataset:
     _REDUCE_FAN = 16
 
     def partial_bits(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:  # a filtered block can come up empty
+            return pa.table(
+                {"fan": pa.array([], pa.int64()),
+                 "bits": pa.array([], pa.binary())}
+            )
         pos = bloom_positions(batch.column("text").to_pylist())
         bits = np.zeros(BLOOM_BITS // 8, np.uint8)
         flat = pos.ravel()
