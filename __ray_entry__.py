@@ -533,6 +533,22 @@ def _quality_filter_sql() -> str:
     )
 
 
+def _source_quality_sql() -> str:
+    """Mirror of filter.source_quality_filter: the per-document rule
+    CASE aggregated per source, integer ok-rate threshold."""
+    from pdf_parser_ray.pipelines.filter import SOURCE_MIN_OK_PCT
+
+    return (
+        f"WITH q AS ({_quality_filter_sql()})"
+        " SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,"
+        "  CAST(sum(q.keep) AS BIGINT) AS n_ok,"
+        f"  CAST(CASE WHEN 100 * sum(q.keep) >= {SOURCE_MIN_OK_PCT}"
+        "    * count(*) THEN 1 ELSE 0 END AS BIGINT) AS keep"
+        " FROM documents d JOIN q ON d.doc_id = q.doc_id"
+        " GROUP BY d.source"
+    )
+
+
 def _pii_sql() -> str:
     """Mirror of filter.pii_scrub over the same synthesized contact
     lines; counts on the original, then SSN -> phone -> email
@@ -1445,6 +1461,7 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences": _pack_sql(),
         "c4_line_filter": _c4_sql(),
         "dedup_lines_within_doc": _withindoc_sql(),
+        "source_quality_filter": _source_quality_sql(),
         "label_centroids": (
             # mirror of cluster.label_centroids: floor-to-micros BEFORE
             # the sum keeps the aggregate order-free and exact

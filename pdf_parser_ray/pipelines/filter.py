@@ -583,3 +583,65 @@ def dedup_lines_within_doc(sf_dir: str) -> rd.Dataset:
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
         run, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+# -- domain-level quality gating ---------------------------------------------
+
+SOURCE_MIN_OK_PCT = 60
+
+
+def source_quality_filter(sf_dir: str) -> rd.Dataset:
+    """(source, n_docs, n_ok, keep): drop WHOLE SOURCES whose share of
+    quality-passing documents falls below SOURCE_MIN_OK_PCT — the
+    domain-level gate crawl curation applies after the per-document
+    one (a spammy domain's few clean pages are usually not worth
+    keeping).  Integer comparison (100*n_ok >= PCT*n_docs) keeps the
+    oracle exact.
+
+    Scale shape: the per-document verdict computes in-batch (same rule
+    table as quality_filter) and collapses to one (source, n, ok)
+    partial row per source per batch — the exchange is
+    source-cardinality × blocks, the text never leaves the stage."""
+    from ray.data.aggregate import Sum
+
+    def partials(batch: pa.Table) -> pa.Table:
+        from .analysis import word_stats_arrays
+
+        stats = word_stats_arrays(batch.column("text"))
+        ok = [
+            1 if quality_verdict(int(w), int(d), int(t), int(s)) == "ok" else 0
+            for w, d, t, s in zip(*stats)
+        ]
+        t = pa.table(
+            {
+                "source": batch.column("source"),
+                "one": pa.array([1] * len(ok), pa.int64()),
+                "ok": pa.array(ok, pa.int64()),
+            }
+        )
+        g = t.group_by("source").aggregate([("one", "sum"), ("ok", "sum")])
+        return pa.table(
+            {
+                "source": g.column("source"),
+                "n_docs": g.column("one_sum"),
+                "n_ok": g.column("ok_sum"),
+            }
+        )
+
+    import numpy as np
+
+    def verdict(batch: pa.Table) -> pa.Table:
+        n = batch.column("n_docs").to_numpy(zero_copy_only=False)
+        ok = batch.column("n_ok").to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "keep",
+            pa.array((100 * ok >= SOURCE_MIN_OK_PCT * n).astype(np.int64)),
+        )
+
+    return (
+        _docs(sf_dir, ["source", "text"])
+        .map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("source")
+        .aggregate(Sum("n_docs", alias_name="n_docs"), Sum("n_ok", alias_name="n_ok"))
+        .map_batches(verdict, batch_format="pyarrow", zero_copy_batch=True)
+    )

@@ -123,6 +123,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_lines_within_doc": filter_ops.dedup_lines_within_doc,
         "user_running_totals": relational.user_running_totals,
         "label_centroids": cluster_ops.label_centroids,
+        "source_quality_filter": filter_ops.source_quality_filter,
         # -- approximate sketches --
         "approx_distinct_users": sketch.approx_distinct_users,
         "heavy_hitters": sketch.heavy_hitters,

@@ -330,3 +330,30 @@ class TestWithinDocLineDedup:
                 seen.add(ln)
                 kept.append(ln)
         assert row["clean_text"] == "\n".join(kept)
+
+
+class TestSourceQualityFilter:
+    def test_threshold_and_consistency(self, ray_session, quiet_data_context):
+        from pdf_parser_ray.pipelines.filter import (
+            SOURCE_MIN_OK_PCT,
+            quality_filter,
+            source_quality_filter,
+        )
+
+        df = source_quality_filter("/root/testdata/sf0.01").to_pandas()
+        assert (
+            (100 * df["n_ok"] >= SOURCE_MIN_OK_PCT * df["n_docs"])
+            == (df["keep"] == 1)
+        ).all()
+        assert 0 < df["keep"].sum() < len(df)  # both classes fire
+        # per-source ok counts agree with the per-document gate
+        import pyarrow.parquet as pq
+
+        q = quality_filter("/root/testdata/sf0.01").to_pandas()
+        src = pq.read_table(
+            "/root/testdata/sf0.01/documents.parquet",
+            columns=["doc_id", "source"],
+        ).to_pandas()
+        merged = q.merge(src, on="doc_id").groupby("source")["keep"].sum()
+        got = dict(zip(df["source"], df["n_ok"]))
+        assert got == merged.to_dict()
