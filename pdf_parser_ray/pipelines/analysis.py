@@ -1191,3 +1191,42 @@ def vocab_coverage(sf_dir: str, v: int = VOCAB_TOP_V) -> "pd.DataFrame":
     top["cum_n"] = top["n"].cumsum()
     top["coverage_micros"] = top["cum_n"] * 1_000_000 // int(total)
     return top
+
+
+# -- compression-ratio quality signal ----------------------------------------
+
+
+def compression_ratio(sf_dir: str) -> rd.Dataset:
+    """(doc_id, raw_len, comp_len, ratio_permille): zlib-level-6
+    compressed size per document — the classic gibberish/boilerplate
+    signal (highly repetitive text compresses far below natural prose;
+    random noise barely compresses).  ratio_permille = comp_len * 1000
+    // raw_len.  Rows-only for the driver: SQL has no zlib, so the
+    check is a value-golden test against the library itself.  One
+    stateless map_batches pass; the C-level compressor is the kernel."""
+    import zlib
+
+    import numpy as np
+
+    def run(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        raw = np.empty(len(texts), np.int64)
+        comp = np.empty(len(texts), np.int64)
+        for i, t in enumerate(texts):
+            b = t.encode("utf-8")
+            raw[i] = len(b)
+            comp[i] = len(zlib.compress(b, 6))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            ratio = np.where(raw > 0, comp * 1000 // np.maximum(raw, 1), 0)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "raw_len": pa.array(raw),
+                "comp_len": pa.array(comp),
+                "ratio_permille": pa.array(ratio.astype(np.int64)),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        run, batch_format="pyarrow", zero_copy_batch=True
+    )

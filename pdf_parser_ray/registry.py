@@ -124,6 +124,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_running_totals": relational.user_running_totals,
         "label_centroids": cluster_ops.label_centroids,
         "source_quality_filter": filter_ops.source_quality_filter,
+        "compression_ratio": analysis.compression_ratio,
         # -- approximate sketches --
         "approx_distinct_users": sketch.approx_distinct_users,
         "heavy_hitters": sketch.heavy_hitters,

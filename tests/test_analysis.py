@@ -67,3 +67,51 @@ class TestVocabCoverage:
         df = vocab_coverage("/root/testdata/sf0.001", v=5)
         assert len(df) == 5
         assert df["coverage_micros"].iloc[-1] < 1_000_000
+
+
+class TestCompressionRatio:
+    def test_golden_against_zlib_and_signal_direction(
+        self, ray_session, quiet_data_context
+    ):
+        import zlib
+
+        import pyarrow.parquet as pq
+
+        from pdf_parser_ray.pipelines.analysis import compression_ratio
+
+        df = (
+            compression_ratio("/root/testdata/sf0.001")
+            .to_pandas()
+            .set_index("doc_id")
+        )
+        t = pq.read_table(
+            "/root/testdata/sf0.001/documents.parquet",
+            columns=["doc_id", "text"],
+        )
+        for i, txt in list(zip(t.column("doc_id").to_pylist(),
+                               t.column("text").to_pylist()))[:25]:
+            b = txt.encode()
+            assert df.loc[i, "raw_len"] == len(b)
+            assert df.loc[i, "comp_len"] == len(zlib.compress(b, 6))
+            assert df.loc[i, "ratio_permille"] == len(zlib.compress(b, 6)) * 1000 // len(b)
+
+    def test_repetitive_compresses_below_diverse(self, tmp_path, ray_session,
+                                                 quiet_data_context):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pdf_parser_ray.pipelines.analysis import compression_ratio
+
+        docs = ["spam " * 200, " ".join(f"w{i}x{i * 7 % 97}" for i in range(200))]
+        t = pa.table(
+            {
+                "doc_id": pa.array([0, 1], pa.int64()),
+                "text": pa.array(docs),
+                "lang": pa.array(["en", "en"]),
+                "source": pa.array(["s", "s"]),
+                "n_chars": pa.array([len(d) for d in docs], pa.int64()),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "documents.parquet"))
+        df = compression_ratio(str(tmp_path)).to_pandas().set_index("doc_id")
+        assert df.loc[0, "ratio_permille"] < df.loc[1, "ratio_permille"]
