@@ -1230,3 +1230,163 @@ def compression_ratio(sf_dir: str) -> rd.Dataset:
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
         run, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+# -- BPE tokenizer training --------------------------------------------------
+
+BPE_MERGES = 12
+BPE_VOCAB_CAP = 200
+
+
+def _capped_vocab(sf_dir: str, cap: int) -> "pd.DataFrame":
+    """Distributed (word, n) counts pruned to the top ``cap`` by
+    (n DESC, word) — the same shape as vocab_coverage's head, reused as
+    the training table for BPE (classic BPE trains on the weighted
+    word VOCAB, not the token stream, so the only corpus-scale pass is
+    this aggregation)."""
+    import zlib
+    from collections import Counter
+
+    import pandas as pd
+
+    def partials(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for text in batch.column("text").to_pylist():
+            c.update(text.split())
+        words = list(c.keys())
+        return pa.table(
+            {
+                "coarse": pa.array(
+                    [zlib.crc32(w.encode()) % 64 for w in words], pa.int64()
+                ),
+                "word": pa.array(words, pa.string()),
+                "n": pa.array(list(c.values()), pa.int64()),
+            }
+        )
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("word", as_index=False)["n"].sum()
+
+    def local_top(batch: pa.Table) -> pa.Table:
+        idx = pc.select_k_unstable(
+            batch, cap, [("n", "descending"), ("word", "ascending")]
+        )
+        return batch.take(idx)
+
+    return (
+        _docs(sf_dir, ["text"])
+        .map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("coarse")
+        .map_groups(combine, batch_format="pandas")
+        .map_batches(local_top, batch_format="pyarrow", zero_copy_batch=True)
+        .sort(["n", "word"], descending=[True, False])
+        .limit(cap)
+        .to_pandas()
+    )
+
+
+def bpe_merge_loop(
+    vocab: "list[tuple[str, int]]", n_merges: int
+) -> "list[tuple[int, str, str, int]]":
+    """The classic Sennrich BPE loop over a weighted word vocabulary:
+    words start as char sequences + '</w>'; each round counts adjacent
+    symbol pairs (weighted by word count), merges the most frequent
+    (ties to the lexicographically smallest pair — deterministic), and
+    rewrites the sequences.  Pure function of the vocab; the driver
+    runs it on the CAPPED table, so its cost is bounded by cap, never
+    the corpus."""
+    seqs: list[tuple[list[str], int]] = [
+        ([*word, "</w>"], n) for word, n in vocab
+    ]
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        pairs: dict[tuple[str, str], int] = {}
+        for sym, n in seqs:
+            for a, b in zip(sym, sym[1:]):
+                pairs[(a, b)] = pairs.get((a, b), 0) + n
+        if not pairs:
+            break
+        (la, lb), cnt = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        merged = la + lb
+        out = []
+        for sym, n in seqs:
+            i, new = 0, []
+            while i < len(sym):
+                if i + 1 < len(sym) and sym[i] == la and sym[i + 1] == lb:
+                    new.append(merged)
+                    i += 2
+                else:
+                    new.append(sym[i])
+                    i += 1
+            out.append((new, n))
+        seqs = out
+        merges.append((rank, la, lb, cnt))
+    return merges
+
+
+def train_bpe(sf_dir: str, n_merges: int = BPE_MERGES) -> "pd.DataFrame":
+    """(rank, left, right, pair_count): the learned BPE merge table —
+    distributed top-V weighted vocab aggregation (the one corpus-scale
+    pass), then the bounded merge loop on the driver.  Rows-only for
+    the driver (the iterative merge rewrite is not SQL-expressible);
+    pinned in tests by exact equality with an independent reference
+    loop over the same vocab."""
+    import pandas as pd
+
+    vocab_df = _capped_vocab(sf_dir, BPE_VOCAB_CAP)
+    merges = bpe_merge_loop(
+        list(zip(vocab_df["word"], vocab_df["n"])), n_merges
+    )
+    return pd.DataFrame(
+        merges, columns=["rank", "left", "right", "pair_count"]
+    )
+
+
+def bpe_segment_counts(sf_dir: str, n_merges: int = BPE_MERGES) -> rd.Dataset:
+    """(doc_id, n_bpe_tokens): apply the learned merge table corpus-wide
+    and count resulting subword tokens per document — the score-wide
+    half of the train-small/score-wide shape.  The merge table (bounded
+    by n_merges) broadcasts once via ray.put; per-batch the word →
+    segmentation map is memoized, so the merge loop runs once per
+    distinct word per batch, not per token."""
+    import ray
+
+    merges = train_bpe(sf_dir, n_merges)
+    merge_list = list(zip(merges["left"], merges["right"]))
+    ref = ray.put(merge_list)
+
+    def seg_len(word: str, mlist: "list[tuple[str, str]]") -> int:
+        sym = [*word, "</w>"]
+        for la, lb in mlist:
+            i, new = 0, []
+            while i < len(sym):
+                if i + 1 < len(sym) and sym[i] == la and sym[i + 1] == lb:
+                    new.append(la + lb)
+                    i += 2
+                else:
+                    new.append(sym[i])
+                    i += 1
+            sym = new
+        return len(sym)
+
+    def run(batch: pa.Table) -> pa.Table:
+        mlist = ray.get(ref)
+        memo: dict[str, int] = {}
+        counts = []
+        for text in batch.column("text").to_pylist():
+            total = 0
+            for w in text.split():
+                if w not in memo:
+                    memo[w] = seg_len(w, mlist)
+                total += memo[w]
+            counts.append(total)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_bpe_tokens": pa.array(counts, pa.int64()),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        run, batch_format="pyarrow", zero_copy_batch=True
+    )

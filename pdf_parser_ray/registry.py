@@ -125,6 +125,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_centroids": cluster_ops.label_centroids,
         "source_quality_filter": filter_ops.source_quality_filter,
         "compression_ratio": analysis.compression_ratio,
+        "train_bpe": analysis.train_bpe,
+        "bpe_segment_counts": analysis.bpe_segment_counts,
         # -- approximate sketches --
         "approx_distinct_users": sketch.approx_distinct_users,
         "heavy_hitters": sketch.heavy_hitters,

@@ -115,3 +115,80 @@ class TestCompressionRatio:
         pq.write_table(t, str(tmp_path / "documents.parquet"))
         df = compression_ratio(str(tmp_path)).to_pandas().set_index("doc_id")
         assert df.loc[0, "ratio_permille"] < df.loc[1, "ratio_permille"]
+
+
+class TestTrainBPE:
+    def _reference_merges(self, vocab, n_merges):
+        """Independent straight-line BPE reference (kept deliberately
+        different in structure from the pipeline's loop)."""
+        seqs = {i: (tuple(w) + ("</w>",), n) for i, (w, n) in enumerate(vocab)}
+        out = []
+        for rank in range(1, n_merges + 1):
+            from collections import Counter
+
+            pc_ = Counter()
+            for sym, n in seqs.values():
+                for j in range(len(sym) - 1):
+                    pc_[(sym[j], sym[j + 1])] += n
+            if not pc_:
+                break
+            best_pair = sorted(pc_.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+            (a, b), cnt = best_pair
+            nxt = {}
+            for i, (sym, n) in seqs.items():
+                res, j = [], 0
+                while j < len(sym):
+                    if j < len(sym) - 1 and (sym[j], sym[j + 1]) == (a, b):
+                        res.append(a + b)
+                        j += 2
+                    else:
+                        res.append(sym[j])
+                        j += 1
+                nxt[i] = (tuple(res), n)
+            seqs = nxt
+            out.append((rank, a, b, cnt))
+        return out
+
+    def test_exact_equality_with_reference(self, ray_session, quiet_data_context):
+        import duckdb
+
+        from pdf_parser_ray.pipelines.analysis import (
+            BPE_MERGES,
+            BPE_VOCAB_CAP,
+            train_bpe,
+        )
+
+        got = train_bpe("/root/testdata/sf0.01")
+        con = duckdb.connect()
+        vocab = con.sql(
+            "SELECT word, CAST(count(*) AS BIGINT) AS n FROM ("
+            " SELECT unnest(list_filter(regexp_split_to_array(text, '\\s+'),"
+            "   x -> x <> '')) AS word"
+            " FROM read_parquet('/root/testdata/sf0.01/documents.parquet'))"
+            f" GROUP BY word ORDER BY n DESC, word LIMIT {BPE_VOCAB_CAP}"
+        ).fetchall()
+        want = self._reference_merges(vocab, BPE_MERGES)
+        assert list(map(tuple, got.itertuples(index=False))) == want
+        assert len(got) == BPE_MERGES
+
+    def test_segment_counts_consistency(self, ray_session, quiet_data_context):
+        """Subword token count >= word count (merges only ever shorten
+        from the char level, never below one symbol per word) and the
+        fully-merged common word segments shorter than its char count."""
+        import pyarrow.parquet as pq
+
+        from pdf_parser_ray.pipelines.analysis import bpe_segment_counts
+
+        df = bpe_segment_counts("/root/testdata/sf0.001").to_pandas()
+        t = pq.read_table(
+            "/root/testdata/sf0.001/documents.parquet",
+            columns=["doc_id", "text"],
+        )
+        words = {
+            i: txt.split()
+            for i, txt in zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist())
+        }
+        for _, row in df.head(30).iterrows():
+            ws = words[row["doc_id"]]
+            n_chars = sum(len(w) + 1 for w in ws)  # + </w>
+            assert len(ws) <= row["n_bpe_tokens"] <= n_chars
