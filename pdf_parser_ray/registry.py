@@ -92,10 +92,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # variants), the round-3 additions (incremental/normalized
         # dedup, stratified_sample, chunk_documents, copartitioned_join,
         # c4_line_filter, bloom_dedup, pmi_bigrams, leakage_safe_split,
-        # knn_ivf_kmeans — each oracle-backed in tests/test_oracle.py;
-        # displacing a gated slot would cost an established
-        # driver-green row), then the rows-only approximations and
-        # multimodal stages.
+        # knn_ivf_kmeans, incremental_events_hourly, vocab_coverage,
+        # dedup_lines_within_doc, user_running_totals, label_centroids,
+        # source_quality_filter — each oracle-backed in
+        # tests/test_oracle.py; displacing a gated slot would cost an
+        # established driver-green row), then the rows-only
+        # approximations (compression_ratio, train_bpe,
+        # bpe_segment_counts, sketches) and multimodal stages.
         "knn_lsh": similarity.knn_lsh,
         "perplexity_scores": partial(
             analysis.perplexity_scores, vocab_cap=analysis.ORACLE_VOCAB_CAP
