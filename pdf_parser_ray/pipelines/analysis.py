@@ -1238,7 +1238,7 @@ BPE_MERGES = 12
 BPE_VOCAB_CAP = 200
 
 
-def _capped_vocab(sf_dir: str, cap: int) -> "pd.DataFrame":
+def _bpe_training_vocab(sf_dir: str, cap: int) -> "pd.DataFrame":
     """Distributed (word, n) counts pruned to the top ``cap`` by
     (n DESC, word) — the same shape as vocab_coverage's head, reused as
     the training table for BPE (classic BPE trains on the weighted
@@ -1333,7 +1333,7 @@ def train_bpe(sf_dir: str, n_merges: int = BPE_MERGES) -> "pd.DataFrame":
     loop over the same vocab."""
     import pandas as pd
 
-    vocab_df = _capped_vocab(sf_dir, BPE_VOCAB_CAP)
+    vocab_df = _bpe_training_vocab(sf_dir, BPE_VOCAB_CAP)
     merges = bpe_merge_loop(
         list(zip(vocab_df["word"], vocab_df["n"])), n_merges
     )
