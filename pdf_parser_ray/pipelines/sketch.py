@@ -228,73 +228,93 @@ def heavy_hitters(sf_dir: str, k: int = 10, w: int = 4096, d: int = 4) -> rd.Dat
 # -- DDSketch approximate quantiles ------------------------------------------
 
 _DD_ALPHA = 0.01  # relative-error guarantee of the log-bucket histogram
+# Representable positive-value range of the BOUNDED sketch (the paper's
+# collapsing variant): values outside clamp to the edge bucket — counts
+# are never dropped, but a clamped value reports the range edge instead
+# of its true bucket.  [1e-6, 1e12] spans 18 decades; at alpha=0.01
+# that is ~2100 buckets → ~17 KiB of int64 per group, CONSTANT in row
+# count and (unlike a dict) a plain ndarray that Ray's tensor extension
+# stores as native Arrow blocks instead of per-block pickled objects.
+_DD_VMIN = 1e-6
+_DD_VMAX = 1e12
 
 
 def _dd_gamma(alpha: float) -> float:
     return (1.0 + alpha) / (1.0 - alpha)
 
 
-def dd_accumulate(state: dict, vals: np.ndarray, alpha: float) -> dict:
-    """Fold a value batch into the bucket-count dict.  Bucket index =
+def _dd_layout(alpha: float) -> tuple[int, int]:
+    """(min_idx, nbuckets) covering [_DD_VMIN, _DD_VMAX] at this alpha.
+    Slot 0 of the state array is the pinned zero bucket (values <= 0);
+    slot 1+j counts bucket index min_idx+j."""
+    lg = np.log(_dd_gamma(alpha))
+    min_idx = int(np.floor(np.log(_DD_VMIN) / lg))
+    max_idx = int(np.ceil(np.log(_DD_VMAX) / lg)) + 1
+    return min_idx, max_idx - min_idx + 1
+
+
+def dd_init(alpha: float = _DD_ALPHA) -> np.ndarray:
+    """Empty sketch state: a fixed int64 bucket-count array."""
+    _, nbuckets = _dd_layout(alpha)
+    return np.zeros(1 + nbuckets, np.int64)
+
+
+def dd_accumulate(state: np.ndarray, vals: np.ndarray, alpha: float) -> np.ndarray:
+    """Fold a value batch into the bucket-count array.  Bucket index =
     ceil(log_gamma(x)) — every value in bucket i lies within a
     (1±alpha) relative band of gamma^i·2/(gamma+1), the DDSketch
     invariant (public Datadog construction).  Bucket COUNTS add, so the
     merge is order-invariant and rerun-deterministic — unlike
     buffer-compaction sketches (GK/KLL), whose state depends on arrival
     order.  Non-positive values land in the pinned zero bucket (the
-    events stream is positive; the guard keeps the sketch total)."""
+    events stream is positive; the guard keeps the sketch total);
+    values outside [_DD_VMIN, _DD_VMAX] clamp to the edge bucket
+    (bounded collapsing variant — count kept, value clamped)."""
     if len(vals) == 0:
         return state
+    min_idx, nbuckets = _dd_layout(alpha)
     pos = vals[vals > 0]
-    state["zero"] += int(len(vals) - len(pos))
+    state[0] += int(len(vals) - len(pos))
     if len(pos):
         idx = np.ceil(
             np.log(pos) / np.log(_dd_gamma(alpha)) - 1e-12
         ).astype(np.int64)
-        uniq, counts = np.unique(idx, return_counts=True)
-        b = state["b"]
-        for i, c in zip(uniq.tolist(), counts.tolist()):
-            b[i] = b.get(i, 0) + int(c)
+        slots = np.clip(idx - min_idx, 0, nbuckets - 1) + 1
+        state += np.bincount(slots, minlength=len(state)).astype(np.int64)
     return state
 
 
-def dd_merge(a: dict, b: dict) -> dict:
-    out = {"zero": a["zero"] + b["zero"], "b": dict(a["b"])}
-    for i, c in b["b"].items():
-        out["b"][i] = out["b"].get(i, 0) + c
-    return out
+def dd_merge(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    return a + b
 
 
-def dd_quantile_micros(state: dict, q: float, alpha: float) -> int:
+def dd_quantile_micros(state: np.ndarray, q: float, alpha: float) -> int:
     """The q-quantile as integer micros of the bucket's geometric
     midpoint — within alpha relative error of the true item value."""
-    n = state["zero"] + sum(state["b"].values())
+    n = int(state.sum())
     if n == 0:
         return 0
     rank = int(np.ceil(q * n)) if q > 0 else 1
     rank = max(1, min(n, rank))
-    if rank <= state["zero"]:
+    if rank <= state[0]:
         return 0
-    cum = state["zero"]
+    min_idx, _ = _dd_layout(alpha)
+    slot = int(np.searchsorted(np.cumsum(state), rank))
     gamma = _dd_gamma(alpha)
-    for i in sorted(state["b"]):
-        cum += state["b"][i]
-        if cum >= rank:
-            mid = (gamma ** i) * 2.0 / (gamma + 1.0)
-            return int(round(mid * 1_000_000))
-    raise AssertionError("rank exceeded sketch total")  # unreachable
+    mid = (gamma ** (min_idx + slot - 1)) * 2.0 / (gamma + 1.0)
+    return int(round(mid * 1_000_000))
 
 
 def dd_quantile(
     on: str, q: float, alpha: float = _DD_ALPHA, alias_name: str | None = None
 ) -> AggregateFn:
     """A mergeable approximate-quantile aggregate over column ``on``
-    (DDSketch log-bucket histogram, ≤ ``alpha`` relative value error;
-    state size = occupied buckets ≈ log_gamma(max/min), independent of
-    row count).  Completes the sketch trio next to :func:`hll_distinct`
-    and :func:`cms_counts`."""
+    (DDSketch log-bucket histogram, ≤ ``alpha`` relative value error
+    inside [_DD_VMIN, _DD_VMAX]; fixed ndarray state like
+    :func:`hll_distinct` / :func:`cms_counts`, so Ray's aggregate
+    exchange carries native Arrow tensor blocks, not pickled dicts)."""
 
-    def accumulate(state: dict, block) -> dict:
+    def accumulate(state: np.ndarray, block) -> np.ndarray:
         if isinstance(block, pa.Table):
             vals = block.column(on).to_numpy(zero_copy_only=False)
         else:
@@ -302,7 +322,7 @@ def dd_quantile(
         return dd_accumulate(state, vals.astype(np.float64), alpha)
 
     return AggregateFn(
-        init=lambda k: {"zero": 0, "b": {}},
+        init=lambda k: dd_init(alpha),
         accumulate_block=accumulate,
         merge=dd_merge,
         finalize=lambda s: dd_quantile_micros(s, q, alpha),

@@ -122,14 +122,14 @@ class TestDDSketch:
 
     def test_merge_order_invariance(self):
         from pdf_parser_ray.pipelines.sketch import (
-            dd_accumulate, dd_merge, dd_quantile_micros,
+            dd_accumulate, dd_init, dd_merge, dd_quantile_micros,
         )
 
         rng = np.random.default_rng(11)
         vals = rng.lognormal(mean=2.0, sigma=1.5, size=30_000)
-        whole = dd_accumulate({"zero": 0, "b": {}}, vals, self.ALPHA)
+        whole = dd_accumulate(dd_init(self.ALPHA), vals, self.ALPHA)
         parts = [
-            dd_accumulate({"zero": 0, "b": {}}, chunk, self.ALPHA)
+            dd_accumulate(dd_init(self.ALPHA), chunk, self.ALPHA)
             for chunk in np.array_split(vals, 7)
         ]
         # left fold and right fold must agree with the single pass
@@ -139,7 +139,7 @@ class TestDDSketch:
         right = parts[-1]
         for p in reversed(parts[:-1]):
             right = dd_merge(p, right)
-        assert left == whole == right
+        assert np.array_equal(left, whole) and np.array_equal(whole, right)
         for q in (0.5, 0.9, 0.99):
             assert dd_quantile_micros(left, q, self.ALPHA) == dd_quantile_micros(
                 whole, q, self.ALPHA
@@ -147,7 +147,7 @@ class TestDDSketch:
 
     def test_relative_error_bound(self):
         from pdf_parser_ray.pipelines.sketch import (
-            dd_accumulate, dd_quantile_micros,
+            dd_accumulate, dd_init, dd_quantile_micros,
         )
 
         rng = np.random.default_rng(5)
@@ -156,7 +156,7 @@ class TestDDSketch:
             rng.uniform(0.01, 500.0, size=20_000),
             np.concatenate([np.zeros(100), rng.exponential(30.0, 5_000)]),
         ):
-            state = dd_accumulate({"zero": 0, "b": {}}, vals, self.ALPHA)
+            state = dd_accumulate(dd_init(self.ALPHA), vals, self.ALPHA)
             for q in (0.01, 0.25, 0.5, 0.9, 0.99, 1.0):
                 exact = self._exact_rank_value(vals, q)
                 got = dd_quantile_micros(state, q, self.ALPHA) / 1e6
