@@ -1135,6 +1135,29 @@ def _pack_sql() -> str:
     )
 
 
+def _shuffle_sql() -> str:
+    """Mirror of pack.shuffle_shards: the two-affine-rounds-with-xor-fold
+    key is recomputed exactly in BIGINT (every product < 2^62), then
+    shard = key % S and pos = row_number over (shard, ORDER BY key,
+    doc_id) — the distributed two-pass rank collapses to one window."""
+    from pdf_parser_ray.pipelines.pack import (
+        SHUF_A1, SHUF_A2, SHUF_B1, SHUF_B2, SHUF_P, SHUF_SHARDS,
+    )
+
+    return (
+        "WITH r1 AS (SELECT doc_id,"
+        f"   ({SHUF_A1} * (doc_id % {SHUF_P}) + {SHUF_B1}) % {SHUF_P} AS k1"
+        "   FROM documents),"
+        " r2 AS (SELECT doc_id,"
+        f"   ({SHUF_A2} * (xor(k1, k1 >> 17) % {SHUF_P}) + {SHUF_B2})"
+        f"     % {SHUF_P} AS kk FROM r1)"
+        f" SELECT doc_id, kk % {SHUF_SHARDS} AS shard,"
+        f"  row_number() OVER (PARTITION BY kk % {SHUF_SHARDS}"
+        "    ORDER BY kk, doc_id) - 1 AS pos"
+        " FROM r2"
+    )
+
+
 def _c4_lines_cte() -> str:
     """Shared CTE chain rebuilding the deterministic multi-line page of
     filter.synth_page_lines: defines ``w`` (words), ``l`` (line index
@@ -1462,6 +1485,7 @@ def oracle_sql() -> dict[str, str]:
         "c4_line_filter": _c4_sql(),
         "dedup_lines_within_doc": _withindoc_sql(),
         "source_quality_filter": _source_quality_sql(),
+        "shuffle_shards": _shuffle_sql(),
         "label_centroids": (
             # mirror of cluster.label_centroids: floor-to-micros BEFORE
             # the sum keeps the aggregate order-free and exact

@@ -77,6 +77,123 @@ def pack_sequences(
     )
 
 
+# -- deterministic global shuffle + shard export ------------------------------
+
+# Mersenne prime 2^31-1: with multipliers < 2^31 every product stays
+# below 2^62, so the key arithmetic is EXACT in both numpy int64 and
+# DuckDB BIGINT — the whole permutation is SQL-mirrorable.
+SHUF_P = (1 << 31) - 1
+SHUF_A1, SHUF_B1 = 1_103_515_245, 12_345  # affine round 1 (classic LCG)
+SHUF_A2, SHUF_B2 = 48_271, 11  # affine round 2 (Lehmer) after the fold
+SHUF_SHARDS = 16
+SHUF_RANGE_BUCKETS = 64
+
+
+def shuffle_key(doc_ids: np.ndarray) -> np.ndarray:
+    """Pseudorandom int64 shuffle key per doc_id: two affine rounds mod
+    SHUF_P with an xor-shift fold between them.  The fold breaks the
+    affinity of the composition (a pure affine chain would map
+    consecutive ids onto an arithmetic progression — striped, not
+    shuffled); two ids collide only when equal mod SHUF_P, and both
+    sort orders tie-break on doc_id."""
+    x = doc_ids.astype(np.int64) % SHUF_P
+    k1 = (SHUF_A1 * x + SHUF_B1) % SHUF_P
+    k2 = (k1 ^ (k1 >> 17)) % SHUF_P
+    return (SHUF_A2 * k2 + SHUF_B2) % SHUF_P
+
+
+def shuffle_shards(
+    sf_dir: str,
+    shards: int = SHUF_SHARDS,
+    range_buckets: int = SHUF_RANGE_BUCKETS,
+) -> rd.Dataset:
+    """(doc_id, shard, pos): the final training-export step — a seeded
+    deterministic global shuffle.  Docs are hash-assigned to ``shards``
+    output shards (``shard = key % shards``) and ``pos`` is the doc's
+    0-based rank within its shard under the shuffled order
+    (key ASC, doc_id ASC) — i.e. reading each shard by ``pos`` streams
+    the corpus in a reproducible pseudorandom permutation.
+
+    Scale shape (distributed rank, two narrow passes over the int64 id
+    column only — the text never moves):
+
+    1. count pass — per-batch ``np.bincount`` partials over
+       ``sb = shard·B + range_bucket`` (``range_bucket = key·B // P`` is
+       monotone in key), combined through a coarse-bucket map_groups;
+       the driver holds only the ``shards × range_buckets`` count grid
+       (a few KiB, CONSTANT in corpus size) and turns it into per-sb
+       starting offsets.
+    2. rank pass — co-shuffle rows on ``sb``; inside each group one
+       vectorized sort by (key, doc_id) plus the broadcast offset gives
+       the global in-shard position.  A group holds ~corpus/(S·B) rows;
+       raise ``range_buckets`` with the corpus to keep groups
+       task-sized."""
+    import ray
+
+    n_sb = shards * range_buckets
+
+    def narrow(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        key = shuffle_key(ids)
+        sb = (key % shards) * range_buckets + key * range_buckets // SHUF_P
+        return pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "key": pa.array(key),
+                "sb": pa.array(sb),
+            }
+        )
+
+    def count_partials(batch: pa.Table) -> pa.Table:
+        counts = np.bincount(
+            batch.column("sb").to_numpy(zero_copy_only=False), minlength=n_sb
+        )
+        nz = np.nonzero(counts)[0]
+        return pa.table(
+            {
+                "coarse": pa.array((nz % 64).astype(np.int64)),
+                "sb": pa.array(nz.astype(np.int64)),
+                "n": pa.array(counts[nz].astype(np.int64)),
+            }
+        )
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("sb", sort=True)["n"].sum().reset_index()
+        return agg.astype({"sb": np.int64, "n": np.int64})
+
+    narrowed = _docs(sf_dir, ["doc_id"]).map_batches(
+        narrow, batch_format="pyarrow", zero_copy_batch=True
+    )
+    grid = (
+        narrowed.map_batches(
+            count_partials, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("coarse")
+        .map_groups(combine, batch_format="pandas")
+        .to_pandas()  # <= shards*range_buckets rows, constant in corpus
+    )
+    counts = np.zeros(n_sb, np.int64)
+    counts[grid["sb"].to_numpy()] = grid["n"].to_numpy()
+    # offset of each sb = docs in LOWER range buckets of the same shard
+    per_shard = counts.reshape(shards, range_buckets)
+    offsets = (np.cumsum(per_shard, axis=1) - per_shard).reshape(-1)
+    offsets_ref = ray.put(offsets)
+
+    def rank(g: pd.DataFrame) -> pd.DataFrame:
+        offs = ray.get(offsets_ref)
+        g = g.sort_values(["key", "doc_id"])
+        sb = int(g["sb"].iloc[0])
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].to_numpy().astype(np.int64),
+                "shard": np.full(len(g), sb // range_buckets, np.int64),
+                "pos": offs[sb] + np.arange(len(g), dtype=np.int64),
+            }
+        )
+
+    return narrowed.groupby("sb").map_groups(rank, batch_format="pandas")
+
+
 CHUNK_TOKENS = 32
 
 

@@ -357,3 +357,52 @@ class TestSourceQualityFilter:
         merged = q.merge(src, on="doc_id").groupby("source")["keep"].sum()
         got = dict(zip(df["source"], df["n_ok"]))
         assert got == merged.to_dict()
+
+
+class TestShuffleShards:
+    def test_key_is_exact_and_unstriped(self):
+        import numpy as np
+
+        from pdf_parser_ray.pipelines.pack import SHUF_P, shuffle_key
+
+        # int64 arithmetic must be exact even past 2^31 (ids wrap mod P
+        # first, so products stay < 2^62 — no silent float or overflow)
+        big = np.array([0, 1, SHUF_P - 1, SHUF_P, 2**40, 2**52 + 3], np.int64)
+        k = shuffle_key(big)
+        assert k.dtype == np.int64 and (k >= 0).all() and (k < SHUF_P).all()
+        # doc_id = x and x + P collide by construction (mod-P wrap) ...
+        assert k[0] == k[3]
+        # ... but consecutive ids must NOT land in an arithmetic
+        # progression (the xor fold breaks the affine stripe)
+        ks = shuffle_key(np.arange(1000, dtype=np.int64))
+        diffs = np.diff(ks)
+        assert len(np.unique(diffs)) > 100
+
+    def test_positions_are_global_ranks(self, ray_session, quiet_data_context):
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from pdf_parser_ray.pipelines.pack import shuffle_key, shuffle_shards
+
+        sf = "/root/testdata/sf0.001"
+        got = (
+            shuffle_shards(sf, shards=4, range_buckets=8)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        ids = pq.read_table(
+            f"{sf}/documents.parquet", columns=["doc_id"]
+        ).column("doc_id").to_numpy()
+        assert sorted(got["doc_id"]) == sorted(ids.tolist())
+        key = shuffle_key(got["doc_id"].to_numpy())
+        assert (got["shard"].to_numpy() == key % 4).all()
+        # pos = brute-force rank within shard by (key, doc_id)
+        order = np.lexsort((got["doc_id"].to_numpy(), key))
+        expect = np.empty(len(got), np.int64)
+        seen: dict[int, int] = {}
+        for i in order:
+            s = int(key[i] % 4)
+            expect[i] = seen.get(s, 0)
+            seen[s] = expect[i] + 1
+        assert (got["pos"].to_numpy() == expect).all()
