@@ -1135,6 +1135,62 @@ def _pack_sql() -> str:
     )
 
 
+def _perplexity_sql() -> str:
+    """Mirror of analysis.perplexity_scores: interpolated bigram LM
+    (lambda = .75) in floored integer micros.  Unigram table capped at
+    top-V by (count DESC, word ASC); bigram table restricted to
+    capped-vocab pairs, then capped at top-V by (count DESC, w1, w2);
+    N stays the full-corpus token total.  Unseen pair -> 0.25*c2/N
+    backoff; OOV w2 -> 0.25*1/N.  ppl = floor(exp(-lp / (n*1e6)) *
+    1e6), -1 for docs with < 2 words — all arithmetic orders match the
+    Ray pipeline exactly so floor() agrees bit-for-bit.  Shared by the
+    perplexity_scores and ccnet_buckets oracles."""
+    from pdf_parser_ray.pipelines.analysis import (
+        ORACLE_VOCAB_CAP as _VOCAB_CAP_SQL,
+    )
+
+    return (
+        f"WITH wl AS (SELECT doc_id, {_WORDS_EXPR} AS w FROM documents),"
+        " wt AS (SELECT doc_id, unnest(w) AS word FROM wl),"
+        " uc AS (SELECT word, count(*) AS c FROM wt GROUP BY word),"
+        " t AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM uc),"
+        " top AS (SELECT word, c FROM (SELECT word, c,"
+        "   row_number() OVER (ORDER BY c DESC, word) AS rk FROM uc)"
+        f"   WHERE rk <= {_VOCAB_CAP_SQL}),"
+        " b AS (SELECT doc_id, unnest(w[1:len(w)-1]) AS w1,"
+        "   unnest(w[2:len(w)]) AS w2 FROM wl WHERE len(w) >= 2),"
+        " bc AS (SELECT b.w1, b.w2, count(*) AS c12 FROM b"
+        "   JOIN top t1 ON b.w1 = t1.word JOIN top t2 ON b.w2 = t2.word"
+        "   GROUP BY b.w1, b.w2),"
+        " btop AS (SELECT w1, w2, c12 FROM (SELECT w1, w2, c12,"
+        "   row_number() OVER (ORDER BY c12 DESC, w1, w2) AS rk FROM bc)"
+        f"   WHERE rk <= {_VOCAB_CAP_SQL}),"
+        " bm AS (SELECT btop.w1, btop.w2, CAST(floor(ln("
+        "   0.75 * (CAST(btop.c12 AS DOUBLE) / t1.c)"
+        "   + 0.25 * (CAST(t2.c AS DOUBLE) / t.n)) * 1000000) AS BIGINT)"
+        "   AS m FROM btop JOIN top t1 ON btop.w1 = t1.word"
+        "   JOIN top t2 ON btop.w2 = t2.word CROSS JOIN t),"
+        " fm AS (SELECT word, CAST(floor(ln("
+        "   0.25 * (CAST(c AS DOUBLE) / t.n)) * 1000000) AS BIGINT) AS m"
+        "   FROM top CROSS JOIN t),"
+        " oov AS (SELECT CAST(floor(ln(0.25 * (1.0 / t.n)) * 1000000)"
+        "   AS BIGINT) AS m FROM t),"
+        " s AS (SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,"
+        "   CAST(sum(coalesce(bm.m, fm.m, oov.m)) AS BIGINT) AS lp"
+        "   FROM b LEFT JOIN bm ON b.w1 = bm.w1 AND b.w2 = bm.w2"
+        "   LEFT JOIN fm ON b.w2 = fm.word CROSS JOIN oov"
+        "   GROUP BY b.doc_id)"
+        " SELECT d.doc_id,"
+        "  CAST(coalesce(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,"
+        "  CAST(coalesce(s.lp, 0) AS BIGINT) AS logprob_micros,"
+        "  CASE WHEN s.n_bigrams IS NULL THEN CAST(-1 AS BIGINT)"
+        "   ELSE CAST(floor(exp(-CAST(s.lp AS DOUBLE)"
+        "     / (CAST(s.n_bigrams AS DOUBLE) * 1000000.0)) * 1000000)"
+        "     AS BIGINT) END AS ppl_micros"
+        " FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id"
+    )
+
+
 def _shuffle_sql() -> str:
     """Mirror of pack.shuffle_shards: the two-affine-rounds-with-xor-fold
     key is recomputed exactly in BIGINT (every product < 2^62), then
@@ -1602,54 +1658,17 @@ def oracle_sql() -> dict[str, str]:
             " CAST(coalesce(s.logprob_micros, 0) AS BIGINT) AS logprob_micros"
             " FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id"
         ),
-        "perplexity_scores": (
-            # mirror of analysis.perplexity_scores: interpolated bigram
-            # LM (lambda = .75) in floored integer micros.  Unigram
-            # table capped at top-V by (count DESC, word ASC); bigram
-            # table restricted to capped-vocab pairs, then capped at
-            # top-V by (count DESC, w1, w2); N stays the full-corpus
-            # token total.  Unseen pair -> 0.25*c2/N backoff; OOV w2 ->
-            # 0.25*1/N.  ppl = floor(exp(-lp / (n*1e6)) * 1e6), -1 for
-            # docs with < 2 words — all arithmetic orders match the
-            # Ray pipeline exactly so floor() agrees bit-for-bit
-            f"WITH wl AS (SELECT doc_id, {_WORDS_EXPR} AS w FROM documents),"
-            " wt AS (SELECT doc_id, unnest(w) AS word FROM wl),"
-            " uc AS (SELECT word, count(*) AS c FROM wt GROUP BY word),"
-            " t AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM uc),"
-            " top AS (SELECT word, c FROM (SELECT word, c,"
-            "   row_number() OVER (ORDER BY c DESC, word) AS rk FROM uc)"
-            f"   WHERE rk <= {_VOCAB_CAP_SQL}),"
-            " b AS (SELECT doc_id, unnest(w[1:len(w)-1]) AS w1,"
-            "   unnest(w[2:len(w)]) AS w2 FROM wl WHERE len(w) >= 2),"
-            " bc AS (SELECT b.w1, b.w2, count(*) AS c12 FROM b"
-            "   JOIN top t1 ON b.w1 = t1.word JOIN top t2 ON b.w2 = t2.word"
-            "   GROUP BY b.w1, b.w2),"
-            " btop AS (SELECT w1, w2, c12 FROM (SELECT w1, w2, c12,"
-            "   row_number() OVER (ORDER BY c12 DESC, w1, w2) AS rk FROM bc)"
-            f"   WHERE rk <= {_VOCAB_CAP_SQL}),"
-            " bm AS (SELECT btop.w1, btop.w2, CAST(floor(ln("
-            "   0.75 * (CAST(btop.c12 AS DOUBLE) / t1.c)"
-            "   + 0.25 * (CAST(t2.c AS DOUBLE) / t.n)) * 1000000) AS BIGINT)"
-            "   AS m FROM btop JOIN top t1 ON btop.w1 = t1.word"
-            "   JOIN top t2 ON btop.w2 = t2.word CROSS JOIN t),"
-            " fm AS (SELECT word, CAST(floor(ln("
-            "   0.25 * (CAST(c AS DOUBLE) / t.n)) * 1000000) AS BIGINT) AS m"
-            "   FROM top CROSS JOIN t),"
-            " oov AS (SELECT CAST(floor(ln(0.25 * (1.0 / t.n)) * 1000000)"
-            "   AS BIGINT) AS m FROM t),"
-            " s AS (SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,"
-            "   CAST(sum(coalesce(bm.m, fm.m, oov.m)) AS BIGINT) AS lp"
-            "   FROM b LEFT JOIN bm ON b.w1 = bm.w1 AND b.w2 = bm.w2"
-            "   LEFT JOIN fm ON b.w2 = fm.word CROSS JOIN oov"
-            "   GROUP BY b.doc_id)"
-            " SELECT d.doc_id,"
-            "  CAST(coalesce(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,"
-            "  CAST(coalesce(s.lp, 0) AS BIGINT) AS logprob_micros,"
-            "  CASE WHEN s.n_bigrams IS NULL THEN CAST(-1 AS BIGINT)"
-            "   ELSE CAST(floor(exp(-CAST(s.lp AS DOUBLE)"
-            "     / (CAST(s.n_bigrams AS DOUBLE) * 1000000.0)) * 1000000)"
-            "     AS BIGINT) END AS ppl_micros"
-            " FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id"
+        "perplexity_scores": _perplexity_sql(),
+        "ccnet_buckets": (
+            # mirror of analysis.ccnet_buckets: the perplexity mirror as
+            # a CTE, then SQL ntile() per language ordered by
+            # (ppl_micros, doc_id) — the Ray side's distributed rank +
+            # first-rem-tiles-take-one-extra formula IS ntile's split
+            f"WITH p AS ({_perplexity_sql()})"
+            " SELECT p.doc_id, d.lang,"
+            "  CAST(ntile(3) OVER (PARTITION BY d.lang"
+            "    ORDER BY p.ppl_micros, p.doc_id) - 1 AS BIGINT) AS tile"
+            " FROM p JOIN documents d USING (doc_id)"
         ),
         "importance_weights": (
             # mirror of analysis.importance_weights: per-word unigram

@@ -898,8 +898,6 @@ def perplexity_scores(sf_dir: str, *, vocab_cap: int = VOCAB_CAP) -> rd.Dataset:
     Scale shape: both fitting passes exchange only capped-vocabulary
     partials; the fitted model (<= 2V+1 entries) broadcasts once via
     ``ray.put``; scoring is a stateless single pass."""
-    import math
-
     import ray
 
     bigram, backoff, oov = fit_bigram_table(sf_dir, vocab_cap)
@@ -907,23 +905,9 @@ def perplexity_scores(sf_dir: str, *, vocab_cap: int = VOCAB_CAP) -> rd.Dataset:
 
     def score(batch: pa.Table) -> pa.Table:
         btab, btof, default = ray.get(ref)
-        n_bi, lps, ppls = [], [], []
-        for text in batch.column("text").to_pylist():
-            words = text.split()
-            n = max(len(words) - 1, 0)
-            n_bi.append(n)
-            if n == 0:
-                lps.append(0)
-                ppls.append(-1)
-                continue
-            lp = 0
-            for pair in zip(words, words[1:]):
-                m = btab.get(pair)
-                if m is None:
-                    m = btof.get(pair[1], default)
-                lp += m
-            lps.append(lp)
-            ppls.append(math.floor(math.exp(-lp / (n * 1e6)) * 1e6))
+        n_bi, lps, ppls = _ppl_score_texts(
+            batch.column("text").to_pylist(), btab, btof, default
+        )
         return pa.table(
             {
                 "doc_id": batch.column("doc_id"),
@@ -936,6 +920,157 @@ def perplexity_scores(sf_dir: str, *, vocab_cap: int = VOCAB_CAP) -> rd.Dataset:
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
         score, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def _ppl_score_texts(
+    texts: list[str], btab: dict, btof: dict, default: int
+) -> "tuple[list[int], list[int], list[int]]":
+    """Score a text batch under the fitted bigram LM: per text
+    (n_bigrams, logprob_micros, ppl_micros) — shared by
+    :func:`perplexity_scores` and :func:`ccnet_buckets`."""
+    import math
+
+    n_bi: list[int] = []
+    lps: list[int] = []
+    ppls: list[int] = []
+    for text in texts:
+        words = text.split()
+        n = max(len(words) - 1, 0)
+        n_bi.append(n)
+        if n == 0:
+            lps.append(0)
+            ppls.append(-1)
+            continue
+        lp = 0
+        for pair in zip(words, words[1:]):
+            m = btab.get(pair)
+            if m is None:
+                m = btof.get(pair[1], default)
+            lp += m
+        lps.append(lp)
+        ppls.append(math.floor(math.exp(-lp / (n * 1e6)) * 1e6))
+    return n_bi, lps, ppls
+
+
+CCNET_TILES = 3
+_CCNET_GRID_SUB = 8  # eighth-octave ppl range buckets in the rank grid
+
+
+def ccnet_buckets(
+    sf_dir: str, *, vocab_cap: int = VOCAB_CAP, tiles: int = CCNET_TILES
+) -> rd.Dataset:
+    """(doc_id, lang, tile): CCNet's head/middle/tail selection (Wenzek
+    et al.) — each language's documents split into ``tiles`` equal
+    rank-tiles by ascending perplexity (ties by doc_id); tile 0 = head
+    = most fluent.  Tile sizes mirror SQL ``ntile()``: the first
+    ``n % tiles`` tiles take one extra row.
+
+    Scale shape: the capped LM broadcasts once (see
+    :func:`fit_bigram_table`); one scoring pass materializes narrow
+    (doc_id, lang, ppl_micros) rows; per-language global ranks then use
+    the two-pass distributed-rank pattern of ``pack.shuffle_shards`` —
+    a constant-size (lang × log-range-bucket) count grid on the driver
+    plus one co-shuffle on the composite bucket key, each group ranked
+    by one vectorized sort.  The bucket map floor(8·log2(ppl+2)) is
+    monotone in ppl, so grid offsets align with the sort order; equal
+    ppl values always share a bucket (the only skew hazard is
+    integer-micros ties)."""
+    import numpy as np
+    import ray
+
+    bigram, backoff, oov = fit_bigram_table(sf_dir, vocab_cap)
+    model_ref = ray.put((bigram, backoff, oov))
+
+    def score_narrow(batch: pa.Table) -> pa.Table:
+        btab, btof, default = ray.get(model_ref)
+        _, _, ppls = _ppl_score_texts(
+            batch.column("text").to_pylist(), btab, btof, default
+        )
+        ppl = np.array(ppls, np.int64)
+        vb = np.floor(
+            _CCNET_GRID_SUB * np.log2((ppl + 2).astype(np.float64))
+        ).astype(np.int64)
+        langs = batch.column("lang").to_pylist()
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "lang": batch.column("lang"),
+                "ppl_micros": pa.array(ppl),
+                "gkey": pa.array(
+                    [f"{lg}:{b}" for lg, b in zip(langs, vb)], pa.string()
+                ),
+            }
+        )
+
+    narrow = (
+        _docs(sf_dir, ["doc_id", "lang", "text"])
+        .map_batches(score_narrow, batch_format="pyarrow", zero_copy_batch=True)
+        .materialize()  # scored once; both rank passes read these blocks
+    )
+
+    import zlib
+
+    import pandas as pd
+
+    def count_partials(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {"gkey": batch.column("gkey").to_pandas()}
+        )
+        agg = df.groupby("gkey", sort=False).size().reset_index(name="n")
+        return pa.table(
+            {
+                "coarse": pa.array(
+                    [zlib.crc32(k.encode()) % 64 for k in agg["gkey"]],
+                    pa.int64(),
+                ),
+                "gkey": pa.array(agg["gkey"], pa.string()),
+                "n": pa.array(agg["n"].astype(np.int64)),
+            }
+        )
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("gkey", sort=True)["n"].sum().reset_index()
+        return agg.astype({"n": np.int64})
+
+    grid = (
+        narrow.map_batches(
+            count_partials, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("coarse")
+        .map_groups(combine, batch_format="pandas")
+        .to_pandas()  # <= langs × log-range buckets rows, constant
+    )
+    grid["lang"] = grid["gkey"].str.rsplit(":", n=1).str[0]
+    grid["vb"] = grid["gkey"].str.rsplit(":", n=1).str[1].astype(np.int64)
+    grid = grid.sort_values(["lang", "vb"])
+    csum = grid.groupby("lang", sort=False)["n"].cumsum().to_numpy()
+    offsets = dict(zip(grid["gkey"], (csum - grid["n"].to_numpy()).tolist()))
+    totals = grid.groupby("lang")["n"].sum().to_dict()
+    plan_ref = ray.put((offsets, totals))
+
+    def rank(g: pd.DataFrame) -> pd.DataFrame:
+        offs, tots = ray.get(plan_ref)
+        g = g.sort_values(["ppl_micros", "doc_id"])
+        gkey = g["gkey"].iloc[0]
+        lang = g["lang"].iloc[0]
+        ranks = offs[gkey] + np.arange(len(g), dtype=np.int64)
+        n = int(tots[lang])
+        base, rem = divmod(n, tiles)
+        cut = rem * (base + 1)
+        tile = np.where(
+            ranks < cut,
+            ranks // (base + 1),
+            rem + (ranks - cut) // max(base, 1),
+        ).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].to_numpy().astype(np.int64),
+                "lang": g["lang"].to_numpy(),
+                "tile": tile,
+            }
+        )
+
+    return narrow.groupby("gkey").map_groups(rank, batch_format="pandas")
 
 
 # -- PMI collocations --------------------------------------------------------

@@ -192,3 +192,51 @@ class TestTrainBPE:
             ws = words[row["doc_id"]]
             n_chars = sum(len(w) + 1 for w in ws)  # + </w>
             assert len(ws) <= row["n_bpe_tokens"] <= n_chars
+
+
+class TestCCNetBuckets:
+    def test_tiles_match_brute_force_ntile(self, ray_session, quiet_data_context):
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from pdf_parser_ray.pipelines.analysis import (
+            ORACLE_VOCAB_CAP,
+            ccnet_buckets,
+            perplexity_scores,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        got = (
+            ccnet_buckets(sf, vocab_cap=ORACLE_VOCAB_CAP)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        ppl = (
+            perplexity_scores(sf, vocab_cap=ORACLE_VOCAB_CAP)
+            .to_pandas()[["doc_id", "ppl_micros"]]
+        )
+        langs = pq.read_table(
+            f"{sf}/documents.parquet", columns=["doc_id", "lang"]
+        ).to_pandas()
+        df = ppl.merge(langs, on="doc_id")
+        # brute-force ntile(3): rank by (ppl, doc_id) per lang, first
+        # n%3 tiles take one extra row
+        expect = {}
+        for lang, grp in df.groupby("lang"):
+            grp = grp.sort_values(["ppl_micros", "doc_id"])
+            n = len(grp)
+            base, rem = divmod(n, 3)
+            sizes = [base + 1] * rem + [base] * (3 - rem)
+            tile, used = 0, 0
+            for doc_id in grp["doc_id"]:
+                while used >= sizes[tile]:
+                    tile, used = tile + 1, 0
+                expect[doc_id] = tile
+                used += 1
+        assert (
+            got["tile"] == got["doc_id"].map(expect)
+        ).all()
+        # every lang splits into exactly 3 tiles with |size diff| <= 1
+        sizes = got.groupby(["lang", "tile"]).size().unstack()
+        assert ((sizes.max(axis=1) - sizes.min(axis=1)) <= 1).all()
