@@ -235,7 +235,9 @@ def run_bench() -> dict:
 
     timed("decontaminate", filter_ops.decontaminate)
     timed("pack_sequences", pack_ops.pack_sequences)
+    timed("shuffle_shards", pack_ops.shuffle_shards)
     timed("tfidf_scores", analysis.tfidf_scores)
+    timed("ccnet_buckets", analysis.ccnet_buckets)
 
     from pdf_parser_ray.pipelines.cluster import kmeans_embeddings, semantic_dedup
 
