@@ -1191,6 +1191,50 @@ def _perplexity_sql() -> str:
     )
 
 
+def _importance_sql() -> str:
+    """Mirror of analysis.importance_weights: per-word unigram log-ratio
+    (add-one-smoothed target / corpus) in floored integer micros, summed
+    per token occurrence; ratio table capped at the top-V words by
+    (n_all DESC, word ASC) with the smoothing denominator over the
+    CAPPED table size; totals stay full-corpus; OOV words take
+    (c_t=0, c_all=1).  Shared by the importance_weights and
+    dsir_resample oracles."""
+    from pdf_parser_ray.pipelines.analysis import (
+        ORACLE_VOCAB_CAP as _VOCAB_CAP_SQL,
+    )
+
+    return (
+        f"WITH w AS (SELECT doc_id, unnest({_WORDS_EXPR}) AS word"
+        "   FROM documents),"
+        " ca AS (SELECT word, count(*) AS n_all,"
+        "   sum(CASE WHEN doc_id % 97 = 0 THEN 1 ELSE 0 END) AS n_tgt"
+        "   FROM w GROUP BY word),"
+        " tot AS (SELECT sum(n_all) AS na, sum(n_tgt) AS nt FROM ca),"
+        " top AS (SELECT word, n_all, n_tgt FROM (SELECT word, n_all,"
+        "   n_tgt, row_number() OVER (ORDER BY n_all DESC, word) AS rk"
+        f"   FROM ca) WHERE rk <= {_VOCAB_CAP_SQL}),"
+        " vs AS (SELECT count(*) AS v FROM top),"
+        " r AS (SELECT word,"
+        "   CAST(floor(ln((CAST(n_tgt AS DOUBLE) + 1) / (tot.nt + vs.v))"
+        "     * 1000000) AS BIGINT)"
+        "   - CAST(floor(ln(CAST(n_all AS DOUBLE) / tot.na) * 1000000)"
+        "     AS BIGINT) AS m"
+        "   FROM top, tot, vs),"
+        " oov AS (SELECT"
+        "   CAST(floor(ln(1.0 / (tot.nt + vs.v)) * 1000000) AS BIGINT)"
+        "   - CAST(floor(ln(1.0 / tot.na) * 1000000) AS BIGINT) AS m"
+        "   FROM tot, vs),"
+        " s AS (SELECT w.doc_id, CAST(count(*) AS BIGINT) AS n_words,"
+        "   CAST(sum(coalesce(r.m, oov.m)) AS BIGINT) AS weight_micros"
+        "   FROM w LEFT JOIN r USING (word) CROSS JOIN oov"
+        "   GROUP BY w.doc_id)"
+        " SELECT d.doc_id,"
+        "  CAST(coalesce(s.n_words, 0) AS BIGINT) AS n_words,"
+        "  CAST(coalesce(s.weight_micros, 0) AS BIGINT) AS weight_micros"
+        " FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id"
+    )
+
+
 def _shuffle_sql() -> str:
     """Mirror of pack.shuffle_shards: the two-affine-rounds-with-xor-fold
     key is recomputed exactly in BIGINT (every product < 2^62), then
@@ -1211,6 +1255,33 @@ def _shuffle_sql() -> str:
         f"  row_number() OVER (PARTITION BY kk % {SHUF_SHARDS}"
         "    ORDER BY kk, doc_id) - 1 AS pos"
         " FROM r2"
+    )
+
+
+def _dsir_resample_sql() -> str:
+    """Mirror of analysis.dsir_resample: the importance-weights mirror
+    as a CTE, Gumbel noise recomputed from the shuffle_key hash
+    (u = (hash+1)/2^31 is an exact dyadic double in both engines),
+    top-k by (score DESC, doc_id)."""
+    from pdf_parser_ray.pipelines.analysis import DSIR_SAMPLE_K
+    from pdf_parser_ray.pipelines.pack import (
+        SHUF_A1, SHUF_A2, SHUF_B1, SHUF_B2, SHUF_P,
+    )
+
+    return (
+        f"WITH iw AS ({_importance_sql()}),"
+        " h1 AS (SELECT doc_id,"
+        f"   ({SHUF_A1} * (doc_id % {SHUF_P}) + {SHUF_B1}) % {SHUF_P} AS k1"
+        "   FROM documents),"
+        " h2 AS (SELECT doc_id,"
+        f"   ({SHUF_A2} * (xor(k1, k1 >> 17) % {SHUF_P}) + {SHUF_B2})"
+        f"     % {SHUF_P} AS hk FROM h1),"
+        " s AS (SELECT iw.doc_id, iw.weight_micros,"
+        "   iw.weight_micros + CAST(floor(-ln(-ln((h2.hk + 1)"
+        "     / 2147483648.0)) * 1000000) AS BIGINT) AS score_micros"
+        "   FROM iw JOIN h2 USING (doc_id))"
+        " SELECT doc_id, weight_micros, score_micros FROM s"
+        f" ORDER BY score_micros DESC, doc_id LIMIT {DSIR_SAMPLE_K}"
     )
 
 
@@ -1542,6 +1613,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_lines_within_doc": _withindoc_sql(),
         "source_quality_filter": _source_quality_sql(),
         "shuffle_shards": _shuffle_sql(),
+        "dsir_resample": _dsir_resample_sql(),
         "label_centroids": (
             # mirror of cluster.label_centroids: floor-to-micros BEFORE
             # the sum keeps the aggregate order-free and exact
@@ -1670,42 +1742,7 @@ def oracle_sql() -> dict[str, str]:
             "    ORDER BY p.ppl_micros, p.doc_id) - 1 AS BIGINT) AS tile"
             " FROM p JOIN documents d USING (doc_id)"
         ),
-        "importance_weights": (
-            # mirror of analysis.importance_weights: per-word unigram
-            # log-ratio (add-one-smoothed target / corpus) in floored
-            # integer micros, summed per token occurrence; ratio table
-            # capped at the top-V words by (n_all DESC, word ASC) with
-            # the smoothing denominator over the CAPPED table size;
-            # totals stay full-corpus; OOV words take (c_t=0, c_all=1)
-            f"WITH w AS (SELECT doc_id, unnest({_WORDS_EXPR}) AS word"
-            "   FROM documents),"
-            " ca AS (SELECT word, count(*) AS n_all,"
-            "   sum(CASE WHEN doc_id % 97 = 0 THEN 1 ELSE 0 END) AS n_tgt"
-            "   FROM w GROUP BY word),"
-            " tot AS (SELECT sum(n_all) AS na, sum(n_tgt) AS nt FROM ca),"
-            " top AS (SELECT word, n_all, n_tgt FROM (SELECT word, n_all,"
-            "   n_tgt, row_number() OVER (ORDER BY n_all DESC, word) AS rk"
-            f"   FROM ca) WHERE rk <= {_VOCAB_CAP_SQL}),"
-            " vs AS (SELECT count(*) AS v FROM top),"
-            " r AS (SELECT word,"
-            "   CAST(floor(ln((CAST(n_tgt AS DOUBLE) + 1) / (tot.nt + vs.v))"
-            "     * 1000000) AS BIGINT)"
-            "   - CAST(floor(ln(CAST(n_all AS DOUBLE) / tot.na) * 1000000)"
-            "     AS BIGINT) AS m"
-            "   FROM top, tot, vs),"
-            " oov AS (SELECT"
-            "   CAST(floor(ln(1.0 / (tot.nt + vs.v)) * 1000000) AS BIGINT)"
-            "   - CAST(floor(ln(1.0 / tot.na) * 1000000) AS BIGINT) AS m"
-            "   FROM tot, vs),"
-            " s AS (SELECT w.doc_id, CAST(count(*) AS BIGINT) AS n_words,"
-            "   CAST(sum(coalesce(r.m, oov.m)) AS BIGINT) AS weight_micros"
-            "   FROM w LEFT JOIN r USING (word) CROSS JOIN oov"
-            "   GROUP BY w.doc_id)"
-            " SELECT d.doc_id,"
-            "  CAST(coalesce(s.n_words, 0) AS BIGINT) AS n_words,"
-            "  CAST(coalesce(s.weight_micros, 0) AS BIGINT) AS weight_micros"
-            " FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id"
-        ),
+        "importance_weights": _importance_sql(),
         "repetition_stats": _repetition_sql(),
         "quality_filter": _quality_filter_sql(),
         "pii_scrub": _pii_sql(),

@@ -774,6 +774,66 @@ def importance_weights(sf_dir: str, *, vocab_cap: int = VOCAB_CAP) -> rd.Dataset
     )
 
 
+DSIR_SAMPLE_K = 100
+
+
+def dsir_resample(
+    sf_dir: str, *, k: int = DSIR_SAMPLE_K, vocab_cap: int = VOCAB_CAP
+) -> rd.Dataset:
+    """(doc_id, weight_micros, score_micros): the DSIR paper's actual
+    RESAMPLING step — the ``k`` documents drawn without replacement with
+    probability ∝ exp(importance weight), via the Gumbel-top-k identity
+    (adding independent Gumbel noise to each log-weight and taking the
+    top k IS that draw; public Gumbel-max trick).  The noise is
+    derandomized through ``pack.shuffle_key``'s SQL-mirrorable integer
+    hash — g = -ln(-ln(u)) with u = (hash+1)/2^31, an exact dyadic
+    rational in both numpy and DuckDB doubles — so the sample is
+    reproducible and oracle-checkable: score_micros = weight_micros +
+    floor(g·1e6), ties broken by doc_id.
+
+    Scale shape: scoring reuses importance_weights' broadcast-capped
+    ratio table in one stateless pass; selection is per-batch local
+    top-k (k rows survive each block) then one ≤ k·num_blocks-row sort
+    — nothing corpus-sized moves, sorts, or touches the driver."""
+    import numpy as np
+    import ray
+    from collections import Counter
+
+    from .pack import shuffle_key
+
+    ratio, oov = fit_ratio_table(sf_dir, vocab_cap)
+    ref = ray.put((ratio, oov))
+
+    def score_topk(batch: pa.Table) -> pa.Table:
+        table, default = ray.get(ref)
+        weights = []
+        for text in batch.column("text").to_pylist():
+            c = Counter(text.split())
+            weights.append(sum(table.get(w, default) * n for w, n in c.items()))
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        w = np.array(weights, np.int64)
+        u = (shuffle_key(ids) + 1) / 2147483648.0
+        g = np.floor(-np.log(-np.log(u)) * 1e6).astype(np.int64)
+        score = w + g
+        if len(ids) > k:
+            keep = np.lexsort((ids, -score))[:k]  # same key as the sort
+            ids, w, score = ids[keep], w[keep], score[keep]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "weight_micros": pa.array(w),
+                "score_micros": pa.array(score),
+            }
+        )
+
+    return (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(score_topk, batch_format="pyarrow", zero_copy_batch=True)
+        .sort(["score_micros", "doc_id"], descending=[True, False])
+        .limit(k)
+    )
+
+
 def fit_bigram_table(
     sf_dir: str, vocab_cap: int
 ) -> "tuple[dict, dict, int]":

@@ -94,8 +94,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # c4_line_filter, bloom_dedup, pmi_bigrams, leakage_safe_split,
         # knn_ivf_kmeans, incremental_events_hourly, vocab_coverage,
         # dedup_lines_within_doc, user_running_totals, label_centroids,
-        # source_quality_filter, shuffle_shards, ccnet_buckets — each
-        # oracle-backed in
+        # source_quality_filter, shuffle_shards, ccnet_buckets,
+        # dsir_resample — each oracle-backed in
         # tests/test_oracle.py; displacing a gated slot would cost an
         # established driver-green row), then the rows-only
         # approximations (compression_ratio, train_bpe,
@@ -131,6 +131,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shuffle_shards": pack.shuffle_shards,
         "ccnet_buckets": partial(
             analysis.ccnet_buckets, vocab_cap=analysis.ORACLE_VOCAB_CAP
+        ),
+        "dsir_resample": partial(
+            analysis.dsir_resample, vocab_cap=analysis.ORACLE_VOCAB_CAP
         ),
         "compression_ratio": analysis.compression_ratio,
         "train_bpe": analysis.train_bpe,

@@ -240,3 +240,36 @@ class TestCCNetBuckets:
         # every lang splits into exactly 3 tiles with |size diff| <= 1
         sizes = got.groupby(["lang", "tile"]).size().unstack()
         assert ((sizes.max(axis=1) - sizes.min(axis=1)) <= 1).all()
+
+
+class TestDSIRResample:
+    def test_topk_matches_brute_force_gumbel(self, ray_session, quiet_data_context):
+        import numpy as np
+
+        from pdf_parser_ray.pipelines.analysis import (
+            ORACLE_VOCAB_CAP,
+            dsir_resample,
+            importance_weights,
+        )
+        from pdf_parser_ray.pipelines.pack import shuffle_key
+
+        sf = "/root/testdata/sf0.001"
+        got = dsir_resample(sf, k=25, vocab_cap=ORACLE_VOCAB_CAP).to_pandas()
+        assert len(got) == 25
+        # brute force: full scores over ALL docs, then top-25
+        iw = importance_weights(sf, vocab_cap=ORACLE_VOCAB_CAP).to_pandas()
+        ids = iw["doc_id"].to_numpy().astype(np.int64)
+        u = (shuffle_key(ids) + 1) / 2147483648.0
+        g = np.floor(-np.log(-np.log(u)) * 1e6).astype(np.int64)
+        score = iw["weight_micros"].to_numpy() + g
+        order = np.lexsort((ids, -score))[:25]
+        assert set(got["doc_id"]) == set(ids[order])
+        expect_score = dict(zip(ids.tolist(), score.tolist()))
+        assert (
+            got["score_micros"].to_numpy()
+            == got["doc_id"].map(expect_score).to_numpy()
+        ).all()
+        merged = got.merge(
+            iw[["doc_id", "weight_micros"]], on="doc_id", suffixes=("", "_iw")
+        )
+        assert (merged["weight_micros"] == merged["weight_micros_iw"]).all()
