@@ -1285,6 +1285,30 @@ def _dsir_resample_sql() -> str:
     )
 
 
+def _ols_residuals_sql() -> str:
+    """Mirror of analysis.ols_residuals: the moment sums are exact
+    integers (HUGEINT in DuckDB, summed int64 partials in Ray) cast to
+    DOUBLE once, then (a, b) and the residual use the same IEEE
+    operation order as the numpy side, so floor(resid·1e6) matches."""
+    return (
+        f"WITH f AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS x,"
+        "   CAST(len(list_distinct(w)) AS BIGINT) AS y"
+        f"   FROM (SELECT doc_id, {_WORDS_EXPR} AS w FROM documents)),"
+        " s AS (SELECT CAST(count(*) AS DOUBLE) AS n,"
+        "   CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,"
+        "   CAST(sum(x*y) AS DOUBLE) AS sxy,"
+        "   CAST(sum(x*x) AS DOUBLE) AS sxx FROM f),"
+        " c AS (SELECT n, sx, sy,"
+        "   CASE WHEN n*sxx - sx*sx = 0 THEN 0.0"
+        "     ELSE (n*sxy - sx*sy) / (n*sxx - sx*sx) END AS b FROM s),"
+        " c2 AS (SELECT b, (sy - b*sx) / n AS a FROM c)"
+        " SELECT f.doc_id, f.x AS n_words, f.y AS n_unique,"
+        "  CAST(floor((CAST(f.y AS DOUBLE) - (c2.a + c2.b *"
+        "    CAST(f.x AS DOUBLE))) * 1000000) AS BIGINT) AS resid_micros"
+        " FROM f CROSS JOIN c2"
+    )
+
+
 def _c4_lines_cte() -> str:
     """Shared CTE chain rebuilding the deterministic multi-line page of
     filter.synth_page_lines: defines ``w`` (words), ``l`` (line index
@@ -1614,6 +1638,7 @@ def oracle_sql() -> dict[str, str]:
         "source_quality_filter": _source_quality_sql(),
         "shuffle_shards": _shuffle_sql(),
         "dsir_resample": _dsir_resample_sql(),
+        "ols_residuals": _ols_residuals_sql(),
         "label_centroids": (
             # mirror of cluster.label_centroids: floor-to-micros BEFORE
             # the sum keeps the aggregate order-free and exact

@@ -834,6 +834,74 @@ def dsir_resample(
     )
 
 
+def ols_residuals(sf_dir: str) -> rd.Dataset:
+    """(doc_id, n_words, n_unique, resid_micros): length-adjusted
+    vocabulary richness — residual of each document's unique-word count
+    against the corpus-wide least-squares line n_unique ~ a + b·n_words.
+    Raw type counts correlate with length (Heaps' law), so the residual,
+    not the count, is the comparable "rich vs repetitive" signal; large
+    negative residuals flag templated/repetitive pages.
+
+    Scale shape (distributed closed-form fit, train-tiny/score-wide):
+    pass 1 reduces each batch to ONE row of partial sums (n, Σx, Σy,
+    Σxy, Σx²) — the driver folds ≤ num_blocks tiny rows into the two
+    scalars (a, b); pass 2 scores statelessly with the scalars captured
+    in the closure.  All moment sums are exact int64 per batch and fold
+    in float64 in the same operation order as the SQL oracle, so
+    floor(resid·1e6) agrees bit-for-bit."""
+    import numpy as np
+
+    def xy(batch: pa.Table) -> "tuple[np.ndarray, np.ndarray, np.ndarray]":
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        texts = batch.column("text").to_pylist()
+        x = np.fromiter((len(t.split()) for t in texts), np.int64, count=len(ids))
+        y = np.fromiter(
+            (len(set(t.split())) for t in texts), np.int64, count=len(ids)
+        )
+        return ids, x, y
+
+    def partials(batch: pa.Table) -> pa.Table:
+        _, x, y = xy(batch)
+        return pa.table(
+            {
+                "n": pa.array([len(x)], pa.int64()),
+                "sx": pa.array([int(x.sum())], pa.int64()),
+                "sy": pa.array([int(y.sum())], pa.int64()),
+                "sxy": pa.array([int((x * y).sum())], pa.int64()),
+                "sxx": pa.array([int((x * x).sum())], pa.int64()),
+            }
+        )
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    mom = docs.map_batches(
+        partials, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()  # <= num_blocks single-row partials, never corpus-sized
+    n = float(mom["n"].sum())
+    sx = float(mom["sx"].sum())
+    sy = float(mom["sy"].sum())
+    sxy = float(mom["sxy"].sum())
+    sxx = float(mom["sxx"].sum())
+    denom = n * sxx - sx * sx
+    b = 0.0 if denom == 0.0 else (n * sxy - sx * sy) / denom
+    a = (sy - b * sx) / n
+
+    def score(batch: pa.Table) -> pa.Table:
+        ids, x, y = xy(batch)
+        resid = np.floor(
+            (y.astype(np.float64) - (a + b * x.astype(np.float64))) * 1e6
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "n_words": pa.array(x),
+                "n_unique": pa.array(y),
+                "resid_micros": pa.array(resid),
+            }
+        )
+
+    return docs.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def fit_bigram_table(
     sf_dir: str, vocab_cap: int
 ) -> "tuple[dict, dict, int]":

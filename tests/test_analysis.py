@@ -273,3 +273,23 @@ class TestDSIRResample:
             iw[["doc_id", "weight_micros"]], on="doc_id", suffixes=("", "_iw")
         )
         assert (merged["weight_micros"] == merged["weight_micros_iw"]).all()
+
+
+class TestOLSResiduals:
+    def test_fit_matches_lstsq_and_residuals_center(self, ray_session, quiet_data_context):
+        import numpy as np
+
+        from pdf_parser_ray.pipelines.analysis import ols_residuals
+
+        got = ols_residuals("/root/testdata/sf0.001").to_pandas()
+        x = got["n_words"].to_numpy().astype(np.float64)
+        y = got["n_unique"].to_numpy().astype(np.float64)
+        # recover (a, b) from the residuals and compare to lstsq
+        resid = got["resid_micros"].to_numpy() / 1e6
+        fitted = y - resid
+        b_np, a_np = np.polyfit(x, y, 1)
+        assert np.allclose(fitted, a_np + b_np * x, atol=2e-6)
+        # OLS residuals sum to ~zero (floor() biases each down < 1 micro)
+        assert abs(resid.mean()) < 1e-5
+        # the signal separates docs: both signs present
+        assert (got["resid_micros"] > 0).any() and (got["resid_micros"] < 0).any()
