@@ -1639,6 +1639,20 @@ def oracle_sql() -> dict[str, str]:
         "shuffle_shards": _shuffle_sql(),
         "dsir_resample": _dsir_resample_sql(),
         "ols_residuals": _ols_residuals_sql(),
+        "cohort_retention": (
+            # mirror of relational.cohort_retention: epoch-day cohort =
+            # per-user min day; one DISTINCT (user, cohort, offset) set,
+            # then the cell count
+            "WITH e AS (SELECT user_id,"
+            "   epoch_us(ts) // 86400000000 AS day FROM events),"
+            " f AS (SELECT user_id, min(day) AS cohort FROM e"
+            "   GROUP BY user_id),"
+            " c AS (SELECT DISTINCT e.user_id, f.cohort,"
+            "   e.day - f.cohort AS off FROM e JOIN f USING (user_id))"
+            " SELECT cohort AS cohort_day, off AS offset_day,"
+            "  CAST(count(*) AS BIGINT) AS n_users"
+            " FROM c GROUP BY cohort, off"
+        ),
         "label_centroids": (
             # mirror of cluster.label_centroids: floor-to-micros BEFORE
             # the sum keeps the aggregate order-free and exact

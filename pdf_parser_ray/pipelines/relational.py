@@ -285,6 +285,67 @@ def sessionize_events(sf_dir: str, gap_minutes: int = 30) -> rd.Dataset:
     )
 
 
+def cohort_retention(sf_dir: str) -> rd.Dataset:
+    """(cohort_day, offset_day, n_users): classic cohort-retention
+    matrix — users grouped by their first-activity day (epoch-day of
+    the earliest event), each cell counting DISTINCT users from that
+    cohort active again ``offset_day`` days later.
+
+    Scale shape: one narrow (user_id, day) co-shuffle on a coarse user
+    bucket — a user's full history lands in one group, so the group
+    computes the user's cohort AND its distinct (cohort, offset) cells
+    locally; per-group partial cell counts are exact because users
+    never straddle groups, and the final cell-sum exchange carries at
+    most days² tiny rows.  The ts column is reduced to an int64 epoch
+    day inside the first map — timestamps never shuffle."""
+    import pandas as pd
+
+    coarse_buckets = 256
+    day_us = 86_400_000_000
+
+    def narrow(batch: pa.Table) -> pa.Table:
+        u = batch.column("user_id").to_numpy(zero_copy_only=False)
+        ts = batch.column("ts").to_numpy(zero_copy_only=False)
+        day = ts.astype("datetime64[us]").astype(np.int64) // day_us
+        df = pd.DataFrame({"user_id": u, "day": day}).drop_duplicates()
+        return pa.table(
+            {
+                "coarse": pa.array(
+                    (df["user_id"].to_numpy() % coarse_buckets).astype(np.int32)
+                ),
+                "user_id": pa.array(df["user_id"].to_numpy().astype(np.int64)),
+                "day": pa.array(df["day"].to_numpy().astype(np.int64)),
+            }
+        )
+
+    def cells(g: pd.DataFrame) -> pd.DataFrame:
+        df = g.drop_duplicates(["user_id", "day"])
+        cohort = df.groupby("user_id")["day"].transform("min")
+        out = (
+            pd.DataFrame(
+                {
+                    "cohort_day": cohort.to_numpy(),
+                    "offset_day": df["day"].to_numpy() - cohort.to_numpy(),
+                    "user_id": df["user_id"].to_numpy(),
+                }
+            )
+            .drop_duplicates()  # one row per (cell, user)
+            .groupby(["cohort_day", "offset_day"])
+            .size()
+            .reset_index(name="n")
+        )
+        return out.astype(np.int64)
+
+    return (
+        _t(sf_dir, "events", ["user_id", "ts"])
+        .map_batches(narrow, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("coarse")
+        .map_groups(cells, batch_format="pandas")
+        .groupby(["cohort_day", "offset_day"])
+        .aggregate(Sum("n", alias_name="n_users"))
+    )
+
+
 def error_attribution(sf_dir: str) -> rd.Dataset:
     """(event_id, gap_micros): for every 'error' event, the time since
     the same user's latest preceding non-error event (backward as-of
