@@ -1639,6 +1639,26 @@ def oracle_sql() -> dict[str, str]:
         "shuffle_shards": _shuffle_sql(),
         "dsir_resample": _dsir_resample_sql(),
         "ols_residuals": _ols_residuals_sql(),
+        "word_entropy": (
+            # mirror of analysis.word_entropy: per-word floored-micros
+            # self-information summed per doc (associative integer)
+            f"WITH w AS (SELECT doc_id, unnest({_WORDS_EXPR}) AS word"
+            "   FROM documents),"
+            " c AS (SELECT doc_id, word, count(*) AS k FROM w"
+            "   GROUP BY doc_id, word),"
+            " n AS (SELECT doc_id, CAST(sum(k) AS BIGINT) AS n FROM c"
+            "   GROUP BY doc_id),"
+            " s AS (SELECT c.doc_id,"
+            "   CAST(sum(c.k * CAST(floor(ln(CAST(n.n AS DOUBLE) / c.k)"
+            "     * 1000000) AS BIGINT)) AS BIGINT) AS surprisal_micros"
+            "   FROM c JOIN n USING (doc_id) GROUP BY c.doc_id)"
+            " SELECT d.doc_id,"
+            "  CAST(coalesce(n.n, 0) AS BIGINT) AS n_words,"
+            "  CAST(coalesce(s.surprisal_micros, 0) AS BIGINT)"
+            "    AS surprisal_micros"
+            " FROM documents d LEFT JOIN n ON d.doc_id = n.doc_id"
+            " LEFT JOIN s ON d.doc_id = s.doc_id"
+        ),
         "cohort_retention": (
             # mirror of relational.cohort_retention: epoch-day cohort =
             # per-user min day; one DISTINCT (user, cohort, offset) set,

@@ -238,6 +238,10 @@ def run_bench() -> dict:
     timed("shuffle_shards", pack_ops.shuffle_shards)
     timed("tfidf_scores", analysis.tfidf_scores)
     timed("ccnet_buckets", analysis.ccnet_buckets)
+    timed("dsir_resample", analysis.dsir_resample)
+    timed("ols_residuals", analysis.ols_residuals)
+    timed("word_entropy", analysis.word_entropy)
+    timed("cohort_retention", relational.cohort_retention)
 
     from pdf_parser_ray.pipelines.cluster import kmeans_embeddings, semantic_dedup
 

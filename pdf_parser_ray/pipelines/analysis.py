@@ -834,6 +834,46 @@ def dsir_resample(
     )
 
 
+def word_entropy(sf_dir: str) -> rd.Dataset:
+    """(doc_id, n_words, surprisal_micros): total unigram self-
+    information of each document under its OWN word distribution —
+    Σ_w c_w · floor(ln(n/c_w)·1e6).  Dividing by n_words gives the
+    Shannon entropy in micro-nats; low values flag repetitive/templated
+    text (the information-theoretic cousin of compression_ratio).  The
+    per-word term is floored to integer micros BEFORE the sum, so the
+    total is an associative integer — batch order can never change the
+    result, and the DuckDB oracle matches bit-for-bit.
+
+    Scale shape: stateless single pass, no shuffle, no model."""
+    import math
+    from collections import Counter
+
+    def score(batch: pa.Table) -> pa.Table:
+        n_words, surp = [], []
+        for text in batch.column("text").to_pylist():
+            words = text.split()
+            n = len(words)
+            n_words.append(n)
+            if n == 0:
+                surp.append(0)
+                continue
+            c = Counter(words)
+            surp.append(
+                sum(k * math.floor(math.log(n / k) * 1e6) for k in c.values())
+            )
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_words": pa.array(n_words, pa.int64()),
+                "surprisal_micros": pa.array(surp, pa.int64()),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        score, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
 def ols_residuals(sf_dir: str) -> rd.Dataset:
     """(doc_id, n_words, n_unique, resid_micros): length-adjusted
     vocabulary richness — residual of each document's unique-word count

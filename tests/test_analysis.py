@@ -293,3 +293,34 @@ class TestOLSResiduals:
         assert abs(resid.mean()) < 1e-5
         # the signal separates docs: both signs present
         assert (got["resid_micros"] > 0).any() and (got["resid_micros"] < 0).any()
+
+
+class TestWordEntropy:
+    def test_repetitive_scores_below_diverse(self, tmp_path, ray_session,
+                                             quiet_data_context):
+        import math
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pdf_parser_ray.pipelines.analysis import word_entropy
+
+        docs = ["spam " * 100, " ".join(f"w{i}" for i in range(100)), ""]
+        t = pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2], pa.int64()),
+                "text": pa.array(docs),
+                "lang": pa.array(["en"] * 3),
+                "source": pa.array(["s"] * 3),
+                "n_chars": pa.array([len(d) for d in docs], pa.int64()),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "documents.parquet"))
+        df = word_entropy(str(tmp_path)).to_pandas().set_index("doc_id")
+        # one repeated word -> ln(n/n) = 0 surprisal; 100 distinct words
+        # -> exactly n * floor(ln(100) * 1e6)
+        assert df.loc[0, "surprisal_micros"] == 0
+        assert df.loc[1, "surprisal_micros"] == 100 * math.floor(
+            math.log(100.0) * 1e6
+        )
+        assert df.loc[2, "surprisal_micros"] == 0 and df.loc[2, "n_words"] == 0
