@@ -791,27 +791,19 @@ def dsir_resample(
     reproducible and oracle-checkable: score_micros = weight_micros +
     floor(g·1e6), ties broken by doc_id.
 
-    Scale shape: scoring reuses importance_weights' broadcast-capped
-    ratio table in one stateless pass; selection is per-batch local
-    top-k (k rows survive each block) then one ≤ k·num_blocks-row sort
-    — nothing corpus-sized moves, sorts, or touches the driver."""
+    Scale shape: scoring IS :func:`importance_weights` (same dataset,
+    same broadcast-capped ratio table — keeping the two queries on one
+    code path so the shared ``_importance_sql`` oracle can never
+    desync); the Gumbel attach + per-batch local top-k (k rows survive
+    each block) then one ≤ k·num_blocks-row sort add no extra pass —
+    nothing corpus-sized moves, sorts, or touches the driver."""
     import numpy as np
-    import ray
-    from collections import Counter
 
     from .pack import shuffle_key
 
-    ratio, oov = fit_ratio_table(sf_dir, vocab_cap)
-    ref = ray.put((ratio, oov))
-
-    def score_topk(batch: pa.Table) -> pa.Table:
-        table, default = ray.get(ref)
-        weights = []
-        for text in batch.column("text").to_pylist():
-            c = Counter(text.split())
-            weights.append(sum(table.get(w, default) * n for w, n in c.items()))
+    def gumbel_topk(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
-        w = np.array(weights, np.int64)
+        w = batch.column("weight_micros").to_numpy(zero_copy_only=False)
         u = (shuffle_key(ids) + 1) / 2147483648.0
         g = np.floor(-np.log(-np.log(u)) * 1e6).astype(np.int64)
         score = w + g
@@ -827,8 +819,8 @@ def dsir_resample(
         )
 
     return (
-        _docs(sf_dir, ["doc_id", "text"])
-        .map_batches(score_topk, batch_format="pyarrow", zero_copy_batch=True)
+        importance_weights(sf_dir, vocab_cap=vocab_cap)
+        .map_batches(gumbel_topk, batch_format="pyarrow", zero_copy_batch=True)
         .sort(["score_micros", "doc_id"], descending=[True, False])
         .limit(k)
     )
@@ -894,10 +886,12 @@ def ols_residuals(sf_dir: str) -> rd.Dataset:
     def xy(batch: pa.Table) -> "tuple[np.ndarray, np.ndarray, np.ndarray]":
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
         texts = batch.column("text").to_pylist()
-        x = np.fromiter((len(t.split()) for t in texts), np.int64, count=len(ids))
-        y = np.fromiter(
-            (len(set(t.split())) for t in texts), np.int64, count=len(ids)
-        )
+        x = np.empty(len(ids), np.int64)
+        y = np.empty(len(ids), np.int64)
+        for i, t in enumerate(texts):
+            words = t.split()  # one split serves both moments
+            x[i] = len(words)
+            y[i] = len(set(words))
         return ids, x, y
 
     def partials(batch: pa.Table) -> pa.Table:
@@ -916,11 +910,19 @@ def ols_residuals(sf_dir: str) -> rd.Dataset:
     mom = docs.map_batches(
         partials, batch_format="pyarrow", zero_copy_batch=True
     ).to_pandas()  # <= num_blocks single-row partials, never corpus-sized
-    n = float(mom["n"].sum())
-    sx = float(mom["sx"].sum())
-    sy = float(mom["sy"].sum())
-    sxy = float(mom["sxy"].sum())
-    sxx = float(mom["sxx"].sum())
+
+    def exact(col: str) -> float:
+        # fold in unbounded Python ints, NOT int64: per-batch partials
+        # are int64-safe, but the corpus-wide Σx² can pass 2^63 at
+        # design scale — the SQL mirror sums in HUGEINT, so an int64
+        # wrap here would silently desync the fit
+        return float(sum(int(v) for v in mom[col]))
+
+    n = exact("n")
+    sx = exact("sx")
+    sy = exact("sy")
+    sxy = exact("sxy")
+    sxx = exact("sxx")
     denom = n * sxx - sx * sx
     b = 0.0 if denom == 0.0 else (n * sxy - sx * sy) / denom
     a = (sy - b * sx) / n

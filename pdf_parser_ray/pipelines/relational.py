@@ -321,15 +321,15 @@ def cohort_retention(sf_dir: str) -> rd.Dataset:
     def cells(g: pd.DataFrame) -> pd.DataFrame:
         df = g.drop_duplicates(["user_id", "day"])
         cohort = df.groupby("user_id")["day"].transform("min")
+        # rows are already one-per-(cell, user): df is distinct on
+        # (user_id, day) and cohort/offset are functions of those
         out = (
             pd.DataFrame(
                 {
                     "cohort_day": cohort.to_numpy(),
                     "offset_day": df["day"].to_numpy() - cohort.to_numpy(),
-                    "user_id": df["user_id"].to_numpy(),
                 }
             )
-            .drop_duplicates()  # one row per (cell, user)
             .groupby(["cohort_day", "offset_day"])
             .size()
             .reset_index(name="n")
