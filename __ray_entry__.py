@@ -1639,6 +1639,28 @@ def oracle_sql() -> dict[str, str]:
         "shuffle_shards": _shuffle_sql(),
         "dsir_resample": _dsir_resample_sql(),
         "ols_residuals": _ols_residuals_sql(),
+        "knn_quantized": (
+            # mirror of similarity.knn_quantized: one global max-abs
+            # scalar cast to DOUBLE (float32 widens losslessly; the
+            # scale must be float64 in BOTH engines), the same
+            # floor(x*127/A) symmetric quantizer, then an exact integer
+            # dot product — no float comparison anywhere in the score
+            "WITH v AS (SELECT vec_id, embedding AS e FROM embeddings),"
+            " a AS (SELECT CAST(max(abs(x)) AS DOUBLE) AS a FROM"
+            "   (SELECT unnest(e) AS x FROM v)),"
+            " u AS (SELECT vec_id, unnest(e) AS x,"
+            "   generate_subscripts(e, 1) AS i FROM v),"
+            " q AS (SELECT u.vec_id, u.i,"
+            "   CAST(floor(CAST(u.x AS DOUBLE) * 127.0 / a.a) AS BIGINT)"
+            "     AS qv FROM u CROSS JOIN a),"
+            " qq AS (SELECT i, qv FROM q WHERE vec_id = 0),"
+            " sc AS (SELECT q.vec_id,"
+            "   CAST(sum(q.qv * qq.qv) AS BIGINT) AS qdot"
+            "   FROM q JOIN qq USING (i) WHERE q.vec_id <> 0"
+            "   GROUP BY q.vec_id)"
+            " SELECT vec_id, qdot FROM sc"
+            " ORDER BY qdot DESC, vec_id LIMIT 10"
+        ),
         "word_entropy": (
             # mirror of analysis.word_entropy: per-word floored-micros
             # self-information summed per doc (associative integer)

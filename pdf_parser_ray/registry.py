@@ -95,8 +95,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # knn_ivf_kmeans, incremental_events_hourly, vocab_coverage,
         # dedup_lines_within_doc, user_running_totals, label_centroids,
         # source_quality_filter, shuffle_shards, ccnet_buckets,
-        # dsir_resample, ols_residuals, cohort_retention, word_entropy —
-        # each oracle-backed in
+        # dsir_resample, ols_residuals, cohort_retention, word_entropy,
+        # knn_quantized — each oracle-backed in
         # tests/test_oracle.py; displacing a gated slot would cost an
         # established driver-green row), then the rows-only
         # approximations (compression_ratio, train_bpe,
@@ -139,6 +139,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ols_residuals": analysis.ols_residuals,
         "cohort_retention": relational.cohort_retention,
         "word_entropy": analysis.word_entropy,
+        "knn_quantized": similarity.knn_quantized,
         "compression_ratio": analysis.compression_ratio,
         "train_bpe": analysis.train_bpe,
         "bpe_segment_counts": analysis.bpe_segment_counts,

@@ -68,3 +68,34 @@ class TestSemanticDedup:
         # at cosine >= 0.95, unrelated originals never collide: every
         # original is kept unless it exactly duplicates a smaller id
         assert (originals.keep == 1).mean() >= 0.95
+
+
+class TestKnnQuantized:
+    def test_quantizer_bounds_and_recall(self, ray_session, quiet_data_context):
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from pdf_parser_ray.pipelines.io_util import list_column_matrix
+        from pdf_parser_ray.pipelines.similarity import (
+            QUANT_LEVELS,
+            _quant_scale,
+            _quantize,
+            knn_cosine,
+            knn_quantized,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        a = _quant_scale(sf)
+        t = pq.read_table(f"{sf}/embeddings.parquet", columns=["embedding"])
+        vecs = list_column_matrix(t.column("embedding"))
+        assert a == np.abs(vecs).max()  # calibration fold is exact
+        q = _quantize(vecs, a)
+        assert q.dtype == np.int64
+        assert np.abs(q).max() == QUANT_LEVELS  # the scale is tight
+        # |x| <= A -> x*L/A in [-L, L] -> floor stays in [-L, L]
+        assert q.min() >= -QUANT_LEVELS and q.max() <= QUANT_LEVELS
+        # 8-bit quantization of unit-norm vectors keeps high recall
+        # against the exact cosine top-k
+        approx = set(knn_quantized(sf, k=10).to_pandas()["vec_id"])
+        exact = set(knn_cosine(sf, k=10).to_pandas()["vec_id"])
+        assert len(approx & exact) >= 7
