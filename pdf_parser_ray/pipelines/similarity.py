@@ -232,6 +232,80 @@ def knn_quantized(sf_dir: str, query_vec_id: int = 0, k: int = 10) -> rd.Dataset
     )
 
 
+PCA_COMPONENTS = 4
+
+
+def pca_embeddings(sf_dir: str, n_components: int = PCA_COMPONENTS) -> rd.Dataset:
+    """(vec_id, component, proj_micros): top principal components of the
+    embedding corpus and each vector's projection onto them — the
+    dimensionality-reduction / whitening stage of an embedding pipeline.
+
+    Distributed shape (train-tiny/score-wide, exact-integer Gram):
+    vectors are symmetrically 8-bit quantized (:func:`_quantize`), so
+    the per-batch Gram partial qᵀq is an EXACT int64 (dim × dim) matrix
+    — partials fold on the driver without float order-dependence (the
+    classic failure of a distributed float Gram: the fold order changes
+    the eigenvectors in the last ulps and the run stops being
+    reproducible).  The driver eigendecomposes the dim×dim matrix
+    (constant work), fixes each eigenvector's sign (first
+    largest-|coord| positive), and the projection pass is a stateless
+    int-matrix × float-vector scan.  Rows-only for the driver contract:
+    eigh is not SQL-expressible; the Gram fold and invariants are
+    pinned in tests."""
+    a = _quant_scale(sf_dir)
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+
+    def gram(batch: pa.Table) -> pa.Table:
+        q = _quantize(list_column_matrix(batch.column("embedding")), a)
+        g = q.T @ q  # exact int64: |q| <= 127, dims bounded
+        return pa.table({"g": pa.array([g.reshape(-1).tolist()])})
+
+    rows = (
+        read_parquet_clean(
+            emb_path,
+            columns=["embedding"],
+            override_num_blocks=_blocks_for(emb_path),
+        )
+        .map_batches(gram, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()  # <= num_blocks rows of dim² ints, constant size
+    )
+    flat = np.array(rows["g"].tolist(), np.int64).sum(axis=0, dtype=np.int64)
+    dim = int(round(len(flat) ** 0.5))
+    g_total = flat.reshape(dim, dim)
+
+    evals, evecs = np.linalg.eigh(g_total.astype(np.float64))
+    order = np.argsort(evals)[::-1][:n_components]
+    comps = evecs[:, order]  # (dim, n_components)
+    # deterministic sign: the largest-|coord| entry of each component
+    # is made positive (eigh's sign is arbitrary)
+    for j in range(comps.shape[1]):
+        i = int(np.argmax(np.abs(comps[:, j])))
+        if comps[i, j] < 0:
+            comps[:, j] = -comps[:, j]
+
+    def project(batch: pa.Table) -> pa.Table:
+        ids, vecs = _ids_vecs(batch)
+        proj = _quantize(vecs, a).astype(np.float64) @ comps  # (n, c)
+        n, c = proj.shape
+        return pa.table(
+            {
+                "vec_id": pa.array(np.repeat(ids, c), pa.int64()),
+                "component": pa.array(
+                    np.tile(np.arange(c, dtype=np.int64), n), pa.int64()
+                ),
+                "proj_micros": pa.array(
+                    np.floor(proj.reshape(-1) * 1e6).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return read_parquet_clean(
+        emb_path,
+        columns=["vec_id", "embedding"],
+        override_num_blocks=_blocks_for(emb_path),
+    ).map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def embedding_norms(sf_dir: str) -> rd.Dataset:
     """(vec_id, l2_micros): vectorized L2 norm per embedding."""
 

@@ -100,7 +100,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # tests/test_oracle.py; displacing a gated slot would cost an
         # established driver-green row), then the rows-only
         # approximations (compression_ratio, train_bpe,
-        # bpe_segment_counts, sketches) and multimodal stages.
+        # bpe_segment_counts, pca_embeddings, sketches) and multimodal
+        # stages.
         "knn_lsh": similarity.knn_lsh,
         "perplexity_scores": partial(
             analysis.perplexity_scores, vocab_cap=analysis.ORACLE_VOCAB_CAP
@@ -143,6 +144,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "compression_ratio": analysis.compression_ratio,
         "train_bpe": analysis.train_bpe,
         "bpe_segment_counts": analysis.bpe_segment_counts,
+        "pca_embeddings": similarity.pca_embeddings,
         # -- approximate sketches --
         "approx_distinct_users": sketch.approx_distinct_users,
         "heavy_hitters": sketch.heavy_hitters,

@@ -99,3 +99,46 @@ class TestKnnQuantized:
         approx = set(knn_quantized(sf, k=10).to_pandas()["vec_id"])
         exact = set(knn_cosine(sf, k=10).to_pandas()["vec_id"])
         assert len(approx & exact) >= 7
+
+
+class TestPCAEmbeddings:
+    def test_gram_fold_and_projection_invariants(self, ray_session,
+                                                 quiet_data_context):
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from pdf_parser_ray.pipelines.io_util import list_column_matrix
+        from pdf_parser_ray.pipelines.similarity import (
+            _quant_scale,
+            _quantize,
+            pca_embeddings,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        got = pca_embeddings(sf, n_components=3).to_pandas()
+        t = pq.read_table(f"{sf}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+        vecs = list_column_matrix(t.column("embedding"))
+        n = len(vecs)
+        assert len(got) == 3 * n
+        assert set(got["component"]) == {0, 1, 2}
+        # brute-force: same quantization, single-shot Gram + eigh
+        q = _quantize(vecs, _quant_scale(sf)).astype(np.float64)
+        evals, evecs = np.linalg.eigh(q.T @ q)
+        order = np.argsort(evals)[::-1][:3]
+        comps = evecs[:, order]
+        for j in range(3):
+            i = int(np.argmax(np.abs(comps[:, j])))
+            if comps[i, j] < 0:
+                comps[:, j] = -comps[:, j]
+        expect = np.floor((q @ comps) * 1e6).astype(np.int64)
+        ids = t.column("vec_id").to_numpy()
+        by_id = {int(v): expect[r] for r, v in enumerate(ids)}
+        for vid, grp in got.groupby("vec_id"):
+            vals = grp.sort_values("component")["proj_micros"].to_numpy()
+            assert (vals == by_id[int(vid)]).all()
+        # variance ordering: component 0 carries the most energy
+        var = got.groupby("component")["proj_micros"].apply(
+            lambda s: float(np.var(s.to_numpy(np.float64)))
+        )
+        assert var[0] >= var[1] >= var[2]

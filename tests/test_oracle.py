@@ -81,6 +81,7 @@ def test_entry_smoke(ray_session, quiet_data_context):
         "approx_distinct_users",
         "heavy_hitters",
         "approx_event_quantiles",
+        "pca_embeddings",
         "media_features",
         "frame_sample",
         "audio_features",
