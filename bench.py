@@ -242,6 +242,8 @@ def run_bench() -> dict:
     timed("ols_residuals", analysis.ols_residuals)
     timed("word_entropy", analysis.word_entropy)
     timed("cohort_retention", relational.cohort_retention)
+    timed("knn_quantized", similarity.knn_quantized)
+    timed("pca_embeddings", similarity.pca_embeddings)
 
     from pdf_parser_ray.pipelines.cluster import kmeans_embeddings, semantic_dedup
 

@@ -205,3 +205,50 @@ class TestWordStatsVectorizedEquivalence:
             assert (
                 int(arrs[0][k]), int(arrs[1][k]), int(arrs[2][k]), int(arrs[3][k])
             ) == word_counter_stats(text), repr(text)
+
+
+# -- shuffle key / quantizer kernels ------------------------------------------
+
+
+@given(ids=st.lists(st.integers(0, 2**62), min_size=1, max_size=200))
+@settings(max_examples=50, deadline=None)
+def test_shuffle_key_range_and_determinism(ids):
+    import numpy as np
+
+    from pdf_parser_ray.pipelines.pack import SHUF_P, shuffle_key
+
+    arr = np.array(ids, dtype=np.int64)
+    k1 = shuffle_key(arr)
+    k2 = shuffle_key(arr)
+    assert (k1 == k2).all()
+    assert k1.dtype == np.int64
+    assert (k1 >= 0).all() and (k1 < SHUF_P).all()
+    # a permutation on ids below P: distinct inputs -> distinct keys
+    small = arr[arr < SHUF_P]
+    uniq_in = len(set(small.tolist()))
+    uniq_out = len(set(shuffle_key(small).tolist()))
+    assert uniq_in == uniq_out
+
+
+@given(
+    vals=st.lists(
+        st.floats(-1e6, 1e6, allow_nan=False, allow_infinity=False, width=32),
+        min_size=1,
+        max_size=100,
+    )
+)
+@settings(max_examples=50, deadline=None)
+def test_quantizer_bounds_for_any_input(vals):
+    import numpy as np
+
+    from pdf_parser_ray.pipelines.similarity import QUANT_LEVELS, _quantize
+
+    x = np.array(vals, np.float64)
+    a = float(np.abs(x).max())
+    if a == 0.0:
+        return  # all-zero corpus has no scale; the pipeline never hits it
+    q = _quantize(x[None, :], a)[0]
+    assert (q >= -QUANT_LEVELS).all() and (q <= QUANT_LEVELS).all()
+    # monotone: quantization preserves (weak) order within a vector
+    order = np.argsort(x, kind="stable")
+    assert (np.diff(q[order]) >= 0).all()
