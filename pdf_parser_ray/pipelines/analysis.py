@@ -17,7 +17,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
 
-from .io_util import read_parquet_clean
+from .io_util import arrow_udf, read_parquet_clean
 from ray.data.aggregate import Count, Sum
 
 from ..functions.directions import classify_direction
@@ -1207,7 +1207,7 @@ def ccnet_buckets(
             count_partials, batch_format="pyarrow", zero_copy_batch=True
         )
         .groupby("coarse")
-        .map_groups(combine, batch_format="pandas")
+        .map_groups(arrow_udf(combine), batch_format="pandas")
         .to_pandas()  # <= langs × log-range buckets rows, constant
     )
     grid["lang"] = grid["gkey"].str.rsplit(":", n=1).str[0]
@@ -1240,7 +1240,7 @@ def ccnet_buckets(
             }
         )
 
-    return narrow.groupby("gkey").map_groups(rank, batch_format="pandas")
+    return narrow.groupby("gkey").map_groups(arrow_udf(rank), batch_format="pandas")
 
 
 # -- PMI collocations --------------------------------------------------------
@@ -1349,7 +1349,7 @@ def pmi_bigrams(sf_dir: str, k: int = 20) -> rd.Dataset:
         _docs(sf_dir, ["text"])
         .map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("coarse")
-        .map_groups(join_words, batch_format="pandas")
+        .map_groups(arrow_udf(join_words), batch_format="pandas")
         .materialize()
     )
 
@@ -1413,7 +1413,7 @@ def pmi_bigrams(sf_dir: str, k: int = 20) -> rd.Dataset:
     return (
         sided.map_batches(bigram_key, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("coarse2")
-        .map_groups(finish, batch_format="pandas")
+        .map_groups(arrow_udf(finish), batch_format="pandas")
         .map_batches(local_topk, batch_format="pyarrow", zero_copy_batch=True)
         .sort(["pmi_micros", "bigram"], descending=[True, False])
         .limit(k)
@@ -1464,7 +1464,7 @@ def vocab_coverage(sf_dir: str, v: int = VOCAB_TOP_V) -> "pd.DataFrame":
         _docs(sf_dir, ["text"])
         .map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("coarse")
-        .map_groups(combine, batch_format="pandas")
+        .map_groups(arrow_udf(combine), batch_format="pandas")
         .materialize()
     )
 
@@ -1582,7 +1582,7 @@ def _bpe_training_vocab(sf_dir: str, cap: int) -> "pd.DataFrame":
         _docs(sf_dir, ["text"])
         .map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("coarse")
-        .map_groups(combine, batch_format="pandas")
+        .map_groups(arrow_udf(combine), batch_format="pandas")
         .map_batches(local_top, batch_format="pyarrow", zero_copy_batch=True)
         .sort(["n", "word"], descending=[True, False])
         .limit(cap)

@@ -28,7 +28,7 @@ import pandas as pd
 import pyarrow as pa
 import ray.data as rd
 
-from .io_util import list_column_matrix, read_parquet_clean
+from .io_util import arrow_udf, list_column_matrix, read_parquet_clean
 
 KM_K = 8
 KM_ITERS = 3
@@ -91,7 +91,7 @@ def _one_pass_centroids(ds: rd.Dataset, cents: np.ndarray) -> np.ndarray:
     rows = (
         ds.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("g")
-        .map_groups(reduce_bucket, batch_format="pandas")
+        .map_groups(arrow_udf(reduce_bucket), batch_format="pandas")
         .to_pandas()
     )
     rows = rows.sort_values("g")
@@ -242,7 +242,7 @@ def semantic_dedup(
         ds()
         .map_batches(assign_with_vec, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("cluster")
-        .map_groups(prune, batch_format="pandas")
+        .map_groups(arrow_udf(prune), batch_format="pandas")
     )
 
 
@@ -307,5 +307,5 @@ def label_centroids(sf_dir: str) -> rd.Dataset:
     return (
         ds.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("label")
-        .map_groups(combine, batch_format="pandas")
+        .map_groups(arrow_udf(combine), batch_format="pandas")
     )

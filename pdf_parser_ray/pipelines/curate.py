@@ -28,6 +28,7 @@ import ray.data as rd
 from ray.data.aggregate import Count, Min, Sum
 
 from .analysis import _LANG_PROFILES, _TOKEN_RE
+from .io_util import arrow_udf
 from .dedup import (
     _COARSE_BUCKETS,
     _docs,
@@ -109,7 +110,7 @@ def _propagate_once(edges: rd.Dataset, labels: rd.Dataset) -> rd.Dataset:
             )
         )
         .groupby("key")
-        .map_groups(send, batch_format="pandas")
+        .map_groups(arrow_udf(send), batch_format="pandas")
     )
     return sent.groupby("node").aggregate(Min("cand", alias_name="label"))
 
@@ -211,7 +212,7 @@ def near_dup_clusters(
             sizes.map_batches(size_rows, batch_format="pyarrow", zero_copy_batch=True)
         )
         .groupby("key")
-        .map_groups(attach_size, batch_format="pandas")
+        .map_groups(arrow_udf(attach_size), batch_format="pandas")
     )
 
 
@@ -250,7 +251,7 @@ def exact_dup_drops(sf_dir: str) -> rd.Dataset:
         _docs(sf_dir, ["doc_id", "text"])
         .map_batches(add_hash, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("coarse")
-        .map_groups(drops, batch_format="pandas")
+        .map_groups(arrow_udf(drops), batch_format="pandas")
     )
 
 
@@ -370,7 +371,7 @@ def curate_documents(
             ),
         )
         .groupby("key")
-        .map_groups(combine, batch_format="pandas")
+        .map_groups(arrow_udf(combine), batch_format="pandas")
     )
 
 
@@ -482,7 +483,7 @@ def curate_pages(
         extracted.select_columns(["url", "content_sha256"])
         .map_batches(tagged_rows, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("key")
-        .map_groups(verdict_drops, batch_format="pandas")
+        .map_groups(arrow_udf(verdict_drops), batch_format="pandas")
     )
 
     def rekey(batch: pa.Table) -> pa.Table:
@@ -494,5 +495,5 @@ def curate_pages(
         quality.select_columns(["key", "url", "pri"])
         .union(drops.map_batches(rekey, batch_format="pyarrow", zero_copy_batch=True))
         .groupby("key")
-        .map_groups(combine, batch_format="pandas")
+        .map_groups(arrow_udf(combine), batch_format="pandas")
     )

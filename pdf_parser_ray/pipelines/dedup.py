@@ -35,7 +35,7 @@ import pandas as pd
 import pyarrow as pa
 import ray.data as rd
 
-from .io_util import list_column_matrix, read_parquet_clean, strip_schema_metadata
+from .io_util import arrow_udf, list_column_matrix, read_parquet_clean, strip_schema_metadata
 from ray.data.aggregate import Min
 
 NEAR_DUP_ID_OFFSET = 10_000_000
@@ -373,10 +373,10 @@ def _bucket_join_verify(
     return (
         half_rows.union(corpus_rows)
         .groupby("key")
-        .map_groups(attach, batch_format="pandas")
+        .map_groups(arrow_udf(attach), batch_format="pandas")
         .map_batches(add_pair_coarse, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("coarse")
-        .map_groups(verify_group, batch_format="pandas")
+        .map_groups(arrow_udf(verify_group), batch_format="pandas")
     )
 
 
@@ -460,7 +460,7 @@ def _coarse_candidate_pairs(ds: rd.Dataset, key_cols: list[str]) -> rd.Dataset:
     return (
         ds.map_batches(add_coarse, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("coarse")
-        .map_groups(pairs_in_coarse, batch_format="pandas")
+        .map_groups(arrow_udf(pairs_in_coarse), batch_format="pandas")
     )
 
 
@@ -487,7 +487,7 @@ def _dedup_pairs(
     return (
         ds.map_batches(add_coarse, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("coarse")
-        .map_groups(dd, batch_format="pandas")
+        .map_groups(arrow_udf(dd), batch_format="pandas")
     )
 
 
@@ -715,7 +715,7 @@ def simhash_dedup(sf_dir: str, max_hamming: int = 6) -> rd.Dataset:
         docs.map_batches(band_rows, batch_format="pyarrow", zero_copy_batch=True)
         .map_batches(add_coarse, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("coarse")
-        .map_groups(pairs_in_coarse, batch_format="pandas")
+        .map_groups(arrow_udf(pairs_in_coarse), batch_format="pandas")
     )
     return _dedup_pairs(pairs)
 
@@ -882,7 +882,7 @@ def embedding_dedup(sf_dir: str, threshold_millis: int = 990) -> rd.Dataset:
     pairs = (
         ds.map_batches(clone_and_bucket, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("bucket")
-        .map_groups(bucket_pairs, batch_format="pandas")
+        .map_groups(arrow_udf(bucket_pairs), batch_format="pandas")
     )
     return _dedup_pairs(pairs, "vec_id_a", "vec_id_b")
 
@@ -1039,10 +1039,10 @@ def substring_dedup(sf_dir: str) -> rd.Dataset:
         docs.map_batches(gram_rows, batch_format="pyarrow", zero_copy_batch=True)
         .map_batches(add_coarse, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("coarse")
-        .map_groups(partials, batch_format="pandas")
+        .map_groups(arrow_udf(partials), batch_format="pandas")
         .map_batches(rekey_by_doc, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("dkey")
-        .map_groups(final_sum, batch_format="pandas")
+        .map_groups(arrow_udf(final_sum), batch_format="pandas")
     )
 
 
@@ -1171,7 +1171,7 @@ def incremental_dedup(sf_dir: str, threshold_millis: int = 500) -> rd.Dataset:
             )
         )
         .groupby("key")
-        .map_groups(exact_hits, batch_format="pandas")
+        .map_groups(arrow_udf(exact_hits), batch_format="pandas")
     )
 
     # -- layer 2: MinHash bands, cross-side candidates, bucket-join verify
@@ -1262,7 +1262,7 @@ def incremental_dedup(sf_dir: str, threshold_millis: int = 500) -> rd.Dataset:
         )
         .map_batches(add_coarse, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("coarse")
-        .map_groups(cross_pairs, batch_format="pandas")
+        .map_groups(arrow_udf(cross_pairs), batch_format="pandas")
     )
     verified = _bucket_join_verify(
         candidates, base.union(delta), threshold_millis
@@ -1343,5 +1343,5 @@ def incremental_dedup(sf_dir: str, threshold_millis: int = 500) -> rd.Dataset:
             ),
         )
         .groupby("key")
-        .map_groups(combine, batch_format="pandas")
+        .map_groups(arrow_udf(combine), batch_format="pandas")
     )

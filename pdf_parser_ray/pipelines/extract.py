@@ -22,7 +22,7 @@ from typing import Any
 import pyarrow as pa
 import ray.data as rd
 
-from .io_util import read_parquet_clean
+from .io_util import arrow_udf, read_parquet_clean
 
 from ..stages.extract import ExtractPages, extract_batch
 
@@ -246,7 +246,7 @@ def frequent_line_hashes(
             partial_counts, batch_format="pyarrow", zero_copy_batch=True
         )
         .groupby("coarse")
-        .map_groups(frequent_in_bucket, batch_format="pandas")
+        .map_groups(arrow_udf(frequent_in_bucket), batch_format="pandas")
         .to_pandas()
     )
     # an all-filtered result comes back as a column-less empty frame
@@ -380,7 +380,7 @@ def host_page_cap(
         .select_columns(["url", "content_sha256"])
         .map_batches(narrow, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("coarse")
-        .map_groups(rank_in_bucket, batch_format="pandas")
+        .map_groups(arrow_udf(rank_in_bucket), batch_format="pandas")
     )
 
 

@@ -24,6 +24,27 @@ def strip_schema_metadata(batch: pa.Table) -> pa.Table:
     return batch
 
 
+def arrow_udf(fn):
+    """Wrap a pandas-batch UDF (map_groups / map_batches with
+    ``batch_format="pandas"``) so its output block is a METADATA-FREE
+    pyarrow table.  Ray converts a pandas return value with
+    ``pa.Table.from_pandas``, which injects the same ``b'pandas'``
+    schema-metadata dict this module strips at the read — so every
+    pandas-UDF stage silently re-defeats reduce-side schema
+    deduplication on the NEXT shuffle (measured: the "Failed to hash
+    the schemas" warning fires inside curate_pages' verdict shuffles).
+    Converting inside the UDF is the work Ray would do anyway, minus
+    the metadata."""
+
+    def wrapped(g):
+        out = fn(g)
+        if not isinstance(out, pa.Table):
+            out = pa.Table.from_pandas(out, preserve_index=False)
+        return out.replace_schema_metadata(None)
+
+    return wrapped
+
+
 def read_parquet_clean(paths, **read_kwargs) -> rd.Dataset:
     """``ray.data.read_parquet`` with schema metadata stripped from every
     block (fused map; ``batch_size=None`` = one zero-copy call per block)."""

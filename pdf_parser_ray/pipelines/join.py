@@ -26,6 +26,8 @@ import pyarrow as pa
 import ray
 import ray.data as rd
 
+from .io_util import arrow_udf
+
 _DEFAULT_BUCKETS = 64
 
 
@@ -123,7 +125,7 @@ def attach_dim(
     left = fact.map_batches(fact_rows, batch_format="pyarrow", zero_copy_batch=True)
     right = dim.map_batches(dim_rows, batch_format="pyarrow", zero_copy_batch=True)
     return (
-        left.union(right).groupby("key").map_groups(join_group, batch_format="pandas")
+        left.union(right).groupby("key").map_groups(arrow_udf(join_group), batch_format="pandas")
     )
 
 
@@ -223,7 +225,7 @@ def asof_attach(
     lrows = left.map_batches(left_rows, batch_format="pyarrow", zero_copy_batch=True)
     rrows = right.map_batches(right_rows, batch_format="pyarrow", zero_copy_batch=True)
     return (
-        lrows.union(rrows).groupby("key").map_groups(asof_group, batch_format="pandas")
+        lrows.union(rrows).groupby("key").map_groups(arrow_udf(asof_group), batch_format="pandas")
     )
 
 
@@ -276,7 +278,7 @@ def build_bucketed(
         )
         .map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("bucket")
-        .map_groups(sort_bucket, batch_format="pandas")
+        .map_groups(arrow_udf(sort_bucket), batch_format="pandas")
         .write_parquet(tmp, partition_cols=["bucket"])
     )
     os.replace(tmp, out_dir)

@@ -23,6 +23,8 @@ import numpy as np
 import pyarrow as pa
 import ray.data as rd
 
+from .io_util import arrow_udf
+
 # -- real stdlib codecs -------------------------------------------------------
 
 
@@ -505,7 +507,7 @@ def _phash_pairs(
     raw = (
         hashes.map_batches(band_rows, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("coarse")
-        .map_groups(pairs_in_coarse, batch_format="pandas")
+        .map_groups(arrow_udf(pairs_in_coarse), batch_format="pandas")
     )
     # hamming is identical across a pair's band duplicates
     return _dedup_pairs(raw, "media_id_a", "media_id_b")

@@ -27,6 +27,7 @@ import pyarrow as pa
 import ray.data as rd
 
 from .analysis import _docs
+from .io_util import arrow_udf
 
 PACK_SEQ_LEN = 512
 PACK_BUCKETS = 64
@@ -73,7 +74,7 @@ def pack_sequences(
         _docs(sf_dir, ["doc_id", "text"])
         .map_batches(narrow, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("bucket")
-        .map_groups(pack, batch_format="pandas")
+        .map_groups(arrow_udf(pack), batch_format="pandas")
     )
 
 
@@ -169,7 +170,7 @@ def shuffle_shards(
             count_partials, batch_format="pyarrow", zero_copy_batch=True
         )
         .groupby("coarse")
-        .map_groups(combine, batch_format="pandas")
+        .map_groups(arrow_udf(combine), batch_format="pandas")
         .to_pandas()  # <= shards*range_buckets rows, constant in corpus
     )
     counts = np.zeros(n_sb, np.int64)
@@ -191,7 +192,7 @@ def shuffle_shards(
             }
         )
 
-    return narrowed.groupby("sb").map_groups(rank, batch_format="pandas")
+    return narrowed.groupby("sb").map_groups(arrow_udf(rank), batch_format="pandas")
 
 
 CHUNK_TOKENS = 32

@@ -17,7 +17,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
 
-from .io_util import read_parquet_clean
+from .io_util import arrow_udf, read_parquet_clean
 from ray.data.aggregate import Count, Max, Min, Sum
 
 
@@ -281,7 +281,7 @@ def sessionize_events(sf_dir: str, gap_minutes: int = 30) -> rd.Dataset:
         _t(sf_dir, "events", ["user_id", "ts"])
         .map_batches(add_coarse, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("coarse")
-        .map_groups(sessions, batch_format="pandas")
+        .map_groups(arrow_udf(sessions), batch_format="pandas")
     )
 
 
@@ -340,7 +340,7 @@ def cohort_retention(sf_dir: str) -> rd.Dataset:
         _t(sf_dir, "events", ["user_id", "ts"])
         .map_batches(narrow, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("coarse")
-        .map_groups(cells, batch_format="pandas")
+        .map_groups(arrow_udf(cells), batch_format="pandas")
         .groupby(["cohort_day", "offset_day"])
         .aggregate(Sum("n", alias_name="n_users"))
     )
@@ -446,7 +446,7 @@ def event_quantiles(sf_dir: str) -> rd.Dataset:
         .groupby(["event_type", "cents"])
         .aggregate(Sum("n", alias_name="n"))
         .groupby("event_type")
-        .map_groups(quantiles, batch_format="pandas")
+        .map_groups(arrow_udf(quantiles), batch_format="pandas")
     )
 
 
@@ -506,7 +506,7 @@ def top_orders_per_nation(sf_dir: str, k: int = 3) -> rd.Dataset:
     ranked = (
         joined.map_batches(local_topk, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("c_nationkey")
-        .map_groups(final_topk, batch_format="pandas")
+        .map_groups(arrow_udf(final_topk), batch_format="pandas")
     )
     named = broadcast_lookup(ranked, nation_name, "c_nationkey", "n_name", "UNKNOWN")
     return named.select_columns(["n_name", "o_orderkey", "price_cents", "rnk"])
@@ -717,10 +717,10 @@ def range_join_events(
             ev.map_batches(window_rows, batch_format="pyarrow", zero_copy_batch=True)
         )
         .groupby("coarse")
-        .map_groups(join_bucket, batch_format="pandas")
+        .map_groups(arrow_udf(join_bucket), batch_format="pandas")
         .map_batches(rekey, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("wkey")
-        .map_groups(final_sum, batch_format="pandas")
+        .map_groups(arrow_udf(final_sum), batch_format="pandas")
     )
 
 
@@ -840,10 +840,10 @@ def _dim_rollup(
             dim.map_batches(dim_rows, batch_format="pyarrow", zero_copy_batch=True)
         )
         .groupby("bkt")
-        .map_groups(combine, batch_format="pandas")
+        .map_groups(arrow_udf(combine), batch_format="pandas")
         .map_batches(add_const, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("__fk")
-        .map_groups(final, batch_format="pandas")
+        .map_groups(arrow_udf(final), batch_format="pandas")
     )
 
 
@@ -1184,5 +1184,5 @@ def user_running_totals(sf_dir: str) -> rd.Dataset:
         _t(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
         .map_batches(add_coarse, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("coarse")
-        .map_groups(running, batch_format="pandas")
+        .map_groups(arrow_udf(running), batch_format="pandas")
     )

@@ -23,7 +23,7 @@ import numpy as np
 import pyarrow as pa
 import ray.data as rd
 
-from .io_util import read_parquet_clean
+from .io_util import arrow_udf, read_parquet_clean
 from ray.data.aggregate import AggregateFn
 
 _MIX1 = np.uint64(0xFF51AFD7ED558CCD)
@@ -434,7 +434,7 @@ def bloom_dedup(sf_dir: str) -> rd.Dataset:
         _base_corpus(sf_dir)
         .map_batches(partial_bits, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("fan")
-        .map_groups(or_group, batch_format="pandas")
+        .map_groups(arrow_udf(or_group), batch_format="pandas")
         .take_all()
     )
     bits_ref = ray.put(bloom_or([r["bits"] for r in partials]).tobytes())
