@@ -1661,6 +1661,18 @@ def oracle_sql() -> dict[str, str]:
             " SELECT vec_id, qdot FROM sc"
             " ORDER BY qdot DESC, vec_id LIMIT 10"
         ),
+        "rollup_source_lang": (
+            # mirror of analysis.rollup_source_lang: GROUPING SETS with
+            # '' sentinels for the margin levels and an explicit gid
+            "SELECT CASE WHEN source IS NOT NULL AND lang IS NOT NULL"
+            "   THEN 0 WHEN source IS NOT NULL THEN 1"
+            "   WHEN lang IS NOT NULL THEN 2 ELSE 3 END AS gid,"
+            "  coalesce(source, '') AS source, coalesce(lang, '') AS lang,"
+            "  CAST(count(*) AS BIGINT) AS n_docs,"
+            "  CAST(sum(n_chars) AS BIGINT) AS total_chars"
+            " FROM documents"
+            " GROUP BY GROUPING SETS ((source, lang), (source), (lang), ())"
+        ),
         "word_entropy": (
             # mirror of analysis.word_entropy: per-word floored-micros
             # self-information summed per doc (associative integer)

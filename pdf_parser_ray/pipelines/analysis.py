@@ -826,6 +826,71 @@ def dsir_resample(
     )
 
 
+def rollup_source_lang(sf_dir: str) -> rd.Dataset:
+    """(gid, source, lang, n_docs, total_chars): the OLAP GROUPING SETS
+    rollup — per-(source, lang) cells (gid=0), per-source margins
+    (gid=1, lang=''), per-lang margins (gid=2, source='') and the grand
+    total (gid=3) in ONE pass.
+
+    Scale shape: each batch emits pre-aggregated partial rows for all
+    four grouping sets at once (multiplexed on gid, the same pattern as
+    curate_pages' verdict union), so the corpus is read once and the
+    single exchange carries ≤ 4·|cells| tiny rows per batch — versus
+    four separate scans+groupbys for the naive plan.  '' is the
+    margin sentinel (the documents tables have no empty source/lang),
+    mirrored by COALESCE in the SQL oracle."""
+    import numpy as np
+    import pandas as pd
+
+    def partials(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "source": batch.column("source").to_pandas(),
+                "lang": batch.column("lang").to_pandas(),
+                "chars": batch.column("n_chars").to_numpy(zero_copy_only=False),
+            }
+        )
+        outs = []
+        for gid, keys in enumerate(
+            (["source", "lang"], ["source"], ["lang"], [])
+        ):
+            if keys:
+                agg = (
+                    df.groupby(keys, sort=False)
+                    .agg(n=("chars", "size"), c=("chars", "sum"))
+                    .reset_index()
+                )
+            else:
+                agg = pd.DataFrame(
+                    {"n": [len(df)], "c": [int(df["chars"].sum())]}
+                )
+            agg["gid"] = gid
+            if "source" not in agg:
+                agg["source"] = ""
+            if "lang" not in agg:
+                agg["lang"] = ""
+            outs.append(agg[["gid", "source", "lang", "n", "c"]])
+        out = pd.concat(outs, ignore_index=True)
+        return pa.table(
+            {
+                "gid": pa.array(out["gid"].to_numpy(np.int64)),
+                "source": pa.array(out["source"], pa.string()),
+                "lang": pa.array(out["lang"], pa.string()),
+                "n": pa.array(out["n"].to_numpy(np.int64)),
+                "c": pa.array(out["c"].to_numpy(np.int64)),
+            }
+        )
+
+    return (
+        _docs(sf_dir, ["source", "lang", "n_chars"])
+        .map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["gid", "source", "lang"])
+        .aggregate(
+            Sum("n", alias_name="n_docs"), Sum("c", alias_name="total_chars")
+        )
+    )
+
+
 def word_entropy(sf_dir: str) -> rd.Dataset:
     """(doc_id, n_words, surprisal_micros): total unigram self-
     information of each document under its OWN word distribution —

@@ -324,3 +324,26 @@ class TestWordEntropy:
             math.log(100.0) * 1e6
         )
         assert df.loc[2, "surprisal_micros"] == 0 and df.loc[2, "n_words"] == 0
+
+
+class TestRollupSourceLang:
+    def test_margins_are_consistent(self, ray_session, quiet_data_context):
+        from pdf_parser_ray.pipelines.analysis import rollup_source_lang
+
+        df = rollup_source_lang("/root/testdata/sf0.001").to_pandas()
+        cells = df[df["gid"] == 0]
+        by_source = df[df["gid"] == 1].set_index("source")
+        by_lang = df[df["gid"] == 2].set_index("lang")
+        total = df[df["gid"] == 3]
+        assert len(total) == 1
+        # every margin equals the sum of its cells, for both measures
+        for col in ("n_docs", "total_chars"):
+            assert (
+                cells.groupby("source")[col].sum().sort_index()
+                == by_source[col].sort_index()
+            ).all()
+            assert (
+                cells.groupby("lang")[col].sum().sort_index()
+                == by_lang[col].sort_index()
+            ).all()
+            assert cells[col].sum() == total[col].iloc[0]
