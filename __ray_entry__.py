@@ -1309,6 +1309,31 @@ def _ols_residuals_sql() -> str:
     )
 
 
+def _curate_and_pack_sql() -> str:
+    """Mirror of pack.curate_and_pack: the quality-filter mirror as a
+    CTE, md5-winner dedup among kept docs, then the pack_sequences
+    window cumsum over the survivors."""
+    from pdf_parser_ray.pipelines.pack import PACK_BUCKETS, PACK_SEQ_LEN
+
+    return (
+        f"WITH q AS ({_quality_filter_sql()}),"
+        " kept AS (SELECT d.doc_id, d.text FROM documents d"
+        "   JOIN q USING (doc_id) WHERE q.keep = 1),"
+        " winners AS (SELECT min(doc_id) AS doc_id FROM kept"
+        "   GROUP BY md5(text)),"
+        f" t AS (SELECT k.doc_id, k.doc_id % {PACK_BUCKETS} AS bucket,"
+        f"   CAST(len({_WORDS_EXPR}) AS BIGINT) AS n_tokens"
+        "   FROM kept k JOIN winners USING (doc_id)),"
+        " c AS (SELECT doc_id, bucket, n_tokens,"
+        "   CAST(SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id"
+        "     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+        "     - n_tokens AS BIGINT) AS s FROM t)"
+        " SELECT doc_id, CAST(bucket AS BIGINT) AS bucket, n_tokens,"
+        f"  CAST(s // {PACK_SEQ_LEN} AS BIGINT) AS pack_id,"
+        f"  CAST(s % {PACK_SEQ_LEN} AS BIGINT) AS pack_offset FROM c"
+    )
+
+
 def _c4_lines_cte() -> str:
     """Shared CTE chain rebuilding the deterministic multi-line page of
     filter.synth_page_lines: defines ``w`` (words), ``l`` (line index
@@ -1661,6 +1686,7 @@ def oracle_sql() -> dict[str, str]:
             " SELECT vec_id, qdot FROM sc"
             " ORDER BY qdot DESC, vec_id LIMIT 10"
         ),
+        "curate_and_pack": _curate_and_pack_sql(),
         "rollup_source_lang": (
             # mirror of analysis.rollup_source_lang: GROUPING SETS with
             # '' sentinels for the margin levels and an explicit gid

@@ -56,25 +56,100 @@ def pack_sequences(
             }
         )
 
-    def pack(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("doc_id")
-        n = g["n_tokens"].to_numpy()
-        start = np.cumsum(n) - n  # first-token offset of each doc
-        return pd.DataFrame(
-            {
-                "doc_id": g["doc_id"].to_numpy().astype(np.int64),
-                "bucket": g["bucket"].to_numpy().astype(np.int64),
-                "n_tokens": n.astype(np.int64),
-                "pack_id": (start // seq_len).astype(np.int64),
-                "pack_offset": (start % seq_len).astype(np.int64),
-            }
-        )
-
     return (
         _docs(sf_dir, ["doc_id", "text"])
         .map_batches(narrow, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("bucket")
-        .map_groups(arrow_udf(pack), batch_format="pandas")
+        .map_groups(
+            arrow_udf(lambda g: _pack_cumsum(g, seq_len)),
+            batch_format="pandas",
+        )
+    )
+
+
+def _pack_cumsum(g: "pd.DataFrame", seq_len: int) -> "pd.DataFrame":
+    """One bucket's greedy in-order pack assignment (ascending doc_id):
+    the cumulative-sum kernel shared by pack_sequences and
+    curate_and_pack."""
+    g = g.sort_values("doc_id")
+    n = g["n_tokens"].to_numpy()
+    start = np.cumsum(n) - n  # first-token offset of each doc
+    return pd.DataFrame(
+        {
+            "doc_id": g["doc_id"].to_numpy().astype(np.int64),
+            "bucket": g["bucket"].to_numpy().astype(np.int64),
+            "n_tokens": n.astype(np.int64),
+            "pack_id": (start // seq_len).astype(np.int64),
+            "pack_offset": (start % seq_len).astype(np.int64),
+        }
+    )
+
+
+def curate_and_pack(
+    sf_dir: str, seq_len: int = PACK_SEQ_LEN, buckets: int = PACK_BUCKETS
+) -> rd.Dataset:
+    """(doc_id, bucket, n_tokens, pack_id, pack_offset): the end-to-end
+    training-export COMPOSITION — quality gate → exact dedup → greedy
+    per-bucket packing, built as one lazy Dataset so a user sees how
+    the engine's stages chain (each stage is also exposed standalone:
+    quality_filter / exact_dedup / pack_sequences).
+
+    Scale shape: ONE text pass computes the quality verdict (the shared
+    vectorized word_stats_arrays kernel), the md5 (kept rows only) and
+    the token count; from there only narrow rows move — an md5-keyed
+    winner co-shuffle (min doc_id per digest, companions ride the row),
+    then the bucket-keyed pack cumsum.  Two exchanges total, text read
+    once and never shuffled."""
+    import hashlib
+
+    from .filter import quality_verdict
+    from .io_util import coarse_crc
+
+    def narrow(batch: pa.Table) -> pa.Table:
+        from .analysis import word_stats_arrays
+
+        texts = batch.column("text")
+        stats = word_stats_arrays(texts)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = np.fromiter(
+            (
+                quality_verdict(int(w), int(d), int(t), int(s)) == "ok"
+                for w, d, t, s in zip(*stats)
+            ),
+            bool,
+            count=len(ids),
+        )
+        kept_ids = ids[keep]
+        n_tok = stats[0][keep]
+        tl = texts.to_pylist()
+        hashes = [
+            hashlib.md5(tl[i].encode("utf-8")).hexdigest()
+            for i in np.nonzero(keep)[0]
+        ]
+        return pa.table(
+            {
+                "coarse": pa.array(coarse_crc(hashes, 256)),
+                "text_hash": pa.array(hashes, pa.string()),
+                "doc_id": pa.array(kept_ids),
+                "bucket": pa.array(kept_ids % buckets),
+                "n_tokens": pa.array(n_tok.astype(np.int64)),
+            }
+        )
+
+    def winners(g: pd.DataFrame) -> pd.DataFrame:
+        w = g.sort_values("doc_id").drop_duplicates("text_hash", keep="first")
+        return w[["doc_id", "bucket", "n_tokens"]].reset_index(drop=True)
+
+    return (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(narrow, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("coarse")
+        .map_groups(arrow_udf(winners), batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(
+            arrow_udf(lambda g: _pack_cumsum(g, seq_len)),
+            batch_format="pandas",
+        )
     )
 
 

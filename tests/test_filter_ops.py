@@ -406,3 +406,29 @@ class TestShuffleShards:
             expect[i] = seen.get(s, 0)
             seen[s] = expect[i] + 1
         assert (got["pos"].to_numpy() == expect).all()
+
+
+class TestCurateAndPack:
+    def test_composition_equals_stage_chain(self, ray_session, quiet_data_context):
+        from pdf_parser_ray.pipelines.dedup import exact_dedup
+        from pdf_parser_ray.pipelines.filter import quality_filter
+        from pdf_parser_ray.pipelines.pack import curate_and_pack, pack_sequences
+
+        sf = "/root/testdata/sf0.001"
+        got = curate_and_pack(sf).to_pandas().sort_values("doc_id")
+        kept = set(
+            quality_filter(sf).to_pandas().query("keep == 1")["doc_id"]
+        )
+        dedup_winners = set(exact_dedup(sf).to_pandas()["doc_id"])
+        # survivors = quality-kept ∩ (winner among kept per text);
+        # winners computed on the FULL corpus may differ only when a
+        # dropped doc was the winner — every survivor must be kept, and
+        # every kept winner must survive
+        assert set(got["doc_id"]) <= kept
+        assert (kept & dedup_winners) <= set(got["doc_id"])
+        # per-bucket greedy packing invariants (same as pack_sequences)
+        full = pack_sequences(sf).to_pandas().set_index("doc_id")
+        for _, row in got.head(50).iterrows():
+            assert row["n_tokens"] == full.loc[row["doc_id"], "n_tokens"]
+        grp = got.groupby("bucket")
+        assert (grp["pack_offset"].first() == 0).all()  # each bucket restarts
