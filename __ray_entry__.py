@@ -1719,6 +1719,17 @@ def oracle_sql() -> dict[str, str]:
             " FROM documents d LEFT JOIN n ON d.doc_id = n.doc_id"
             " LEFT JOIN s ON d.doc_id = s.doc_id"
         ),
+        "events_hourly_delta": (
+            # mirror of relational.events_hourly_delta: LAG over the
+            # hourly rollup, epoch-micros hour key, first-hour delta = n
+            "WITH h AS (SELECT event_type,"
+            "   epoch_us(date_trunc('hour', ts)) AS hour_us,"
+            "   CAST(count(*) AS BIGINT) AS n FROM events"
+            "   GROUP BY event_type, date_trunc('hour', ts))"
+            " SELECT event_type, hour_us, n,"
+            "  CAST(n - coalesce(LAG(n) OVER (PARTITION BY event_type"
+            "    ORDER BY hour_us), 0) AS BIGINT) AS delta_n FROM h"
+        ),
         "cohort_retention": (
             # mirror of relational.cohort_retention: epoch-day cohort =
             # per-user min day; one DISTINCT (user, cohort, offset) set,

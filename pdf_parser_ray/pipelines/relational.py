@@ -285,6 +285,54 @@ def sessionize_events(sf_dir: str, gap_minutes: int = 30) -> rd.Dataset:
     )
 
 
+def events_hourly_delta(sf_dir: str) -> rd.Dataset:
+    """(event_type, hour_us, n, delta_n): hour-over-hour change of the
+    hourly event count — the LAG window over the rollup (delta vs the
+    previous OBSERVED hour; the first hour's delta is its own count).
+    Hours are int64 epoch-micros so the value hash is dtype-stable.
+
+    Scale shape: the expensive part is the same distributed tumbling
+    rollup as events_hourly (types × hours rows, tiny relative to the
+    stream); the LAG itself is one type-keyed co-shuffle of the rollup
+    with a vectorized sorted diff per group.  Partitioning assumption:
+    one event type's hour rollup fits in a group (hours grow with time,
+    not data rate)."""
+    import pandas as pd
+
+    day_col = "hour_us"
+
+    def window_key(batch: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(batch.column("ts"), unit="hour")
+        return pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                day_col: pc.cast(hour.cast(pa.int64()), pa.int64()),
+            }
+        )
+
+    def lag(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(day_col)
+        n = g["n"].to_numpy()
+        prev = np.concatenate([np.zeros(1, n.dtype), n[:-1]])
+        return pd.DataFrame(
+            {
+                "event_type": g["event_type"].to_numpy(),
+                day_col: g[day_col].to_numpy().astype(np.int64),
+                "n": n.astype(np.int64),
+                "delta_n": (n - prev).astype(np.int64),
+            }
+        )
+
+    return (
+        _t(sf_dir, "events", ["ts", "event_type"])
+        .map_batches(window_key, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["event_type", day_col])
+        .aggregate(Count(alias_name="n"))
+        .groupby("event_type")
+        .map_groups(arrow_udf(lag), batch_format="pandas")
+    )
+
+
 def cohort_retention(sf_dir: str) -> rd.Dataset:
     """(cohort_day, offset_day, n_users): classic cohort-retention
     matrix — users grouped by their first-activity day (epoch-day of

@@ -96,8 +96,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # dedup_lines_within_doc, user_running_totals, label_centroids,
         # source_quality_filter, shuffle_shards, ccnet_buckets,
         # dsir_resample, ols_residuals, cohort_retention, word_entropy,
-        # knn_quantized, rollup_source_lang, curate_and_pack — each
-        # oracle-backed in
+        # knn_quantized, rollup_source_lang, curate_and_pack,
+        # events_hourly_delta — each oracle-backed in
         # tests/test_oracle.py; displacing a gated slot would cost an
         # established driver-green row), then the rows-only
         # approximations (compression_ratio, train_bpe,
@@ -140,6 +140,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "ols_residuals": analysis.ols_residuals,
         "cohort_retention": relational.cohort_retention,
+        "events_hourly_delta": relational.events_hourly_delta,
         "word_entropy": analysis.word_entropy,
         "rollup_source_lang": analysis.rollup_source_lang,
         "curate_and_pack": pack.curate_and_pack,

@@ -23,3 +23,17 @@ class TestCohortRetention:
             f" read_parquet('{sf}/events.parquet')"
         ).fetchone()[0]
         assert int(base.sum()) == n_users
+
+
+class TestEventsHourlyDelta:
+    def test_deltas_telescope(self, ray_session, quiet_data_context):
+        from pdf_parser_ray.pipelines.relational import events_hourly_delta
+
+        df = events_hourly_delta("/root/testdata/sf0.001").to_pandas()
+        # deltas telescope back to the final count per type
+        for etype, grp in df.groupby("event_type"):
+            grp = grp.sort_values("hour_us")
+            assert grp["delta_n"].sum() == grp["n"].iloc[-1]
+            # n = prefix-sum of deltas at every step
+            assert (grp["delta_n"].cumsum() == grp["n"]).all()
+        assert (df["n"] > 0).all()
