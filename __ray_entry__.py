@@ -1690,9 +1690,9 @@ def oracle_sql() -> dict[str, str]:
         "rollup_source_lang": (
             # mirror of analysis.rollup_source_lang: GROUPING SETS with
             # '' sentinels for the margin levels and an explicit gid
-            "SELECT CASE WHEN source IS NOT NULL AND lang IS NOT NULL"
+            "SELECT CAST(CASE WHEN source IS NOT NULL AND lang IS NOT NULL"
             "   THEN 0 WHEN source IS NOT NULL THEN 1"
-            "   WHEN lang IS NOT NULL THEN 2 ELSE 3 END AS gid,"
+            "   WHEN lang IS NOT NULL THEN 2 ELSE 3 END AS BIGINT) AS gid,"
             "  coalesce(source, '') AS source, coalesce(lang, '') AS lang,"
             "  CAST(count(*) AS BIGINT) AS n_docs,"
             "  CAST(sum(n_chars) AS BIGINT) AS total_chars"

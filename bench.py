@@ -244,6 +244,9 @@ def run_bench() -> dict:
     timed("cohort_retention", relational.cohort_retention)
     timed("knn_quantized", similarity.knn_quantized)
     timed("pca_embeddings", similarity.pca_embeddings)
+    timed("rollup_source_lang", analysis.rollup_source_lang)
+    timed("curate_and_pack", pack_ops.curate_and_pack)
+    timed("events_hourly_delta", relational.events_hourly_delta)
 
     from pdf_parser_ray.pipelines.cluster import kmeans_embeddings, semantic_dedup
 

@@ -121,10 +121,13 @@ def curate_and_pack(
         )
         kept_ids = ids[keep]
         n_tok = stats[0][keep]
-        tl = texts.to_pylist()
+        # materialize only the surviving texts (the gate can drop most
+        # of a crawl batch; dropped rows never become Python strings)
+        import pyarrow.compute as pc
+
         hashes = [
-            hashlib.md5(tl[i].encode("utf-8")).hexdigest()
-            for i in np.nonzero(keep)[0]
+            hashlib.md5(t.encode("utf-8")).hexdigest()
+            for t in pc.filter(texts, pa.array(keep)).to_pylist()
         ]
         return pa.table(
             {
@@ -170,8 +173,11 @@ def shuffle_key(doc_ids: np.ndarray) -> np.ndarray:
     SHUF_P with an xor-shift fold between them.  The fold breaks the
     affinity of the composition (a pure affine chain would map
     consecutive ids onto an arithmetic progression — striped, not
-    shuffled); two ids collide only when equal mod SHUF_P, and both
-    sort orders tie-break on doc_id."""
+    shuffled).  NOT injective: besides the mod-SHUF_P wrap of the
+    input, the fold itself can emit SHUF_P (k1 = 0x7FFDFFFF class),
+    which reduces to 0 — so two ids below SHUF_P can (rarely) share a
+    key.  Both sort orders tie-break on doc_id, so collisions cost
+    determinism nothing."""
     x = doc_ids.astype(np.int64) % SHUF_P
     k1 = (SHUF_A1 * x + SHUF_B1) % SHUF_P
     k2 = (k1 ^ (k1 >> 17)) % SHUF_P

@@ -299,25 +299,25 @@ def events_hourly_delta(sf_dir: str) -> rd.Dataset:
     not data rate)."""
     import pandas as pd
 
-    day_col = "hour_us"
+    hour_col = "hour_us"
 
     def window_key(batch: pa.Table) -> pa.Table:
         hour = pc.floor_temporal(batch.column("ts"), unit="hour")
         return pa.table(
             {
                 "event_type": batch.column("event_type"),
-                day_col: pc.cast(hour.cast(pa.int64()), pa.int64()),
+                hour_col: hour.cast(pa.int64()),
             }
         )
 
     def lag(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(day_col)
+        g = g.sort_values(hour_col)
         n = g["n"].to_numpy()
         prev = np.concatenate([np.zeros(1, n.dtype), n[:-1]])
         return pd.DataFrame(
             {
                 "event_type": g["event_type"].to_numpy(),
-                day_col: g[day_col].to_numpy().astype(np.int64),
+                hour_col: g[hour_col].to_numpy().astype(np.int64),
                 "n": n.astype(np.int64),
                 "delta_n": (n - prev).astype(np.int64),
             }
@@ -326,7 +326,7 @@ def events_hourly_delta(sf_dir: str) -> rd.Dataset:
     return (
         _t(sf_dir, "events", ["ts", "event_type"])
         .map_batches(window_key, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["event_type", day_col])
+        .groupby(["event_type", hour_col])
         .aggregate(Count(alias_name="n"))
         .groupby("event_type")
         .map_groups(arrow_udf(lag), batch_format="pandas")

@@ -209,9 +209,7 @@ def knn_quantized(sf_dir: str, query_vec_id: int = 0, k: int = 10) -> rd.Dataset
         mask = ids != query_vec_id
         ids, vecs = ids[mask], vecs[mask]
         qdot = _quantize(vecs, a) @ q_vec
-        if len(ids) > k:
-            keep = np.lexsort((ids, -qdot))[:k]
-            ids, qdot = ids[keep], qdot[keep]
+        ids, qdot = _local_topk_micros(ids, qdot, k)
         return pa.table(
             {
                 "vec_id": pa.array(ids, pa.int64()),

@@ -223,11 +223,13 @@ def test_shuffle_key_range_and_determinism(ids):
     assert (k1 == k2).all()
     assert k1.dtype == np.int64
     assert (k1 >= 0).all() and (k1 < SHUF_P).all()
-    # a permutation on ids below P: distinct inputs -> distinct keys
+    # near-injective on ids below P (the xor fold CAN wrap to 0 mod P —
+    # e.g. ids 1802502889 and 1871412062 collide — so only a bound, not
+    # equality, is a true invariant; order ties break on doc_id)
     small = arr[arr < SHUF_P]
     uniq_in = len(set(small.tolist()))
     uniq_out = len(set(shuffle_key(small).tolist()))
-    assert uniq_in == uniq_out
+    assert uniq_out >= uniq_in - 1
 
 
 @given(
