@@ -1258,6 +1258,25 @@ def _shuffle_sql() -> str:
     )
 
 
+def _uniform_sample_sql() -> str:
+    """Mirror of pack.uniform_sample_k: the shuffle-key hash recomputed
+    in BIGINT, bottom-k by (key, doc_id)."""
+    from pdf_parser_ray.pipelines.pack import (
+        SAMPLE_K, SHUF_A1, SHUF_A2, SHUF_B1, SHUF_B2, SHUF_P,
+    )
+
+    return (
+        "WITH r1 AS (SELECT doc_id,"
+        f"   ({SHUF_A1} * (doc_id % {SHUF_P}) + {SHUF_B1}) % {SHUF_P} AS k1"
+        "   FROM documents),"
+        " r2 AS (SELECT doc_id,"
+        f"   ({SHUF_A2} * (xor(k1, k1 >> 17) % {SHUF_P}) + {SHUF_B2})"
+        f"     % {SHUF_P} AS key FROM r1)"
+        " SELECT doc_id, key FROM r2"
+        f" ORDER BY key, doc_id LIMIT {SAMPLE_K}"
+    )
+
+
 def _dsir_resample_sql() -> str:
     """Mirror of analysis.dsir_resample: the importance-weights mirror
     as a CTE, Gumbel noise recomputed from the shuffle_key hash
@@ -1663,6 +1682,7 @@ def oracle_sql() -> dict[str, str]:
         "source_quality_filter": _source_quality_sql(),
         "shuffle_shards": _shuffle_sql(),
         "dsir_resample": _dsir_resample_sql(),
+        "uniform_sample_k": _uniform_sample_sql(),
         "ols_residuals": _ols_residuals_sql(),
         "knn_quantized": (
             # mirror of similarity.knn_quantized: one global max-abs

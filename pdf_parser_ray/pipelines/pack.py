@@ -85,6 +85,37 @@ def _pack_cumsum(g: "pd.DataFrame", seq_len: int) -> "pd.DataFrame":
     )
 
 
+SAMPLE_K = 100
+
+
+def uniform_sample_k(sf_dir: str, k: int = SAMPLE_K) -> rd.Dataset:
+    """(doc_id, key): EXACTLY-k uniform sample without replacement —
+    the k smallest :func:`shuffle_key` values (ties by doc_id).  The
+    deterministic complement of filter.sample_documents' Bernoulli
+    sampler: that one keeps a random *fraction* (size varies run to
+    run at small k); this one returns a fixed-size panel, reproducible
+    across runs and engines.
+
+    Scale shape: per-batch local bottom-k (k rows survive each block),
+    then one ≤ k·num_blocks-row sort — the same selection shape as
+    knn_cosine; nothing corpus-sized moves."""
+
+    def local_bottomk(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        key = shuffle_key(ids)
+        if len(ids) > k:
+            keep = np.lexsort((ids, key))[:k]  # same key as the sort
+            ids, key = ids[keep], key[keep]
+        return pa.table({"doc_id": pa.array(ids), "key": pa.array(key)})
+
+    return (
+        _docs(sf_dir, ["doc_id"])
+        .map_batches(local_bottomk, batch_format="pyarrow", zero_copy_batch=True)
+        .sort(["key", "doc_id"])
+        .limit(k)
+    )
+
+
 def curate_and_pack(
     sf_dir: str, seq_len: int = PACK_SEQ_LEN, buckets: int = PACK_BUCKETS
 ) -> rd.Dataset:

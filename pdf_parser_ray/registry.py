@@ -97,7 +97,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # source_quality_filter, shuffle_shards, ccnet_buckets,
         # dsir_resample, ols_residuals, cohort_retention, word_entropy,
         # knn_quantized, rollup_source_lang, curate_and_pack,
-        # events_hourly_delta — each oracle-backed in
+        # events_hourly_delta, uniform_sample_k — each oracle-backed in
         # tests/test_oracle.py; displacing a gated slot would cost an
         # established driver-green row), then the rows-only
         # approximations (compression_ratio, train_bpe,
@@ -144,6 +144,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "word_entropy": analysis.word_entropy,
         "rollup_source_lang": analysis.rollup_source_lang,
         "curate_and_pack": pack.curate_and_pack,
+        "uniform_sample_k": pack.uniform_sample_k,
         "knn_quantized": similarity.knn_quantized,
         "compression_ratio": analysis.compression_ratio,
         "train_bpe": analysis.train_bpe,
