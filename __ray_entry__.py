@@ -198,15 +198,16 @@ def _records_by_direction(sf_dir: str):
 
 def _extract_dedup(sf_dir: str):
     """Composition: extraction flagship -> exact content dedup (keep the
-    lexicographically-first url per extracted-content hash)."""
+    lexicographically-first url per extracted-content hash).  Reads the
+    shared extracted artifact (extraction runs once per corpus)."""
     from ray.data.aggregate import Min
 
-    ds = _extract_pages(sf_dir)
-    return (
-        ds.select_columns(["content_sha256", "url"])
-        .groupby("content_sha256")
-        .aggregate(Min("url", alias_name="url"))
+    from pdf_parser_ray.pipelines.extract import read_extracted
+
+    ds = read_extracted(
+        _pages_dir_for(sf_dir), ["content_sha256", "url"], batch_size=32
     )
+    return ds.groupby("content_sha256").aggregate(Min("url", alias_name="url"))
 
 
 def queries() -> dict[str, Callable[[str], Any]]:

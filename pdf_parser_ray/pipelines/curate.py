@@ -222,16 +222,15 @@ def exact_dup_drops(sf_dir: str) -> rd.Dataset:
     coarse-bucket shuffle (hash groups are legion and tiny); output is
     duplicate-sized, not corpus-sized."""
     import hashlib
-    import zlib
+
+    from .io_util import coarse_key
 
     def add_hash(batch: pa.Table) -> pa.Table:
         hashes = [
             hashlib.md5(t.encode("utf-8")).hexdigest()
             for t in batch.column("text").to_pylist()
         ]
-        coarse = np.array(
-            [zlib.crc32(h.encode()) % _COARSE_BUCKETS for h in hashes], np.int32
-        )
+        coarse = coarse_key(hashes, _COARSE_BUCKETS)
         return pa.table(
             {
                 "text_hash": pa.array(hashes, pa.string()),
@@ -385,29 +384,30 @@ def curate_pages(
     (empty string).  The flagship composition a crawl pipeline runs
     between extraction and training-corpus assembly.
 
-    Scale shape: the extraction output is materialized once
-    (object-store backed; the cluster analogue is the extracted parquet
-    the job driver already writes).  Each verdict pass exchanges only
-    narrow rows — (url, priority) — keyed by coarse crc32 buckets
+    Scale shape: runs over the shared extracted artifact
+    (:func:`pdf_parser_ray.pipelines.extract.extracted_dir` — parquet
+    on disk, extraction runs once per corpus; this IS the extracted
+    parquet the 100 TB job driver writes).  Each verdict pass exchanges
+    only narrow rows — (url, priority) — keyed by coarse hash buckets
     (sha-bucket for dedup, host-bucket for the cap, url-bucket for the
     final priority combine); the wide ``extracted_text`` column is read
     exactly once by the stateless quality pass and never shuffles.
     Nothing corpus-sized touches the driver."""
-    from .extract import extract_dir
+    from .extract import read_extracted
     from .filter import quality_verdict
-    from .io_util import coarse_crc, host_of
+    from .io_util import coarse_key, host_of
 
-    extracted = (
-        extract_dir(pages_dir, batch_size=batch_size)
-        .select_columns(["url", "content_sha256", "extracted_text"])
-        .materialize()
+    quality_src = read_extracted(
+        pages_dir, ["url", "extracted_text"], batch_size=batch_size
+    )
+    narrow_src = read_extracted(
+        pages_dir, ["url", "content_sha256"], batch_size=batch_size
     )
 
     # priority codes: 3 exact_dup, 2 host_cap, 1 low_quality, 0 keep
     def quality_rows(batch: pa.Table) -> pa.Table:
         from .analysis import word_stats_arrays
 
-        urls = batch.column("url").to_pylist()
         stats = word_stats_arrays(batch.column("extracted_text"))
         pris = [
             1 if quality_verdict(int(w), int(d), int(t), int(s)) != "ok" else 0
@@ -415,30 +415,33 @@ def curate_pages(
         ]
         return pa.table(
             {
-                "key": pa.array(coarse_crc(urls, _COARSE_BUCKETS)),
+                "key": pa.array(coarse_key(batch.column("url"), _COARSE_BUCKETS)),
                 "url": batch.column("url"),
                 "pri": pa.array(pris, pa.int32()),
             }
         )
 
     # the dedup and host-cap passes share ONE multiplexed shuffle: dup
-    # rows take coarse keys [0, B) on crc32(sha), cap rows take
-    # [B, 2B) on crc32(host) — disjoint key ranges, so every group the
+    # rows take coarse keys [0, B) on hash(sha), cap rows take
+    # [B, 2B) on hash(host) — disjoint key ranges, so every group the
     # handler sees is homogeneous, and the all-to-all rounds drop from
     # three to two (multiplexed verdicts + final url combine)
     def tagged_rows(batch: pa.Table) -> pa.Table:
-        hosts = host_of(batch.column("url")).to_pylist()
-        shas = batch.column("content_sha256").to_pylist()
+        hosts = host_of(batch.column("url"))
+        if isinstance(hosts, pa.ChunkedArray):
+            hosts = hosts.combine_chunks()
+        shas = batch.column("content_sha256").combine_chunks().cast(pa.string())
         n = len(batch)
-        sha_key = coarse_crc(shas, _COARSE_BUCKETS)
-        host_key = coarse_crc(hosts, _COARSE_BUCKETS, offset=_COARSE_BUCKETS)
+        sha_key = coarse_key(shas, _COARSE_BUCKETS)
+        host_key = coarse_key(hosts, _COARSE_BUCKETS, offset=_COARSE_BUCKETS)
+        empty = pa.array([""] * n, pa.string())
         return pa.table(
             {
                 "key": pa.array(np.concatenate([sha_key, host_key])),
                 # grp: the exact group-by value inside the coarse bucket
-                "grp": pa.array(shas + hosts, pa.string()),
+                "grp": pa.concat_arrays([shas, hosts.cast(pa.string())]),
                 # aux: secondary rank order (unused by dup rows)
-                "aux": pa.array([""] * n + shas, pa.string()),
+                "aux": pa.concat_arrays([empty, shas]),
                 "url": pa.concat_arrays(
                     [batch.column("url").combine_chunks()] * 2
                 ),
@@ -459,7 +462,7 @@ def curate_pages(
         urls = g["url"].to_numpy()[keep]
         return pd.DataFrame(
             {
-                "key": coarse_crc(list(urls), _COARSE_BUCKETS),
+                "key": coarse_key(list(urls), _COARSE_BUCKETS),
                 "url": urls,
                 "pri": np.full(len(urls), pri, np.int32),
             }
@@ -476,11 +479,11 @@ def curate_pages(
             }
         )
 
-    quality = extracted.map_batches(
+    quality = quality_src.map_batches(
         quality_rows, batch_format="pyarrow", zero_copy_batch=True
     )
     drops = (
-        extracted.select_columns(["url", "content_sha256"])
+        narrow_src
         .map_batches(tagged_rows, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("key")
         .map_groups(arrow_udf(verdict_drops), batch_format="pandas")

@@ -134,7 +134,7 @@ def curate_and_pack(
     import hashlib
 
     from .filter import quality_verdict
-    from .io_util import coarse_crc
+    from .io_util import coarse_key
 
     def narrow(batch: pa.Table) -> pa.Table:
         from .analysis import word_stats_arrays
@@ -162,7 +162,7 @@ def curate_and_pack(
         ]
         return pa.table(
             {
-                "coarse": pa.array(coarse_crc(hashes, 256)),
+                "coarse": pa.array(coarse_key(hashes, 256)),
                 "text_hash": pa.array(hashes, pa.string()),
                 "doc_id": pa.array(kept_ids),
                 "bucket": pa.array(kept_ids % buckets),
