@@ -1305,6 +1305,58 @@ def _dsir_resample_sql() -> str:
     )
 
 
+def _ccnet_buckets_sql() -> str:
+    """Mirror of analysis.ccnet_buckets: the perplexity mirror as a
+    CTE, then SQL ntile() per language ordered by (ppl_micros, doc_id)
+    — the Ray side's distributed rank + first-rem-tiles-take-one-extra
+    formula IS ntile's split.  CCNET_TILES is interpolated so retuning
+    the constant can never desync the mirror (ADVICE r03 #3)."""
+    from pdf_parser_ray.pipelines.analysis import CCNET_TILES
+
+    return (
+        f"WITH p AS ({_perplexity_sql()})"
+        " SELECT p.doc_id, d.lang,"
+        f"  CAST(ntile({CCNET_TILES}) OVER (PARTITION BY d.lang"
+        "    ORDER BY p.ppl_micros, p.doc_id) - 1 AS BIGINT) AS tile"
+        " FROM p JOIN documents d USING (doc_id)"
+    )
+
+
+def _knn_quantized_sql() -> str:
+    """Mirror of similarity.knn_quantized: one global max-abs scalar
+    cast to DOUBLE (float32 widens losslessly; the scale must be
+    float64 in BOTH engines), the same floor(x·L/A) symmetric
+    quantizer, then an exact integer dot product — no float comparison
+    anywhere in the score.  QUANT_LEVELS and the query defaults are
+    interpolated from the pipeline so retuning can never desync the
+    mirror (ADVICE r03 #2)."""
+    import inspect
+
+    from pdf_parser_ray.pipelines import similarity
+
+    sig = inspect.signature(similarity.knn_quantized)
+    qid = sig.parameters["query_vec_id"].default
+    k = sig.parameters["k"].default
+    levels = float(similarity.QUANT_LEVELS)
+    return (
+        "WITH v AS (SELECT vec_id, embedding AS e FROM embeddings),"
+        " a AS (SELECT CAST(max(abs(x)) AS DOUBLE) AS a FROM"
+        "   (SELECT unnest(e) AS x FROM v)),"
+        " u AS (SELECT vec_id, unnest(e) AS x,"
+        "   generate_subscripts(e, 1) AS i FROM v),"
+        " q AS (SELECT u.vec_id, u.i,"
+        f"   CAST(floor(CAST(u.x AS DOUBLE) * {levels} / a.a) AS BIGINT)"
+        "     AS qv FROM u CROSS JOIN a),"
+        f" qq AS (SELECT i, qv FROM q WHERE vec_id = {qid}),"
+        " sc AS (SELECT q.vec_id,"
+        "   CAST(sum(q.qv * qq.qv) AS BIGINT) AS qdot"
+        f"   FROM q JOIN qq USING (i) WHERE q.vec_id <> {qid}"
+        "   GROUP BY q.vec_id)"
+        " SELECT vec_id, qdot FROM sc"
+        f" ORDER BY qdot DESC, vec_id LIMIT {k}"
+    )
+
+
 def _ols_residuals_sql() -> str:
     """Mirror of analysis.ols_residuals: the moment sums are exact
     integers (HUGEINT in DuckDB, summed int64 partials in Ray) cast to
@@ -1685,28 +1737,7 @@ def oracle_sql() -> dict[str, str]:
         "dsir_resample": _dsir_resample_sql(),
         "uniform_sample_k": _uniform_sample_sql(),
         "ols_residuals": _ols_residuals_sql(),
-        "knn_quantized": (
-            # mirror of similarity.knn_quantized: one global max-abs
-            # scalar cast to DOUBLE (float32 widens losslessly; the
-            # scale must be float64 in BOTH engines), the same
-            # floor(x*127/A) symmetric quantizer, then an exact integer
-            # dot product — no float comparison anywhere in the score
-            "WITH v AS (SELECT vec_id, embedding AS e FROM embeddings),"
-            " a AS (SELECT CAST(max(abs(x)) AS DOUBLE) AS a FROM"
-            "   (SELECT unnest(e) AS x FROM v)),"
-            " u AS (SELECT vec_id, unnest(e) AS x,"
-            "   generate_subscripts(e, 1) AS i FROM v),"
-            " q AS (SELECT u.vec_id, u.i,"
-            "   CAST(floor(CAST(u.x AS DOUBLE) * 127.0 / a.a) AS BIGINT)"
-            "     AS qv FROM u CROSS JOIN a),"
-            " qq AS (SELECT i, qv FROM q WHERE vec_id = 0),"
-            " sc AS (SELECT q.vec_id,"
-            "   CAST(sum(q.qv * qq.qv) AS BIGINT) AS qdot"
-            "   FROM q JOIN qq USING (i) WHERE q.vec_id <> 0"
-            "   GROUP BY q.vec_id)"
-            " SELECT vec_id, qdot FROM sc"
-            " ORDER BY qdot DESC, vec_id LIMIT 10"
-        ),
+        "knn_quantized": _knn_quantized_sql(),
         "curate_and_pack": _curate_and_pack_sql(),
         "rollup_source_lang": (
             # mirror of analysis.rollup_source_lang: GROUPING SETS with
@@ -1882,17 +1913,7 @@ def oracle_sql() -> dict[str, str]:
             " FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id"
         ),
         "perplexity_scores": _perplexity_sql(),
-        "ccnet_buckets": (
-            # mirror of analysis.ccnet_buckets: the perplexity mirror as
-            # a CTE, then SQL ntile() per language ordered by
-            # (ppl_micros, doc_id) — the Ray side's distributed rank +
-            # first-rem-tiles-take-one-extra formula IS ntile's split
-            f"WITH p AS ({_perplexity_sql()})"
-            " SELECT p.doc_id, d.lang,"
-            "  CAST(ntile(3) OVER (PARTITION BY d.lang"
-            "    ORDER BY p.ppl_micros, p.doc_id) - 1 AS BIGINT) AS tile"
-            " FROM p JOIN documents d USING (doc_id)"
-        ),
+        "ccnet_buckets": _ccnet_buckets_sql(),
         "importance_weights": _importance_sql(),
         "repetition_stats": _repetition_sql(),
         "quality_filter": _quality_filter_sql(),

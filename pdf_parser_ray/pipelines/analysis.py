@@ -843,6 +843,16 @@ def rollup_source_lang(sf_dir: str) -> rd.Dataset:
     import pandas as pd
 
     def partials(batch: pa.Table) -> pa.Table:
+        # the '' margin sentinel requires non-null keys; a null would
+        # silently fall out of the gid=0/1/2 pandas groupbys while the
+        # gid=3 grand total (len(df)) kept it — margins would desync
+        # from the total AND from the oracle's NULL-keeping GROUPING
+        # SETS.  Fail loudly instead (ADVICE r03 #1).
+        if batch.column("source").null_count or batch.column("lang").null_count:
+            raise ValueError(
+                "rollup_source_lang: null source/lang violates the"
+                " margin-sentinel contract"
+            )
         df = pd.DataFrame(
             {
                 "source": batch.column("source").to_pandas(),

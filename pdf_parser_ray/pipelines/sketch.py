@@ -211,6 +211,11 @@ def heavy_hitters(sf_dir: str, k: int = 10, w: int = 4096, d: int = 4) -> rd.Dat
         .to_numpy()
     )
 
+    # deliberate global ds.aggregate — exempt from the house rule
+    # against Ray global aggregates (CLAUDE.md): the state here is ONE
+    # constant-size CMS ndarray per block, merged tree-wise; there is no
+    # per-key row exchange for a partial+map_groups combine to shrink,
+    # so the fixed AllToAll overhead IS the whole (tiny) exchange
     row = ds.aggregate(cms_counts("user_id", w=w, d=d, alias_name="cms"))
     table = row["cms"]
     est = cms_query(table, candidates)
@@ -254,9 +259,15 @@ def _dd_layout(alpha: float) -> tuple[int, int]:
 
 
 def dd_init(alpha: float = _DD_ALPHA) -> np.ndarray:
-    """Empty sketch state: a fixed int64 bucket-count array."""
+    """Empty sketch state: a fixed int64 bucket-count array.  The
+    TRAILING slot is the clamped-value diagnostic counter (values that
+    fell outside [_DD_VMIN, _DD_VMAX] and were collapsed to an edge
+    bucket) — merged additively with the rest, excluded from quantile
+    ranks, readable via :func:`dd_clamped_count` so a value-domain
+    change surfaces instead of silently degrading the alpha guarantee
+    (ADVICE r03 #4)."""
     _, nbuckets = _dd_layout(alpha)
-    return np.zeros(1 + nbuckets, np.int64)
+    return np.zeros(1 + nbuckets + 1, np.int64)
 
 
 def dd_accumulate(state: np.ndarray, vals: np.ndarray, alpha: float) -> np.ndarray:
@@ -279,8 +290,12 @@ def dd_accumulate(state: np.ndarray, vals: np.ndarray, alpha: float) -> np.ndarr
         idx = np.ceil(
             np.log(pos) / np.log(_dd_gamma(alpha)) - 1e-12
         ).astype(np.int64)
-        slots = np.clip(idx - min_idx, 0, nbuckets - 1) + 1
-        state += np.bincount(slots, minlength=len(state)).astype(np.int64)
+        raw = idx - min_idx
+        state[-1] += int(((raw < 0) | (raw > nbuckets - 1)).sum())
+        slots = np.clip(raw, 0, nbuckets - 1) + 1
+        state[:-1] += np.bincount(
+            slots, minlength=len(state) - 1
+        ).astype(np.int64)
     return state
 
 
@@ -288,18 +303,27 @@ def dd_merge(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return a + b
 
 
+def dd_clamped_count(state: np.ndarray) -> int:
+    """How many accumulated values fell outside the representable
+    [_DD_VMIN, _DD_VMAX] range and were collapsed to an edge bucket
+    (their counts kept, their values misreported at the range edge —
+    the alpha guarantee does NOT hold for them)."""
+    return int(state[-1])
+
+
 def dd_quantile_micros(state: np.ndarray, q: float, alpha: float) -> int:
     """The q-quantile as integer micros of the bucket's geometric
     midpoint — within alpha relative error of the true item value."""
-    n = int(state.sum())
+    counts = state[:-1]  # trailing slot is the clamped diagnostic
+    n = int(counts.sum())
     if n == 0:
         return 0
     rank = int(np.ceil(q * n)) if q > 0 else 1
     rank = max(1, min(n, rank))
-    if rank <= state[0]:
+    if rank <= counts[0]:
         return 0
     min_idx, _ = _dd_layout(alpha)
-    slot = int(np.searchsorted(np.cumsum(state), rank))
+    slot = int(np.searchsorted(np.cumsum(counts), rank))
     gamma = _dd_gamma(alpha)
     mid = (gamma ** (min_idx + slot - 1)) * 2.0 / (gamma + 1.0)
     return int(round(mid * 1_000_000))

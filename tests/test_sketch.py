@@ -166,6 +166,49 @@ class TestDDSketch:
                     # alpha guarantee + boundary fudge + micros rounding
                     assert abs(got - exact) <= exact * (self.ALPHA + 1e-3) + 1e-6
 
+    def test_clamped_values_are_counted(self):
+        """Out-of-range values collapse to an edge bucket with their
+        counts kept — and the trailing diagnostic slot reports exactly
+        how many lost the alpha guarantee (ADVICE r03 #4)."""
+        from pdf_parser_ray.pipelines.sketch import (
+            _DD_VMAX, _DD_VMIN, dd_accumulate, dd_clamped_count, dd_init,
+            dd_merge, dd_quantile_micros,
+        )
+
+        in_range = np.array([0.5, 3.0, 1e6])
+        state = dd_accumulate(dd_init(self.ALPHA), in_range, self.ALPHA)
+        assert dd_clamped_count(state) == 0
+        out = np.array([_DD_VMIN / 10, _DD_VMAX * 10, 2.0])
+        state2 = dd_accumulate(dd_init(self.ALPHA), out, self.ALPHA)
+        assert dd_clamped_count(state2) == 2
+        merged = dd_merge(state, state2)
+        assert dd_clamped_count(merged) == 2
+        # counts are kept: the quantile rank space still covers all 6
+        assert dd_quantile_micros(merged, 1.0, self.ALPHA) > 0
+
+    def test_events_value_domain_in_range(self):
+        """The events table's value domain must stay inside the
+        representable range — if this breaks, dd_quantile silently
+        reports range edges for the tail (pin the contract here)."""
+        import pyarrow.parquet as pq
+
+        from pdf_parser_ray.pipelines.sketch import (
+            _DD_VMAX, _DD_VMIN, dd_accumulate, dd_clamped_count, dd_init,
+        )
+
+        vals = (
+            pq.read_table(
+                "/root/testdata/sf0.001/events.parquet", columns=["value"]
+            )
+            .column("value")
+            .to_numpy(zero_copy_only=False)
+            .astype(np.float64)
+        )
+        pos = vals[vals > 0]
+        assert ((pos >= _DD_VMIN) & (pos <= _DD_VMAX)).all()
+        state = dd_accumulate(dd_init(self.ALPHA), vals, self.ALPHA)
+        assert dd_clamped_count(state) == 0
+
     def test_grouped_aggregate_vs_exact(self, ray_session, quiet_data_context):
         import pyarrow.parquet as pq
 
