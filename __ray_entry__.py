@@ -756,11 +756,14 @@ def _simhash_sql() -> str:
     corpus: the char-wise polynomial token hash (Z/(2^61-1), same
     family as rolling_fingerprint — chosen so blake2b's no_oracle gap
     closes), per-bit majority-vote signatures, 4x16-bit banding,
-    hamming <= 6 within band buckets, the deterministic
-    MAX_PAIRS_PER_GROUP truncation (pairs in (a, b) order, stop at the
-    50th qualifying pair), and the per-coarse-bucket overflow marker
-    rows (doc_id_a = -1, doc_id_b = coarse, hamming = unexamined-pair
-    count)."""
+    hamming <= 6 within band buckets, and the overflow-recovery rule
+    (VERDICT r03 ask #3): a band group whose total pair count exceeds
+    MAX_PAIRS_PER_GROUP is re-banded by full signature — identical-sig
+    classes emit ALL their hamming-0 pairs uncapped, while cross-sig
+    pairs are emitted in (a, b) order up to the cap (stop at the 50th
+    qualifying pair) with the unexamined remainder reported as
+    per-coarse-bucket marker rows (doc_id_a = -1, doc_id_b = coarse,
+    hamming = unexamined-cross-pair count)."""
     from pdf_parser_ray.pipelines.dedup import (
         _COARSE_BUCKETS,
         _SIMHASH_HASH_BASE,
@@ -795,23 +798,43 @@ def _simhash_sql() -> str:
         "     (CAST(1 AS HUGEINT) << CAST(16 * b AS INT))) % 65536"
         "     AS BIGINT) AS bh FROM sig, range(0, 4) AS rb(b)),"
         " pr AS (SELECT x.b, x.bh, x.doc_id AS ida, y.doc_id AS idb,"
-        "     bit_count(xor(x.sig, y.sig)) AS ham,"
-        "     row_number() OVER (PARTITION BY x.b, x.bh"
-        "       ORDER BY x.doc_id, y.doc_id) AS pos"
+        "     x.sig AS siga, y.sig AS sigb,"
+        "     bit_count(xor(x.sig, y.sig)) AS ham"
         "   FROM band x JOIN band y"
         "   ON x.b = y.b AND x.bh = y.bh AND x.doc_id < y.doc_id),"
+        " gsz AS (SELECT b, bh, count(*) * (count(*) - 1) // 2 AS total"
+        "   FROM band GROUP BY b, bh HAVING count(*) >= 2),"
+        f" ovf AS (SELECT b, bh, total FROM gsz WHERE total > {cap}),"
+        " csz AS (SELECT c.b, c.bh, sum(c.k * (c.k - 1) // 2) AS nwithin"
+        "   FROM (SELECT b, bh, sig, count(*) AS k FROM band"
+        "         GROUP BY b, bh, sig) c"
+        "   JOIN ovf USING (b, bh) GROUP BY c.b, c.bh),"
+        # under the cap: every qualifying pair (truncation impossible)
+        " low AS (SELECT pr.ida, pr.idb, pr.ham FROM pr"
+        f"   JOIN gsz USING (b, bh) WHERE gsz.total <= {cap}"
+        "   AND pr.ham <= 6),"
+        # overflow recovery: identical-sig classes, all pairs, ham 0
+        " winp AS (SELECT pr.ida, pr.idb, pr.ham FROM pr"
+        "   JOIN ovf USING (b, bh) WHERE pr.siga = pr.sigb),"
+        # overflow cross-sig pairs: sorted order, capped, accounted
+        " cr AS (SELECT pr.b, pr.bh, pr.ida, pr.idb, pr.ham,"
+        "     row_number() OVER (PARTITION BY pr.b, pr.bh"
+        "       ORDER BY pr.ida, pr.idb) AS pos"
+        "   FROM pr JOIN ovf USING (b, bh) WHERE pr.siga <> pr.sigb),"
         " qq AS (SELECT *, row_number() OVER (PARTITION BY b, bh"
-        "     ORDER BY ida, idb) AS qrank FROM pr WHERE ham <= 6),"
-        " gsz AS (SELECT b, bh, count(*) AS m FROM band"
-        "   GROUP BY b, bh HAVING count(*) >= 2),"
+        "     ORDER BY ida, idb) AS qrank FROM cr WHERE ham <= 6),"
         f" stop AS (SELECT b, bh, max(CASE WHEN qrank = {cap} THEN pos END)"
         "     AS stop_pos FROM qq GROUP BY b, bh),"
-        " dropped AS (SELECT g.b, g.bh, CASE WHEN s.stop_pos IS NOT NULL"
-        "     THEN g.m * (g.m - 1) // 2 - s.stop_pos ELSE 0 END AS d"
-        "   FROM gsz g LEFT JOIN stop s ON g.b = s.b AND g.bh = s.bh)"
+        " dropped AS (SELECT o.b, o.bh, CASE WHEN s.stop_pos IS NOT NULL"
+        "     THEN (o.total - coalesce(c.nwithin, 0)) - s.stop_pos"
+        "     ELSE 0 END AS d"
+        "   FROM ovf o LEFT JOIN stop s ON o.b = s.b AND o.bh = s.bh"
+        "   LEFT JOIN csz c ON o.b = c.b AND o.bh = c.bh)"
         " SELECT DISTINCT CAST(ida AS BIGINT) AS doc_id_a,"
         "   CAST(idb AS BIGINT) AS doc_id_b, CAST(ham AS BIGINT) AS hamming"
-        f" FROM qq WHERE qrank <= {cap}"
+        " FROM (SELECT ida, idb, ham FROM low"
+        "   UNION ALL SELECT ida, idb, ham FROM winp"
+        f"  UNION ALL SELECT ida, idb, ham FROM qq WHERE qrank <= {cap})"
         " UNION ALL"
         f" SELECT CAST(-1 AS BIGINT), CAST(bh % {_COARSE_BUCKETS} AS BIGINT),"
         "   CAST(sum(d) AS BIGINT)"

@@ -380,22 +380,67 @@ def _bucket_join_verify(
     )
 
 
-def _emit_pairs(ids_iter) -> tuple[list[int], list[int], int]:
-    """Emit up to MAX_PAIRS_PER_GROUP candidate pairs from one exact
-    group; the third return value is the number of pairs NOT emitted
-    (0 unless the cap binds) so callers can report the truncation."""
-    ids = sorted(set(ids_iter))
-    total = len(ids) * (len(ids) - 1) // 2
-    a_out, b_out = [], []
-    count = 0
-    for i in range(len(ids)):
-        for j in range(i + 1, len(ids)):
-            a_out.append(ids[i])
-            b_out.append(ids[j])
-            count += 1
-            if count >= MAX_PAIRS_PER_GROUP:
-                return a_out, b_out, total - count
-    return a_out, b_out, 0
+def _all_pairs_sorted(ids: "np.ndarray") -> tuple[np.ndarray, np.ndarray]:
+    """All (a, b) pairs of a SORTED id array, vectorized."""
+    i, j = np.triu_indices(len(ids), k=1)
+    return ids[i], ids[j]
+
+
+def _emit_pairs(ids_iter, secs_iter) -> tuple[list[int], list[int], int]:
+    """Candidate pairs from one exact LSH group.
+
+    Under the cap (total pairs <= MAX_PAIRS_PER_GROUP) every pair is
+    emitted in sorted order — byte-identical to the historical
+    behavior, so the brute-force SQL oracles (valid only on
+    overflow-free corpora) are untouched.
+
+    Over the cap, RECOVERY instead of truncation (VERDICT r03 ask #3):
+    the group is re-banded by ``sec`` — a fingerprint of the member's
+    FULL signature (all minhash perms / the whole shingle set), far
+    more selective than the 2-row band that formed the group.  Same-sec
+    classes are near-certain true duplicate clusters (a spurious band
+    collision virtually never survives the full signature), and emit
+    ALL their pairs uncapped: that pair set is the operator's true
+    output, not quadratic blowup — a production pipeline removes
+    byte-identical mega-clusters with exact_dedup first.  Cross-sec
+    pairs (overwhelmingly spurious 2-row collisions) are emitted in
+    sorted order up to the cap; the remainder is returned as the
+    third value for marker accounting — still visible, never silent.
+    Downstream exact verification filters any false positive either
+    path lets through."""
+    rows = sorted(set(zip(ids_iter, secs_iter)))
+    n = len(rows)
+    total = n * (n - 1) // 2
+    ids = np.fromiter((r[0] for r in rows), np.int64, count=n)
+    if total <= MAX_PAIRS_PER_GROUP:
+        a, b = _all_pairs_sorted(ids)
+        return a.tolist(), b.tolist(), 0
+    secs = np.fromiter((r[1] for r in rows), np.int64, count=n)
+    a_out: list[int] = []
+    b_out: list[int] = []
+    # same-sec classes: all pairs, uncapped (ids are sorted, so each
+    # class subsequence is sorted too)
+    n_within = 0
+    for s in np.unique(secs):
+        cls = ids[secs == s]
+        if len(cls) >= 2:
+            a, b = _all_pairs_sorted(cls)
+            a_out.extend(a.tolist())
+            b_out.extend(b.tolist())
+            n_within += len(a)
+    cross_total = total - n_within
+    # cross-sec pairs in (a, b) sorted order, capped
+    emitted = 0
+    for i in range(n):
+        if emitted >= MAX_PAIRS_PER_GROUP:
+            break
+        partners = ids[i + 1 :][secs[i + 1 :] != secs[i]]
+        take = min(len(partners), MAX_PAIRS_PER_GROUP - emitted)
+        if take:
+            a_out.extend([int(ids[i])] * take)
+            b_out.extend(partners[:take].tolist())
+            emitted += take
+    return a_out, b_out, cross_total - emitted
 
 
 # Tiny LSH buckets are legion; shuffling on the raw bucket key makes the
@@ -413,8 +458,10 @@ _COARSE_BUCKETS = int(os.environ.get("GRAFT_COARSE_BUCKETS", "256"))
 
 
 def _coarse_candidate_pairs(ds: rd.Dataset, key_cols: list[str]) -> rd.Dataset:
-    """(key_cols..., doc_id) rows -> unique candidate (doc_id_a, doc_id_b)
-    pairs among rows sharing the full key."""
+    """(key_cols..., doc_id, sec) rows -> unique candidate (doc_id_a,
+    doc_id_b) pairs among rows sharing the full key; ``sec`` is the
+    full-signature fingerprint :func:`_emit_pairs` re-bands overflowed
+    groups by."""
 
     def add_coarse(batch: pa.Table) -> pa.Table:
         h = batch.column("band_hash").to_numpy(zero_copy_only=False)
@@ -431,7 +478,9 @@ def _coarse_candidate_pairs(ds: rd.Dataset, key_cols: list[str]) -> rd.Dataset:
         for _, sub in g.groupby(key_cols, sort=False):
             if len(sub) < 2:
                 continue
-            a, b, d = _emit_pairs(sub["doc_id"].tolist())
+            a, b, d = _emit_pairs(
+                sub["doc_id"].tolist(), sub["sec"].tolist()
+            )
             a_out.extend(a)
             b_out.extend(b)
             dropped += d
@@ -560,21 +609,24 @@ def minhash_dedup(sf_dir: str, threshold_millis: int = 500) -> rd.Dataset:
     def band_rows(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_pylist()
         texts = batch.column("text").to_pylist()
-        out_band, out_hash, out_id = [], [], []
+        out_band, out_hash, out_id, out_sec = [], [], [], []
         rows_per_band = _LSH_ROWS
         word_cache: dict[str, int] = {}  # word-hash memo shared per batch
         for doc_id, text in zip(ids, texts):
             sig = minhash_signature(text, word_cache)
+            sec = int(zlib.crc32(sig.tobytes()))  # full-signature fingerprint
             for band in range(_LSH_BANDS):
                 chunk = sig[band * rows_per_band : (band + 1) * rows_per_band]
                 out_band.append(band)
                 out_hash.append(int(zlib.crc32(chunk.tobytes())))
                 out_id.append(doc_id)
+                out_sec.append(sec)
         return pa.table(
             {
                 "band": pa.array(out_band, pa.int32()),
                 "band_hash": pa.array(out_hash, pa.int64()),
                 "doc_id": pa.array(out_id, pa.int64()),
+                "sec": pa.array(out_sec, pa.int64()),
             }
         )
 
@@ -638,9 +690,12 @@ def simhash64(text: str) -> int:
 def simhash_dedup(sf_dir: str, max_hamming: int = 6) -> rd.Dataset:
     """(doc_id_a, doc_id_b, hamming): near-dup pairs whose 64-bit simhash
     signatures agree on at least one of four 16-bit bands and differ in
-    ≤ max_hamming bits overall.  Rows with ``doc_id_a ==
-    OVERFLOW_MARKER_ID`` report per-coarse-bucket unexamined-pair
-    counts where MAX_PAIRS_PER_GROUP bound."""
+    ≤ max_hamming bits overall.  Overflowed band groups are RECOVERED
+    by full-signature re-banding (identical-sig classes emit all their
+    hamming-0 pairs uncapped; see :func:`_emit_pairs`); rows with
+    ``doc_id_a == OVERFLOW_MARKER_ID`` report per-coarse-bucket
+    unexamined CROSS-sig pair counts where MAX_PAIRS_PER_GROUP still
+    bound."""
 
     def band_rows(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_pylist()
@@ -677,24 +732,54 @@ def simhash_dedup(sf_dir: str, max_hamming: int = 6) -> rd.Dataset:
             if len(sub) < 2:
                 continue
             rows = sorted(set(zip(sub["doc_id"].tolist(), sub["sig"].tolist())))
-            total = len(rows) * (len(rows) - 1) // 2
+            n = len(rows)
+            total = n * (n - 1) // 2
+            if total <= MAX_PAIRS_PER_GROUP:
+                # cap cannot bind: every qualifying pair, sorted order
+                for i in range(n):
+                    for j in range(i + 1, n):
+                        ham = bin(int(rows[i][1]) ^ int(rows[j][1])).count("1")
+                        if ham <= max_hamming:
+                            a_out.append(rows[i][0])
+                            b_out.append(rows[j][0])
+                            h_out.append(ham)
+                continue
+            # overflow RECOVERY (see _emit_pairs): same-sig classes are
+            # exact signature duplicates (hamming 0) and emit ALL their
+            # pairs uncapped; only the cross-sig remainder is capped
+            # with unexamined accounting
+            ids = np.fromiter((r[0] for r in rows), np.int64, count=n)
+            sigs = np.fromiter((int(r[1]) for r in rows), np.uint64, count=n)
+            n_within = 0
+            for s in np.unique(sigs):
+                cls = ids[sigs == s]
+                if len(cls) >= 2:
+                    ca, cb = _all_pairs_sorted(cls)
+                    a_out.extend(ca.tolist())
+                    b_out.extend(cb.tolist())
+                    h_out.extend([0] * len(ca))
+                    n_within += len(ca)
+            cross_total = total - n_within
             examined = 0
-            n_before = len(a_out)
+            emitted = 0
             capped = False
-            for i in range(len(rows)):
+            for i in range(n):
                 if capped:
                     break
-                for j in range(i + 1, len(rows)):
+                for j in range(i + 1, n):
+                    if sigs[i] == sigs[j]:
+                        continue
                     examined += 1
-                    ham = bin(int(rows[i][1]) ^ int(rows[j][1])).count("1")
+                    ham = bin(int(sigs[i]) ^ int(sigs[j])).count("1")
                     if ham <= max_hamming:
-                        a_out.append(rows[i][0])
-                        b_out.append(rows[j][0])
+                        a_out.append(int(ids[i]))
+                        b_out.append(int(ids[j]))
                         h_out.append(ham)
-                        if len(a_out) - n_before >= MAX_PAIRS_PER_GROUP:
+                        emitted += 1
+                        if emitted >= MAX_PAIRS_PER_GROUP:
                             capped = True
                             break
-            dropped += total - examined
+            dropped += cross_total - examined
         if dropped:
             # overflow marker: candidate combinations never examined in
             # this coarse group (cap bound) — visible, not silent
@@ -733,16 +818,23 @@ def ngram_jaccard_dedup(sf_dir: str, threshold_millis: int = 400) -> rd.Dataset:
     def anchor_rows(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_pylist()
         texts = batch.column("text").to_pylist()
-        out_hash, out_id = [], []
+        out_hash, out_id, out_sec = [], [], []
         for doc_id, text in zip(ids, texts):
             hashes = sorted(_stable64(s) for s in _word_shingles(text))
+            # full-shingle-set fingerprint: identical sets => identical
+            # sec => Jaccard 1.0 — the recovery class key
+            sec = int(
+                zlib.crc32(np.asarray(hashes, np.uint64).tobytes())
+            )
             for h in hashes[:k_anchors]:
                 out_hash.append(h % (1 << 62))
                 out_id.append(doc_id)
+                out_sec.append(sec)
         return pa.table(
             {
                 "band_hash": pa.array(out_hash, pa.int64()),
                 "doc_id": pa.array(out_id, pa.int64()),
+                "sec": pa.array(out_sec, pa.int64()),
             }
         )
 
@@ -840,32 +932,73 @@ def embedding_dedup(sf_dir: str, threshold_millis: int = 990) -> rd.Dataset:
         order = np.argsort(ids)
         n = len(order)
         total = n * (n - 1) // 2
-        examined = 0
-        capped = False
-        for ii in range(n):
-            if capped:
-                break
-            for jj in range(ii + 1, n):
-                examined += 1
-                i, j = order[ii], order[jj]
-                denom = norms[i] * norms[j]
-                if denom == 0:
+
+        def millis_of(i: int, j: int) -> "int | None":
+            denom = norms[i] * norms[j]
+            if denom == 0:
+                return None
+            return int(float(vecs[i] @ vecs[j] / denom) * 1000)
+
+        if total <= MAX_PAIRS_PER_GROUP:
+            # cap cannot bind: every qualifying combination
+            for ii in range(n):
+                for jj in range(ii + 1, n):
+                    m = millis_of(order[ii], order[jj])
+                    if m is not None and m >= threshold_millis:
+                        a_out.append(ids[order[ii]])
+                        b_out.append(ids[order[jj]])
+                        c_out.append(m)
+            dropped = 0
+        else:
+            # overflow RECOVERY (see _emit_pairs): byte-identical
+            # vector classes emit ALL their pairs uncapped (the cosine
+            # is the same for every pair of a class — computed once);
+            # only the cross-class remainder is capped with accounting
+            codes: dict[bytes, int] = {}
+            cls = np.empty(n, np.int64)
+            for pos, ii in enumerate(order):
+                cls[pos] = codes.setdefault(vecs[ii].tobytes(), len(codes))
+            n_within = 0
+            for c in np.unique(cls):
+                members = np.nonzero(cls == c)[0]
+                k = len(members)
+                if k < 2:
                     continue
-                cos = float(vecs[i] @ vecs[j] / denom)
-                millis = int(cos * 1000)
-                if millis >= threshold_millis:
-                    a_out.append(ids[i])
-                    b_out.append(ids[j])
-                    c_out.append(millis)
-                    if len(a_out) >= MAX_PAIRS_PER_GROUP:
-                        capped = True
-                        break
-        if total - examined:
-            # overflow marker: unexamined combinations in this LSH
-            # bucket (cap bound) — visible, not silent
+                pi, pj = np.triu_indices(k, k=1)
+                n_within += len(pi)
+                m = millis_of(order[members[0]], order[members[1]])
+                if m is not None and m >= threshold_millis:
+                    for x, y in zip(members[pi], members[pj]):
+                        a_out.append(ids[order[x]])
+                        b_out.append(ids[order[y]])
+                        c_out.append(m)
+            cross_total = total - n_within
+            examined = 0
+            emitted = 0
+            capped = False
+            for ii in range(n):
+                if capped:
+                    break
+                for jj in range(ii + 1, n):
+                    if cls[ii] == cls[jj]:
+                        continue
+                    examined += 1
+                    m = millis_of(order[ii], order[jj])
+                    if m is not None and m >= threshold_millis:
+                        a_out.append(ids[order[ii]])
+                        b_out.append(ids[order[jj]])
+                        c_out.append(m)
+                        emitted += 1
+                        if emitted >= MAX_PAIRS_PER_GROUP:
+                            capped = True
+                            break
+            dropped = cross_total - examined
+        if dropped:
+            # overflow marker: unexamined CROSS-class combinations in
+            # this LSH bucket (cap bound) — visible, not silent
             a_out.append(OVERFLOW_MARKER_ID)
             b_out.append(int(group["bucket"].iloc[0]))
-            c_out.append(total - examined)
+            c_out.append(dropped)
         return pd.DataFrame(
             {
                 "vec_id_a": np.array(a_out, np.int64),
@@ -1179,21 +1312,24 @@ def incremental_dedup(sf_dir: str, threshold_millis: int = 500) -> rd.Dataset:
         def f(batch: pa.Table) -> pa.Table:
             ids = batch.column("doc_id").to_pylist()
             texts = batch.column("text").to_pylist()
-            out_band, out_hash, out_id = [], [], []
+            out_band, out_hash, out_id, out_sec = [], [], [], []
             word_cache: dict[str, int] = {}
             for doc_id, text in zip(ids, texts):
                 sig = minhash_signature(text, word_cache)
+                sec = int(zlib.crc32(sig.tobytes()))
                 for band in range(_LSH_BANDS):
                     chunk = sig[band * _LSH_ROWS : (band + 1) * _LSH_ROWS]
                     out_band.append(band)
                     out_hash.append(int(zlib.crc32(chunk.tobytes())))
                     out_id.append(doc_id)
+                    out_sec.append(sec)
             n = len(out_id)
             return pa.table(
                 {
                     "band": pa.array(out_band, pa.int32()),
                     "band_hash": pa.array(out_hash, pa.int64()),
                     "doc_id": pa.array(out_id, pa.int64()),
+                    "sec": pa.array(out_sec, pa.int64()),
                     "is_base": pa.array(np.full(n, is_base, np.int8)),
                 }
             )
@@ -1212,24 +1348,49 @@ def incremental_dedup(sf_dir: str, threshold_millis: int = 500) -> rd.Dataset:
         dropped = 0
         for _, sub in g.groupby(["band", "band_hash"], sort=False):
             side = sub["is_base"].to_numpy()
-            d_ids = sorted(set(sub.loc[side == 0, "doc_id"]))
-            b_ids = sorted(set(sub.loc[side == 1, "doc_id"]))
-            if not d_ids or not b_ids:
+            d_rows = sorted(
+                set(zip(sub.loc[side == 0, "doc_id"], sub.loc[side == 0, "sec"]))
+            )
+            b_rows = sorted(
+                set(zip(sub.loc[side == 1, "doc_id"], sub.loc[side == 1, "sec"]))
+            )
+            if not d_rows or not b_rows:
                 continue
-            total = len(d_ids) * len(b_ids)
-            count = 0
-            capped = False
-            for di in d_ids:
-                if capped:
+            total = len(d_rows) * len(b_rows)
+            if total <= MAX_PAIRS_PER_GROUP:
+                # cap cannot bind: every delta x base pair
+                for di, _ in d_rows:
+                    for bi, _ in b_rows:
+                        a_out.append(int(di))
+                        b_out.append(int(bi))
+                continue
+            # overflow RECOVERY (see _emit_pairs), cross-side form:
+            # same-full-signature (delta, base) classes emit all their
+            # pairs uncapped; cross-sec pairs capped with accounting
+            d_ids = np.fromiter((r[0] for r in d_rows), np.int64, len(d_rows))
+            d_sec = np.fromiter((r[1] for r in d_rows), np.int64, len(d_rows))
+            b_ids = np.fromiter((r[0] for r in b_rows), np.int64, len(b_rows))
+            b_sec = np.fromiter((r[1] for r in b_rows), np.int64, len(b_rows))
+            n_within = 0
+            for s in np.intersect1d(d_sec, b_sec):
+                dm = d_ids[d_sec == s]
+                bm = b_ids[b_sec == s]
+                n_within += len(dm) * len(bm)
+                for di in dm:
+                    a_out.extend([int(di)] * len(bm))
+                    b_out.extend(bm.tolist())
+            cross_total = total - n_within
+            emitted = 0
+            for i in range(len(d_ids)):
+                if emitted >= MAX_PAIRS_PER_GROUP:
                     break
-                for bi in b_ids:
-                    a_out.append(di)
-                    b_out.append(bi)
-                    count += 1
-                    if count >= MAX_PAIRS_PER_GROUP:
-                        capped = True
-                        break
-            dropped += total - count
+                partners = b_ids[b_sec != d_sec[i]]
+                take = min(len(partners), MAX_PAIRS_PER_GROUP - emitted)
+                if take:
+                    a_out.extend([int(d_ids[i])] * take)
+                    b_out.extend(partners[:take].tolist())
+                    emitted += take
+            dropped += cross_total - emitted
         df = pd.DataFrame(
             {
                 "doc_id_a": np.array(a_out, np.int64),
