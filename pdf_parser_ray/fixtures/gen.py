@@ -45,11 +45,13 @@ _ENCODINGS = ("utf-8", "cp1252", "latin-1", "utf-8")
 _EPOCH_2024_US = 1_704_067_200_000_000  # 2024-01-01T00:00:00Z in microseconds
 
 # bump when generator/statement content changes so cached corpora regenerate
-CORPUS_VERSION = 17  # v17: 24 PDF writer forms (+symbolic TrueType with
-# a real embedded sfnt: (3,0) format-4 cmap + post-2.0 names); v16:
-# +cid_cmap mixed-width embedded-CMap encoding, +Type3
-# CharProcs/Differences fonts, both covering printable Latin-1; v14:
-# \x1c-\x1f joined the ws class
+CORPUS_VERSION = 18  # v18: 27 PDF writer forms (+inline images with
+# "EI" bytes in the sample data — with and without /L — and
+# +broken_xref garbage-offset tables exercising object-scan recovery);
+# v17: +symbolic TrueType with a real embedded sfnt ((3,0) format-4
+# cmap + post-2.0 names); v16: +cid_cmap mixed-width embedded-CMap
+# encoding, +Type3 CharProcs/Differences fonts; v14: \x1c-\x1f joined
+# the ws class
 
 
 def _spans_for_lines(lines: list[str], kinds: list[str]) -> list[dict]:
@@ -138,7 +140,7 @@ def _html_page(
     return payload, enc, golden_lines, title
 
 
-# cycle of 23 writer forms — classic PDF 1.4, bare xref stream,
+# cycle of 27 writer forms — classic PDF 1.4, bare xref stream,
 # ObjStm-packed, ObjStm+PNG-predictor, CID/Type0 font,
 # CID+ObjStm+predictor combined, RC4/AES-128/AES-256 encryption,
 # LZW / RunLength / ASCII85+LZW content filters, form XObjects,
@@ -177,6 +179,14 @@ _PDF_FORMS = (
     # symbolic TrueType: no /Encoding — decode via the embedded sfnt's
     # (3,0) format-4 cmap + post-2.0 glyph names
     {"truetype_symbolic": True, "xref_stream": True},
+    # inline images whose sample bytes contain "EI": without /L the
+    # EIs are non-delimited (delimiter-aware scan required); with /L a
+    # ws-delimited EI sits INSIDE the data (declared length required)
+    {"inline_image": True},
+    {"inline_image": "L", "objstm": True},
+    # all-garbage classic xref offsets + bogus startxref: extraction
+    # must survive via object-scan recovery
+    {"broken_xref": True},
 )
 
 

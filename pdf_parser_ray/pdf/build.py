@@ -609,6 +609,24 @@ def _png_up_predict(data: bytes, columns: int) -> bytes:
     return bytes(out)
 
 
+def _inline_image_bytes(declare_length: bool) -> bytes:
+    """A 4×4 8-bit gray inline image (``BI … ID <16 bytes> EI``) whose
+    sample bytes deliberately contain the two bytes ``EI``.  Without
+    ``/L`` the payload embeds only non-whitespace-delimited EIs — a
+    delimiter-aware scanner must reject them; with ``/L`` it embeds a
+    whitespace-delimited `` EI `` that ONLY the declared byte count can
+    disambiguate (the adversarial real-crawl case)."""
+    if declare_length:
+        data = b"ab EI zz EI\nppp "
+    else:
+        data = b"aEIbEI(cEI)dEIzz"
+    assert len(data) == 16  # 4*4 samples, 8 bits/sample, gray
+    params = b"/W 4 /H 4 /BPC 8 /CS /G"
+    if declare_length:
+        params += b" /L 16"
+    return b"BI " + params + b" ID " + data + b" EI\n"
+
+
 def build_pdf(
     pages: list[list[Line]],
     *,
@@ -630,6 +648,8 @@ def build_pdf(
     form_xobject: bool = False,
     rotate: int = 0,
     incremental: bool = False,
+    inline_image: bool | str = False,
+    broken_xref: bool = False,
 ) -> bytes:
     """``xref_stream`` writes a PDF 1.5 cross-reference stream instead
     of the classic table; ``objstm`` additionally packs every non-stream
@@ -660,7 +680,15 @@ def build_pdf(
     incremental-update section (new object version + xref subsection +
     trailer /Prev chain — PDF's save-in-place mechanism, ubiquitous in
     real corpora) carrying the real content: a reader must resolve to
-    the LATEST object version or it extracts the stale marker."""
+    the LATEST object version or it extracts the stale marker;
+    ``inline_image`` prepends a ``BI/ID/EI`` inline image whose sample
+    bytes contain non-delimited ``EI`` sequences (``True``) or — with
+    ``"L"`` — a whitespace-delimited ``EI`` that only the declared
+    ``/L`` byte count disambiguates, so a naive ``find(b"EI")`` reader
+    truncates or corrupts the page text; ``broken_xref`` writes a
+    classic file whose xref table offsets are all garbage and whose
+    ``startxref`` points mid-file — extraction must survive via
+    object-scan recovery (the trailer dict itself stays intact)."""
     if incremental:
         return _build_incremental(
             pages,
@@ -779,6 +807,8 @@ def build_pdf(
             cid_cmap=cid_cmap, type3=type3_font,
             truetype_sym=truetype_symbolic,
         )
+        if inline_image:
+            body = _inline_image_bytes(inline_image == "L") + body
         if form_xobject:
             form_bodies.append(body)
             body = b"q /Fm%d Do Q" % i
@@ -917,10 +947,15 @@ def build_pdf(
         out += b"xref\n0 %d\n" % (len(objects) + 1)
         out += b"0000000000 65535 f \n"
         for off in offsets:
-            out += b"%010d 00000 n \n" % off
+            # broken_xref: every offset garbage — a reader that trusts
+            # the table dereferences mid-stream junk; object-scan
+            # recovery must not care
+            out += b"9999999999 00000 n \n" if broken_xref else (
+                b"%010d 00000 n \n" % off
+            )
         out += (
             b"trailer\n<< /Size %d /Root 1 0 R%s >>\nstartxref\n%d\n%%%%EOF\n"
-            % (len(objects) + 1, trailer_extra, xref_pos)
+            % (len(objects) + 1, trailer_extra, 7 if broken_xref else xref_pos)
         )
         return bytes(out)
 

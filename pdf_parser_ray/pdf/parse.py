@@ -1469,6 +1469,56 @@ class FormXObject:
 
 _OP_RE = re.compile(rb"[A-Za-z'\"][A-Za-z0-9*'\"]*")
 
+_PDF_WS = b"\x00\t\n\x0c\r "
+_PDF_DELIM = b"\x00\t\n\x0c\r ()<>[]{}/%"
+
+
+def _skip_inline_image(content: bytes, lex: "_Lexer") -> int:
+    """Advance past a ``BI … ID <binary> EI`` inline image; ``lex.pos``
+    sits just after the ``BI`` token on entry.  Returns the position
+    just after the terminating ``EI``.
+
+    The parameter dict is parsed as key/value pairs so a declared
+    ``/L`` (or ``/Length``) byte count can be honored — the only fully
+    reliable terminator for compressed sample data.  Without one, the
+    scan accepts an ``EI`` only when it is preceded by PDF whitespace
+    and followed by whitespace, a delimiter, or EOF, which is how
+    real-world readers disambiguate the payload bytes ``EI`` from the
+    closing operator."""
+    n = len(content)
+    params: dict[str, Any] = {}
+    while lex.pos < n:
+        lex._skip_ws()
+        m = _OP_RE.match(content, lex.pos)
+        if m and m.group(0) == b"ID":
+            lex.pos = m.end()
+            break
+        try:
+            key = lex.parse()
+            val = lex.parse()
+        except PDFSyntaxError:
+            lex.pos += 1
+            continue
+        if isinstance(key, Name):
+            params[str(key)] = val
+    else:
+        return n
+    pos = min(lex.pos + 1, n)  # exactly one whitespace byte after ID
+    length = params.get("L", params.get("Length"))
+    if isinstance(length, (int, float)) and int(length) >= 0:
+        pos += int(length)
+        end = content.find(b"EI", pos)
+        return n if end < 0 else end + 2
+    while True:
+        end = content.find(b"EI", pos)
+        if end < 0:
+            return n
+        before_ok = end > 0 and content[end - 1] in _PDF_WS
+        after = content[end + 2 : end + 3]
+        if before_ok and (after == b"" or after[0] in _PDF_DELIM):
+            return end + 2
+        pos = end + 2
+
 # average glyph width as a fraction of font size — used only to advance
 # the pen between consecutive shows on one line (ordering, not metrics)
 _AVG_GLYPH_W = 0.5
@@ -1562,9 +1612,14 @@ class _ContentInterpreter:
             op = m.group(0)
             lex.pos = m.end()
             if op == b"BI":
-                # inline image: skip to EI
-                end = content.find(b"EI", lex.pos)
-                lex.pos = len(content) if end < 0 else end + 2
+                # inline image (PDF 32000 §8.9.7): parse the parameter
+                # dict up to ID, then skip the binary payload.  A bare
+                # find(b"EI") is wrong — the two bytes "EI" routinely
+                # occur INSIDE image sample data — so honor /L (the
+                # inline-image /Length synonym) when present, else scan
+                # for an EI that is whitespace-preceded and followed by
+                # whitespace / a delimiter / EOF.
+                lex.pos = _skip_inline_image(content, lex)
                 operands = []
                 continue
             self._apply(op, operands)

@@ -57,6 +57,26 @@ def split_batch_by_size(
     return batch.filter(pc.invert(giant_mask)), batch.filter(giant_mask)
 
 
+def routed_extract(batch: pa.Table, threshold_bytes: int) -> pa.Table:
+    """The fused size-routing task body: small rows extract in one
+    vectorized call, each giant row extracts on its own zero-copy
+    1-row slice so at most ONE decoded giant is live per task at a
+    time.  Module-level (not a closure) so the memory-ceiling test can
+    measure exactly the shipped code path
+    (tests/test_skew.py::TestGiantRowMemory)."""
+    from .extract import extract_batch
+
+    small, giant = split_batch_by_size(batch, threshold_bytes)
+    outs = []
+    if small.num_rows:
+        outs.append(extract_batch(small))
+    for i in range(giant.num_rows):
+        outs.append(extract_batch(giant.slice(i, 1)))
+    if not outs:
+        outs.append(extract_batch(batch))  # typed empty passthrough
+    return pa.concat_tables(outs)
+
+
 def extract_with_size_routing(
     pages: rd.Dataset,
     *,
@@ -66,21 +86,10 @@ def extract_with_size_routing(
     """The size-aware extraction plan, as ONE pass over the input:
     small rows extract vectorized, giant rows extract one-per-slice so
     a task never holds more than one decoded giant at a time."""
-    from .extract import extract_batch
-
-    def routed(batch: pa.Table) -> pa.Table:
-        small, giant = split_batch_by_size(batch, threshold_bytes)
-        outs = []
-        if small.num_rows:
-            outs.append(extract_batch(small))
-        for i in range(giant.num_rows):
-            outs.append(extract_batch(giant.slice(i, 1)))
-        if not outs:
-            outs.append(extract_batch(batch))  # typed empty passthrough
-        return pa.concat_tables(outs)
+    import functools
 
     return pages.map_batches(
-        routed,
+        functools.partial(routed_extract, threshold_bytes=threshold_bytes),
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=small_batch_size,

@@ -262,6 +262,49 @@ class TestXrefStreamForms:
         assert got == self._classic_text()
 
 
+class TestInlineImages:
+    """``BI/ID/EI`` inline images (PDF 32000 §8.9.7) whose sample bytes
+    contain the two bytes ``EI`` — a naive ``find(b"EI")`` reader cuts
+    the content stream mid-image and loses or corrupts the page text
+    (VERDICT r03 ask #4).  Extraction must be byte-identical to the
+    image-free form."""
+
+    PAGES = TestXrefStreamForms.PAGES
+
+    def test_inline_image_identical(self):
+        classic = extract_page_texts(build_pdf(self.PAGES))
+        got = extract_page_texts(build_pdf(self.PAGES, inline_image=True))
+        assert got == classic
+
+    def test_inline_image_declared_length_identical(self):
+        """The /L form plants a WHITESPACE-DELIMITED `` EI `` inside
+        the sample data: only honoring the declared byte count finds
+        the true terminator."""
+        classic = extract_page_texts(build_pdf(self.PAGES))
+        got = extract_page_texts(build_pdf(self.PAGES, inline_image="L"))
+        assert got == classic
+
+    def test_trap_bytes_genuinely_present(self):
+        data = build_pdf(self.PAGES, inline_image=True, compress=False)
+        assert b"aEIbEI(cEI)dEIzz" in data  # non-delimited EIs
+        data = build_pdf(self.PAGES, inline_image="L", compress=False)
+        assert b"ab EI zz EI\nppp " in data  # ws-delimited EI inside data
+
+
+class TestBrokenXref:
+    """All-garbage xref offsets + mid-file ``startxref``: the scan-all
+    reader (parse.py::parse_document) never dereferences table offsets,
+    so extraction survives byte-identically (VERDICT r03 ask #4 —
+    broken-xref recovery; real crawls carry linearizer-mangled xrefs)."""
+
+    def test_broken_xref_identical(self):
+        pages = TestXrefStreamForms.PAGES
+        classic = extract_page_texts(build_pdf(pages))
+        data = build_pdf(pages, broken_xref=True)
+        assert b"9999999999 00000 n" in data  # the table really is garbage
+        assert extract_page_texts(data) == classic
+
+
 class TestCIDFonts:
     """Composite Type0/Identity-H fonts with ToUnicode CMaps — the
     common modern-producer text encoding (2-byte hex-string shows)."""

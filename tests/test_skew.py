@@ -118,3 +118,67 @@ class TestBucketedOutput:
         bucketed_output(extracted, out_dir)
         buckets = [d for d in os.listdir(out_dir) if d.startswith("bucket=")]
         assert len(buckets) > 4  # spread across many bucket dirs
+
+
+class TestGiantRowMemory:
+    """The skew story's memory claim, measured (VERDICT r03 ask #8):
+    routing a giant row through the fused extraction body keeps the
+    task's transient Python heap within a SMALL CONSTANT multiple of
+    one giant payload — giants decode one-at-a-time per task, so heap
+    never scales with batch size.
+
+    The measured multiplier for the pure-Python HTML tokenizer is
+    ~10.5× the payload bytes (many short block/line strings, each with
+    CPython object overhead).  The bound below pins 14× + slack: with
+    DEFAULT_GIANT_BYTES = 8 MiB a giant slice costs ≲ 120 MiB of
+    transient heap, comfortably inside a worker's share of node RAM at
+    32 workers × 4 GiB.  If a refactor regresses the tokenizer to
+    quadratic buffering or the routing to co-decoding giants, this
+    bound trips."""
+
+    def test_giant_decode_heap_bounded(self):
+        import tracemalloc
+
+        from pdf_parser_ray.stages.skew import routed_extract
+
+        mb = 1024 * 1024
+        para = (
+            b"<p>lorem ipsum dolor sit amet consectetur adipiscing elit"
+            b" words here</p>\n"
+        )
+        giant = b"<html><body>" + para * (16 * mb // len(para)) + b"</body></html>"
+        small = b"<p>a small page with enough words for a real block</p>"
+        n_small = 32
+        n = n_small + 2
+        batch = pa.table(
+            {
+                "url": pa.array(
+                    [f"https://s.example/{i}" for i in range(n_small)]
+                    + ["https://g.example/0", "https://g.example/1"],
+                    pa.string(),
+                ),
+                "warc_ts": pa.array([0] * n, pa.timestamp("us")),
+                "html": pa.array([small] * n_small + [giant, giant], pa.binary()),
+                "text": pa.array([""] * n, pa.string()),
+                "lang": pa.array(["en"] * n, pa.string()),
+            }
+        )
+        import gc
+
+        gc.collect()
+        arrow_before = pa.total_allocated_bytes()
+        tracemalloc.start()
+        out = routed_extract(batch, threshold_bytes=8 * mb)
+        _, py_peak = tracemalloc.get_traced_memory()
+        tracemalloc.stop()
+        arrow_delta = pa.total_allocated_bytes() - arrow_before
+        assert out.num_rows == n
+        texts = out.column("extracted_text").to_pylist()
+        assert all(t for t in texts)  # every row really extracted
+        # transient heap ≤ 14× ONE giant + slack — NOT 2 giants at once,
+        # NOT batch_size × giant (peak is per-slice, sequential)
+        assert py_peak < 14 * len(giant) + 32 * mb, (
+            f"py peak {py_peak / mb:.0f} MiB for a {len(giant) / mb:.0f} MiB giant"
+        )
+        # the Arrow side holds only the output table (≈ input text size)
+        assert arrow_delta < 6 * len(giant) + 32 * mb
