@@ -154,7 +154,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_distinct_users": sketch.approx_distinct_users,
         "heavy_hitters": sketch.heavy_hitters,
         "approx_event_quantiles": sketch.approx_event_quantiles,
-        # -- multimodal (real stdlib PNG/WAV decode; video stubbed) --
+        # -- multimodal (real PNG/WAV/MJPEG decode — jpeg.py baseline codec) --
         "media_features": lambda sf_dir: multimodal.media_pipeline(300),
         "image_dedup": lambda sf_dir: multimodal.image_dedup_pipeline(300),
         "audio_dedup": lambda sf_dir: multimodal.audio_dedup_pipeline(300),

@@ -97,7 +97,14 @@ class TestWavCodec:
 
 class TestSynthesizedPayloadsAreReal:
     def test_image_rows_decode_to_metadata_dims(self):
-        from pdf_parser_ray.pipelines.multimodal import synthesize_media
+        from pdf_parser_ray.pipelines.jpeg import (
+            decode_mjpeg_frame,
+            mjpeg_frame_count,
+        )
+        from pdf_parser_ray.pipelines.multimodal import (
+            VIDEO_FPS,
+            synthesize_media,
+        )
 
         tbl = synthesize_media(30)
         for row in tbl.to_pylist():
@@ -107,15 +114,22 @@ class TestSynthesizedPayloadsAreReal:
             elif row["kind"] == "audio":
                 samples, rate = decode_wav(row["payload"])
                 assert len(samples) == rate * row["duration_ms"] // 1000
+            else:  # video rows are REAL MJPEG matching their metadata
+                n_frames = mjpeg_frame_count(row["payload"])
+                assert n_frames == max(
+                    1, int(row["duration_ms"] * VIDEO_FPS / 1000)
+                )
+                px = decode_mjpeg_frame(row["payload"], n_frames - 1)
+                assert px.shape == (row["height"], row["width"], 3)
 
 
 @pytest.mark.parametrize(
     "name,keys,n_rows,md5",
     [
         ("media_features", ["media_id"], 300,
-         "347653524ff6c5ac2dc74cca7b8e7c4a"),
-        ("frame_sample", ["media_id", "frame_idx"], 3089,
-         "316399dcfc509cf75a2f2fdef82d3814"),
+         "efdce5ee6815603ecbe2a8abb40e3c13"),
+        ("frame_sample", ["media_id", "frame_idx"], 399,
+         "a8c1256863c7afecb3e7b9ac8debb42e"),
         ("audio_features", ["media_id"], 100,
          "0da123bc7a2c1e2f29b6e9f52c238348"),
     ],
