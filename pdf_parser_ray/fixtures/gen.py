@@ -45,13 +45,14 @@ _ENCODINGS = ("utf-8", "cp1252", "latin-1", "utf-8")
 _EPOCH_2024_US = 1_704_067_200_000_000  # 2024-01-01T00:00:00Z in microseconds
 
 # bump when generator/statement content changes so cached corpora regenerate
-CORPUS_VERSION = 18  # v18: 27 PDF writer forms (+inline images with
-# "EI" bytes in the sample data — with and without /L — and
-# +broken_xref garbage-offset tables exercising object-scan recovery);
-# v17: +symbolic TrueType with a real embedded sfnt ((3,0) format-4
-# cmap + post-2.0 names); v16: +cid_cmap mixed-width embedded-CMap
-# encoding, +Type3 CharProcs/Differences fonts; v14: \x1c-\x1f joined
-# the ws class
+CORPUS_VERSION = 19  # v19: 28 PDF writer forms (+type1_program:
+# symbolic Type1 whose embedded font program's cleartext /Encoding is
+# the only decode source); v18: +inline images with "EI" bytes in the
+# sample data — with and without /L — and +broken_xref garbage-offset
+# tables exercising object-scan recovery; v17: +symbolic TrueType with
+# a real embedded sfnt ((3,0) format-4 cmap + post-2.0 names); v16:
+# +cid_cmap mixed-width embedded-CMap encoding, +Type3
+# CharProcs/Differences fonts; v14: \x1c-\x1f joined the ws class
 
 
 def _spans_for_lines(lines: list[str], kinds: list[str]) -> list[dict]:
@@ -140,7 +141,7 @@ def _html_page(
     return payload, enc, golden_lines, title
 
 
-# cycle of 27 writer forms — classic PDF 1.4, bare xref stream,
+# cycle of 28 writer forms — classic PDF 1.4, bare xref stream,
 # ObjStm-packed, ObjStm+PNG-predictor, CID/Type0 font,
 # CID+ObjStm+predictor combined, RC4/AES-128/AES-256 encryption,
 # LZW / RunLength / ASCII85+LZW content filters, form XObjects,
@@ -187,6 +188,10 @@ _PDF_FORMS = (
     # all-garbage classic xref offsets + bogus startxref: extraction
     # must survive via object-scan recovery
     {"broken_xref": True},
+    # symbolic Type1 with NO /Encoding dict entry: the embedded font
+    # program's cleartext `dup <code> /<glyph> put` array is the only
+    # decode source
+    {"type1_program": True},
 )
 
 

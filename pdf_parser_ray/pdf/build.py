@@ -198,6 +198,38 @@ def _type3_glyph_names() -> "list[str]":
     return list(_ASCII_GLYPHS) + ["nbspace"] + list(_LATIN1_GLYPHS)
 
 
+def _type1_program_bytes() -> "tuple[bytes, int, int, int]":
+    """A minimal embedded Type1 font program: cleartext public dict
+    whose /Encoding array assigns the SAME non-identity codes as the
+    Type3 form (code = ord - 0x1f via ``dup <code> /<glyph> put``),
+    then an ``eexec`` section of opaque bytes (the parser never needs
+    it — encodings live in the public dict) and the conventional
+    512-zeros trailer.  -> (bytes, Length1, Length2, Length3)."""
+    names = _type3_glyph_names()
+    dups = [
+        b"dup %d /%s put" % (i + 1, g.encode())
+        for i, g in enumerate(names[:0x5F])
+    ] + [
+        b"dup %d /%s put" % (0x81 + i, g.encode())
+        for i, g in enumerate(names[0x5F:])
+    ]
+    clear = (
+        b"%!PS-AdobeFont-1.0: GraftT1 001.001\n"
+        b"/FontName /GraftT1 def\n"
+        b"/FontType 1 def\n"
+        b"/FontMatrix [0.001 0 0 0.001 0 0] readonly def\n"
+        b"/Encoding 256 array\n"
+        b"0 1 255 {1 index exch /.notdef put} for\n"
+        + b"\n".join(dups)
+        + b"\nreadonly def\n"
+        b"currentdict end\n"
+        b"currentfile eexec\n"
+    )
+    private = bytes(range(256)) * 2  # opaque stand-in for the eexec body
+    trailer = (b"0" * 64 + b"\n") * 8 + b"cleartomark\n"
+    return clear + private + trailer, len(clear), len(private), len(trailer)
+
+
 def _type3_differences() -> bytes:
     """The Type3 /Differences array: codes 1..0x5f name the standard
     glyphs for 0x20..0x7e and codes 0x81..0xe0 the Latin-1 glyphs for
@@ -650,6 +682,7 @@ def build_pdf(
     incremental: bool = False,
     inline_image: bool | str = False,
     broken_xref: bool = False,
+    type1_program: bool = False,
 ) -> bytes:
     """``xref_stream`` writes a PDF 1.5 cross-reference stream instead
     of the classic table; ``objstm`` additionally packs every non-stream
@@ -688,7 +721,12 @@ def build_pdf(
     truncates or corrupts the page text; ``broken_xref`` writes a
     classic file whose xref table offsets are all garbage and whose
     ``startxref`` points mid-file — extraction must survive via
-    object-scan recovery (the trailer dict itself stays intact)."""
+    object-scan recovery (the trailer dict itself stays intact);
+    ``type1_program`` writes a symbolic /Subtype /Type1 font with NO
+    /Encoding entry whose FontDescriptor embeds a real Type1 program
+    (/FontFile) — the cleartext ``dup <code> /<glyph> put`` encoding
+    array, with the same non-identity code assignment as the Type3
+    form, is the ONLY decode source."""
     if incremental:
         return _build_incremental(
             pages,
@@ -721,7 +759,7 @@ def build_pdf(
     tounicode_num = descendant_num + 1
     encoding_num = descendant_num + 2  # cid_cmap only
     glyphproc_num = 4 + 2 * n_pages  # type3_font only
-    descriptor_num = 4 + 2 * n_pages  # truetype_symbolic only
+    descriptor_num = 4 + 2 * n_pages  # truetype_symbolic / type1_program
     fontfile_num = descriptor_num + 1
     kids = b" ".join(b"%d 0 R" % (4 + 2 * i) for i in range(n_pages))
     objects.append(b"<< /Type /Catalog /Pages 2 0 R >>")
@@ -751,6 +789,15 @@ def build_pdf(
                 b"500" for _ in range(codes[-1] - codes[0] + 1)
             )
             + b"] /FontDescriptor %d 0 R >>" % descriptor_num
+        )
+    elif type1_program:
+        # NO /Encoding entry: the embedded program's cleartext encoding
+        # array is the only decode source
+        objects.append(
+            b"<< /Type /Font /Subtype /Type1 /BaseFont /GraftT1"
+            b" /FirstChar 1 /LastChar 224"
+            b" /Widths [" + b" ".join(b"500" for _ in range(224)) + b"]"
+            b" /FontDescriptor %d 0 R >>" % descriptor_num
         )
     elif type3_font:
         objects.append(
@@ -784,6 +831,7 @@ def build_pdf(
         else 2 if cid_font
         else 1 if type3_font
         else 2 if truetype_symbolic
+        else 2 if type1_program
         else 0
     )
     form_bodies: list[bytes] = []
@@ -804,7 +852,9 @@ def build_pdf(
         is_stream_obj.append(False)
         body = _content_stream(
             page_lines, font_size, leading, shuffle_order, cid_font,
-            cid_cmap=cid_cmap, type3=type3_font,
+            # type1_program shares the Type3 code assignment, so the
+            # content stream emits the same shifted single-byte codes
+            cid_cmap=cid_cmap, type3=type3_font or type1_program,
             truetype_sym=truetype_symbolic,
         )
         if inline_image:
@@ -874,6 +924,24 @@ def build_pdf(
         objects.append(
             b"<< /Length %d /Length1 %d /Filter /FlateDecode >>"
             % (len(ff), len(sfnt))
+            + b"\nstream\n" + ff + b"\nendstream"
+        )
+        is_stream_obj.append(True)
+    if type1_program:
+        # symbolic FontDescriptor + the real Type1 program (/FontFile)
+        prog, l1, l2, l3 = _type1_program_bytes()
+        assert len(objects) + 1 == descriptor_num
+        objects.append(
+            b"<< /Type /FontDescriptor /FontName /GraftT1 /Flags 4"
+            b" /FontBBox [0 -250 1000 750] /ItalicAngle 0 /Ascent 750"
+            b" /Descent -250 /CapHeight 700 /StemV 80"
+            b" /FontFile %d 0 R >>" % fontfile_num
+        )
+        is_stream_obj.append(False)
+        ff = zlib.compress(prog)
+        objects.append(
+            b"<< /Length %d /Length1 %d /Length2 %d /Length3 %d"
+            b" /Filter /FlateDecode >>" % (len(ff), l1, l2, l3)
             + b"\nstream\n" + ff + b"\nendstream"
         )
         is_stream_obj.append(True)
