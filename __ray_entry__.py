@@ -534,6 +534,49 @@ def _quality_filter_sql() -> str:
     )
 
 
+def _gopher_rules_sql() -> str:
+    """Mirror of filter.gopher_rules: the word-level Gopher signals
+    (alpha-word fraction, stopword occurrences, symbol-to-word ratio)
+    with the ordered first-failing-rule verdict — thresholds AND the
+    stopword list interpolated from pdf_parser_ray.pipelines.filter so
+    retuning either side desyncs loudly."""
+    from pdf_parser_ray.pipelines.filter import (
+        ALPHA_WORD_PCT, GOPHER_STOPWORDS, MIN_STOP_HITS,
+        SYMBOL_PER_WORD_PCT,
+    )
+
+    stoplist = ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS)
+    return (
+        f"WITH w AS (SELECT doc_id, {_WORDS_EXPR} AS words FROM documents),"
+        " s AS (SELECT doc_id,"
+        "   CAST(len(words) AS BIGINT) AS n_words,"
+        "   CAST(len(list_filter(words,"
+        "     x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS alpha_words,"
+        f"   CAST(len(list_filter(words, x -> lower(x) IN ({stoplist})))"
+        "     AS BIGINT) AS stop_hits"
+        "   FROM w),"
+        " sym AS (SELECT doc_id,"
+        "   CAST(length(text) - length(replace(text, '#', ''))"
+        "     + length(text) - length(replace(text, '…', ''))"
+        "     AS BIGINT) AS symbol_chars FROM documents)"
+        " SELECT s.doc_id, s.n_words, s.alpha_words, s.stop_hits,"
+        "  sym.symbol_chars,"
+        "  CASE WHEN s.n_words = 0 THEN 'empty'"
+        f"   WHEN 100 * s.alpha_words < {ALPHA_WORD_PCT} * s.n_words"
+        "     THEN 'low_alpha'"
+        f"   WHEN s.stop_hits < {MIN_STOP_HITS} THEN 'no_stopwords'"
+        f"   WHEN 100 * sym.symbol_chars > {SYMBOL_PER_WORD_PCT} * s.n_words"
+        "     THEN 'symbol_heavy'"
+        "   ELSE 'ok' END AS reason,"
+        "  CAST(CASE WHEN s.n_words > 0"
+        f"   AND 100 * s.alpha_words >= {ALPHA_WORD_PCT} * s.n_words"
+        f"   AND s.stop_hits >= {MIN_STOP_HITS}"
+        f"   AND 100 * sym.symbol_chars <= {SYMBOL_PER_WORD_PCT} * s.n_words"
+        "   THEN 1 ELSE 0 END AS BIGINT) AS keep"
+        " FROM s JOIN sym USING (doc_id)"
+    )
+
+
 def _source_quality_sql() -> str:
     """Mirror of filter.source_quality_filter: the per-document rule
     CASE aggregated per source, integer ok-rate threshold."""
@@ -1794,6 +1837,7 @@ def oracle_sql() -> dict[str, str]:
             " FROM documents d LEFT JOIN n ON d.doc_id = n.doc_id"
             " LEFT JOIN s ON d.doc_id = s.doc_id"
         ),
+        "gopher_rules": _gopher_rules_sql(),
         "events_hourly_delta": (
             # mirror of relational.events_hourly_delta: LAG over the
             # hourly rollup, epoch-micros hour key, first-hour delta = n

@@ -314,6 +314,32 @@ def run_bench() -> dict:
     }
 
 
+def _pool_burn(_arg: int) -> float:
+    t0 = time.perf_counter()
+    x = 0
+    for _ in range(4_000_000):
+        x = (x * 1103515245 + 12345) & 0xFFFFFFFF
+    return time.perf_counter() - t0
+
+
+def _host_ceiling(lo: int, hi: int) -> float:
+    """What the HOST can physically scale lo -> hi processes, measured
+    with a pure-CPU burn (no Ray, no pipeline): tasks/sec at hi procs
+    over tasks/sec at lo procs, normalized by hi/lo.  On this VM 8->32
+    measures ~0.75 — the cores throttle under full fan-out — so a
+    pipeline matching this number has added ZERO scaling loss; quote
+    efficiency alongside this ceiling, not against an ideal 1.0."""
+    import multiprocessing as mp
+
+    thr = {}
+    for k in (lo, hi):
+        with mp.Pool(k) as p:
+            t0 = time.perf_counter()
+            p.map(_pool_burn, range(k * 4))
+            thr[k] = (k * 4) / (time.perf_counter() - t0)
+    return (thr[hi] / thr[lo]) / (hi / lo)
+
+
 def run_scaling() -> dict:
     # the scaling corpus is larger so steady-state work dominates the
     # fixed executor spin-up (same input at both parallelism levels)
@@ -358,6 +384,12 @@ def run_scaling() -> dict:
         for l, h in pairs
     ]
     eff = statistics.median(per_pair)
+    # the host's own lo->hi pure-CPU scaling ceiling (two samples)
+    ceiling = round(
+        (_host_ceiling(lo_cpus, hi_cpus) + _host_ceiling(lo_cpus, hi_cpus))
+        / 2,
+        3,
+    )
     # throughput headline from each level's best run (least-noise)
     lo = min((l for l, _ in pairs), key=lambda r: r["value"])
     hi = min((h for _, h in pairs), key=lambda r: r["value"])
@@ -367,6 +399,10 @@ def run_scaling() -> dict:
         "unit": "ratio",
         "estimator": f"median of {len(per_pair)} interleaved matched pairs",
         "pair_efficiencies": per_pair,
+        # pure-CPU host ceiling at the same proc counts — efficiency at
+        # or above this means the pipeline added no scaling loss
+        "host_ceiling_efficiency": ceiling,
+        "vs_host_ceiling": round(eff / ceiling, 3) if ceiling else None,
         "pair_calibs": [
             {
                 f"st_{lo_cpus}": l.get("cpu_calib_sec"),

@@ -78,6 +78,79 @@ def quality_filter(sf_dir: str) -> rd.Dataset:
     )
 
 
+# -- Gopher rule set (Rae et al. 2021 §A1.1 — the signals quality_filter
+# doesn't cover) --------------------------------------------------------------
+
+#: ordered, integer-arithmetic rules: fraction of words containing an
+#: alphabetic character, presence of common English stopwords, and
+#: symbol-to-word ratio ('#' and '…' counts) — the remaining word-level
+#: Gopher heuristics.  Constants are interpolated into the SQL mirror
+#: (oracle_sql) so retuning can't silently desync the two sides.
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+ALPHA_WORD_PCT = 80  # >= 80% of words must contain [A-Za-z]
+MIN_STOP_HITS = 2  # >= 2 stopword occurrences
+SYMBOL_PER_WORD_PCT = 10  # '#'+'…' chars <= 10% of word count
+
+_ALPHA_RE = re.compile(r"[A-Za-z]")
+_GOPHER_STOPSET = frozenset(GOPHER_STOPWORDS)
+
+
+def gopher_verdict(
+    n_words: int, alpha_words: int, stop_hits: int, symbol_chars: int
+) -> str:
+    """First failing Gopher rule name, or 'ok' (ordered, integer-only)."""
+    if n_words == 0:
+        return "empty"
+    if 100 * alpha_words < ALPHA_WORD_PCT * n_words:
+        return "low_alpha"
+    if stop_hits < MIN_STOP_HITS:
+        return "no_stopwords"
+    if 100 * symbol_chars > SYMBOL_PER_WORD_PCT * n_words:
+        return "symbol_heavy"
+    return "ok"
+
+
+def gopher_rules(sf_dir: str) -> rd.Dataset:
+    """(doc_id, n_words, alpha_words, stop_hits, symbol_chars, reason,
+    keep): the word-level Gopher quality signals per document, with the
+    ordered first-failing-rule verdict.  Complements quality_filter
+    (word-count/mean-length/repetition live there).
+
+    Scale shape: stateless single map_batches pass, narrow integer
+    output rows — the text column never leaves the worker."""
+
+    def verdict(batch: pa.Table) -> pa.Table:
+        n_words, alpha, stops, syms, reasons, keeps = [], [], [], [], [], []
+        for text in batch.column("text").to_pylist():
+            words = text.split()
+            nw = len(words)
+            aw = sum(1 for w in words if _ALPHA_RE.search(w))
+            sh = sum(1 for w in words if w.lower() in _GOPHER_STOPSET)
+            sc = text.count("#") + text.count("…")
+            r = gopher_verdict(nw, aw, sh, sc)
+            n_words.append(nw)
+            alpha.append(aw)
+            stops.append(sh)
+            syms.append(sc)
+            reasons.append(r)
+            keeps.append(1 if r == "ok" else 0)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_words": pa.array(n_words, pa.int64()),
+                "alpha_words": pa.array(alpha, pa.int64()),
+                "stop_hits": pa.array(stops, pa.int64()),
+                "symbol_chars": pa.array(syms, pa.int64()),
+                "reason": pa.array(reasons, pa.string()),
+                "keep": pa.array(keeps, pa.int64()),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        verdict, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
 # -- PII scrubbing ----------------------------------------------------------
 
 # Patterns chosen to behave identically under Python re and RE2

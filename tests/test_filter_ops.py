@@ -432,3 +432,49 @@ class TestCurateAndPack:
             assert row["n_tokens"] == full.loc[row["doc_id"], "n_tokens"]
         grp = got.groupby("bucket")
         assert (grp["pack_offset"].first() == 0).all()  # each bucket restarts
+
+
+class TestGopherRules:
+    """gopher_rules: the word-level Gopher signals (Rae et al. 2021
+    §A1.1) quality_filter doesn't cover.  The oracle equality runs in
+    test_oracle; here every ordered verdict branch is pinned directly
+    (the synthetic corpus only fires no_stopwords/ok)."""
+
+    def test_every_branch(self):
+        from pdf_parser_ray.pipelines.filter import gopher_verdict
+
+        assert gopher_verdict(0, 0, 0, 0) == "empty"
+        # 7/10 alpha words < 80%
+        assert gopher_verdict(10, 7, 5, 0) == "low_alpha"
+        assert gopher_verdict(10, 9, 1, 0) == "no_stopwords"
+        # 2 symbol chars over 10 words > 10%
+        assert gopher_verdict(10, 9, 2, 2) == "symbol_heavy"
+        assert gopher_verdict(10, 9, 2, 1) == "ok"
+        # rule ORDER: low_alpha wins over no_stopwords and symbol_heavy
+        assert gopher_verdict(10, 0, 0, 10) == "low_alpha"
+
+    def test_counts_match_python_reference(self, ray_session, quiet_data_context):
+        from pdf_parser_ray.pipelines.filter import (
+            _GOPHER_STOPSET, gopher_rules,
+        )
+        import pyarrow.parquet as pq
+        import re
+
+        sf = "/root/testdata/sf0.001"
+        got = (
+            gopher_rules(sf).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        docs = pq.read_table(
+            f"{sf}/documents.parquet", columns=["doc_id", "text"]
+        ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        assert list(got["doc_id"]) == list(docs["doc_id"])
+        alpha = re.compile(r"[A-Za-z]")
+        for i in range(0, len(docs), 37):  # spot-check a spread of rows
+            words = docs.loc[i, "text"].split()
+            assert got.loc[i, "n_words"] == len(words)
+            assert got.loc[i, "alpha_words"] == sum(
+                1 for w in words if alpha.search(w)
+            )
+            assert got.loc[i, "stop_hits"] == sum(
+                1 for w in words if w.lower() in _GOPHER_STOPSET
+            )
