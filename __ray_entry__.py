@@ -1838,6 +1838,20 @@ def oracle_sql() -> dict[str, str]:
             " LEFT JOIN s ON d.doc_id = s.doc_id"
         ),
         "gopher_rules": _gopher_rules_sql(),
+        "mojibake_repair": (
+            # invariant oracle for filter.mojibake_repair: the repair
+            # must apply exactly the corruption depth (doc_id%7: 3→one
+            # pass, 5→two) and restore the original byte-for-byte —
+            # any failed or spurious fix hash-mismatches
+            "SELECT doc_id,"
+            " CAST(CASE WHEN doc_id % 7 = 3 THEN 1"
+            "  WHEN doc_id % 7 = 5 THEN 2 ELSE 0 END AS BIGINT)"
+            "  AS corrupted_passes,"
+            " CAST(CASE WHEN doc_id % 7 = 3 THEN 1"
+            "  WHEN doc_id % 7 = 5 THEN 2 ELSE 0 END AS BIGINT) AS n_fixes,"
+            " CAST(1 AS BIGINT) AS restored"
+            " FROM documents"
+        ),
         "events_hourly_delta": (
             # mirror of relational.events_hourly_delta: LAG over the
             # hourly rollup, epoch-micros hour key, first-hour delta = n

@@ -84,3 +84,50 @@ def decode_payload(data: bytes) -> tuple[str, str]:
         pass
 
     return data.decode("utf-8", errors="ignore"), "utf-8-lossy"
+
+
+# -- mojibake repair (ftfy-style, deterministic subset) -----------------------
+
+def mojibake_score(text: str) -> int:
+    """Count of chars that read as UTF-8 LEAD bytes (U+00C2–U+00F4:
+    'Â', 'Ã', 'Ä' … 'ô') — the signature of UTF-8 bytes decoded as
+    cp1252/latin-1.  Legitimate accented text also lands in this range
+    ('é' = U+00E9), which merely costs a wasted repair attempt: the
+    accept gate below additionally requires the STRICT re-encode →
+    UTF-8-decode round trip to succeed, which non-mojibake text
+    essentially never satisfies (a lone 'é' before an ASCII char is an
+    invalid UTF-8 sequence)."""
+    return sum(1 for c in text if 0xC2 <= ord(c) <= 0xF4)
+
+
+def fix_mojibake(text: str, max_passes: int = 2) -> tuple[str, int]:
+    """Repair UTF-8-bytes-decoded-as-cp1252/latin-1 mojibake ('café' →
+    'cafÃ©') by re-encoding through cp1252 (latin-1 fallback for the
+    five cp1252 holes) and strict-decoding as UTF-8.  A pass is
+    accepted only when it strictly reduces :func:`mojibake_score`, so
+    clean text — including text that legitimately contains 'Ã' — is
+    never altered unless the round trip both succeeds AND removes
+    artifacts.  ``max_passes=2`` covers the double-encoded case.
+    Returns (repaired_text, passes_applied); pure function, safe under
+    Ray task retries."""
+    passes = 0
+    for _ in range(max_passes):
+        score = mojibake_score(text)
+        if score == 0:
+            break
+        try:
+            raw = text.encode("cp1252")
+        except UnicodeEncodeError:
+            try:
+                raw = text.encode("latin-1")
+            except UnicodeEncodeError:
+                break
+        try:
+            cand = raw.decode("utf-8")
+        except UnicodeDecodeError:
+            break
+        if mojibake_score(cand) >= score:
+            break
+        text = cand
+        passes += 1
+    return text, passes

@@ -151,6 +151,64 @@ def gopher_rules(sf_dir: str) -> rd.Dataset:
     )
 
 
+# -- mojibake repair ----------------------------------------------------------
+
+#: the accented phrase appended before synthetic corruption — every
+#: char's UTF-8 bytes avoid the five cp1252 holes, so the cp1252
+#: mis-decode is strict-reversible (as real-world mojibake is)
+MOJIBAKE_PHRASE = " café naïve – ½ øre"
+
+
+def synth_mojibake(doc_id: int, text: str) -> tuple[str, str, int]:
+    """Deterministic corruption fixture (the pii_scrub pattern: inject,
+    then prove the scrubber finds it): every document gains an accented
+    phrase; doc_id%7==3 rows are then corrupted by one UTF-8→cp1252
+    mis-decode, %7==5 rows by two (double-encoded mojibake).  Returns
+    (clean_text, corrupted_text, n_corruption_passes)."""
+    clean = text + MOJIBAKE_PHRASE
+    n = 1 if doc_id % 7 == 3 else 2 if doc_id % 7 == 5 else 0
+    corrupted = clean
+    for _ in range(n):
+        corrupted = corrupted.encode("utf-8").decode("cp1252")
+    return clean, corrupted, n
+
+
+def mojibake_repair(sf_dir: str) -> rd.Dataset:
+    """(doc_id, corrupted_passes, n_fixes, restored): end-to-end
+    mojibake repair over deterministically corrupted documents —
+    ``n_fixes`` is what :func:`functions.charset.fix_mojibake` actually
+    applied, ``restored`` is 1 iff the repaired text equals the
+    pre-corruption original (computed in-worker).  The DuckDB oracle
+    states the invariant: n_fixes == corruption depth and restored == 1
+    on every row — any failed or spurious repair hash-mismatches.
+
+    Scale shape: stateless single pass, narrow integer rows out."""
+    from ..functions.charset import fix_mojibake
+
+    def run(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        n_corr, n_fix, restored = [], [], []
+        for doc_id, text in zip(ids, texts):
+            clean, corrupted, n = synth_mojibake(doc_id, text)
+            repaired, fixes = fix_mojibake(corrupted)
+            n_corr.append(n)
+            n_fix.append(fixes)
+            restored.append(1 if repaired == clean else 0)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "corrupted_passes": pa.array(n_corr, pa.int64()),
+                "n_fixes": pa.array(n_fix, pa.int64()),
+                "restored": pa.array(restored, pa.int64()),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        run, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
 # -- PII scrubbing ----------------------------------------------------------
 
 # Patterns chosen to behave identically under Python re and RE2

@@ -147,6 +147,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "uniform_sample_k": pack.uniform_sample_k,
         "knn_quantized": similarity.knn_quantized,
         "gopher_rules": filter_ops.gopher_rules,
+        "mojibake_repair": filter_ops.mojibake_repair,
         "compression_ratio": analysis.compression_ratio,
         "train_bpe": analysis.train_bpe,
         "bpe_segment_counts": analysis.bpe_segment_counts,

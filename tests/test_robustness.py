@@ -168,3 +168,46 @@ class TestHtmlCorruptionFuzz:
             out = extract_one(bytes(data), 2024)
             assert isinstance(out["extracted_text"], str), trial
             assert isinstance(out["spans"], list), trial
+
+
+class TestMojibakeRepair:
+    """fix_mojibake (charset.py): repair accepts a pass only when the
+    strict cp1252/latin-1 → UTF-8 round trip reduces the artifact
+    score, so clean text is never altered.  The pipeline-level
+    invariant (every corrupted doc restored byte-for-byte) is
+    oracle-gated in test_oracle[mojibake_repair]."""
+
+    def test_single_and_double_encode_repair(self):
+        from pdf_parser_ray.functions.charset import fix_mojibake
+
+        clean = "résumé café – ½ øre naïve"
+        once = clean.encode("utf-8").decode("cp1252")
+        twice = once.encode("utf-8").decode("cp1252")
+        assert once != clean and "Ã" in once
+        assert fix_mojibake(once) == (clean, 1)
+        assert fix_mojibake(twice) == (clean, 2)
+
+    def test_clean_text_untouched(self):
+        from pdf_parser_ray.functions.charset import fix_mojibake
+
+        for s in ("plain ascii text", "real accents: café naïve – ½"):
+            assert fix_mojibake(s) == (s, 0)
+
+    def test_legit_marker_char_untouched(self):
+        from pdf_parser_ray.functions.charset import fix_mojibake
+
+        # 'Ã' used legitimately (Portuguese): the round trip decodes to
+        # garbage-free UTF-8 only if the score drops — here cp1252
+        # bytes 0xC3 0x6F aren't valid UTF-8, so the pass is rejected
+        s = "SÃO PAULO in caps stays as written"
+        assert fix_mojibake(s) == (s, 0)
+
+    def test_latin1_hole_fallback(self):
+        from pdf_parser_ray.functions.charset import fix_mojibake
+
+        # a latin-1 mis-decode leaves C1 controls (e.g. U+0081) that
+        # cp1252 cannot encode — the latin-1 fallback must take over
+        clean = "emoji-free but wide: āЀ"
+        once = clean.encode("utf-8").decode("latin-1")
+        assert any(0x80 <= ord(c) <= 0x9F for c in once)
+        assert fix_mojibake(once) == (clean, 1)
