@@ -88,16 +88,32 @@ def decode_payload(data: bytes) -> tuple[str, str]:
 
 # -- mojibake repair (ftfy-style, deterministic subset) -----------------------
 
+# chars a UTF-8 CONTINUATION byte (0x80-0xBF) becomes under a cp1252 or
+# latin-1 mis-decode — the second half of every two-char artifact
+_CONT_CHARS = frozenset(
+    {chr(b) for b in range(0x80, 0xC0)}  # latin-1 view
+    | {
+        bytes([b]).decode("cp1252")
+        for b in range(0x80, 0xC0)
+        if b not in (0x81, 0x8D, 0x8F, 0x90, 0x9D)  # cp1252 holes
+    }
+)
+
+
 def mojibake_score(text: str) -> int:
-    """Count of chars that read as UTF-8 LEAD bytes (U+00C2–U+00F4:
-    'Â', 'Ã', 'Ä' … 'ô') — the signature of UTF-8 bytes decoded as
-    cp1252/latin-1.  Legitimate accented text also lands in this range
-    ('é' = U+00E9), which merely costs a wasted repair attempt: the
-    accept gate below additionally requires the STRICT re-encode →
-    UTF-8-decode round trip to succeed, which non-mojibake text
-    essentially never satisfies (a lone 'é' before an ASCII char is an
-    invalid UTF-8 sequence)."""
-    return sum(1 for c in text if 0xC2 <= ord(c) <= 0xF4)
+    """Count of two-char artifact sequences: a char that reads as a
+    UTF-8 LEAD byte (U+00C2–U+00F4: 'Â', 'Ã', 'Ä' … 'ô') immediately
+    followed by one that reads as a CONTINUATION byte — the signature
+    of UTF-8 bytes decoded as cp1252/latin-1.  Requiring the pair (not
+    just the lead) keeps legitimate accented text at score 0 ('é'
+    before an ASCII char never counts) and lets a repaired single
+    artifact ('ÃŸ' → 'ß') strictly decrease the score even though 'ß'
+    itself sits in the lead range."""
+    return sum(
+        1
+        for a, b in zip(text, text[1:])
+        if 0xC2 <= ord(a) <= 0xF4 and b in _CONT_CHARS
+    )
 
 
 def fix_mojibake(text: str, max_passes: int = 2) -> tuple[str, int]:

@@ -254,3 +254,53 @@ def test_quantizer_bounds_for_any_input(vals):
     # monotone: quantization preserves (weak) order within a vector
     order = np.argsort(x, kind="stable")
     assert (np.diff(q[order]) >= 0).all()
+
+
+@given(
+    h=st.integers(8, 24),
+    w=st.integers(8, 24),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=30, deadline=None)
+def test_jpeg_q100_roundtrip_bounded_for_any_image(h, w, seed):
+    """Baseline-JPEG q=100 (all-ones quant tables) must round-trip ANY
+    uint8 RGB image within ±4 counts — the only loss left is float DCT
+    rounding compounded with the forward+inverse YCbCr color transform
+    (grayscale, which skips the color matrix, stays within ±2)."""
+    import numpy as np
+
+    from pdf_parser_ray.pipelines.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    dec = decode_jpeg(encode_jpeg(img, quality=100))
+    assert dec.shape == img.shape
+    assert np.abs(dec.astype(int) - img.astype(int)).max() <= 4
+    gray = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+    dgray = decode_jpeg(encode_jpeg(gray, quality=100))
+    assert np.abs(dgray[..., 0].astype(int) - gray.astype(int)).max() <= 2
+
+
+_MOJI_ALPHABET = string.ascii_letters + string.digits + " .,!?-" + "éàüñçøß½–€"
+
+
+@given(
+    text=st.text(alphabet=_MOJI_ALPHABET, min_size=1, max_size=200),
+    double=st.booleans(),
+)
+@settings(max_examples=150, deadline=None)
+def test_mojibake_repair_restores_any_corruption(text, double):
+    """fix_mojibake must restore ANY text over a hole-free alphabet
+    after one or two cp1252 mis-decodes, and must not touch the clean
+    original (unless the original is itself shaped like mojibake, which
+    this alphabet cannot produce: no U+00C2-U+00F4 lead char is ever
+    followed by a valid continuation-range char here)."""
+    from pdf_parser_ray.functions.charset import fix_mojibake, mojibake_score
+
+    corrupted = text.encode("utf-8").decode("cp1252")
+    if double:
+        corrupted = corrupted.encode("utf-8").decode("cp1252")
+    expected_passes = (2 if double else 1) if corrupted != text else 0
+    repaired, n = fix_mojibake(corrupted)
+    assert repaired == text
+    assert n == expected_passes
