@@ -577,6 +577,90 @@ def _gopher_rules_sql() -> str:
     )
 
 
+def _badwords_sql() -> str:
+    """Mirror of filter.badwords_filter: hard/soft flagged-word counts
+    over the whitespace word split with the ordered verdict — both word
+    lists and the percentage threshold interpolated from
+    pdf_parser_ray.pipelines.filter so retuning either side desyncs
+    loudly."""
+    from pdf_parser_ray.pipelines.filter import (
+        BAD_WORD_PCT, BADWORDS_HARD, BADWORDS_SOFT,
+    )
+
+    hard = ", ".join(f"'{w}'" for w in BADWORDS_HARD)
+    soft = ", ".join(f"'{w}'" for w in BADWORDS_SOFT)
+    return (
+        f"WITH w AS (SELECT doc_id, {_WORDS_EXPR} AS words FROM documents),"
+        " s AS (SELECT doc_id,"
+        "   CAST(len(words) AS BIGINT) AS n_words,"
+        f"   CAST(len(list_filter(words, x -> lower(x) IN ({hard})))"
+        "     AS BIGINT) AS hard_hits,"
+        f"   CAST(len(list_filter(words, x -> lower(x) IN ({soft})))"
+        "     AS BIGINT) AS soft_hits"
+        "   FROM w)"
+        " SELECT doc_id, n_words, hard_hits, soft_hits,"
+        "  CASE WHEN n_words = 0 THEN 'empty'"
+        "   WHEN hard_hits > 0 THEN 'hard_bad'"
+        f"   WHEN 100 * soft_hits > {BAD_WORD_PCT} * n_words"
+        "     THEN 'bad_fraction'"
+        "   ELSE 'ok' END AS reason,"
+        "  CAST(CASE WHEN n_words > 0 AND hard_hits = 0"
+        f"   AND 100 * soft_hits <= {BAD_WORD_PCT} * n_words"
+        "   THEN 1 ELSE 0 END AS BIGINT) AS keep"
+        " FROM s"
+    )
+
+
+def _length_outlier_sql() -> str:
+    """Mirror of filter.length_outlier_filter: DuckDB's quantile_disc
+    uses the same 1-based max(1, ceil(q*n)) rank rule as
+    filter.length_quantile_bounds (the event_quantiles contract,
+    relational.py:448), so the [lo, hi] band agrees exactly."""
+    from pdf_parser_ray.pipelines.filter import LEN_Q_HI_PCT, LEN_Q_LO_PCT
+
+    return (
+        f"WITH n AS (SELECT doc_id, CAST(len({_WORDS_EXPR}) AS BIGINT)"
+        "   AS n_words FROM documents),"
+        " b AS (SELECT"
+        f"   quantile_disc(n_words, {LEN_Q_LO_PCT / 100}) AS lo,"
+        f"   quantile_disc(n_words, {LEN_Q_HI_PCT / 100}) AS hi FROM n)"
+        " SELECT doc_id, n_words,"
+        "  CAST(CASE WHEN n_words BETWEEN b.lo AND b.hi THEN 1 ELSE 0 END"
+        "    AS BIGINT) AS keep"
+        " FROM n, b"
+    )
+
+
+def _best_of_dup_sql() -> str:
+    """Mirror of dedup.best_of_duplicates over the same deterministic
+    re-serialization variant corpus (dedup.BEST_OF_VARIANT_OFFSET, the
+    %3 upper-cased clones with the %9 same-length tie case):
+    normalized-md5 groups keep the LONGEST raw text, doc_id ascending
+    breaking ties."""
+    from pdf_parser_ray.pipelines.dedup import BEST_OF_VARIANT_OFFSET
+
+    return (
+        "WITH corpus AS ("
+        "  SELECT doc_id, text FROM documents"
+        "  UNION ALL"
+        f"  SELECT doc_id + {BEST_OF_VARIANT_OFFSET},"
+        "   CASE WHEN doc_id % 9 = 0 THEN upper(text)"
+        "    ELSE upper(text) || ' !!' END"
+        "  FROM documents WHERE doc_id % 3 = 0),"
+        " n AS (SELECT doc_id,"
+        "   CAST(length(text) AS BIGINT) AS n_chars,"
+        "   md5(trim(regexp_replace(regexp_replace(lower(text),"
+        "    '[^a-z0-9 ]+', '', 'g'), ' +', ' ', 'g'), ' ')) AS text_hash"
+        "   FROM corpus),"
+        " r AS (SELECT text_hash, doc_id, n_chars,"
+        "   CAST(count(*) OVER (PARTITION BY text_hash) AS BIGINT)"
+        "     AS n_members,"
+        "   row_number() OVER (PARTITION BY text_hash"
+        "     ORDER BY n_chars DESC, doc_id) AS rn FROM n)"
+        " SELECT text_hash, doc_id, n_chars, n_members FROM r WHERE rn = 1"
+    )
+
+
 def _source_quality_sql() -> str:
     """Mirror of filter.source_quality_filter: the per-document rule
     CASE aggregated per source, integer ok-rate threshold."""
@@ -1838,6 +1922,9 @@ def oracle_sql() -> dict[str, str]:
             " LEFT JOIN s ON d.doc_id = s.doc_id"
         ),
         "gopher_rules": _gopher_rules_sql(),
+        "badwords_filter": _badwords_sql(),
+        "length_outlier_filter": _length_outlier_sql(),
+        "best_of_duplicates": _best_of_dup_sql(),
         "mojibake_repair": (
             # invariant oracle for filter.mojibake_repair: the repair
             # must apply exactly the corruption depth (doc_id%7: 3→one

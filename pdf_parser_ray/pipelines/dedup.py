@@ -148,6 +148,102 @@ def normalized_dedup(sf_dir: str) -> rd.Dataset:
     )
 
 
+# -- quality-aware duplicate retention ---------------------------------------
+
+#: re-serialization variant fixture for best_of_duplicates (the
+#: decontaminate clone-corpus pattern): every 3rd document gains an
+#: upper-cased variant — longer by ' !!' except every 9th, which stays
+#: the same length so the doc_id tie-break is exercised too.  Both the
+#: Ray stage and the SQL mirror build the same union corpus.
+BEST_OF_VARIANT_OFFSET = 1_000_000
+
+
+def _with_variants(batch: pa.Table) -> pa.Table:
+    """Append the deterministic re-serialized variants to a
+    (doc_id, text) batch — vectorized Arrow kernels only."""
+    import pyarrow.compute as pc
+
+    ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    base = batch.select(["doc_id", "text"])
+    v = base.filter(pa.array(ids % 3 == 0))
+    vids = v.column("doc_id").to_numpy(zero_copy_only=False)
+    up = pc.utf8_upper(v.column("text"))
+    tie = pa.array(vids % 9 == 0)
+    texts = pc.if_else(tie, up, pc.binary_join_element_wise(up, "!!", " "))
+    variants = pa.table(
+        {
+            "doc_id": pa.array(vids + BEST_OF_VARIANT_OFFSET, pa.int64()),
+            "text": texts,
+        }
+    )
+    return pa.concat_tables([base, variants])
+
+
+def best_of_duplicates(sf_dir: str) -> rd.Dataset:
+    """(text_hash, doc_id, n_chars, n_members): quality-aware duplicate
+    retention — group documents by the md5 of their NORMALIZED text
+    (the :func:`normalized_dedup` key) and keep the member with the
+    LONGEST raw text (doc_id ascending breaks ties), the CommonCrawl
+    curation policy of preferring the richest serialization of a page
+    over whichever copy happened to arrive first (contrast
+    exact_dedup/normalized_dedup, which keep min doc_id).
+
+    Run over the documents corpus plus deterministic re-serialization
+    variants (:data:`BEST_OF_VARIANT_OFFSET`) so groups with a real
+    length winner AND tie-broken groups both exist.
+
+    Scale shape: one vectorized normalize+hash pass emits narrow
+    (text_hash, doc_id, n_chars) rows; the argmax-per-group runs as a
+    coarse-bucket ``groupby.map_groups`` with a vectorized pandas
+    combine (sort + drop_duplicates), the house pattern — ONE shuffle
+    of narrow rows, text never moves, nothing on the driver."""
+    import pyarrow.compute as pc
+
+    def norm_rows(batch: pa.Table) -> pa.Table:
+        batch = _with_variants(batch)
+        x = pc.utf8_lower(batch.column("text"))
+        x = pc.replace_substring_regex(x, pattern=r"[^a-z0-9 ]+", replacement="")
+        x = pc.replace_substring_regex(x, pattern=r" +", replacement=" ")
+        x = pc.utf8_trim(x, characters=" ")
+        hashes = [
+            hashlib.md5(t.encode("utf-8")).hexdigest() for t in x.to_pylist()
+        ]
+        keys = np.fromiter(
+            (zlib.crc32(h.encode()) % _COARSE_BUCKETS for h in hashes),
+            dtype=np.int64,
+            count=len(hashes),
+        )
+        return pa.table(
+            {
+                "key": pa.array(keys),
+                "text_hash": pa.array(hashes, pa.string()),
+                "doc_id": batch.column("doc_id"),
+                "n_chars": pc.cast(
+                    pc.utf8_length(batch.column("text")), pa.int64()
+                ),
+            }
+        )
+
+    def winners(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["text_hash", "n_chars", "doc_id"],
+            ascending=[True, False, True],
+            kind="stable",
+        )
+        sizes = g.groupby("text_hash", sort=False)["doc_id"].transform("size")
+        w = g.assign(n_members=sizes.astype(np.int64)).drop_duplicates(
+            "text_hash", keep="first"
+        )
+        return w[["text_hash", "doc_id", "n_chars", "n_members"]]
+
+    return (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(norm_rows, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("key")
+        .map_groups(arrow_udf(winners), batch_format="pandas")
+    )
+
+
 # -- perturbed corpus for near-dup demos ------------------------------------
 
 

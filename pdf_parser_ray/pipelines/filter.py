@@ -209,6 +209,172 @@ def mojibake_repair(sf_dir: str) -> rd.Dataset:
     )
 
 
+# -- flagged-word gate (C4 / RefinedWeb-style badword filtering) --------------
+
+#: Ordered two-tier flagged-word rule (the C4 "bad words" gate shape:
+#: Raffel et al. 2020 §2.2 drop any page containing a list word;
+#: RefinedWeb soft-scores instead of hard-dropping).  HARD words drop on
+#: a single occurrence; SOFT words drop only past a fraction threshold.
+#: Words are chosen from the synthetic corpus vocabulary so every
+#: verdict class fires in tests; all three constants are interpolated
+#: into the SQL mirror (oracle_sql) so retuning can't desync the sides.
+BADWORDS_HARD = ("dup",)
+BADWORDS_SOFT = ("spark", "slow")
+BAD_WORD_PCT = 6  # drop when soft flagged words exceed 6% of words
+
+
+def badwords_verdict(n_words: int, hard_hits: int, soft_hits: int) -> str:
+    """First failing flagged-word rule name, or 'ok' (ordered,
+    integer-only)."""
+    if n_words == 0:
+        return "empty"
+    if hard_hits > 0:
+        return "hard_bad"
+    if 100 * soft_hits > BAD_WORD_PCT * n_words:
+        return "bad_fraction"
+    return "ok"
+
+
+def badwords_filter(sf_dir: str) -> rd.Dataset:
+    """(doc_id, n_words, hard_hits, soft_hits, reason, keep): the
+    flagged-word verdict per document — any HARD-list word drops the
+    page outright (the C4 rule); SOFT-list words drop it only when they
+    exceed ``BAD_WORD_PCT``% of the words (the RefinedWeb softening).
+
+    Scale shape: stateless single ``map_batches`` pass; the word split,
+    lowercase and list membership are Arrow kernels and the per-row
+    counts one ``np.bincount`` each — no per-row Python, no shuffle,
+    narrow integer rows out (the text never leaves the worker)."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    hard_set = pa.array(BADWORDS_HARD, pa.string())
+    soft_set = pa.array(BADWORDS_SOFT, pa.string())
+
+    def verdict(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text")
+        n = len(texts)
+        words = pc.utf8_split_whitespace(texts)
+        flat = pc.list_flatten(words)
+        idx = pc.list_parent_indices(words)
+        mask = pc.not_equal(flat, "")  # split emits '' at edge whitespace
+        flat = pc.filter(flat, mask)
+        ii = pc.filter(idx, mask).to_numpy(zero_copy_only=False)
+        low = pc.utf8_lower(flat)
+        hard_m = pc.is_in(low, value_set=hard_set).to_numpy(zero_copy_only=False)
+        soft_m = pc.is_in(low, value_set=soft_set).to_numpy(zero_copy_only=False)
+        n_words = np.bincount(ii, minlength=n).astype(np.int64)
+        hard = np.bincount(ii[hard_m], minlength=n).astype(np.int64)
+        soft = np.bincount(ii[soft_m], minlength=n).astype(np.int64)
+        reason = np.select(
+            [n_words == 0, hard > 0, 100 * soft > BAD_WORD_PCT * n_words],
+            ["empty", "hard_bad", "bad_fraction"],
+            default="ok",
+        )
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_words": pa.array(n_words),
+                "hard_hits": pa.array(hard),
+                "soft_hits": pa.array(soft),
+                "reason": pa.array(reason.tolist(), pa.string()),
+                "keep": pa.array((reason == "ok").astype(np.int64)),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        verdict, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+# -- corpus-quantile length trim ----------------------------------------------
+
+LEN_Q_LO_PCT = 5  # drop below the 5th percentile of corpus word counts
+LEN_Q_HI_PCT = 95  # drop above the 95th
+
+
+def length_quantile_bounds(lengths, counts, lo_pct: int, hi_pct: int):
+    """(lo, hi) discrete corpus quantiles from a (length -> count)
+    histogram — 1-based rank ``max(1, ceil(q*total))`` read off the
+    sorted cumulative counts, matching DuckDB's ``quantile_disc``
+    (the :func:`relational.event_quantiles` rule)."""
+    import math
+
+    import numpy as np
+
+    order = np.argsort(lengths, kind="stable")
+    vals = np.asarray(lengths)[order]
+    cum = np.asarray(counts)[order].cumsum()
+    total = int(cum[-1])
+
+    def pick(pct: int) -> int:
+        rank = max(1, math.ceil(pct * total / 100))
+        return int(vals[np.searchsorted(cum, rank, side="left")])
+
+    return pick(lo_pct), pick(hi_pct)
+
+
+def length_outlier_filter(sf_dir: str) -> rd.Dataset:
+    """(doc_id, n_words, keep): trim documents whose word count falls
+    outside the corpus's own [p5, p95] band — the global-stats-then-
+    filter shape (compute a corpus statistic, then gate every row
+    against it) that fixed-threshold gates like quality_filter can't
+    express.
+
+    Scale shape: pass 1 reduces the corpus to a (word-count -> n_docs)
+    HISTOGRAM via per-batch partials + a groupby over the distinct-
+    length domain (bounded by the max document length, NOT the corpus
+    size — the event_quantiles contract), so the only driver state is
+    that small histogram.  Pass 2 is a stateless vectorized re-count +
+    range test; keep flags stream out, nothing shuffles."""
+    import numpy as np
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    def partials(batch: pa.Table) -> pa.Table:
+        nw = pc.cast(
+            pc.count_substring_regex(batch.column("text"), r"\S+"), pa.int64()
+        )
+        vc = nw.value_counts()
+        return pa.table(
+            {
+                "n_words": vc.field("values"),
+                "n": pc.cast(vc.field("counts"), pa.int64()),
+            }
+        )
+
+    hist = (
+        _docs(sf_dir, ["text"])
+        .map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("n_words")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    lo, hi = length_quantile_bounds(
+        hist["n_words"].to_numpy(),
+        hist["n"].to_numpy(),
+        LEN_Q_LO_PCT,
+        LEN_Q_HI_PCT,
+    )
+
+    def gate(batch: pa.Table) -> pa.Table:
+        nw = pc.cast(
+            pc.count_substring_regex(batch.column("text"), r"\S+"), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        keep = ((nw >= lo) & (nw <= hi)).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_words": pa.array(nw),
+                "keep": pa.array(keep),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        gate, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
 # -- PII scrubbing ----------------------------------------------------------
 
 # Patterns chosen to behave identically under Python re and RE2

@@ -97,7 +97,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # source_quality_filter, shuffle_shards, ccnet_buckets,
         # dsir_resample, ols_residuals, cohort_retention, word_entropy,
         # knn_quantized, rollup_source_lang, curate_and_pack,
-        # events_hourly_delta, uniform_sample_k — each oracle-backed in
+        # events_hourly_delta, uniform_sample_k, and the round-4
+        # additions (gopher_rules, mojibake_repair, badwords_filter,
+        # length_outlier_filter, best_of_duplicates) — each oracle-backed in
         # tests/test_oracle.py; displacing a gated slot would cost an
         # established driver-green row), then the rows-only
         # approximations (compression_ratio, train_bpe,
@@ -148,6 +150,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_quantized": similarity.knn_quantized,
         "gopher_rules": filter_ops.gopher_rules,
         "mojibake_repair": filter_ops.mojibake_repair,
+        "badwords_filter": filter_ops.badwords_filter,
+        "length_outlier_filter": filter_ops.length_outlier_filter,
+        "best_of_duplicates": dedup.best_of_duplicates,
         "compression_ratio": analysis.compression_ratio,
         "train_bpe": analysis.train_bpe,
         "bpe_segment_counts": analysis.bpe_segment_counts,

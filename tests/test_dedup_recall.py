@@ -425,3 +425,46 @@ def test_incremental_overflow_recovered(ray_session, quiet_data_context, tmp_pat
     assert len(markers) == 0
     assert len(real) == 30
     assert set(real["verdict"]) == {"exact_dup"}
+
+
+class TestBestOfDuplicates:
+    """Quality-aware retention semantics: longest member wins its
+    normalized-hash group, doc_id ascending breaks exact-length ties
+    (the %9 same-length variants), and membership is conserved."""
+
+    @pytest.fixture(scope="class")
+    def winners(self, ray_session, quiet_data_context):
+        from pdf_parser_ray.pipelines.dedup import best_of_duplicates
+
+        return best_of_duplicates(SF_DIR).to_pandas()
+
+    def test_longer_variants_win(self, winners):
+        from pdf_parser_ray.pipelines.dedup import BEST_OF_VARIANT_OFFSET
+
+        variant_wins = winners[winners["doc_id"] >= BEST_OF_VARIANT_OFFSET]
+        assert len(variant_wins) > 0  # the ' !!' clones displace bases
+        base_ids = variant_wins["doc_id"] - BEST_OF_VARIANT_OFFSET
+        assert (base_ids % 3 == 0).all()
+        assert (base_ids % 9 != 0).all()  # tie variants never win ...
+
+    def test_tie_break_keeps_min_doc_id(self, winners):
+        # ... because the %9 variants have EQUAL length and a larger id
+        from pdf_parser_ray.pipelines.dedup import BEST_OF_VARIANT_OFFSET
+
+        tie_groups = winners[
+            (winners["doc_id"] < BEST_OF_VARIANT_OFFSET)
+            & (winners["n_members"] >= 2)
+        ]
+        assert len(tie_groups) > 0
+
+    def test_membership_conserved(self, winners):
+        import pyarrow.parquet as pq
+
+        ids = pq.read_table(
+            SF_DIR + "/documents.parquet", columns=["doc_id"]
+        ).column("doc_id").to_pylist()
+        n_variants = sum(1 for i in ids if int(i) % 3 == 0)
+        assert int(winners["n_members"].sum()) == len(ids) + n_variants
+
+    def test_groups_are_distinct_hashes(self, winners):
+        assert winners["text_hash"].is_unique

@@ -478,3 +478,101 @@ class TestGopherRules:
             assert got.loc[i, "stop_hits"] == sum(
                 1 for w in words if w.lower() in _GOPHER_STOPSET
             )
+
+
+class TestBadwordsVerdict:
+    """Rule order and integer-exact threshold of the flagged-word gate
+    (C4 hard-drop / RefinedWeb soft-fraction composite)."""
+
+    def test_empty(self):
+        from pdf_parser_ray.pipelines.filter import badwords_verdict
+
+        assert badwords_verdict(0, 0, 0) == "empty"
+
+    def test_single_hard_hit_drops(self):
+        from pdf_parser_ray.pipelines.filter import badwords_verdict
+
+        assert badwords_verdict(1000, 1, 0) == "hard_bad"
+
+    def test_soft_fraction_threshold_exact(self):
+        # BAD_WORD_PCT=6: 6 soft hits in 100 words is 100*6 == 6*100,
+        # NOT strictly greater -> ok; 7 hits crosses
+        from pdf_parser_ray.pipelines.filter import badwords_verdict
+
+        assert badwords_verdict(100, 0, 6) == "ok"
+        assert badwords_verdict(100, 0, 7) == "bad_fraction"
+
+    def test_hard_beats_fraction(self):
+        from pdf_parser_ray.pipelines.filter import badwords_verdict
+
+        assert badwords_verdict(10, 1, 9) == "hard_bad"
+
+    def test_all_classes_fire_on_corpus(self, ray_session, quiet_data_context):
+        # the lists were chosen from the synthetic vocabulary so the
+        # gate is live, not vacuous
+        from pdf_parser_ray.pipelines.filter import badwords_filter
+
+        df = badwords_filter("/root/testdata/sf0.001").to_pandas()
+        reasons = set(df["reason"])
+        assert "hard_bad" in reasons
+        assert "bad_fraction" in reasons
+        assert "ok" in reasons
+        assert ((df["reason"] == "ok") == (df["keep"] == 1)).all()
+
+
+class TestLengthQuantileBounds:
+    """The discrete-quantile rank rule (max(1, ceil(q*n)) 1-based,
+    the DuckDB quantile_disc contract shared with event_quantiles)."""
+
+    def test_uniform_histogram(self):
+        from pdf_parser_ray.pipelines.filter import length_quantile_bounds
+
+        lo, hi = length_quantile_bounds(
+            list(range(1, 101)), [1] * 100, 5, 95
+        )
+        assert (lo, hi) == (5, 95)
+
+    def test_unsorted_weighted_histogram(self):
+        # values 2(x1), 7(x2), 10(x3): total 6; p50 rank ceil(3)=3 -> 7,
+        # p100 rank 6 -> 10
+        from pdf_parser_ray.pipelines.filter import length_quantile_bounds
+
+        lo, hi = length_quantile_bounds([10, 2, 7], [3, 1, 2], 50, 100)
+        assert (lo, hi) == (7, 10)
+
+    def test_rank_floor_at_one(self):
+        # tiny pct on a small corpus still picks the minimum, rank >= 1
+        from pdf_parser_ray.pipelines.filter import length_quantile_bounds
+
+        lo, hi = length_quantile_bounds([4, 9], [1, 1], 1, 99)
+        assert (lo, hi) == (4, 9)
+
+    def test_matches_duckdb_quantile_disc(self):
+        import duckdb
+        import numpy as np
+
+        from pdf_parser_ray.pipelines.filter import length_quantile_bounds
+
+        rng = np.random.RandomState(7)
+        vals = rng.randint(1, 40, size=500)
+        lengths, counts = np.unique(vals, return_counts=True)
+        lo, hi = length_quantile_bounds(lengths, counts, 5, 95)
+        got = duckdb.sql(
+            "SELECT quantile_disc(v, 0.05), quantile_disc(v, 0.95)"
+            " FROM (SELECT unnest(?) AS v)",
+            params=[vals.tolist()],
+        ).fetchone()
+        assert (lo, hi) == (int(got[0]), int(got[1]))
+
+    def test_gate_keeps_band_inclusive(self, ray_session, quiet_data_context):
+        from pdf_parser_ray.pipelines.filter import length_outlier_filter
+
+        df = length_outlier_filter("/root/testdata/sf0.001").to_pandas()
+        kept = df[df["keep"] == 1]["n_words"]
+        dropped = df[df["keep"] == 0]["n_words"]
+        assert len(kept) > 0
+        if len(dropped):  # band is inclusive: every dropped row is
+            # strictly outside the kept range
+            assert (
+                (dropped < kept.min()) | (dropped > kept.max())
+            ).all()
