@@ -577,6 +577,108 @@ def _gopher_rules_sql() -> str:
     )
 
 
+def _host_edges_expr() -> str:
+    """Shared edge-synthesis CTE body for the host-graph mirrors: the
+    same integer formula graph.py::_edge_partials computes."""
+    from pdf_parser_ray.pipelines.graph import PR_FANOUT, PR_NODES
+
+    ks = ", ".join(str(k) for k in range(1, PR_FANOUT + 1))
+    return (
+        f"e0 AS (SELECT (doc_id % {PR_NODES}) AS src,"
+        f" ((doc_id // {PR_NODES} + k.k * (doc_id % {PR_NODES})"
+        f"   + k.k * k.k) % {PR_NODES}) AS dst"
+        f" FROM documents CROSS JOIN (SELECT unnest([{ks}]) AS k) k),"
+        " e AS (SELECT CAST(src AS BIGINT) AS src, CAST(dst AS BIGINT)"
+        "   AS dst, CAST(count(*) AS BIGINT) AS w FROM e0"
+        "   GROUP BY src, dst)"
+    )
+
+
+def _host_graph_edges_sql() -> str:
+    """Mirror of graph.host_graph_edges: the deterministic doc_id →
+    (src, dst) host-edge formula aggregated to weights."""
+    return f"WITH {_host_edges_expr()} SELECT src, dst, w FROM e"
+
+
+def _pagerank_sql() -> str:
+    """Mirror of graph.pagerank_hosts: the SAME integer power iteration
+    unrolled as PR_ITERS chained CTEs — per-edge floored contribution
+    (products via HUGEINT, division by 20·out(u)), teleport base added
+    per node, dangling mass leaked.  Every constant is interpolated
+    from pdf_parser_ray.pipelines.graph so retuning desyncs loudly."""
+    from pdf_parser_ray.pipelines.graph import (
+        PR_DAMP_DEN, PR_DAMP_NUM, PR_ITERS, PR_NODES, PR_SCALE,
+    )
+
+    base = (PR_DAMP_DEN - PR_DAMP_NUM) * PR_SCALE // (PR_DAMP_DEN * PR_NODES)
+    r0 = PR_SCALE // PR_NODES
+    sql = (
+        f"WITH {_host_edges_expr()},"
+        " o AS (SELECT src, CAST(sum(w) AS BIGINT) AS outw FROM e"
+        "   GROUP BY src),"
+        f" nodes AS (SELECT CAST(unnest(range({PR_NODES})) AS BIGINT)"
+        "   AS node),"
+        f" r0 AS (SELECT node, CAST({r0} AS BIGINT) AS pr FROM nodes)"
+    )
+    for i in range(PR_ITERS):
+        sql += (
+            f", c{i + 1} AS (SELECT e.dst AS node,"
+            f" CAST(SUM((CAST({PR_DAMP_NUM} AS HUGEINT) * r{i}.pr * e.w)"
+            f" // (CAST({PR_DAMP_DEN} AS HUGEINT) * o.outw)) AS BIGINT)"
+            " AS c"
+            f" FROM e JOIN o USING (src) JOIN r{i} ON r{i}.node = e.src"
+            " GROUP BY e.dst)"
+            f", r{i + 1} AS (SELECT n.node,"
+            f" CAST({base} + coalesce(c{i + 1}.c, 0) AS BIGINT) AS pr"
+            f" FROM nodes n LEFT JOIN c{i + 1} ON c{i + 1}.node = n.node)"
+        )
+    return sql + (
+        " SELECT n.node, CAST(coalesce(o.outw, 0) AS BIGINT) AS out_w,"
+        f" r{PR_ITERS}.pr AS rank_scaled"
+        " FROM nodes n LEFT JOIN o ON o.src = n.node"
+        f" JOIN r{PR_ITERS} ON r{PR_ITERS}.node = n.node"
+    )
+
+
+def _bm25_sql() -> str:
+    """Mirror of analysis.bm25_scores: the all-integer Okapi BM25 form
+    (k1=3/2, b=3/4 multiplied through by 8000, milli-quantized
+    dl/avgdl, Lucene idf floored to micros) with the query terms
+    interpolated from pdf_parser_ray.pipelines.analysis.BM25_QUERY so
+    retuning the query desyncs loudly.  Every intermediate is positive,
+    so DuckDB's truncating // is a true floor, matching numpy."""
+    from pdf_parser_ray.pipelines.analysis import BM25_QUERY
+
+    tf_cols = ", ".join(
+        f"CAST(len(list_filter(words, x -> x = '{t}')) AS BIGINT) AS tf{i}"
+        for i, t in enumerate(BM25_QUERY)
+    )
+    df_cols = ", ".join(
+        f"CAST(sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS df{i}"
+        for i in range(len(BM25_QUERY))
+    )
+    # tf = 0 zeroes the numerator, so no CASE is needed (same as the
+    # np.where on the Ray side, which is equally redundant but explicit)
+    terms = " + ".join(
+        f"(CAST(FLOOR(LN(1 + (g.N - g.df{i} + 0.5) / (g.df{i} + 0.5))"
+        f" * 1000000) AS BIGINT) * tf{i} * 20000)"
+        f" // (8000 * tf{i} + 3000"
+        " + 9 * ((dl * 1000000) // ((1000 * g.W) // g.N)))"
+        for i in range(len(BM25_QUERY))
+    )
+    return (
+        f"WITH w AS (SELECT doc_id, {_WORDS_EXPR} AS words FROM documents),"
+        f" d AS (SELECT doc_id, CAST(len(words) AS BIGINT) AS dl, {tf_cols}"
+        "   FROM w),"
+        " g AS (SELECT CAST(sum(dl) AS BIGINT) AS W,"
+        f"  CAST(count(*) AS BIGINT) AS N, {df_cols} FROM d)"
+        " SELECT d.doc_id, d.dl AS n_words,"
+        f" CAST({terms} AS BIGINT) AS bm25_micros"
+        " FROM d, g"
+    )
+
+
 def _badwords_sql() -> str:
     """Mirror of filter.badwords_filter: hard/soft flagged-word counts
     over the whitespace word split with the ordered verdict — both word
@@ -1925,6 +2027,9 @@ def oracle_sql() -> dict[str, str]:
         "badwords_filter": _badwords_sql(),
         "length_outlier_filter": _length_outlier_sql(),
         "best_of_duplicates": _best_of_dup_sql(),
+        "bm25_scores": _bm25_sql(),
+        "host_graph_edges": _host_graph_edges_sql(),
+        "pagerank_hosts": _pagerank_sql(),
         "mojibake_repair": (
             # invariant oracle for filter.mojibake_repair: the repair
             # must apply exactly the corruption depth (doc_id%7: 3→one

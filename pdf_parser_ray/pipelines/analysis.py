@@ -662,6 +662,119 @@ def tfidf_scores(sf_dir: str, *, vocab_cap: int = VOCAB_CAP) -> rd.Dataset:
     )
 
 
+# -- Okapi BM25 retrieval scoring ---------------------------------------------
+
+#: fixed keyword query for the BM25 demo — terms from the synthetic
+#: vocabulary so tf>0 rows exist; interpolated into the SQL mirror.
+BM25_QUERY = ("spark", "fast", "query")
+
+# Okapi BM25 with k1 = 3/2 and b = 3/4 as exact rationals, carried in
+# all-integer arithmetic so the distributed sum and the DuckDB mirror
+# agree bit-for-bit at any scale:
+#   avgdl_milli = (1000·W) // N          (W corpus words, N docs)
+#   R           = (dl·1_000_000) // avgdl_milli   (≈ 1000·dl/avgdl)
+#   idf_micros  = floor(ln(1 + (N − df + ½)/(df + ½)) · 1e6)   (Lucene
+#                 form — strictly positive, so // is a true floor)
+#   per term    = (idf_micros·tf·20000) // (8000·tf + 3000 + 9·R)
+# which is idf·tf·(k1+1)/(tf + k1·(1 − b + b·dl/avgdl)) multiplied
+# through by 8000 with dl/avgdl quantized to milli units.  Magnitudes
+# stay < 2^63 independent of corpus size (idf ≤ ~2.5e7, tf ≤ dl ≤ 1e6).
+
+
+def _query_term_tfs(batch: pa.Table) -> "tuple[np.ndarray, np.ndarray]":
+    """(dl, tf[len(BM25_QUERY), n_rows]) for a (…, text) batch — one
+    whitespace split, per-term equality masks + bincount, all Arrow /
+    numpy kernels (the badwords_filter machinery)."""
+    import numpy as np
+
+    texts = batch.column("text")
+    n = len(texts)
+    words = pc.utf8_split_whitespace(texts)
+    flat = pc.list_flatten(words)
+    idx = pc.list_parent_indices(words)
+    mask = pc.not_equal(flat, "")  # split emits '' at edge whitespace
+    flat = pc.filter(flat, mask)
+    ii = pc.filter(idx, mask).to_numpy(zero_copy_only=False)
+    dl = np.bincount(ii, minlength=n).astype(np.int64)
+    tf = np.empty((len(BM25_QUERY), n), dtype=np.int64)
+    for t, term in enumerate(BM25_QUERY):
+        m = pc.equal(flat, term).to_numpy(zero_copy_only=False)
+        tf[t] = np.bincount(ii[m], minlength=n)
+    return dl, tf
+
+
+def fit_bm25_stats(sf_dir: str) -> "tuple[int, int, list[int]]":
+    """(N, W, df per query term) in ONE streaming pass: each batch emits
+    a single constant-width partial row (n_docs, n_words, df_0..df_k),
+    so the driver materializes one narrow row per block regardless of
+    corpus size — the same bounded-model-artifact shape as
+    :func:`fit_idf_table`, without the vocabulary exchange (the query
+    is a constant)."""
+
+    def partials(batch: pa.Table) -> pa.Table:
+        dl, tf = _query_term_tfs(batch)
+        cols = {
+            "n_docs": pa.array([len(dl)], pa.int64()),
+            "n_words": pa.array([int(dl.sum())], pa.int64()),
+        }
+        for t in range(len(BM25_QUERY)):
+            cols[f"df_{t}"] = pa.array([int((tf[t] > 0).sum())], pa.int64())
+        return pa.table(cols)
+
+    stats = (
+        _docs(sf_dir, ["text"])
+        .map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()  # one 5-int row per block — bounded driver state
+        .sum()
+    )
+    n_docs = int(stats["n_docs"])
+    n_words = int(stats["n_words"])
+    dfs = [int(stats[f"df_{t}"]) for t in range(len(BM25_QUERY))]
+    return n_docs, n_words, dfs
+
+
+def bm25_scores(sf_dir: str) -> rd.Dataset:
+    """(doc_id, n_words, bm25_micros): Okapi BM25 relevance of every
+    document against the fixed :data:`BM25_QUERY` — the keyword-
+    retrieval ranking primitive (tf saturation + length normalization)
+    that TF-IDF lacks.  All-integer micros arithmetic (constants block
+    above) keeps the score exact and the DuckDB oracle bit-identical.
+
+    Scale shape: pass 1 (:func:`fit_bm25_stats`) reduces the corpus to
+    len(query)+2 integers; pass 2 is a stateless vectorized scoring
+    ``map_batches`` — no shuffle anywhere, text never leaves the
+    worker."""
+    import math
+
+    n_docs, n_words_total, dfs = fit_bm25_stats(sf_dir)
+    avgdl_milli = (1000 * n_words_total) // n_docs
+    idf = [
+        math.floor(math.log(1 + (n_docs - df + 0.5) / (df + 0.5)) * 1e6)
+        for df in dfs
+    ]
+
+    def score(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        dl, tf = _query_term_tfs(batch)
+        r = dl * 1_000_000 // avgdl_milli
+        total = np.zeros(len(dl), dtype=np.int64)
+        for t in range(len(BM25_QUERY)):
+            contrib = idf[t] * tf[t] * 20000 // (8000 * tf[t] + 3000 + 9 * r)
+            total += np.where(tf[t] > 0, contrib, 0)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_words": pa.array(dl),
+                "bm25_micros": pa.array(total),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        score, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
 # -- DSIR-style importance weights -------------------------------------------
 
 IW_TARGET_MOD = 97  # doc_id % 97 == 0 -> target-domain member (same

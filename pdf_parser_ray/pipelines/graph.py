@@ -1,0 +1,147 @@
+"""Graph analytics over a corpus-derived link graph: PageRank on the
+host graph — the classic web-curation authority signal (Page et al.
+1999; CommonCrawl publishes exactly this as its host-level ranking).
+
+Scale shape (the part that must survive 100 TB): the corpus is first
+REDUCED to a bounded weighted adjacency — each document contributes a
+constant number of (src, dst) host edges, per-batch ``np.bincount``
+partials over the (V·V)-bounded key domain tree-reduce through a
+64-bucket ``groupby.map_groups`` pandas combine (the cluster.py
+pattern; never a global Ray aggregate) — and only then does the power
+iteration run, over that bounded artifact.  The iteration state is
+V ranks, independent of corpus size, exactly like the k centroids in
+``cluster.kmeans``: the 100 TB pass is the edge aggregation; the graph
+itself is the model artifact.  For an UNBOUNDED node domain (per-URL
+graphs) the same iteration becomes a dst-keyed co-shuffle join per
+pass — documented here as the generalization, not needed for the
+host-level (V=101) graph this operator targets.
+
+Determinism (what makes the DuckDB oracle possible): edges come from an
+integer formula of doc_id, damping is the exact rational 17/20, ranks
+are integers at 1e12 scale, and every per-edge contribution is floored
+BEFORE the sum — so the oracle unrolls the same iterations as K chained
+CTEs with the same `//` arithmetic.  Driver math uses Python ints
+(arbitrary precision); the SQL casts products through HUGEINT — both
+sides overflow-proof at any corpus size.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from .io_util import arrow_udf, read_parquet_clean
+
+#: host-node domain: host(doc) = doc_id % 101 (the same shared-host
+#: rule the pages corpus uses for doc_id co-location).
+PR_NODES = 101
+#: out-links per document: dst_k = (doc_id // 101 + k·src + k²) % 101
+#: for k in 1..3 — varies WITHIN a host via the doc_id // 101 term.
+PR_FANOUT = 3
+PR_ITERS = 5
+PR_SCALE = 10**12
+PR_DAMP_NUM, PR_DAMP_DEN = 17, 20  # damping d = 0.85 as an exact rational
+_REDUCE_BUCKETS = 64
+
+
+def _docs(sf_dir: str, columns: list[str]) -> rd.Dataset:
+    from .dedup import _blocks_for
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    return read_parquet_clean(
+        path, columns=columns, override_num_blocks=_blocks_for(path)
+    )
+
+
+def _edge_partials(batch: pa.Table) -> pa.Table:
+    """Per-batch weighted-edge partial: one bincount over the bounded
+    (V·V) key domain, nonzero (key, w) rows out — constant-size output
+    regardless of batch size."""
+    ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    src = ids % PR_NODES
+    counts = np.zeros(PR_NODES * PR_NODES, dtype=np.int64)
+    for k in range(1, PR_FANOUT + 1):
+        dst = (ids // PR_NODES + k * src + k * k) % PR_NODES
+        counts += np.bincount(
+            src * PR_NODES + dst, minlength=PR_NODES * PR_NODES
+        )
+    key = np.flatnonzero(counts)
+    return pa.table(
+        {
+            "b": pa.array((key % _REDUCE_BUCKETS).astype(np.int64)),
+            "key": pa.array(key),
+            "w": pa.array(counts[key]),
+        }
+    )
+
+
+def _combine_edges(g: pd.DataFrame) -> pd.DataFrame:
+    out = g.groupby("key", as_index=False, sort=True)["w"].sum()
+    return out.astype(np.int64)
+
+
+def host_graph_edges(sf_dir: str) -> rd.Dataset:
+    """(src, dst, w) weighted host adjacency — the distributed
+    reduction; ≤ V² narrow rows out of one streaming pass."""
+
+    def split_key(batch: pa.Table) -> pa.Table:
+        key = batch.column("key").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "src": pa.array(key // PR_NODES),
+                "dst": pa.array(key % PR_NODES),
+                "w": batch.column("w"),
+            }
+        )
+
+    return (
+        _docs(sf_dir, ["doc_id"])
+        .map_batches(_edge_partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("b")
+        .map_groups(arrow_udf(_combine_edges), batch_format="pandas")
+        .map_batches(split_key, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+
+def pagerank_hosts(sf_dir: str) -> pd.DataFrame:
+    """(node, out_w, rank_scaled): PR_ITERS damped power-iteration
+    passes over the host graph, ranks as integers at PR_SCALE.
+
+    rank₀(v) = PR_SCALE // V;  each pass:
+      rank(v) = (3·PR_SCALE) // (20·V)
+              + Σ_{u→v} (17 · rank(u) · w(u,v)) // (20 · out(u))
+    (per-edge floor, then sum — the order the oracle mirrors).
+    Dangling nodes (no out-edges) simply leak their damped mass, the
+    standard simplification; every node still receives the teleport
+    term, so the output always has exactly V rows."""
+    edges = host_graph_edges(sf_dir).to_pandas()  # ≤ V² rows — bounded
+    src = edges["src"].to_numpy()
+    dst = edges["dst"].to_numpy()
+    w = edges["w"].to_numpy()
+
+    out_w = np.zeros(PR_NODES, dtype=np.int64)
+    np.add.at(out_w, src, w)
+
+    # Python-int driver math: products reach rank·w ≈ 1e12·corpus_size,
+    # past int64 at web scale, so stay in arbitrary precision.
+    base = (PR_DAMP_DEN - PR_DAMP_NUM) * PR_SCALE // (PR_DAMP_DEN * PR_NODES)
+    rank = [PR_SCALE // PR_NODES] * PR_NODES
+    for _ in range(PR_ITERS):
+        nxt = [base] * PR_NODES
+        for s, d, wt in zip(src.tolist(), dst.tolist(), w.tolist()):
+            nxt[d] += (PR_DAMP_NUM * rank[s] * wt) // (
+                PR_DAMP_DEN * int(out_w[s])
+            )
+        rank = nxt
+
+    return pd.DataFrame(
+        {
+            "node": np.arange(PR_NODES, dtype=np.int64),
+            "out_w": out_w,
+            "rank_scaled": np.array(rank, dtype=np.int64),
+        }
+    )

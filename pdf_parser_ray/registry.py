@@ -22,7 +22,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     )
     from pdf_parser_ray.pipelines import cluster as cluster_ops
     from pdf_parser_ray.pipelines import filter as filter_ops
-    from pdf_parser_ray.pipelines import multimodal, pack, sketch
+    from pdf_parser_ray.pipelines import graph, multimodal, pack, sketch
 
     return {
         # -- text analysis (oracle-checked) --
@@ -99,7 +99,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # knn_quantized, rollup_source_lang, curate_and_pack,
         # events_hourly_delta, uniform_sample_k, and the round-4
         # additions (gopher_rules, mojibake_repair, badwords_filter,
-        # length_outlier_filter, best_of_duplicates) — each oracle-backed in
+        # length_outlier_filter, best_of_duplicates, bm25_scores,
+        # host_graph_edges, pagerank_hosts) — each oracle-backed in
         # tests/test_oracle.py; displacing a gated slot would cost an
         # established driver-green row), then the rows-only
         # approximations (compression_ratio, train_bpe,
@@ -153,6 +154,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "badwords_filter": filter_ops.badwords_filter,
         "length_outlier_filter": filter_ops.length_outlier_filter,
         "best_of_duplicates": dedup.best_of_duplicates,
+        "bm25_scores": analysis.bm25_scores,
+        "host_graph_edges": graph.host_graph_edges,
+        "pagerank_hosts": graph.pagerank_hosts,
         "compression_ratio": analysis.compression_ratio,
         "train_bpe": analysis.train_bpe,
         "bpe_segment_counts": analysis.bpe_segment_counts,

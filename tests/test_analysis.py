@@ -347,3 +347,58 @@ class TestRollupSourceLang:
                 == by_lang[col].sort_index()
             ).all()
             assert cells[col].sum() == total[col].iloc[0]
+
+
+class TestBM25:
+    """Pin the all-integer Okapi form against the textbook float
+    formula and its two defining behaviors (tf saturation and length
+    normalization) that plain TF-IDF lacks."""
+
+    @staticmethod
+    def _int_term(idf_micros, tf, dl, avgdl_milli):
+        r = dl * 1_000_000 // avgdl_milli
+        return idf_micros * tf * 20000 // (8000 * tf + 3000 + 9 * r)
+
+    def test_integer_form_tracks_float_bm25(self):
+        import math
+
+        n_docs, df, w_total = 1000, 37, 250_000
+        avgdl = w_total / n_docs
+        avgdl_milli = 1000 * w_total // n_docs
+        idf = math.log(1 + (n_docs - df + 0.5) / (df + 0.5))
+        idf_micros = math.floor(idf * 1e6)
+        k1, b = 1.5, 0.75
+        for tf, dl in [(1, 50), (3, 250), (10, 250), (40, 900), (2, 1200)]:
+            want = idf * tf * (k1 + 1) / (
+                tf + k1 * (1 - b + b * dl / avgdl)
+            )
+            got = self._int_term(idf_micros, tf, dl, avgdl_milli) / 1e6
+            assert abs(got - want) < 1e-3 * max(want, 1.0)
+
+    def test_tf_saturation(self):
+        # doubling tf must raise the score by strictly less than 2x
+        one = self._int_term(5_000_000, 5, 300, 300_000)
+        two = self._int_term(5_000_000, 10, 300, 300_000)
+        assert one < two < 2 * one
+
+    def test_length_normalization(self):
+        # same tf in a longer document scores strictly lower
+        short = self._int_term(5_000_000, 5, 100, 300_000)
+        long_ = self._int_term(5_000_000, 5, 900, 300_000)
+        assert long_ < short
+
+    def test_fit_stats_match_brute_force(self, ray_session, quiet_data_context):
+        import pyarrow.parquet as pq
+
+        from pdf_parser_ray.pipelines.analysis import BM25_QUERY, fit_bm25_stats
+
+        sf = "/root/testdata/sf0.001"
+        n_docs, n_words, dfs = fit_bm25_stats(sf)
+        texts = pq.read_table(
+            sf + "/documents.parquet", columns=["text"]
+        ).column("text").to_pylist()
+        assert n_docs == len(texts)
+        assert n_words == sum(len(t.split()) for t in texts)
+        for term, df in zip(BM25_QUERY, dfs):
+            assert df == sum(1 for t in texts if term in t.split())
+        assert all(df > 0 for df in dfs)  # query is live on the corpus

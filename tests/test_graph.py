@@ -1,0 +1,80 @@
+"""Structural invariants of the host-graph PageRank (the SQL-mirror
+equivalence is covered by test_oracle.py; these pin the mass-accounting
+and edge-synthesis semantics the oracle can't isolate)."""
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from pdf_parser_ray.pipelines.graph import (
+    PR_DAMP_DEN,
+    PR_DAMP_NUM,
+    PR_FANOUT,
+    PR_ITERS,
+    PR_NODES,
+    PR_SCALE,
+    host_graph_edges,
+    pagerank_hosts,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def ranks(ray_session, quiet_data_context):
+    return pagerank_hosts(SF_DIR)
+
+
+class TestHostGraphEdges:
+    def test_matches_brute_force_formula(self, ray_session, quiet_data_context):
+        ids = np.asarray(
+            pq.read_table(SF_DIR + "/documents.parquet", columns=["doc_id"])
+            .column("doc_id")
+            .to_pylist(),
+            dtype=np.int64,
+        )
+        want = {}
+        for i in ids:
+            s = int(i) % PR_NODES
+            for k in range(1, PR_FANOUT + 1):
+                d = (int(i) // PR_NODES + k * s + k * k) % PR_NODES
+                want[(s, d)] = want.get((s, d), 0) + 1
+        got = host_graph_edges(SF_DIR).to_pandas()
+        assert {
+            (int(r.src), int(r.dst)): int(r.w) for r in got.itertuples()
+        } == want
+
+    def test_total_weight_is_fanout_times_docs(self, ray_session, quiet_data_context):
+        n_docs = pq.read_metadata(SF_DIR + "/documents.parquet").num_rows
+        got = host_graph_edges(SF_DIR).to_pandas()
+        assert int(got["w"].sum()) == PR_FANOUT * n_docs
+
+
+class TestPageRank:
+    def test_every_node_ranked(self, ranks):
+        assert len(ranks) == PR_NODES
+        assert sorted(ranks["node"]) == list(range(PR_NODES))
+
+    def test_mass_accounting(self, ranks):
+        # every node keeps at least the teleport base; total mass never
+        # exceeds the initial PR_SCALE (per-edge floors + dangling
+        # leakage only ever REMOVE mass)
+        base = (
+            (PR_DAMP_DEN - PR_DAMP_NUM)
+            * PR_SCALE
+            // (PR_DAMP_DEN * PR_NODES)
+        )
+        assert (ranks["rank_scaled"] >= base).all()
+        assert int(ranks["rank_scaled"].sum()) <= PR_SCALE
+
+    def test_deterministic(self, ranks, ray_session, quiet_data_context):
+        again = pagerank_hosts(SF_DIR)
+        assert (
+            ranks.sort_values("node")["rank_scaled"].to_numpy()
+            == again.sort_values("node")["rank_scaled"].to_numpy()
+        ).all()
+
+    def test_iterations_move_mass(self, ranks):
+        # after PR_ITERS damped passes the distribution must no longer
+        # be uniform (the synthetic graph is deliberately skewed)
+        assert ranks["rank_scaled"].nunique() > 1
