@@ -577,6 +577,45 @@ def _gopher_rules_sql() -> str:
     )
 
 
+def _temperature_sample_sql() -> str:
+    """Mirror of filter.temperature_sample: sqrt-temperature weights,
+    Hamilton largest-remainder quotas (rem DESC, source ASC), and the
+    shuffle-key hash-ring rank within each source — TEMP_TARGET and
+    the SHUF_* hash constants interpolated so retuning desyncs
+    loudly.  SQRT/FLOOR are the same libm doubles on both sides (the
+    ln-micros discipline)."""
+    from pdf_parser_ray.pipelines.filter import TEMP_TARGET
+    from pdf_parser_ray.pipelines.pack import (
+        SHUF_A1, SHUF_A2, SHUF_B1, SHUF_B2, SHUF_P,
+    )
+
+    t = TEMP_TARGET
+    return (
+        "WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n"
+        "   FROM documents GROUP BY source),"
+        " w AS (SELECT source, n,"
+        "   CAST(FLOOR(SQRT(CAST(n AS DOUBLE)) * 1000000) AS BIGINT) AS w"
+        "   FROM c),"
+        " tot AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM w),"
+        f" q0 AS (SELECT source, n, ({t} * w) // tot.tw AS base,"
+        f"   ({t} * w) % tot.tw AS rem FROM w, tot),"
+        f" lo AS (SELECT CAST({t} - sum(base) AS BIGINT) AS l FROM q0),"
+        " q AS (SELECT source, CAST(base + CASE WHEN"
+        "   row_number() OVER (ORDER BY rem DESC, source) <= lo.l"
+        "   THEN 1 ELSE 0 END AS BIGINT) AS quota FROM q0, lo),"
+        " h1 AS (SELECT doc_id, source,"
+        f"   ({SHUF_A1} * (doc_id % {SHUF_P}) + {SHUF_B1}) % {SHUF_P} AS k1"
+        "   FROM documents),"
+        " h2 AS (SELECT doc_id, source,"
+        f"   ({SHUF_A2} * (xor(k1, k1 >> 17) % {SHUF_P}) + {SHUF_B2})"
+        f"     % {SHUF_P} AS kk FROM h1),"
+        " r AS (SELECT doc_id, source, row_number() OVER"
+        "   (PARTITION BY source ORDER BY kk, doc_id) AS rn FROM h2)"
+        " SELECT r.doc_id, r.source FROM r JOIN q USING (source)"
+        " WHERE r.rn <= q.quota"
+    )
+
+
 def _host_edges_expr() -> str:
     """Shared edge-synthesis CTE body for the host-graph mirrors: the
     same integer formula graph.py::_edge_partials computes."""
@@ -637,6 +676,18 @@ def _pagerank_sql() -> str:
         f" r{PR_ITERS}.pr AS rank_scaled"
         " FROM nodes n LEFT JOIN o ON o.src = n.node"
         f" JOIN r{PR_ITERS} ON r{PR_ITERS}.node = n.node"
+    )
+
+
+def _doc_host_rank_sql() -> str:
+    """Mirror of graph.doc_host_rank: the full pagerank mirror as a
+    nested-WITH CTE, joined back onto documents on the host formula."""
+    from pdf_parser_ray.pipelines.graph import PR_NODES
+
+    return (
+        f"WITH pr AS ({_pagerank_sql()})"
+        " SELECT d.doc_id, pr.node, pr.rank_scaled FROM documents d"
+        f" JOIN pr ON pr.node = d.doc_id % {PR_NODES}"
     )
 
 
@@ -2030,6 +2081,8 @@ def oracle_sql() -> dict[str, str]:
         "bm25_scores": _bm25_sql(),
         "host_graph_edges": _host_graph_edges_sql(),
         "pagerank_hosts": _pagerank_sql(),
+        "temperature_sample": _temperature_sample_sql(),
+        "doc_host_rank": _doc_host_rank_sql(),
         "mojibake_repair": (
             # invariant oracle for filter.mojibake_repair: the repair
             # must apply exactly the corruption depth (doc_id%7: 3→one

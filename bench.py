@@ -276,6 +276,22 @@ def run_bench() -> dict:
     analysis.vocab_coverage(SF_DIR)  # returns a small DataFrame
     timings["vocab_coverage"] = time.perf_counter() - t
 
+    timed("gopher_rules", filter_ops.gopher_rules)
+    timed("mojibake_repair", filter_ops.mojibake_repair)
+    timed("badwords_filter", filter_ops.badwords_filter)
+    timed("length_outlier_filter", filter_ops.length_outlier_filter)
+    timed("best_of_duplicates", dedup.best_of_duplicates)
+    timed("bm25_scores", analysis.bm25_scores)
+
+    from pdf_parser_ray.pipelines.graph import doc_host_rank, pagerank_hosts
+
+    t = time.perf_counter()
+    pagerank_hosts(SF_DIR)  # returns a small DataFrame
+    timings["pagerank_hosts"] = time.perf_counter() - t
+
+    timed("doc_host_rank", doc_host_rank)
+    timed("temperature_sample", filter_ops.temperature_sample)
+
     from pdf_parser_ray.pipelines.curate import curate_pages
     from pdf_parser_ray.pipelines.extract import (
         canonical_urls, domain_stats, host_page_cap, line_dedup,

@@ -537,6 +537,119 @@ def stratified_sample(sf_dir: str, per_stratum: int = 50) -> rd.Dataset:
     )
 
 
+# -- temperature-based source mixture -----------------------------------------
+
+#: total documents the mixture draws (the "epoch budget")
+TEMP_TARGET = 200
+# Temperature alpha = 1/2: per-source sampling weight w_i =
+# floor(sqrt(n_i) · 1e6) — the multilingual-corpus balancing rule
+# (sample p_i ∝ p_i^alpha, alpha < 1 upsamples small sources relative
+# to their share; Conneau & Lample 2019 §3.1 use exactly this shape).
+# Quotas come from the largest-remainder (Hamilton) apportionment so
+# they are integers summing to the target, deterministically.
+
+
+def temperature_quotas(
+    counts: "dict[str, int]", target: int = TEMP_TARGET
+) -> "dict[str, int]":
+    """Largest-remainder apportionment of ``target`` draws over
+    sqrt-temperature weights: base_i = (T·w_i) // W, the T − Σ base
+    leftovers go to the largest remainders (source ASC breaks ties)."""
+    import math
+
+    w = {s: math.floor(math.sqrt(n) * 1e6) for s, n in counts.items()}
+    total_w = sum(w.values())
+    base = {s: target * w[s] // total_w for s in w}
+    rem = {s: target * w[s] % total_w for s in w}
+    leftover = target - sum(base.values())
+    for s in sorted(w, key=lambda s: (-rem[s], s))[:leftover]:
+        base[s] += 1
+    return base
+
+
+def temperature_sample(sf_dir: str) -> rd.Dataset:
+    """(doc_id, source): a deterministic :data:`TEMP_TARGET`-document
+    draw whose per-source allocation follows sqrt-temperature weights
+    — the data-mixing op that rebalances a source-skewed corpus for
+    training (uniform sampling would mirror the skew; per-source equal
+    counts would starve big sources).  Within each source the quota is
+    filled by the smallest ``shuffle_key`` values (doc_id ties) — the
+    same deterministic hash-ring rank as ``uniform_sample_k``.
+
+    Scale shape: pass 1 reduces the corpus to per-source counts (tiny
+    groupby — the only driver state is one int per source); quotas are
+    computed once and ride the task closure.  Pass 2 keeps a local
+    bottom-quota per source inside every batch (≤ quota·sources rows
+    survive a block), then one source-keyed ``map_groups`` takes the
+    global bottom-quota — the uniform_sample_k selection shape, per
+    stratum; nothing corpus-sized moves."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from .io_util import arrow_udf
+    from .pack import shuffle_key
+
+    def count_partials(batch: pa.Table) -> pa.Table:
+        vc = batch.column("source").value_counts()
+        return pa.table(
+            {
+                "source": vc.field("values"),
+                "cnt": pc.cast(vc.field("counts"), pa.int64()),
+            }
+        )
+
+    counts = (
+        _docs(sf_dir, ["source"])
+        .map_batches(count_partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("source")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()
+    )
+    quotas = temperature_quotas(
+        {s: int(n) for s, n in zip(counts["source"], counts["cnt"])}
+    )
+    max_q = max(quotas.values())
+
+    def local_bottom(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        key = shuffle_key(ids)
+        df = pd.DataFrame(
+            {
+                "doc_id": ids,
+                "source": batch.column("source").to_pandas(),
+                "key": key,
+            }
+        )
+        kept = (
+            df.sort_values(["key", "doc_id"], kind="stable")
+            .groupby("source", sort=False)
+            .head(max_q)
+        )
+        # explicit construction: from_pandas would inject the b'pandas'
+        # schema metadata the next shuffle chokes on (io_util.arrow_udf)
+        return pa.table(
+            {
+                "doc_id": pa.array(kept["doc_id"].to_numpy(), pa.int64()),
+                "source": pa.array(kept["source"].tolist(), pa.string()),
+                "key": pa.array(kept["key"].to_numpy(), pa.int64()),
+            }
+        )
+
+    def take_quota(g: pd.DataFrame) -> pd.DataFrame:
+        q = quotas.get(g["source"].iloc[0], 0)
+        out = g.sort_values(["key", "doc_id"], kind="stable").head(q)
+        return out[["doc_id", "source"]].astype({"doc_id": np.int64})
+
+    return (
+        _docs(sf_dir, ["doc_id", "source"])
+        .map_batches(local_bottom, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("source")
+        .map_groups(arrow_udf(take_quota), batch_format="pandas")
+    )
+
+
 def token_histogram(sf_dir: str, bucket: int = 10) -> rd.Dataset:
     """(bucket_lo, n_docs): corpus length distribution — token counts
     floored to `bucket`-wide buckets, counted.  Partial counts combine

@@ -145,3 +145,38 @@ def pagerank_hosts(sf_dir: str) -> pd.DataFrame:
             "rank_scaled": np.array(rank, dtype=np.int64),
         }
     )
+
+
+def doc_host_rank(sf_dir: str) -> rd.Dataset:
+    """(doc_id, node, rank_scaled): every document annotated with its
+    host's PageRank — the authority-signal join a curation pipeline
+    runs to prioritize high-rank hosts.
+
+    Scale shape: the canonical SMALL-SIDE BROADCAST join — the rank
+    table is V rows (a model artifact, like the kmeans centroids), so
+    it ships to workers once via ``ray.put`` and the join is a
+    stateless vectorized ``np.take`` inside ``map_batches``; the
+    document side streams, nothing shuffles.  This is the pattern that
+    replaces a corpus-wide hash join whenever one side is bounded."""
+    import ray
+
+    ranks = pagerank_hosts(sf_dir)
+    lut = np.zeros(PR_NODES, dtype=np.int64)
+    lut[ranks["node"].to_numpy()] = ranks["rank_scaled"].to_numpy()
+    ref = ray.put(lut)
+
+    def annotate(batch: pa.Table) -> pa.Table:
+        table = ray.get(ref)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        node = (ids % PR_NODES).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "node": pa.array(node),
+                "rank_scaled": pa.array(table[node]),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id"]).map_batches(
+        annotate, batch_format="pyarrow", zero_copy_batch=True
+    )

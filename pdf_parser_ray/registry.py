@@ -100,7 +100,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # events_hourly_delta, uniform_sample_k, and the round-4
         # additions (gopher_rules, mojibake_repair, badwords_filter,
         # length_outlier_filter, best_of_duplicates, bm25_scores,
-        # host_graph_edges, pagerank_hosts) — each oracle-backed in
+        # host_graph_edges, pagerank_hosts, doc_host_rank,
+        # temperature_sample) — each oracle-backed in
         # tests/test_oracle.py; displacing a gated slot would cost an
         # established driver-green row), then the rows-only
         # approximations (compression_ratio, train_bpe,
@@ -157,6 +158,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_scores": analysis.bm25_scores,
         "host_graph_edges": graph.host_graph_edges,
         "pagerank_hosts": graph.pagerank_hosts,
+        "doc_host_rank": graph.doc_host_rank,
+        "temperature_sample": filter_ops.temperature_sample,
         "compression_ratio": analysis.compression_ratio,
         "train_bpe": analysis.train_bpe,
         "bpe_segment_counts": analysis.bpe_segment_counts,

@@ -576,3 +576,53 @@ class TestLengthQuantileBounds:
             assert (
                 (dropped < kept.min()) | (dropped > kept.max())
             ).all()
+
+
+class TestTemperatureSample:
+    """Hamilton apportionment over sqrt-temperature weights: exact
+    total, deterministic tie-break, and the defining upsampling
+    property (small sources get MORE than their proportional share)."""
+
+    def test_quotas_sum_to_target(self):
+        from pdf_parser_ray.pipelines.filter import temperature_quotas
+
+        q = temperature_quotas({"a": 1000, "b": 100, "c": 10}, target=50)
+        assert sum(q.values()) == 50
+
+    def test_sqrt_upsamples_small_sources(self):
+        from pdf_parser_ray.pipelines.filter import temperature_quotas
+
+        counts = {"big": 9000, "small": 1000}
+        q = temperature_quotas(counts, target=100)
+        # proportional would give small 10; sqrt temperature gives
+        # 1000/(3000+1000)·sqrt-weighted = 25
+        assert q["small"] > 100 * counts["small"] // sum(counts.values())
+
+    def test_remainder_tie_breaks_on_source_asc(self):
+        from pdf_parser_ray.pipelines.filter import temperature_quotas
+
+        # identical counts -> identical remainders; the odd leftover
+        # must go to the alphabetically first source
+        q = temperature_quotas({"x": 100, "y": 100, "z": 100}, target=7)
+        assert (q["x"], q["y"], q["z"]) == (3, 2, 2)
+
+    def test_sample_honors_quotas(self, ray_session, quiet_data_context):
+        import pyarrow.parquet as pq
+
+        from pdf_parser_ray.pipelines.filter import (
+            TEMP_TARGET, temperature_quotas, temperature_sample,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        got = temperature_sample(sf).to_pandas()
+        src = (
+            pq.read_table(sf + "/documents.parquet", columns=["source"])
+            .column("source")
+            .to_pandas()
+        )
+        quotas = temperature_quotas(src.value_counts().to_dict())
+        per_source = got.groupby("source").size().to_dict()
+        for s, q in quotas.items():
+            assert per_source.get(s, 0) == min(q, int((src == s).sum()))
+        assert len(got) <= TEMP_TARGET
+        assert got["doc_id"].is_unique

@@ -78,3 +78,18 @@ class TestPageRank:
         # after PR_ITERS damped passes the distribution must no longer
         # be uniform (the synthetic graph is deliberately skewed)
         assert ranks["rank_scaled"].nunique() > 1
+
+
+class TestDocHostRank:
+    def test_rank_matches_host_pagerank(self, ranks, ray_session, quiet_data_context):
+        from pdf_parser_ray.pipelines.graph import doc_host_rank
+
+        got = doc_host_rank(SF_DIR).to_pandas()
+        lut = ranks.set_index("node")["rank_scaled"].to_dict()
+        assert (got["node"] == got["doc_id"] % PR_NODES).all()
+        assert (
+            got["rank_scaled"].to_numpy()
+            == got["node"].map(lut).to_numpy()
+        ).all()
+        n_docs = pq.read_metadata(SF_DIR + "/documents.parquet").num_rows
+        assert len(got) == n_docs
