@@ -577,6 +577,41 @@ def _gopher_rules_sql() -> str:
     )
 
 
+def _pivot_sql() -> str:
+    """Mirror of analysis.pivot_source_lang: the CASE-sum pivot over
+    the fixed PIVOT_LANGS domain (interpolated, so widening the corpus
+    language set desyncs loudly on both sides)."""
+    from pdf_parser_ray.pipelines.analysis import PIVOT_LANGS
+
+    cols = ", ".join(
+        f"CAST(sum(CASE WHEN lang = '{lang}' THEN 1 ELSE 0 END)"
+        f" AS BIGINT) AS n_{lang}"
+        for lang in PIVOT_LANGS
+    )
+    return (
+        f"SELECT source, {cols}, CAST(count(*) AS BIGINT) AS n_total"
+        " FROM documents GROUP BY source"
+    )
+
+
+def _bloom_semi_join_sql() -> str:
+    """Mirror of join.bloom_semi_join: the PLAIN exact semi-join — the
+    Bloom filter on the Ray side is pure scan reduction whose false
+    positives the verify join removes, so the oracle needs no bloom at
+    all (that independence IS the property under test).  Priority and
+    the cents discipline interpolated/shared with lineitem_agg."""
+    from pdf_parser_ray.pipelines.join import SEMI_PRIORITY
+
+    return (
+        "SELECT l.l_orderkey, CAST(count(*) AS BIGINT) AS n_items,"
+        " CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))"
+        "   AS BIGINT) AS revenue_cents"
+        " FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey"
+        f" WHERE o.o_orderpriority = '{SEMI_PRIORITY}'"
+        " GROUP BY l.l_orderkey"
+    )
+
+
 def _temperature_sample_sql() -> str:
     """Mirror of filter.temperature_sample: sqrt-temperature weights,
     Hamilton largest-remainder quotas (rem DESC, source ASC), and the
@@ -2083,6 +2118,8 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_hosts": _pagerank_sql(),
         "temperature_sample": _temperature_sample_sql(),
         "doc_host_rank": _doc_host_rank_sql(),
+        "bloom_semi_join": _bloom_semi_join_sql(),
+        "pivot_source_lang": _pivot_sql(),
         "mojibake_repair": (
             # invariant oracle for filter.mojibake_repair: the repair
             # must apply exactly the corruption depth (doc_id%7: 3→one

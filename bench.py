@@ -292,6 +292,11 @@ def run_bench() -> dict:
     timed("doc_host_rank", doc_host_rank)
     timed("temperature_sample", filter_ops.temperature_sample)
 
+    from pdf_parser_ray.pipelines.join import bloom_semi_join
+
+    timed("bloom_semi_join", bloom_semi_join)
+    timed("pivot_source_lang", analysis.pivot_source_lang)
+
     from pdf_parser_ray.pipelines.curate import curate_pages
     from pdf_parser_ray.pipelines.extract import (
         canonical_urls, domain_stats, host_page_cap, line_dedup,

@@ -939,6 +939,67 @@ def dsir_resample(
     )
 
 
+#: the corpus language domain (a generator constant at every sf).  The
+#: pivot's WIDE schema is fixed from it; an unexpected language fails
+#: loudly instead of silently widening/dropping (the
+#: rollup_source_lang margin-sentinel discipline).
+PIVOT_LANGS = ("de", "en", "es", "fr", "zh")
+
+
+def pivot_source_lang(sf_dir: str) -> rd.Dataset:
+    """(source, n_de, n_en, n_es, n_fr, n_zh, n_total): the long→wide
+    PIVOT — one row per source, one count column per language — the
+    reshaping step every per-source language-mix report needs (the
+    transpose of what ``groupby(source, lang)`` emits).
+
+    Scale shape: each batch collapses to ≤ sources·langs narrow
+    (source, lang, n) partial rows via an Arrow ``group_by``; the one
+    exchange is keyed on source and the ``map_groups`` pivot is a
+    pandas reindex over the FIXED language domain — output cardinality
+    is the source count, bounded by definition."""
+    import numpy as np
+    import pandas as pd
+
+    langs = tuple(PIVOT_LANGS)  # bind at build time: the closure ships
+    # the domain to the workers (module-global lookup would re-resolve
+    # in each worker process)
+
+    def partials(batch: pa.Table) -> pa.Table:
+        g = (
+            batch.select(["source", "lang"])
+            .group_by(["source", "lang"])
+            .aggregate([("lang", "count")])
+        )
+        return pa.table(
+            {
+                "source": g.column("source"),
+                "lang": g.column("lang"),
+                "n": pc.cast(g.column("lang_count"), pa.int64()),
+            }
+        )
+
+    def widen(g: pd.DataFrame) -> pd.DataFrame:
+        unexpected = set(g["lang"]) - set(langs)
+        if unexpected:
+            raise ValueError(
+                f"pivot_source_lang: languages {sorted(unexpected)} are"
+                " outside the fixed PIVOT_LANGS schema"
+            )
+        counts = g.groupby("lang")["n"].sum().reindex(langs, fill_value=0)
+        row = {"source": [g["source"].iloc[0]]}
+        for lang in langs:
+            row[f"n_{lang}"] = [np.int64(counts[lang])]
+        row["n_total"] = [np.int64(counts.sum())]
+        return pd.DataFrame(row)
+
+    return (
+        _docs(sf_dir, ["source", "lang"])
+        .map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("source")
+        .map_groups(arrow_udf(widen), batch_format="pandas")
+    )
+
+
 def rollup_source_lang(sf_dir: str) -> rd.Dataset:
     """(gid, source, lang, n_docs, total_chars): the OLAP GROUPING SETS
     rollup — per-(source, lang) cells (gid=0), per-source margins

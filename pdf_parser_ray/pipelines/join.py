@@ -335,3 +335,160 @@ def smb_join(
     return rd.from_items(
         [{"bucket": b} for b in range(buckets)], override_num_blocks=buckets
     ).map_batches(join_bucket, batch_format="pyarrow")
+
+
+# -- Bloom-pushdown semi-join --------------------------------------------------
+
+SEMI_PRIORITY = "1-URGENT"  # the keys side: ~20% of orders
+SEMI_BLOOM_BITS = 1 << 20  # 128 KiB bitset — constant at any scale
+SEMI_BLOOM_K = 7
+_SEMI_FAN = 16
+
+
+def _bloom_positions_int(keys: np.ndarray) -> np.ndarray:
+    """(n, SEMI_BLOOM_K) bit positions for int64 keys via double
+    hashing — two SplitMix64 finalizers, the step hash forced odd so
+    every probe sequence walks the whole bitset."""
+    from .sketch import _mix64
+
+    with np.errstate(over="ignore"):
+        h1 = _mix64(keys.astype(np.int64))
+        h2 = _mix64(keys.astype(np.int64) + np.int64(0x632BE59B)) | np.uint64(1)
+        ks = np.arange(SEMI_BLOOM_K, dtype=np.uint64)
+        pos = (h1[:, None] + ks[None, :] * h2[:, None]) % np.uint64(
+            SEMI_BLOOM_BITS
+        )
+    return pos.astype(np.int64)
+
+
+def _bitset_or_fold(bitsets: "list[bytes]") -> np.ndarray:
+    acc = np.zeros(SEMI_BLOOM_BITS // 8, np.uint8)
+    for b in bitsets:
+        acc |= np.frombuffer(b, np.uint8)
+    return acc
+
+
+def bloom_semi_join(sf_dir: str, buckets: int = _DEFAULT_BUCKETS) -> rd.Dataset:
+    """(l_orderkey, n_items, revenue_cents): per-order lineitem rollup
+    restricted to :data:`SEMI_PRIORITY` orders — an EXACT semi-join
+    executed with the classic Bloom-pushdown plan: build a 128 KiB
+    Bloom filter of the qualifying orderkeys, broadcast it to the fact
+    scan so ~4/5 of lineitem rows are dropped BEFORE any exchange, and
+    let the coarse-bucket verify join remove the (rare) false
+    positives.  The bloom is pure scan reduction; correctness never
+    depends on it.
+
+    Scale shape: the key side reduces to one 128 KiB partial bitset
+    per block, OR-folded through a 16-way groupby so the driver holds
+    ≤ 16 bitsets regardless of order count (the bloom_dedup shape);
+    the fact side pre-aggregates survivors per (batch, orderkey) so
+    the single exchange carries partial rollup rows, not lineitems;
+    the verify ``map_groups`` is a vectorized isin + groupby-sum."""
+    import pyarrow.compute as pc
+
+    from .io_util import read_parquet_clean
+
+    def key_bits(batch: pa.Table) -> pa.Table:
+        keys = batch.column("o_orderkey").to_numpy(zero_copy_only=False)
+        bits = np.zeros(SEMI_BLOOM_BITS // 8, np.uint8)
+        if len(keys):  # an empty block still emits its (zero) bitset —
+            # exactly one row per block keeps every bundle's schema
+            # identical through the fan groupby
+            pos = _bloom_positions_int(keys).ravel()
+            np.bitwise_or.at(
+                bits, pos // 8, np.uint8(1) << (pos % 8).astype(np.uint8)
+            )
+        return pa.table({"bits": pa.array([bits.tobytes()], pa.binary())})
+
+    def or_block(batch: pa.Table) -> pa.Table:
+        merged = _bitset_or_fold(batch.column("bits").to_pylist())
+        return pa.table({"bits": pa.array([merged.tobytes()], pa.binary())})
+
+    def only_urgent(batch: pa.Table) -> pa.Table:
+        mask = pc.equal(batch.column("o_orderpriority"), SEMI_PRIORITY)
+        return batch.filter(mask).select(["o_orderkey"])
+
+    urgent = read_parquet_clean(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderpriority"],
+    ).map_batches(only_urgent, batch_format="pyarrow", zero_copy_batch=True)
+
+    # one 128 KiB bitset per block, OR-folded through a 16-way
+    # repartition (shuffle-free coalesce — no sort, so no empty
+    # partitions) so the driver holds ≤ _SEMI_FAN bitsets at any scale
+    partials = (
+        urgent.map_batches(key_bits, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(_SEMI_FAN)
+        .map_batches(or_block, batch_format="pyarrow", batch_size=None)
+        .take_all()
+    )
+    bloom_ref = ray.put(_bitset_or_fold([r["bits"] for r in partials]))
+
+    def probe_rows(batch: pa.Table) -> pa.Table:
+        bits = ray.get(bloom_ref)
+        keys = batch.column("l_orderkey").to_numpy(zero_copy_only=False)
+        pos = _bloom_positions_int(keys)
+        hit = (bits[pos // 8] & (np.uint8(1) << (pos % 8).astype(np.uint8))) != 0
+        survivors = batch.filter(pa.array(hit.all(axis=1)))
+        t = pa.table(
+            {
+                "l_orderkey": survivors.column("l_orderkey"),
+                "cents": pc.cast(
+                    pc.round(
+                        pc.multiply(survivors.column("l_extendedprice"), 100.0)
+                    ),
+                    pa.int64(),
+                ),
+            }
+        )
+        g = t.group_by("l_orderkey").aggregate(
+            [("cents", "sum"), ("cents", "count")]
+        )
+        k = g.column("l_orderkey").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "key": pa.array(_key_bucket(k, buckets)),
+                "k": pa.array(k.astype(np.int64)),
+                "role": pa.array(np.zeros(len(k), np.int8)),
+                "n": pc.cast(g.column("cents_count"), pa.int64()),
+                "cents": g.column("cents_sum"),
+            }
+        )
+
+    def key_rows(batch: pa.Table) -> pa.Table:
+        k = batch.column("o_orderkey").to_numpy(zero_copy_only=False)
+        z = np.zeros(len(k), np.int64)
+        return pa.table(
+            {
+                "key": pa.array(_key_bucket(k, buckets)),
+                "k": pa.array(k.astype(np.int64)),
+                "role": pa.array(np.ones(len(k), np.int8)),
+                "n": pa.array(z),
+                "cents": pa.array(z),
+            }
+        )
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        kset = g.loc[g["role"].to_numpy() == 1, "k"]
+        p = g[g["role"].to_numpy() == 0]
+        p = p[p["k"].isin(set(kset))]
+        out = (
+            p.groupby("k", as_index=False, sort=True)[["n", "cents"]]
+            .sum()
+            .astype(np.int64)
+        )
+        return out.rename(
+            columns={"k": "l_orderkey", "n": "n_items", "cents": "revenue_cents"}
+        )
+
+    fact = read_parquet_clean(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_extendedprice"],
+    ).map_batches(probe_rows, batch_format="pyarrow", zero_copy_batch=True)
+    keys = urgent.map_batches(key_rows, batch_format="pyarrow", zero_copy_batch=True)
+
+    return (
+        fact.union(keys)
+        .groupby("key")
+        .map_groups(arrow_udf(verify), batch_format="pandas")
+    )

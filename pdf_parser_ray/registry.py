@@ -23,6 +23,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from pdf_parser_ray.pipelines import cluster as cluster_ops
     from pdf_parser_ray.pipelines import filter as filter_ops
     from pdf_parser_ray.pipelines import graph, multimodal, pack, sketch
+    from pdf_parser_ray.pipelines import join as join_ops
 
     return {
         # -- text analysis (oracle-checked) --
@@ -101,7 +102,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # additions (gopher_rules, mojibake_repair, badwords_filter,
         # length_outlier_filter, best_of_duplicates, bm25_scores,
         # host_graph_edges, pagerank_hosts, doc_host_rank,
-        # temperature_sample) — each oracle-backed in
+        # temperature_sample, bloom_semi_join, pivot_source_lang) —
+        # each oracle-backed in
         # tests/test_oracle.py; displacing a gated slot would cost an
         # established driver-green row), then the rows-only
         # approximations (compression_ratio, train_bpe,
@@ -160,6 +162,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_hosts": graph.pagerank_hosts,
         "doc_host_rank": graph.doc_host_rank,
         "temperature_sample": filter_ops.temperature_sample,
+        "bloom_semi_join": join_ops.bloom_semi_join,
+        "pivot_source_lang": analysis.pivot_source_lang,
         "compression_ratio": analysis.compression_ratio,
         "train_bpe": analysis.train_bpe,
         "bpe_segment_counts": analysis.bpe_segment_counts,

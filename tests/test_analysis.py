@@ -402,3 +402,32 @@ class TestBM25:
         for term, df in zip(BM25_QUERY, dfs):
             assert df == sum(1 for t in texts if term in t.split())
         assert all(df > 0 for df in dfs)  # query is live on the corpus
+
+
+class TestPivotSourceLang:
+    def test_fixed_schema_fails_loudly_on_unknown_lang(
+        self, ray_session, quiet_data_context, monkeypatch
+    ):
+        # shrink the declared domain so the corpus's real languages
+        # fall outside it: the widen kernel must raise, not widen or
+        # silently drop
+        import pytest
+
+        import pdf_parser_ray.pipelines.analysis as an
+
+        monkeypatch.setattr(an, "PIVOT_LANGS", ("de", "en"))
+        with pytest.raises(Exception, match="PIVOT_LANGS"):
+            an.pivot_source_lang("/root/testdata/sf0.001").to_pandas()
+
+    def test_rows_sum_to_corpus(self, ray_session, quiet_data_context):
+        import pyarrow.parquet as pq
+
+        from pdf_parser_ray.pipelines.analysis import PIVOT_LANGS, pivot_source_lang
+
+        sf = "/root/testdata/sf0.001"
+        got = pivot_source_lang(sf).to_pandas()
+        n_docs = pq.read_metadata(sf + "/documents.parquet").num_rows
+        assert int(got["n_total"].sum()) == n_docs
+        wide_sum = sum(int(got[f"n_{lang}"].sum()) for lang in PIVOT_LANGS)
+        assert wide_sum == n_docs  # every doc lands in exactly one cell
+        assert got["source"].is_unique

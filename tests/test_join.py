@@ -471,3 +471,55 @@ class TestIncrementalRollup:
         t0 = time.perf_counter()
         build_events_rollup(self.SF, cache)
         assert time.perf_counter() - t0 < 0.05  # _DONE short-circuits
+
+
+class TestBloomSemiJoin:
+    """The bloom is scan reduction only — these pin the filter's
+    membership guarantees and that the pushdown actually prunes."""
+
+    def test_no_false_negatives(self):
+        import numpy as np
+
+        from pdf_parser_ray.pipelines.join import (
+            SEMI_BLOOM_BITS, _bloom_positions_int,
+        )
+
+        keys = np.arange(0, 5000, 7, dtype=np.int64)
+        pos = _bloom_positions_int(keys).ravel()
+        bits = np.zeros(SEMI_BLOOM_BITS // 8, np.uint8)
+        np.bitwise_or.at(bits, pos // 8, np.uint8(1) << (pos % 8).astype(np.uint8))
+        probe = _bloom_positions_int(keys)
+        hit = (bits[probe // 8] & (np.uint8(1) << (probe % 8).astype(np.uint8))) != 0
+        assert hit.all(axis=1).all()  # every inserted key probes positive
+
+    def test_false_positive_rate_bounded(self):
+        import numpy as np
+
+        from pdf_parser_ray.pipelines.join import (
+            SEMI_BLOOM_BITS, SEMI_BLOOM_K, _bloom_positions_int,
+        )
+
+        keys = np.arange(3000, dtype=np.int64)
+        pos = _bloom_positions_int(keys).ravel()
+        bits = np.zeros(SEMI_BLOOM_BITS // 8, np.uint8)
+        np.bitwise_or.at(bits, pos // 8, np.uint8(1) << (pos % 8).astype(np.uint8))
+        others = np.arange(1_000_000, 1_050_000, dtype=np.int64)
+        probe = _bloom_positions_int(others)
+        hit = (bits[probe // 8] & (np.uint8(1) << (probe % 8).astype(np.uint8))) != 0
+        fp = hit.all(axis=1).mean()
+        # 3000 keys * 7 bits in 2^20 -> (1-e^(-kn/m))^k ~ 3e-13; allow slack
+        assert fp < 1e-3
+
+    def test_pushdown_prunes_fact_scan(self, ray_session, quiet_data_context):
+        # at sf0.001 ~1/5 of orders are URGENT: the joined row count
+        # must be a strict minority of lineitem (the scan the bloom
+        # avoids shipping)
+        import pyarrow.parquet as pq
+
+        from pdf_parser_ray.pipelines.join import bloom_semi_join
+
+        sf = "/root/testdata/sf0.001"
+        got = bloom_semi_join(sf).to_pandas()
+        n_line = pq.read_metadata(sf + "/lineitem.parquet").num_rows
+        assert 0 < int(got["n_items"].sum()) < n_line // 2
+        assert got["l_orderkey"].is_unique
