@@ -612,35 +612,34 @@ def _bloom_semi_join_sql() -> str:
     )
 
 
-def _temperature_sample_sql() -> str:
-    """Mirror of filter.temperature_sample: sqrt-temperature weights,
-    Hamilton largest-remainder quotas (rem DESC, source ASC), and the
-    shuffle-key hash-ring rank within each source — TEMP_TARGET and
-    the SHUF_* hash constants interpolated so retuning desyncs
-    loudly.  SQRT/FLOOR are the same libm doubles on both sides (the
-    ln-micros discipline)."""
-    from pdf_parser_ray.pipelines.filter import TEMP_TARGET
+def _mixture_tail_sql(rel: str, target: int) -> str:
+    """The sqrt-temperature mixture CTE chain over a (doc_id, source)
+    relation ``rel``: Hamilton largest-remainder quotas (rem DESC,
+    source ASC) and the shuffle-key hash-ring rank within each source.
+    Shared by temperature_sample and web_curate; the SHUF_* hash
+    constants are interpolated so retuning desyncs loudly.  SQRT/FLOOR
+    are the same libm doubles on both sides (the ln-micros
+    discipline).  Returns the chain WITHOUT a leading WITH."""
     from pdf_parser_ray.pipelines.pack import (
         SHUF_A1, SHUF_A2, SHUF_B1, SHUF_B2, SHUF_P,
     )
 
-    t = TEMP_TARGET
     return (
-        "WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n"
-        "   FROM documents GROUP BY source),"
+        "c AS (SELECT source, CAST(count(*) AS BIGINT) AS n"
+        f"   FROM {rel} GROUP BY source),"
         " w AS (SELECT source, n,"
         "   CAST(FLOOR(SQRT(CAST(n AS DOUBLE)) * 1000000) AS BIGINT) AS w"
         "   FROM c),"
         " tot AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM w),"
-        f" q0 AS (SELECT source, n, ({t} * w) // tot.tw AS base,"
-        f"   ({t} * w) % tot.tw AS rem FROM w, tot),"
-        f" lo AS (SELECT CAST({t} - sum(base) AS BIGINT) AS l FROM q0),"
+        f" q0 AS (SELECT source, n, ({target} * w) // tot.tw AS base,"
+        f"   ({target} * w) % tot.tw AS rem FROM w, tot),"
+        f" lo AS (SELECT CAST({target} - sum(base) AS BIGINT) AS l FROM q0),"
         " q AS (SELECT source, CAST(base + CASE WHEN"
         "   row_number() OVER (ORDER BY rem DESC, source) <= lo.l"
         "   THEN 1 ELSE 0 END AS BIGINT) AS quota FROM q0, lo),"
         " h1 AS (SELECT doc_id, source,"
         f"   ({SHUF_A1} * (doc_id % {SHUF_P}) + {SHUF_B1}) % {SHUF_P} AS k1"
-        "   FROM documents),"
+        f"   FROM {rel}),"
         " h2 AS (SELECT doc_id, source,"
         f"   ({SHUF_A2} * (xor(k1, k1 >> 17) % {SHUF_P}) + {SHUF_B2})"
         f"     % {SHUF_P} AS kk FROM h1),"
@@ -648,6 +647,45 @@ def _temperature_sample_sql() -> str:
         "   (PARTITION BY source ORDER BY kk, doc_id) AS rn FROM h2)"
         " SELECT r.doc_id, r.source FROM r JOIN q USING (source)"
         " WHERE r.rn <= q.quota"
+    )
+
+
+def _temperature_sample_sql() -> str:
+    """Mirror of filter.temperature_sample: the mixture tail over the
+    whole documents table, TEMP_TARGET interpolated."""
+    from pdf_parser_ray.pipelines.filter import TEMP_TARGET
+
+    return (
+        "WITH base AS (SELECT doc_id, source FROM documents), "
+        + _mixture_tail_sql("base", TEMP_TARGET)
+    )
+
+
+def _web_curate_sql() -> str:
+    """Mirror of curate.web_curate: the gopher + badwords mirrors as
+    nested-WITH CTEs gate the corpus, the best-of-duplicates window
+    keeps the longest serialization per normalized-md5 group, and the
+    shared mixture tail draws WEB_CURATE_TARGET — every constant comes
+    from the same module sources as the standalone oracles."""
+    from pdf_parser_ray.pipelines.curate import WEB_CURATE_TARGET
+
+    return (
+        f"WITH gq AS ({_gopher_rules_sql()}),"
+        f" bq AS ({_badwords_sql()}),"
+        " surv AS (SELECT d.doc_id, d.source, d.text FROM documents d"
+        "   JOIN gq ON gq.doc_id = d.doc_id"
+        "   JOIN bq ON bq.doc_id = d.doc_id"
+        "   WHERE gq.keep = 1 AND bq.keep = 1),"
+        " nn AS (SELECT doc_id, source,"
+        "   CAST(length(text) AS BIGINT) AS n_chars,"
+        "   md5(trim(regexp_replace(regexp_replace(lower(text),"
+        "    '[^a-z0-9 ]+', '', 'g'), ' +', ' ', 'g'), ' ')) AS th"
+        "   FROM surv),"
+        " win AS (SELECT doc_id, source FROM (SELECT doc_id, source,"
+        "   row_number() OVER (PARTITION BY th"
+        "     ORDER BY n_chars DESC, doc_id) AS rn FROM nn)"
+        "   WHERE rn = 1), "
+        + _mixture_tail_sql("win", WEB_CURATE_TARGET)
     )
 
 
@@ -2120,6 +2158,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_host_rank": _doc_host_rank_sql(),
         "bloom_semi_join": _bloom_semi_join_sql(),
         "pivot_source_lang": _pivot_sql(),
+        "web_curate": _web_curate_sql(),
         "mojibake_repair": (
             # invariant oracle for filter.mojibake_repair: the repair
             # must apply exactly the corruption depth (doc_id%7: 3→one

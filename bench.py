@@ -297,6 +297,10 @@ def run_bench() -> dict:
     timed("bloom_semi_join", bloom_semi_join)
     timed("pivot_source_lang", analysis.pivot_source_lang)
 
+    from pdf_parser_ray.pipelines.curate import web_curate
+
+    timed("web_curate", web_curate)
+
     from pdf_parser_ray.pipelines.curate import curate_pages
     from pdf_parser_ray.pipelines.extract import (
         canonical_urls, domain_stats, host_page_cap, line_dedup,

@@ -21,6 +21,9 @@ size.
 
 from __future__ import annotations
 
+import os
+import re
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -28,7 +31,7 @@ import ray.data as rd
 from ray.data.aggregate import Count, Min, Sum
 
 from .analysis import _LANG_PROFILES, _TOKEN_RE
-from .io_util import arrow_udf
+from .io_util import arrow_udf, read_parquet_clean
 from .dedup import (
     _COARSE_BUCKETS,
     _docs,
@@ -500,3 +503,105 @@ def curate_pages(
         .groupby("key")
         .map_groups(arrow_udf(combine), batch_format="pandas")
     )
+
+
+# -- end-to-end web curation composition ---------------------------------------
+
+WEB_CURATE_TARGET = 150
+
+
+def web_curate(sf_dir: str) -> rd.Dataset:
+    """(doc_id, source): the end-to-end WEB-CURATION COMPOSITION —
+    Gopher word rules → flagged-word gate → quality-aware normalized
+    dedup (keep the longest serialization per group) →
+    sqrt-temperature source mixture of :data:`WEB_CURATE_TARGET` docs.
+    Each stage is also exposed standalone (gopher_rules /
+    badwords_filter / best_of_duplicates / temperature_sample); this
+    pipeline shows how they chain as one job.
+
+    Scale shape: ONE text pass computes both gate verdicts, the
+    normalized md5 and the raw length in-batch — rejected rows never
+    leave the worker and the text column is dropped at the source.
+    From there only narrow rows move: a coarse-bucket winner
+    ``map_groups`` (longest, doc_id ties), a ``materialize()`` of the
+    NARROW winner rows (ids + source only — the object store holds no
+    text; this is what lets the mixture's count pass and selection
+    pass share one computation instead of re-running extraction, the
+    r03 'extract once' lesson), then the shared
+    :func:`filter.mixture_select` bottom-quota machinery."""
+    import hashlib
+
+    from .filter import (
+        _ALPHA_RE,
+        _GOPHER_STOPSET,
+        BADWORDS_HARD,
+        BADWORDS_SOFT,
+        badwords_verdict,
+        gopher_verdict,
+        mixture_select,
+        source_counts,
+        temperature_quotas,
+    )
+    from .io_util import arrow_udf, coarse_key
+
+    hard = frozenset(BADWORDS_HARD)
+    soft = frozenset(BADWORDS_SOFT)
+    _NORM_RE = re.compile(r"[^a-z0-9 ]+")
+    _SP_RE = re.compile(r" +")
+
+    def narrow(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        sources = batch.column("source").to_pylist()
+        texts = batch.column("text").to_pylist()
+        out_id, out_src, out_hash, out_len = [], [], [], []
+        for i, text in enumerate(texts):
+            words = text.split()
+            low = [w.lower() for w in words]
+            nw = len(words)
+            aw = sum(1 for w in words if _ALPHA_RE.search(w))
+            sh = sum(1 for w in low if w in _GOPHER_STOPSET)
+            sc = text.count("#") + text.count("…")
+            if gopher_verdict(nw, aw, sh, sc) != "ok":
+                continue
+            hh = sum(1 for w in low if w in hard)
+            ss = sum(1 for w in low if w in soft)
+            if badwords_verdict(nw, hh, ss) != "ok":
+                continue
+            norm = _SP_RE.sub(" ", _NORM_RE.sub("", text.lower())).strip(" ")
+            out_hash.append(hashlib.md5(norm.encode("utf-8")).hexdigest())
+            out_id.append(int(ids[i]))
+            out_src.append(sources[i])
+            out_len.append(len(text))
+        return pa.table(
+            {
+                "coarse": pa.array(coarse_key(out_hash, 256)),
+                "text_hash": pa.array(out_hash, pa.string()),
+                "doc_id": pa.array(out_id, pa.int64()),
+                "source": pa.array(out_src, pa.string()),
+                "n_chars": pa.array(out_len, pa.int64()),
+            }
+        )
+
+    def winners(g: pd.DataFrame) -> pd.DataFrame:
+        w = (
+            g.sort_values(
+                ["text_hash", "n_chars", "doc_id"],
+                ascending=[True, False, True],
+                kind="stable",
+            )
+            .drop_duplicates("text_hash", keep="first")
+        )
+        return w[["doc_id", "source"]].astype({"doc_id": np.int64})
+
+    win = (
+        read_parquet_clean(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "source", "text"],
+        )
+        .map_batches(narrow, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("coarse")
+        .map_groups(arrow_udf(winners), batch_format="pandas")
+        .materialize()  # narrow (doc_id, source) rows only — no text
+    )
+    quotas = temperature_quotas(source_counts(win), WEB_CURATE_TARGET)
+    return mixture_select(win, quotas)

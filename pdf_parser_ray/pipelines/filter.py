@@ -567,29 +567,12 @@ def temperature_quotas(
     return base
 
 
-def temperature_sample(sf_dir: str) -> rd.Dataset:
-    """(doc_id, source): a deterministic :data:`TEMP_TARGET`-document
-    draw whose per-source allocation follows sqrt-temperature weights
-    — the data-mixing op that rebalances a source-skewed corpus for
-    training (uniform sampling would mirror the skew; per-source equal
-    counts would starve big sources).  Within each source the quota is
-    filled by the smallest ``shuffle_key`` values (doc_id ties) — the
-    same deterministic hash-ring rank as ``uniform_sample_k``.
-
-    Scale shape: pass 1 reduces the corpus to per-source counts (tiny
-    groupby — the only driver state is one int per source); quotas are
-    computed once and ride the task closure.  Pass 2 keeps a local
-    bottom-quota per source inside every batch (≤ quota·sources rows
-    survive a block), then one source-keyed ``map_groups`` takes the
-    global bottom-quota — the uniform_sample_k selection shape, per
-    stratum; nothing corpus-sized moves."""
-    import numpy as np
-    import pandas as pd
+def source_counts(ds: rd.Dataset) -> "dict[str, int]":
+    """Per-source row counts of a (…, source) dataset via in-batch
+    value_counts partials + a source-cardinality groupby — the only
+    driver state is one int per source."""
     import pyarrow.compute as pc
     from ray.data.aggregate import Sum
-
-    from .io_util import arrow_udf
-    from .pack import shuffle_key
 
     def count_partials(batch: pa.Table) -> pa.Table:
         vc = batch.column("source").value_counts()
@@ -601,15 +584,26 @@ def temperature_sample(sf_dir: str) -> rd.Dataset:
         )
 
     counts = (
-        _docs(sf_dir, ["source"])
-        .map_batches(count_partials, batch_format="pyarrow", zero_copy_batch=True)
+        ds.map_batches(count_partials, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("source")
         .aggregate(Sum("cnt", alias_name="cnt"))
         .to_pandas()
     )
-    quotas = temperature_quotas(
-        {s: int(n) for s, n in zip(counts["source"], counts["cnt"])}
-    )
+    return {s: int(n) for s, n in zip(counts["source"], counts["cnt"])}
+
+
+def mixture_select(ds: rd.Dataset, quotas: "dict[str, int]") -> rd.Dataset:
+    """Fill each source's quota from a (doc_id, source, …) dataset by
+    the smallest ``shuffle_key`` values (doc_id ties) — local
+    bottom-quota per batch, then one source-keyed ``map_groups`` takes
+    the global bottom-quota; nothing corpus-sized moves.  Shared by
+    :func:`temperature_sample` and :func:`curate.web_curate`."""
+    import numpy as np
+    import pandas as pd
+
+    from .io_util import arrow_udf
+    from .pack import shuffle_key
+
     max_q = max(quotas.values())
 
     def local_bottom(batch: pa.Table) -> pa.Table:
@@ -643,11 +637,28 @@ def temperature_sample(sf_dir: str) -> rd.Dataset:
         return out[["doc_id", "source"]].astype({"doc_id": np.int64})
 
     return (
-        _docs(sf_dir, ["doc_id", "source"])
-        .map_batches(local_bottom, batch_format="pyarrow", zero_copy_batch=True)
+        ds.map_batches(local_bottom, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("source")
         .map_groups(arrow_udf(take_quota), batch_format="pandas")
     )
+
+
+def temperature_sample(sf_dir: str) -> rd.Dataset:
+    """(doc_id, source): a deterministic :data:`TEMP_TARGET`-document
+    draw whose per-source allocation follows sqrt-temperature weights
+    — the data-mixing op that rebalances a source-skewed corpus for
+    training (uniform sampling would mirror the skew; per-source equal
+    counts would starve big sources).  Within each source the quota is
+    filled by the smallest ``shuffle_key`` values (doc_id ties) — the
+    same deterministic hash-ring rank as ``uniform_sample_k``.
+
+    Scale shape: pass 1 reduces the corpus to per-source counts
+    (:func:`source_counts` — the only driver state is one int per
+    source); quotas are computed once and ride the task closure; the
+    selection is :func:`mixture_select` (local bottom-quota per batch
+    + one source-keyed map_groups)."""
+    quotas = temperature_quotas(source_counts(_docs(sf_dir, ["source"])))
+    return mixture_select(_docs(sf_dir, ["doc_id", "source"]), quotas)
 
 
 def token_histogram(sf_dir: str, bucket: int = 10) -> rd.Dataset:

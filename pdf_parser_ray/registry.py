@@ -102,8 +102,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # additions (gopher_rules, mojibake_repair, badwords_filter,
         # length_outlier_filter, best_of_duplicates, bm25_scores,
         # host_graph_edges, pagerank_hosts, doc_host_rank,
-        # temperature_sample, bloom_semi_join, pivot_source_lang) —
-        # each oracle-backed in
+        # temperature_sample, bloom_semi_join, pivot_source_lang,
+        # web_curate) — each oracle-backed in
         # tests/test_oracle.py; displacing a gated slot would cost an
         # established driver-green row), then the rows-only
         # approximations (compression_ratio, train_bpe,
@@ -164,6 +164,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "temperature_sample": filter_ops.temperature_sample,
         "bloom_semi_join": join_ops.bloom_semi_join,
         "pivot_source_lang": analysis.pivot_source_lang,
+        "web_curate": curate.web_curate,
         "compression_ratio": analysis.compression_ratio,
         "train_bpe": analysis.train_bpe,
         "bpe_segment_counts": analysis.bpe_segment_counts,

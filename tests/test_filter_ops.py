@@ -626,3 +626,42 @@ class TestTemperatureSample:
             assert per_source.get(s, 0) == min(q, int((src == s).sum()))
         assert len(got) <= TEMP_TARGET
         assert got["doc_id"].is_unique
+
+
+class TestWebCurate:
+    """The composition must agree with its standalone stages — gates
+    bind, dedup dedups, the mixture honors the survivor quotas."""
+
+    def test_stages_bind_and_quota_honored(self, ray_session, quiet_data_context):
+        import pyarrow.parquet as pq
+
+        from pdf_parser_ray.pipelines.curate import WEB_CURATE_TARGET, web_curate
+        from pdf_parser_ray.pipelines.filter import (
+            badwords_filter, gopher_rules, temperature_quotas,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        got = web_curate(sf).to_pandas()
+        n_docs = pq.read_metadata(sf + "/documents.parquet").num_rows
+        g = gopher_rules(sf).to_pandas().set_index("doc_id")["keep"]
+        b = badwords_filter(sf).to_pandas().set_index("doc_id")["keep"]
+        survivors = ((g == 1) & (b == 1)).sum()
+        assert 0 < survivors < n_docs  # both gates actually fire
+        assert 0 < len(got) <= WEB_CURATE_TARGET
+        assert got["doc_id"].is_unique
+        # every selected doc passed both gates
+        assert (g.loc[got["doc_id"]] == 1).all()
+        assert (b.loc[got["doc_id"]] == 1).all()
+        # the mixture upsamples small sources: no single source may
+        # dominate the draw the way it could dominate the raw corpus
+        per_source = got.groupby("source").size()
+        assert per_source.max() <= WEB_CURATE_TARGET // 2
+        # quotas over any count vector always sum to the target
+        assert (
+            sum(
+                temperature_quotas(
+                    per_source.to_dict(), WEB_CURATE_TARGET
+                ).values()
+            )
+            == WEB_CURATE_TARGET
+        )
