@@ -689,6 +689,87 @@ def _web_curate_sql() -> str:
     )
 
 
+def _event_funnel_sql() -> str:
+    """Mirror of relational.event_funnel: the first-touch conversion
+    cascade — min 'view' per user, then min later-step timestamp
+    strictly after and within the window of the previous step's anchor.
+    FUNNEL_STEPS and FUNNEL_WINDOW_MIN are interpolated so retuning
+    either side desyncs loudly; timestamps compare as epoch micros on
+    both sides."""
+    from pdf_parser_ray.pipelines.relational import (
+        FUNNEL_STEPS, FUNNEL_WINDOW_MIN,
+    )
+
+    w = FUNNEL_WINDOW_MIN * 60_000_000
+    ctes = [
+        "s1 AS (SELECT user_id, min(tm) AS t FROM e"
+        f" WHERE event_type = '{FUNNEL_STEPS[0]}' GROUP BY user_id)"
+    ]
+    for i in range(1, len(FUNNEL_STEPS)):
+        ctes.append(
+            f"s{i + 1} AS (SELECT e.user_id, min(e.tm) AS t FROM e"
+            f" JOIN s{i} ON s{i}.user_id = e.user_id"
+            f" AND e.tm > s{i}.t AND e.tm <= s{i}.t + {w}"
+            f" WHERE e.event_type = '{FUNNEL_STEPS[i]}' GROUP BY e.user_id)"
+        )
+    selects = " UNION ALL ".join(
+        f"SELECT CAST({i + 1} AS BIGINT) AS step_idx, '{s}' AS step,"
+        f" CAST(count(*) AS BIGINT) AS n_users FROM s{i + 1}"
+        for i, s in enumerate(FUNNEL_STEPS)
+    )
+    return (
+        "WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tm"
+        " FROM events), " + ", ".join(ctes) + " " + selects
+    )
+
+
+def _sales_opportunity_sql() -> str:
+    """Mirror of relational.sales_opportunity: cents via the same
+    round(×100) cast, the above-mean gate as the same integer
+    cross-multiplication (never a float AVG), and the anti-join as
+    NOT EXISTS.  OPPORTUNITY_PRIORITY is interpolated."""
+    from pdf_parser_ray.pipelines.relational import OPPORTUNITY_PRIORITY
+
+    return (
+        "WITH cc AS (SELECT c_custkey, c_mktsegment,"
+        "   CAST(round(c_acctbal * 100) AS BIGINT) AS cents FROM customer),"
+        " pos AS (SELECT CAST(sum(cents) AS BIGINT) AS s,"
+        "   CAST(count(*) AS BIGINT) AS n FROM cc WHERE cents > 0),"
+        " el AS (SELECT cc.* FROM cc, pos WHERE cents * pos.n > pos.s"
+        "   AND NOT EXISTS (SELECT 1 FROM orders o"
+        "     WHERE o.o_custkey = cc.c_custkey"
+        f"     AND o.o_orderpriority = '{OPPORTUNITY_PRIORITY}'))"
+        " SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers,"
+        "  CAST(sum(cents) AS BIGINT) AS sum_acctbal_cents"
+        " FROM el GROUP BY c_mktsegment"
+    )
+
+
+def _source_vocab_overlap_sql() -> str:
+    """Mirror of analysis.source_vocab_overlap: per-(source, word)
+    counts, shared-mass sum(least) per pair, and the union-mass
+    identity n_a + n_b − sum_min as the Ruzicka denominator — the
+    same integer floor-division micros as the pipeline.  The word
+    split is the shared _WORDS_EXPR (≡ Python str.split)."""
+    return (
+        f"WITH w AS (SELECT source, unnest({_WORDS_EXPR}) AS w"
+        "   FROM documents),"
+        " f AS (SELECT source, w, CAST(count(*) AS BIGINT) AS c"
+        "   FROM w GROUP BY 1, 2),"
+        " n AS (SELECT source, CAST(sum(c) AS BIGINT) AS c FROM f"
+        "   GROUP BY 1),"
+        " p AS (SELECT a.source AS sa, b.source AS sb,"
+        "   CAST(sum(least(a.c, b.c)) AS BIGINT) AS smin"
+        "   FROM f a JOIN f b ON a.w = b.w AND a.source < b.source"
+        "   GROUP BY 1, 2)"
+        " SELECT p.sa AS source_a, p.sb AS source_b, p.smin AS sum_min,"
+        "  na.c AS n_a, nb.c AS n_b,"
+        "  (1000000 * p.smin) // (na.c + nb.c - p.smin) AS ruzicka_micros"
+        " FROM p JOIN n na ON na.source = p.sa"
+        " JOIN n nb ON nb.source = p.sb"
+    )
+
+
 def _host_edges_expr() -> str:
     """Shared edge-synthesis CTE body for the host-graph mirrors: the
     same integer formula graph.py::_edge_partials computes."""
@@ -2159,6 +2240,9 @@ def oracle_sql() -> dict[str, str]:
         "bloom_semi_join": _bloom_semi_join_sql(),
         "pivot_source_lang": _pivot_sql(),
         "web_curate": _web_curate_sql(),
+        "event_funnel": _event_funnel_sql(),
+        "sales_opportunity": _sales_opportunity_sql(),
+        "source_vocab_overlap": _source_vocab_overlap_sql(),
         "mojibake_repair": (
             # invariant oracle for filter.mojibake_repair: the repair
             # must apply exactly the corruption depth (doc_id%7: 3→one

@@ -300,6 +300,9 @@ def run_bench() -> dict:
     from pdf_parser_ray.pipelines.curate import web_curate
 
     timed("web_curate", web_curate)
+    timed("event_funnel", relational.event_funnel)
+    timed("sales_opportunity", relational.sales_opportunity)
+    timed("source_vocab_overlap", analysis.source_vocab_overlap)
 
     from pdf_parser_ray.pipelines.curate import curate_pages
     from pdf_parser_ray.pipelines.extract import (

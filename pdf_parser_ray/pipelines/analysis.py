@@ -1944,3 +1944,114 @@ def bpe_segment_counts(sf_dir: str, n_merges: int = BPE_MERGES) -> rd.Dataset:
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
         run, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+# -- pairwise source similarity over word-frequency vectors ------------------
+
+#: shuffle fan-out for the word-keyed pair-partial exchange
+_VOCAB_BUCKETS = 64
+
+
+def source_vocab_overlap(sf_dir: str) -> rd.Dataset:
+    """(source_a, source_b, sum_min, n_a, n_b, ruzicka_micros): pairwise
+    corpus-mixing diagnostic — the weighted-Jaccard (Ruzicka)
+    similarity of every two sources' word-FREQUENCY vectors,
+    ``sum_w min(f_a, f_b) / sum_w max(f_a, f_b)``.  Set-Jaccard over
+    vocabularies is degenerate when sources share one vocabulary (all
+    1.0 on this corpus); frequency weighting discriminates.  The
+    denominator never needs unshared words explicitly:
+    ``sum max = n_a + n_b − sum min`` (totals minus the shared mass),
+    so only words present in BOTH sources ever join.  Pairs sharing no
+    word are omitted (no SQL row either).  ``ruzicka_micros`` is the
+    integer floor of 1e6·min/max — exact on both sides.
+
+    Scale shape: per-batch (word, source) count partials (vocabulary-
+    sized, not token-sized) co-shuffle on hash(word) so each word's
+    full count vector lands in one bucket; the bucket's pandas
+    self-merge emits ≤ |sources|² partial pair rows plus per-source
+    total partials (multiplexed — no second text pass), and ONE
+    constant-key combine folds ≤ buckets·(pairs+sources) narrow rows.
+    Quadratic only in |sources| (inherent to all-pairs output), linear
+    in corpus size."""
+    from collections import Counter
+
+    import numpy as np
+    import pandas as pd
+
+    from .io_util import coarse_key
+
+    def word_partials(batch: pa.Table) -> pa.Table:
+        counts: Counter = Counter()
+        sources = batch.column("source").to_pylist()
+        for src, text in zip(sources, batch.column("text").to_pylist()):
+            for w in text.split():
+                counts[(w, src)] += 1
+        if not counts:
+            return pa.table(
+                {
+                    "bkt": pa.array([], pa.int32()),
+                    "w": pa.array([], pa.string()),
+                    "source": pa.array([], pa.string()),
+                    "c": pa.array([], pa.int64()),
+                }
+            )
+        keys, ns = zip(*counts.items())
+        words = [k[0] for k in keys]
+        return pa.table(
+            {
+                "bkt": pa.array(coarse_key(words, _VOCAB_BUCKETS)),
+                "w": pa.array(words, pa.string()),
+                "source": pa.array([k[1] for k in keys], pa.string()),
+                "c": pa.array(ns, pa.int64()),
+            }
+        )
+
+    def pair_partials(g: pd.DataFrame) -> pd.DataFrame:
+        # combine cross-batch partials: exact per-(word, source) counts
+        f = g.groupby(["w", "source"], as_index=False)["c"].sum()
+        solo = f.groupby("source", as_index=False)["c"].sum()
+        m = f.merge(f, on="w")
+        m = m[m["source_x"] < m["source_y"]]
+        m["mn"] = np.minimum(m["c_x"], m["c_y"])
+        p = m.groupby(["source_x", "source_y"], as_index=False)["mn"].sum()
+        out = pd.DataFrame(
+            {
+                "k": np.zeros(len(p) + len(solo), np.int8),
+                "sa": pd.concat(
+                    [p["source_x"], solo["source"]], ignore_index=True
+                ),
+                "sb": pd.concat(
+                    [p["source_y"], pd.Series([""] * len(solo))],
+                    ignore_index=True,
+                ),
+                "v": pd.concat([p["mn"], solo["c"]], ignore_index=True),
+            }
+        )
+        out["v"] = out["v"].astype(np.int64)
+        return out
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        solo = g[g["sb"] == ""].groupby("sa")["v"].sum()
+        p = g[g["sb"] != ""].groupby(["sa", "sb"], as_index=False)["v"].sum()
+        n_a = solo.loc[p["sa"]].to_numpy(np.int64)
+        n_b = solo.loc[p["sb"]].to_numpy(np.int64)
+        smin = p["v"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "source_a": p["sa"],
+                "source_b": p["sb"],
+                "sum_min": smin,
+                "n_a": n_a,
+                "n_b": n_b,
+                "ruzicka_micros": (1_000_000 * smin) // (n_a + n_b - smin),
+            }
+        )
+
+    return (
+        _docs(sf_dir, ["source", "text"])
+        .map_batches(word_partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bkt")
+        .map_groups(arrow_udf(pair_partials), batch_format="pandas")
+        .groupby("k")
+        .map_groups(arrow_udf(combine), batch_format="pandas")
+    )

@@ -1234,3 +1234,214 @@ def user_running_totals(sf_dir: str) -> rd.Dataset:
         .groupby("coarse")
         .map_groups(arrow_udf(running), batch_format="pandas")
     )
+
+
+# -- sequential conversion funnel over the event stream ----------------------
+
+#: funnel steps, in order; each later step must occur strictly after the
+#: user's first qualifying occurrence of the previous step
+FUNNEL_STEPS = ("view", "click", "purchase")
+#: max minutes between consecutive steps for a conversion to count
+FUNNEL_WINDOW_MIN = 480
+
+
+def event_funnel(
+    sf_dir: str, window_min: int = FUNNEL_WINDOW_MIN
+) -> rd.Dataset:
+    """(step_idx, step, n_users): sequential conversion funnel — how
+    many users have a 'view', then a 'click' strictly after their first
+    view and within ``window_min`` minutes of it, then a 'purchase'
+    within the same window of that first qualifying click.  Each step
+    anchors on the MIN qualifying timestamp (first-touch attribution).
+
+    Scale shape: one narrow pass drops non-step events and widens ts to
+    int64 micros in-batch; ONE co-shuffle on hash(user) colocates each
+    user's step events, and the per-bucket pandas cascade (three
+    merge+filter+groupby-min hops over only that bucket's users) emits
+    3 partial count rows per bucket; a 3-key combine folds them.
+    Nothing corpus-sized reaches the driver; the window cascade never
+    materializes per-user state outside its bucket."""
+    import numpy as np
+    import pandas as pd
+
+    from .io_util import arrow_udf
+
+    win_us = window_min * 60_000_000
+    step_of = {s: i for i, s in enumerate(FUNNEL_STEPS)}
+    buckets = 64
+
+    def narrow(batch: pa.Table) -> pa.Table:
+        mask = pc.is_in(
+            batch.column("event_type"),
+            value_set=pa.array(FUNNEL_STEPS, pa.string()),
+        )
+        t = batch.filter(mask)
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        si = np.array(
+            [step_of[s] for s in t.column("event_type").to_pylist()], np.int8
+        )
+        return pa.table(
+            {
+                "bkt": pa.array((uid % buckets).astype(np.int32)),
+                "user_id": t.column("user_id"),
+                "si": pa.array(si),
+                "tm": pc.cast(t.column("ts"), pa.int64()),
+            }
+        )
+
+    def cascade(g: pd.DataFrame) -> pd.DataFrame:
+        t_prev = g.loc[g["si"] == 0].groupby("user_id")["tm"].min()
+        counts = [len(t_prev)]
+        for si in range(1, len(FUNNEL_STEPS)):
+            e = g.loc[g["si"] == si].merge(
+                t_prev.rename("tp"), left_on="user_id", right_index=True
+            )
+            e = e[(e["tm"] > e["tp"]) & (e["tm"] <= e["tp"] + win_us)]
+            t_prev = e.groupby("user_id")["tm"].min()
+            counts.append(len(t_prev))
+        return pd.DataFrame(
+            {
+                "step_idx": np.arange(1, len(FUNNEL_STEPS) + 1, dtype=np.int64),
+                "n": np.asarray(counts, np.int64),
+            }
+        )
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        idx = int(g["step_idx"].iloc[0])
+        return pd.DataFrame(
+            {
+                "step_idx": np.array([idx], np.int64),
+                "step": [FUNNEL_STEPS[idx - 1]],
+                "n_users": np.array([g["n"].sum()], np.int64),
+            }
+        )
+
+    return (
+        _t(sf_dir, "events", ["user_id", "ts", "event_type"])
+        .map_batches(narrow, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bkt")
+        .map_groups(arrow_udf(cascade), batch_format="pandas")
+        .groupby("step_idx")
+        .map_groups(arrow_udf(combine), batch_format="pandas")
+    )
+
+
+# -- anti-join: high-balance customers with no urgent order -------------------
+
+#: the order priority whose ABSENCE marks a customer as an opportunity
+OPPORTUNITY_PRIORITY = "1-URGENT"
+
+
+def sales_opportunity(sf_dir: str) -> rd.Dataset:
+    """(c_mktsegment, n_customers, sum_acctbal_cents): TPC-H Q22-shaped
+    'sales opportunity' rollup — customers whose account balance is
+    strictly above the mean positive balance (scalar subquery) and who
+    have placed NO urgent-priority order (anti-join / NOT EXISTS),
+    grouped by market segment.  The mean comparison is exact integer
+    cross-multiplication (cents·n_pos > sum_pos_cents) — no float mean
+    on either side.
+
+    Scale shape: pass 1 folds per-batch (sum, count) positive-balance
+    partials (driver state: two ints).  Pass 2 is ONE multiplexed
+    co-shuffle on custkey % K: threshold-surviving customer rows and
+    per-batch-distinct urgent-order custkeys land in the same bucket,
+    the bucket's vectorized isin drops blocked customers, and partial
+    segment rollups (≤ buckets·segments narrow rows) fold in a final
+    segment-keyed combine.  The anti-join side never becomes a
+    broadcast set — urgent keys stay bucket-local."""
+    import numpy as np
+    import pandas as pd
+
+    from .io_util import arrow_udf
+
+    buckets = 64
+
+    def pos_partial(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.round(pc.multiply(batch.column("c_acctbal"), 100.0)), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        pos = cents[cents > 0]
+        return pa.table(
+            {
+                "s": pa.array([int(pos.sum())], pa.int64()),
+                "n": pa.array([len(pos)], pa.int64()),
+            }
+        )
+
+    parts = (
+        _t(sf_dir, "customer", ["c_acctbal"])
+        .map_batches(pos_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()
+    )
+    sum_pos, n_pos = int(parts["s"].sum()), int(parts["n"].sum())
+
+    def cust_rows(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.round(pc.multiply(batch.column("c_acctbal"), 100.0)), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        keep = cents * n_pos > sum_pos
+        k = batch.column("c_custkey").to_numpy(zero_copy_only=False)[keep]
+        return pa.table(
+            {
+                "bkt": pa.array((k % buckets).astype(np.int32)),
+                "k": pa.array(k, pa.int64()),
+                "role": pa.array(np.zeros(len(k), np.int8)),
+                "seg": pc.array_filter(
+                    batch.column("c_mktsegment"), pa.array(keep)
+                ),
+                "cents": pa.array(cents[keep], pa.int64()),
+            }
+        )
+
+    def order_rows(batch: pa.Table) -> pa.Table:
+        mask = pc.equal(batch.column("o_orderpriority"), OPPORTUNITY_PRIORITY)
+        k = np.unique(
+            batch.filter(mask).column("o_custkey").to_numpy(
+                zero_copy_only=False
+            )
+        )
+        return pa.table(
+            {
+                "bkt": pa.array((k % buckets).astype(np.int32)),
+                "k": pa.array(k, pa.int64()),
+                "role": pa.array(np.ones(len(k), np.int8)),
+                "seg": pa.array([""] * len(k), pa.string()),
+                "cents": pa.array(np.zeros(len(k), np.int64)),
+            }
+        )
+
+    def antijoin(g: pd.DataFrame) -> pd.DataFrame:
+        blocked = g.loc[g["role"] == 1, "k"]
+        keep = g[(g["role"] == 0) & ~g["k"].isin(blocked)]
+        out = keep.groupby("seg", as_index=False).agg(
+            n_customers=("k", "size"), sum_acctbal_cents=("cents", "sum")
+        )
+        out = out.rename(columns={"seg": "c_mktsegment"})
+        out["n_customers"] = out["n_customers"].astype(np.int64)
+        out["sum_acctbal_cents"] = out["sum_acctbal_cents"].astype(np.int64)
+        return out
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "c_mktsegment": [g["c_mktsegment"].iloc[0]],
+                "n_customers": np.array([g["n_customers"].sum()], np.int64),
+                "sum_acctbal_cents": np.array(
+                    [g["sum_acctbal_cents"].sum()], np.int64
+                ),
+            }
+        )
+
+    cust = _t(
+        sf_dir, "customer", ["c_custkey", "c_acctbal", "c_mktsegment"]
+    ).map_batches(cust_rows, batch_format="pyarrow", zero_copy_batch=True)
+    ords = _t(sf_dir, "orders", ["o_custkey", "o_orderpriority"]).map_batches(
+        order_rows, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return (
+        cust.union(ords)
+        .groupby("bkt")
+        .map_groups(arrow_udf(antijoin), batch_format="pandas")
+        .groupby("c_mktsegment")
+        .map_groups(arrow_udf(combine), batch_format="pandas")
+    )

@@ -103,7 +103,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # length_outlier_filter, best_of_duplicates, bm25_scores,
         # host_graph_edges, pagerank_hosts, doc_host_rank,
         # temperature_sample, bloom_semi_join, pivot_source_lang,
-        # web_curate) — each oracle-backed in
+        # web_curate, event_funnel, sales_opportunity,
+        # source_vocab_overlap) — each oracle-backed in
         # tests/test_oracle.py; displacing a gated slot would cost an
         # established driver-green row), then the rows-only
         # approximations (compression_ratio, train_bpe,
@@ -165,6 +166,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_semi_join": join_ops.bloom_semi_join,
         "pivot_source_lang": analysis.pivot_source_lang,
         "web_curate": curate.web_curate,
+        "event_funnel": relational.event_funnel,
+        "sales_opportunity": relational.sales_opportunity,
+        "source_vocab_overlap": analysis.source_vocab_overlap,
         "compression_ratio": analysis.compression_ratio,
         "train_bpe": analysis.train_bpe,
         "bpe_segment_counts": analysis.bpe_segment_counts,

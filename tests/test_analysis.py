@@ -431,3 +431,42 @@ class TestPivotSourceLang:
         wide_sum = sum(int(got[f"n_{lang}"].sum()) for lang in PIVOT_LANGS)
         assert wide_sum == n_docs  # every doc lands in exactly one cell
         assert got["source"].is_unique
+
+
+class TestSourceVocabOverlap:
+    def test_all_pairs_and_bruteforce_spot(self, ray_session, quiet_data_context):
+        from collections import Counter
+
+        import pyarrow.parquet as pq
+
+        from pdf_parser_ray.pipelines.analysis import source_vocab_overlap
+
+        sf = "/root/testdata/sf0.001"
+        got = source_vocab_overlap(sf).to_pandas()
+        t = pq.read_table(sf + "/documents.parquet", columns=["source", "text"])
+        sources = sorted(set(t.column("source").to_pylist()))
+        n = len(sources)
+        # every pair shares at least one word on this corpus
+        assert len(got) == n * (n - 1) // 2
+        assert (got["source_a"] < got["source_b"]).all()
+        assert (got["ruzicka_micros"] > 0).all()
+        assert (got["ruzicka_micros"] <= 1_000_000).all()
+        # brute-force one pair with Counters
+        a, b = sources[0], sources[1]
+        ca: Counter = Counter()
+        cb: Counter = Counter()
+        for src, text in zip(
+            t.column("source").to_pylist(), t.column("text").to_pylist()
+        ):
+            if src == a:
+                ca.update(text.split())
+            elif src == b:
+                cb.update(text.split())
+        smin = sum(min(ca[w], cb[w]) for w in ca.keys() & cb.keys())
+        row = got[(got["source_a"] == a) & (got["source_b"] == b)].iloc[0]
+        assert row["sum_min"] == smin
+        assert row["n_a"] == sum(ca.values())
+        assert row["n_b"] == sum(cb.values())
+        assert row["ruzicka_micros"] == (1_000_000 * smin) // (
+            row["n_a"] + row["n_b"] - smin
+        )
