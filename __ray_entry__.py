@@ -745,6 +745,42 @@ def _sales_opportunity_sql() -> str:
     )
 
 
+def _hourly_anomalies_sql() -> str:
+    """Mirror of relational.hourly_anomalies: hourly counts per type,
+    then the division-free |x−μ|>2σ integer inequality
+    (H·x − S)² > 4·(Q·H − S²) — identical integer algebra, no float
+    mean/stddev on either side."""
+    return (
+        "WITH h AS (SELECT event_type,"
+        "   epoch_us(date_trunc('hour', ts)) AS hour_us,"
+        "   CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2),"
+        " s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS hh,"
+        "   CAST(sum(n) AS BIGINT) AS s,"
+        "   CAST(sum(n * n) AS BIGINT) AS q FROM h GROUP BY 1)"
+        " SELECT h.event_type, h.hour_us, h.n"
+        " FROM h JOIN s USING (event_type)"
+        " WHERE (s.hh * h.n - s.s) * (s.hh * h.n - s.s)"
+        "   > 4 * (s.q * s.hh - s.s * s.s)"
+    )
+
+
+def _part_affinity_sql() -> str:
+    """Mirror of relational.part_affinity: distinct (order, part) lines,
+    the self-join pair count, and the deterministic
+    (n DESC, part_a, part_b) top-k cut — PART_AFFINITY_K interpolated."""
+    from pdf_parser_ray.pipelines.relational import PART_AFFINITY_K
+
+    return (
+        "WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),"
+        " p AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,"
+        "   CAST(count(*) AS BIGINT) AS n_orders"
+        "   FROM d a JOIN d b ON a.l_orderkey = b.l_orderkey"
+        "   AND a.l_partkey < b.l_partkey GROUP BY 1, 2)"
+        " SELECT * FROM p ORDER BY n_orders DESC, part_a, part_b"
+        f" LIMIT {PART_AFFINITY_K}"
+    )
+
+
 def _source_vocab_overlap_sql() -> str:
     """Mirror of analysis.source_vocab_overlap: per-(source, word)
     counts, shared-mass sum(least) per pair, and the union-mass
@@ -2243,6 +2279,8 @@ def oracle_sql() -> dict[str, str]:
         "event_funnel": _event_funnel_sql(),
         "sales_opportunity": _sales_opportunity_sql(),
         "source_vocab_overlap": _source_vocab_overlap_sql(),
+        "hourly_anomalies": _hourly_anomalies_sql(),
+        "part_affinity": _part_affinity_sql(),
         "mojibake_repair": (
             # invariant oracle for filter.mojibake_repair: the repair
             # must apply exactly the corruption depth (doc_id%7: 3→one

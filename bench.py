@@ -303,6 +303,8 @@ def run_bench() -> dict:
     timed("event_funnel", relational.event_funnel)
     timed("sales_opportunity", relational.sales_opportunity)
     timed("source_vocab_overlap", analysis.source_vocab_overlap)
+    timed("hourly_anomalies", relational.hourly_anomalies)
+    timed("part_affinity", relational.part_affinity)
 
     from pdf_parser_ray.pipelines.curate import curate_pages
     from pdf_parser_ray.pipelines.extract import (

@@ -1445,3 +1445,154 @@ def sales_opportunity(sf_dir: str) -> rd.Dataset:
         .groupby("c_mktsegment")
         .map_groups(arrow_udf(combine), batch_format="pandas")
     )
+
+
+# -- per-type hourly anomaly gate (exact integer variance test) ---------------
+
+
+def hourly_anomalies(sf_dir: str) -> rd.Dataset:
+    """(event_type, hour_us, n): hours whose event count sits more than
+    two standard deviations from that type's mean hourly count — the
+    ops-monitoring op, as an EXACT integer test: with H hours, count
+    sum S and square-sum Q, hour x is anomalous iff
+    ``(H·x − S)² > 4·(Q·H − S²)`` (the |x−μ|>2σ inequality cleared of
+    divisions), so no float mean/stddev exists on either side.  The
+    squares are arbitrary-precision Python ints inside the per-type
+    combine — immune to the int64 overflow a 100 TB hourly count
+    (n·H ≳ 3·10⁹) would hit in a vectorized int64 square.
+
+    Scale shape: per-batch Arrow group_by partials (type, hour, n) —
+    the exchange carries hour-cardinality rows, never events; one
+    type-keyed ``map_groups`` combines partial hours and applies the
+    integer gate.  Per-type state is one row per distinct hour."""
+    import numpy as np
+    import pandas as pd
+
+    from .io_util import arrow_udf
+
+    def partials(batch: pa.Table) -> pa.Table:
+        hour = pc.cast(
+            pc.floor_temporal(batch.column("ts"), unit="hour"), pa.int64()
+        )
+        g = (
+            pa.table({"event_type": batch.column("event_type"), "hour_us": hour})
+            .group_by(["event_type", "hour_us"])
+            .aggregate([("hour_us", "count")])
+        )
+        return pa.table(
+            {
+                "event_type": g.column("event_type"),
+                "hour_us": g.column("hour_us"),
+                "n": pc.cast(g.column("hour_us_count"), pa.int64()),
+            }
+        )
+
+    def gate(g: pd.DataFrame) -> pd.DataFrame:
+        h = g.groupby("hour_us", as_index=False)["n"].sum()
+        hh = len(h)
+        s = int(h["n"].sum())
+        q = sum(int(v) * int(v) for v in h["n"])
+        rhs = 4 * (q * hh - s * s)
+        keep = [
+            (hh * int(v) - s) ** 2 > rhs for v in h["n"]
+        ]
+        out = h[np.asarray(keep, bool)]
+        return pd.DataFrame(
+            {
+                "event_type": [g["event_type"].iloc[0]] * len(out),
+                "hour_us": out["hour_us"].to_numpy(np.int64),
+                "n": out["n"].to_numpy(np.int64),
+            }
+        )
+
+    return (
+        _t(sf_dir, "events", ["ts", "event_type"])
+        .map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("event_type")
+        .map_groups(arrow_udf(gate), batch_format="pandas")
+    )
+
+
+# -- market-basket part affinity (co-ordered part pairs, top-k) ---------------
+
+#: how many top part pairs part_affinity reports
+PART_AFFINITY_K = 20
+
+
+def part_affinity(sf_dir: str, k: int = PART_AFFINITY_K) -> rd.Dataset:
+    """(part_a, part_b, n_orders): the ``k`` part pairs most often
+    appearing together in one order (market-basket affinity), ties
+    broken by (part_a, part_b) ascending — a deterministic total
+    order, so the cut is oracle-stable.
+
+    Scale shape: two bounded exchanges.  (1) narrow (orderkey, partkey)
+    rows co-shuffle on orderkey so each order's basket is bucket-local;
+    the bucket dedupes line repeats and self-merges per order — pair
+    fan-out is Σ|basket|², bounded by TPC-H's ≤7 lines/order, never
+    corpus². (2) pair-count partials co-shuffle on hash(pair) for exact
+    totals, each pair bucket keeps only its LOCAL top-k (a global
+    top-k row always wins its own bucket), and a constant-key combine
+    picks the final k from ≤ buckets·k candidates."""
+    import numpy as np
+    import pandas as pd
+
+    from .io_util import arrow_udf
+
+    buckets = 64
+
+    def narrow(batch: pa.Table) -> pa.Table:
+        okey = batch.column("l_orderkey").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "bkt": pa.array((okey % buckets).astype(np.int32)),
+                "okey": batch.column("l_orderkey"),
+                "pkey": batch.column("l_partkey"),
+            }
+        )
+
+    def pair_partials(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(["okey", "pkey"])
+        m = d.merge(d, on="okey")
+        m = m[m["pkey_x"] < m["pkey_y"]]
+        p = m.groupby(["pkey_x", "pkey_y"], as_index=False).size()
+        return pd.DataFrame(
+            {
+                "pbkt": (
+                    (p["pkey_x"].to_numpy(np.int64) * 1_000_003
+                     + p["pkey_y"].to_numpy(np.int64)) % buckets
+                ).astype(np.int32),
+                "part_a": p["pkey_x"].to_numpy(np.int64),
+                "part_b": p["pkey_y"].to_numpy(np.int64),
+                "n_orders": p["size"].to_numpy(np.int64),
+            }
+        )
+
+    def local_topk(g: pd.DataFrame) -> pd.DataFrame:
+        t = g.groupby(["part_a", "part_b"], as_index=False)["n_orders"].sum()
+        t = t.sort_values(
+            ["n_orders", "part_a", "part_b"],
+            ascending=[False, True, True],
+            kind="stable",
+        ).head(k)
+        t.insert(0, "fin", np.zeros(len(t), np.int8))
+        return t
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        t = g.sort_values(
+            ["n_orders", "part_a", "part_b"],
+            ascending=[False, True, True],
+            kind="stable",
+        ).head(k)
+        out = t[["part_a", "part_b", "n_orders"]].reset_index(drop=True)
+        return out.astype(np.int64)
+
+    return (
+        _t(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+        .map_batches(narrow, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bkt")
+        .map_groups(arrow_udf(pair_partials), batch_format="pandas")
+        .groupby("pbkt")
+        .map_groups(arrow_udf(local_topk), batch_format="pandas")
+        .groupby("fin")
+        .map_groups(arrow_udf(final_topk), batch_format="pandas")
+    )

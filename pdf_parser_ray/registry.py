@@ -104,7 +104,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # host_graph_edges, pagerank_hosts, doc_host_rank,
         # temperature_sample, bloom_semi_join, pivot_source_lang,
         # web_curate, event_funnel, sales_opportunity,
-        # source_vocab_overlap) — each oracle-backed in
+        # source_vocab_overlap, hourly_anomalies, part_affinity) —
+        # each oracle-backed in
         # tests/test_oracle.py; displacing a gated slot would cost an
         # established driver-green row), then the rows-only
         # approximations (compression_ratio, train_bpe,
@@ -169,6 +170,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_funnel": relational.event_funnel,
         "sales_opportunity": relational.sales_opportunity,
         "source_vocab_overlap": analysis.source_vocab_overlap,
+        "hourly_anomalies": relational.hourly_anomalies,
+        "part_affinity": relational.part_affinity,
         "compression_ratio": analysis.compression_ratio,
         "train_bpe": analysis.train_bpe,
         "bpe_segment_counts": analysis.bpe_segment_counts,

@@ -107,3 +107,72 @@ class TestSalesOpportunity:
         )
         assert len(got) > 0  # the anti-join actually keeps someone
         pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+class TestHourlyAnomalies:
+    def test_flags_match_bruteforce(self, ray_session, quiet_data_context):
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        from pdf_parser_ray.pipelines.relational import hourly_anomalies
+
+        sf = "/root/testdata/sf0.001"
+        got = hourly_anomalies(sf).to_pandas()
+        ev = pq.read_table(sf + "/events.parquet", columns=["ts", "event_type"])
+        df = ev.to_pandas()
+        # parquet timestamps load as datetime64[us]: int64 view IS micros
+        df["hour_us"] = df["ts"].dt.floor("h").astype("int64")
+        flagged = []
+        for etype, g in df.groupby("event_type"):
+            h = g.groupby("hour_us").size()
+            hh, s = len(h), int(h.sum())
+            q = sum(int(v) * int(v) for v in h)
+            rhs = 4 * (q * hh - s * s)
+            for hour, n in h.items():
+                if (hh * int(n) - s) ** 2 > rhs:
+                    flagged.append((etype, int(hour), int(n)))
+        want = (
+            pd.DataFrame(flagged, columns=["event_type", "hour_us", "n"])
+            .sort_values(["event_type", "hour_us"])
+            .reset_index(drop=True)
+        )
+        got = got.sort_values(["event_type", "hour_us"]).reset_index(drop=True)
+        assert len(got) > 0  # the gate actually fires on this corpus
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+class TestPartAffinity:
+    def test_topk_matches_bruteforce(self, ray_session, quiet_data_context):
+        from collections import Counter
+        from itertools import combinations
+
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        from pdf_parser_ray.pipelines.relational import (
+            PART_AFFINITY_K, part_affinity,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        got = part_affinity(sf).to_pandas().reset_index(drop=True)
+        li = pq.read_table(
+            sf + "/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+        ).to_pandas()
+        counts: Counter = Counter()
+        for _, g in li.groupby("l_orderkey"):
+            for a, b in combinations(sorted(set(g["l_partkey"])), 2):
+                counts[(a, b)] += 1
+        rows = sorted(
+            ((n, a, b) for (a, b), n in counts.items()),
+            key=lambda t: (-t[0], t[1], t[2]),
+        )[:PART_AFFINITY_K]
+        want = pd.DataFrame(
+            {
+                "part_a": [a for _, a, _ in rows],
+                "part_b": [b for _, _, b in rows],
+                "n_orders": [n for n, _, _ in rows],
+            }
+        )
+        assert len(got) == PART_AFFINITY_K
+        # the cut is deterministic: exact frame equality, order included
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
