@@ -1296,6 +1296,9 @@ def event_funnel(
             e = g.loc[g["si"] == si].merge(
                 t_prev.rename("tp"), left_on="user_id", right_index=True
             )
+            # an empty merge names the output index 'user_id', making
+            # the next groupby ambiguous — drop it unconditionally
+            e = e.reset_index(drop=True)
             e = e[(e["tm"] > e["tp"]) & (e["tm"] <= e["tp"] + win_us)]
             t_prev = e.groupby("user_id")["tm"].min()
             counts.append(len(t_prev))

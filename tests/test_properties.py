@@ -304,3 +304,25 @@ def test_mojibake_repair_restores_any_corruption(text, double):
     repaired, n = fix_mojibake(corrupted)
     assert repaired == text
     assert n == expected_passes
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=10**12), min_size=1, max_size=40)
+)
+def test_anomaly_integer_gate_equals_exact_sigma_test(counts):
+    """hourly_anomalies' division-free inequality (H·x−S)² > 4·(Q·H−S²)
+    must agree with the exact |x−μ| > 2σ test for EVERY count vector —
+    verified against Fraction arithmetic (no float error on either
+    side), including the 100-TB-scale magnitudes int64 would overflow."""
+    from fractions import Fraction
+
+    hh = len(counts)
+    s = sum(counts)
+    q = sum(v * v for v in counts)
+    mu = Fraction(s, hh)
+    var = Fraction(q, hh) - mu * mu
+    for x in counts:
+        integer_gate = (hh * x - s) ** 2 > 4 * (q * hh - s * s)
+        exact_gate = Fraction(x - mu) ** 2 > 4 * var
+        assert integer_gate == exact_gate

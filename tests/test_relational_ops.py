@@ -176,3 +176,45 @@ class TestPartAffinity:
         assert len(got) == PART_AFFINITY_K
         # the cut is deterministic: exact frame equality, order included
         pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+class TestEventFunnelEdges:
+    def test_order_and_window_constraints(
+        self, ray_session, quiet_data_context, tmp_path
+    ):
+        """A click BEFORE the first view never converts; a purchase
+        outside the window after the qualifying click never converts."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pdf_parser_ray.pipelines.relational import event_funnel
+
+        m = 60_000_000  # one minute in micros
+        rows = [
+            # u1: clean chain inside the window
+            (1, "view", 0), (1, "click", 10 * m), (1, "purchase", 20 * m),
+            # u2: click precedes its only view — stops at step 1
+            (2, "click", 0), (2, "view", 10 * m),
+            # u3: purchase lands outside the window after the click
+            (3, "view", 0), (3, "click", 10 * m),
+            (3, "purchase", (10 + 481) * m),
+            # noise the narrow pass must drop
+            (1, "error", 5 * m), (2, "signup", 5 * m),
+        ]
+        t = pa.table(
+            {
+                "user_id": pa.array([r[0] for r in rows], pa.int64()),
+                "event_type": pa.array([r[1] for r in rows], pa.string()),
+                "ts": pa.array(
+                    [r[2] for r in rows], pa.timestamp("us")
+                ),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "events.parquet"))
+        got = (
+            event_funnel(str(tmp_path))
+            .to_pandas()
+            .sort_values("step_idx")
+            .reset_index(drop=True)
+        )
+        assert got["n_users"].tolist() == [3, 2, 1]
