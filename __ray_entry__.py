@@ -781,6 +781,76 @@ def _part_affinity_sql() -> str:
     )
 
 
+def _large_orders_sql() -> str:
+    """Mirror of relational.large_orders (TPC-H Q18 shape): per-line
+    round(×100) quantity cents summed per order, the strict > threshold
+    gate (LARGE_ORDER_MIN_QTY_CENTS interpolated), customer name via
+    the same inner joins."""
+    from pdf_parser_ray.pipelines.relational import LARGE_ORDER_MIN_QTY_CENTS
+
+    return (
+        "WITH q AS (SELECT l_orderkey,"
+        "   CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)"
+        "     AS sum_qty_cents FROM lineitem GROUP BY 1)"
+        " SELECT o.o_orderkey, c.c_custkey, c.c_name,"
+        "  CAST(round(o.o_totalprice * 100) AS BIGINT) AS total_cents,"
+        "  q.sum_qty_cents"
+        " FROM q JOIN orders o ON o.o_orderkey = q.l_orderkey"
+        " JOIN customer c ON c.c_custkey = o.o_custkey"
+        f" WHERE q.sum_qty_cents > {LARGE_ORDER_MIN_QTY_CENTS}"
+    )
+
+
+def _promo_revenue_share_sql() -> str:
+    """Mirror of relational.promo_revenue_share (TPC-H Q14 shape):
+    identical integer rev_cc = price_cents × (100 − disc_pct), yyyymm
+    ship month, inner join to part, and the share as HUGEINT
+    floor-division micros (the pipeline uses Python ints — both exact)."""
+    return (
+        "WITH l AS (SELECT CAST(year(l_shipdate) * 100 + month(l_shipdate)"
+        "     AS BIGINT) AS ship_month, l_partkey,"
+        "   CAST(round(l_extendedprice * 100) AS BIGINT)"
+        "     * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev_cc"
+        "   FROM lineitem),"
+        " m AS (SELECT ship_month,"
+        "   CAST(sum(CASE WHEN p.p_type LIKE 'PROMO%' THEN rev_cc"
+        "     ELSE 0 END) AS BIGINT) AS promo_rev_cc,"
+        "   CAST(sum(rev_cc) AS BIGINT) AS total_rev_cc"
+        "   FROM l JOIN part p ON p.p_partkey = l.l_partkey GROUP BY 1)"
+        " SELECT ship_month, promo_rev_cc, total_rev_cc,"
+        "  CAST((CAST(promo_rev_cc AS HUGEINT) * 1000000)"
+        "    // total_rev_cc AS BIGINT) AS promo_share_micros FROM m"
+    )
+
+
+def _gram_novelty_sql() -> str:
+    """Mirror of analysis.gram_novelty: DISTINCT word-8-grams per doc
+    (same inclusive-slice construction as _decontaminate_sql, n
+    interpolated), gram TEXT grouped for the min-doc first-seen rule —
+    the pipeline's 64-bit gram hash never reaches the output, and the
+    hash-match evidences collision-free grams at the oracle scale.
+    LEFT JOIN keeps gram-less short docs at (0, 0)."""
+    from pdf_parser_ray.pipelines.analysis import NOVELTY_NGRAM
+
+    n = NOVELTY_NGRAM
+    return (
+        f"WITH w AS (SELECT doc_id, {_WORDS_EXPR} AS w FROM documents),"
+        " g AS (SELECT DISTINCT doc_id,"
+        f"   array_to_string(w[CAST(i AS INT):CAST(i AS INT) + {n - 1}], ' ')"
+        "     AS g"
+        f"   FROM (SELECT doc_id, w, unnest(range(1, len(w) - {n - 2})) AS i"
+        "         FROM w)),"
+        " m AS (SELECT g, min(doc_id) AS first_doc FROM g GROUP BY 1),"
+        " s AS (SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,"
+        "   CAST(sum(CASE WHEN m.first_doc = g.doc_id THEN 1 ELSE 0 END)"
+        "     AS BIGINT) AS n_novel"
+        "   FROM g JOIN m USING (g) GROUP BY 1)"
+        " SELECT d.doc_id, CAST(coalesce(s.n_grams, 0) AS BIGINT) AS n_grams,"
+        "  CAST(coalesce(s.n_novel, 0) AS BIGINT) AS n_novel"
+        " FROM documents d LEFT JOIN s USING (doc_id)"
+    )
+
+
 def _source_vocab_overlap_sql() -> str:
     """Mirror of analysis.source_vocab_overlap: per-(source, word)
     counts, shared-mass sum(least) per pair, and the union-mass
@@ -2281,6 +2351,44 @@ def oracle_sql() -> dict[str, str]:
         "source_vocab_overlap": _source_vocab_overlap_sql(),
         "hourly_anomalies": _hourly_anomalies_sql(),
         "part_affinity": _part_affinity_sql(),
+        "large_orders": _large_orders_sql(),
+        "customer_order_histogram": (
+            # mirror of relational.customer_order_histogram (TPC-H Q13):
+            # LEFT JOIN keeps zero-order customers; the pipeline appends
+            # that bin from total − with-orders, so both sides emit it
+            # exactly when it is non-empty
+            "WITH c AS (SELECT c.c_custkey, count(o.o_orderkey) AS n"
+            "   FROM customer c LEFT JOIN orders o"
+            "   ON c.c_custkey = o.o_custkey GROUP BY 1)"
+            " SELECT CAST(n AS BIGINT) AS n_orders,"
+            "  CAST(count(*) AS BIGINT) AS n_customers FROM c GROUP BY n"
+        ),
+        "promo_revenue_share": _promo_revenue_share_sql(),
+        "soft_dedup_weights": (
+            # mirror of dedup.soft_dedup_weights: the normalized_dedup
+            # md5 (same RE2 kernels) and floor(1e6 / group size) —
+            # integer // on both sides
+            "WITH h AS (SELECT doc_id,"
+            " md5(trim(regexp_replace(regexp_replace(lower(text),"
+            " '[^a-z0-9 ]+', '', 'g'), ' +', ' ', 'g'), ' ')) AS th"
+            " FROM documents),"
+            " n AS (SELECT th, CAST(count(*) AS BIGINT) AS n_members"
+            "   FROM h GROUP BY 1)"
+            " SELECT h.doc_id, n.n_members,"
+            "  CAST(1000000 // n.n_members AS BIGINT) AS weight_micros"
+            " FROM h JOIN n USING (th)"
+        ),
+        "event_transitions": (
+            # mirror of relational.event_transitions: lead() over the
+            # same deterministic (ts, event_id) order per user
+            "WITH o AS (SELECT user_id, event_type,"
+            "   lead(event_type) OVER (PARTITION BY user_id"
+            "     ORDER BY epoch_us(ts), event_id) AS nxt FROM events)"
+            " SELECT event_type AS prev_type, nxt AS next_type,"
+            "  CAST(count(*) AS BIGINT) AS n FROM o"
+            " WHERE nxt IS NOT NULL GROUP BY 1, 2"
+        ),
+        "gram_novelty": _gram_novelty_sql(),
         "mojibake_repair": (
             # invariant oracle for filter.mojibake_repair: the repair
             # must apply exactly the corruption depth (doc_id%7: 3→one

@@ -305,6 +305,17 @@ def run_bench() -> dict:
     timed("source_vocab_overlap", analysis.source_vocab_overlap)
     timed("hourly_anomalies", relational.hourly_anomalies)
     timed("part_affinity", relational.part_affinity)
+    timed("large_orders", relational.large_orders)
+    t = time.perf_counter()
+    relational.customer_order_histogram(SF_DIR)  # returns a small DataFrame
+    timings["customer_order_histogram"] = time.perf_counter() - t
+    timed("promo_revenue_share", relational.promo_revenue_share)
+
+    from pdf_parser_ray.pipelines.dedup import soft_dedup_weights
+
+    timed("soft_dedup_weights", soft_dedup_weights)
+    timed("event_transitions", relational.event_transitions)
+    timed("gram_novelty", analysis.gram_novelty)
 
     from pdf_parser_ray.pipelines.curate import curate_pages
     from pdf_parser_ray.pipelines.extract import (

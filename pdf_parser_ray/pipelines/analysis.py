@@ -2055,3 +2055,133 @@ def source_vocab_overlap(sf_dir: str) -> rd.Dataset:
         .groupby("k")
         .map_groups(arrow_udf(combine), batch_format="pandas")
     )
+
+
+# -- inter-document n-gram novelty --------------------------------------------
+
+#: word n-gram length for gram_novelty (matches decontaminate's grams)
+NOVELTY_NGRAM = 8
+
+
+def gram_novelty(sf_dir: str) -> rd.Dataset:
+    """(doc_id, n_grams, n_novel): per document, its count of DISTINCT
+    word-8-grams and how many of those appear in NO lower-numbered
+    document (min-doc_id first-seen rule) — the document-level novelty
+    signal behind "how much of this crawl is genuinely new text".
+
+    Scale shape: grams never leave workers as strings.  Each batch
+    emits per-doc distinct gram HASHES (the memoized word-hash +
+    odd-multiplier rolling combine minhash already uses — O(words)
+    digests, vectorized combine), keyed by gram-hash bucket; each
+    bucket owns its grams wholly, so min-doc_id and per-doc partial
+    (n_grams, n_novel) counts are exact in ONE exchange of 16-byte
+    rows.  A doc-bucket-keyed second exchange folds the ≤ docs × K
+    partials (plus one zero row per document so gram-less short docs
+    still appear, mirroring the SQL LEFT JOIN).  The gram hash is
+    64-bit (same collision bound as the shuffle key: ~n²/2⁶⁵ — the
+    sf0.01 oracle hash-match evidences collision-free test corpora);
+    the hash never reaches the output, the oracle groups gram TEXT."""
+    import numpy as np
+    import pandas as pd
+
+    from .dedup import _SHINGLE_C1, _SHINGLE_C2, _stable64
+
+    buckets = 256
+
+    def gram_rows(batch: pa.Table) -> pa.Table:
+        word_cache: dict[str, int] = {}
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        out_bkt, out_gh, out_doc = [], [], []
+        n = NOVELTY_NGRAM
+        for doc_id, text in zip(ids, batch.column("text").to_pylist()):
+            words = text.split()
+            if len(words) >= n:
+                hs = np.fromiter(
+                    (
+                        word_cache[w]
+                        if w in word_cache
+                        else word_cache.setdefault(w, _stable64(w))
+                        for w in words
+                    ),
+                    dtype=np.uint64,
+                    count=len(words),
+                )
+                with np.errstate(over="ignore"):
+                    # rolling 8-word combine with odd-multiplier powers
+                    # (same family as _shingle_hashes, width 8)
+                    acc = hs[: len(hs) - n + 1].copy()
+                    for j in range(1, n):
+                        acc = acc * _SHINGLE_C1 + hs[j : len(hs) - n + 1 + j] * _SHINGLE_C2
+                grams = np.unique(acc).view(np.int64)
+                out_gh.append(grams)
+                out_doc.append(np.full(len(grams), doc_id, np.int64))
+        gh = (
+            np.concatenate(out_gh) if out_gh else np.zeros(0, np.int64)
+        )
+        doc = (
+            np.concatenate(out_doc) if out_doc else np.zeros(0, np.int64)
+        )
+        # one zero-partial row per doc so gram-less docs still appear
+        zrow_doc = ids.astype(np.int64)
+        return pa.table(
+            {
+                "bkt": pa.array(
+                    np.concatenate(
+                        [(gh % buckets).astype(np.int32),
+                         # zero rows spread over the NEGATIVE bucket range
+                         # so they never hot-spot one reducer
+                         (-1 - (zrow_doc % buckets)).astype(np.int32)]
+                    )
+                ),
+                "gh": pa.array(np.concatenate([gh, zrow_doc]), pa.int64()),
+                "doc_id": pa.array(
+                    np.concatenate([doc, zrow_doc]), pa.int64()
+                ),
+                "z": pa.array(
+                    np.concatenate(
+                        [np.zeros(len(gh), np.int8),
+                         np.ones(len(zrow_doc), np.int8)]
+                    )
+                ),
+            }
+        )
+
+    def bucket_partials(g: pd.DataFrame) -> pd.DataFrame:
+        if (g["z"] == 1).any():
+            # the zero-row bucket: one (doc, 0, 0) partial per doc
+            d = g["doc_id"].to_numpy(np.int64)
+            z = np.zeros(len(d), np.int64)
+            return pd.DataFrame(
+                {"dbkt": (d % buckets).astype(np.int32), "doc_id": d,
+                 "n_grams": z, "n_novel": z}
+            )
+        first = g.groupby("gh")["doc_id"].transform("min").to_numpy(np.int64)
+        doc = g["doc_id"].to_numpy(np.int64)
+        df = pd.DataFrame(
+            {"doc_id": doc, "novel": (doc == first).astype(np.int64)}
+        )
+        out = df.groupby("doc_id", as_index=False).agg(
+            n_grams=("novel", "size"), n_novel=("novel", "sum")
+        )
+        d = out["doc_id"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "dbkt": (d % buckets).astype(np.int32),
+                "doc_id": d,
+                "n_grams": out["n_grams"].to_numpy(np.int64),
+                "n_novel": out["n_novel"].to_numpy(np.int64),
+            }
+        )
+
+    def doc_combine(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("doc_id", as_index=False)[["n_grams", "n_novel"]].sum()
+        return out.astype(np.int64)
+
+    return (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(gram_rows, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bkt")
+        .map_groups(arrow_udf(bucket_partials), batch_format="pandas")
+        .groupby("dbkt")
+        .map_groups(arrow_udf(doc_combine), batch_format="pandas")
+    )

@@ -1602,3 +1602,63 @@ def incremental_dedup(sf_dir: str, threshold_millis: int = 500) -> rd.Dataset:
         .groupby("key")
         .map_groups(arrow_udf(combine), batch_format="pandas")
     )
+
+
+# -- soft dedup: down-weight duplicates instead of dropping -------------------
+
+
+def soft_dedup_weights(sf_dir: str) -> rd.Dataset:
+    """(doc_id, n_members, weight_micros): SoftDeDup-style training
+    weights — instead of dropping duplicates, every document gets the
+    exact integer weight floor(10⁶ / group size) of its
+    normalized-text duplicate group (the same lowercase / strip /
+    collapse md5 as :func:`normalized_dedup`), so a group's total
+    sampling mass stays ≈1 regardless of how often it was crawled.
+
+    Scale shape: ONE coarse exchange.  The hash pass is the same three
+    vectorized Arrow RE2 kernels + md5 digest as normalized_dedup; rows
+    carry (coarse bucket from the digest's leading 8 hex, digest,
+    doc_id) — never text — and each bucket computes its group sizes
+    with one vectorized pandas transform (a digest lives wholly in its
+    bucket, so sizes are exact).  Per-doc output rides the same
+    exchange; no second shuffle, no driver state."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from .io_util import arrow_udf
+
+    def add_norm_hash(batch: pa.Table) -> pa.Table:
+        x = pc.utf8_lower(batch.column("text"))
+        x = pc.replace_substring_regex(x, pattern=r"[^a-z0-9 ]+", replacement="")
+        x = pc.replace_substring_regex(x, pattern=r" +", replacement=" ")
+        x = pc.utf8_trim(x, characters=" ")
+        hashes = [
+            hashlib.md5(t.encode("utf-8")).hexdigest() for t in x.to_pylist()
+        ]
+        coarse = np.array(
+            [int(h[:8], 16) % _COARSE_BUCKETS for h in hashes], np.int32
+        )
+        return pa.table(
+            {
+                "coarse": pa.array(coarse),
+                "text_hash": pa.array(hashes, pa.string()),
+                "doc_id": batch.column("doc_id"),
+            }
+        )
+
+    def weights(g: pd.DataFrame) -> pd.DataFrame:
+        n = g.groupby("text_hash")["doc_id"].transform("size").to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].to_numpy(np.int64),
+                "n_members": n,
+                "weight_micros": 1_000_000 // n,
+            }
+        )
+
+    return (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(add_norm_hash, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("coarse")
+        .map_groups(arrow_udf(weights), batch_format="pandas")
+    )

@@ -1599,3 +1599,408 @@ def part_affinity(sf_dir: str, k: int = PART_AFFINITY_K) -> rd.Dataset:
         .groupby("fin")
         .map_groups(arrow_udf(final_topk), batch_format="pandas")
     )
+
+
+# -- large orders (TPC-H Q18 shape: big-basket customers) ----------------------
+
+#: minimum summed lineitem quantity (in cents) for large_orders
+LARGE_ORDER_MIN_QTY_CENTS = 25_000
+
+
+def large_orders(sf_dir: str) -> rd.Dataset:
+    """(o_orderkey, c_custkey, c_name, total_cents, sum_qty_cents):
+    TPC-H Q18-shaped "large volume customer" query — orders whose
+    summed lineitem quantity exceeds :data:`LARGE_ORDER_MIN_QTY_CENTS`
+    (quantity in integer cents, same round(×100) discipline as every
+    money column), enriched with the ordering customer's name.
+
+    Scale shape: two multiplexed co-shuffles, no broadcast.  (1)
+    in-batch Arrow group_by partials of qty cents per orderkey union
+    order rows, co-shuffled on orderkey % K; the bucket folds partials,
+    applies the threshold (survivors are a tiny fraction — Q18 semantics)
+    and attaches (custkey, totalprice).  (2) survivors union customer
+    rows co-shuffled on custkey % K attach c_name in-bucket.  Both
+    exchanges carry narrow integer rows; the fact table itself never
+    shuffles (per-batch partials bound pass-1 traffic by
+    orderkey-cardinality × blocks)."""
+    import pandas as pd
+
+    buckets = 64
+
+    def li_partials(batch: pa.Table) -> pa.Table:
+        qty = pc.cast(
+            pc.round(pc.multiply(batch.column("l_quantity"), 100.0)), pa.int64()
+        )
+        g = (
+            pa.table({"k": batch.column("l_orderkey"), "q": qty})
+            .group_by(["k"])
+            .aggregate([("q", "sum")])
+        )
+        k = g.column("k").to_numpy(zero_copy_only=False)
+        n = len(k)
+        return pa.table(
+            {
+                "bkt": pa.array((k % buckets).astype(np.int32)),
+                "k": pa.array(k, pa.int64()),
+                "role": pa.array(np.zeros(n, np.int8)),
+                "v1": g.column("q_sum"),
+                "v2": pa.array(np.zeros(n, np.int64)),
+            }
+        )
+
+    def order_rows(batch: pa.Table) -> pa.Table:
+        k = batch.column("o_orderkey").to_numpy(zero_copy_only=False)
+        total = pc.cast(
+            pc.round(pc.multiply(batch.column("o_totalprice"), 100.0)), pa.int64()
+        )
+        return pa.table(
+            {
+                "bkt": pa.array((k % buckets).astype(np.int32)),
+                "k": pa.array(k, pa.int64()),
+                "role": pa.array(np.ones(len(k), np.int8)),
+                "v1": batch.column("o_custkey"),
+                "v2": total,
+            }
+        )
+
+    def fold_orders(g: pd.DataFrame) -> pa.Table:
+        li = g[g["role"] == 0]
+        qty = li.groupby("k")["v1"].sum()
+        big = qty[qty.to_numpy() > LARGE_ORDER_MIN_QTY_CENTS]
+        o = g[g["role"] == 1].set_index("k")
+        o = o.loc[o.index.intersection(big.index)]
+        ck = o["v1"].to_numpy(np.int64)
+        # explicit Arrow output: an empty pandas object column would
+        # degrade to null type and break the union/groupby schema unify
+        return pa.table(
+            {
+                "cbkt": pa.array((ck % buckets).astype(np.int32)),
+                "ck": pa.array(ck, pa.int64()),
+                "crole": pa.array(np.zeros(len(o), np.int8)),
+                "o_orderkey": pa.array(o.index.to_numpy(np.int64), pa.int64()),
+                "total_cents": pa.array(o["v2"].to_numpy(np.int64), pa.int64()),
+                "sum_qty_cents": pa.array(
+                    big.loc[o.index].to_numpy(np.int64), pa.int64()
+                ),
+                "c_name": pa.array([""] * len(o), pa.string()),
+            }
+        )
+
+    def cust_rows(batch: pa.Table) -> pa.Table:
+        ck = batch.column("c_custkey").to_numpy(zero_copy_only=False)
+        n = len(ck)
+        z = np.zeros(n, np.int64)
+        return pa.table(
+            {
+                "cbkt": pa.array((ck % buckets).astype(np.int32)),
+                "ck": pa.array(ck, pa.int64()),
+                "crole": pa.array(np.ones(n, np.int8)),
+                "o_orderkey": pa.array(z),
+                "total_cents": pa.array(z),
+                "sum_qty_cents": pa.array(z),
+                "c_name": batch.column("c_name"),
+            }
+        )
+
+    def attach_name(g: pd.DataFrame) -> pa.Table:
+        keep = g[g["crole"] == 0]
+        names = g[g["crole"] == 1].set_index("ck")["c_name"]
+        return pa.table(
+            {
+                "o_orderkey": pa.array(
+                    keep["o_orderkey"].to_numpy(np.int64), pa.int64()
+                ),
+                "c_custkey": pa.array(keep["ck"].to_numpy(np.int64), pa.int64()),
+                "c_name": pa.array(
+                    [str(v) for v in names.reindex(keep["ck"])], pa.string()
+                ),
+                "total_cents": pa.array(
+                    keep["total_cents"].to_numpy(np.int64), pa.int64()
+                ),
+                "sum_qty_cents": pa.array(
+                    keep["sum_qty_cents"].to_numpy(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    li = _t(sf_dir, "lineitem", ["l_orderkey", "l_quantity"]).map_batches(
+        li_partials, batch_format="pyarrow", zero_copy_batch=True
+    )
+    ords = _t(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"]
+    ).map_batches(order_rows, batch_format="pyarrow", zero_copy_batch=True)
+    cust = _t(sf_dir, "customer", ["c_custkey", "c_name"]).map_batches(
+        cust_rows, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return (
+        li.union(ords)
+        .groupby("bkt")
+        .map_groups(arrow_udf(fold_orders), batch_format="pandas")
+        .union(cust)
+        .groupby("cbkt")
+        .map_groups(arrow_udf(attach_name), batch_format="pandas")
+    )
+
+
+# -- customer order-count distribution (TPC-H Q13 shape) ----------------------
+
+
+def customer_order_histogram(sf_dir: str):
+    """(n_orders, n_customers): how many customers placed exactly N
+    orders — TPC-H Q13's customer-distribution histogram, including the
+    zero-order bin (LEFT JOIN semantics).
+
+    Scale shape: orders fold to per-batch (custkey, count) Arrow
+    partials; ONE co-shuffle on custkey % K makes per-customer totals
+    exact (a custkey lives wholly in its bucket) and each bucket
+    collapses immediately to its LOCAL histogram — the driver sees only
+    ≤ buckets × distinct-count narrow rows (distinct order counts per
+    customer are data-bounded small integers, ~dozens at any corpus
+    size), plus one customer-count scalar fold.  The zero bin is
+    total-customers − customers-with-orders; it is appended only when
+    positive, exactly matching the SQL LEFT JOIN (which emits no 0
+    group when every customer ordered)."""
+    import pandas as pd
+
+    buckets = 64
+
+    def ord_partials(batch: pa.Table) -> pa.Table:
+        g = (
+            pa.table({"k": batch.column("o_custkey")})
+            .group_by(["k"])
+            .aggregate([("k", "count")])
+        )
+        k = g.column("k").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "bkt": pa.array((k % buckets).astype(np.int32)),
+                "k": pa.array(k, pa.int64()),
+                "n": pc.cast(g.column("k_count"), pa.int64()),
+            }
+        )
+
+    def bucket_hist(g: pd.DataFrame) -> pd.DataFrame:
+        per_cust = g.groupby("k")["n"].sum()
+        h = per_cust.value_counts()
+        return pd.DataFrame(
+            {
+                "n_orders": h.index.to_numpy(np.int64),
+                "n_customers": h.to_numpy(np.int64),
+            }
+        )
+
+    parts = (
+        _t(sf_dir, "orders", ["o_custkey"])
+        .map_batches(ord_partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bkt")
+        .map_groups(arrow_udf(bucket_hist), batch_format="pandas")
+        .to_pandas()
+    )
+    hist = (
+        parts.groupby("n_orders", as_index=False)["n_customers"]
+        .sum()
+        .astype(np.int64)
+    )
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        return pa.table({"n": pa.array([batch.num_rows], pa.int64())})
+
+    n_total = int(
+        _t(sf_dir, "customer", ["c_custkey"])
+        .map_batches(count_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()["n"]
+        .sum()
+    )
+    n_zero = n_total - int(hist["n_customers"].sum())
+    if n_zero > 0:
+        hist = pd.concat(
+            [pd.DataFrame({"n_orders": [0], "n_customers": [n_zero]}), hist],
+            ignore_index=True,
+        ).astype(np.int64)
+    return hist.sort_values("n_orders").reset_index(drop=True)
+
+
+# -- promo revenue share per ship month (TPC-H Q14 shape) ----------------------
+
+
+def promo_revenue_share(sf_dir: str) -> rd.Dataset:
+    """(ship_month, promo_rev_cc, total_rev_cc, promo_share_micros):
+    TPC-H Q14-shaped promotion-effect series — per ship month (yyyymm),
+    discounted revenue from PROMO-type parts vs all revenue, and the
+    share as exact integer micros (floor(promo·10⁶ / total), computed
+    in arbitrary-precision Python ints so a 100 TB month can't overflow
+    the ×10⁶ product).
+
+    Scale shape: ONE partkey-keyed co-shuffle.  Lineitem folds to
+    per-batch (partkey, month, rev_cc) Arrow partials; part ships only
+    (partkey, is_promo) rows — the part table SCALES (10⁸ rows at
+    100 TB), so it is never a broadcast dict.  Each bucket classifies
+    its partials via a bucket-local partkey→promo map and collapses to
+    per-month (promo, total) sums — the second exchange carries
+    ≤ buckets × months rows into a month-keyed combine."""
+    import pandas as pd
+
+    buckets = 64
+
+    def li_partials(batch: pa.Table) -> pa.Table:
+        price = pc.cast(
+            pc.round(pc.multiply(batch.column("l_extendedprice"), 100.0)),
+            pa.int64(),
+        )
+        disc = pc.cast(
+            pc.round(pc.multiply(batch.column("l_discount"), 100.0)), pa.int64()
+        )
+        rev = pc.multiply(price, pc.subtract(pa.scalar(100, pa.int64()), disc))
+        month = pc.add(
+            pc.multiply(pc.cast(pc.year(batch.column("l_shipdate")), pa.int64()), 100),
+            pc.cast(pc.month(batch.column("l_shipdate")), pa.int64()),
+        )
+        g = (
+            pa.table({"k": batch.column("l_partkey"), "m": month, "rev": rev})
+            .group_by(["k", "m"])
+            .aggregate([("rev", "sum")])
+        )
+        k = g.column("k").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "bkt": pa.array((k % buckets).astype(np.int32)),
+                "k": pa.array(k, pa.int64()),
+                "role": pa.array(np.zeros(len(k), np.int8)),
+                "m": g.column("m"),
+                "rev": g.column("rev_sum"),
+            }
+        )
+
+    def part_rows(batch: pa.Table) -> pa.Table:
+        k = batch.column("p_partkey").to_numpy(zero_copy_only=False)
+        promo = pc.cast(
+            pc.starts_with(batch.column("p_type"), "PROMO"), pa.int64()
+        )
+        return pa.table(
+            {
+                "bkt": pa.array((k % buckets).astype(np.int32)),
+                "k": pa.array(k, pa.int64()),
+                "role": pa.array(np.ones(len(k), np.int8)),
+                "m": promo,
+                "rev": pa.array(np.zeros(len(k), np.int64)),
+            }
+        )
+
+    def bucket_month_partials(g: pd.DataFrame) -> pd.DataFrame:
+        li = g[g["role"] == 0]
+        promo_of = g[g["role"] == 1].set_index("k")["m"]
+        flag = promo_of.reindex(li["k"])
+        # inner-join semantics: a partkey absent from part drops the
+        # lineitem row, exactly like the SQL oracle's JOIN
+        li = li[flag.notna().to_numpy()]
+        is_promo = flag.dropna().to_numpy(np.int64)
+        rev = li["rev"].to_numpy(np.int64)
+        df = pd.DataFrame(
+            {
+                "ship_month": li["m"].to_numpy(np.int64),
+                "promo": rev * is_promo,
+                "total": rev,
+            }
+        )
+        out = df.groupby("ship_month", as_index=False).sum()
+        return out.astype(np.int64)
+
+    def month_combine(g: pd.DataFrame) -> pd.DataFrame:
+        promo = int(g["promo"].sum())
+        total = int(g["total"].sum())
+        share = (promo * 1_000_000) // total if total else 0
+        return pd.DataFrame(
+            {
+                "ship_month": np.array([g["ship_month"].iloc[0]], np.int64),
+                "promo_rev_cc": np.array([promo], np.int64),
+                "total_rev_cc": np.array([total], np.int64),
+                "promo_share_micros": np.array([share], np.int64),
+            }
+        )
+
+    li = _t(
+        sf_dir, "lineitem",
+        ["l_partkey", "l_shipdate", "l_extendedprice", "l_discount"],
+    ).map_batches(li_partials, batch_format="pyarrow", zero_copy_batch=True)
+    parts = _t(sf_dir, "part", ["p_partkey", "p_type"]).map_batches(
+        part_rows, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return (
+        li.union(parts)
+        .groupby("bkt")
+        .map_groups(arrow_udf(bucket_month_partials), batch_format="pandas")
+        .groupby("ship_month")
+        .map_groups(arrow_udf(month_combine), batch_format="pandas")
+    )
+
+
+# -- session path mining: event-type transition matrix -------------------------
+
+
+def event_transitions(sf_dir: str) -> rd.Dataset:
+    """(prev_type, next_type, n): counts of consecutive event-type
+    transitions per user, ordered by (ts, event_id) — the Markov
+    transition matrix behind session path mining.  The event_id
+    tie-break makes the order (and so the oracle) deterministic when a
+    user has two events in the same microsecond.
+
+    Scale shape: one hash(user) co-shuffle of narrow (user, ts, id,
+    type) rows; each bucket sorts its users vectorized (one lexsort per
+    bucket, not per user), masks user boundaries, and collapses to
+    ≤ types² pair partials; a final pair-keyed combine over
+    buckets × types² rows.  Event types are a small closed set, so both
+    exchanges are tiny; the events table itself shuffles once as
+    4-column narrow rows."""
+    import pandas as pd
+
+    buckets = 64
+
+    def narrow(batch: pa.Table) -> pa.Table:
+        u = batch.column("user_id").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "bkt": pa.array((u % buckets).astype(np.int32)),
+                "u": pa.array(u, pa.int64()),
+                "tm": pc.cast(batch.column("ts"), pa.int64()),
+                "eid": batch.column("event_id"),
+                "event_type": batch.column("event_type"),
+            }
+        )
+
+    def pair_partials(g: pd.DataFrame) -> pd.DataFrame:
+        order = np.lexsort(
+            (g["eid"].to_numpy(np.int64), g["tm"].to_numpy(np.int64),
+             g["u"].to_numpy(np.int64))
+        )
+        u = g["u"].to_numpy(np.int64)[order]
+        t = g["event_type"].to_numpy()[order]
+        same = u[:-1] == u[1:]
+        df = pd.DataFrame(
+            {"prev_type": t[:-1][same], "next_type": t[1:][same]}
+        )
+        out = df.groupby(["prev_type", "next_type"], as_index=False).size()
+        return pa.table(
+            {
+                "prev_type": pa.array(out["prev_type"], pa.string()),
+                "next_type": pa.array(out["next_type"], pa.string()),
+                "n": pa.array(out["size"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "prev_type": [g["prev_type"].iloc[0]],
+                "next_type": [g["next_type"].iloc[0]],
+                "n": np.array([g["n"].sum()], np.int64),
+            }
+        )
+
+    return (
+        _t(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+        .map_batches(narrow, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bkt")
+        .map_groups(arrow_udf(pair_partials), batch_format="pandas")
+        .groupby(["prev_type", "next_type"])
+        .map_groups(arrow_udf(combine), batch_format="pandas")
+    )

@@ -104,7 +104,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # host_graph_edges, pagerank_hosts, doc_host_rank,
         # temperature_sample, bloom_semi_join, pivot_source_lang,
         # web_curate, event_funnel, sales_opportunity,
-        # source_vocab_overlap, hourly_anomalies, part_affinity) —
+        # source_vocab_overlap, hourly_anomalies, part_affinity,
+        # large_orders, customer_order_histogram, promo_revenue_share,
+        # soft_dedup_weights, event_transitions, gram_novelty) —
         # each oracle-backed in
         # tests/test_oracle.py; displacing a gated slot would cost an
         # established driver-green row), then the rows-only
@@ -172,6 +174,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_vocab_overlap": analysis.source_vocab_overlap,
         "hourly_anomalies": relational.hourly_anomalies,
         "part_affinity": relational.part_affinity,
+        "large_orders": relational.large_orders,
+        "customer_order_histogram": relational.customer_order_histogram,
+        "promo_revenue_share": relational.promo_revenue_share,
+        "soft_dedup_weights": dedup.soft_dedup_weights,
+        "event_transitions": relational.event_transitions,
+        "gram_novelty": analysis.gram_novelty,
         "compression_ratio": analysis.compression_ratio,
         "train_bpe": analysis.train_bpe,
         "bpe_segment_counts": analysis.bpe_segment_counts,

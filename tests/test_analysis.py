@@ -470,3 +470,40 @@ class TestSourceVocabOverlap:
         assert row["ruzicka_micros"] == (1_000_000 * smin) // (
             row["n_a"] + row["n_b"] - smin
         )
+
+
+class TestGramNovelty:
+    def test_copy_has_zero_novelty(
+        self, ray_session, quiet_data_context, tmp_path
+    ):
+        """A verbatim copy of an earlier doc contributes zero novel
+        grams; a <8-word doc reports (0, 0); a half-overlapping doc
+        counts only its unseen grams."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pdf_parser_ray.pipelines.analysis import gram_novelty
+
+        a = " ".join(f"w{i}" for i in range(12))  # 5 distinct 8-grams
+        b = a  # full copy
+        c = "tiny doc under eight words here"  # 6 words -> no grams
+        d = " ".join(f"w{i}" for i in range(4, 20))  # overlaps a's tail
+        t = pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+                "text": pa.array([a, b, c, d], pa.string()),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "documents.parquet"))
+        got = (
+            gram_novelty(str(tmp_path))
+            .to_pandas()
+            .set_index("doc_id")
+            .sort_index()
+        )
+        assert got.loc[1].tolist() == [5, 5]
+        assert got.loc[2].tolist() == [5, 0]
+        assert got.loc[3].tolist() == [0, 0]
+        # d has 9 grams (w4..w19 = 16 words); w4..w11 is a's last gram
+        assert got.loc[4, "n_grams"] == 9
+        assert got.loc[4, "n_novel"] == 8

@@ -1,0 +1,22 @@
+
+
+class TestSoftDedupWeights:
+    def test_group_mass_and_consistency(self, ray_session, quiet_data_context):
+        """Weights are floor(1e6/n); each group's total weight is within
+        one group-size of 1e6; group sizes agree with normalized_dedup."""
+        from pdf_parser_ray.pipelines.dedup import (
+            normalized_dedup, soft_dedup_weights,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        w = soft_dedup_weights(sf).to_pandas()
+        nd = normalized_dedup(sf).to_pandas()
+        assert len(w) == int(nd["n_members"].sum())
+        assert (w["weight_micros"] == 1_000_000 // w["n_members"]).all()
+        got_sizes = sorted(w["n_members"].value_counts().items())
+        # normalized_dedup reports one row per group; expand to per-doc
+        want = sorted(
+            (int(n), int((nd["n_members"] == n).sum() * n))
+            for n in nd["n_members"].unique()
+        )
+        assert got_sizes == [(n, c) for n, c in want]

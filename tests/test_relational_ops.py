@@ -218,3 +218,147 @@ class TestEventFunnelEdges:
             .reset_index(drop=True)
         )
         assert got["n_users"].tolist() == [3, 2, 1]
+
+
+class TestLargeOrders:
+    def test_threshold_binds_and_matches_brute_force(
+        self, ray_session, quiet_data_context
+    ):
+        """The Q18 gate must actually bind on sf0.001 (some orders
+        survive, most don't) and match a pandas brute force."""
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        from pdf_parser_ray.pipelines.relational import (
+            LARGE_ORDER_MIN_QTY_CENTS, large_orders,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        got = (
+            large_orders(sf)
+            .to_pandas()
+            .sort_values("o_orderkey")
+            .reset_index(drop=True)
+        )
+        li = pq.read_table(
+            sf + "/lineitem.parquet", columns=["l_orderkey", "l_quantity"]
+        ).to_pandas()
+        li["q"] = (li["l_quantity"] * 100).round().astype("int64")
+        per = li.groupby("l_orderkey")["q"].sum()
+        big = per[per > LARGE_ORDER_MIN_QTY_CENTS]
+        assert 0 < len(big) < len(per)
+        assert sorted(got["o_orderkey"]) == sorted(big.index)
+        ords = pq.read_table(sf + "/orders.parquet").to_pandas()
+        cust = pq.read_table(sf + "/customer.parquet").to_pandas()
+        want = (
+            ords[ords["o_orderkey"].isin(big.index)]
+            .merge(cust, left_on="o_custkey", right_on="c_custkey")
+            .sort_values("o_orderkey")
+        )
+        assert got["c_name"].tolist() == want["c_name"].tolist()
+        assert got["sum_qty_cents"].tolist() == (
+            big.loc[want["o_orderkey"]].tolist()
+        )
+
+
+class TestCustomerOrderHistogram:
+    def test_zero_order_bin_appears(
+        self, ray_session, quiet_data_context, tmp_path
+    ):
+        """Customers with no orders must land in the n_orders=0 bin —
+        the LEFT JOIN semantics the sf tables never exercise (every
+        generated customer has orders)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pdf_parser_ray.pipelines.relational import (
+            customer_order_histogram,
+        )
+
+        cust = pa.table(
+            {
+                "c_custkey": pa.array([1, 2, 3, 4, 5], pa.int64()),
+                "c_name": pa.array([f"c{i}" for i in range(5)], pa.string()),
+            }
+        )
+        ords = pa.table(
+            {
+                "o_orderkey": pa.array([10, 11, 12], pa.int64()),
+                "o_custkey": pa.array([1, 1, 3], pa.int64()),
+            }
+        )
+        pq.write_table(cust, str(tmp_path / "customer.parquet"))
+        pq.write_table(ords, str(tmp_path / "orders.parquet"))
+        got = customer_order_histogram(str(tmp_path))
+        want = {0: 3, 1: 1, 2: 1}
+        assert dict(zip(got["n_orders"], got["n_customers"])) == want
+
+    def test_total_mass_conserved(self, ray_session, quiet_data_context):
+        import pyarrow.parquet as pq
+
+        from pdf_parser_ray.pipelines.relational import (
+            customer_order_histogram,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        got = customer_order_histogram(sf)
+        n_cust = pq.read_metadata(sf + "/customer.parquet").num_rows
+        n_ord = pq.read_metadata(sf + "/orders.parquet").num_rows
+        assert int((got["n_orders"] * got["n_customers"]).sum()) == n_ord
+        assert int(got["n_customers"].sum()) == n_cust
+
+
+class TestPromoRevenueShare:
+    def test_share_bounds_and_identity(self, ray_session, quiet_data_context):
+        """promo ≤ total per month, share micros in [0, 1e6], and the
+        floor-division identity holds row by row."""
+        from pdf_parser_ray.pipelines.relational import promo_revenue_share
+
+        got = promo_revenue_share("/root/testdata/sf0.001").to_pandas()
+        assert len(got) > 10
+        assert (got["promo_rev_cc"] <= got["total_rev_cc"]).all()
+        assert got["promo_share_micros"].between(0, 1_000_000).all()
+        for _, r in got.iterrows():
+            assert (
+                int(r["promo_share_micros"])
+                == int(r["promo_rev_cc"]) * 1_000_000 // int(r["total_rev_cc"])
+            )
+
+
+class TestEventTransitions:
+    def test_tie_break_and_counts(
+        self, ray_session, quiet_data_context, tmp_path
+    ):
+        """Two events in the same microsecond order by event_id; cross-
+        user boundaries never form a transition."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pdf_parser_ray.pipelines.relational import event_transitions
+
+        rows = [
+            # u1: view -> click -> click (tie at t=10 broken by id 3<4)
+            (1, 1, "view", 0), (1, 4, "purchase", 10), (1, 3, "click", 10),
+            # u2: single event, no transition
+            (2, 5, "view", 0),
+            # u3: error -> view
+            (3, 6, "error", 0), (3, 7, "view", 1),
+        ]
+        t = pa.table(
+            {
+                "user_id": pa.array([r[0] for r in rows], pa.int64()),
+                "event_id": pa.array([r[1] for r in rows], pa.int64()),
+                "event_type": pa.array([r[2] for r in rows], pa.string()),
+                "ts": pa.array([r[3] for r in rows], pa.timestamp("us")),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "events.parquet"))
+        got = event_transitions(str(tmp_path)).to_pandas()
+        pairs = {
+            (r["prev_type"], r["next_type"]): r["n"] for _, r in got.iterrows()
+        }
+        assert pairs == {
+            ("view", "click"): 1,
+            ("click", "purchase"): 1,
+            ("error", "view"): 1,
+        }
