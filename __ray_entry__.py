@@ -823,6 +823,62 @@ def _promo_revenue_share_sql() -> str:
     )
 
 
+def _returned_items_sql() -> str:
+    """Mirror of relational.returned_items (TPC-H Q10 shape): the same
+    integer rev_cc on the 'R' slice, customer totals via the same inner
+    joins, and the deterministic (revenue DESC, custkey ASC) top-k cut
+    — RETURNED_TOP_K interpolated."""
+    from pdf_parser_ray.pipelines.relational import RETURNED_TOP_K
+
+    return (
+        "WITH r AS (SELECT l_orderkey,"
+        "   CAST(round(l_extendedprice * 100) AS BIGINT)"
+        "     * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev_cc"
+        "   FROM lineitem WHERE l_returnflag = 'R'),"
+        " t AS (SELECT o.o_custkey,"
+        "   CAST(sum(rev_cc) AS BIGINT) AS revenue_cc"
+        "   FROM r JOIN orders o ON o.o_orderkey = r.l_orderkey GROUP BY 1)"
+        " SELECT c.c_custkey, c.c_name, n.n_name, t.revenue_cc"
+        " FROM t JOIN customer c ON c.c_custkey = t.o_custkey"
+        " JOIN nation n ON n.n_nationkey = c.c_nationkey"
+        " ORDER BY t.revenue_cc DESC, c.c_custkey"
+        f" LIMIT {RETURNED_TOP_K}"
+    )
+
+
+def _top_words_sql() -> str:
+    """Mirror of analysis.top_words: corpus-wide word counts over the
+    shared _WORDS_EXPR split and the same (n DESC, word ASC)
+    deterministic cut — TOP_WORDS_K interpolated."""
+    from pdf_parser_ray.pipelines.analysis import TOP_WORDS_K
+
+    return (
+        f"WITH w AS (SELECT unnest({_WORDS_EXPR}) AS word FROM documents),"
+        " c AS (SELECT word, CAST(count(*) AS BIGINT) AS n FROM w"
+        "   GROUP BY 1)"
+        " SELECT word, n FROM c ORDER BY n DESC, word"
+        f" LIMIT {TOP_WORDS_K}"
+    )
+
+
+def _profile_documents_sql() -> str:
+    """Mirror of analysis.profile_documents: per-column null count and
+    exact COUNT(DISTINCT) over the same PROFILE_COLUMNS — the
+    pipeline's 64-bit value hashes never reach the output, and the
+    hash-match evidences collision-free profiling at the oracle
+    scale."""
+    from pdf_parser_ray.pipelines.analysis import PROFILE_COLUMNS
+
+    parts = [
+        f"SELECT '{c}' AS col,"
+        f" CAST(count(*) FILTER ({c} IS NULL) AS BIGINT) AS n_null,"
+        f" CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct"
+        " FROM documents"
+        for c in PROFILE_COLUMNS
+    ]
+    return " UNION ALL ".join(parts)
+
+
 def _gram_novelty_sql() -> str:
     """Mirror of analysis.gram_novelty: DISTINCT word-8-grams per doc
     (same inclusive-slice construction as _decontaminate_sql, n
@@ -2389,6 +2445,33 @@ def oracle_sql() -> dict[str, str]:
             " WHERE nxt IS NOT NULL GROUP BY 1, 2"
         ),
         "gram_novelty": _gram_novelty_sql(),
+        "returned_items": _returned_items_sql(),
+        "order_priority_counts": (
+            # mirror of relational.order_priority_counts (TPC-H Q4
+            # shape): EXISTS lineitem shipped strictly after the order
+            # date — the pipeline's max-shipdate-per-order gate is the
+            # same predicate (max > date ≡ EXISTS any > date)
+            "SELECT o_orderpriority,"
+            " CAST(count(*) AS BIGINT) AS n_orders FROM orders o"
+            " WHERE EXISTS (SELECT 1 FROM lineitem l"
+            "   WHERE l.l_orderkey = o.o_orderkey"
+            "   AND l.l_shipdate > o.o_orderdate)"
+            " GROUP BY 1"
+        ),
+        "top_words": _top_words_sql(),
+        "length_percentiles": (
+            # mirror of analysis.length_percentiles: percent_rank as the
+            # integer identity (rank-1)*1e6 // (n-1) — never the float
+            # percent_rank() whose double rounding could diverge
+            "SELECT doc_id, source,"
+            " CAST(CASE WHEN count(*) OVER (PARTITION BY source) = 1"
+            "  THEN 0 ELSE ((rank() OVER (PARTITION BY source"
+            "    ORDER BY n_chars, doc_id) - 1) * 1000000)"
+            "   // (count(*) OVER (PARTITION BY source) - 1) END"
+            "  AS BIGINT) AS pct_micros"
+            " FROM documents"
+        ),
+        "profile_documents": _profile_documents_sql(),
         "mojibake_repair": (
             # invariant oracle for filter.mojibake_repair: the repair
             # must apply exactly the corruption depth (doc_id%7: 3→one

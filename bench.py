@@ -316,6 +316,11 @@ def run_bench() -> dict:
     timed("soft_dedup_weights", soft_dedup_weights)
     timed("event_transitions", relational.event_transitions)
     timed("gram_novelty", analysis.gram_novelty)
+    timed("returned_items", relational.returned_items)
+    timed("order_priority_counts", relational.order_priority_counts)
+    timed("top_words", analysis.top_words)
+    timed("length_percentiles", analysis.length_percentiles)
+    timed("profile_documents", analysis.profile_documents)
 
     from pdf_parser_ray.pipelines.curate import curate_pages
     from pdf_parser_ray.pipelines.extract import (

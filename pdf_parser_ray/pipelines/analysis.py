@@ -2185,3 +2185,269 @@ def gram_novelty(sf_dir: str) -> rd.Dataset:
         .groupby("dbkt")
         .map_groups(arrow_udf(doc_combine), batch_format="pandas")
     )
+
+
+# -- exact global top-k words --------------------------------------------------
+
+#: how many top words top_words reports
+TOP_WORDS_K = 50
+
+
+def top_words(sf_dir: str, k: int = TOP_WORDS_K) -> rd.Dataset:
+    """(word, n): the ``k`` most frequent words corpus-wide with EXACT
+    counts — the exact counterpart of the CMS-based ``heavy_hitters``
+    sketch, ties broken by word ascending (deterministic cut).
+
+    Scale shape: each batch collapses to its own word counts (one
+    Counter over the batch — vocabulary-sized, not token-sized), the
+    exchange carries (word, n) partials keyed by hash(word) so totals
+    are exact in-bucket, each bucket keeps its LOCAL top-k (a global
+    winner always wins its bucket — the salted two-stage top-k), and a
+    constant-key combine cuts the final k from ≤ buckets·k rows.  A
+    skewed hot word costs nothing extra: its partials are pre-summed
+    per batch, so the hot bucket sees blocks, not occurrences."""
+    from collections import Counter
+
+    import numpy as np
+    import pandas as pd
+
+    buckets = 64
+
+    from .dedup import _stable64
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for text in batch.column("text").to_pylist():
+            c.update(text.split())
+        words = list(c.keys())
+        # _stable64, NOT builtin hash(): str hashing is per-process
+        # salted, and bucket keys must agree across Ray workers
+        h = np.fromiter(
+            (_stable64(w) for w in words), dtype=np.uint64, count=len(words)
+        ).view(np.int64)
+        return pa.table(
+            {
+                "bkt": pa.array((h % buckets).astype(np.int32)),
+                "word": pa.array(words, pa.string()),
+                "n": pa.array(
+                    np.fromiter(c.values(), np.int64, count=len(words))
+                ),
+            }
+        )
+
+    def local_topk(g: pd.DataFrame) -> pd.DataFrame:
+        t = g.groupby("word", as_index=False)["n"].sum()
+        t = t.sort_values(
+            ["n", "word"], ascending=[False, True], kind="stable"
+        ).head(k)
+        t.insert(0, "fin", np.zeros(len(t), np.int8))
+        t["n"] = t["n"].astype(np.int64)
+        return t
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        t = g.sort_values(
+            ["n", "word"], ascending=[False, True], kind="stable"
+        ).head(k)
+        return t[["word", "n"]].reset_index(drop=True)
+
+    return (
+        _docs(sf_dir, ["text"])
+        .map_batches(partial_counts, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bkt")
+        .map_groups(arrow_udf(local_topk), batch_format="pandas")
+        .groupby("fin")
+        .map_groups(arrow_udf(final_topk), batch_format="pandas")
+    )
+
+
+# -- distributed percent_rank of document length per source --------------------
+
+
+def length_percentiles(sf_dir: str) -> rd.Dataset:
+    """(doc_id, source, pct_micros): each document's percent_rank of
+    (n_chars, doc_id) within its source, as exact integer micros
+    ``(rank₀ · 10⁶) // (n_source − 1)`` (0 when the source has one
+    doc) — the normalized quality-score transform that makes length
+    comparable across sources with different length regimes.
+
+    Scale shape: the two-pass distributed-rank pattern of
+    ``ccnet_buckets`` with n_chars ITSELF as the grid value (no log
+    bucketing needed — the (source, n_chars) count grid is bounded by
+    sources × distinct lengths, constant at any corpus size).  Pass 1
+    folds per-batch grid partials to a driver-side cumulative-offset
+    map, broadcast once; pass 2 co-shuffles narrow (doc_id, source,
+    n_chars) rows on the (source, n_chars) tie-group key — equal keys
+    land whole, so the within-tie doc_id sort is exact — and emits
+    rank = offset + position."""
+    import zlib
+
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    def grid_partials(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "source": batch.column("source").to_pandas(),
+                "n_chars": batch.column("n_chars").to_pandas(),
+            }
+        )
+        agg = df.groupby(["source", "n_chars"], sort=False).size().reset_index(
+            name="n"
+        )
+        return pa.table(
+            {
+                "coarse": pa.array(
+                    [
+                        zlib.crc32(f"{s}:{c}".encode()) % 64
+                        for s, c in zip(agg["source"], agg["n_chars"])
+                    ],
+                    pa.int64(),
+                ),
+                "source": pa.array(agg["source"], pa.string()),
+                "n_chars": pa.array(agg["n_chars"].to_numpy(np.int64)),
+                "n": pa.array(agg["n"].to_numpy(np.int64)),
+            }
+        )
+
+    def grid_combine(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby(["source", "n_chars"], as_index=False)["n"].sum()
+        return agg.astype({"n_chars": np.int64, "n": np.int64})
+
+    grid = (
+        _docs(sf_dir, ["source", "n_chars"])
+        .map_batches(grid_partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("coarse")
+        .map_groups(arrow_udf(grid_combine), batch_format="pandas")
+        .to_pandas()  # <= sources × distinct lengths rows, constant
+    )
+    grid = grid.sort_values(["source", "n_chars"])
+    csum = grid.groupby("source", sort=False)["n"].cumsum().to_numpy()
+    offsets = {
+        (s, int(c)): int(o)
+        for s, c, o in zip(
+            grid["source"], grid["n_chars"], csum - grid["n"].to_numpy()
+        )
+    }
+    totals = grid.groupby("source")["n"].sum().to_dict()
+    plan_ref = ray.put((offsets, totals))
+
+    def narrow(batch: pa.Table) -> pa.Table:
+        src = batch.column("source").to_pylist()
+        nch = batch.column("n_chars").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "gkey": pa.array(
+                    [f"{s}:{c}" for s, c in zip(src, nch)], pa.string()
+                ),
+                "doc_id": batch.column("doc_id"),
+                "source": batch.column("source"),
+                "n_chars": pc.cast(batch.column("n_chars"), pa.int64()),
+            }
+        )
+
+    def rank(g: pd.DataFrame) -> pd.DataFrame:
+        offs, tots = ray.get(plan_ref)
+        g = g.sort_values("doc_id")
+        src = g["source"].iloc[0]
+        key = (src, int(g["n_chars"].iloc[0]))
+        ranks = offs[key] + np.arange(len(g), dtype=np.int64)
+        n = int(tots[src])
+        pct = (
+            (ranks * 1_000_000) // (n - 1)
+            if n > 1
+            else np.zeros(len(g), np.int64)
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].to_numpy(np.int64),
+                "source": g["source"].to_numpy(),
+                "pct_micros": pct.astype(np.int64),
+            }
+        )
+
+    return (
+        _docs(sf_dir, ["doc_id", "source", "n_chars"])
+        .map_batches(narrow, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("gkey")
+        .map_groups(arrow_udf(rank), batch_format="pandas")
+    )
+
+
+# -- table profiling: per-column null / distinct counts ------------------------
+
+#: documents columns profiled by profile_documents
+PROFILE_COLUMNS = ("doc_id", "lang", "n_chars", "source", "text")
+
+
+def profile_documents(sf_dir: str) -> rd.Dataset:
+    """(col, n_null, n_distinct): the data-profiling summary every
+    ingest job runs first — per column of ``documents``, its null count
+    and exact distinct-value count.
+
+    Scale shape: one multiplexed exchange for ALL columns.  Each batch
+    emits per-column DISTINCT value hashes (64-bit stable blake2b over
+    a canonical string form — values never shuffle raw, the text
+    column's payload stays on the worker) plus one per-column null-
+    count partial row; buckets own (col, hash) slots wholly, so
+    distinct counts are exact; the combine folds ≤ buckets × cols
+    rows.  Hash collisions would undercount distincts by ~n²/2⁶⁵ —
+    the sf0.01 oracle hash-match evidences collision-free profiling
+    at test scale."""
+    import numpy as np
+    import pandas as pd
+
+    from .dedup import _stable64
+
+    buckets = 64
+
+    def partials(batch: pa.Table) -> pa.Table:
+        cols, hs, nulls = [], [], []
+        for name in PROFILE_COLUMNS:
+            col = batch.column(name)
+            n_null = col.null_count
+            vals = [v for v in col.to_pylist() if v is not None]
+            uniq = {
+                _stable64(f"{name}\x00{v}") for v in vals
+            }
+            cols.extend([name] * (len(uniq) + 1))
+            h = np.fromiter(uniq, np.uint64, count=len(uniq)).view(np.int64)
+            hs.append(h)
+            hs.append(np.array([-1], np.int64))  # the null-count slot
+            nulls.extend([0] * len(uniq) + [n_null])
+        flat = np.concatenate(hs) if hs else np.zeros(0, np.int64)
+        return pa.table(
+            {
+                "bkt": pa.array((flat % buckets).astype(np.int32)),
+                "col": pa.array(cols, pa.string()),
+                "h": pa.array(flat, pa.int64()),
+                "n_null": pa.array(np.array(nulls, np.int64)),
+            }
+        )
+
+    def bucket_fold(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for col, gg in g.groupby("col"):
+            vals = gg[gg["h"] != -1]["h"].nunique()
+            rows.append((col, int(gg["n_null"].sum()), int(vals)))
+        return pd.DataFrame(
+            rows, columns=["col", "n_null", "n_distinct"]
+        ).astype({"n_null": np.int64, "n_distinct": np.int64})
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "col": [g["col"].iloc[0]],
+                "n_null": np.array([g["n_null"].sum()], np.int64),
+                "n_distinct": np.array([g["n_distinct"].sum()], np.int64),
+            }
+        )
+
+    return (
+        _docs(sf_dir, list(PROFILE_COLUMNS))
+        .map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bkt")
+        .map_groups(arrow_udf(bucket_fold), batch_format="pandas")
+        .groupby("col")
+        .map_groups(arrow_udf(combine), batch_format="pandas")
+    )

@@ -2004,3 +2004,235 @@ def event_transitions(sf_dir: str) -> rd.Dataset:
         .groupby(["prev_type", "next_type"])
         .map_groups(arrow_udf(combine), batch_format="pandas")
     )
+
+
+# -- returned-item revenue by customer (TPC-H Q10 shape) -----------------------
+
+#: how many top customers returned_items reports
+RETURNED_TOP_K = 20
+
+
+def returned_items(sf_dir: str, k: int = RETURNED_TOP_K) -> rd.Dataset:
+    """(c_custkey, c_name, n_name, revenue_cc): the ``k`` customers with
+    the highest discounted revenue on RETURNED lineitems
+    (l_returnflag='R') — TPC-H Q10's lost-revenue report — ties broken
+    by c_custkey ascending (deterministic, oracle-stable).
+
+    Scale shape: the returnflag filter prunes at the batch level; two
+    multiplexed co-shuffles (orderkey → attach custkey, custkey →
+    exact per-customer totals + name), both carrying narrow integer
+    partials.  Each custkey bucket keeps only its LOCAL top-k (a global
+    winner always wins its own bucket), the 25-row nation map composes
+    in as a broadcast dict, and a constant-key combine cuts the final k
+    from ≤ buckets·k candidates."""
+    import pandas as pd
+
+    buckets = 64
+    nation = _small_table_dict(sf_dir, "nation", "n_nationkey", "n_name")
+
+    def li_partials(batch: pa.Table) -> pa.Table:
+        mask = pc.equal(batch.column("l_returnflag"), "R")
+        b = batch.filter(mask)
+        price = pc.cast(
+            pc.round(pc.multiply(b.column("l_extendedprice"), 100.0)), pa.int64()
+        )
+        disc = pc.cast(
+            pc.round(pc.multiply(b.column("l_discount"), 100.0)), pa.int64()
+        )
+        rev = pc.multiply(price, pc.subtract(pa.scalar(100, pa.int64()), disc))
+        g = (
+            pa.table({"k": b.column("l_orderkey"), "rev": rev})
+            .group_by(["k"])
+            .aggregate([("rev", "sum")])
+        )
+        kk = g.column("k").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "bkt": pa.array((kk % buckets).astype(np.int32)),
+                "k": pa.array(kk, pa.int64()),
+                "role": pa.array(np.zeros(len(kk), np.int8)),
+                "v": g.column("rev_sum"),
+            }
+        )
+
+    def order_rows(batch: pa.Table) -> pa.Table:
+        kk = batch.column("o_orderkey").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "bkt": pa.array((kk % buckets).astype(np.int32)),
+                "k": pa.array(kk, pa.int64()),
+                "role": pa.array(np.ones(len(kk), np.int8)),
+                "v": batch.column("o_custkey"),
+            }
+        )
+
+    def to_cust(g: pd.DataFrame) -> pd.DataFrame:
+        li = g[g["role"] == 0]
+        cust_of = g[g["role"] == 1].set_index("k")["v"]
+        ck = cust_of.reindex(li["k"])
+        li = li[ck.notna().to_numpy()]
+        ck = ck.dropna().to_numpy(np.int64)
+        out = pd.DataFrame(
+            {"ck": ck, "rev": li["v"].to_numpy(np.int64)}
+        ).groupby("ck", as_index=False)["rev"].sum()
+        c = out["ck"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "cbkt": (c % buckets).astype(np.int32),
+                "ck": c,
+                "crole": np.zeros(len(c), np.int8),
+                "rev": out["rev"].to_numpy(np.int64),
+                "c_name": pd.array([""] * len(c), dtype="string"),
+                "nk": np.zeros(len(c), np.int64),
+            }
+        )
+
+    def cust_rows(batch: pa.Table) -> pa.Table:
+        ck = batch.column("c_custkey").to_numpy(zero_copy_only=False)
+        n = len(ck)
+        return pa.table(
+            {
+                "cbkt": pa.array((ck % buckets).astype(np.int32)),
+                "ck": pa.array(ck, pa.int64()),
+                "crole": pa.array(np.ones(n, np.int8)),
+                "rev": pa.array(np.zeros(n, np.int64)),
+                "c_name": batch.column("c_name"),
+                "nk": pc.cast(batch.column("c_nationkey"), pa.int64()),
+            }
+        )
+
+    def local_topk(g: pd.DataFrame) -> pa.Table:
+        li = g[g["crole"] == 0]
+        tot = li.groupby("ck", as_index=False)["rev"].sum()
+        tot = tot.sort_values(
+            ["rev", "ck"], ascending=[False, True], kind="stable"
+        ).head(k)
+        info = g[g["crole"] == 1].set_index("ck")
+        names = info["c_name"].reindex(tot["ck"])
+        nks = info["nk"].reindex(tot["ck"]).to_numpy(np.int64)
+        return pa.table(
+            {
+                "fin": pa.array(np.zeros(len(tot), np.int8)),
+                "c_custkey": pa.array(tot["ck"].to_numpy(np.int64), pa.int64()),
+                "c_name": pa.array([str(v) for v in names], pa.string()),
+                "n_name": pa.array(
+                    [nation.get(int(x), "UNKNOWN") for x in nks], pa.string()
+                ),
+                "revenue_cc": pa.array(tot["rev"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        t = g.sort_values(
+            ["revenue_cc", "c_custkey"], ascending=[False, True], kind="stable"
+        ).head(k)
+        return t[["c_custkey", "c_name", "n_name", "revenue_cc"]].reset_index(
+            drop=True
+        )
+
+    li = _t(
+        sf_dir, "lineitem",
+        ["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"],
+    ).map_batches(li_partials, batch_format="pyarrow", zero_copy_batch=True)
+    ords = _t(sf_dir, "orders", ["o_orderkey", "o_custkey"]).map_batches(
+        order_rows, batch_format="pyarrow", zero_copy_batch=True
+    )
+    cust = _t(
+        sf_dir, "customer", ["c_custkey", "c_name", "c_nationkey"]
+    ).map_batches(cust_rows, batch_format="pyarrow", zero_copy_batch=True)
+    return (
+        li.union(ords)
+        .groupby("bkt")
+        .map_groups(arrow_udf(to_cust), batch_format="pandas")
+        .union(cust)
+        .groupby("cbkt")
+        .map_groups(arrow_udf(local_topk), batch_format="pandas")
+        .groupby("fin")
+        .map_groups(arrow_udf(final_topk), batch_format="pandas")
+    )
+
+
+# -- order priority counts with a late-ship EXISTS gate (TPC-H Q4 shape) -------
+
+
+def order_priority_counts(sf_dir: str) -> rd.Dataset:
+    """(o_orderpriority, n_orders): orders having AT LEAST ONE lineitem
+    shipped after the order date, counted per priority — TPC-H Q4's
+    EXISTS semi-join shape (our tables carry shipdate, not
+    commit/receipt).
+
+    Scale shape: lineitem collapses per batch to (orderkey,
+    max shipdate) partials — max is associative, so the semi-join probe
+    is one orderkey-keyed co-shuffle of 16-byte rows against order
+    (okey, priority, odate) rows; each bucket applies the
+    max_ship > odate gate and collapses to ≤ priorities partial counts;
+    a final priority-keyed combine folds buckets × 5 rows."""
+    import pandas as pd
+
+    buckets = 64
+
+    def li_partials(batch: pa.Table) -> pa.Table:
+        ship = pc.cast(batch.column("l_shipdate"), pa.int64())
+        g = (
+            pa.table({"k": batch.column("l_orderkey"), "s": ship})
+            .group_by(["k"])
+            .aggregate([("s", "max")])
+        )
+        kk = g.column("k").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "bkt": pa.array((kk % buckets).astype(np.int32)),
+                "k": pa.array(kk, pa.int64()),
+                "role": pa.array(np.zeros(len(kk), np.int8)),
+                "v": g.column("s_max"),
+                "pri": pa.array([""] * len(kk), pa.string()),
+            }
+        )
+
+    def order_rows(batch: pa.Table) -> pa.Table:
+        kk = batch.column("o_orderkey").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "bkt": pa.array((kk % buckets).astype(np.int32)),
+                "k": pa.array(kk, pa.int64()),
+                "role": pa.array(np.ones(len(kk), np.int8)),
+                "v": pc.cast(batch.column("o_orderdate"), pa.int64()),
+                "pri": batch.column("o_orderpriority"),
+            }
+        )
+
+    def gate(g: pd.DataFrame) -> pd.DataFrame:
+        li = g[g["role"] == 0]
+        max_ship = li.groupby("k")["v"].max()
+        o = g[g["role"] == 1]
+        ms = max_ship.reindex(o["k"]).to_numpy()
+        keep = o[(~pd.isna(ms)) & (ms > o["v"].to_numpy())]
+        out = keep.groupby("pri", as_index=False).size()
+        return pd.DataFrame(
+            {
+                "o_orderpriority": out["pri"],
+                "n_orders": out["size"].to_numpy(np.int64),
+            }
+        )
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "o_orderpriority": [g["o_orderpriority"].iloc[0]],
+                "n_orders": np.array([g["n_orders"].sum()], np.int64),
+            }
+        )
+
+    li = _t(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"]).map_batches(
+        li_partials, batch_format="pyarrow", zero_copy_batch=True
+    )
+    ords = _t(
+        sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_orderpriority"]
+    ).map_batches(order_rows, batch_format="pyarrow", zero_copy_batch=True)
+    return (
+        li.union(ords)
+        .groupby("bkt")
+        .map_groups(arrow_udf(gate), batch_format="pandas")
+        .groupby("o_orderpriority")
+        .map_groups(arrow_udf(combine), batch_format="pandas")
+    )

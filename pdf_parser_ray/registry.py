@@ -106,7 +106,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # web_curate, event_funnel, sales_opportunity,
         # source_vocab_overlap, hourly_anomalies, part_affinity,
         # large_orders, customer_order_histogram, promo_revenue_share,
-        # soft_dedup_weights, event_transitions, gram_novelty) —
+        # soft_dedup_weights, event_transitions, gram_novelty,
+        # returned_items, order_priority_counts, top_words,
+        # length_percentiles, profile_documents) —
         # each oracle-backed in
         # tests/test_oracle.py; displacing a gated slot would cost an
         # established driver-green row), then the rows-only
@@ -180,6 +182,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "soft_dedup_weights": dedup.soft_dedup_weights,
         "event_transitions": relational.event_transitions,
         "gram_novelty": analysis.gram_novelty,
+        "returned_items": relational.returned_items,
+        "order_priority_counts": relational.order_priority_counts,
+        "top_words": analysis.top_words,
+        "length_percentiles": analysis.length_percentiles,
+        "profile_documents": analysis.profile_documents,
         "compression_ratio": analysis.compression_ratio,
         "train_bpe": analysis.train_bpe,
         "bpe_segment_counts": analysis.bpe_segment_counts,

@@ -507,3 +507,106 @@ class TestGramNovelty:
         # d has 9 grams (w4..w19 = 16 words); w4..w11 is a's last gram
         assert got.loc[4, "n_grams"] == 9
         assert got.loc[4, "n_novel"] == 8
+
+
+class TestTopWords:
+    def test_exact_counts_and_cut(self, ray_session, quiet_data_context):
+        from collections import Counter
+
+        import pyarrow.parquet as pq
+
+        from pdf_parser_ray.pipelines.analysis import TOP_WORDS_K, top_words
+
+        sf = "/root/testdata/sf0.001"
+        got = top_words(sf).to_pandas().reset_index(drop=True)
+        c: Counter = Counter()
+        for t in pq.read_table(
+            sf + "/documents.parquet", columns=["text"]
+        ).column("text").to_pylist():
+            c.update(t.split())
+        want = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:TOP_WORDS_K]
+        assert list(zip(got["word"], got["n"])) == want
+
+
+class TestLengthPercentiles:
+    def test_matches_pandas_rank(self, ray_session, quiet_data_context):
+        import pyarrow.parquet as pq
+
+        from pdf_parser_ray.pipelines.analysis import length_percentiles
+
+        sf = "/root/testdata/sf0.001"
+        got = (
+            length_percentiles(sf)
+            .to_pandas()
+            .set_index("doc_id")
+            .sort_index()
+        )
+        d = pq.read_table(
+            sf + "/documents.parquet", columns=["doc_id", "source", "n_chars"]
+        ).to_pandas()
+        d = d.sort_values(["source", "n_chars", "doc_id"]).reset_index(drop=True)
+        d["rank0"] = d.groupby("source").cumcount()
+        n = d.groupby("source")["doc_id"].transform("size")
+        d["pct"] = (d["rank0"] * 1_000_000) // (n - 1).clip(lower=1)
+        d.loc[n == 1, "pct"] = 0
+        want = d.set_index("doc_id").sort_index()
+        assert got["pct_micros"].tolist() == want["pct"].tolist()
+        assert got["pct_micros"].min() == 0
+        assert got["pct_micros"].max() == 1_000_000
+
+    def test_singleton_source_and_ties(
+        self, ray_session, quiet_data_context, tmp_path
+    ):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pdf_parser_ray.pipelines.analysis import length_percentiles
+
+        t = pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+                "source": pa.array(["a", "a", "a", "a", "b"], pa.string()),
+                "n_chars": pa.array([10, 10, 10, 20, 7], pa.int64()),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "documents.parquet"))
+        got = (
+            length_percentiles(str(tmp_path))
+            .to_pandas()
+            .set_index("doc_id")["pct_micros"]
+            .sort_index()
+        )
+        # ties rank by doc_id: ranks 0,1,2 of n=4 -> 0, 333333, 666666
+        assert got.tolist() == [0, 333_333, 666_666, 1_000_000, 0]
+
+
+class TestProfileDocuments:
+    def test_nulls_and_distincts(
+        self, ray_session, quiet_data_context, tmp_path
+    ):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pdf_parser_ray.pipelines.analysis import profile_documents
+
+        t = pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+                "lang": pa.array(["en", None, "en", "de"], pa.string()),
+                "n_chars": pa.array([5, 5, None, 9], pa.int64()),
+                "source": pa.array(["s1", "s1", "s1", "s1"], pa.string()),
+                "text": pa.array(["x", "y", "y", None], pa.string()),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "documents.parquet"))
+        got = (
+            profile_documents(str(tmp_path))
+            .to_pandas()
+            .set_index("col")
+            .sort_index()
+        )
+        assert got.loc["doc_id"].tolist() == [0, 4]
+        assert got.loc["lang"].tolist() == [1, 2]
+        assert got.loc["n_chars"].tolist() == [1, 2]
+        assert got.loc["source"].tolist() == [0, 1]
+        assert got.loc["text"].tolist() == [1, 2]

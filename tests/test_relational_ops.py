@@ -362,3 +362,60 @@ class TestEventTransitions:
             ("click", "purchase"): 1,
             ("error", "view"): 1,
         }
+
+
+class TestReturnedItems:
+    def test_matches_brute_force(self, ray_session, quiet_data_context):
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        from pdf_parser_ray.pipelines.relational import (
+            RETURNED_TOP_K, returned_items,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        got = returned_items(sf).to_pandas().reset_index(drop=True)
+        li = pq.read_table(sf + "/lineitem.parquet").to_pandas()
+        li = li[li["l_returnflag"] == "R"].copy()
+        li["rev"] = (li["l_extendedprice"] * 100).round().astype("int64") * (
+            100 - (li["l_discount"] * 100).round().astype("int64")
+        )
+        ords = pq.read_table(sf + "/orders.parquet").to_pandas()
+        cust = pq.read_table(sf + "/customer.parquet").to_pandas()
+        nat = pq.read_table(sf + "/nation.parquet").to_pandas()
+        m = li.merge(ords, left_on="l_orderkey", right_on="o_orderkey")
+        tot = m.groupby("o_custkey", as_index=False)["rev"].sum()
+        tot = tot.merge(
+            cust, left_on="o_custkey", right_on="c_custkey"
+        ).merge(nat, left_on="c_nationkey", right_on="n_nationkey")
+        tot = tot.sort_values(
+            ["rev", "c_custkey"], ascending=[False, True], kind="stable"
+        ).head(RETURNED_TOP_K)
+        assert got["c_custkey"].tolist() == tot["c_custkey"].tolist()
+        assert got["revenue_cc"].tolist() == tot["rev"].tolist()
+        assert got["n_name"].tolist() == tot["n_name"].tolist()
+
+
+class TestOrderPriorityCounts:
+    def test_exists_gate(self, ray_session, quiet_data_context):
+        import pyarrow.parquet as pq
+
+        from pdf_parser_ray.pipelines.relational import order_priority_counts
+
+        sf = "/root/testdata/sf0.001"
+        got = order_priority_counts(sf).to_pandas()
+        li = pq.read_table(
+            sf + "/lineitem.parquet", columns=["l_orderkey", "l_shipdate"]
+        ).to_pandas()
+        ords = pq.read_table(sf + "/orders.parquet").to_pandas()
+        ms = li.groupby("l_orderkey")["l_shipdate"].max()
+        late = ords[
+            ords["o_orderkey"].map(ms).notna()
+            & (ords["o_orderkey"].map(ms) > ords["o_orderdate"])
+        ]
+        want = late.groupby("o_orderpriority").size()
+        assert dict(zip(got["o_orderpriority"], got["n_orders"])) == dict(
+            want.items()
+        )
+        # the gate must actually bind: not every order ships late
+        assert int(got["n_orders"].sum()) < len(ords)
