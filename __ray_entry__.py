@@ -861,6 +861,32 @@ def _top_words_sql() -> str:
     )
 
 
+def _events_dau_wau_sql() -> str:
+    """Mirror of relational.events_dau_wau: distinct (epoch-day, user)
+    pairs, the trailing WAU_WINDOW_DAYS window joined over days that
+    exist in the data, DAU as the own-day flag, and the stickiness
+    ratio as the same integer floor division."""
+    from pdf_parser_ray.pipelines.relational import WAU_WINDOW_DAYS
+
+    day = 86_400_000_000
+    back = WAU_WINDOW_DAYS - 1
+    return (
+        "WITH p AS (SELECT DISTINCT"
+        f"   CAST(epoch_us(ts) // {day} AS BIGINT) AS d, user_id"
+        "   FROM events),"
+        " days AS (SELECT DISTINCT d FROM p),"
+        " w AS (SELECT days.d AS w, p.user_id,"
+        "   max(CASE WHEN p.d = days.d THEN 1 ELSE 0 END) AS own"
+        f"   FROM days JOIN p ON p.d BETWEEN days.d - {back} AND days.d"
+        "   GROUP BY 1, 2),"
+        " s AS (SELECT w, CAST(sum(own) AS BIGINT) AS dau,"
+        "   CAST(count(*) AS BIGINT) AS wau FROM w GROUP BY 1)"
+        f" SELECT w * {day} AS day_us, dau, wau,"
+        "  CAST((dau * 1000000) // wau AS BIGINT) AS stickiness_micros"
+        " FROM s"
+    )
+
+
 def _profile_documents_sql() -> str:
     """Mirror of analysis.profile_documents: per-column null count and
     exact COUNT(DISTINCT) over the same PROFILE_COLUMNS — the
@@ -2420,6 +2446,18 @@ def oracle_sql() -> dict[str, str]:
             "  CAST(count(*) AS BIGINT) AS n_customers FROM c GROUP BY n"
         ),
         "promo_revenue_share": _promo_revenue_share_sql(),
+        "dup_group_sizes": (
+            # mirror of dedup.dup_group_sizes: normalized-md5 group
+            # sizes histogrammed
+            "WITH h AS (SELECT md5(trim(regexp_replace(regexp_replace("
+            " lower(text), '[^a-z0-9 ]+', '', 'g'), ' +', ' ', 'g'), ' '))"
+            "   AS th FROM documents),"
+            " s AS (SELECT th, CAST(count(*) AS BIGINT) AS n_members"
+            "   FROM h GROUP BY 1)"
+            " SELECT n_members, CAST(count(*) AS BIGINT) AS n_groups"
+            " FROM s GROUP BY 1"
+        ),
+        "events_dau_wau": _events_dau_wau_sql(),
         "soft_dedup_weights": (
             # mirror of dedup.soft_dedup_weights: the normalized_dedup
             # md5 (same RE2 kernels) and floor(1e6 / group size) —
@@ -2472,6 +2510,37 @@ def oracle_sql() -> dict[str, str]:
             " FROM documents"
         ),
         "profile_documents": _profile_documents_sql(),
+        "segment_order_quantiles": (
+            # mirror of relational.segment_order_quantiles: same cents
+            # rounding and quantile_disc rank rule as event_quantiles,
+            # through the customer join
+            "SELECT c.c_mktsegment,"
+            " CAST(quantile_disc(cents, 0.25) AS BIGINT) AS p25_cents,"
+            " CAST(quantile_disc(cents, 0.50) AS BIGINT) AS p50_cents,"
+            " CAST(quantile_disc(cents, 0.75) AS BIGINT) AS p75_cents"
+            " FROM (SELECT o_custkey,"
+            "   CAST(round(o_totalprice * 100) AS BIGINT) AS cents"
+            "   FROM orders) o"
+            " JOIN customer c ON c.c_custkey = o.o_custkey"
+            " GROUP BY 1"
+        ),
+        "nation_trade_balance": (
+            # mirror of relational.nation_trade_balance (TPC-H Q7
+            # shape, all nation pairs): identical integer rev_cc and
+            # the same four inner joins
+            "WITH l AS (SELECT l_orderkey, l_suppkey,"
+            "   CAST(round(l_extendedprice * 100) AS BIGINT)"
+            "     * (100 - CAST(round(l_discount * 100) AS BIGINT))"
+            "     AS rev_cc FROM lineitem)"
+            " SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,"
+            "  CAST(sum(l.rev_cc) AS BIGINT) AS revenue_cc"
+            " FROM l JOIN orders o ON o.o_orderkey = l.l_orderkey"
+            " JOIN customer c ON c.c_custkey = o.o_custkey"
+            " JOIN supplier s ON s.s_suppkey = l.l_suppkey"
+            " JOIN nation nc ON nc.n_nationkey = c.c_nationkey"
+            " JOIN nation ns ON ns.n_nationkey = s.s_nationkey"
+            " GROUP BY 1, 2"
+        ),
         "mojibake_repair": (
             # invariant oracle for filter.mojibake_repair: the repair
             # must apply exactly the corruption depth (doc_id%7: 3→one

@@ -321,6 +321,13 @@ def run_bench() -> dict:
     timed("top_words", analysis.top_words)
     timed("length_percentiles", analysis.length_percentiles)
     timed("profile_documents", analysis.profile_documents)
+    timed("segment_order_quantiles", relational.segment_order_quantiles)
+    timed("nation_trade_balance", relational.nation_trade_balance)
+
+    from pdf_parser_ray.pipelines.dedup import dup_group_sizes
+
+    timed("dup_group_sizes", dup_group_sizes)
+    timed("events_dau_wau", relational.events_dau_wau)
 
     from pdf_parser_ray.pipelines.curate import curate_pages
     from pdf_parser_ray.pipelines.extract import (

@@ -1662,3 +1662,64 @@ def soft_dedup_weights(sf_dir: str) -> rd.Dataset:
         .groupby("coarse")
         .map_groups(arrow_udf(weights), batch_format="pandas")
     )
+
+
+def dup_group_sizes(sf_dir: str) -> rd.Dataset:
+    """(n_members, n_groups): the duplicate-group size distribution of
+    the normalized-text dedup — the first diagnostic a curation run
+    reports (how much of the corpus is 1×, 2×, 10× crawled).
+
+    Scale shape: the same single coarse digest-keyed exchange as
+    :func:`soft_dedup_weights`, but each bucket collapses straight to
+    its LOCAL size histogram (a digest lives wholly in its bucket), so
+    the second exchange carries ≤ buckets × distinct-size rows into a
+    constant-key combine — group membership never leaves the bucket."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from .io_util import arrow_udf
+
+    def add_norm_hash(batch: pa.Table) -> pa.Table:
+        x = pc.utf8_lower(batch.column("text"))
+        x = pc.replace_substring_regex(x, pattern=r"[^a-z0-9 ]+", replacement="")
+        x = pc.replace_substring_regex(x, pattern=r" +", replacement=" ")
+        x = pc.utf8_trim(x, characters=" ")
+        hashes = [
+            hashlib.md5(t.encode("utf-8")).hexdigest() for t in x.to_pylist()
+        ]
+        coarse = np.array(
+            [int(h[:8], 16) % _COARSE_BUCKETS for h in hashes], np.int32
+        )
+        return pa.table(
+            {
+                "coarse": pa.array(coarse),
+                "text_hash": pa.array(hashes, pa.string()),
+            }
+        )
+
+    def bucket_hist(g: pd.DataFrame) -> pd.DataFrame:
+        sizes = g.groupby("text_hash").size()
+        h = sizes.value_counts()
+        return pd.DataFrame(
+            {
+                "n_members": h.index.to_numpy(np.int64),
+                "n_groups": h.to_numpy(np.int64),
+            }
+        )
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "n_members": np.array([g["n_members"].iloc[0]], np.int64),
+                "n_groups": np.array([g["n_groups"].sum()], np.int64),
+            }
+        )
+
+    return (
+        _docs(sf_dir, ["text"])
+        .map_batches(add_norm_hash, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("coarse")
+        .map_groups(arrow_udf(bucket_hist), batch_format="pandas")
+        .groupby("n_members")
+        .map_groups(arrow_udf(combine), batch_format="pandas")
+    )

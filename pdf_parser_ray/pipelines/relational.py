@@ -2236,3 +2236,419 @@ def order_priority_counts(sf_dir: str) -> rd.Dataset:
         .groupby("o_orderpriority")
         .map_groups(arrow_udf(combine), batch_format="pandas")
     )
+
+
+# -- exact order-value quantiles per market segment ----------------------------
+
+
+def segment_order_quantiles(sf_dir: str) -> rd.Dataset:
+    """(c_mktsegment, p25_cents, p50_cents, p75_cents): exact discrete
+    quartiles of the order total per customer market segment — the
+    per-cohort spend distribution, THROUGH a join (contrast
+    :func:`event_quantiles`, which quantiles a single table).
+
+    Scale shape: one custkey-keyed co-shuffle attaches the segment to
+    per-batch (custkey, cents, n) order partials; each bucket collapses
+    immediately to its (segment, cents) partial HISTOGRAM — the
+    second exchange carries distinct-value counts, never orders — and
+    the per-segment fold reads quantiles off sorted cumulative counts.
+    Quantile index = max(1, ceil(q·n)), matching DuckDB's
+    quantile_disc (same rule as event_quantiles)."""
+    import math
+
+    import pandas as pd
+
+    buckets = 64
+
+    def order_rows(batch: pa.Table) -> pa.Table:
+        ck = batch.column("o_custkey").to_numpy(zero_copy_only=False)
+        cents = pc.cast(
+            pc.round(pc.multiply(batch.column("o_totalprice"), 100.0)),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                "bkt": pa.array((ck % buckets).astype(np.int32)),
+                "k": pa.array(ck, pa.int64()),
+                "role": pa.array(np.zeros(len(ck), np.int8)),
+                "cents": cents,
+                "seg": pa.array([""] * len(ck), pa.string()),
+            }
+        )
+
+    def cust_rows(batch: pa.Table) -> pa.Table:
+        ck = batch.column("c_custkey").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "bkt": pa.array((ck % buckets).astype(np.int32)),
+                "k": pa.array(ck, pa.int64()),
+                "role": pa.array(np.ones(len(ck), np.int8)),
+                "cents": pa.array(np.zeros(len(ck), np.int64)),
+                "seg": batch.column("c_mktsegment"),
+            }
+        )
+
+    def hist_partials(g: pd.DataFrame) -> pd.DataFrame:
+        o = g[g["role"] == 0]
+        seg_of = g[g["role"] == 1].set_index("k")["seg"]
+        seg = seg_of.reindex(o["k"])
+        o = o[seg.notna().to_numpy()]
+        df = pd.DataFrame(
+            {
+                "c_mktsegment": seg.dropna().to_numpy(),
+                "cents": o["cents"].to_numpy(np.int64),
+            }
+        )
+        out = df.groupby(
+            ["c_mktsegment", "cents"], as_index=False
+        ).size().rename(columns={"size": "n"})
+        return pa.table(
+            {
+                "c_mktsegment": pa.array(out["c_mktsegment"], pa.string()),
+                "cents": pa.array(out["cents"].to_numpy(np.int64), pa.int64()),
+                "n": pa.array(out["n"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    def quantiles(g: pd.DataFrame) -> pd.DataFrame:
+        seg = g["c_mktsegment"].iloc[0]
+        h = g.groupby("cents", as_index=False)["n"].sum().sort_values("cents")
+        cum = h["n"].to_numpy(np.int64).cumsum()
+        total = int(cum[-1])
+        vals = h["cents"].to_numpy(np.int64)
+
+        def pick(q: float) -> int:
+            rank = max(1, math.ceil(q * total))
+            return int(vals[np.searchsorted(cum, rank, side="left")])
+
+        return pd.DataFrame(
+            {
+                "c_mktsegment": [seg],
+                "p25_cents": np.array([pick(0.25)], np.int64),
+                "p50_cents": np.array([pick(0.50)], np.int64),
+                "p75_cents": np.array([pick(0.75)], np.int64),
+            }
+        )
+
+    ords = _t(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
+        order_rows, batch_format="pyarrow", zero_copy_batch=True
+    )
+    cust = _t(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).map_batches(
+        cust_rows, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return (
+        ords.union(cust)
+        .groupby("bkt")
+        .map_groups(arrow_udf(hist_partials), batch_format="pandas")
+        .groupby("c_mktsegment")
+        .map_groups(arrow_udf(quantiles), batch_format="pandas")
+    )
+
+
+# -- nation-to-nation trade balance (TPC-H Q7 shape) ----------------------------
+
+
+def nation_trade_balance(sf_dir: str) -> rd.Dataset:
+    """(supp_nation, cust_nation, revenue_cc): discounted lineitem
+    revenue by (supplier nation → customer nation) — TPC-H Q7's trade
+    matrix over ALL nation pairs, the multi-hop two-dimension join
+    (fact → orders → customer on one side, fact → supplier on the
+    other).
+
+    Scale shape: three narrow co-shuffles, each a multiplexed union,
+    none carrying the fact table raw.  (1) per-batch (orderkey,
+    suppkey, rev) Arrow partials join orders rows on orderkey →
+    (custkey, suppkey, rev partials); (2) custkey exchange attaches the
+    customer's nationkey and collapses to (suppkey, cust_nation)
+    partials — from here rows are bounded by suppliers × 25; (3)
+    suppkey exchange attaches the supplier's nationkey; the 25-row
+    nation-name map composes in-bucket, and a constant-key combine
+    folds the ≤ buckets × 625 leftovers."""
+    import pandas as pd
+
+    buckets = 64
+    nation = _small_table_dict(sf_dir, "nation", "n_nationkey", "n_name")
+
+    def li_partials(batch: pa.Table) -> pa.Table:
+        price = pc.cast(
+            pc.round(pc.multiply(batch.column("l_extendedprice"), 100.0)),
+            pa.int64(),
+        )
+        disc = pc.cast(
+            pc.round(pc.multiply(batch.column("l_discount"), 100.0)), pa.int64()
+        )
+        rev = pc.multiply(price, pc.subtract(pa.scalar(100, pa.int64()), disc))
+        g = (
+            pa.table(
+                {
+                    "k": batch.column("l_orderkey"),
+                    "sk": batch.column("l_suppkey"),
+                    "rev": rev,
+                }
+            )
+            .group_by(["k", "sk"])
+            .aggregate([("rev", "sum")])
+        )
+        kk = g.column("k").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "bkt": pa.array((kk % buckets).astype(np.int32)),
+                "k": pa.array(kk, pa.int64()),
+                "role": pa.array(np.zeros(len(kk), np.int8)),
+                "v1": pc.cast(g.column("sk"), pa.int64()),
+                "v2": g.column("rev_sum"),
+            }
+        )
+
+    def order_rows(batch: pa.Table) -> pa.Table:
+        kk = batch.column("o_orderkey").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "bkt": pa.array((kk % buckets).astype(np.int32)),
+                "k": pa.array(kk, pa.int64()),
+                "role": pa.array(np.ones(len(kk), np.int8)),
+                "v1": pc.cast(batch.column("o_custkey"), pa.int64()),
+                "v2": pa.array(np.zeros(len(kk), np.int64)),
+            }
+        )
+
+    def attach_cust(g: pd.DataFrame) -> pd.DataFrame:
+        li = g[g["role"] == 0]
+        cust_of = g[g["role"] == 1].set_index("k")["v1"]
+        ck = cust_of.reindex(li["k"])
+        li = li[ck.notna().to_numpy()]
+        ck = ck.dropna().to_numpy(np.int64)
+        out = pd.DataFrame(
+            {
+                "ck": ck,
+                "sk": li["v1"].to_numpy(np.int64),
+                "rev": li["v2"].to_numpy(np.int64),
+            }
+        ).groupby(["ck", "sk"], as_index=False)["rev"].sum()
+        c = out["ck"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "bkt2": (c % buckets).astype(np.int32),
+                "k": c,
+                "role": np.zeros(len(c), np.int8),
+                "v1": out["sk"].to_numpy(np.int64),
+                "v2": out["rev"].to_numpy(np.int64),
+            }
+        )
+
+    def cust_rows(batch: pa.Table) -> pa.Table:
+        ck = batch.column("c_custkey").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "bkt2": pa.array((ck % buckets).astype(np.int32)),
+                "k": pa.array(ck, pa.int64()),
+                "role": pa.array(np.ones(len(ck), np.int8)),
+                "v1": pc.cast(batch.column("c_nationkey"), pa.int64()),
+                "v2": pa.array(np.zeros(len(ck), np.int64)),
+            }
+        )
+
+    def attach_cnat(g: pd.DataFrame) -> pd.DataFrame:
+        li = g[g["role"] == 0]
+        nat_of = g[g["role"] == 1].set_index("k")["v1"]
+        cn = nat_of.reindex(li["k"])
+        li = li[cn.notna().to_numpy()]
+        cn = cn.dropna().to_numpy(np.int64)
+        out = pd.DataFrame(
+            {
+                "sk": li["v1"].to_numpy(np.int64),
+                "cnat": cn,
+                "rev": li["v2"].to_numpy(np.int64),
+            }
+        ).groupby(["sk", "cnat"], as_index=False)["rev"].sum()
+        s = out["sk"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "bkt3": (s % buckets).astype(np.int32),
+                "k": s,
+                "role": np.zeros(len(s), np.int8),
+                "v1": out["cnat"].to_numpy(np.int64),
+                "v2": out["rev"].to_numpy(np.int64),
+            }
+        )
+
+    def supp_rows(batch: pa.Table) -> pa.Table:
+        sk = batch.column("s_suppkey").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "bkt3": pa.array((sk % buckets).astype(np.int32)),
+                "k": pa.array(sk, pa.int64()),
+                "role": pa.array(np.ones(len(sk), np.int8)),
+                "v1": pc.cast(batch.column("s_nationkey"), pa.int64()),
+                "v2": pa.array(np.zeros(len(sk), np.int64)),
+            }
+        )
+
+    def fold_pairs(g: pd.DataFrame) -> pa.Table:
+        li = g[g["role"] == 0]
+        nat_of = g[g["role"] == 1].set_index("k")["v1"]
+        sn = nat_of.reindex(li["k"])
+        li = li[sn.notna().to_numpy()]
+        sn = sn.dropna().to_numpy(np.int64)
+        out = pd.DataFrame(
+            {
+                "snat": sn,
+                "cnat": li["v1"].to_numpy(np.int64),
+                "rev": li["v2"].to_numpy(np.int64),
+            }
+        ).groupby(["snat", "cnat"], as_index=False)["rev"].sum()
+        return pa.table(
+            {
+                "supp_nation": pa.array(
+                    [nation.get(int(x), "UNKNOWN") for x in out["snat"]],
+                    pa.string(),
+                ),
+                "cust_nation": pa.array(
+                    [nation.get(int(x), "UNKNOWN") for x in out["cnat"]],
+                    pa.string(),
+                ),
+                "revenue_cc": pa.array(
+                    out["rev"].to_numpy(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "supp_nation": [g["supp_nation"].iloc[0]],
+                "cust_nation": [g["cust_nation"].iloc[0]],
+                "revenue_cc": np.array([g["revenue_cc"].sum()], np.int64),
+            }
+        )
+
+    li = _t(
+        sf_dir, "lineitem",
+        ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    ).map_batches(li_partials, batch_format="pyarrow", zero_copy_batch=True)
+    ords = _t(sf_dir, "orders", ["o_orderkey", "o_custkey"]).map_batches(
+        order_rows, batch_format="pyarrow", zero_copy_batch=True
+    )
+    cust = _t(sf_dir, "customer", ["c_custkey", "c_nationkey"]).map_batches(
+        cust_rows, batch_format="pyarrow", zero_copy_batch=True
+    )
+    supp = _t(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).map_batches(
+        supp_rows, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return (
+        li.union(ords)
+        .groupby("bkt")
+        .map_groups(arrow_udf(attach_cust), batch_format="pandas")
+        .union(cust)
+        .groupby("bkt2")
+        .map_groups(arrow_udf(attach_cnat), batch_format="pandas")
+        .union(supp)
+        .groupby("bkt3")
+        .map_groups(arrow_udf(fold_pairs), batch_format="pandas")
+        .groupby(["supp_nation", "cust_nation"])
+        .map_groups(arrow_udf(combine), batch_format="pandas")
+    )
+
+
+# -- daily / weekly active users ------------------------------------------------
+
+#: trailing window (days, inclusive of the current day) for WAU
+WAU_WINDOW_DAYS = 7
+
+
+def events_dau_wau(sf_dir: str) -> rd.Dataset:
+    """(day_us, dau, wau, stickiness_micros): daily active users, the
+    trailing-:data:`WAU_WINDOW_DAYS`-day weekly active users, and the
+    DAU/WAU "stickiness" ratio as exact floor-division micros — the
+    canonical product-analytics rollup.
+
+    Scale shape: events collapse per batch to DISTINCT (day, user)
+    pairs; the WAU window is a 7× fan-out of those narrow 16-byte rows
+    (each pair votes for the 7 window-days it supports, clipped to
+    days that actually exist so phantom tail days never appear); one
+    (window-day, user)-bucketed exchange dedups votes exactly and
+    emits per-day partials, and a day-keyed combine computes the
+    ratio in Python ints.  The raw event stream never shuffles."""
+    import pandas as pd
+    import ray
+
+    buckets = 64
+    day_us = 86_400_000_000
+
+    # pass 1: the distinct day domain (bounded: days, not events)
+    def day_partials(batch: pa.Table) -> pa.Table:
+        d = pc.cast(batch.column("ts"), pa.int64()).to_numpy(
+            zero_copy_only=False
+        ) // day_us
+        return pa.table({"d": pa.array(np.unique(d), pa.int64())})
+
+    days = np.unique(
+        _t(sf_dir, "events", ["ts"])
+        .map_batches(day_partials, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()["d"]
+        .to_numpy(np.int64)
+    )
+    days_ref = ray.put(days)  # sorted int64 ndarray, bounded by the day span
+
+    def vote_rows(batch: pa.Table) -> pa.Table:
+        valid = ray.get(days_ref)
+        d = pc.cast(batch.column("ts"), pa.int64()).to_numpy(
+            zero_copy_only=False
+        ) // day_us
+        u = batch.column("user_id").to_numpy(zero_copy_only=False)
+        pairs = np.unique(np.stack([d, u], axis=1), axis=0)
+        dd, uu = pairs[:, 0], pairs[:, 1]
+        # each (day, user) votes for window-days day .. day+6 that exist
+        out_w, out_u, out_own = [], [], []
+        for off in range(WAU_WINDOW_DAYS):
+            w = dd + off
+            keep = np.isin(w, valid)
+            out_w.append(w[keep])
+            out_u.append(uu[keep])
+            out_own.append(np.full(keep.sum(), 1 if off == 0 else 0, np.int8))
+        w = np.concatenate(out_w)
+        u2 = np.concatenate(out_u)
+        return pa.table(
+            {
+                "bkt": pa.array(((w * 1_000_003 + u2) % buckets).astype(np.int32)),
+                "w": pa.array(w, pa.int64()),
+                "u": pa.array(u2, pa.int64()),
+                "own": pa.array(np.concatenate(out_own)),
+            }
+        )
+
+    def bucket_counts(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby(["w", "u"], as_index=False)["own"].max()
+        out = agg.groupby("w", as_index=False).agg(
+            wau=("u", "size"), dau=("own", "sum")
+        )
+        return pd.DataFrame(
+            {
+                "w": out["w"].to_numpy(np.int64),
+                "dau": out["dau"].to_numpy(np.int64),
+                "wau": out["wau"].to_numpy(np.int64),
+            }
+        )
+
+    def day_combine(g: pd.DataFrame) -> pd.DataFrame:
+        dau = int(g["dau"].sum())
+        wau = int(g["wau"].sum())
+        return pd.DataFrame(
+            {
+                "day_us": np.array([int(g["w"].iloc[0]) * day_us], np.int64),
+                "dau": np.array([dau], np.int64),
+                "wau": np.array([wau], np.int64),
+                "stickiness_micros": np.array(
+                    [(dau * 1_000_000) // wau if wau else 0], np.int64
+                ),
+            }
+        )
+
+    return (
+        _t(sf_dir, "events", ["ts", "user_id"])
+        .map_batches(vote_rows, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bkt")
+        .map_groups(arrow_udf(bucket_counts), batch_format="pandas")
+        .groupby("w")
+        .map_groups(arrow_udf(day_combine), batch_format="pandas")
+    )

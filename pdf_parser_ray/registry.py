@@ -108,7 +108,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # large_orders, customer_order_histogram, promo_revenue_share,
         # soft_dedup_weights, event_transitions, gram_novelty,
         # returned_items, order_priority_counts, top_words,
-        # length_percentiles, profile_documents) —
+        # length_percentiles, profile_documents,
+        # segment_order_quantiles, nation_trade_balance,
+        # dup_group_sizes, events_dau_wau) —
         # each oracle-backed in
         # tests/test_oracle.py; displacing a gated slot would cost an
         # established driver-green row), then the rows-only
@@ -187,6 +189,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_words": analysis.top_words,
         "length_percentiles": analysis.length_percentiles,
         "profile_documents": analysis.profile_documents,
+        "segment_order_quantiles": relational.segment_order_quantiles,
+        "nation_trade_balance": relational.nation_trade_balance,
+        "dup_group_sizes": dedup.dup_group_sizes,
+        "events_dau_wau": relational.events_dau_wau,
         "compression_ratio": analysis.compression_ratio,
         "train_bpe": analysis.train_bpe,
         "bpe_segment_counts": analysis.bpe_segment_counts,

@@ -20,3 +20,31 @@ class TestSoftDedupWeights:
             for n in nd["n_members"].unique()
         )
         assert got_sizes == [(n, c) for n, c in want]
+
+
+class TestDupGroupSizes:
+    def test_mass_conservation(self, ray_session, quiet_data_context):
+        import pyarrow.parquet as pq
+
+        from pdf_parser_ray.pipelines.dedup import dup_group_sizes
+
+        sf = "/root/testdata/sf0.001"
+        got = dup_group_sizes(sf).to_pandas()
+        n_docs = pq.read_metadata(sf + "/documents.parquet").num_rows
+        assert int((got["n_members"] * got["n_groups"]).sum()) == n_docs
+
+    def test_synthetic_groups(self, ray_session, quiet_data_context, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pdf_parser_ray.pipelines.dedup import dup_group_sizes
+
+        texts = ["alpha beta", "Alpha, beta!", "ALPHA   beta", "gamma",
+                 "delta", "Delta?"]
+        t = pa.table({"text": pa.array(texts, pa.string())})
+        pq.write_table(t, str(tmp_path / "documents.parquet"))
+        got = dup_group_sizes(str(tmp_path)).to_pandas()
+        # groups: {alpha beta}x3, {gamma}x1, {delta}x2
+        assert dict(zip(got["n_members"], got["n_groups"])) == {
+            3: 1, 1: 1, 2: 1,
+        }

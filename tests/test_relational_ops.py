@@ -419,3 +419,107 @@ class TestOrderPriorityCounts:
         )
         # the gate must actually bind: not every order ships late
         assert int(got["n_orders"].sum()) < len(ords)
+
+
+class TestSegmentOrderQuantiles:
+    def test_matches_brute_force(self, ray_session, quiet_data_context):
+        import math
+
+        import pyarrow.parquet as pq
+
+        from pdf_parser_ray.pipelines.relational import (
+            segment_order_quantiles,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        got = (
+            segment_order_quantiles(sf)
+            .to_pandas()
+            .set_index("c_mktsegment")
+            .sort_index()
+        )
+        ords = pq.read_table(sf + "/orders.parquet").to_pandas()
+        cust = pq.read_table(sf + "/customer.parquet").to_pandas()
+        m = ords.merge(cust, left_on="o_custkey", right_on="c_custkey")
+        m["cents"] = (m["o_totalprice"] * 100).round().astype("int64")
+        for seg, g in m.groupby("c_mktsegment"):
+            v = sorted(g["cents"])
+            for q, col in ((0.25, "p25_cents"), (0.5, "p50_cents"),
+                           (0.75, "p75_cents")):
+                want = v[max(1, math.ceil(q * len(v))) - 1]
+                assert got.loc[seg, col] == want, (seg, col)
+
+
+class TestNationTradeBalance:
+    def test_matches_brute_force(self, ray_session, quiet_data_context):
+        import pyarrow.parquet as pq
+
+        from pdf_parser_ray.pipelines.relational import nation_trade_balance
+
+        sf = "/root/testdata/sf0.001"
+        got = (
+            nation_trade_balance(sf)
+            .to_pandas()
+            .set_index(["supp_nation", "cust_nation"])
+            .sort_index()
+        )
+        li = pq.read_table(sf + "/lineitem.parquet").to_pandas()
+        li["rev"] = (li["l_extendedprice"] * 100).round().astype("int64") * (
+            100 - (li["l_discount"] * 100).round().astype("int64")
+        )
+        ords = pq.read_table(sf + "/orders.parquet").to_pandas()
+        cust = pq.read_table(sf + "/customer.parquet").to_pandas()
+        supp = pq.read_table(sf + "/supplier.parquet").to_pandas()
+        nat = pq.read_table(sf + "/nation.parquet").to_pandas()
+        nm = dict(zip(nat["n_nationkey"], nat["n_name"]))
+        m = (
+            li.merge(ords, left_on="l_orderkey", right_on="o_orderkey")
+            .merge(cust, left_on="o_custkey", right_on="c_custkey")
+            .merge(supp, left_on="l_suppkey", right_on="s_suppkey")
+        )
+        m["supp_nation"] = m["s_nationkey"].map(nm)
+        m["cust_nation"] = m["c_nationkey"].map(nm)
+        want = (
+            m.groupby(["supp_nation", "cust_nation"])["rev"].sum().sort_index()
+        )
+        assert got["revenue_cc"].tolist() == want.tolist()
+        assert len(got) > 100  # most of the 25x25 pair space is populated
+
+
+class TestEventsDauWau:
+    def test_window_and_gap_semantics(
+        self, ray_session, quiet_data_context, tmp_path
+    ):
+        """WAU counts a user active any of the trailing 7 existing days;
+        a user active 8 days before drops out; stickiness is exact
+        integer micros."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pdf_parser_ray.pipelines.relational import events_dau_wau
+
+        day = 86_400_000_000
+        rows = [
+            (1, 0), (2, 0),          # day 0: users 1, 2
+            (1, 3 * day),            # day 3: user 1
+            (3, 10 * day), (1, 10 * day),  # day 10: users 3, 1
+        ]
+        t = pa.table(
+            {
+                "user_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "events.parquet"))
+        got = (
+            events_dau_wau(str(tmp_path))
+            .to_pandas()
+            .set_index("day_us")
+            .sort_index()
+        )
+        # day 0: dau 2, wau 2; day 3: dau 1, wau {1,2}=2;
+        # day 10: dau 2, wau 2 (day-3 activity is 7 days back, outside)
+        assert got.loc[0].tolist() == [2, 2, 1_000_000]
+        assert got.loc[3 * day].tolist() == [1, 2, 500_000]
+        assert got.loc[10 * day].tolist() == [2, 2, 1_000_000]
+        assert len(got) == 3  # phantom in-between days never appear
