@@ -861,6 +861,64 @@ def _top_words_sql() -> str:
     )
 
 
+def _rrf_fusion_sql() -> str:
+    """Mirror of analysis.rrf_fusion: the _bm25_sql integer BM25 form
+    plus the plain tf·idf score from the SAME tf/df CTEs, row_number
+    rankings on (score DESC, doc_id), the top-R cut, FULL OUTER fusion
+    with 10⁶ // (K + r), and the deterministic (rrf DESC, doc_id)
+    LIMIT — RRF_K / RRF_TOPR / RRF_OUT_K and the query terms all
+    interpolated so retuning desyncs loudly."""
+    from pdf_parser_ray.pipelines.analysis import (
+        BM25_QUERY, RRF_K, RRF_OUT_K, RRF_TOPR,
+    )
+
+    tf_cols = ", ".join(
+        f"CAST(len(list_filter(words, x -> x = '{t}')) AS BIGINT) AS tf{i}"
+        for i, t in enumerate(BM25_QUERY)
+    )
+    df_cols = ", ".join(
+        f"CAST(sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS df{i}"
+        for i in range(len(BM25_QUERY))
+    )
+    bm25_terms = " + ".join(
+        f"(CAST(FLOOR(LN(1 + (g.N - g.df{i} + 0.5) / (g.df{i} + 0.5))"
+        f" * 1000000) AS BIGINT) * tf{i} * 20000)"
+        f" // (8000 * tf{i} + 3000"
+        " + 9 * ((dl * 1000000) // ((1000 * g.W) // g.N)))"
+        for i in range(len(BM25_QUERY))
+    )
+    plain_terms = " + ".join(
+        f"CAST(FLOOR(LN(g.N / GREATEST(g.df{i}, 1)) * 1000000) AS BIGINT)"
+        f" * tf{i}"
+        for i in range(len(BM25_QUERY))
+    )
+    return (
+        f"WITH w AS (SELECT doc_id, {_WORDS_EXPR} AS words FROM documents),"
+        f" d AS (SELECT doc_id, CAST(len(words) AS BIGINT) AS dl, {tf_cols}"
+        "   FROM w),"
+        " g AS (SELECT CAST(sum(dl) AS BIGINT) AS W,"
+        f"  CAST(count(*) AS BIGINT) AS N, {df_cols} FROM d),"
+        f" s AS (SELECT d.doc_id, CAST({bm25_terms} AS BIGINT) AS bm25,"
+        f"  CAST({plain_terms} AS BIGINT) AS plain FROM d, g),"
+        " b AS (SELECT doc_id, row_number() OVER"
+        "   (ORDER BY bm25 DESC, doc_id) AS r FROM s),"
+        " t AS (SELECT doc_id, row_number() OVER"
+        "   (ORDER BY plain DESC, doc_id) AS r FROM s),"
+        f" br AS (SELECT * FROM b WHERE r <= {RRF_TOPR}),"
+        f" tr AS (SELECT * FROM t WHERE r <= {RRF_TOPR}),"
+        " f AS (SELECT coalesce(br.doc_id, tr.doc_id) AS doc_id,"
+        "   CAST(coalesce(br.r, 0) AS BIGINT) AS bm25_rank,"
+        "   CAST(coalesce(tr.r, 0) AS BIGINT) AS tfidf_rank,"
+        f"   CAST(coalesce(1000000 // ({RRF_K} + br.r), 0)"
+        f"    + coalesce(1000000 // ({RRF_K} + tr.r), 0) AS BIGINT)"
+        "     AS rrf_micros"
+        "   FROM br FULL OUTER JOIN tr ON br.doc_id = tr.doc_id)"
+        " SELECT doc_id, bm25_rank, tfidf_rank, rrf_micros FROM f"
+        f" ORDER BY rrf_micros DESC, doc_id LIMIT {RRF_OUT_K}"
+    )
+
+
 def _events_dau_wau_sql() -> str:
     """Mirror of relational.events_dau_wau: distinct (epoch-day, user)
     pairs, the trailing WAU_WINDOW_DAYS window joined over days that
@@ -2458,6 +2516,19 @@ def oracle_sql() -> dict[str, str]:
             " FROM s GROUP BY 1"
         ),
         "events_dau_wau": _events_dau_wau_sql(),
+        "rrf_fusion": _rrf_fusion_sql(),
+        "user_lifetimes": (
+            # mirror of relational.user_lifetimes: epoch-day floor
+            # division, distinct active days, totals per user
+            "SELECT user_id,"
+            " CAST(min(d) * 86400000000 AS BIGINT) AS first_day_us,"
+            " CAST(max(d) * 86400000000 AS BIGINT) AS last_day_us,"
+            " CAST(count(DISTINCT d) AS BIGINT) AS active_days,"
+            " CAST(count(*) AS BIGINT) AS n_events"
+            " FROM (SELECT user_id,"
+            "   epoch_us(ts) // 86400000000 AS d FROM events)"
+            " GROUP BY 1"
+        ),
         "soft_dedup_weights": (
             # mirror of dedup.soft_dedup_weights: the normalized_dedup
             # md5 (same RE2 kernels) and floor(1e6 / group size) —

@@ -328,6 +328,8 @@ def run_bench() -> dict:
 
     timed("dup_group_sizes", dup_group_sizes)
     timed("events_dau_wau", relational.events_dau_wau)
+    timed("rrf_fusion", analysis.rrf_fusion)
+    timed("user_lifetimes", relational.user_lifetimes)
 
     from pdf_parser_ray.pipelines.curate import curate_pages
     from pdf_parser_ray.pipelines.extract import (

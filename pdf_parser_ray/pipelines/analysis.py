@@ -2451,3 +2451,117 @@ def profile_documents(sf_dir: str) -> rd.Dataset:
         .groupby("col")
         .map_groups(arrow_udf(combine), batch_format="pandas")
     )
+
+
+# -- reciprocal-rank fusion of two retrieval rankings ---------------------------
+
+#: RRF smoothing constant (the standard 60 from Cormack et al. 2009)
+RRF_K = 60
+#: how deep each source ranking is retrieved before fusion
+RRF_TOPR = 100
+#: how many fused results rrf_fusion reports
+RRF_OUT_K = 20
+
+
+def rrf_fusion(sf_dir: str) -> rd.Dataset:
+    """(doc_id, bm25_rank, tfidf_rank, rrf_micros): hybrid retrieval —
+    the top-:data:`RRF_TOPR` documents under Okapi BM25 and under
+    plain tf·idf query scoring (both against :data:`BM25_QUERY`) fused
+    by reciprocal-rank fusion, ``Σ 10⁶ // (RRF_K + rank)`` over the
+    lists that retrieved the doc (0 rank marks "not retrieved").  The
+    standard two-retriever fusion shape; scores are exact integers on
+    both sides so the oracle is bit-identical.
+
+    Scale shape: one corpus pass computes BOTH scores from the same
+    term-frequency vectors (the BM25 broadcast stats, len(query)+2
+    ints); each batch keeps only its local top-R per ranking on the
+    global sort key (score DESC, doc_id ASC) — a global winner always
+    wins its batch — and one constant-key reducer ranks the
+    ≤ 2·R·blocks candidate rows and fuses.  The corpus never shuffles;
+    the reducer input is bounded by R, not the corpus."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    n_docs, n_words_total, dfs = fit_bm25_stats(sf_dir)
+    avgdl_milli = (1000 * n_words_total) // n_docs
+    idf_bm25 = [
+        math.floor(math.log(1 + (n_docs - df + 0.5) / (df + 0.5)) * 1e6)
+        for df in dfs
+    ]
+    idf_plain = [
+        math.floor(math.log(n_docs / max(df, 1)) * 1e6) for df in dfs
+    ]
+
+    def _local_cut(ids, score):
+        if len(ids) > RRF_TOPR:
+            keep = np.lexsort((ids, -score))[:RRF_TOPR]
+            return ids[keep], score[keep]
+        return ids, score
+
+    def local_tops(batch: pa.Table) -> pa.Table:
+        dl, tf = _query_term_tfs(batch)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        r = dl * 1_000_000 // avgdl_milli
+        bm25 = np.zeros(len(dl), np.int64)
+        plain = np.zeros(len(dl), np.int64)
+        for t in range(len(BM25_QUERY)):
+            contrib = idf_bm25[t] * tf[t] * 20000 // (
+                8000 * tf[t] + 3000 + 9 * r
+            )
+            bm25 += np.where(tf[t] > 0, contrib, 0)
+            plain += idf_plain[t] * tf[t]
+        i0, s0 = _local_cut(ids, bm25)
+        i1, s1 = _local_cut(ids, plain)
+        return pa.table(
+            {
+                "fin": pa.array(np.zeros(len(i0) + len(i1), np.int8)),
+                "lst": pa.array(
+                    np.concatenate(
+                        [np.zeros(len(i0), np.int8), np.ones(len(i1), np.int8)]
+                    )
+                ),
+                "doc_id": pa.array(np.concatenate([i0, i1]), pa.int64()),
+                "score": pa.array(np.concatenate([s0, s1]), pa.int64()),
+            }
+        )
+
+    def fuse(g: pd.DataFrame) -> pd.DataFrame:
+        ranks = {}
+        for lst in (0, 1):
+            part = g[g["lst"] == lst]
+            order = np.lexsort(
+                (part["doc_id"].to_numpy(np.int64),
+                 -part["score"].to_numpy(np.int64))
+            )[:RRF_TOPR]
+            ranks[lst] = {
+                int(d): i + 1
+                for i, d in enumerate(
+                    part["doc_id"].to_numpy(np.int64)[order]
+                )
+            }
+        all_ids = sorted(set(ranks[0]) | set(ranks[1]))
+        rows = []
+        for d in all_ids:
+            r0 = ranks[0].get(d, 0)
+            r1 = ranks[1].get(d, 0)
+            rrf = sum(
+                1_000_000 // (RRF_K + r) for r in (r0, r1) if r > 0
+            )
+            rows.append((d, r0, r1, rrf))
+        rows.sort(key=lambda t: (-t[3], t[0]))
+        out = pd.DataFrame(
+            rows[:RRF_OUT_K],
+            columns=["doc_id", "bm25_rank", "tfidf_rank", "rrf_micros"],
+        )
+        return out.astype(np.int64)
+
+    return (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(local_tops, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("fin")
+        .map_groups(arrow_udf(fuse), batch_format="pandas")
+    )

@@ -2652,3 +2652,64 @@ def events_dau_wau(sf_dir: str) -> rd.Dataset:
         .groupby("w")
         .map_groups(arrow_udf(day_combine), batch_format="pandas")
     )
+
+
+# -- per-user lifecycle summary --------------------------------------------------
+
+
+def user_lifetimes(sf_dir: str) -> rd.Dataset:
+    """(user_id, first_day_us, last_day_us, active_days, n_events): the
+    user-lifecycle summary — first/last epoch day seen, count of
+    DISTINCT active days, and total events.
+
+    Scale shape: each batch collapses to per-(user, day) partial counts
+    (Arrow group_by — the exchange carries user×day cardinality, never
+    events); one user-bucketed co-shuffle makes distinct-day counts and
+    min/max exact (a user lives wholly in its bucket)."""
+    import pandas as pd
+
+    buckets = 64
+    day_us = 86_400_000_000
+
+    def partials(batch: pa.Table) -> pa.Table:
+        d = pc.cast(batch.column("ts"), pa.int64()).to_numpy(
+            zero_copy_only=False
+        ) // day_us
+        g = (
+            pa.table({"u": batch.column("user_id"), "d": pa.array(d, pa.int64())})
+            .group_by(["u", "d"])
+            .aggregate([("d", "count")])
+        )
+        u = g.column("u").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "bkt": pa.array((u % buckets).astype(np.int32)),
+                "u": pa.array(u, pa.int64()),
+                "d": g.column("d"),
+                "n": pc.cast(g.column("d_count"), pa.int64()),
+            }
+        )
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("u").agg(
+            first_day=("d", "min"),
+            last_day=("d", "max"),
+            active_days=("d", "nunique"),
+            n_events=("n", "sum"),
+        )
+        return pd.DataFrame(
+            {
+                "user_id": out.index.to_numpy(np.int64),
+                "first_day_us": out["first_day"].to_numpy(np.int64) * day_us,
+                "last_day_us": out["last_day"].to_numpy(np.int64) * day_us,
+                "active_days": out["active_days"].to_numpy(np.int64),
+                "n_events": out["n_events"].to_numpy(np.int64),
+            }
+        )
+
+    return (
+        _t(sf_dir, "events", ["user_id", "ts"])
+        .map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bkt")
+        .map_groups(arrow_udf(fold), batch_format="pandas")
+    )

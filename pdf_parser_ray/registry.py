@@ -110,7 +110,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # returned_items, order_priority_counts, top_words,
         # length_percentiles, profile_documents,
         # segment_order_quantiles, nation_trade_balance,
-        # dup_group_sizes, events_dau_wau) —
+        # dup_group_sizes, events_dau_wau, rrf_fusion, user_lifetimes) —
         # each oracle-backed in
         # tests/test_oracle.py; displacing a gated slot would cost an
         # established driver-green row), then the rows-only
@@ -193,6 +193,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_trade_balance": relational.nation_trade_balance,
         "dup_group_sizes": dedup.dup_group_sizes,
         "events_dau_wau": relational.events_dau_wau,
+        "rrf_fusion": analysis.rrf_fusion,
+        "user_lifetimes": relational.user_lifetimes,
         "compression_ratio": analysis.compression_ratio,
         "train_bpe": analysis.train_bpe,
         "bpe_segment_counts": analysis.bpe_segment_counts,

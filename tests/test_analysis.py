@@ -610,3 +610,62 @@ class TestProfileDocuments:
         assert got.loc["n_chars"].tolist() == [1, 2]
         assert got.loc["source"].tolist() == [0, 1]
         assert got.loc["text"].tolist() == [1, 2]
+
+
+class TestRrfFusion:
+    def test_matches_brute_force(self, ray_session, quiet_data_context):
+        import math
+
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from pdf_parser_ray.pipelines.analysis import (
+            BM25_QUERY, RRF_K, RRF_OUT_K, RRF_TOPR, rrf_fusion,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        got = rrf_fusion(sf).to_pandas().reset_index(drop=True)
+        docs = pq.read_table(
+            sf + "/documents.parquet", columns=["doc_id", "text"]
+        ).to_pandas()
+        words = [t.split() for t in docs["text"]]
+        n = len(docs)
+        w_total = sum(len(w) for w in words)
+        avgdl_milli = (1000 * w_total) // n
+        tfs = {
+            q: np.array([w.count(q) for w in words], dtype="int64")
+            for q in BM25_QUERY
+        }
+        dfs = {q: int((tfs[q] > 0).sum()) for q in BM25_QUERY}
+        dl = np.array([len(w) for w in words], dtype="int64")
+        r = dl * 1_000_000 // avgdl_milli
+        bm25 = np.zeros(n, "int64")
+        plain = np.zeros(n, "int64")
+        for q in BM25_QUERY:
+            idf_b = math.floor(
+                math.log(1 + (n - dfs[q] + 0.5) / (dfs[q] + 0.5)) * 1e6
+            )
+            idf_p = math.floor(math.log(n / max(dfs[q], 1)) * 1e6)
+            contrib = idf_b * tfs[q] * 20000 // (8000 * tfs[q] + 3000 + 9 * r)
+            bm25 += np.where(tfs[q] > 0, contrib, 0)
+            plain += idf_p * tfs[q]
+        ids = docs["doc_id"].to_numpy("int64")
+
+        def ranks(score):
+            order = np.lexsort((ids, -score))[:RRF_TOPR]
+            return {int(ids[i]): j + 1 for j, i in enumerate(order)}
+
+        rb, rp = ranks(bm25), ranks(plain)
+        fused = []
+        for d in set(rb) | set(rp):
+            rrf = sum(
+                1_000_000 // (RRF_K + rk)
+                for rk in (rb.get(d, 0), rp.get(d, 0))
+                if rk > 0
+            )
+            fused.append((d, rb.get(d, 0), rp.get(d, 0), rrf))
+        fused.sort(key=lambda t: (-t[3], t[0]))
+        want = fused[:RRF_OUT_K]
+        assert [tuple(x) for x in got.to_numpy()] == want
+        # both retrievers must contribute to the fused head
+        assert (got["bm25_rank"] > 0).any() and (got["tfidf_rank"] > 0).any()

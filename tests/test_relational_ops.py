@@ -523,3 +523,28 @@ class TestEventsDauWau:
         assert got.loc[3 * day].tolist() == [1, 2, 500_000]
         assert got.loc[10 * day].tolist() == [2, 2, 1_000_000]
         assert len(got) == 3  # phantom in-between days never appear
+
+
+class TestUserLifetimes:
+    def test_matches_brute_force(self, ray_session, quiet_data_context):
+        import pyarrow.parquet as pq
+
+        from pdf_parser_ray.pipelines.relational import user_lifetimes
+
+        sf = "/root/testdata/sf0.001"
+        got = (
+            user_lifetimes(sf).to_pandas().set_index("user_id").sort_index()
+        )
+        e = pq.read_table(
+            sf + "/events.parquet", columns=["user_id", "ts"]
+        ).to_pandas()
+        day = 86_400_000_000
+        e["d"] = e["ts"].astype("int64") // day
+        want = e.groupby("user_id").agg(
+            first=("d", "min"), last=("d", "max"),
+            days=("d", "nunique"), n=("d", "size"),
+        )
+        assert got["first_day_us"].tolist() == (want["first"] * day).tolist()
+        assert got["last_day_us"].tolist() == (want["last"] * day).tolist()
+        assert got["active_days"].tolist() == want["days"].tolist()
+        assert got["n_events"].tolist() == want["n"].tolist()
