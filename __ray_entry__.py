@@ -2355,6 +2355,78 @@ def _bloom_sql() -> str:
     )
 
 
+def _tpch_classic_sql() -> dict[str, str]:
+    """Mirrors for the TPC-H Q3/Q5/Q6/Q15 shapes in relational.py —
+    every constant interpolated from the pipeline module so retuning a
+    cutoff or band can never silently desync the oracle."""
+    from pdf_parser_ray.pipelines import relational as R
+
+    rev_cc = (
+        "CAST(round(l_extendedprice * 100) AS BIGINT)"
+        " * (100 - CAST(round(l_discount * 100) AS BIGINT))"
+    )
+    return {
+        "shipping_priority": (
+            # mirror of relational.shipping_priority (TPC-H Q3): same
+            # integer rev_cc, both date gates, segment semi-join, and
+            # the (revenue DESC, orderkey ASC) tie rule
+            f"WITH l AS (SELECT l_orderkey, {rev_cc} AS rev FROM lineitem"
+            f"   WHERE l_shipdate > TIMESTAMP '{R.SHIP_CUTOFF}')"
+            " SELECT o.o_orderkey, CAST(sum(l.rev) AS BIGINT) AS revenue_cc,"
+            "  CAST(epoch_us(o.o_orderdate) AS BIGINT) AS o_orderdate_us"
+            " FROM l JOIN orders o ON o.o_orderkey = l.l_orderkey"
+            " JOIN customer c ON c.c_custkey = o.o_custkey"
+            f" WHERE c.c_mktsegment = '{R.SHIP_SEGMENT}'"
+            f"  AND o.o_orderdate < TIMESTAMP '{R.SHIP_CUTOFF}'"
+            " GROUP BY o.o_orderkey, o.o_orderdate"
+            f" ORDER BY revenue_cc DESC, o.o_orderkey LIMIT {R.SHIP_TOP_K}"
+        ),
+        "local_supplier_volume": (
+            # mirror of relational.local_supplier_volume (TPC-H Q5):
+            # customer and supplier nation must MATCH, both in-region
+            f"SELECT n.n_name, CAST(sum({rev_cc}) AS BIGINT) AS revenue_cc"
+            " FROM lineitem l"
+            " JOIN orders o ON o.o_orderkey = l.l_orderkey"
+            " JOIN customer c ON c.c_custkey = o.o_custkey"
+            " JOIN supplier s ON s.s_suppkey = l.l_suppkey"
+            "   AND s.s_nationkey = c.c_nationkey"
+            " JOIN nation n ON n.n_nationkey = s.s_nationkey"
+            " JOIN region r ON r.r_regionkey = n.n_regionkey"
+            f" WHERE r.r_name = '{R.LOCAL_VOLUME_REGION}'"
+            f"  AND o.o_orderdate >= TIMESTAMP '{R.LOCAL_VOLUME_DATE_LO}'"
+            f"  AND o.o_orderdate < TIMESTAMP '{R.LOCAL_VOLUME_DATE_HI}'"
+            " GROUP BY n.n_name"
+        ),
+        "discount_band_revenue": (
+            # mirror of relational.discount_band_revenue (TPC-H Q6):
+            # price_cents x discount_pct on the banded small lineitems
+            "WITH l AS (SELECT"
+            "   CAST(round(l_extendedprice * 100) AS BIGINT) AS pcents,"
+            "   CAST(round(l_discount * 100) AS BIGINT) AS dp,"
+            "   CAST(round(l_quantity) AS BIGINT) AS q FROM lineitem"
+            f"  WHERE l_shipdate >= TIMESTAMP '{R.DISCOUNT_DATE_LO}'"
+            f"   AND l_shipdate < TIMESTAMP '{R.DISCOUNT_DATE_HI}')"
+            " SELECT CAST(coalesce(sum(pcents * dp), 0) AS BIGINT)"
+            "   AS revenue_cc,"
+            "  CAST(count(*) AS BIGINT) AS n_items FROM l"
+            f" WHERE dp BETWEEN {R.DISCOUNT_BAND_LO} AND {R.DISCOUNT_BAND_HI}"
+            f"  AND q < {R.DISCOUNT_QTY_LT}"
+        ),
+        "top_supplier": (
+            # mirror of relational.top_supplier (TPC-H Q15): max-revenue
+            # supplier(s) over the interval, ALL ties kept
+            f"WITH r AS (SELECT l_suppkey, CAST(sum({rev_cc}) AS BIGINT)"
+            "   AS rev FROM lineitem"
+            f"  WHERE l_shipdate >= TIMESTAMP '{R.TOP_SUPPLIER_DATE_LO}'"
+            f"   AND l_shipdate < TIMESTAMP '{R.TOP_SUPPLIER_DATE_HI}'"
+            "  GROUP BY l_suppkey)"
+            " SELECT s.s_suppkey, s.s_name, r.rev AS revenue_cc"
+            " FROM r JOIN supplier s ON s.s_suppkey = r.l_suppkey"
+            " WHERE r.rev = (SELECT max(rev) FROM r)"
+        ),
+    }
+
+
 def oracle_sql() -> dict[str, str]:
     # the top-V broadcast-model cap the registry passes to
     # unigram_logprob / tfidf_scores / importance_weights — mirrored in
@@ -2953,5 +3025,6 @@ def oracle_sql() -> dict[str, str]:
             " GROUP BY user_id"
         ),
     }
+    out.update(_tpch_classic_sql())
     out.update(_extract_oracle_sql())
     return out

@@ -2713,3 +2713,572 @@ def user_lifetimes(sf_dir: str) -> rd.Dataset:
         .groupby("bkt")
         .map_groups(arrow_udf(fold), batch_format="pandas")
     )
+
+
+# -- TPC-H Q3: shipping priority (top unshipped orders by revenue) ---------------
+
+SHIP_SEGMENT = "BUILDING"
+SHIP_CUTOFF = "1998-01-01"
+SHIP_TOP_K = 10
+
+
+def _epoch_us(day: str) -> int:
+    return int(np.datetime64(day, "us").astype(np.int64))
+
+
+def shipping_priority(
+    sf_dir: str,
+    segment: str = SHIP_SEGMENT,
+    cutoff: str = SHIP_CUTOFF,
+    k: int = SHIP_TOP_K,
+) -> rd.Dataset:
+    """(o_orderkey, revenue_cc, o_orderdate_us): the ``k`` highest-value
+    orders from ``segment`` customers placed before ``cutoff`` with at
+    least one lineitem still shipping after it — TPC-H Q3's shipping
+    priority report, ties broken by orderkey ascending.
+
+    Scale shape: both date predicates prune at the batch level before
+    anything moves; two multiplexed co-shuffles (orderkey → attach
+    custkey+orderdate, custkey → segment semi-join) carry narrow
+    integer partials; each custkey bucket keeps only its LOCAL top-k (a
+    global winner always wins its own bucket) so the final constant-key
+    combine sees ≤ buckets·k candidate rows."""
+    import pandas as pd
+
+    buckets = 64
+    cut_us = _epoch_us(cutoff)
+
+    def li_partials(batch: pa.Table) -> pa.Table:
+        ship = pc.cast(batch.column("l_shipdate"), pa.int64())
+        b = batch.filter(pc.greater(ship, pa.scalar(cut_us, pa.int64())))
+        price = pc.cast(
+            pc.round(pc.multiply(b.column("l_extendedprice"), 100.0)), pa.int64()
+        )
+        disc = pc.cast(
+            pc.round(pc.multiply(b.column("l_discount"), 100.0)), pa.int64()
+        )
+        rev = pc.multiply(price, pc.subtract(pa.scalar(100, pa.int64()), disc))
+        g = (
+            pa.table({"k": b.column("l_orderkey"), "rev": rev})
+            .group_by(["k"])
+            .aggregate([("rev", "sum")])
+        )
+        kk = g.column("k").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "bkt": pa.array((kk % buckets).astype(np.int32)),
+                "k": pa.array(kk, pa.int64()),
+                "role": pa.array(np.zeros(len(kk), np.int8)),
+                "v1": g.column("rev_sum"),
+                "v2": pa.array(np.zeros(len(kk), np.int64)),
+            }
+        )
+
+    def order_rows(batch: pa.Table) -> pa.Table:
+        odate = pc.cast(batch.column("o_orderdate"), pa.int64())
+        b = batch.filter(pc.less(odate, pa.scalar(cut_us, pa.int64())))
+        kk = b.column("o_orderkey").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "bkt": pa.array((kk % buckets).astype(np.int32)),
+                "k": pa.array(kk, pa.int64()),
+                "role": pa.array(np.ones(len(kk), np.int8)),
+                "v1": pc.cast(b.column("o_custkey"), pa.int64()),
+                "v2": pc.cast(b.column("o_orderdate"), pa.int64()),
+            }
+        )
+
+    def attach_order(g: pd.DataFrame) -> pd.DataFrame:
+        # collapse the per-batch lineitem partials to ONE exact revenue
+        # row per orderkey (all partials of an orderkey share the bucket)
+        li = (
+            g[g["role"] == 0]
+            .groupby("k", as_index=False)["v1"]
+            .sum()
+            .rename(columns={"v1": "rev"})
+        )
+        meta = g[g["role"] == 1].set_index("k")
+        ck = meta["v1"].reindex(li["k"])
+        keep = ck.notna().to_numpy()
+        li = li[keep]
+        ck = ck.dropna().to_numpy(np.int64)
+        odate = meta["v2"].reindex(li["k"]).to_numpy(np.int64)
+        c = ck
+        return pd.DataFrame(
+            {
+                "cbkt": (c % buckets).astype(np.int32),
+                "ck": c,
+                "crole": np.zeros(len(c), np.int8),
+                "okey": li["k"].to_numpy(np.int64),
+                "rev": li["rev"].to_numpy(np.int64),
+                "odate": odate,
+            }
+        )
+
+    def cust_rows(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pc.equal(batch.column("c_mktsegment"), segment))
+        ck = b.column("c_custkey").to_numpy(zero_copy_only=False)
+        n = len(ck)
+        return pa.table(
+            {
+                "cbkt": pa.array((ck % buckets).astype(np.int32)),
+                "ck": pa.array(ck, pa.int64()),
+                "crole": pa.array(np.ones(n, np.int8)),
+                "okey": pa.array(np.zeros(n, np.int64)),
+                "rev": pa.array(np.zeros(n, np.int64)),
+                "odate": pa.array(np.zeros(n, np.int64)),
+            }
+        )
+
+    def local_topk(g: pd.DataFrame) -> pa.Table:
+        li = g[g["crole"] == 0]
+        seg_set = g[g["crole"] == 1]["ck"]
+        li = li[li["ck"].isin(seg_set).to_numpy()]
+        t = li.sort_values(
+            ["rev", "okey"], ascending=[False, True], kind="stable"
+        ).head(k)
+        return pa.table(
+            {
+                "fin": pa.array(np.zeros(len(t), np.int8)),
+                "o_orderkey": pa.array(t["okey"].to_numpy(np.int64), pa.int64()),
+                "revenue_cc": pa.array(t["rev"].to_numpy(np.int64), pa.int64()),
+                "o_orderdate_us": pa.array(
+                    t["odate"].to_numpy(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        t = g.sort_values(
+            ["revenue_cc", "o_orderkey"], ascending=[False, True], kind="stable"
+        ).head(k)
+        return t[["o_orderkey", "revenue_cc", "o_orderdate_us"]].reset_index(
+            drop=True
+        )
+
+    li = _t(
+        sf_dir, "lineitem",
+        ["l_orderkey", "l_shipdate", "l_extendedprice", "l_discount"],
+    ).map_batches(li_partials, batch_format="pyarrow", zero_copy_batch=True)
+    ords = _t(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(order_rows, batch_format="pyarrow", zero_copy_batch=True)
+    cust = _t(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).map_batches(
+        cust_rows, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return (
+        li.union(ords)
+        .groupby("bkt")
+        .map_groups(arrow_udf(attach_order), batch_format="pandas")
+        .union(cust)
+        .groupby("cbkt")
+        .map_groups(arrow_udf(local_topk), batch_format="pandas")
+        .groupby("fin")
+        .map_groups(arrow_udf(final_topk), batch_format="pandas")
+    )
+
+
+# -- TPC-H Q5: local supplier volume (customer and supplier same nation) --------
+
+LOCAL_VOLUME_REGION = "ASIA"
+LOCAL_VOLUME_DATE_LO = "1996-01-01"
+LOCAL_VOLUME_DATE_HI = "1997-01-01"
+
+
+def local_supplier_volume(
+    sf_dir: str,
+    region: str = LOCAL_VOLUME_REGION,
+    date_lo: str = LOCAL_VOLUME_DATE_LO,
+    date_hi: str = LOCAL_VOLUME_DATE_HI,
+) -> rd.Dataset:
+    """(n_name, revenue_cc): discounted revenue per nation in ``region``
+    where the ordering customer and the shipping supplier share the
+    nation — TPC-H Q5's local-supplier-volume report over orders placed
+    in [date_lo, date_hi).
+
+    Scale shape: nation⋈region collapses to a ≤25-entry broadcast dict
+    (the genuinely-small side); the region filter prunes customer and
+    supplier rows at the batch level BEFORE they enter any exchange.
+    Three narrow co-shuffles (orderkey → custkey, custkey → customer
+    nation, suppkey → same-nation gate) mirror
+    :func:`nation_trade_balance`; after exchange 2 rows are bounded by
+    suppliers × in-region nations, never fact-sized."""
+    import pandas as pd
+
+    buckets = 64
+    lo_us, hi_us = _epoch_us(date_lo), _epoch_us(date_hi)
+    nation = _small_table_dict(sf_dir, "nation", "n_nationkey", "n_name")
+    nat_region = _small_table_dict(sf_dir, "nation", "n_nationkey", "n_regionkey")
+    region_keys = {
+        rk for rk, rn in _small_table_dict(
+            sf_dir, "region", "r_regionkey", "r_name"
+        ).items() if rn == region
+    }
+    in_region = {nk for nk, rk in nat_region.items() if rk in region_keys}
+
+    def li_partials(batch: pa.Table) -> pa.Table:
+        price = pc.cast(
+            pc.round(pc.multiply(batch.column("l_extendedprice"), 100.0)),
+            pa.int64(),
+        )
+        disc = pc.cast(
+            pc.round(pc.multiply(batch.column("l_discount"), 100.0)), pa.int64()
+        )
+        rev = pc.multiply(price, pc.subtract(pa.scalar(100, pa.int64()), disc))
+        g = (
+            pa.table(
+                {
+                    "k": batch.column("l_orderkey"),
+                    "sk": batch.column("l_suppkey"),
+                    "rev": rev,
+                }
+            )
+            .group_by(["k", "sk"])
+            .aggregate([("rev", "sum")])
+        )
+        kk = g.column("k").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "bkt": pa.array((kk % buckets).astype(np.int32)),
+                "k": pa.array(kk, pa.int64()),
+                "role": pa.array(np.zeros(len(kk), np.int8)),
+                "v1": pc.cast(g.column("sk"), pa.int64()),
+                "v2": g.column("rev_sum"),
+            }
+        )
+
+    def order_rows(batch: pa.Table) -> pa.Table:
+        odate = pc.cast(batch.column("o_orderdate"), pa.int64())
+        b = batch.filter(
+            pc.and_(
+                pc.greater_equal(odate, pa.scalar(lo_us, pa.int64())),
+                pc.less(odate, pa.scalar(hi_us, pa.int64())),
+            )
+        )
+        kk = b.column("o_orderkey").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "bkt": pa.array((kk % buckets).astype(np.int32)),
+                "k": pa.array(kk, pa.int64()),
+                "role": pa.array(np.ones(len(kk), np.int8)),
+                "v1": pc.cast(b.column("o_custkey"), pa.int64()),
+                "v2": pa.array(np.zeros(len(kk), np.int64)),
+            }
+        )
+
+    def attach_cust(g: pd.DataFrame) -> pd.DataFrame:
+        li = g[g["role"] == 0]
+        cust_of = g[g["role"] == 1].set_index("k")["v1"]
+        ck = cust_of.reindex(li["k"])
+        li = li[ck.notna().to_numpy()]
+        ck = ck.dropna().to_numpy(np.int64)
+        out = pd.DataFrame(
+            {
+                "ck": ck,
+                "sk": li["v1"].to_numpy(np.int64),
+                "rev": li["v2"].to_numpy(np.int64),
+            }
+        ).groupby(["ck", "sk"], as_index=False)["rev"].sum()
+        c = out["ck"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "bkt2": (c % buckets).astype(np.int32),
+                "k": c,
+                "role": np.zeros(len(c), np.int8),
+                "v1": out["sk"].to_numpy(np.int64),
+                "v2": out["rev"].to_numpy(np.int64),
+            }
+        )
+
+    def cust_rows(batch: pa.Table) -> pa.Table:
+        nk = batch.column("c_nationkey").to_numpy(zero_copy_only=False)
+        mask = np.isin(nk, np.fromiter(in_region, np.int64, len(in_region)))
+        b = batch.filter(pa.array(mask))
+        ck = b.column("c_custkey").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "bkt2": pa.array((ck % buckets).astype(np.int32)),
+                "k": pa.array(ck, pa.int64()),
+                "role": pa.array(np.ones(len(ck), np.int8)),
+                "v1": pc.cast(b.column("c_nationkey"), pa.int64()),
+                "v2": pa.array(np.zeros(len(ck), np.int64)),
+            }
+        )
+
+    def attach_cnat(g: pd.DataFrame) -> pd.DataFrame:
+        li = g[g["role"] == 0]
+        nat_of = g[g["role"] == 1].set_index("k")["v1"]
+        cn = nat_of.reindex(li["k"])
+        li = li[cn.notna().to_numpy()]
+        cn = cn.dropna().to_numpy(np.int64)
+        out = pd.DataFrame(
+            {
+                "sk": li["v1"].to_numpy(np.int64),
+                "cnat": cn,
+                "rev": li["v2"].to_numpy(np.int64),
+            }
+        ).groupby(["sk", "cnat"], as_index=False)["rev"].sum()
+        s = out["sk"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "bkt3": (s % buckets).astype(np.int32),
+                "k": s,
+                "role": np.zeros(len(s), np.int8),
+                "v1": out["cnat"].to_numpy(np.int64),
+                "v2": out["rev"].to_numpy(np.int64),
+            }
+        )
+
+    def supp_rows(batch: pa.Table) -> pa.Table:
+        nk = batch.column("s_nationkey").to_numpy(zero_copy_only=False)
+        mask = np.isin(nk, np.fromiter(in_region, np.int64, len(in_region)))
+        b = batch.filter(pa.array(mask))
+        sk = b.column("s_suppkey").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "bkt3": pa.array((sk % buckets).astype(np.int32)),
+                "k": pa.array(sk, pa.int64()),
+                "role": pa.array(np.ones(len(sk), np.int8)),
+                "v1": pc.cast(b.column("s_nationkey"), pa.int64()),
+                "v2": pa.array(np.zeros(len(sk), np.int64)),
+            }
+        )
+
+    def fold_local(g: pd.DataFrame) -> pa.Table:
+        li = g[g["role"] == 0]
+        nat_of = g[g["role"] == 1].set_index("k")["v1"]
+        sn = nat_of.reindex(li["k"])
+        keep = sn.notna().to_numpy()
+        li = li[keep]
+        sn = sn.dropna().to_numpy(np.int64)
+        same = sn == li["v1"].to_numpy(np.int64)
+        li = li[same]
+        sn = sn[same]
+        out = pd.DataFrame({"nk": sn, "rev": li["v2"].to_numpy(np.int64)}).groupby(
+            "nk", as_index=False
+        )["rev"].sum()
+        return pa.table(
+            {
+                "n_name": pa.array(
+                    [nation.get(int(x), "UNKNOWN") for x in out["nk"]],
+                    pa.string(),
+                ),
+                "revenue_cc": pa.array(out["rev"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "n_name": [g["n_name"].iloc[0]],
+                "revenue_cc": np.array([g["revenue_cc"].sum()], np.int64),
+            }
+        )
+
+    li = _t(
+        sf_dir, "lineitem",
+        ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    ).map_batches(li_partials, batch_format="pyarrow", zero_copy_batch=True)
+    ords = _t(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(order_rows, batch_format="pyarrow", zero_copy_batch=True)
+    cust = _t(sf_dir, "customer", ["c_custkey", "c_nationkey"]).map_batches(
+        cust_rows, batch_format="pyarrow", zero_copy_batch=True
+    )
+    supp = _t(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).map_batches(
+        supp_rows, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return (
+        li.union(ords)
+        .groupby("bkt")
+        .map_groups(arrow_udf(attach_cust), batch_format="pandas")
+        .union(cust)
+        .groupby("bkt2")
+        .map_groups(arrow_udf(attach_cnat), batch_format="pandas")
+        .union(supp)
+        .groupby("bkt3")
+        .map_groups(arrow_udf(fold_local), batch_format="pandas")
+        .groupby("n_name")
+        .map_groups(arrow_udf(combine), batch_format="pandas")
+    )
+
+
+# -- TPC-H Q6: forecast revenue change (filtered scan-sum) -----------------------
+
+DISCOUNT_BAND_LO = 5  # discount pct, inclusive
+DISCOUNT_BAND_HI = 7
+DISCOUNT_QTY_LT = 24
+DISCOUNT_DATE_LO = "1996-01-01"
+DISCOUNT_DATE_HI = "1997-01-01"
+
+
+def discount_band_revenue(sf_dir: str) -> rd.Dataset:
+    """(revenue_cc, n_items): the revenue that would vanish if
+    discounts in the [5%,7%] band on small (<24 qty) 1996 lineitems were
+    dropped — TPC-H Q6's forecast, ``sum(extendedprice·discount)`` in
+    integer price_cents·discount_pct.
+
+    Scale shape: a pure streaming scan-sum — every predicate and the
+    per-batch partial run vectorized inside map_batches; the exchange
+    carries exactly one (revenue, n) row per block to a constant-key
+    combine.  No fact-sized anything moves."""
+    import pandas as pd
+
+    lo_us, hi_us = _epoch_us(DISCOUNT_DATE_LO), _epoch_us(DISCOUNT_DATE_HI)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ship = pc.cast(batch.column("l_shipdate"), pa.int64())
+        b = batch.filter(
+            pc.and_(
+                pc.greater_equal(ship, pa.scalar(lo_us, pa.int64())),
+                pc.less(ship, pa.scalar(hi_us, pa.int64())),
+            )
+        )
+        price = pc.cast(
+            pc.round(pc.multiply(b.column("l_extendedprice"), 100.0)), pa.int64()
+        )
+        disc = pc.cast(
+            pc.round(pc.multiply(b.column("l_discount"), 100.0)), pa.int64()
+        )
+        qty = pc.cast(pc.round(b.column("l_quantity")), pa.int64())
+        dn, qn = disc.to_numpy(zero_copy_only=False), qty.to_numpy(
+            zero_copy_only=False
+        )
+        mask = (dn >= DISCOUNT_BAND_LO) & (dn <= DISCOUNT_BAND_HI) & (
+            qn < DISCOUNT_QTY_LT
+        )
+        pn = price.to_numpy(zero_copy_only=False)[mask]
+        return pa.table(
+            {
+                "fin": pa.array([np.int8(0)]),
+                "revenue_cc": pa.array([int((pn * dn[mask]).sum())], pa.int64()),
+                "n_items": pa.array([int(mask.sum())], pa.int64()),
+            }
+        )
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "revenue_cc": np.array([g["revenue_cc"].sum()], np.int64),
+                "n_items": np.array([g["n_items"].sum()], np.int64),
+            }
+        )
+
+    return (
+        _t(
+            sf_dir, "lineitem",
+            ["l_shipdate", "l_extendedprice", "l_discount", "l_quantity"],
+        )
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("fin")
+        .map_groups(arrow_udf(combine), batch_format="pandas")
+    )
+
+
+# -- TPC-H Q15: top supplier by interval revenue ---------------------------------
+
+TOP_SUPPLIER_DATE_LO = "1996-01-01"
+TOP_SUPPLIER_DATE_HI = "1996-04-01"
+
+
+def top_supplier(sf_dir: str) -> rd.Dataset:
+    """(s_suppkey, s_name, revenue_cc): the supplier(s) with the maximum
+    discounted revenue over shipments in [date_lo, date_hi) — TPC-H
+    Q15's top-supplier view join, keeping ALL ties (Q15 semantics).
+
+    Scale shape: the date filter prunes at the batch level; per-batch
+    (suppkey, rev) Arrow partials take ONE suppkey co-shuffle with the
+    supplier name rows; each bucket computes its suppliers' exact
+    totals and forwards only its local maxima (the global max is some
+    bucket's max), so the constant-key combine sees ≤ buckets·ties
+    rows."""
+    import pandas as pd
+
+    buckets = 64
+    lo_us, hi_us = _epoch_us(TOP_SUPPLIER_DATE_LO), _epoch_us(TOP_SUPPLIER_DATE_HI)
+
+    def li_partials(batch: pa.Table) -> pa.Table:
+        ship = pc.cast(batch.column("l_shipdate"), pa.int64())
+        b = batch.filter(
+            pc.and_(
+                pc.greater_equal(ship, pa.scalar(lo_us, pa.int64())),
+                pc.less(ship, pa.scalar(hi_us, pa.int64())),
+            )
+        )
+        price = pc.cast(
+            pc.round(pc.multiply(b.column("l_extendedprice"), 100.0)), pa.int64()
+        )
+        disc = pc.cast(
+            pc.round(pc.multiply(b.column("l_discount"), 100.0)), pa.int64()
+        )
+        rev = pc.multiply(price, pc.subtract(pa.scalar(100, pa.int64()), disc))
+        g = (
+            pa.table({"sk": b.column("l_suppkey"), "rev": rev})
+            .group_by(["sk"])
+            .aggregate([("rev", "sum")])
+        )
+        sk = g.column("sk").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "bkt": pa.array((sk % buckets).astype(np.int32)),
+                "sk": pa.array(sk, pa.int64()),
+                "role": pa.array(np.zeros(len(sk), np.int8)),
+                "rev": g.column("rev_sum"),
+                "s_name": pa.array([""] * len(sk), pa.string()),
+            }
+        )
+
+    def supp_rows(batch: pa.Table) -> pa.Table:
+        sk = batch.column("s_suppkey").to_numpy(zero_copy_only=False)
+        n = len(sk)
+        return pa.table(
+            {
+                "bkt": pa.array((sk % buckets).astype(np.int32)),
+                "sk": pa.array(sk, pa.int64()),
+                "role": pa.array(np.ones(n, np.int8)),
+                "rev": pa.array(np.zeros(n, np.int64)),
+                "s_name": batch.column("s_name"),
+            }
+        )
+
+    def local_max(g: pd.DataFrame) -> pa.Table:
+        li = g[g["role"] == 0]
+        tot = li.groupby("sk", as_index=False)["rev"].sum()
+        if len(tot) == 0:
+            return pa.table(
+                {
+                    "fin": pa.array([], pa.int8()),
+                    "s_suppkey": pa.array([], pa.int64()),
+                    "s_name": pa.array([], pa.string()),
+                    "revenue_cc": pa.array([], pa.int64()),
+                }
+            )
+        best = tot[tot["rev"] == tot["rev"].max()]
+        names = g[g["role"] == 1].set_index("sk")["s_name"].reindex(best["sk"])
+        return pa.table(
+            {
+                "fin": pa.array(np.zeros(len(best), np.int8)),
+                "s_suppkey": pa.array(best["sk"].to_numpy(np.int64), pa.int64()),
+                "s_name": pa.array([str(v) for v in names], pa.string()),
+                "revenue_cc": pa.array(best["rev"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    def global_max(g: pd.DataFrame) -> pd.DataFrame:
+        best = g[g["revenue_cc"] == g["revenue_cc"].max()].sort_values("s_suppkey")
+        return best[["s_suppkey", "s_name", "revenue_cc"]].reset_index(drop=True)
+
+    li = _t(
+        sf_dir, "lineitem",
+        ["l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"],
+    ).map_batches(li_partials, batch_format="pyarrow", zero_copy_batch=True)
+    supp = _t(sf_dir, "supplier", ["s_suppkey", "s_name"]).map_batches(
+        supp_rows, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return (
+        li.union(supp)
+        .groupby("bkt")
+        .map_groups(arrow_udf(local_max), batch_format="pandas")
+        .groupby("fin")
+        .map_groups(arrow_udf(global_max), batch_format="pandas")
+    )

@@ -195,6 +195,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_dau_wau": relational.events_dau_wau,
         "rrf_fusion": analysis.rrf_fusion,
         "user_lifetimes": relational.user_lifetimes,
+        "shipping_priority": relational.shipping_priority,
+        "local_supplier_volume": relational.local_supplier_volume,
+        "discount_band_revenue": relational.discount_band_revenue,
+        "top_supplier": relational.top_supplier,
         "compression_ratio": analysis.compression_ratio,
         "train_bpe": analysis.train_bpe,
         "bpe_segment_counts": analysis.bpe_segment_counts,
