@@ -2355,6 +2355,30 @@ def _bloom_sql() -> str:
     )
 
 
+def _disjunctive_sql() -> str:
+    """Mirror of relational.disjunctive_revenue (TPC-H Q19): the OR of
+    the three (brand, size cap, qty band) arms, built from the same
+    DISJUNCT_ARMS tuple the pipeline evaluates."""
+    from pdf_parser_ray.pipelines.relational import DISJUNCT_ARMS
+
+    arms = " OR ".join(
+        f"(p.p_brand = '{b}' AND p.p_size <= {cap}"
+        f" AND li.q BETWEEN {lo} AND {hi})"
+        for b, cap, lo, hi in DISJUNCT_ARMS
+    )
+    return (
+        "WITH li AS (SELECT l_partkey AS pk,"
+        "   CAST(round(l_quantity) AS BIGINT) AS q,"
+        "   CAST(round(l_extendedprice * 100) AS BIGINT)"
+        "   * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev"
+        "   FROM lineitem)"
+        " SELECT CAST(coalesce(sum(li.rev), 0) AS BIGINT) AS revenue_cc,"
+        "  CAST(count(*) AS BIGINT) AS n_items"
+        " FROM li JOIN part p ON p.p_partkey = li.pk"
+        f" WHERE {arms}"
+    )
+
+
 def _tpch_classic_sql() -> dict[str, str]:
     """Mirrors for the TPC-H Q3/Q5/Q6/Q15 shapes in relational.py —
     every constant interpolated from the pipeline module so retuning a
@@ -2411,6 +2435,53 @@ def _tpch_classic_sql() -> dict[str, str]:
             "  CAST(count(*) AS BIGINT) AS n_items FROM l"
             f" WHERE dp BETWEEN {R.DISCOUNT_BAND_LO} AND {R.DISCOUNT_BAND_HI}"
             f"  AND q < {R.DISCOUNT_QTY_LT}"
+        ),
+        "small_qty_revenue": (
+            # mirror of relational.small_qty_revenue (TPC-H Q17): the
+            # integer gate 5·qty·count < sum_qty ≡ qty < 0.2·avg
+            "WITH li AS (SELECT l_partkey AS pk,"
+            "   CAST(round(l_quantity) AS BIGINT) AS q,"
+            "   CAST(round(l_extendedprice * 100) AS BIGINT) AS pcents"
+            "   FROM lineitem),"
+            " b AS (SELECT p_partkey AS pk FROM part"
+            f"   WHERE p_brand = '{R.SMALL_QTY_BRAND}'),"
+            " j AS (SELECT li.* FROM li JOIN b USING (pk)),"
+            " a AS (SELECT pk, CAST(count(*) AS BIGINT) AS cnt,"
+            "   CAST(sum(q) AS BIGINT) AS sumq FROM j GROUP BY pk)"
+            " SELECT CAST(coalesce(sum(j.pcents), 0) AS BIGINT)"
+            "   AS revenue_cc,"
+            "  CAST(count(*) AS BIGINT) AS n_items"
+            " FROM j JOIN a USING (pk) WHERE 5 * j.q * a.cnt < a.sumq"
+        ),
+        "disjunctive_revenue": _disjunctive_sql(),
+        "market_share": (
+            # mirror of relational.market_share (TPC-H Q8): floor
+            # integer-micros share of the target nation's supply within
+            # the region market for one part type, per order year
+            "WITH l AS (SELECT l_partkey, l_orderkey, l_suppkey,"
+            "   CAST(round(l_extendedprice * 100) AS BIGINT)"
+            "   * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev"
+            "   FROM lineitem),"
+            " j AS (SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,"
+            "   ns.n_name AS supp_nation, l.rev"
+            "   FROM l"
+            "   JOIN part p ON p.p_partkey = l.l_partkey"
+            f"    AND p.p_type = '{R.MARKET_PART_TYPE}'"
+            "   JOIN orders o ON o.o_orderkey = l.l_orderkey"
+            "   JOIN customer c ON c.c_custkey = o.o_custkey"
+            "   JOIN nation nc ON nc.n_nationkey = c.c_nationkey"
+            "   JOIN region r ON r.r_regionkey = nc.n_regionkey"
+            f"    AND r.r_name = '{R.MARKET_REGION}'"
+            "   JOIN supplier s ON s.s_suppkey = l.l_suppkey"
+            "   JOIN nation ns ON ns.n_nationkey = s.s_nationkey)"
+            " SELECT o_year, CAST(sum(rev) AS BIGINT) AS total_cc,"
+            "  CAST(sum(CASE WHEN supp_nation ="
+            f"   '{R.MARKET_NATION}' THEN rev ELSE 0 END) AS BIGINT)"
+            "   AS nation_cc,"
+            "  CAST((sum(CASE WHEN supp_nation ="
+            f"   '{R.MARKET_NATION}' THEN rev ELSE 0 END) * 1000000)"
+            "   // sum(rev) AS BIGINT) AS share_micros"
+            " FROM j GROUP BY o_year"
         ),
         "top_supplier": (
             # mirror of relational.top_supplier (TPC-H Q15): max-revenue

@@ -3282,3 +3282,518 @@ def top_supplier(sf_dir: str) -> rd.Dataset:
         .groupby("fin")
         .map_groups(arrow_udf(global_max), batch_format="pandas")
     )
+
+
+# -- TPC-H Q17: small-quantity-order revenue -------------------------------------
+
+SMALL_QTY_BRAND = "Brand#2"
+
+
+def small_qty_revenue(sf_dir: str, brand: str = SMALL_QTY_BRAND) -> rd.Dataset:
+    """(revenue_cc, n_items): extended-price revenue on lineitems of
+    ``brand`` parts whose quantity is below 20% of that part's average
+    order quantity — TPC-H Q17's small-lot forecast, with the gate in
+    exact integers (5·qty·count(part) < sum_qty(part) ≡ qty < 0.2·avg).
+
+    Scale shape: quantities are small integers (1..50), so the
+    fact-side partial is a per-(part, qty) HISTOGRAM — (n, sum_price)
+    per bin — and the partkey co-shuffle carries ≤ parts×50 bins, never
+    raw lineitems.  The brand filter prunes the part side at the batch
+    level; each bucket derives the part's exact (count, sum_qty) from
+    its own bins and applies the gate bin-wise."""
+    import pandas as pd
+
+    buckets = 64
+
+    def li_partials(batch: pa.Table) -> pa.Table:
+        qty = pc.cast(pc.round(batch.column("l_quantity")), pa.int64())
+        price = pc.cast(
+            pc.round(pc.multiply(batch.column("l_extendedprice"), 100.0)),
+            pa.int64(),
+        )
+        g = (
+            pa.table(
+                {"pk": batch.column("l_partkey"), "q": qty, "price": price}
+            )
+            .group_by(["pk", "q"])
+            .aggregate([("price", "sum"), ("price", "count")])
+        )
+        pk = g.column("pk").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "bkt": pa.array((pk % buckets).astype(np.int32)),
+                "pk": pa.array(pk, pa.int64()),
+                "role": pa.array(np.zeros(len(pk), np.int8)),
+                "q": g.column("q"),
+                "sum_price": g.column("price_sum"),
+                "n": pc.cast(g.column("price_count"), pa.int64()),
+            }
+        )
+
+    def part_rows(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pc.equal(batch.column("p_brand"), brand))
+        pk = b.column("p_partkey").to_numpy(zero_copy_only=False)
+        n = len(pk)
+        return pa.table(
+            {
+                "bkt": pa.array((pk % buckets).astype(np.int32)),
+                "pk": pa.array(pk, pa.int64()),
+                "role": pa.array(np.ones(n, np.int8)),
+                "q": pa.array(np.zeros(n, np.int64)),
+                "sum_price": pa.array(np.zeros(n, np.int64)),
+                "n": pa.array(np.zeros(n, np.int64)),
+            }
+        )
+
+    def fold_gate(g: pd.DataFrame) -> pa.Table:
+        li = g[g["role"] == 0]
+        keep_pk = g[g["role"] == 1]["pk"]
+        li = li[li["pk"].isin(keep_pk).to_numpy()]
+        rev = np.int64(0)
+        items = np.int64(0)
+        if len(li):
+            bins = li.groupby(["pk", "q"], as_index=False)[
+                ["sum_price", "n"]
+            ].sum()
+            per_pk = bins.groupby("pk")
+            cnt = per_pk["n"].transform("sum").to_numpy(np.int64)
+            sumq = (
+                bins.assign(qn=bins["q"] * bins["n"])
+                .groupby("pk")["qn"]
+                .transform("sum")
+                .to_numpy(np.int64)
+            )
+            gate = 5 * bins["q"].to_numpy(np.int64) * cnt < sumq
+            rev = np.int64(bins["sum_price"].to_numpy(np.int64)[gate].sum())
+            items = np.int64(bins["n"].to_numpy(np.int64)[gate].sum())
+        return pa.table(
+            {
+                "fin": pa.array([np.int8(0)]),
+                "revenue_cc": pa.array([rev], pa.int64()),
+                "n_items": pa.array([items], pa.int64()),
+            }
+        )
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "revenue_cc": np.array([g["revenue_cc"].sum()], np.int64),
+                "n_items": np.array([g["n_items"].sum()], np.int64),
+            }
+        )
+
+    li = _t(
+        sf_dir, "lineitem", ["l_partkey", "l_quantity", "l_extendedprice"]
+    ).map_batches(li_partials, batch_format="pyarrow", zero_copy_batch=True)
+    parts = _t(sf_dir, "part", ["p_partkey", "p_brand"]).map_batches(
+        part_rows, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return (
+        li.union(parts)
+        .groupby("bkt")
+        .map_groups(arrow_udf(fold_gate), batch_format="pandas")
+        .groupby("fin")
+        .map_groups(arrow_udf(combine), batch_format="pandas")
+    )
+
+
+# -- TPC-H Q19: disjunctive-predicate discounted revenue -------------------------
+
+#: (brand, max size, qty lo, qty hi) — one OR-arm each, Q19's shape
+DISJUNCT_ARMS = (
+    ("Brand#1", 5, 1, 11),
+    ("Brand#2", 10, 10, 20),
+    ("Brand#3", 15, 20, 30),
+)
+
+
+def disjunctive_revenue(sf_dir: str) -> rd.Dataset:
+    """(revenue_cc, n_items): discounted revenue over lineitems
+    matching ANY of the three (brand, size≤S, qty∈[lo,hi]) arms —
+    TPC-H Q19's disjunctive predicate join.
+
+    Scale shape: same per-(part, qty) histogram partials as
+    :func:`small_qty_revenue` (the qty pre-filter keeps only bins that
+    could satisfy SOME arm); the part side ships (brand, size) only for
+    parts under the largest size cap, and each bucket evaluates the
+    disjunction bin-wise — the exchange never carries raw lineitems."""
+    import pandas as pd
+
+    buckets = 64
+    qty_lo = min(a[2] for a in DISJUNCT_ARMS)
+    qty_hi = max(a[3] for a in DISJUNCT_ARMS)
+    size_cap = max(a[1] for a in DISJUNCT_ARMS)
+    brands = {a[0]: i for i, a in enumerate(DISJUNCT_ARMS)}
+
+    def li_partials(batch: pa.Table) -> pa.Table:
+        qty = pc.cast(pc.round(batch.column("l_quantity")), pa.int64())
+        price = pc.cast(
+            pc.round(pc.multiply(batch.column("l_extendedprice"), 100.0)),
+            pa.int64(),
+        )
+        disc = pc.cast(
+            pc.round(pc.multiply(batch.column("l_discount"), 100.0)), pa.int64()
+        )
+        rev = pc.multiply(price, pc.subtract(pa.scalar(100, pa.int64()), disc))
+        t = pa.table(
+            {"pk": batch.column("l_partkey"), "q": qty, "rev": rev}
+        ).filter(
+            pc.and_(
+                pc.greater_equal(qty, pa.scalar(qty_lo, pa.int64())),
+                pc.less_equal(qty, pa.scalar(qty_hi, pa.int64())),
+            )
+        )
+        g = t.group_by(["pk", "q"]).aggregate([("rev", "sum"), ("rev", "count")])
+        pk = g.column("pk").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "bkt": pa.array((pk % buckets).astype(np.int32)),
+                "pk": pa.array(pk, pa.int64()),
+                "role": pa.array(np.zeros(len(pk), np.int8)),
+                "q": g.column("q"),
+                "rev": g.column("rev_sum"),
+                "n": pc.cast(g.column("rev_count"), pa.int64()),
+            }
+        )
+
+    def part_rows(batch: pa.Table) -> pa.Table:
+        size = pc.cast(batch.column("p_size"), pa.int64())
+        arm = np.full(len(batch), -1, np.int64)
+        bn = batch.column("p_brand").to_numpy(zero_copy_only=False)
+        for b, i in brands.items():
+            arm[bn == b] = i
+        t = pa.table(
+            {
+                "pk": batch.column("p_partkey"),
+                "size": size,
+                "arm": pa.array(arm),
+            }
+        ).filter(
+            pc.and_(
+                pc.greater_equal(pa.array(arm), pa.scalar(0, pa.int64())),
+                pc.less_equal(size, pa.scalar(size_cap, pa.int64())),
+            )
+        )
+        pk = t.column("pk").to_numpy(zero_copy_only=False)
+        # pack (arm, size) into the q / rev slots of the multiplexed row
+        return pa.table(
+            {
+                "bkt": pa.array((pk % buckets).astype(np.int32)),
+                "pk": pa.array(pk, pa.int64()),
+                "role": pa.array(np.ones(len(pk), np.int8)),
+                "q": t.column("arm"),
+                "rev": t.column("size"),
+                "n": pa.array(np.zeros(len(pk), np.int64)),
+            }
+        )
+
+    def fold_arms(g: pd.DataFrame) -> pa.Table:
+        li = g[g["role"] == 0]
+        meta = g[g["role"] == 1].set_index("pk")
+        arm = meta["q"].reindex(li["pk"])
+        keep = arm.notna().to_numpy()
+        li = li[keep]
+        arm = arm.dropna().to_numpy(np.int64)
+        size = meta["rev"].reindex(li["pk"]).to_numpy(np.int64)
+        q = li["q"].to_numpy(np.int64)
+        ok = np.zeros(len(li), bool)
+        for b, i in brands.items():
+            _, cap, lo, hi = DISJUNCT_ARMS[i]
+            ok |= (arm == i) & (size <= cap) & (q >= lo) & (q <= hi)
+        return pa.table(
+            {
+                "fin": pa.array([np.int8(0)]),
+                "revenue_cc": pa.array(
+                    [np.int64(li["rev"].to_numpy(np.int64)[ok].sum())],
+                    pa.int64(),
+                ),
+                "n_items": pa.array(
+                    [np.int64(li["n"].to_numpy(np.int64)[ok].sum())], pa.int64()
+                ),
+            }
+        )
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "revenue_cc": np.array([g["revenue_cc"].sum()], np.int64),
+                "n_items": np.array([g["n_items"].sum()], np.int64),
+            }
+        )
+
+    li = _t(
+        sf_dir, "lineitem",
+        ["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+    ).map_batches(li_partials, batch_format="pyarrow", zero_copy_batch=True)
+    parts = _t(sf_dir, "part", ["p_partkey", "p_brand", "p_size"]).map_batches(
+        part_rows, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return (
+        li.union(parts)
+        .groupby("bkt")
+        .map_groups(arrow_udf(fold_arms), batch_format="pandas")
+        .groupby("fin")
+        .map_groups(arrow_udf(combine), batch_format="pandas")
+    )
+
+
+# -- TPC-H Q8: national market share ---------------------------------------------
+
+MARKET_REGION = "ASIA"
+MARKET_PART_TYPE = "ECONOMY"
+MARKET_NATION = "NATION_7"
+
+
+def market_share(sf_dir: str) -> rd.Dataset:
+    """(o_year, total_cc, nation_cc, share_micros): for each order
+    year, the share of ``MARKET_NATION``-supplied revenue within the
+    ``MARKET_REGION`` customers' market for ``MARKET_PART_TYPE`` parts
+    — TPC-H Q8, share as floor(nation/total·1e6) exact integer micros.
+
+    Scale shape: four narrow co-shuffles, each pruning before it moves:
+    partkey (type semi-join) → orderkey (attach order year + custkey)
+    → custkey (region semi-join, collapse to per-(suppkey, year)) →
+    suppkey (attach supplier nation).  After exchange 3 rows are
+    bounded by suppliers × years; the final per-year combine and the
+    share division run on a handful of rows."""
+    import pandas as pd
+
+    buckets = 64
+    nation = _small_table_dict(sf_dir, "nation", "n_nationkey", "n_name")
+    nat_region = _small_table_dict(sf_dir, "nation", "n_nationkey", "n_regionkey")
+    region_keys = {
+        rk for rk, rn in _small_table_dict(
+            sf_dir, "region", "r_regionkey", "r_name"
+        ).items() if rn == MARKET_REGION
+    }
+    in_region = {nk for nk, rk in nat_region.items() if rk in region_keys}
+
+    def li_rows(batch: pa.Table) -> pa.Table:
+        price = pc.cast(
+            pc.round(pc.multiply(batch.column("l_extendedprice"), 100.0)),
+            pa.int64(),
+        )
+        disc = pc.cast(
+            pc.round(pc.multiply(batch.column("l_discount"), 100.0)), pa.int64()
+        )
+        rev = pc.multiply(price, pc.subtract(pa.scalar(100, pa.int64()), disc))
+        g = (
+            pa.table(
+                {
+                    "pk": batch.column("l_partkey"),
+                    "ok": batch.column("l_orderkey"),
+                    "sk": batch.column("l_suppkey"),
+                    "rev": rev,
+                }
+            )
+            .group_by(["pk", "ok", "sk"])
+            .aggregate([("rev", "sum")])
+        )
+        pk = g.column("pk").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "bkt": pa.array((pk % buckets).astype(np.int32)),
+                "k": pa.array(pk, pa.int64()),
+                "role": pa.array(np.zeros(len(pk), np.int8)),
+                "v1": pc.cast(g.column("ok"), pa.int64()),
+                "v2": pc.cast(g.column("sk"), pa.int64()),
+                "v3": g.column("rev_sum"),
+            }
+        )
+
+    def part_rows(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pc.equal(batch.column("p_type"), MARKET_PART_TYPE))
+        pk = b.column("p_partkey").to_numpy(zero_copy_only=False)
+        n = len(pk)
+        z = pa.array(np.zeros(n, np.int64))
+        return pa.table(
+            {
+                "bkt": pa.array((pk % buckets).astype(np.int32)),
+                "k": pa.array(pk, pa.int64()),
+                "role": pa.array(np.ones(n, np.int8)),
+                "v1": z,
+                "v2": z,
+                "v3": z,
+            }
+        )
+
+    def semi_part(g: pd.DataFrame) -> pd.DataFrame:
+        li = g[g["role"] == 0]
+        keep = g[g["role"] == 1]["k"]
+        li = li[li["k"].isin(keep).to_numpy()]
+        ok = li["v1"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "bkt2": (ok % buckets).astype(np.int32),
+                "k": ok,
+                "role": np.zeros(len(li), np.int8),
+                "v1": li["v2"].to_numpy(np.int64),  # suppkey
+                "v2": li["v3"].to_numpy(np.int64),  # rev
+                "v3": np.zeros(len(li), np.int64),
+            }
+        )
+
+    def order_rows(batch: pa.Table) -> pa.Table:
+        kk = batch.column("o_orderkey").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "bkt2": pa.array((kk % buckets).astype(np.int32)),
+                "k": pa.array(kk, pa.int64()),
+                "role": pa.array(np.ones(len(kk), np.int8)),
+                "v1": pc.cast(batch.column("o_custkey"), pa.int64()),
+                "v2": pc.cast(batch.column("o_orderdate"), pa.int64()),
+                "v3": pa.array(np.zeros(len(kk), np.int64)),
+            }
+        )
+
+    def attach_order(g: pd.DataFrame) -> pd.DataFrame:
+        li = g[g["role"] == 0]
+        meta = g[g["role"] == 1].set_index("k")
+        ck = meta["v1"].reindex(li["k"])
+        keep = ck.notna().to_numpy()
+        li = li[keep]
+        ck = ck.dropna().to_numpy(np.int64)
+        odate = meta["v2"].reindex(li["k"]).to_numpy(np.int64)
+        year = (
+            odate.astype("datetime64[us]").astype("datetime64[Y]").astype(np.int64)
+            + 1970
+        )
+        return pd.DataFrame(
+            {
+                "bkt3": (ck % buckets).astype(np.int32),
+                "k": ck,
+                "role": np.zeros(len(li), np.int8),
+                "v1": li["v1"].to_numpy(np.int64),  # suppkey
+                "v2": year,
+                "v3": li["v2"].to_numpy(np.int64),  # rev
+            }
+        )
+
+    def cust_rows(batch: pa.Table) -> pa.Table:
+        nk = batch.column("c_nationkey").to_numpy(zero_copy_only=False)
+        mask = np.isin(nk, np.fromiter(in_region, np.int64, len(in_region)))
+        b = batch.filter(pa.array(mask))
+        ck = b.column("c_custkey").to_numpy(zero_copy_only=False)
+        n = len(ck)
+        z = pa.array(np.zeros(n, np.int64))
+        return pa.table(
+            {
+                "bkt3": pa.array((ck % buckets).astype(np.int32)),
+                "k": pa.array(ck, pa.int64()),
+                "role": pa.array(np.ones(n, np.int8)),
+                "v1": z,
+                "v2": z,
+                "v3": z,
+            }
+        )
+
+    def semi_region(g: pd.DataFrame) -> pd.DataFrame:
+        li = g[g["role"] == 0]
+        keep = g[g["role"] == 1]["k"]
+        li = li[li["k"].isin(keep).to_numpy()]
+        out = (
+            pd.DataFrame(
+                {
+                    "sk": li["v1"].to_numpy(np.int64),
+                    "year": li["v2"].to_numpy(np.int64),
+                    "rev": li["v3"].to_numpy(np.int64),
+                }
+            )
+            .groupby(["sk", "year"], as_index=False)["rev"]
+            .sum()
+        )
+        s = out["sk"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "bkt4": (s % buckets).astype(np.int32),
+                "k": s,
+                "role": np.zeros(len(s), np.int8),
+                "v1": out["year"].to_numpy(np.int64),
+                "v2": out["rev"].to_numpy(np.int64),
+            }
+        )
+
+    def supp_rows(batch: pa.Table) -> pa.Table:
+        sk = batch.column("s_suppkey").to_numpy(zero_copy_only=False)
+        n = len(sk)
+        return pa.table(
+            {
+                "bkt4": pa.array((sk % buckets).astype(np.int32)),
+                "k": pa.array(sk, pa.int64()),
+                "role": pa.array(np.ones(n, np.int8)),
+                "v1": pc.cast(batch.column("s_nationkey"), pa.int64()),
+                "v2": pa.array(np.zeros(n, np.int64)),
+            }
+        )
+
+    def fold_share(g: pd.DataFrame) -> pa.Table:
+        li = g[g["role"] == 0]
+        nat_of = g[g["role"] == 1].set_index("k")["v1"]
+        sn = nat_of.reindex(li["k"])
+        keep = sn.notna().to_numpy()
+        li = li[keep]
+        sn = sn.dropna().to_numpy(np.int64)
+        names = np.array([nation.get(int(x), "UNKNOWN") for x in sn])
+        rev = li["v2"].to_numpy(np.int64)
+        df = pd.DataFrame(
+            {
+                "year": li["v1"].to_numpy(np.int64),
+                "total": rev,
+                "nat": np.where(names == MARKET_NATION, rev, np.int64(0)),
+            }
+        ).groupby("year", as_index=False)[["total", "nat"]].sum()
+        return pa.table(
+            {
+                "o_year": pa.array(df["year"].to_numpy(np.int64), pa.int64()),
+                "total": pa.array(df["total"].to_numpy(np.int64), pa.int64()),
+                "nat": pa.array(df["nat"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        total = np.int64(g["total"].sum())
+        nat = np.int64(g["nat"].sum())
+        share = np.int64(0) if total == 0 else np.int64(
+            (int(nat) * 1_000_000) // int(total)
+        )
+        return pd.DataFrame(
+            {
+                "o_year": [np.int64(g["o_year"].iloc[0])],
+                "total_cc": [total],
+                "nation_cc": [nat],
+                "share_micros": [share],
+            }
+        )
+
+    li = _t(
+        sf_dir, "lineitem",
+        ["l_partkey", "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    ).map_batches(li_rows, batch_format="pyarrow", zero_copy_batch=True)
+    parts = _t(sf_dir, "part", ["p_partkey", "p_type"]).map_batches(
+        part_rows, batch_format="pyarrow", zero_copy_batch=True
+    )
+    ords = _t(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(order_rows, batch_format="pyarrow", zero_copy_batch=True)
+    cust = _t(sf_dir, "customer", ["c_custkey", "c_nationkey"]).map_batches(
+        cust_rows, batch_format="pyarrow", zero_copy_batch=True
+    )
+    supp = _t(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).map_batches(
+        supp_rows, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return (
+        li.union(parts)
+        .groupby("bkt")
+        .map_groups(arrow_udf(semi_part), batch_format="pandas")
+        .union(ords)
+        .groupby("bkt2")
+        .map_groups(arrow_udf(attach_order), batch_format="pandas")
+        .union(cust)
+        .groupby("bkt3")
+        .map_groups(arrow_udf(semi_region), batch_format="pandas")
+        .union(supp)
+        .groupby("bkt4")
+        .map_groups(arrow_udf(fold_share), batch_format="pandas")
+        .groupby("o_year")
+        .map_groups(arrow_udf(combine), batch_format="pandas")
+    )

@@ -199,6 +199,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "local_supplier_volume": relational.local_supplier_volume,
         "discount_band_revenue": relational.discount_band_revenue,
         "top_supplier": relational.top_supplier,
+        "small_qty_revenue": relational.small_qty_revenue,
+        "disjunctive_revenue": relational.disjunctive_revenue,
+        "market_share": relational.market_share,
         "compression_ratio": analysis.compression_ratio,
         "train_bpe": analysis.train_bpe,
         "bpe_segment_counts": analysis.bpe_segment_counts,
