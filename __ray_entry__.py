@@ -2355,6 +2355,64 @@ def _bloom_sql() -> str:
     )
 
 
+def _zipf_sql() -> str:
+    """Mirror of analysis.zipf_fit: exact integer OLS over
+    floored-micros logs of the top-V (count DESC, word ASC) words;
+    HUGEINT keeps every product exact and ``//`` truncates toward zero
+    on both sides."""
+    from pdf_parser_ray.pipelines.analysis import ZIPF_TOP_V
+
+    return (
+        f"WITH w AS (SELECT unnest({_WORDS_EXPR}) AS word FROM documents),"
+        " c AS (SELECT word, CAST(count(*) AS BIGINT) AS n FROM w"
+        "   GROUP BY word),"
+        " top AS (SELECT n, row_number() OVER (ORDER BY n DESC, word)"
+        f"   AS rn FROM c QUALIFY rn <= {ZIPF_TOP_V}),"
+        " t AS (SELECT"
+        "   CAST(floor(ln(CAST(rn AS DOUBLE)) * 1000000) AS BIGINT) AS x,"
+        "   CAST(floor(ln(CAST(n AS DOUBLE)) * 1000000) AS BIGINT) AS y"
+        "   FROM top),"
+        " s AS (SELECT CAST(count(*) AS HUGEINT) AS nv,"
+        "   CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,"
+        "   CAST(sum(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,"
+        "   CAST(sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS HUGEINT)"
+        "     AS sxy,"
+        "   CAST(sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS HUGEINT)"
+        "     AS sxx FROM t)"
+        " SELECT CAST(nv AS BIGINT) AS n_vocab,"
+        "  CAST(CASE WHEN nv * sxx - sx * sx = 0 THEN 0 ELSE"
+        "   ((nv * sxy - sx * sy) * 1000000) // (nv * sxx - sx * sx)"
+        "   END AS BIGINT) AS slope_micros,"
+        "  CAST(CASE WHEN nv * sxx - sx * sx = 0 THEN 0 ELSE"
+        "   (sy * (nv * sxx - sx * sx) - (nv * sxy - sx * sy) * sx)"
+        "    // (nv * (nv * sxx - sx * sx))"
+        "   END AS BIGINT) AS intercept_micros"
+        " FROM s"
+    )
+
+
+def _stopword_sql() -> str:
+    """Mirror of analysis.stopword_ratio — the IN-list interpolated
+    from the pipeline's STOPWORDS tuple."""
+    from pdf_parser_ray.pipelines.analysis import STOPWORDS
+
+    in_list = ", ".join(f"'{w}'" for w in STOPWORDS)
+    return (
+        f"WITH w AS (SELECT doc_id, unnest({_WORDS_EXPR}) AS word"
+        "   FROM documents),"
+        " a AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nw,"
+        "   CAST(sum(CASE WHEN lower(word) IN"
+        f"    ({in_list}) THEN 1 ELSE 0 END) AS BIGINT) AS ns"
+        "   FROM w GROUP BY doc_id)"
+        " SELECT d.doc_id,"
+        "  CAST(coalesce(a.nw, 0) AS BIGINT) AS n_words,"
+        "  CAST(coalesce(a.ns, 0) AS BIGINT) AS n_stop,"
+        "  CAST(CASE WHEN coalesce(a.nw, 0) = 0 THEN 0"
+        "   ELSE (a.ns * 1000000) // a.nw END AS BIGINT) AS stop_micros"
+        " FROM documents d LEFT JOIN a USING (doc_id)"
+    )
+
+
 def _disjunctive_sql() -> str:
     """Mirror of relational.disjunctive_revenue (TPC-H Q19): the OR of
     the three (brand, size cap, qty band) arms, built from the same
@@ -2435,6 +2493,37 @@ def _tpch_classic_sql() -> dict[str, str]:
             "  CAST(count(*) AS BIGINT) AS n_items FROM l"
             f" WHERE dp BETWEEN {R.DISCOUNT_BAND_LO} AND {R.DISCOUNT_BAND_HI}"
             f"  AND q < {R.DISCOUNT_QTY_LT}"
+        ),
+        "zipf_fit": _zipf_sql(),
+        "stopword_ratio": _stopword_sql(),
+        "ttr_stats": (
+            # mirror of analysis.ttr_stats: distinct/total word counts
+            # per doc, integer-micros ratio, empty docs kept at 0
+            f"WITH w AS (SELECT doc_id, unnest({_WORDS_EXPR}) AS word"
+            "   FROM documents),"
+            " a AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nw,"
+            "   CAST(count(DISTINCT word) AS BIGINT) AS nu"
+            "   FROM w GROUP BY doc_id)"
+            " SELECT d.doc_id,"
+            "  CAST(coalesce(a.nw, 0) AS BIGINT) AS n_words,"
+            "  CAST(coalesce(a.nu, 0) AS BIGINT) AS n_unique,"
+            "  CAST(CASE WHEN coalesce(a.nw, 0) = 0 THEN 0"
+            "   ELSE (a.nu * 1000000) // a.nw END AS BIGINT) AS ttr_micros"
+            " FROM documents d LEFT JOIN a USING (doc_id)"
+        ),
+        "hapax_stats": (
+            # mirror of analysis.hapax_stats: per-source vocabulary and
+            # exactly-once word counts, integer-micros fraction
+            f"WITH w AS (SELECT source, unnest({_WORDS_EXPR}) AS word"
+            "   FROM documents),"
+            " c AS (SELECT source, word, count(*) AS n FROM w"
+            "   GROUP BY source, word),"
+            " a AS (SELECT source, CAST(count(*) AS BIGINT) AS n_vocab,"
+            "   CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)"
+            "     AS n_hapax FROM c GROUP BY source)"
+            " SELECT source, n_vocab, n_hapax,"
+            "  CAST((n_hapax * 1000000) // n_vocab AS BIGINT)"
+            "    AS hapax_micros FROM a"
         ),
         "small_qty_revenue": (
             # mirror of relational.small_qty_revenue (TPC-H Q17): the

@@ -2565,3 +2565,276 @@ def rrf_fusion(sf_dir: str) -> rd.Dataset:
         .groupby("fin")
         .map_groups(arrow_udf(fuse), batch_format="pandas")
     )
+
+
+# -- Zipf law fit over the head of the word-frequency distribution ------------
+
+ZIPF_TOP_V = 24
+
+
+def _tdiv(a: int, b: int) -> int:
+    """Exact integer division TRUNCATING toward zero — DuckDB's
+    ``//`` semantics (Python's ``//`` floors, which differs on
+    negatives; Zipf slopes are negative)."""
+    q = abs(a) // abs(b)
+    return q if (a >= 0) == (b >= 0) else -q
+
+
+def zipf_fit(sf_dir: str, v: int = ZIPF_TOP_V) -> rd.Dataset:
+    """(n_vocab, slope_micros, intercept_micros): least-squares fit of
+    ln(count) ~ a + b·ln(rank) over the corpus's top-``v`` words — the
+    Zipf exponent of the head of the frequency distribution (b ≈ −1
+    for natural text; a shallow slope flags templated/duplicated
+    corpora).  All moments are exact integers over floored-micros logs,
+    division truncates toward zero (DuckDB ``//``), so the fit is
+    order-free and hash-stable.
+
+    Scale shape: identical two-stage exact top-k as :func:`top_words`
+    (per-batch word counts → word-hash buckets → local top-v →
+    constant-key cut); the OLS itself runs on v rows."""
+    from collections import Counter
+
+    import numpy as np
+    import pandas as pd
+
+    from .dedup import _stable64
+
+    buckets = 64
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for text in batch.column("text").to_pylist():
+            c.update(text.split())
+        words = list(c.keys())
+        h = np.fromiter(
+            (_stable64(w) for w in words), dtype=np.uint64, count=len(words)
+        ).view(np.int64)
+        return pa.table(
+            {
+                "bkt": pa.array((h % buckets).astype(np.int32)),
+                "word": pa.array(words, pa.string()),
+                "n": pa.array(
+                    np.fromiter(c.values(), np.int64, count=len(words))
+                ),
+            }
+        )
+
+    def local_topv(g: pd.DataFrame) -> pd.DataFrame:
+        t = g.groupby("word", as_index=False)["n"].sum()
+        t = t.sort_values(
+            ["n", "word"], ascending=[False, True], kind="stable"
+        ).head(v)
+        t.insert(0, "fin", np.zeros(len(t), np.int8))
+        t["n"] = t["n"].astype(np.int64)
+        return t
+
+    def fit(g: pd.DataFrame) -> pd.DataFrame:
+        t = g.sort_values(
+            ["n", "word"], ascending=[False, True], kind="stable"
+        ).head(v)
+        counts = t["n"].to_numpy(np.int64)
+        nv = len(counts)
+        rank = np.arange(1, nv + 1, dtype=np.float64)
+        x = np.floor(np.log(rank) * 1e6).astype(np.int64)
+        y = np.floor(np.log(counts.astype(np.float64)) * 1e6).astype(np.int64)
+        sx = int(x.sum())
+        sy = int(y.sum())
+        sxy = int((x.astype(object) * y.astype(object)).sum())
+        sxx = int((x.astype(object) * x.astype(object)).sum())
+        num = nv * sxy - sx * sy
+        den = nv * sxx - sx * sx
+        if den == 0:
+            slope = intercept = 0
+        else:
+            slope = _tdiv(num * 10**6, den)
+            # y is ALREADY in micros, so the intercept needs no extra
+            # 1e6 scaling (slope does: it is micros/micros)
+            intercept = _tdiv(sy * den - num * sx, nv * den)
+        return pd.DataFrame(
+            {
+                "n_vocab": np.array([nv], np.int64),
+                "slope_micros": np.array([slope], np.int64),
+                "intercept_micros": np.array([intercept], np.int64),
+            }
+        )
+
+    return (
+        _docs(sf_dir, ["text"])
+        .map_batches(partial_counts, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bkt")
+        .map_groups(arrow_udf(local_topv), batch_format="pandas")
+        .groupby("fin")
+        .map_groups(arrow_udf(fit), batch_format="pandas")
+    )
+
+
+# -- type-token ratio ----------------------------------------------------------
+
+
+def ttr_stats(sf_dir: str) -> rd.Dataset:
+    """(doc_id, n_words, n_unique, ttr_micros): type-token ratio per
+    document in integer micros (1e6·unique // words; 0 for empty docs)
+    — the classic lexical-diversity screen (very low TTR flags
+    keyword-stuffed / repeated-boilerplate pages).  Map-only: no
+    shuffle, one pass, same split+set kernel as :func:`ols_residuals`."""
+    import numpy as np
+
+    def score(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        texts = batch.column("text").to_pylist()
+        nw = np.empty(len(ids), np.int64)
+        nu = np.empty(len(ids), np.int64)
+        for i, t in enumerate(texts):
+            words = t.split()
+            nw[i] = len(words)
+            nu[i] = len(set(words))
+        ttr = np.where(nw > 0, (nu * 1_000_000) // np.maximum(nw, 1), 0)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "n_words": pa.array(nw),
+                "n_unique": pa.array(nu),
+                "ttr_micros": pa.array(ttr.astype(np.int64)),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        score, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+# -- stopword ratio --------------------------------------------------------------
+
+STOPWORDS = (
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "that", "for", "on", "as", "with", "was", "at", "by", "be", "this",
+    "are", "from", "but", "not", "have",
+)
+
+
+def stopword_ratio(sf_dir: str) -> rd.Dataset:
+    """(doc_id, n_words, n_stop, stop_micros): fraction of tokens that
+    are common-English stopwords, in integer micros — a cheap
+    natural-language-vs-gibberish gate (C4/Gopher both use a stopword
+    floor; near-zero ratios flag lexicons, logs and SEO spam).
+
+    Map-only and fully vectorized: one Arrow whitespace split per
+    batch, lowercase + set membership on the flattened values, and a
+    reduceat over the list offsets — no per-row Python."""
+    import numpy as np
+
+    sw = pa.array(list(STOPWORDS), pa.string())
+
+    def score(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        words = pc.utf8_split_whitespace(batch.column("text"))
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        # .values (not .flatten()) so indices line up with the raw
+        # offsets buffer even if the list array carries a slice offset
+        flat = words.values
+        is_stop = pc.is_in(pc.utf8_lower(flat), value_set=sw)
+        # empty-string tokens from leading/trailing whitespace are not
+        # words: count real tokens, not split artifacts
+        nonempty = pc.not_equal(flat, "")
+        offsets = words.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        stop_np = pc.and_(is_stop, nonempty).to_numpy(zero_copy_only=False)
+        word_np = nonempty.to_numpy(zero_copy_only=False)
+        cs_stop = np.concatenate([[0], np.cumsum(stop_np.astype(np.int64))])
+        cs_word = np.concatenate([[0], np.cumsum(word_np.astype(np.int64))])
+        n_stop = cs_stop[offsets[1:]] - cs_stop[offsets[:-1]]
+        n_words = cs_word[offsets[1:]] - cs_word[offsets[:-1]]
+        ratio = np.where(
+            n_words > 0, (n_stop * 1_000_000) // np.maximum(n_words, 1), 0
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "n_words": pa.array(n_words.astype(np.int64)),
+                "n_stop": pa.array(n_stop.astype(np.int64)),
+                "stop_micros": pa.array(ratio.astype(np.int64)),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        score, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+# -- hapax legomena per source ----------------------------------------------------
+
+
+def hapax_stats(sf_dir: str) -> rd.Dataset:
+    """(source, n_vocab, n_hapax, hapax_micros): per-source vocabulary
+    size, hapax-legomena count (words occurring exactly once within the
+    source) and their integer-micros fraction — a corpus-health signal
+    (a collapsing hapax share flags heavy duplication; an exploding one
+    flags OCR noise / tokenizer breakage).
+
+    Scale shape: per-batch (source, word) Counter partials keyed by
+    word hash so each bucket owns its words' EXACT totals; buckets emit
+    one (source, vocab, hapax) partial each, and the per-source combine
+    folds ≤ buckets rows per source."""
+    from collections import Counter
+
+    import numpy as np
+    import pandas as pd
+
+    from .dedup import _stable64
+
+    buckets = 64
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        srcs = batch.column("source").to_pylist()
+        texts = batch.column("text").to_pylist()
+        for s, t in zip(srcs, texts):
+            for w in t.split():
+                c[(s, w)] += 1
+        keys = list(c.keys())
+        h = np.fromiter(
+            (_stable64(w) for _, w in keys), dtype=np.uint64, count=len(keys)
+        ).view(np.int64)
+        return pa.table(
+            {
+                "bkt": pa.array((h % buckets).astype(np.int32)),
+                "source": pa.array([s for s, _ in keys], pa.string()),
+                "word": pa.array([w for _, w in keys], pa.string()),
+                "n": pa.array(
+                    np.fromiter(c.values(), np.int64, count=len(keys))
+                ),
+            }
+        )
+
+    def bucket_fold(g: pd.DataFrame) -> pd.DataFrame:
+        t = g.groupby(["source", "word"], as_index=False)["n"].sum()
+        out = t.groupby("source").agg(
+            n_vocab=("n", "size"), n_hapax=("n", lambda s: int((s == 1).sum()))
+        ).reset_index()
+        out["n_vocab"] = out["n_vocab"].astype(np.int64)
+        out["n_hapax"] = out["n_hapax"].astype(np.int64)
+        return out
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        vocab = np.int64(g["n_vocab"].sum())
+        hapax = np.int64(g["n_hapax"].sum())
+        ratio = np.int64(0) if vocab == 0 else np.int64(
+            (int(hapax) * 1_000_000) // int(vocab)
+        )
+        return pd.DataFrame(
+            {
+                "source": [g["source"].iloc[0]],
+                "n_vocab": [vocab],
+                "n_hapax": [hapax],
+                "hapax_micros": [ratio],
+            }
+        )
+
+    return (
+        _docs(sf_dir, ["source", "text"])
+        .map_batches(partial_counts, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bkt")
+        .map_groups(arrow_udf(bucket_fold), batch_format="pandas")
+        .groupby("source")
+        .map_groups(arrow_udf(combine), batch_format="pandas")
+    )

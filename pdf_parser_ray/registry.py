@@ -202,6 +202,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "small_qty_revenue": relational.small_qty_revenue,
         "disjunctive_revenue": relational.disjunctive_revenue,
         "market_share": relational.market_share,
+        "zipf_fit": analysis.zipf_fit,
+        "ttr_stats": analysis.ttr_stats,
+        "stopword_ratio": analysis.stopword_ratio,
+        "hapax_stats": analysis.hapax_stats,
         "compression_ratio": analysis.compression_ratio,
         "train_bpe": analysis.train_bpe,
         "bpe_segment_counts": analysis.bpe_segment_counts,
