@@ -2494,6 +2494,47 @@ def _tpch_classic_sql() -> dict[str, str]:
             f" WHERE dp BETWEEN {R.DISCOUNT_BAND_LO} AND {R.DISCOUNT_BAND_HI}"
             f"  AND q < {R.DISCOUNT_QTY_LT}"
         ),
+        "inter_event_quantiles": (
+            # mirror of relational.inter_event_quantiles: per-user gaps
+            # over the same (ts, event_id) order, floored to seconds
+            # (gaps are non-negative, so // matches numpy's floor)
+            "WITH g AS (SELECT (epoch_us(ts) - lag(epoch_us(ts)) OVER ("
+            "   PARTITION BY user_id ORDER BY epoch_us(ts), event_id))"
+            "   // 1000000 AS gap_s FROM events)"
+            " SELECT CAST(count(gap_s) AS BIGINT) AS n_gaps,"
+            "  CAST(quantile_disc(gap_s, 0.25) AS BIGINT) AS p25_s,"
+            "  CAST(quantile_disc(gap_s, 0.50) AS BIGINT) AS p50_s,"
+            "  CAST(quantile_disc(gap_s, 0.75) AS BIGINT) AS p75_s,"
+            "  CAST(quantile_disc(gap_s, 0.95) AS BIGINT) AS p95_s"
+            " FROM g WHERE gap_s IS NOT NULL"
+        ),
+        "user_type_entropy": (
+            # mirror of relational.user_type_entropy: the word_entropy
+            # integer identity on (user, event_type) counts
+            "WITH c AS (SELECT user_id, event_type, count(*) AS k"
+            "   FROM events GROUP BY 1, 2),"
+            " n AS (SELECT user_id, CAST(sum(k) AS BIGINT) AS n FROM c"
+            "   GROUP BY 1)"
+            " SELECT c.user_id,"
+            "  CAST(any_value(n.n) AS BIGINT) AS n_events,"
+            "  CAST(sum(c.k * CAST(floor(ln(CAST(n.n AS DOUBLE) / c.k)"
+            "    * 1000000) AS BIGINT)) AS BIGINT) AS entropy_micros"
+            " FROM c JOIN n USING (user_id) GROUP BY c.user_id"
+        ),
+        "ship_latency_quantiles": (
+            # mirror of relational.ship_latency_quantiles: day-NUMBER
+            # difference (per-side epoch-day, both non-negative) so //
+            # truncation and numpy floor agree even when ship < order
+            "WITH d AS (SELECT o.o_orderpriority,"
+            "   epoch_us(l.l_shipdate) // 86400000000"
+            "   - epoch_us(o.o_orderdate) // 86400000000 AS days"
+            "   FROM lineitem l JOIN orders o"
+            "   ON o.o_orderkey = l.l_orderkey)"
+            " SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_items,"
+            "  CAST(quantile_disc(days, 0.50) AS BIGINT) AS p50_days,"
+            "  CAST(quantile_disc(days, 0.95) AS BIGINT) AS p95_days"
+            " FROM d GROUP BY 1"
+        ),
         "zipf_fit": _zipf_sql(),
         "stopword_ratio": _stopword_sql(),
         "ttr_stats": (

@@ -3797,3 +3797,247 @@ def market_share(sf_dir: str) -> rd.Dataset:
         .groupby("o_year")
         .map_groups(arrow_udf(combine), batch_format="pandas")
     )
+
+
+# -- inter-event arrival-gap quantiles -------------------------------------------
+
+
+def inter_event_quantiles(sf_dir: str) -> rd.Dataset:
+    """(n_gaps, p25_s, p50_s, p75_s, p95_s): exact discrete quantiles of
+    the per-user inter-event arrival gap, in whole seconds — the
+    load-model signal behind session-gap and rate-limit tuning.
+
+    Scale shape: events co-shuffle once on user buckets (narrow int64
+    rows — the same exchange sessionize_events uses); each bucket
+    sorts its users locally and emits a (gap_s, n) HISTOGRAM partial
+    — flooring gaps to seconds bounds the distinct-value domain, so
+    the quantile is a cumulative-count read like event_quantiles, not
+    a distributed sort."""
+    import math
+
+    import pandas as pd
+
+    buckets = 64
+
+    def rows(batch: pa.Table) -> pa.Table:
+        u = batch.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "bkt": pa.array((u % buckets).astype(np.int32)),
+                "user_id": pa.array(u),
+                "ts_us": pc.cast(batch.column("ts"), pa.int64()),
+                "event_id": pc.cast(batch.column("event_id"), pa.int64()),
+            }
+        )
+
+    def gap_hist(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts_us", "event_id"], kind="stable")
+        u = g["user_id"].to_numpy(np.int64)
+        ts = g["ts_us"].to_numpy(np.int64)
+        gap = ts[1:] - ts[:-1]
+        same = u[1:] == u[:-1]
+        gap_s = gap[same] // 1_000_000
+        uniq, counts = np.unique(gap_s, return_counts=True)
+        return pd.DataFrame(
+            {
+                "fin": np.zeros(len(uniq), np.int8),
+                "gap_s": uniq.astype(np.int64),
+                "n": counts.astype(np.int64),
+            }
+        )
+
+    def quantiles(g: pd.DataFrame) -> pd.DataFrame:
+        # ≤ buckets × distinct-seconds histogram partials: sum the bins
+        # here instead of paying a separate global aggregate exchange
+        g = g.groupby("gap_s", as_index=False)["n"].sum().sort_values("gap_s")
+        cum = g["n"].to_numpy().cumsum()
+        total = int(cum[-1])
+        vals = g["gap_s"].to_numpy()
+
+        def pick(q: float) -> int:
+            rank = max(1, math.ceil(q * total))
+            return int(vals[np.searchsorted(cum, rank, side="left")])
+
+        return pd.DataFrame(
+            {
+                "n_gaps": np.array([total], np.int64),
+                "p25_s": np.array([pick(0.25)], np.int64),
+                "p50_s": np.array([pick(0.50)], np.int64),
+                "p75_s": np.array([pick(0.75)], np.int64),
+                "p95_s": np.array([pick(0.95)], np.int64),
+            }
+        )
+
+    return (
+        _t(sf_dir, "events", ["user_id", "ts", "event_id"])
+        .map_batches(rows, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bkt")
+        .map_groups(arrow_udf(gap_hist), batch_format="pandas")
+        .groupby("fin")
+        .map_groups(arrow_udf(quantiles), batch_format="pandas")
+    )
+
+
+# -- per-user event-type entropy --------------------------------------------------
+
+
+def user_type_entropy(sf_dir: str) -> rd.Dataset:
+    """(user_id, n_events, entropy_micros): Shannon surprisal of each
+    user's event-type mix — Σ k·floor(ln(n/k)·1e6) in exact integers
+    (the word_entropy identity on (user, type) counts); 0 for
+    single-type users, higher = more diverse behavior.
+
+    Scale shape: per-batch (user, type) Arrow partials, ONE user-bucket
+    exchange bounded by users × event types, vectorized per-bucket
+    fold."""
+    import pandas as pd
+
+    buckets = 64
+
+    def partials(batch: pa.Table) -> pa.Table:
+        g = (
+            pa.table(
+                {
+                    "user_id": batch.column("user_id"),
+                    "event_type": batch.column("event_type"),
+                }
+            )
+            .group_by(["user_id", "event_type"])
+            .aggregate([("event_type", "count")])
+        )
+        u = g.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "bkt": pa.array((u % buckets).astype(np.int32)),
+                "user_id": pa.array(u),
+                "event_type": g.column("event_type"),
+                "k": pc.cast(g.column("event_type_count"), pa.int64()),
+            }
+        )
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.groupby(["user_id", "event_type"], as_index=False)["k"].sum()
+        n = c.groupby("user_id")["k"].transform("sum").to_numpy(np.int64)
+        k = c["k"].to_numpy(np.int64)
+        term = k * np.floor(
+            np.log(n.astype(np.float64) / k.astype(np.float64)) * 1e6
+        ).astype(np.int64)
+        out = (
+            pd.DataFrame(
+                {"user_id": c["user_id"].to_numpy(np.int64), "n": n, "t": term}
+            )
+            .groupby("user_id", as_index=False)
+            .agg(n_events=("n", "first"), entropy_micros=("t", "sum"))
+        )
+        out["n_events"] = out["n_events"].astype(np.int64)
+        out["entropy_micros"] = out["entropy_micros"].astype(np.int64)
+        return out
+
+    return (
+        _t(sf_dir, "events", ["user_id", "event_type"])
+        .map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bkt")
+        .map_groups(arrow_udf(fold), batch_format="pandas")
+    )
+
+
+# -- ship-latency quantiles per order priority ------------------------------------
+
+
+def ship_latency_quantiles(sf_dir: str) -> rd.Dataset:
+    """(o_orderpriority, n_items, p50_days, p95_days): exact discrete
+    quantiles of the order-date → ship-date latency in whole days, per
+    order priority — the fulfillment-SLA report (does URGENT actually
+    ship faster?).
+
+    Scale shape: one orderkey co-shuffle attaches (orderdate, priority)
+    to per-batch lineitem rows, then each bucket emits (priority,
+    delay_days, n) HISTOGRAM partials — days bound the domain, so the
+    final per-priority quantile reads cumulative counts over ≤ a few
+    thousand bins, like event_quantiles."""
+    import math
+
+    import pandas as pd
+
+    buckets = 64
+    day_us = 86_400_000_000
+
+    def li_rows(batch: pa.Table) -> pa.Table:
+        kk = batch.column("l_orderkey").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "bkt": pa.array((kk % buckets).astype(np.int32)),
+                "k": pa.array(kk, pa.int64()),
+                "role": pa.array(np.zeros(len(kk), np.int8)),
+                "v1": pc.cast(batch.column("l_shipdate"), pa.int64()),
+                "pri": pa.array([""] * len(kk), pa.string()),
+            }
+        )
+
+    def order_rows(batch: pa.Table) -> pa.Table:
+        kk = batch.column("o_orderkey").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "bkt": pa.array((kk % buckets).astype(np.int32)),
+                "k": pa.array(kk, pa.int64()),
+                "role": pa.array(np.ones(len(kk), np.int8)),
+                "v1": pc.cast(batch.column("o_orderdate"), pa.int64()),
+                "pri": batch.column("o_orderpriority"),
+            }
+        )
+
+    def delay_hist(g: pd.DataFrame) -> pd.DataFrame:
+        li = g[g["role"] == 0]
+        meta = g[g["role"] == 1].set_index("k")
+        odate = meta["v1"].reindex(li["k"])
+        keep = odate.notna().to_numpy()
+        li = li[keep]
+        odate = odate.dropna().to_numpy(np.int64)
+        pri = meta["pri"].reindex(li["k"]).to_numpy()
+        # day-number difference, NOT floor((ship-order)/day): ship can
+        # precede order in this data, and DuckDB's // truncates where
+        # numpy floors — per-side day numbers are non-negative, so
+        # truncation and floor agree exactly on both sides
+        days = li["v1"].to_numpy(np.int64) // day_us - odate // day_us
+        out = (
+            pd.DataFrame({"o_orderpriority": pri, "days": days})
+            .groupby(["o_orderpriority", "days"], as_index=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+        out["days"] = out["days"].astype(np.int64)
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    def quantiles(g: pd.DataFrame) -> pd.DataFrame:
+        t = g.groupby("days", as_index=False)["n"].sum().sort_values("days")
+        cum = t["n"].to_numpy().cumsum()
+        total = int(cum[-1])
+        vals = t["days"].to_numpy()
+
+        def pick(q: float) -> int:
+            rank = max(1, math.ceil(q * total))
+            return int(vals[np.searchsorted(cum, rank, side="left")])
+
+        return pd.DataFrame(
+            {
+                "o_orderpriority": [g["o_orderpriority"].iloc[0]],
+                "n_items": np.array([total], np.int64),
+                "p50_days": np.array([pick(0.50)], np.int64),
+                "p95_days": np.array([pick(0.95)], np.int64),
+            }
+        )
+
+    li = _t(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"]).map_batches(
+        li_rows, batch_format="pyarrow", zero_copy_batch=True
+    )
+    ords = _t(
+        sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_orderpriority"]
+    ).map_batches(order_rows, batch_format="pyarrow", zero_copy_batch=True)
+    return (
+        li.union(ords)
+        .groupby("bkt")
+        .map_groups(arrow_udf(delay_hist), batch_format="pandas")
+        .groupby("o_orderpriority")
+        .map_groups(arrow_udf(quantiles), batch_format="pandas")
+    )

@@ -206,6 +206,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ttr_stats": analysis.ttr_stats,
         "stopword_ratio": analysis.stopword_ratio,
         "hapax_stats": analysis.hapax_stats,
+        "inter_event_quantiles": relational.inter_event_quantiles,
+        "user_type_entropy": relational.user_type_entropy,
+        "ship_latency_quantiles": relational.ship_latency_quantiles,
         "compression_ratio": analysis.compression_ratio,
         "train_bpe": analysis.train_bpe,
         "bpe_segment_counts": analysis.bpe_segment_counts,
