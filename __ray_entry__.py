@@ -2355,6 +2355,32 @@ def _bloom_sql() -> str:
     )
 
 
+def _cross_source_overlap_sql() -> str:
+    """Mirror of dedup.cross_source_overlap: the identical planted
+    clone union (constants interpolated), distinct normalized md5 per
+    source, unordered same-hash source pairs counted."""
+    from pdf_parser_ray.pipelines.dedup import (
+        CLONE_MOD, CLONE_SHIFT, CLONE_SOURCES,
+    )
+
+    return (
+        "WITH docs2 AS ("
+        "   SELECT source, text FROM documents"
+        "   UNION ALL"
+        "   SELECT 'src' || CAST((doc_id +"
+        f"    {CLONE_SHIFT}) % {CLONE_SOURCES} AS VARCHAR) AS source,"
+        f"    text FROM documents WHERE doc_id % {CLONE_MOD} = 0),"
+        " h AS (SELECT DISTINCT"
+        "   md5(trim(regexp_replace(regexp_replace(lower(text),"
+        "   '[^a-z0-9 ]+', '', 'g'), ' +', ' ', 'g'), ' ')) AS th,"
+        "   source FROM docs2)"
+        " SELECT a.source AS source_a, b.source AS source_b,"
+        "  CAST(count(*) AS BIGINT) AS n_shared"
+        " FROM h a JOIN h b ON a.th = b.th AND a.source < b.source"
+        " GROUP BY 1, 2"
+    )
+
+
 def _zipf_sql() -> str:
     """Mirror of analysis.zipf_fit: exact integer OLS over
     floored-micros logs of the top-V (count DESC, word ASC) words;
@@ -2493,6 +2519,43 @@ def _tpch_classic_sql() -> dict[str, str]:
             "  CAST(count(*) AS BIGINT) AS n_items FROM l"
             f" WHERE dp BETWEEN {R.DISCOUNT_BAND_LO} AND {R.DISCOUNT_BAND_HI}"
             f"  AND q < {R.DISCOUNT_QTY_LT}"
+        ),
+        "cross_source_overlap": _cross_source_overlap_sql(),
+        "events_dow_hour": (
+            # mirror of relational.events_dow_hour: dow 0 = Sunday
+            # (DuckDB dayofweek), hour-of-day, integer cents
+            "SELECT CAST(dayofweek(ts) AS BIGINT) AS dow,"
+            " CAST(hour(ts) AS BIGINT) AS hour,"
+            " CAST(count(*) AS BIGINT) AS n,"
+            " CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)"
+            "   AS total_cents"
+            " FROM events GROUP BY 1, 2"
+        ),
+        "langid_confusion": (
+            # mirror of analysis.langid_confusion: the langid scorer as
+            # a CTE joined back to the labeled lang column
+            f"WITH p AS ({_langid_sql()})"
+            " SELECT d.lang, p.lang_pred, CAST(count(*) AS BIGINT) AS n"
+            " FROM documents d JOIN p USING (doc_id) GROUP BY 1, 2"
+        ),
+        "supplier_concentration": (
+            # mirror of relational.supplier_concentration: per-supplier
+            # exact revenue, per-nation total / max / integer share
+            "WITH r AS (SELECT l_suppkey,"
+            "   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)"
+            "   * (100 - CAST(round(l_discount * 100) AS BIGINT)))"
+            "     AS BIGINT) AS rev FROM lineitem GROUP BY 1),"
+            " a AS (SELECT s.s_nationkey AS nk,"
+            "   CAST(count(*) AS BIGINT) AS n_suppliers,"
+            "   CAST(sum(r.rev) AS BIGINT) AS total_cc,"
+            "   CAST(max(r.rev) AS BIGINT) AS top_cc"
+            "   FROM r JOIN supplier s ON s.s_suppkey = r.l_suppkey"
+            "   GROUP BY 1)"
+            " SELECT n.n_name, a.n_suppliers, a.total_cc, a.top_cc,"
+            "  CAST(CASE WHEN a.total_cc = 0 THEN 0 ELSE"
+            "   (a.top_cc * 1000000) // a.total_cc END AS BIGINT)"
+            "   AS top_micros"
+            " FROM a JOIN nation n ON n.n_nationkey = a.nk"
         ),
         "inter_event_quantiles": (
             # mirror of relational.inter_event_quantiles: per-user gaps

@@ -2838,3 +2838,55 @@ def hapax_stats(sf_dir: str) -> rd.Dataset:
         .groupby("source")
         .map_groups(arrow_udf(combine), batch_format="pandas")
     )
+
+
+# -- language-ID confusion matrix ---------------------------------------------------
+
+
+def langid_confusion(sf_dir: str) -> rd.Dataset:
+    """(lang, lang_pred, n): labeled language vs the stopword-profile
+    prediction of :func:`langid`, as a confusion-matrix rollup — the
+    calibration check that says whether the cheap n-gram gate can be
+    trusted per language before it filters a crawl.
+
+    Scale shape: the langid scorer runs in-batch; partials collapse to
+    the ≤ (langs+1)² cell domain before the one tiny groupby."""
+    import numpy as np
+    import pandas as pd
+
+    def partials(batch: pa.Table) -> pa.Table:
+        langs = batch.column("lang").to_pylist()
+        preds = []
+        for text in batch.column("text").to_pylist():
+            words = text.lower().split()
+            if not words:
+                preds.append("und")
+                continue
+            scores = {
+                lang: sum(w in prof for w in words) / len(words)
+                for lang, prof in _LANG_PROFILES.items()
+            }
+            best = max(sorted(scores), key=lambda k: scores[k])
+            preds.append(best if scores[best] > 0 else "und")
+        df = (
+            pd.DataFrame({"lang": langs, "lang_pred": preds})
+            .groupby(["lang", "lang_pred"], as_index=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+        return pa.table(
+            {
+                "lang": pa.array(df["lang"], pa.string()),
+                "lang_pred": pa.array(df["lang_pred"], pa.string()),
+                "n": pa.array(df["n"].to_numpy(np.int64)),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    return (
+        _docs(sf_dir, ["lang", "text"])
+        .map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["lang", "lang_pred"])
+        .aggregate(Sum("n", alias_name="n"))
+    )

@@ -1723,3 +1723,101 @@ def dup_group_sizes(sf_dir: str) -> rd.Dataset:
         .groupby("n_members")
         .map_groups(arrow_udf(combine), batch_format="pandas")
     )
+
+
+# -- cross-source duplicate overlap ------------------------------------------------
+
+#: planted cross-source clone grid (the _with_variants pattern): every
+#: CLONE_MOD-th document is re-listed under source
+#: 'src{(doc_id + CLONE_SHIFT) % CLONE_SOURCES}', so the overlap matrix
+#: is non-vacuous on the synthetic corpus — the SQL mirror builds the
+#: identical union
+CLONE_MOD = 11
+CLONE_SHIFT = 7
+CLONE_SOURCES = 20
+
+
+def cross_source_overlap(sf_dir: str) -> rd.Dataset:
+    """(source_a, source_b, n_shared): for every unordered source pair,
+    how many distinct NORMALIZED texts (the :func:`normalized_dedup`
+    md5) appear in both — the cross-source contamination matrix that
+    decides whether two crawls/feeds can be mixed without re-dedup.
+
+    Scale shape: per-batch distinct (hash, source) partials keyed by a
+    stable int64 of the hash so each bucket owns its hashes' COMPLETE
+    source sets; pair emission is bounded by (distinct sources in the
+    group)² per hash, never corpus-sized, and the final combine folds
+    ≤ buckets rows per pair."""
+    import itertools
+
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    buckets = 64
+
+    def partials(batch: pa.Table) -> pa.Table:
+        x = pc.utf8_lower(batch.column("text"))
+        x = pc.replace_substring_regex(x, pattern=r"[^a-z0-9 ]+", replacement="")
+        x = pc.replace_substring_regex(x, pattern=r" +", replacement=" ")
+        x = pc.utf8_trim(x, characters=" ")
+        srcs = batch.column("source").to_pylist()
+        ids = batch.column("doc_id").to_pylist()
+        texts = x.to_pylist()
+        seen = {
+            (hashlib.md5(t.encode("utf-8")).hexdigest(), s)
+            for t, s in zip(texts, srcs)
+        }
+        seen |= {
+            (
+                hashlib.md5(t.encode("utf-8")).hexdigest(),
+                f"src{(i + CLONE_SHIFT) % CLONE_SOURCES}",
+            )
+            for t, i in zip(texts, ids)
+            if i % CLONE_MOD == 0
+        }
+        th = [h for h, _ in seen]
+        hh = np.fromiter(
+            (_stable64(h) for h in th), dtype=np.uint64, count=len(th)
+        ).view(np.int64)
+        return pa.table(
+            {
+                "bkt": pa.array((hh % buckets).astype(np.int32)),
+                "th": pa.array(th, pa.string()),
+                "source": pa.array([s for _, s in seen], pa.string()),
+            }
+        )
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        t = g.drop_duplicates(["th", "source"])
+        out_a, out_b = [], []
+        for _, grp in t.groupby("th", sort=False):
+            ss = sorted(grp["source"])
+            for a, b in itertools.combinations(ss, 2):
+                out_a.append(a)
+                out_b.append(b)
+        df = pd.DataFrame({"source_a": out_a, "source_b": out_b})
+        out = df.groupby(["source_a", "source_b"], as_index=False).size().rename(
+            columns={"size": "n_shared"}
+        )
+        out["n_shared"] = out["n_shared"].astype(np.int64)
+        return out
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "source_a": [g["source_a"].iloc[0]],
+                "source_b": [g["source_b"].iloc[0]],
+                "n_shared": np.array([g["n_shared"].sum()], np.int64),
+            }
+        )
+
+    from .io_util import arrow_udf
+
+    return (
+        _docs(sf_dir, ["doc_id", "source", "text"])
+        .map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bkt")
+        .map_groups(arrow_udf(pairs), batch_format="pandas")
+        .groupby(["source_a", "source_b"])
+        .map_groups(arrow_udf(combine), batch_format="pandas")
+    )

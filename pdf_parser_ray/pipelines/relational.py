@@ -4041,3 +4041,169 @@ def ship_latency_quantiles(sf_dir: str) -> rd.Dataset:
         .groupby("o_orderpriority")
         .map_groups(arrow_udf(quantiles), batch_format="pandas")
     )
+
+
+# -- day-of-week x hour activity heatmap -------------------------------------------
+
+
+def events_dow_hour(sf_dir: str) -> rd.Dataset:
+    """(dow, hour, n, total_cents): the weekly activity heatmap —
+    event count and integer-cents value per (day-of-week, hour-of-day)
+    cell; dow 0 = Sunday (DuckDB's dayofweek convention, via epoch-day
+    arithmetic: 1970-01-01 was a Thursday).
+
+    Scale shape: pure in-batch Arrow partials over a ≤168-cell key
+    domain, one tiny groupby — the canonical pre-aggregated rollup."""
+
+    day_us = 86_400_000_000
+
+    def partials(batch: pa.Table) -> pa.Table:
+        ts = pc.cast(batch.column("ts"), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        cents = pc.cast(
+            pc.round(pc.multiply(batch.column("value"), 100.0)), pa.int64()
+        )
+        days = ts // day_us
+        dow = (days + 4) % 7
+        hour = (ts % day_us) // 3_600_000_000
+        g = (
+            pa.table(
+                {
+                    "dow": pa.array(dow.astype(np.int64)),
+                    "hour": pa.array(hour.astype(np.int64)),
+                    "cents": cents,
+                }
+            )
+            .group_by(["dow", "hour"])
+            .aggregate([("cents", "sum"), ("cents", "count")])
+        )
+        return pa.table(
+            {
+                "dow": g.column("dow"),
+                "hour": g.column("hour"),
+                "n": pc.cast(g.column("cents_count"), pa.int64()),
+                "total_cents": g.column("cents_sum"),
+            }
+        )
+
+    return (
+        _t(sf_dir, "events", ["ts", "value"])
+        .map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["dow", "hour"])
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("total_cents", alias_name="total_cents"),
+        )
+    )
+
+
+# -- supplier revenue concentration per nation -------------------------------------
+
+
+def supplier_concentration(sf_dir: str) -> rd.Dataset:
+    """(n_name, n_suppliers, total_cc, top_cc, top_micros): how much of
+    each nation's lineitem revenue its single largest supplier carries
+    (integer-micros share) — the supply-chain concentration-risk
+    screen.
+
+    Scale shape: per-batch (suppkey, rev) Arrow partials co-shuffle
+    once with the supplier table on suppkey buckets; supplier totals
+    are exact in-bucket, so each bucket forwards ONE (nation, sum,
+    max, count) partial per nation and the 25-way combine folds
+    ≤ buckets rows per nation."""
+    import pandas as pd
+
+    buckets = 64
+    nation = _small_table_dict(sf_dir, "nation", "n_nationkey", "n_name")
+
+    def li_partials(batch: pa.Table) -> pa.Table:
+        price = pc.cast(
+            pc.round(pc.multiply(batch.column("l_extendedprice"), 100.0)),
+            pa.int64(),
+        )
+        disc = pc.cast(
+            pc.round(pc.multiply(batch.column("l_discount"), 100.0)), pa.int64()
+        )
+        rev = pc.multiply(price, pc.subtract(pa.scalar(100, pa.int64()), disc))
+        g = (
+            pa.table({"sk": batch.column("l_suppkey"), "rev": rev})
+            .group_by(["sk"])
+            .aggregate([("rev", "sum")])
+        )
+        sk = g.column("sk").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "bkt": pa.array((sk % buckets).astype(np.int32)),
+                "sk": pa.array(sk, pa.int64()),
+                "role": pa.array(np.zeros(len(sk), np.int8)),
+                "v": g.column("rev_sum"),
+            }
+        )
+
+    def supp_rows(batch: pa.Table) -> pa.Table:
+        sk = batch.column("s_suppkey").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "bkt": pa.array((sk % buckets).astype(np.int32)),
+                "sk": pa.array(sk, pa.int64()),
+                "role": pa.array(np.ones(len(sk), np.int8)),
+                "v": pc.cast(batch.column("s_nationkey"), pa.int64()),
+            }
+        )
+
+    def per_nation(g: pd.DataFrame) -> pd.DataFrame:
+        li = g[g["role"] == 0]
+        tot = li.groupby("sk", as_index=False)["v"].sum()
+        nat_of = g[g["role"] == 1].set_index("sk")["v"]
+        nk = nat_of.reindex(tot["sk"])
+        keep = nk.notna().to_numpy()
+        tot = tot[keep]
+        nk = nk.dropna().to_numpy(np.int64)
+        out = (
+            pd.DataFrame({"nk": nk, "rev": tot["v"].to_numpy(np.int64)})
+            .groupby("nk", as_index=False)
+            .agg(
+                n_suppliers=("rev", "size"),
+                total_cc=("rev", "sum"),
+                top_cc=("rev", "max"),
+            )
+        )
+        return out.astype(
+            {
+                "nk": np.int64,
+                "n_suppliers": np.int64,
+                "total_cc": np.int64,
+                "top_cc": np.int64,
+            }
+        )
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        total = np.int64(g["total_cc"].sum())
+        top = np.int64(g["top_cc"].max())
+        share = np.int64(0) if total == 0 else np.int64(
+            (int(top) * 1_000_000) // int(total)
+        )
+        return pd.DataFrame(
+            {
+                "n_name": [nation.get(int(g["nk"].iloc[0]), "UNKNOWN")],
+                "n_suppliers": np.array([g["n_suppliers"].sum()], np.int64),
+                "total_cc": [total],
+                "top_cc": [top],
+                "top_micros": [share],
+            }
+        )
+
+    li = _t(
+        sf_dir, "lineitem", ["l_suppkey", "l_extendedprice", "l_discount"]
+    ).map_batches(li_partials, batch_format="pyarrow", zero_copy_batch=True)
+    supp = _t(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).map_batches(
+        supp_rows, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return (
+        li.union(supp)
+        .groupby("bkt")
+        .map_groups(arrow_udf(per_nation), batch_format="pandas")
+        .groupby("nk")
+        .map_groups(arrow_udf(combine), batch_format="pandas")
+    )

@@ -209,6 +209,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "inter_event_quantiles": relational.inter_event_quantiles,
         "user_type_entropy": relational.user_type_entropy,
         "ship_latency_quantiles": relational.ship_latency_quantiles,
+        "cross_source_overlap": dedup.cross_source_overlap,
+        "events_dow_hour": relational.events_dow_hour,
+        "langid_confusion": analysis.langid_confusion,
+        "supplier_concentration": relational.supplier_concentration,
         "compression_ratio": analysis.compression_ratio,
         "train_bpe": analysis.train_bpe,
         "bpe_segment_counts": analysis.bpe_segment_counts,
