@@ -330,6 +330,24 @@ def run_bench() -> dict:
     timed("events_dau_wau", relational.events_dau_wau)
     timed("rrf_fusion", analysis.rrf_fusion)
     timed("user_lifetimes", relational.user_lifetimes)
+    timed("shipping_priority", relational.shipping_priority)
+    timed("local_supplier_volume", relational.local_supplier_volume)
+    timed("discount_band_revenue", relational.discount_band_revenue)
+    timed("top_supplier", relational.top_supplier)
+    timed("small_qty_revenue", relational.small_qty_revenue)
+    timed("disjunctive_revenue", relational.disjunctive_revenue)
+    timed("market_share", relational.market_share)
+    timed("zipf_fit", analysis.zipf_fit)
+    timed("ttr_stats", analysis.ttr_stats)
+    timed("stopword_ratio", analysis.stopword_ratio)
+    timed("hapax_stats", analysis.hapax_stats)
+    timed("inter_event_quantiles", relational.inter_event_quantiles)
+    timed("user_type_entropy", relational.user_type_entropy)
+    timed("ship_latency_quantiles", relational.ship_latency_quantiles)
+    timed("cross_source_overlap", dedup.cross_source_overlap)
+    timed("events_dow_hour", relational.events_dow_hour)
+    timed("langid_confusion", analysis.langid_confusion)
+    timed("supplier_concentration", relational.supplier_concentration)
 
     from pdf_parser_ray.pipelines.curate import curate_pages
     from pdf_parser_ray.pipelines.extract import (

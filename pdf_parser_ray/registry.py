@@ -110,7 +110,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # returned_items, order_priority_counts, top_words,
         # length_percentiles, profile_documents,
         # segment_order_quantiles, nation_trade_balance,
-        # dup_group_sizes, events_dau_wau, rrf_fusion, user_lifetimes) —
+        # dup_group_sizes, events_dau_wau, rrf_fusion, user_lifetimes,
+        # shipping_priority, local_supplier_volume,
+        # discount_band_revenue, top_supplier, small_qty_revenue,
+        # disjunctive_revenue, market_share, zipf_fit, ttr_stats,
+        # stopword_ratio, hapax_stats, inter_event_quantiles,
+        # user_type_entropy, ship_latency_quantiles,
+        # cross_source_overlap, events_dow_hour, langid_confusion,
+        # supplier_concentration) —
         # each oracle-backed in
         # tests/test_oracle.py; displacing a gated slot would cost an
         # established driver-green row), then the rows-only
