@@ -48,3 +48,43 @@ class TestDupGroupSizes:
         assert dict(zip(got["n_members"], got["n_groups"])) == {
             3: 1, 1: 1, 2: 1,
         }
+
+
+class TestCrossSourceOverlap:
+    def test_matches_brute_force(self, ray_session, quiet_data_context):
+        import hashlib
+        import itertools
+
+        import pyarrow.parquet as pq
+
+        from pdf_parser_ray.pipelines.dedup import (
+            CLONE_MOD, CLONE_SHIFT, CLONE_SOURCES, cross_source_overlap,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        got = (
+            cross_source_overlap(sf)
+            .to_pandas()
+            .set_index(["source_a", "source_b"])["n_shared"]
+            .to_dict()
+        )
+        d = pq.read_table(sf + "/documents.parquet").to_pandas()
+
+        def norm(t):
+            import re
+
+            t = re.sub(r"[^a-z0-9 ]+", "", t.lower())
+            return re.sub(r" +", " ", t).strip(" ")
+
+        pairs = set()
+        seen = {}
+        for _, r in d.iterrows():
+            h = hashlib.md5(norm(r["text"]).encode()).hexdigest()
+            seen.setdefault(h, set()).add(r["source"])
+            if r["doc_id"] % CLONE_MOD == 0:
+                seen[h].add(f"src{(r['doc_id'] + CLONE_SHIFT) % CLONE_SOURCES}")
+        want = {}
+        for srcs in seen.values():
+            for a, b in itertools.combinations(sorted(srcs), 2):
+                want[(a, b)] = want.get((a, b), 0) + 1
+        assert got == want

@@ -548,3 +548,134 @@ class TestUserLifetimes:
         assert got["last_day_us"].tolist() == (want["last"] * day).tolist()
         assert got["active_days"].tolist() == want["days"].tolist()
         assert got["n_events"].tolist() == want["n"].tolist()
+
+
+class TestShippingPriority:
+    def test_matches_brute_force(self, ray_session, quiet_data_context):
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from pdf_parser_ray.pipelines.relational import (
+            SHIP_CUTOFF, SHIP_SEGMENT, SHIP_TOP_K, _epoch_us,
+            shipping_priority,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        got = shipping_priority(sf).to_pandas()
+        cut = _epoch_us(SHIP_CUTOFF)
+        li = pq.read_table(sf + "/lineitem.parquet").to_pandas()
+        o = pq.read_table(sf + "/orders.parquet").to_pandas()
+        c = pq.read_table(sf + "/customer.parquet").to_pandas()
+        li["ship"] = li["l_shipdate"].astype("int64")
+        li = li[li["ship"] > cut]
+        li["rev"] = np.round(li["l_extendedprice"] * 100).astype(np.int64) * (
+            100 - np.round(li["l_discount"] * 100).astype(np.int64)
+        )
+        o["od"] = o["o_orderdate"].astype("int64")
+        o = o[o["od"] < cut]
+        seg = set(c[c["c_mktsegment"] == SHIP_SEGMENT]["c_custkey"])
+        j = li.merge(o, left_on="l_orderkey", right_on="o_orderkey")
+        j = j[j["o_custkey"].isin(seg)]
+        want = (
+            j.groupby(["l_orderkey", "od"], as_index=False)["rev"]
+            .sum()
+            .sort_values(["rev", "l_orderkey"], ascending=[False, True])
+            .head(SHIP_TOP_K)
+        )
+        assert got["o_orderkey"].tolist() == want["l_orderkey"].tolist()
+        assert got["revenue_cc"].tolist() == want["rev"].tolist()
+        assert got["o_orderdate_us"].tolist() == want["od"].tolist()
+
+
+class TestSmallQtyRevenue:
+    def test_matches_brute_force(self, ray_session, quiet_data_context):
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from pdf_parser_ray.pipelines.relational import (
+            SMALL_QTY_BRAND, small_qty_revenue,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        got = small_qty_revenue(sf).to_pandas()
+        li = pq.read_table(sf + "/lineitem.parquet").to_pandas()
+        p = pq.read_table(sf + "/part.parquet").to_pandas()
+        keep = set(p[p["p_brand"] == SMALL_QTY_BRAND]["p_partkey"])
+        li = li[li["l_partkey"].isin(keep)].copy()
+        li["q"] = np.round(li["l_quantity"]).astype(np.int64)
+        li["pc"] = np.round(li["l_extendedprice"] * 100).astype(np.int64)
+        agg = li.groupby("l_partkey")["q"].agg(["count", "sum"])
+        cnt = agg["count"].reindex(li["l_partkey"]).to_numpy(np.int64)
+        sumq = agg["sum"].reindex(li["l_partkey"]).to_numpy(np.int64)
+        gate = 5 * li["q"].to_numpy() * cnt < sumq
+        assert got["revenue_cc"].iloc[0] == li["pc"].to_numpy()[gate].sum()
+        assert got["n_items"].iloc[0] == int(gate.sum())
+
+
+class TestMarketShare:
+    def test_share_algebra(self, ray_session, quiet_data_context):
+        from pdf_parser_ray.pipelines.relational import market_share
+
+        got = market_share("/root/testdata/sf0.001").to_pandas()
+        assert len(got) > 0
+        # the share must be the exact integer floor of nation/total
+        for _, r in got.iterrows():
+            assert 0 <= r["nation_cc"] <= r["total_cc"]
+            assert r["share_micros"] == (r["nation_cc"] * 1_000_000) // r["total_cc"]
+
+
+class TestInterEventQuantiles:
+    def test_matches_brute_force(self, ray_session, quiet_data_context):
+        import math
+
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from pdf_parser_ray.pipelines.relational import inter_event_quantiles
+
+        sf = "/root/testdata/sf0.001"
+        got = inter_event_quantiles(sf).to_pandas().iloc[0]
+        e = pq.read_table(
+            sf + "/events.parquet", columns=["user_id", "ts", "event_id"]
+        ).to_pandas()
+        e["ts_us"] = e["ts"].astype("int64")
+        e = e.sort_values(["user_id", "ts_us", "event_id"])
+        u = e["user_id"].to_numpy()
+        ts = e["ts_us"].to_numpy(np.int64)
+        gaps = np.sort((ts[1:] - ts[:-1])[u[1:] == u[:-1]] // 1_000_000)
+        assert got["n_gaps"] == len(gaps)
+        for q, col in ((0.25, "p25_s"), (0.5, "p50_s"), (0.75, "p75_s"),
+                       (0.95, "p95_s")):
+            assert got[col] == gaps[max(1, math.ceil(q * len(gaps))) - 1]
+
+
+class TestSupplierConcentration:
+    def test_matches_brute_force(self, ray_session, quiet_data_context):
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from pdf_parser_ray.pipelines.relational import supplier_concentration
+
+        sf = "/root/testdata/sf0.001"
+        got = (
+            supplier_concentration(sf).to_pandas().set_index("n_name").sort_index()
+        )
+        li = pq.read_table(sf + "/lineitem.parquet").to_pandas()
+        s = pq.read_table(sf + "/supplier.parquet").to_pandas()
+        n = pq.read_table(sf + "/nation.parquet").to_pandas()
+        li["rev"] = np.round(li["l_extendedprice"] * 100).astype(np.int64) * (
+            100 - np.round(li["l_discount"] * 100).astype(np.int64)
+        )
+        per = li.groupby("l_suppkey", as_index=False)["rev"].sum()
+        per = per.merge(s, left_on="l_suppkey", right_on="s_suppkey").merge(
+            n, left_on="s_nationkey", right_on="n_nationkey"
+        )
+        want = per.groupby("n_name").agg(
+            n_suppliers=("rev", "size"), total_cc=("rev", "sum"),
+            top_cc=("rev", "max"),
+        )
+        assert got["n_suppliers"].tolist() == want["n_suppliers"].tolist()
+        assert got["total_cc"].tolist() == want["total_cc"].tolist()
+        assert got["top_cc"].tolist() == want["top_cc"].tolist()
+        for nm, r in got.iterrows():
+            assert r["top_micros"] == (r["top_cc"] * 1_000_000) // r["total_cc"]
