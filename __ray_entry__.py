@@ -2598,6 +2598,66 @@ def _tpch_classic_sql() -> dict[str, str]:
             "  CAST(quantile_disc(days, 0.95) AS BIGINT) AS p95_days"
             " FROM d GROUP BY 1"
         ),
+        "source_kl_divergence": (
+            # mirror of analysis.source_kl_divergence: n_s·KL(p_s‖p)
+            # in integer micros with the per-word ln floored — same
+            # double association (k·N)/(n_s·c_w) as the Ray side
+            f"WITH w AS (SELECT source, unnest({_WORDS_EXPR}) AS word"
+            "   FROM documents),"
+            " c AS (SELECT source, word, count(*) AS k FROM w"
+            "   GROUP BY 1, 2),"
+            " cw AS (SELECT word, sum(k) AS cw FROM c GROUP BY 1),"
+            " ns AS (SELECT source, sum(k) AS ns FROM c GROUP BY 1),"
+            " tot AS (SELECT sum(k) AS n FROM c)"
+            " SELECT c.source,"
+            "  CAST(any_value(ns.ns) AS BIGINT) AS n_tokens,"
+            "  CAST(sum(c.k * CAST(floor(ln((CAST(c.k AS DOUBLE) * tot.n)"
+            "    / (CAST(ns.ns AS DOUBLE) * cw.cw)) * 1000000) AS BIGINT))"
+            "    AS BIGINT) AS kl_sum_micros"
+            " FROM c JOIN cw USING (word) JOIN ns USING (source)"
+            " CROSS JOIN tot GROUP BY 1"
+        ),
+        "sole_late_supplier": (
+            # mirror of relational.sole_late_supplier (TPC-H Q21
+            # shape): per-(order, supplier) max shipday, the strict
+            # > late gate vs the order date, the >= 2 suppliers /
+            # exactly-one-late blame predicate, supplier name attach
+            "WITH ls AS (SELECT l_orderkey AS okey, l_suppkey AS skey,"
+            "   max(epoch_us(l_shipdate) // 86400000000) AS shipday"
+            "   FROM lineitem GROUP BY 1, 2),"
+            " j AS (SELECT ls.okey, ls.skey,"
+            "   CASE WHEN ls.shipday"
+            "     - epoch_us(o.o_orderdate) // 86400000000"
+            f"     > {R.LATE_SUPPLIER_DAYS} THEN 1 ELSE 0 END AS late"
+            "   FROM ls JOIN orders o ON o.o_orderkey = ls.okey),"
+            " g AS (SELECT okey, count(*) AS n_supp,"
+            "   sum(late) AS n_late FROM j GROUP BY 1)"
+            " SELECT s.s_name, CAST(count(*) AS BIGINT) AS n_orders"
+            " FROM j JOIN g USING (okey)"
+            " JOIN supplier s ON s.s_suppkey = j.skey"
+            " WHERE j.late = 1 AND g.n_supp >= 2 AND g.n_late = 1"
+            " GROUP BY 1"
+        ),
+        "latency_band_priority": (
+            # mirror of relational.latency_band_priority (TPC-H Q12
+            # shape): ship-latency bands play l_shipmode's role, the
+            # high/low split is the Q12 CASE over o_orderpriority
+            "WITH d AS (SELECT o.o_orderpriority AS pri,"
+            "   epoch_us(l.l_shipdate) // 86400000000"
+            "   - epoch_us(o.o_orderdate) // 86400000000 AS days"
+            "   FROM lineitem l JOIN orders o"
+            "   ON o.o_orderkey = l.l_orderkey)"
+            " SELECT CASE WHEN days < 0 THEN 'early'"
+            f"   WHEN days <= {R.LATENCY_ON_TIME_DAYS} THEN 'on_time'"
+            "   ELSE 'late' END AS band,"
+            "  CAST(sum(CASE WHEN pri IN"
+            f"   {R.HIGH_PRIORITIES!r} THEN 1 ELSE 0 END)"
+            "   AS BIGINT) AS high_n,"
+            "  CAST(sum(CASE WHEN pri IN"
+            f"   {R.HIGH_PRIORITIES!r} THEN 0 ELSE 1 END)"
+            "   AS BIGINT) AS low_n"
+            " FROM d GROUP BY 1"
+        ),
         "zipf_fit": _zipf_sql(),
         "stopword_ratio": _stopword_sql(),
         "ttr_stats": (

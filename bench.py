@@ -348,6 +348,9 @@ def run_bench() -> dict:
     timed("events_dow_hour", relational.events_dow_hour)
     timed("langid_confusion", analysis.langid_confusion)
     timed("supplier_concentration", relational.supplier_concentration)
+    timed("sole_late_supplier", relational.sole_late_supplier)
+    timed("latency_band_priority", relational.latency_band_priority)
+    timed("source_kl_divergence", analysis.source_kl_divergence)
 
     from pdf_parser_ray.pipelines.curate import curate_pages
     from pdf_parser_ray.pipelines.extract import (

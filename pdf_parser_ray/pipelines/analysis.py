@@ -2890,3 +2890,125 @@ def langid_confusion(sf_dir: str) -> rd.Dataset:
         .groupby(["lang", "lang_pred"])
         .aggregate(Sum("n", alias_name="n"))
     )
+
+
+# -- per-source KL divergence from the corpus unigram distribution -------------
+
+
+def source_kl_divergence(sf_dir: str) -> rd.Dataset:
+    """(source, n_tokens, kl_sum_micros): per-source KL divergence of
+    the source's unigram distribution from the whole-corpus unigram
+    distribution — the data-mixture drift signal (a source whose KL
+    explodes is vocabulary-divergent from the rest of the corpus;
+    DSIR/ccnet-style mixture tuning watches exactly this quantity).
+
+    kl_sum_micros = Σ_w k_sw · floor(ln((k_sw·N)/(n_s·c_w))·1e6), i.e.
+    n_s·KL(p_s‖p) in integer micros with the per-word log floored, so
+    Ray and the SQL oracle hash identically regardless of summation
+    order (the same integer-entropy identity as word_entropy /
+    user_type_entropy; int64-safe to ~2^63/1.4e7 ≈ 6·10^11 tokens per
+    source per bucket — beyond that the oracle's BIGINT overflows at
+    the same point).
+
+    Scale shape: pass A folds per-batch (source, n_tokens) partials to
+    a source-cardinality dict (bounded by the source domain — a
+    broadcast by definition, like decontaminate's eval grams); pass B
+    reuses hapax_stats' (source, word) Counter partials keyed by word
+    hash, so each bucket owns its words' EXACT global counts c_w and
+    can compute every per-word log locally — no vocabulary broadcast,
+    no driver state; buckets emit one (source, kl_part) row each and
+    the per-source combine folds ≤ buckets rows."""
+    from collections import Counter
+
+    import numpy as np
+    import pandas as pd
+
+    from .dedup import _stable64
+
+    buckets = 64
+
+    def tok_partials(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for s, t in zip(
+            batch.column("source").to_pylist(), batch.column("text").to_pylist()
+        ):
+            c[s] += len(t.split())
+        return pa.table(
+            {
+                "source": pa.array(list(c.keys()), pa.string()),
+                "n": pa.array(
+                    np.fromiter(c.values(), np.int64, count=len(c))
+                ),
+            }
+        )
+
+    tot = (
+        _docs(sf_dir, ["source", "text"])
+        .map_batches(tok_partials, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()
+        .groupby("source")["n"]
+        .sum()
+    )
+    n_s = {s: int(v) for s, v in tot.items()}
+    n_total = float(sum(n_s.values()))
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for s, t in zip(
+            batch.column("source").to_pylist(), batch.column("text").to_pylist()
+        ):
+            for w in t.split():
+                c[(s, w)] += 1
+        keys = list(c.keys())
+        h = np.fromiter(
+            (_stable64(w) for _, w in keys), dtype=np.uint64, count=len(keys)
+        ).view(np.int64)
+        return pa.table(
+            {
+                "bkt": pa.array((h % buckets).astype(np.int32)),
+                "source": pa.array([s for s, _ in keys], pa.string()),
+                "word": pa.array([w for _, w in keys], pa.string()),
+                "n": pa.array(
+                    np.fromiter(c.values(), np.int64, count=len(keys))
+                ),
+            }
+        )
+
+    def bucket_fold(g: pd.DataFrame) -> pd.DataFrame:
+        t = g.groupby(["source", "word"], as_index=False)["n"].sum()
+        cw = t.groupby("word")["n"].transform("sum").to_numpy(np.float64)
+        k = t["n"].to_numpy(np.float64)
+        ns = t["source"].map(n_s).to_numpy(np.float64)
+        # EXACTLY the oracle's association: (k·N) / (n_s·c_w), both
+        # sides double — every int here is < 2^53, so the casts are
+        # lossless and the IEEE ops agree bit-for-bit
+        m = np.floor(
+            np.log((k * n_total) / (ns * cw)) * 1_000_000.0
+        ).astype(np.int64)
+        contrib = t["n"].to_numpy(np.int64) * m
+        out = (
+            pd.DataFrame({"source": t["source"], "kl_part": contrib})
+            .groupby("source", as_index=False)["kl_part"]
+            .sum()
+        )
+        out["kl_part"] = out["kl_part"].astype(np.int64)
+        return out
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        s = g["source"].iloc[0]
+        return pd.DataFrame(
+            {
+                "source": [s],
+                "n_tokens": np.array([n_s.get(s, 0)], np.int64),
+                "kl_sum_micros": np.array([g["kl_part"].sum()], np.int64),
+            }
+        )
+
+    return (
+        _docs(sf_dir, ["source", "text"])
+        .map_batches(partial_counts, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bkt")
+        .map_groups(arrow_udf(bucket_fold), batch_format="pandas")
+        .groupby("source")
+        .map_groups(arrow_udf(combine), batch_format="pandas")
+    )

@@ -4207,3 +4207,257 @@ def supplier_concentration(sf_dir: str) -> rd.Dataset:
         .groupby("nk")
         .map_groups(arrow_udf(combine), batch_format="pandas")
     )
+
+
+# -- sole-late-supplier blame (TPC-H Q21 shape) ---------------------------------
+
+LATE_SUPPLIER_DAYS = 365  # shipday - orderday gate, strict >
+
+
+def sole_late_supplier(sf_dir: str, late_days: int = LATE_SUPPLIER_DAYS) -> rd.Dataset:
+    """(s_name, n_orders): per supplier, the number of multi-supplier
+    orders (>= 2 distinct suppliers) where THIS supplier shipped a
+    lineitem more than ``late_days`` after the order date and no other
+    supplier in the order did — TPC-H Q21's "suppliers who kept orders
+    waiting" EXISTS / NOT-EXISTS pair over the available columns (our
+    lineitem carries shipdate, not commit/receipt dates; the reference
+    has no relational layer at all, SURVEY.md §2.4).
+
+    Scale shape: lineitem collapses per batch to (orderkey, suppkey,
+    max shipday) partials — max is associative, so the orderkey-keyed
+    co-shuffle carries order×supplier-cardinality 25-byte rows, never
+    lineitems.  Each bucket re-folds the partials, attaches the order
+    date, and evaluates the whole blame predicate (late AND >= 2
+    suppliers AND exactly one late supplier) in one vectorized pandas
+    pass, emitting (suppkey, n) partial counts; a second suppkey-keyed
+    co-shuffle folds those against the supplier dim rows to attach
+    s_name — the dim scales with SF, so it rides the exchange, never a
+    broadcast."""
+    import pandas as pd
+
+    buckets = 64
+    day_us = 86_400_000_000
+
+    def li_partials(batch: pa.Table) -> pa.Table:
+        shipday = pc.divide(
+            pc.cast(batch.column("l_shipdate"), pa.int64()), day_us
+        )
+        g = (
+            pa.table(
+                {
+                    "k": batch.column("l_orderkey"),
+                    "skey": batch.column("l_suppkey"),
+                    "v": shipday,
+                }
+            )
+            .group_by(["k", "skey"])
+            .aggregate([("v", "max")])
+        )
+        kk = g.column("k").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "bkt": pa.array((kk % buckets).astype(np.int32)),
+                "k": pa.array(kk, pa.int64()),
+                "role": pa.array(np.zeros(len(kk), np.int8)),
+                "skey": g.column("skey"),
+                "v": g.column("v_max"),
+            }
+        )
+
+    def order_rows(batch: pa.Table) -> pa.Table:
+        kk = batch.column("o_orderkey").to_numpy(zero_copy_only=False)
+        oday = pc.divide(
+            pc.cast(batch.column("o_orderdate"), pa.int64()), day_us
+        )
+        return pa.table(
+            {
+                "bkt": pa.array((kk % buckets).astype(np.int32)),
+                "k": pa.array(kk, pa.int64()),
+                "role": pa.array(np.ones(len(kk), np.int8)),
+                "skey": pa.array(np.zeros(len(kk), np.int64)),
+                "v": oday,
+            }
+        )
+
+    def blame(g: pd.DataFrame) -> pd.DataFrame:
+        li = g[g["role"] == 0]
+        # re-fold cross-batch partials to the exact per-(order, supplier) max
+        f = li.groupby(["k", "skey"], as_index=False)["v"].max()
+        oday = (
+            g[g["role"] == 1].set_index("k")["v"].reindex(f["k"]).to_numpy()
+        )
+        valid = ~pd.isna(oday)  # inner-join semantics: drop orphan lineitems
+        f, oday = f[valid], oday[valid]
+        late = (f["v"].to_numpy() - oday.astype(np.int64)) > late_days
+        per_order = pd.DataFrame(
+            {"k": f["k"].to_numpy(), "late": late.astype(np.int64)}
+        ).groupby("k").agg(n_supp=("late", "size"), n_late=("late", "sum"))
+        po = per_order.reindex(f["k"])
+        blamed = f[
+            late
+            & (po["n_supp"].to_numpy() >= 2)
+            & (po["n_late"].to_numpy() == 1)
+        ]
+        out = blamed.groupby("skey", as_index=False).size()
+        return pd.DataFrame(
+            {
+                "sbkt": (out["skey"].to_numpy(np.int64) % buckets).astype(
+                    np.int32
+                ),
+                "skey": out["skey"].to_numpy(np.int64),
+                "srole": np.zeros(len(out), np.int8),
+                "n": out["size"].to_numpy(np.int64),
+                "name": [""] * len(out),
+            }
+        )
+
+    def supp_rows(batch: pa.Table) -> pa.Table:
+        sk = batch.column("s_suppkey").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "sbkt": pa.array((sk % buckets).astype(np.int32)),
+                "skey": pa.array(sk, pa.int64()),
+                "srole": pa.array(np.ones(len(sk), np.int8)),
+                "n": pa.array(np.zeros(len(sk), np.int64)),
+                "name": batch.column("s_name"),
+            }
+        )
+
+    def attach_name(g: pd.DataFrame) -> pd.DataFrame:
+        counts = (
+            g[g["srole"] == 0].groupby("skey", as_index=False)["n"].sum()
+        )
+        names = g[g["srole"] == 1].set_index("skey")["name"]
+        return pd.DataFrame(
+            {
+                "s_name": names.reindex(counts["skey"]).to_numpy(),
+                "n_orders": counts["n"].to_numpy(np.int64),
+            }
+        )
+
+    li = _t(sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_shipdate"]).map_batches(
+        li_partials, batch_format="pyarrow", zero_copy_batch=True
+    )
+    ords = _t(sf_dir, "orders", ["o_orderkey", "o_orderdate"]).map_batches(
+        order_rows, batch_format="pyarrow", zero_copy_batch=True
+    )
+    blames = (
+        li.union(ords)
+        .groupby("bkt")
+        .map_groups(arrow_udf(blame), batch_format="pandas")
+    )
+    supp = _t(sf_dir, "supplier", ["s_suppkey", "s_name"]).map_batches(
+        supp_rows, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return (
+        blames.union(supp)
+        .groupby("sbkt")
+        .map_groups(arrow_udf(attach_name), batch_format="pandas")
+    )
+
+
+# -- ship-latency band x order-priority counts (TPC-H Q12 shape) -----------------
+
+LATENCY_ON_TIME_DAYS = 365  # band edge: 0..365 on_time, > late, < 0 early
+HIGH_PRIORITIES = ("1-URGENT", "2-HIGH")
+
+
+def latency_band_priority(sf_dir: str) -> rd.Dataset:
+    """(band, high_n, low_n): lineitem counts per ship-latency band
+    (early / on_time / late vs the order date), split by high
+    (1-URGENT / 2-HIGH) vs low order priority — TPC-H Q12's
+    shipmode × priority matrix re-expressed over the available columns
+    (our lineitem has no l_shipmode; latency bands play its role).
+
+    Scale shape: lineitem collapses per batch to (orderkey, shipday, n)
+    partials — distinct ship DAYS per order, not lineitems — so the
+    orderkey co-shuffle carries near-order-cardinality rows; each
+    bucket attaches (orderdate, priority), bands the day delta, and
+    collapses to <= 3×2 partial cells; the final band-keyed combine
+    folds buckets × 3 rows."""
+    import pandas as pd
+
+    buckets = 64
+    day_us = 86_400_000_000
+
+    def li_partials(batch: pa.Table) -> pa.Table:
+        shipday = pc.divide(
+            pc.cast(batch.column("l_shipdate"), pa.int64()), day_us
+        )
+        g = (
+            pa.table({"k": batch.column("l_orderkey"), "v": shipday})
+            .group_by(["k", "v"])
+            .aggregate([([], "count_all")])
+        )
+        kk = g.column("k").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "bkt": pa.array((kk % buckets).astype(np.int32)),
+                "k": pa.array(kk, pa.int64()),
+                "role": pa.array(np.zeros(len(kk), np.int8)),
+                "v": g.column("v"),
+                "n": pc.cast(g.column("count_all"), pa.int64()),
+                "pri": pa.array([""] * len(kk), pa.string()),
+            }
+        )
+
+    def order_rows(batch: pa.Table) -> pa.Table:
+        kk = batch.column("o_orderkey").to_numpy(zero_copy_only=False)
+        oday = pc.divide(
+            pc.cast(batch.column("o_orderdate"), pa.int64()), day_us
+        )
+        return pa.table(
+            {
+                "bkt": pa.array((kk % buckets).astype(np.int32)),
+                "k": pa.array(kk, pa.int64()),
+                "role": pa.array(np.ones(len(kk), np.int8)),
+                "v": oday,
+                "n": pa.array(np.zeros(len(kk), np.int64)),
+                "pri": batch.column("o_orderpriority"),
+            }
+        )
+
+    def band_cells(g: pd.DataFrame) -> pd.DataFrame:
+        li = g[g["role"] == 0]
+        o = g[g["role"] == 1].set_index("k")
+        oday = o["v"].reindex(li["k"]).to_numpy()
+        pri = o["pri"].reindex(li["k"]).to_numpy()
+        valid = ~pd.isna(oday)
+        li, oday, pri = li[valid], oday[valid], pri[valid]
+        days = li["v"].to_numpy() - oday.astype(np.int64)
+        band = np.where(
+            days < 0,
+            "early",
+            np.where(days <= LATENCY_ON_TIME_DAYS, "on_time", "late"),
+        )
+        high = np.isin(pri, HIGH_PRIORITIES)
+        n = li["n"].to_numpy(np.int64)
+        cells = pd.DataFrame(
+            {"band": band, "high_n": np.where(high, n, 0), "low_n": np.where(high, 0, n)}
+        ).groupby("band", as_index=False).sum()
+        cells["high_n"] = cells["high_n"].astype(np.int64)
+        cells["low_n"] = cells["low_n"].astype(np.int64)
+        return cells
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "band": [g["band"].iloc[0]],
+                "high_n": np.array([g["high_n"].sum()], np.int64),
+                "low_n": np.array([g["low_n"].sum()], np.int64),
+            }
+        )
+
+    li = _t(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"]).map_batches(
+        li_partials, batch_format="pyarrow", zero_copy_batch=True
+    )
+    ords = _t(
+        sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_orderpriority"]
+    ).map_batches(order_rows, batch_format="pyarrow", zero_copy_batch=True)
+    return (
+        li.union(ords)
+        .groupby("bkt")
+        .map_groups(arrow_udf(band_cells), batch_format="pandas")
+        .groupby("band")
+        .map_groups(arrow_udf(combine), batch_format="pandas")
+    )

@@ -117,7 +117,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # stopword_ratio, hapax_stats, inter_event_quantiles,
         # user_type_entropy, ship_latency_quantiles,
         # cross_source_overlap, events_dow_hour, langid_confusion,
-        # supplier_concentration) —
+        # supplier_concentration, sole_late_supplier,
+        # latency_band_priority, source_kl_divergence) —
         # each oracle-backed in
         # tests/test_oracle.py; displacing a gated slot would cost an
         # established driver-green row), then the rows-only
@@ -220,6 +221,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_dow_hour": relational.events_dow_hour,
         "langid_confusion": analysis.langid_confusion,
         "supplier_concentration": relational.supplier_concentration,
+        "sole_late_supplier": relational.sole_late_supplier,
+        "latency_band_priority": relational.latency_band_priority,
+        "source_kl_divergence": analysis.source_kl_divergence,
         "compression_ratio": analysis.compression_ratio,
         "train_bpe": analysis.train_bpe,
         "bpe_segment_counts": analysis.bpe_segment_counts,

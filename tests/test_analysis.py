@@ -713,3 +713,50 @@ class TestZipfFit:
         assert _tdiv(7, 2) == 3
         assert _tdiv(-7, -2) == 3
         assert _tdiv(7, -2) == -3
+
+
+class TestSourceKLDivergence:
+    def test_matches_brute_force(self, ray_session, quiet_data_context):
+        """The floored-micros KL identity vs a Counter brute force;
+        true KL (unfloored) must be non-negative per source."""
+        import math
+        from collections import Counter
+
+        import pyarrow.parquet as pq
+
+        from pdf_parser_ray.pipelines.analysis import source_kl_divergence
+
+        sf = "/root/testdata/sf0.001"
+        got = (
+            source_kl_divergence(sf)
+            .to_pandas()
+            .sort_values("source")
+            .reset_index(drop=True)
+        )
+        docs = pq.read_table(
+            sf + "/documents.parquet", columns=["source", "text"]
+        ).to_pandas()
+        counts: Counter = Counter()
+        for s, t in zip(docs["source"], docs["text"]):
+            for w in t.split():
+                counts[(s, w)] += 1
+        n_s: Counter = Counter()
+        c_w: Counter = Counter()
+        for (s, w), k in counts.items():
+            n_s[s] += k
+            c_w[w] += k
+        n_total = float(sum(n_s.values()))
+        want_sum: dict = {}
+        want_true: dict = {}
+        for (s, w), k in counts.items():
+            arg = (float(k) * n_total) / (float(n_s[s]) * float(c_w[w]))
+            want_sum[s] = want_sum.get(s, 0) + k * int(
+                math.floor(math.log(arg) * 1_000_000.0)
+            )
+            want_true[s] = want_true.get(s, 0.0) + k * math.log(arg)
+        for _, row in got.iterrows():
+            s = row["source"]
+            assert int(row["n_tokens"]) == n_s[s]
+            assert int(row["kl_sum_micros"]) == want_sum[s]
+            # Gibbs: the exact (unfloored) KL is non-negative
+            assert want_true[s] >= 0.0

@@ -679,3 +679,115 @@ class TestSupplierConcentration:
         assert got["top_cc"].tolist() == want["top_cc"].tolist()
         for nm, r in got.iterrows():
             assert r["top_micros"] == (r["top_cc"] * 1_000_000) // r["total_cc"]
+
+
+class TestSoleLateSupplier:
+    def test_matches_brute_force(self, ray_session, quiet_data_context):
+        """Q21-shaped blame: late AND >=2 suppliers AND exactly one
+        late supplier — pandas brute force over sf0.001."""
+        import numpy as np
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        from pdf_parser_ray.pipelines.relational import (
+            LATE_SUPPLIER_DAYS, sole_late_supplier,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        got = (
+            sole_late_supplier(sf)
+            .to_pandas()
+            .sort_values("s_name")
+            .reset_index(drop=True)
+        )
+        li = pq.read_table(
+            sf + "/lineitem.parquet",
+            columns=["l_orderkey", "l_suppkey", "l_shipdate"],
+        ).to_pandas()
+        ords = pq.read_table(
+            sf + "/orders.parquet", columns=["o_orderkey", "o_orderdate"]
+        ).to_pandas()
+        supp = pq.read_table(
+            sf + "/supplier.parquet", columns=["s_suppkey", "s_name"]
+        ).to_pandas()
+        li["shipday"] = li["l_shipdate"].astype("int64") // 86_400_000_000
+        ords["oday"] = ords["o_orderdate"].astype("int64") // 86_400_000_000
+        f = li.groupby(["l_orderkey", "l_suppkey"], as_index=False)[
+            "shipday"
+        ].max()
+        j = f.merge(ords, left_on="l_orderkey", right_on="o_orderkey")
+        j["late"] = (j["shipday"] - j["oday"]) > LATE_SUPPLIER_DAYS
+        g = j.groupby("l_orderkey").agg(
+            n_supp=("late", "size"), n_late=("late", "sum")
+        )
+        jj = j.join(g, on="l_orderkey")
+        blamed = jj[jj["late"] & (jj["n_supp"] >= 2) & (jj["n_late"] == 1)]
+        want = (
+            blamed.groupby("l_suppkey")
+            .size()
+            .rename("n_orders")
+            .reset_index()
+            .merge(supp, left_on="l_suppkey", right_on="s_suppkey")
+            .sort_values("s_name")
+            .reset_index(drop=True)
+        )
+        # the predicate must actually bind: some blamed, some not
+        assert 0 < len(want)
+        assert blamed["late"].all()
+        assert got["s_name"].tolist() == want["s_name"].tolist()
+        assert got["n_orders"].tolist() == want["n_orders"].tolist()
+
+
+class TestLatencyBandPriority:
+    def test_matches_brute_force(self, ray_session, quiet_data_context):
+        """Q12-shaped band × priority matrix vs a pandas brute force;
+        every band must be populated and counts conserve lineitems."""
+        import numpy as np
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        from pdf_parser_ray.pipelines.relational import (
+            HIGH_PRIORITIES, LATENCY_ON_TIME_DAYS, latency_band_priority,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        got = (
+            latency_band_priority(sf)
+            .to_pandas()
+            .sort_values("band")
+            .reset_index(drop=True)
+        )
+        li = pq.read_table(
+            sf + "/lineitem.parquet", columns=["l_orderkey", "l_shipdate"]
+        ).to_pandas()
+        ords = pq.read_table(
+            sf + "/orders.parquet",
+            columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+        ).to_pandas()
+        j = li.merge(ords, left_on="l_orderkey", right_on="o_orderkey")
+        days = (
+            j["l_shipdate"].astype("int64") // 86_400_000_000
+            - j["o_orderdate"].astype("int64") // 86_400_000_000
+        )
+        band = np.where(
+            days < 0,
+            "early",
+            np.where(days <= LATENCY_ON_TIME_DAYS, "on_time", "late"),
+        )
+        high = j["o_orderpriority"].isin(HIGH_PRIORITIES).to_numpy()
+        want = (
+            pd.DataFrame(
+                {
+                    "band": band,
+                    "high_n": high.astype("int64"),
+                    "low_n": (~high).astype("int64"),
+                }
+            )
+            .groupby("band", as_index=False)
+            .sum()
+            .sort_values("band")
+            .reset_index(drop=True)
+        )
+        assert set(got["band"]) == {"early", "on_time", "late"}
+        assert int(got["high_n"].sum() + got["low_n"].sum()) == len(j)
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
