@@ -1091,6 +1091,35 @@ def _doc_host_rank_sql() -> str:
     )
 
 
+def _host_triangles_sql() -> str:
+    """Mirror of graph.host_triangles: undirect + dedupe the edge
+    formula, then the oriented wedge join — e1 = (a, b1), e2 = (a, b2)
+    with b1 < b2, closed by e3 = (b1, b2) — counts each triangle once
+    at its smallest vertex; wedges from the degree counts."""
+    return (
+        f"WITH {_host_edges_expr()},"
+        " u AS (SELECT DISTINCT least(src, dst) AS a,"
+        "   greatest(src, dst) AS b FROM e WHERE src <> dst),"
+        " d AS (SELECT node, count(*) AS deg FROM"
+        "   (SELECT a AS node FROM u UNION ALL SELECT b FROM u)"
+        "   GROUP BY 1),"
+        " t AS (SELECT count(*) AS tri FROM u e1"
+        "   JOIN u e2 ON e2.a = e1.a AND e2.b > e1.b"
+        "   JOIN u e3 ON e3.a = e1.b AND e3.b = e2.b),"
+        " s AS (SELECT (SELECT count(*) FROM d) AS n_nodes,"
+        "   (SELECT count(*) FROM u) AS n_edges,"
+        "   (SELECT sum(deg * (deg - 1) // 2) FROM d) AS n_wedges,"
+        "   (SELECT tri FROM t) AS n_triangles)"
+        " SELECT CAST(n_nodes AS BIGINT) AS n_nodes,"
+        "  CAST(n_edges AS BIGINT) AS n_edges,"
+        "  CAST(n_wedges AS BIGINT) AS n_wedges,"
+        "  CAST(n_triangles AS BIGINT) AS n_triangles,"
+        "  CAST(CASE WHEN n_wedges = 0 THEN 0 ELSE"
+        "   (3 * n_triangles * 1000000) // n_wedges END AS BIGINT)"
+        "   AS transitivity_micros FROM s"
+    )
+
+
 def _bm25_sql() -> str:
     """Mirror of analysis.bm25_scores: the all-integer Okapi BM25 form
     (k1=3/2, b=3/4 multiplied through by 8000, milli-quantized
@@ -2876,6 +2905,7 @@ def oracle_sql() -> dict[str, str]:
         "best_of_duplicates": _best_of_dup_sql(),
         "bm25_scores": _bm25_sql(),
         "host_graph_edges": _host_graph_edges_sql(),
+        "host_triangles": _host_triangles_sql(),
         "pagerank_hosts": _pagerank_sql(),
         "temperature_sample": _temperature_sample_sql(),
         "doc_host_rank": _doc_host_rank_sql(),

@@ -289,6 +289,12 @@ def run_bench() -> dict:
     pagerank_hosts(SF_DIR)  # returns a small DataFrame
     timings["pagerank_hosts"] = time.perf_counter() - t
 
+    from pdf_parser_ray.pipelines.graph import host_triangles
+
+    t = time.perf_counter()
+    host_triangles(SF_DIR)  # returns a small DataFrame
+    timings["host_triangles"] = time.perf_counter() - t
+
     timed("doc_host_rank", doc_host_rank)
     timed("temperature_sample", filter_ops.temperature_sample)
 

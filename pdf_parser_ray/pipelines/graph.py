@@ -180,3 +180,54 @@ def doc_host_rank(sf_dir: str) -> rd.Dataset:
     return _docs(sf_dir, ["doc_id"]).map_batches(
         annotate, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def host_triangles(sf_dir: str) -> pd.DataFrame:
+    """(n_nodes, n_edges, n_wedges, n_triangles, transitivity_micros):
+    triangle census of the UNDIRECTED simple host graph (self-loops
+    dropped, weights and direction ignored) — the local-density signal
+    of web link curation (spam farms show near-clique transitivity;
+    organic host neighborhoods sit far lower).
+
+    Scale shape: identical to :func:`pagerank_hosts` — the 100 TB work
+    is the streaming edge reduction (``host_graph_edges``: per-batch
+    bincount partials over the bounded V² domain), after which the
+    graph is a ≤ V²-row model artifact and the census is driver math
+    (exact int64 ``trace(A³)/6`` on the V×V adjacency).  For an
+    UNBOUNDED node domain the same census is the classic oriented
+    wedge join — orient edges low→high, each node emits its (v, w)
+    neighbor pairs, wedges co-shuffle against the edge set keyed by
+    the (v, w) endpoint pair, and each triangle closes exactly once
+    at its smallest vertex — the generalization documented here, not
+    needed at V = 101.
+
+    transitivity = 3·triangles / wedges, floored to integer micros
+    (both counts are non-negative, so truncating division is a true
+    floor on both sides of the oracle)."""
+    edges = host_graph_edges(sf_dir).to_pandas()  # ≤ V² rows — bounded
+    src = edges["src"].to_numpy(np.int64)
+    dst = edges["dst"].to_numpy(np.int64)
+    keep = src != dst
+    a = np.minimum(src[keep], dst[keep])
+    b = np.maximum(src[keep], dst[keep])
+
+    adj = np.zeros((PR_NODES, PR_NODES), dtype=np.int64)
+    adj[a, b] = 1
+    adj[b, a] = 1
+
+    deg = adj.sum(axis=1)
+    n_nodes = int((deg > 0).sum())
+    n_edges = int(adj.sum()) // 2
+    n_wedges = int((deg * (deg - 1) // 2).sum())
+    n_triangles = int(np.trace(adj @ adj @ adj)) // 6
+    trans = 0 if n_wedges == 0 else (3 * n_triangles * 1_000_000) // n_wedges
+
+    return pd.DataFrame(
+        {
+            "n_nodes": np.array([n_nodes], np.int64),
+            "n_edges": np.array([n_edges], np.int64),
+            "n_wedges": np.array([n_wedges], np.int64),
+            "n_triangles": np.array([n_triangles], np.int64),
+            "transitivity_micros": np.array([trans], np.int64),
+        }
+    )

@@ -118,7 +118,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # user_type_entropy, ship_latency_quantiles,
         # cross_source_overlap, events_dow_hour, langid_confusion,
         # supplier_concentration, sole_late_supplier,
-        # latency_band_priority, source_kl_divergence) —
+        # latency_band_priority, source_kl_divergence,
+        # host_triangles) —
         # each oracle-backed in
         # tests/test_oracle.py; displacing a gated slot would cost an
         # established driver-green row), then the rows-only
@@ -224,6 +225,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sole_late_supplier": relational.sole_late_supplier,
         "latency_band_priority": relational.latency_band_priority,
         "source_kl_divergence": analysis.source_kl_divergence,
+        "host_triangles": graph.host_triangles,
         "compression_ratio": analysis.compression_ratio,
         "train_bpe": analysis.train_bpe,
         "bpe_segment_counts": analysis.bpe_segment_counts,
