@@ -1120,6 +1120,62 @@ def _host_triangles_sql() -> str:
     )
 
 
+def _knn_mmr_sql() -> str:
+    """Mirror of similarity.knn_mmr: the greedy MMR selection unrolled
+    as K chained CTEs — pool by trunc-millis relevance (same ORDER BY
+    r DESC, vec_id LIMIT pool boundary as the Ray sort), pairwise
+    trunc-millis sims, then step i picks argmax(7·r − 3·max sim to the
+    already-selected set) with a vec_id tie-break.  Every constant
+    interpolated from pdf_parser_ray.pipelines.similarity so retuning
+    desyncs loudly."""
+    from pdf_parser_ray.pipelines.similarity import (
+        MMR_K, MMR_LAMBDA_COMP, MMR_LAMBDA_NUM, MMR_POOL,
+    )
+
+    parts = [
+        "WITH vv AS (SELECT vec_id,"
+        " list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e"
+        " FROM embeddings),"
+        " qv AS (SELECT e FROM vv WHERE vec_id = 0),"
+        " rel AS (SELECT vv.vec_id,"
+        "   CAST(trunc(list_cosine_similarity(vv.e, qv.e) * 1000)"
+        "     AS BIGINT) AS r"
+        "   FROM vv, qv WHERE vv.vec_id <> 0),"
+        " pool AS MATERIALIZED (SELECT rel.vec_id, rel.r, vv.e"
+        "   FROM rel JOIN vv USING (vec_id)"
+        f"   ORDER BY rel.r DESC, rel.vec_id LIMIT {MMR_POOL}),"
+        " p AS MATERIALIZED (SELECT a.vec_id AS ia, b.vec_id AS ib,"
+        "   CAST(trunc(list_cosine_similarity(a.e, b.e) * 1000)"
+        "     AS BIGINT) AS s"
+        "   FROM pool a JOIN pool b ON a.vec_id <> b.vec_id),"
+        f" sel1 AS MATERIALIZED (SELECT vec_id, 1 AS sel_rank, {MMR_LAMBDA_NUM} * r"
+        "   AS score FROM pool"
+        f"   ORDER BY {MMR_LAMBDA_NUM} * r DESC, vec_id LIMIT 1),"
+        " selall1 AS MATERIALIZED (SELECT vec_id FROM sel1)",
+    ]
+    for i in range(2, MMR_K + 1):
+        parts.append(
+            f", sel{i} AS MATERIALIZED (SELECT c.vec_id, {i} AS sel_rank,"
+            f"   {MMR_LAMBDA_NUM} * c.r - {MMR_LAMBDA_COMP} * max(p.s)"
+            "    AS score"
+            "   FROM pool c JOIN p ON p.ia = c.vec_id"
+            f"   JOIN selall{i - 1} sa ON p.ib = sa.vec_id"
+            "   WHERE c.vec_id NOT IN"
+            f"     (SELECT vec_id FROM selall{i - 1})"
+            "   GROUP BY c.vec_id, c.r"
+            "   ORDER BY score DESC, c.vec_id LIMIT 1),"
+            f" selall{i} AS MATERIALIZED (SELECT vec_id FROM selall{i - 1}"
+            f"   UNION ALL SELECT vec_id FROM sel{i})"
+        )
+    union = " UNION ALL ".join(
+        f"SELECT * FROM sel{i}" for i in range(1, MMR_K + 1)
+    )
+    return "".join(parts) + (
+        f" SELECT CAST(sel_rank AS BIGINT) AS rank, vec_id,"
+        f" CAST(score AS BIGINT) AS mmr_score FROM ({union})"
+    )
+
+
 def _bm25_sql() -> str:
     """Mirror of analysis.bm25_scores: the all-integer Okapi BM25 form
     (k1=3/2, b=3/4 multiplied through by 8000, milli-quantized
@@ -2906,6 +2962,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_scores": _bm25_sql(),
         "host_graph_edges": _host_graph_edges_sql(),
         "host_triangles": _host_triangles_sql(),
+        "knn_mmr": _knn_mmr_sql(),
         "pagerank_hosts": _pagerank_sql(),
         "temperature_sample": _temperature_sample_sql(),
         "doc_host_rank": _doc_host_rank_sql(),

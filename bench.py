@@ -295,6 +295,10 @@ def run_bench() -> dict:
     host_triangles(SF_DIR)  # returns a small DataFrame
     timings["host_triangles"] = time.perf_counter() - t
 
+    t = time.perf_counter()
+    similarity.knn_mmr(SF_DIR)  # returns a small DataFrame
+    timings["knn_mmr"] = time.perf_counter() - t
+
     timed("doc_host_rank", doc_host_rank)
     timed("temperature_sample", filter_ops.temperature_sample)
 

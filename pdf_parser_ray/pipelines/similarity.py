@@ -559,3 +559,106 @@ def knn_ivf_kmeans(
         .sort(["cos_micros", "vec_id"], descending=[True, False])
         .limit(k)
     )
+
+
+# -- MMR-diversified retrieval ---------------------------------------------------
+
+MMR_LAMBDA_NUM = 7  # λ = 7/10: score = 7·rel − 3·max-sim-to-selected
+MMR_LAMBDA_COMP = 3
+MMR_POOL = 50
+MMR_K = 10
+
+
+def knn_mmr(
+    sf_dir: str,
+    query_vec_id: int = 0,
+    k: int = MMR_K,
+    pool: int = MMR_POOL,
+) -> "pd.DataFrame":
+    """(rank, vec_id, mmr_score): maximal-marginal-relevance top-k
+    (Carbonell & Goldstein 1998) — greedy diversified retrieval, the
+    dedup-aware cousin of :func:`knn_cosine` (a near-duplicate of an
+    already-selected hit scores its redundancy away).
+
+    All-integer greedy so Ray and the SQL oracle agree exactly: both
+    relevance and pairwise similarity are trunc-millis cosines (the
+    :func:`semantic_dedup` precision, proven hash-stable vs DuckDB's
+    ``list_cosine_similarity``), λ = 7/10 multiplied through, score =
+    7·rel − 3·max_{s∈selected} sim(i, s), ties broken by smallest
+    vec_id; the first pick has an empty selected set (diversity term
+    0, score 7·rel).
+
+    Scale shape: stage 1 is knn_cosine's distributed local-top-k
+    (pruned on the SAME (millis DESC, vec_id ASC) key the global sort
+    uses) carrying the vectors along, so the candidate pool leaving the
+    cluster is a pool×(d+2) bounded artifact; the O(pool²) greedy is
+    driver math over that artifact, like the pagerank iteration over
+    the reduced edge table."""
+    import pandas as pd
+
+    q = _query_vector(sf_dir, query_vec_id)
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        ids, vecs = _ids_vecs(batch)
+        mask = ids != query_vec_id
+        ids, vecs = ids[mask], vecs[mask]
+        cos = _batch_cosine(vecs, q)
+        millis = np.trunc(cos * 1000.0).astype(np.int64)
+        if len(ids) > pool:
+            keep = np.lexsort((ids, -millis))[:pool]
+            ids, millis, vecs = ids[keep], millis[keep], vecs[keep]
+        return pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "rel_millis": pa.array(millis, pa.int64()),
+                "embedding": pa.array(list(vecs)),
+            }
+        )
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    cands = (
+        read_parquet_clean(
+            emb_path,
+            columns=["vec_id", "embedding"],
+            override_num_blocks=_blocks_for(emb_path),
+        )
+        .map_batches(local_topk, batch_format="pyarrow", zero_copy_batch=True)
+        .sort(["rel_millis", "vec_id"], descending=[True, False])
+        .limit(pool)
+        .to_pandas()
+    )
+
+    ids = cands["vec_id"].to_numpy(np.int64)
+    rel = cands["rel_millis"].to_numpy(np.int64)
+    V = np.stack([np.asarray(e, dtype=np.float64) for e in cands["embedding"]])
+    norms = np.linalg.norm(V, axis=1)
+    denom = np.outer(norms, norms)
+    denom[denom == 0] = np.inf
+    sims = np.trunc((V @ V.T) / denom * 1000.0).astype(np.int64)
+
+    n = len(ids)
+    selected: list[int] = []
+    scores: list[int] = []
+    # max sim to the selected set — starts at -inf, NOT 0: cosines can
+    # be negative, and max(∅ ∪ {negatives}) must be the negative value
+    max_sim = np.full(n, -(2**62), dtype=np.int64)
+    picked = np.zeros(n, dtype=bool)
+    for _ in range(min(k, n)):
+        score = MMR_LAMBDA_NUM * rel - (
+            MMR_LAMBDA_COMP * max_sim if selected else 0
+        )
+        score = np.where(picked, np.int64(-(2**62)), score)
+        # argmax with smallest-vec_id tie-break
+        best = np.lexsort((ids, -score))[0]
+        selected.append(int(ids[best]))
+        scores.append(int(score[best]))
+        picked[best] = True
+        max_sim = np.maximum(max_sim, sims[:, best])
+
+    return pd.DataFrame(
+        {
+            "rank": np.arange(1, len(selected) + 1, dtype=np.int64),
+            "vec_id": np.array(selected, np.int64),
+            "mmr_score": np.array(scores, np.int64),
+        }
+    )

@@ -142,3 +142,75 @@ class TestPCAEmbeddings:
             lambda s: float(np.var(s.to_numpy(np.float64)))
         )
         assert var[0] >= var[1] >= var[2]
+
+
+class TestKnnMMR:
+    def test_matches_brute_force_and_diversifies(
+        self, ray_session, quiet_data_context
+    ):
+        """Pure-Python greedy MMR over the same trunc-millis integers
+        must reproduce the pipeline's picks exactly, and the diversity
+        term must BIND (selection differs from plain relevance top-k)."""
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from pdf_parser_ray.pipelines.similarity import (
+            MMR_K, MMR_LAMBDA_COMP, MMR_LAMBDA_NUM, MMR_POOL, knn_mmr,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        got = knn_mmr(sf)
+
+        t = pq.read_table(sf + "/embeddings.parquet")
+        ids = np.array(t.column("vec_id").to_pylist(), np.int64)
+        V = np.array(
+            [r.as_py() for r in t.column("embedding")], dtype=np.float64
+        )
+        q = V[list(ids).index(0)]
+        keep = ids != 0
+        ids, V = ids[keep], V[keep]
+        rel = np.trunc(
+            (V @ q) / (np.linalg.norm(V, axis=1) * np.linalg.norm(q)) * 1000
+        ).astype(np.int64)
+        order = np.lexsort((ids, -rel))[:MMR_POOL]
+        ids, V, rel = ids[order], V[order], rel[order]
+        norms = np.linalg.norm(V, axis=1)
+        sims = np.trunc(
+            (V @ V.T) / np.outer(norms, norms) * 1000
+        ).astype(np.int64)
+
+        chosen: list[int] = []
+        chosen_scores: list[int] = []
+        remaining = list(range(len(ids)))
+        while len(chosen) < MMR_K and remaining:
+            best, best_score = None, None
+            for i in remaining:
+                if chosen:
+                    ms = max(int(sims[i, j]) for j in chosen)
+                    sc = MMR_LAMBDA_NUM * int(rel[i]) - MMR_LAMBDA_COMP * ms
+                else:
+                    sc = MMR_LAMBDA_NUM * int(rel[i])
+                if (
+                    best is None
+                    or sc > best_score
+                    or (sc == best_score and ids[i] < ids[best])
+                ):
+                    best, best_score = i, sc
+            chosen.append(best)
+            chosen_scores.append(best_score)
+            remaining.remove(best)
+
+        assert got["vec_id"].tolist() == [int(ids[i]) for i in chosen]
+        assert got["mmr_score"].tolist() == chosen_scores
+        assert got["rank"].tolist() == list(range(1, MMR_K + 1))
+        # negative-cosine regression (the r04 bug: a 0-initialized
+        # max-to-selected silently clamps negative sims): the fixture
+        # must exercise at least one negative max so the score
+        # equality above actually pins the -inf initialization
+        assert any(
+            max(int(sims[i, j]) for j in chosen[:r]) < 0
+            for r, i in list(enumerate(chosen))[1:]
+        )
+        # diversity must bind: MMR differs from plain relevance top-k
+        plain = [int(ids[i]) for i in range(MMR_K)]
+        assert got["vec_id"].tolist() != plain
