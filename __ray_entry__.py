@@ -2963,6 +2963,20 @@ def oracle_sql() -> dict[str, str]:
         "host_graph_edges": _host_graph_edges_sql(),
         "host_triangles": _host_triangles_sql(),
         "knn_mmr": _knn_mmr_sql(),
+        "pareto_orders": (
+            # mirror of relational.pareto_orders: the NOT EXISTS
+            # dominance definition (price >=, day <=, one strict);
+            # both-axes ties survive on both sides
+            "WITH o AS (SELECT o_orderkey,"
+            "   CAST(round(o_totalprice * 100) AS BIGINT) AS cents,"
+            "   epoch_us(o_orderdate) // 86400000000 AS day"
+            "   FROM orders)"
+            " SELECT a.o_orderkey, a.cents AS price_cents,"
+            "  CAST(a.day AS BIGINT) AS order_day"
+            " FROM o a WHERE NOT EXISTS (SELECT 1 FROM o b"
+            "  WHERE b.cents >= a.cents AND b.day <= a.day"
+            "   AND (b.cents > a.cents OR b.day < a.day))"
+        ),
         "pagerank_hosts": _pagerank_sql(),
         "temperature_sample": _temperature_sample_sql(),
         "doc_host_rank": _doc_host_rank_sql(),

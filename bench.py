@@ -361,6 +361,7 @@ def run_bench() -> dict:
     timed("sole_late_supplier", relational.sole_late_supplier)
     timed("latency_band_priority", relational.latency_band_priority)
     timed("source_kl_divergence", analysis.source_kl_divergence)
+    timed("pareto_orders", relational.pareto_orders)
 
     from pdf_parser_ray.pipelines.curate import curate_pages
     from pdf_parser_ray.pipelines.extract import (

@@ -4461,3 +4461,82 @@ def latency_band_priority(sf_dir: str) -> rd.Dataset:
         .groupby("band")
         .map_groups(arrow_udf(combine), batch_format="pandas")
     )
+
+
+# -- Pareto skyline of orders ----------------------------------------------------
+
+
+def _pareto_front(df: "pd.DataFrame") -> "pd.DataFrame":
+    """Exact 2-D skyline sweep (max price_cents, min order_day): the
+    price-level min day, swept from the highest price down — a level
+    survives iff its min day is STRICTLY below the running min of all
+    higher-price levels (>= on either axis with equality on the other
+    is domination); within a surviving level only min-day rows survive,
+    so both-axes ties are all kept.  Used for both the per-batch local
+    front and the global combine — front(S ∪ T) ⊆ front(S) ∪ front(T)
+    makes the two-level application exact."""
+    import pandas as pd  # noqa: F401
+
+    lv = (
+        df.groupby("price_cents", as_index=False)["order_day"]
+        .min()
+        .sort_values("price_cents", ascending=False)
+    )
+    run = lv["order_day"].cummin().shift(1, fill_value=np.iinfo(np.int64).max)
+    keep_lv = lv[lv["order_day"].to_numpy() < run.to_numpy()]
+    m = df.merge(
+        keep_lv.rename(columns={"order_day": "min_day"}), on="price_cents"
+    )
+    out = m[m["order_day"] == m["min_day"]]
+    return out[["o_orderkey", "price_cents", "order_day"]].astype(np.int64)
+
+
+def pareto_orders(sf_dir: str) -> rd.Dataset:
+    """(o_orderkey, price_cents, order_day): the 2-D Pareto front of
+    orders — maximize total price, minimize order date ("the earliest
+    orders at every spend level nothing beats on both axes"), the
+    classic skyline query (Börzsönyi et al., ICDE 2001).  A point
+    survives iff no other order has (price ≥, day ≤) with at least one
+    strict; exact ties on BOTH axes are mutually non-dominating and all
+    survive.
+
+    Scale shape: skylines distribute because front(S ∪ T) ⊆
+    front(S) ∪ front(T) — each batch collapses to its LOCAL front with
+    a vectorized price-level cummin sweep (2-D fronts are typically
+    O(log n) rows), and the exact global front is the same sweep over
+    the union of local fronts on a constant key; the fact table never
+    shuffles and the one exchange carries only front candidates."""
+    import pandas as pd
+
+    _day_us = 86_400_000_000
+
+    def local_front(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "o_orderkey": batch.column("o_orderkey").to_numpy(
+                    zero_copy_only=False
+                ),
+                "price_cents": pc.cast(
+                    pc.round(pc.multiply(batch.column("o_totalprice"), 100.0)),
+                    pa.int64(),
+                ).to_numpy(zero_copy_only=False),
+                "order_day": (
+                    pc.cast(batch.column("o_orderdate"), pa.int64())
+                    .to_numpy(zero_copy_only=False)
+                    // _day_us
+                ),
+            }
+        )
+        out = _pareto_front(df)
+        out.insert(0, "k", np.zeros(len(out), np.int8))
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def global_front(g: pd.DataFrame) -> pd.DataFrame:
+        return _pareto_front(g)
+
+    return (
+        _t(sf_dir, "orders", ["o_orderkey", "o_totalprice", "o_orderdate"])
+        .map_batches(local_front, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("k")
+        .map_groups(arrow_udf(global_front), batch_format="pandas")
+    )

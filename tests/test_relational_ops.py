@@ -791,3 +791,62 @@ class TestLatencyBandPriority:
         assert set(got["band"]) == {"early", "on_time", "late"}
         assert int(got["high_n"].sum() + got["low_n"].sum()) == len(j)
         pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+class TestParetoOrders:
+    def test_matches_brute_force(self, ray_session, quiet_data_context):
+        """O(n²) dominance brute force over sf0.001; the local-front
+        union property must also hold on a synthetic tie fixture."""
+        import numpy as np
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        from pdf_parser_ray.pipelines.relational import pareto_orders
+
+        sf = "/root/testdata/sf0.001"
+        got = (
+            pareto_orders(sf)
+            .to_pandas()
+            .sort_values("o_orderkey")
+            .reset_index(drop=True)
+        )
+        o = pq.read_table(sf + "/orders.parquet").to_pandas()
+        cents = (o["o_totalprice"] * 100).round().astype("int64").to_numpy()
+        day = (o["o_orderdate"].astype("int64") // 86_400_000_000).to_numpy()
+        keep = []
+        for i in range(len(o)):
+            dominated = bool(
+                np.any(
+                    (cents >= cents[i])
+                    & (day <= day[i])
+                    & ((cents > cents[i]) | (day < day[i]))
+                )
+            )
+            if not dominated:
+                keep.append(i)
+        want = pd.DataFrame(
+            {
+                "o_orderkey": o["o_orderkey"].to_numpy()[keep],
+                "price_cents": cents[keep],
+                "order_day": day[keep],
+            }
+        ).sort_values("o_orderkey").reset_index(drop=True)
+        assert 0 < len(want) < len(o)
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    def test_both_axes_ties_survive(self):
+        """Two identical points never dominate each other — both stay
+        on the front (the sweep's within-level min-day rule) — and a
+        point dominated on one axis with the other equal is dropped."""
+        import pandas as pd
+
+        from pdf_parser_ray.pipelines.relational import _pareto_front
+
+        df = pd.DataFrame(
+            {
+                "o_orderkey": [1, 2, 3],
+                "price_cents": [500, 500, 400],
+                "order_day": [10, 10, 10],
+            }
+        )
+        assert sorted(_pareto_front(df)["o_orderkey"]) == [1, 2]
