@@ -58,6 +58,24 @@ class TestDifferential:
             "",
             "no tags at all just plain text words",
             "<p>truncated tag at end <",
+            # crawl-hostile forms (all probed SAME before pinning):
+            "<p>before words here ok</p><![CDATA[<p>hidden</p>]]>"
+            "<p>after words here now ok</p>",
+            "<!--[if IE]><p>ie only</p><![endif]-->"
+            "<p>real words here now ok</p>",
+            "<svg><text>svg label</text><desc>x</desc></svg>"
+            "<p>real words here now ok</p>",
+            "<math><mi>x</mi></math><p>math follows words here now ok</p>",
+            "<p>bad &#x110000; surrogate &#xD800; bare & undefined"
+            " &notareal; words here</p>",
+            '<a title="a>b" href="/x">link words</a>'
+            "<p>after attr words here now ok</p>",
+            "<p>null\x00byte words here now ok</p>",
+            "<?php echo 'x'; ?><p>after pi words here now ok</p>",
+            "<b>bold <p>para words here now ok</b> tail</p>",
+            "<div>" * 300 + "deep words here now ok" + "</div>" * 300,
+            "<p>before words here ok</p><!-- never closed <p>x</p>",
+            "<!weird thing><p>after bang words here now ok</p>",
         ],
     )
     def test_edge_cases(self, html):
