@@ -2047,6 +2047,27 @@ def _shuffle_sql() -> str:
     )
 
 
+def _weighted_priority_sql() -> str:
+    """Mirror of pack.weighted_priority_sample: the shuffle-key hash
+    recomputed in BIGINT, priority = (n_chars · SHUF_P) // (key + 1)
+    (every product < 2^62), top-k by (priority DESC, doc_id)."""
+    from pdf_parser_ray.pipelines.pack import (
+        SHUF_A1, SHUF_A2, SHUF_B1, SHUF_B2, SHUF_P, WPS_K,
+    )
+
+    return (
+        "WITH r1 AS (SELECT doc_id, n_chars,"
+        f"   ({SHUF_A1} * (doc_id % {SHUF_P}) + {SHUF_B1}) % {SHUF_P} AS k1"
+        "   FROM documents),"
+        " r2 AS (SELECT doc_id, n_chars,"
+        f"   ({SHUF_A2} * (xor(k1, k1 >> 17) % {SHUF_P}) + {SHUF_B2})"
+        f"     % {SHUF_P} AS kk FROM r1)"
+        " SELECT doc_id, n_chars,"
+        f"  CAST((n_chars * {SHUF_P}) // (kk + 1) AS BIGINT) AS priority"
+        f" FROM r2 ORDER BY priority DESC, doc_id LIMIT {WPS_K}"
+    )
+
+
 def _uniform_sample_sql() -> str:
     """Mirror of pack.uniform_sample_k: the shuffle-key hash recomputed
     in BIGINT, bottom-k by (key, doc_id)."""
@@ -2963,6 +2984,7 @@ def oracle_sql() -> dict[str, str]:
         "host_graph_edges": _host_graph_edges_sql(),
         "host_triangles": _host_triangles_sql(),
         "knn_mmr": _knn_mmr_sql(),
+        "weighted_priority_sample": _weighted_priority_sql(),
         "pareto_orders": (
             # mirror of relational.pareto_orders: the NOT EXISTS
             # dominance definition (price >=, day <=, one strict);

@@ -363,6 +363,10 @@ def run_bench() -> dict:
     timed("source_kl_divergence", analysis.source_kl_divergence)
     timed("pareto_orders", relational.pareto_orders)
 
+    from pdf_parser_ray.pipelines.pack import weighted_priority_sample
+
+    timed("weighted_priority_sample", weighted_priority_sample)
+
     from pdf_parser_ray.pipelines.curate import curate_pages
     from pdf_parser_ray.pipelines.extract import (
         canonical_urls, domain_stats, host_page_cap, line_dedup,

@@ -353,3 +353,48 @@ def chunk_documents(sf_dir: str, chunk_tokens: int = CHUNK_TOKENS) -> rd.Dataset
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
         chunks, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+WPS_K = 100
+
+
+def weighted_priority_sample(sf_dir: str, k: int = WPS_K) -> rd.Dataset:
+    """(doc_id, n_chars, priority): deterministic weighted priority
+    sample (Duffield-Lund-Thorup 2007) — the top-k documents by
+    priority w/u, where w = n_chars and u is the document's
+    deterministic uniform from :func:`shuffle_key`.  Inclusion
+    probability grows with weight (long documents are favored ∝ w),
+    the fixed-size weighted counterpart of :func:`uniform_sample_k`
+    and of filter.temperature_sample's fractional mixture.
+
+    Exact integers on both sides: priority = (w·SHUF_P) // (key + 1)
+    — the +1 keeps the divisor in 1..SHUF_P, and the product stays
+    under 2^62 for any n_chars < 2^31, so Ray and the DuckDB oracle
+    rank identically (ties broken by doc_id ASC).
+
+    Scale shape: per-batch local top-k pruned on the SAME
+    (priority DESC, doc_id ASC) key the global sort uses, then one
+    ≤ k·num_blocks-row sort — the knn_cosine selection shape; nothing
+    corpus-sized moves."""
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        w = batch.column("n_chars").to_numpy(zero_copy_only=False).astype(np.int64)
+        pri = (w * SHUF_P) // (shuffle_key(ids) + 1)
+        if len(ids) > k:
+            keep = np.lexsort((ids, -pri))[:k]
+            ids, w, pri = ids[keep], w[keep], pri[keep]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "n_chars": pa.array(w),
+                "priority": pa.array(pri),
+            }
+        )
+
+    return (
+        _docs(sf_dir, ["doc_id", "n_chars"])
+        .map_batches(local_topk, batch_format="pyarrow", zero_copy_batch=True)
+        .sort(["priority", "doc_id"], descending=[True, False])
+        .limit(k)
+    )

@@ -119,7 +119,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # cross_source_overlap, events_dow_hour, langid_confusion,
         # supplier_concentration, sole_late_supplier,
         # latency_band_priority, source_kl_divergence,
-        # host_triangles, knn_mmr, pareto_orders) —
+        # host_triangles, knn_mmr, pareto_orders,
+        # weighted_priority_sample) —
         # each oracle-backed in
         # tests/test_oracle.py; displacing a gated slot would cost an
         # established driver-green row), then the rows-only
@@ -228,6 +229,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_triangles": graph.host_triangles,
         "knn_mmr": similarity.knn_mmr,
         "pareto_orders": relational.pareto_orders,
+        "weighted_priority_sample": pack.weighted_priority_sample,
         "compression_ratio": analysis.compression_ratio,
         "train_bpe": analysis.train_bpe,
         "bpe_segment_counts": analysis.bpe_segment_counts,

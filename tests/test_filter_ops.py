@@ -665,3 +665,42 @@ class TestWebCurate:
             )
             == WEB_CURATE_TARGET
         )
+
+
+class TestWeightedPrioritySample:
+    def test_matches_brute_force_and_favors_weight(
+        self, ray_session, quiet_data_context
+    ):
+        """Exact top-k equality vs a numpy brute force, and the weighted
+        property: the sample's mean n_chars must exceed the corpus mean
+        (heavier docs are favored ∝ weight)."""
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from pdf_parser_ray.pipelines.pack import (
+            SHUF_P, WPS_K, shuffle_key, weighted_priority_sample,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        got = (
+            weighted_priority_sample(sf)
+            .to_pandas()
+            .reset_index(drop=True)
+        )
+        d = pq.read_table(
+            sf + "/documents.parquet", columns=["doc_id", "n_chars"]
+        ).to_pandas()
+        ids = d["doc_id"].to_numpy(np.int64)
+        w = d["n_chars"].to_numpy(np.int64)
+        pri = (w * SHUF_P) // (shuffle_key(ids) + 1)
+        order = np.lexsort((ids, -pri))[:WPS_K]
+        assert got["doc_id"].tolist() == ids[order].tolist()
+        assert got["priority"].tolist() == pri[order].tolist()
+        assert len(got) == WPS_K
+        # weighting binds: the priority-sampled panel skews heavy
+        assert got["n_chars"].mean() > d["n_chars"].mean()
+        # and differs from the unweighted uniform panel
+        from pdf_parser_ray.pipelines.pack import uniform_sample_k
+
+        uni = uniform_sample_k(sf).to_pandas()
+        assert set(got["doc_id"]) != set(uni["doc_id"])
