@@ -2068,6 +2068,67 @@ def _weighted_priority_sql() -> str:
     )
 
 
+def _min_cost_supplier_sql() -> str:
+    """Mirror of relational.min_cost_supplier (TPC-H Q2 shape): unit
+    cost is the exact integer floor price_cents·10000 // qty_cents on
+    both engines; the per-part argmin keeps the smallest suppkey on
+    ties (row_number ties ORDER BY ucost, sk = the pipeline's
+    sort_values(["pk", "u", "sk"]).drop_duplicates)."""
+    from pdf_parser_ray.pipelines.relational import MIN_COST_MAX_SIZE
+
+    return (
+        "WITH u AS (SELECT l_partkey pk, l_suppkey sk,"
+        "   MIN((CAST(round(l_extendedprice*100) AS BIGINT) * 10000)"
+        "       // CAST(round(l_quantity*100) AS BIGINT)) AS ucost"
+        "  FROM lineitem GROUP BY 1, 2),"
+        " q AS (SELECT u.* FROM u JOIN part ON pk = p_partkey"
+        f"  WHERE p_size <= {MIN_COST_MAX_SIZE}),"
+        " r AS (SELECT pk, sk, ucost,"
+        "   row_number() OVER (PARTITION BY pk ORDER BY ucost, sk) rn FROM q)"
+        " SELECT pk AS p_partkey, sk AS s_suppkey, s_name,"
+        "  ucost AS unit_cc"
+        " FROM r JOIN supplier ON sk = s_suppkey WHERE rn = 1"
+    )
+
+
+def _brand_supplier_counts_sql() -> str:
+    """Mirror of relational.brand_supplier_counts (TPC-H Q16 shape):
+    distinct lineitem (partkey, suppkey) pairs stand in for partsupp;
+    the brand/type-prefix exclusions interpolate the pipeline
+    constants so retuning either side desyncs loudly."""
+    from pdf_parser_ray.pipelines.relational import (
+        Q16_EXCL_BRAND, Q16_EXCL_TYPE_PREFIX,
+    )
+
+    return (
+        "SELECT p_brand, CAST(p_size AS BIGINT) AS p_size,"
+        "  count(DISTINCT l_suppkey) AS supplier_cnt"
+        " FROM lineitem JOIN part ON l_partkey = p_partkey"
+        f" WHERE p_brand <> '{Q16_EXCL_BRAND}'"
+        f"  AND p_type NOT LIKE '{Q16_EXCL_TYPE_PREFIX}%'"
+        " GROUP BY 1, 2"
+    )
+
+
+def _dominant_suppliers_sql() -> str:
+    """Mirror of relational.dominant_suppliers (TPC-H Q20 shape):
+    integer qty-cents sums per (part, supplier) in the date window,
+    dominance = 2·q > part total with ≥ 2 suppliers on the part."""
+    from pdf_parser_ray.pipelines.relational import DOM_DATE_HI, DOM_DATE_LO
+
+    return (
+        "WITH ps AS (SELECT l_partkey pk, l_suppkey sk,"
+        "   SUM(CAST(round(l_quantity*100) AS BIGINT)) AS q"
+        f"  FROM lineitem WHERE l_shipdate >= DATE '{DOM_DATE_LO}'"
+        f"   AND l_shipdate < DATE '{DOM_DATE_HI}' GROUP BY 1, 2),"
+        " tot AS (SELECT pk, SUM(q) tq, COUNT(*) nsup FROM ps GROUP BY pk),"
+        " d AS (SELECT sk, count(*) AS n_parts FROM ps JOIN tot USING (pk)"
+        "   WHERE 2*q > tq AND nsup >= 2 GROUP BY sk)"
+        " SELECT sk AS s_suppkey, s_name, n_parts"
+        " FROM d JOIN supplier ON sk = s_suppkey"
+    )
+
+
 def _uniform_sample_sql() -> str:
     """Mirror of pack.uniform_sample_k: the shuffle-key hash recomputed
     in BIGINT, bottom-k by (key, doc_id)."""
@@ -2985,6 +3046,9 @@ def oracle_sql() -> dict[str, str]:
         "host_triangles": _host_triangles_sql(),
         "knn_mmr": _knn_mmr_sql(),
         "weighted_priority_sample": _weighted_priority_sql(),
+        "min_cost_supplier": _min_cost_supplier_sql(),
+        "brand_supplier_counts": _brand_supplier_counts_sql(),
+        "dominant_suppliers": _dominant_suppliers_sql(),
         "pareto_orders": (
             # mirror of relational.pareto_orders: the NOT EXISTS
             # dominance definition (price >=, day <=, one strict);

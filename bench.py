@@ -362,6 +362,9 @@ def run_bench() -> dict:
     timed("latency_band_priority", relational.latency_band_priority)
     timed("source_kl_divergence", analysis.source_kl_divergence)
     timed("pareto_orders", relational.pareto_orders)
+    timed("min_cost_supplier", relational.min_cost_supplier)
+    timed("brand_supplier_counts", relational.brand_supplier_counts)
+    timed("dominant_suppliers", relational.dominant_suppliers)
 
     from pdf_parser_ray.pipelines.pack import weighted_priority_sample
 

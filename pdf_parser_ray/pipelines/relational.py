@@ -4540,3 +4540,385 @@ def pareto_orders(sf_dir: str) -> rd.Dataset:
         .groupby("k")
         .map_groups(arrow_udf(global_front), batch_format="pandas")
     )
+
+
+# -- TPC-H Q2: minimum-cost supplier per part ---------------------------------
+
+MIN_COST_MAX_SIZE = 10
+
+
+def min_cost_supplier(sf_dir: str, max_size: int = MIN_COST_MAX_SIZE) -> rd.Dataset:
+    """(p_partkey, s_suppkey, s_name, unit_cc): for every part with
+    ``p_size <= max_size``, the supplier offering the lowest observed
+    unit cost over shipment history — TPC-H Q2's min-supplycost
+    correlated subquery, with lineitem unit prices standing in for
+    partsupp (the driver tables carry no partsupp).  Unit cost is the
+    exact integer ``price_cents * 10000 // qty_cents`` so Ray and the
+    DuckDB oracle floor identically; ties break to the smallest
+    suppkey (Q2 orders by supplier).
+
+    Scale shape: per-batch Arrow (partkey, suppkey) min-cost partials
+    co-shuffle ONCE with the size-filtered part keys on
+    ``partkey % buckets`` (min is associative, so multi-batch partials
+    stay exact in-bucket); each bucket keeps one argmin row per
+    qualifying part, and a second suppkey co-shuffle attaches supplier
+    names — nothing wider than (pk, sk, cost) ever moves."""
+    import pandas as pd
+
+    buckets = 64
+
+    def li_partials(batch: pa.Table) -> pa.Table:
+        price = pc.cast(
+            pc.round(pc.multiply(batch.column("l_extendedprice"), 100.0)),
+            pa.int64(),
+        )
+        qty = pc.cast(
+            pc.round(pc.multiply(batch.column("l_quantity"), 100.0)), pa.int64()
+        )
+        # exact int64 floor division (matches SQL //): numpy, not a
+        # float path, so no 2^53 representability caveat
+        ucost = (
+            price.to_numpy(zero_copy_only=False) * 10000
+        ) // qty.to_numpy(zero_copy_only=False)
+        g = (
+            pa.table(
+                {
+                    "pk": batch.column("l_partkey"),
+                    "sk": batch.column("l_suppkey"),
+                    "u": pa.array(ucost, pa.int64()),
+                }
+            )
+            .group_by(["pk", "sk"])
+            .aggregate([("u", "min")])
+        )
+        pk = g.column("pk").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "bkt": pa.array((pk % buckets).astype(np.int32)),
+                "role": pa.array(np.zeros(len(pk), np.int8)),
+                "pk": pa.array(pk, pa.int64()),
+                "sk": pc.cast(g.column("sk"), pa.int64()),
+                "u": g.column("u_min"),
+            }
+        )
+
+    def part_rows(batch: pa.Table) -> pa.Table:
+        b = batch.filter(
+            pc.less_equal(batch.column("p_size"), pa.scalar(max_size, pa.int32()))
+        )
+        pk = b.column("p_partkey").to_numpy(zero_copy_only=False)
+        n = len(pk)
+        return pa.table(
+            {
+                "bkt": pa.array((pk % buckets).astype(np.int32)),
+                "role": pa.array(np.ones(n, np.int8)),
+                "pk": pa.array(pk, pa.int64()),
+                "sk": pa.array(np.zeros(n, np.int64)),
+                "u": pa.array(np.zeros(n, np.int64)),
+            }
+        )
+
+    def per_part_argmin(g: pd.DataFrame) -> pa.Table:
+        want = g.loc[g["role"] == 1, "pk"].unique()
+        li = g[(g["role"] == 0) & g["pk"].isin(want)]
+        if len(li) == 0:
+            return pa.table(
+                {
+                    "bkt": pa.array([], pa.int32()),
+                    "role": pa.array([], pa.int8()),
+                    "pk": pa.array([], pa.int64()),
+                    "sk": pa.array([], pa.int64()),
+                    "u": pa.array([], pa.int64()),
+                    "nm": pa.array([], pa.string()),
+                }
+            )
+        tot = li.groupby(["pk", "sk"], as_index=False)["u"].min()
+        best = tot.sort_values(["pk", "u", "sk"]).drop_duplicates("pk")
+        sk = best["sk"].to_numpy(np.int64)
+        return pa.table(
+            {
+                "bkt": pa.array((sk % buckets).astype(np.int32)),
+                "role": pa.array(np.zeros(len(best), np.int8)),
+                "pk": pa.array(best["pk"].to_numpy(np.int64)),
+                "sk": pa.array(sk),
+                "u": pa.array(best["u"].to_numpy(np.int64)),
+                "nm": pa.array([""] * len(best), pa.string()),
+            }
+        )
+
+    def supp_rows(batch: pa.Table) -> pa.Table:
+        sk = batch.column("s_suppkey").to_numpy(zero_copy_only=False)
+        n = len(sk)
+        return pa.table(
+            {
+                "bkt": pa.array((sk % buckets).astype(np.int32)),
+                "role": pa.array(np.ones(n, np.int8)),
+                "pk": pa.array(np.zeros(n, np.int64)),
+                "sk": pa.array(sk, pa.int64()),
+                "u": pa.array(np.zeros(n, np.int64)),
+                "nm": batch.column("s_name"),
+            }
+        )
+
+    def attach_names(g: pd.DataFrame) -> pa.Table:
+        f = g[g["role"] == 0]
+        names = g[g["role"] == 1].set_index("sk")["nm"]
+        return pa.table(
+            {
+                "p_partkey": pa.array(f["pk"].to_numpy(np.int64), pa.int64()),
+                "s_suppkey": pa.array(f["sk"].to_numpy(np.int64), pa.int64()),
+                "s_name": pa.array(
+                    [str(v) for v in names.reindex(f["sk"])], pa.string()
+                ),
+                "unit_cc": pa.array(f["u"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    li = _t(
+        sf_dir, "lineitem",
+        ["l_partkey", "l_suppkey", "l_quantity", "l_extendedprice"],
+    ).map_batches(li_partials, batch_format="pyarrow", zero_copy_batch=True)
+    parts = _t(sf_dir, "part", ["p_partkey", "p_size"]).map_batches(
+        part_rows, batch_format="pyarrow", zero_copy_batch=True
+    )
+    supp = _t(sf_dir, "supplier", ["s_suppkey", "s_name"]).map_batches(
+        supp_rows, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return (
+        li.union(parts)
+        .groupby("bkt")
+        .map_groups(arrow_udf(per_part_argmin), batch_format="pandas")
+        .union(supp)
+        .groupby("bkt")
+        .map_groups(arrow_udf(attach_names), batch_format="pandas")
+    )
+
+
+# -- TPC-H Q16: supplier counts per (brand, size) -----------------------------
+
+Q16_EXCL_BRAND = "Brand#13"
+Q16_EXCL_TYPE_PREFIX = "PROMO"
+
+
+def brand_supplier_counts(sf_dir: str) -> rd.Dataset:
+    """(p_brand, p_size, supplier_cnt): how many distinct suppliers
+    ship each (brand, size) slice, excluding one brand and one type
+    prefix — TPC-H Q16's supplier-diversity report, with distinct
+    lineitem (partkey, suppkey) pairs standing in for partsupp.
+
+    Scale shape: per-batch distinct (pk, sk) pairs co-shuffle with the
+    filtered part attribute rows on ``pk % buckets``; each bucket maps
+    its pairs to (brand, size, sk) triples; the SECOND exchange keys on
+    ``sk % buckets`` so every copy of a triple (the same supplier can
+    reach one brand/size via parts in different pk-buckets) lands in
+    one bucket, where a single drop_duplicates makes the distinct
+    exact; per-bucket counts then sum on a constant key."""
+    import pandas as pd
+
+    buckets = 64
+
+    def li_pairs(batch: pa.Table) -> pa.Table:
+        g = (
+            pa.table(
+                {"pk": batch.column("l_partkey"), "sk": batch.column("l_suppkey")}
+            )
+            .group_by(["pk", "sk"])
+            .aggregate([])
+        )
+        pk = g.column("pk").to_numpy(zero_copy_only=False)
+        n = len(pk)
+        return pa.table(
+            {
+                "bkt": pa.array((pk % buckets).astype(np.int32)),
+                "role": pa.array(np.zeros(n, np.int8)),
+                "pk": pa.array(pk, pa.int64()),
+                "sk": pc.cast(g.column("sk"), pa.int64()),
+                "brand": pa.array([""] * n, pa.string()),
+                "size": pa.array(np.zeros(n, np.int64)),
+            }
+        )
+
+    def part_rows(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.invert(pc.equal(batch.column("p_brand"), Q16_EXCL_BRAND)),
+            pc.invert(
+                pc.starts_with(batch.column("p_type"), Q16_EXCL_TYPE_PREFIX)
+            ),
+        )
+        b = batch.filter(keep)
+        pk = b.column("p_partkey").to_numpy(zero_copy_only=False)
+        n = len(pk)
+        return pa.table(
+            {
+                "bkt": pa.array((pk % buckets).astype(np.int32)),
+                "role": pa.array(np.ones(n, np.int8)),
+                "pk": pa.array(pk, pa.int64()),
+                "sk": pa.array(np.zeros(n, np.int64)),
+                "brand": b.column("p_brand"),
+                "size": pc.cast(b.column("p_size"), pa.int64()),
+            }
+        )
+
+    def to_triples(g: pd.DataFrame) -> pa.Table:
+        pairs = g[g["role"] == 0]
+        attrs = g[g["role"] == 1].set_index("pk")[["brand", "size"]]
+        m = pairs.join(attrs, on="pk", how="inner", rsuffix="_p")
+        sk = m["sk"].to_numpy(np.int64)
+        return pa.table(
+            {
+                "bkt": pa.array((sk % buckets).astype(np.int32)),
+                "sk": pa.array(sk),
+                "brand": pa.array(m["brand_p"].to_numpy(), pa.string()),
+                "size": pa.array(m["size_p"].to_numpy(np.int64)),
+            }
+        )
+
+    def bucket_counts(g: pd.DataFrame) -> pa.Table:
+        d = g.drop_duplicates(["brand", "size", "sk"])
+        c = d.groupby(["brand", "size"], as_index=False).agg(n=("sk", "count"))
+        return pa.table(
+            {
+                "fin": pa.array(np.zeros(len(c), np.int8)),
+                "p_brand": pa.array(c["brand"].to_numpy(), pa.string()),
+                "p_size": pa.array(c["size"].to_numpy(np.int64)),
+                "n": pa.array(c["n"].to_numpy(np.int64)),
+            }
+        )
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby(["p_brand", "p_size"], as_index=False)["n"].sum()
+        return pd.DataFrame(
+            {
+                "p_brand": agg["p_brand"].to_numpy(),
+                "p_size": agg["p_size"].to_numpy(np.int64),
+                "supplier_cnt": agg["n"].to_numpy(np.int64),
+            }
+        )
+
+    li = _t(sf_dir, "lineitem", ["l_partkey", "l_suppkey"]).map_batches(
+        li_pairs, batch_format="pyarrow", zero_copy_batch=True
+    )
+    parts = _t(
+        sf_dir, "part", ["p_partkey", "p_brand", "p_type", "p_size"]
+    ).map_batches(part_rows, batch_format="pyarrow", zero_copy_batch=True)
+    return (
+        li.union(parts)
+        .groupby("bkt")
+        .map_groups(arrow_udf(to_triples), batch_format="pandas")
+        .groupby("bkt")
+        .map_groups(arrow_udf(bucket_counts), batch_format="pandas")
+        .groupby("fin")
+        .map_groups(arrow_udf(final), batch_format="pandas")
+    )
+
+
+# -- TPC-H Q20: dominant part suppliers ---------------------------------------
+
+DOM_DATE_LO = "1997-01-01"
+DOM_DATE_HI = "1998-01-01"
+
+
+def dominant_suppliers(sf_dir: str) -> rd.Dataset:
+    """(s_suppkey, s_name, n_parts): suppliers who shipped MORE THAN
+    HALF of some contested part's total quantity in the window — TPC-H
+    Q20's excess-stock shape (qty > 0.5 × total) with shipped quantity
+    standing in for partsupp availability, counting only parts with at
+    least two suppliers (so "dominant" is a real comparison, not a
+    monopoly tautology).
+
+    Scale shape: the date filter prunes at the batch level; per-batch
+    (pk, sk, qty_cents) sum partials take one pk co-shuffle; each pk
+    lives wholly in one bucket, so the 2·q > total and nsup ≥ 2 gates
+    are exact in-bucket and only (sk, n_dominated) partials leave; a
+    second sk co-shuffle folds partials and attaches names."""
+    import pandas as pd
+
+    buckets = 64
+    lo_us, hi_us = _epoch_us(DOM_DATE_LO), _epoch_us(DOM_DATE_HI)
+
+    def li_partials(batch: pa.Table) -> pa.Table:
+        ship = pc.cast(batch.column("l_shipdate"), pa.int64())
+        b = batch.filter(
+            pc.and_(
+                pc.greater_equal(ship, pa.scalar(lo_us, pa.int64())),
+                pc.less(ship, pa.scalar(hi_us, pa.int64())),
+            )
+        )
+        qty = pc.cast(
+            pc.round(pc.multiply(b.column("l_quantity"), 100.0)), pa.int64()
+        )
+        g = (
+            pa.table(
+                {"pk": b.column("l_partkey"), "sk": b.column("l_suppkey"), "q": qty}
+            )
+            .group_by(["pk", "sk"])
+            .aggregate([("q", "sum")])
+        )
+        pk = g.column("pk").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "bkt": pa.array((pk % buckets).astype(np.int32)),
+                "pk": pa.array(pk, pa.int64()),
+                "sk": pc.cast(g.column("sk"), pa.int64()),
+                "q": g.column("q_sum"),
+            }
+        )
+
+    def per_part_gate(g: pd.DataFrame) -> pa.Table:
+        ps = g.groupby(["pk", "sk"], as_index=False)["q"].sum()
+        tot = ps.groupby("pk").agg(tq=("q", "sum"), nsup=("sk", "size"))
+        m = ps.join(tot, on="pk")
+        dom = m[(2 * m["q"] > m["tq"]) & (m["nsup"] >= 2)]
+        c = dom.groupby("sk", as_index=False).size()
+        sk = c["sk"].to_numpy(np.int64)
+        return pa.table(
+            {
+                "bkt": pa.array((sk % buckets).astype(np.int32)),
+                "role": pa.array(np.zeros(len(c), np.int8)),
+                "sk": pa.array(sk),
+                "n": pa.array(c["size"].to_numpy(np.int64)),
+                "nm": pa.array([""] * len(c), pa.string()),
+            }
+        )
+
+    def supp_rows(batch: pa.Table) -> pa.Table:
+        sk = batch.column("s_suppkey").to_numpy(zero_copy_only=False)
+        n = len(sk)
+        return pa.table(
+            {
+                "bkt": pa.array((sk % buckets).astype(np.int32)),
+                "role": pa.array(np.ones(n, np.int8)),
+                "sk": pa.array(sk, pa.int64()),
+                "n": pa.array(np.zeros(n, np.int64)),
+                "nm": batch.column("s_name"),
+            }
+        )
+
+    def fold_names(g: pd.DataFrame) -> pa.Table:
+        f = g[g["role"] == 0]
+        agg = f.groupby("sk", as_index=False)["n"].sum()
+        names = g[g["role"] == 1].set_index("sk")["nm"]
+        return pa.table(
+            {
+                "s_suppkey": pa.array(agg["sk"].to_numpy(np.int64), pa.int64()),
+                "s_name": pa.array(
+                    [str(v) for v in names.reindex(agg["sk"])], pa.string()
+                ),
+                "n_parts": pa.array(agg["n"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    li = _t(
+        sf_dir, "lineitem",
+        ["l_partkey", "l_suppkey", "l_quantity", "l_shipdate"],
+    ).map_batches(li_partials, batch_format="pyarrow", zero_copy_batch=True)
+    supp = _t(sf_dir, "supplier", ["s_suppkey", "s_name"]).map_batches(
+        supp_rows, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return (
+        li.groupby("bkt")
+        .map_groups(arrow_udf(per_part_gate), batch_format="pandas")
+        .union(supp)
+        .groupby("bkt")
+        .map_groups(arrow_udf(fold_names), batch_format="pandas")
+    )

@@ -120,7 +120,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # supplier_concentration, sole_late_supplier,
         # latency_band_priority, source_kl_divergence,
         # host_triangles, knn_mmr, pareto_orders,
-        # weighted_priority_sample) —
+        # weighted_priority_sample, min_cost_supplier,
+        # brand_supplier_counts, dominant_suppliers) —
         # each oracle-backed in
         # tests/test_oracle.py; displacing a gated slot would cost an
         # established driver-green row), then the rows-only
@@ -230,6 +231,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_mmr": similarity.knn_mmr,
         "pareto_orders": relational.pareto_orders,
         "weighted_priority_sample": pack.weighted_priority_sample,
+        "min_cost_supplier": relational.min_cost_supplier,
+        "brand_supplier_counts": relational.brand_supplier_counts,
+        "dominant_suppliers": relational.dominant_suppliers,
         "compression_ratio": analysis.compression_ratio,
         "train_bpe": analysis.train_bpe,
         "bpe_segment_counts": analysis.bpe_segment_counts,

@@ -850,3 +850,142 @@ class TestParetoOrders:
             }
         )
         assert sorted(_pareto_front(df)["o_orderkey"]) == [1, 2]
+
+
+class TestMinCostSupplier:
+    def test_matches_brute_force(self, ray_session, quiet_data_context):
+        """Q2-shaped per-part argmin unit cost vs a pandas brute force;
+        the size filter and the suppkey tie-break must both bind."""
+        import numpy as np
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        from pdf_parser_ray.pipelines.relational import (
+            MIN_COST_MAX_SIZE, min_cost_supplier,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        got = (
+            min_cost_supplier(sf)
+            .to_pandas()
+            .sort_values("p_partkey")
+            .reset_index(drop=True)
+        )
+        li = pq.read_table(
+            sf + "/lineitem.parquet",
+            columns=["l_partkey", "l_suppkey", "l_quantity", "l_extendedprice"],
+        ).to_pandas()
+        part = pq.read_table(
+            sf + "/part.parquet", columns=["p_partkey", "p_size"]
+        ).to_pandas()
+        supp = pq.read_table(
+            sf + "/supplier.parquet", columns=["s_suppkey", "s_name"]
+        ).to_pandas()
+        li["u"] = (
+            np.round(li["l_extendedprice"] * 100).astype(np.int64) * 10000
+        ) // np.round(li["l_quantity"] * 100).astype(np.int64)
+        u = li.groupby(["l_partkey", "l_suppkey"], as_index=False)["u"].min()
+        ok = set(part.loc[part["p_size"] <= MIN_COST_MAX_SIZE, "p_partkey"])
+        u = u[u["l_partkey"].isin(ok)]
+        best = u.sort_values(["l_partkey", "u", "l_suppkey"]).drop_duplicates(
+            "l_partkey"
+        )
+        want = best.merge(
+            supp, left_on="l_suppkey", right_on="s_suppkey"
+        ).sort_values("l_partkey")
+        assert 0 < len(want) < len(part)  # the size filter binds
+        assert got["p_partkey"].tolist() == want["l_partkey"].tolist()
+        assert got["s_suppkey"].tolist() == want["l_suppkey"].tolist()
+        assert got["s_name"].tolist() == want["s_name"].tolist()
+        assert got["unit_cc"].tolist() == want["u"].tolist()
+
+
+class TestBrandSupplierCounts:
+    def test_matches_brute_force(self, ray_session, quiet_data_context):
+        """Q16-shaped distinct-supplier counts vs pandas nunique; both
+        exclusion predicates must remove rows."""
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        from pdf_parser_ray.pipelines.relational import (
+            Q16_EXCL_BRAND, Q16_EXCL_TYPE_PREFIX, brand_supplier_counts,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        got = (
+            brand_supplier_counts(sf)
+            .to_pandas()
+            .sort_values(["p_brand", "p_size"])
+            .reset_index(drop=True)
+        )
+        li = pq.read_table(
+            sf + "/lineitem.parquet", columns=["l_partkey", "l_suppkey"]
+        ).to_pandas()
+        part = pq.read_table(
+            sf + "/part.parquet",
+            columns=["p_partkey", "p_brand", "p_type", "p_size"],
+        ).to_pandas()
+        keep = part[
+            (part["p_brand"] != Q16_EXCL_BRAND)
+            & ~part["p_type"].str.startswith(Q16_EXCL_TYPE_PREFIX)
+        ]
+        assert 0 < len(keep) < len(part)  # both exclusions bind
+        m = li.merge(keep, left_on="l_partkey", right_on="p_partkey")
+        want = (
+            m.groupby(["p_brand", "p_size"], as_index=False)
+            .agg(supplier_cnt=("l_suppkey", "nunique"))
+            .sort_values(["p_brand", "p_size"])
+            .reset_index(drop=True)
+        )
+        assert got["p_brand"].tolist() == want["p_brand"].tolist()
+        assert got["p_size"].tolist() == want["p_size"].tolist()
+        assert got["supplier_cnt"].tolist() == want["supplier_cnt"].tolist()
+
+
+class TestDominantSuppliers:
+    def test_matches_brute_force(self, ray_session, quiet_data_context):
+        """Q20-shaped 2q > total dominance vs pandas; the nsup >= 2
+        gate must exclude monopolized parts."""
+        import numpy as np
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        from pdf_parser_ray.pipelines.relational import (
+            DOM_DATE_HI, DOM_DATE_LO, dominant_suppliers,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        got = (
+            dominant_suppliers(sf)
+            .to_pandas()
+            .sort_values("s_suppkey")
+            .reset_index(drop=True)
+        )
+        li = pq.read_table(
+            sf + "/lineitem.parquet",
+            columns=["l_partkey", "l_suppkey", "l_quantity", "l_shipdate"],
+        ).to_pandas()
+        supp = pq.read_table(
+            sf + "/supplier.parquet", columns=["s_suppkey", "s_name"]
+        ).to_pandas()
+        lo = pd.Timestamp(DOM_DATE_LO)
+        hi = pd.Timestamp(DOM_DATE_HI)
+        w = li[(li["l_shipdate"] >= lo) & (li["l_shipdate"] < hi)].copy()
+        assert 0 < len(w) < len(li)  # the window binds
+        w["q"] = np.round(w["l_quantity"] * 100).astype(np.int64)
+        ps = w.groupby(["l_partkey", "l_suppkey"], as_index=False)["q"].sum()
+        tot = ps.groupby("l_partkey").agg(tq=("q", "sum"), nsup=("q", "size"))
+        j = ps.join(tot, on="l_partkey")
+        monop = j[j["nsup"] == 1]
+        assert len(monop) > 0  # the >=2-supplier gate excludes something
+        dom = j[(2 * j["q"] > j["tq"]) & (j["nsup"] >= 2)]
+        want = (
+            dom.groupby("l_suppkey", as_index=False)
+            .agg(n_parts=("q", "size"))
+            .merge(supp, left_on="l_suppkey", right_on="s_suppkey")
+            .sort_values("l_suppkey")
+            .reset_index(drop=True)
+        )
+        assert got["s_suppkey"].tolist() == want["s_suppkey"].tolist()
+        assert got["s_name"].tolist() == want["s_name"].tolist()
+        assert got["n_parts"].tolist() == want["n_parts"].tolist()
