@@ -2068,6 +2068,59 @@ def _weighted_priority_sql() -> str:
     )
 
 
+def _readability_sql() -> str:
+    """Mirror of analysis.readability_scores: RE2 count-matches on both
+    engines ([.!?] marks, [aeiou]+ vowel runs over lower()), the
+    shared words expression, and the Flesch fold in floor-division
+    integer micros with divisors clamped to >= 1."""
+    return (
+        "WITH b AS (SELECT doc_id,"
+        f"  CAST(len({_WORDS_EXPR}) AS BIGINT) AS n_words,"
+        "  CAST(len(regexp_extract_all(text, '[.!?]')) AS BIGINT) AS n_sents,"
+        "  CAST(len(regexp_extract_all(lower(text), '[aeiou]+')) AS BIGINT)"
+        "    AS n_syll"
+        " FROM documents)"
+        " SELECT doc_id, n_words, n_sents, n_syll,"
+        " CAST(206835000 - (1015000 * n_words) // greatest(n_sents, 1)"
+        "   - (84600000 * n_syll) // greatest(n_words, 1) AS BIGINT)"
+        "   AS flesch_micros"
+        " FROM b"
+    )
+
+
+def _doc_top_terms_sql() -> str:
+    """Mirror of analysis.doc_top_terms: the tfidf_scores idf CTE chain
+    (top-V cap by (df DESC, word ASC), ln-floor micros, df=1 OOV
+    default) followed by a per-document argmax via row_number ordered
+    (score DESC, word ASC) — the pipeline's tie-break."""
+    from pdf_parser_ray.pipelines.analysis import ORACLE_VOCAB_CAP
+
+    return (
+        f"WITH w AS (SELECT doc_id, unnest({_WORDS_EXPR}) AS word"
+        "   FROM documents),"
+        " t AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf"
+        "   FROM w GROUP BY doc_id, word),"
+        " df AS (SELECT word, CAST(count(*) AS BIGINT) AS df"
+        "   FROM t GROUP BY word),"
+        " top AS (SELECT word, df FROM (SELECT word, df,"
+        "   row_number() OVER (ORDER BY df DESC, word) AS rk FROM df)"
+        f"   WHERE rk <= {ORACLE_VOCAB_CAP}),"
+        " n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),"
+        " idf AS (SELECT word,"
+        "   CAST(floor(ln(n.n / top.df) * 1000000) AS BIGINT) AS m"
+        "   FROM top, n),"
+        " oov AS (SELECT CAST(floor(ln(n.n / 1.0) * 1000000) AS BIGINT)"
+        "   AS m FROM n),"
+        " sc AS (SELECT t.doc_id, t.word, t.tf,"
+        "   t.tf * coalesce(i.m, oov.m) AS s"
+        "   FROM t LEFT JOIN idf i USING (word) CROSS JOIN oov),"
+        " r AS (SELECT *, row_number() OVER (PARTITION BY doc_id"
+        "   ORDER BY s DESC, word) AS rn FROM sc)"
+        " SELECT doc_id, word AS top_word, tf,"
+        "  CAST(s AS BIGINT) AS score_micros FROM r WHERE rn = 1"
+    )
+
+
 def _min_cost_supplier_sql() -> str:
     """Mirror of relational.min_cost_supplier (TPC-H Q2 shape): unit
     cost is the exact integer floor price_cents·10000 // qty_cents on
@@ -3049,6 +3102,8 @@ def oracle_sql() -> dict[str, str]:
         "min_cost_supplier": _min_cost_supplier_sql(),
         "brand_supplier_counts": _brand_supplier_counts_sql(),
         "dominant_suppliers": _dominant_suppliers_sql(),
+        "readability_scores": _readability_sql(),
+        "doc_top_terms": _doc_top_terms_sql(),
         "pareto_orders": (
             # mirror of relational.pareto_orders: the NOT EXISTS
             # dominance definition (price >=, day <=, one strict);

@@ -363,6 +363,8 @@ def run_bench() -> dict:
     timed("source_kl_divergence", analysis.source_kl_divergence)
     timed("pareto_orders", relational.pareto_orders)
     timed("min_cost_supplier", relational.min_cost_supplier)
+    timed("readability_scores", analysis.readability_scores)
+    timed("doc_top_terms", analysis.doc_top_terms)
     timed("brand_supplier_counts", relational.brand_supplier_counts)
     timed("dominant_suppliers", relational.dominant_suppliers)
 

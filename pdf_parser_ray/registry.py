@@ -121,7 +121,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # latency_band_priority, source_kl_divergence,
         # host_triangles, knn_mmr, pareto_orders,
         # weighted_priority_sample, min_cost_supplier,
-        # brand_supplier_counts, dominant_suppliers) —
+        # brand_supplier_counts, dominant_suppliers,
+        # readability_scores, doc_top_terms) —
         # each oracle-backed in
         # tests/test_oracle.py; displacing a gated slot would cost an
         # established driver-green row), then the rows-only
@@ -234,6 +235,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "min_cost_supplier": relational.min_cost_supplier,
         "brand_supplier_counts": relational.brand_supplier_counts,
         "dominant_suppliers": relational.dominant_suppliers,
+        "readability_scores": analysis.readability_scores,
+        "doc_top_terms": partial(
+            analysis.doc_top_terms, vocab_cap=analysis.ORACLE_VOCAB_CAP
+        ),
         "compression_ratio": analysis.compression_ratio,
         "train_bpe": analysis.train_bpe,
         "bpe_segment_counts": analysis.bpe_segment_counts,

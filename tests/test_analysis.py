@@ -760,3 +760,132 @@ class TestSourceKLDivergence:
             assert int(row["kl_sum_micros"]) == want_sum[s]
             # Gibbs: the exact (unfloored) KL is non-negative
             assert want_true[s] >= 0.0
+
+
+class TestReadabilityScores:
+    def test_matches_brute_force(self, ray_session, quiet_data_context):
+        """Flesch-shaped integer fold vs a pure-Python re recomputation;
+        the components must be non-degenerate on the corpus."""
+        import re
+
+        import pyarrow.parquet as pq
+
+        from pdf_parser_ray.pipelines.analysis import readability_scores
+
+        sf = "/root/testdata/sf0.001"
+        got = (
+            readability_scores(sf)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        docs = pq.read_table(
+            sf + "/documents.parquet", columns=["doc_id", "text"]
+        ).to_pandas()
+        vowel = re.compile(r"[aeiou]+")
+        sent = re.compile(r"[.!?]")
+        docs = docs.sort_values("doc_id").reset_index(drop=True)
+        for _, row in docs.sample(60, random_state=7).iterrows():
+            g = got[got["doc_id"] == row["doc_id"]].iloc[0]
+            nw = len(row["text"].split())
+            ns = len(sent.findall(row["text"]))
+            sy = len(vowel.findall(row["text"].lower()))
+            assert g["n_words"] == nw
+            assert g["n_sents"] == ns
+            assert g["n_syll"] == sy
+            want = (
+                206_835_000
+                - (1_015_000 * nw) // max(ns, 1)
+                - (84_600_000 * sy) // max(nw, 1)
+            )
+            assert g["flesch_micros"] == want
+        # the signal must vary across the corpus — not a constant
+        assert got["flesch_micros"].nunique() > 10
+        assert (got["n_syll"] > 0).any()
+        # pinned corpus fact: the synthetic documents carry NO sentence
+        # punctuation, so every doc scores as a single clamped sentence
+        assert (got["n_sents"] == 0).all()
+
+    def test_sentence_term_binds(self, ray_session, quiet_data_context, tmp_path):
+        """On text WITH sentence marks the words/sentences term must
+        move the score (the sf corpus never exercises it)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pdf_parser_ray.pipelines.analysis import readability_scores
+
+        texts = [
+            "Short words win. Easy to read. Yes!",
+            "polysyllabic obfuscation perpetually exacerbates comprehension "
+            "difficulties notwithstanding elaborate circumlocution",
+            "One sentence? Two! Three. And a trailing fragment",
+        ]
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": pa.array(texts, pa.string()),
+                }
+            ),
+            str(tmp_path / "documents.parquet"),
+        )
+        got = (
+            readability_scores(str(tmp_path))
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert got["n_sents"].tolist() == [3, 0, 3]
+        # simple punchy sentences score far above the polysyllabic run-on
+        assert got.loc[0, "flesch_micros"] > got.loc[1, "flesch_micros"]
+
+
+class TestDocTopTerms:
+    def test_matches_brute_force(self, ray_session, quiet_data_context):
+        """Per-doc argmax tf·idf vs an independent pure-Python idf fit
+        (top-V cap + OOV default recomputed from scratch)."""
+        import math
+        from collections import Counter
+
+        import pyarrow.parquet as pq
+
+        from pdf_parser_ray.pipelines.analysis import (
+            ORACLE_VOCAB_CAP, doc_top_terms,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        cap = ORACLE_VOCAB_CAP
+        got = (
+            doc_top_terms(sf, vocab_cap=cap)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        docs = pq.read_table(
+            sf + "/documents.parquet", columns=["doc_id", "text"]
+        ).to_pandas()
+        dfc: Counter = Counter()
+        for t in docs["text"]:
+            dfc.update(set(t.split()))
+        top = sorted(dfc.items(), key=lambda kv: (-kv[1], kv[0]))[:cap]
+        n = len(docs)
+        idf = {w: math.floor(math.log(n / d) * 1e6) for w, d in top}
+        oov = math.floor(math.log(n / 1.0) * 1e6)
+        assert len(idf) == cap  # the cap binds on the corpus vocab
+        want_rows = {}
+        for _, row in docs.iterrows():
+            words = row["text"].split()
+            if not words:
+                continue
+            scored = [
+                (-(idf.get(w, oov) * k), w, k)
+                for w, k in Counter(words).items()
+            ]
+            s, w, k = min(scored)
+            want_rows[row["doc_id"]] = (w, k, -s)
+        assert len(got) == len(want_rows)
+        for _, g in got.iterrows():
+            w, k, s = want_rows[g["doc_id"]]
+            assert g["top_word"] == w and g["tf"] == k and g["score_micros"] == s
+        # OOV must actually be exercised somewhere (cap < vocab size)
+        assert len(dfc) > cap
