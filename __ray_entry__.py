@@ -1039,6 +1039,57 @@ def _host_graph_edges_sql() -> str:
     return f"WITH {_host_edges_expr()} SELECT src, dst, w FROM e"
 
 
+def _host_degree_sql() -> str:
+    """Mirror of graph.host_degree_stats: distinct undirected simple
+    edges (least/greatest, self-loops dropped), per-node degree with
+    isolated hosts at 0, grouped to a histogram."""
+    from pdf_parser_ray.pipelines.graph import PR_NODES
+
+    return (
+        f"WITH {_host_edges_expr()},"
+        " u AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst)"
+        "   AS b FROM e WHERE src <> dst),"
+        " d AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM"
+        "   (SELECT a AS node FROM u UNION ALL SELECT b FROM u)"
+        "   GROUP BY node),"
+        f" nodes AS (SELECT CAST(unnest(range({PR_NODES})) AS BIGINT)"
+        "   AS node),"
+        " dd AS (SELECT coalesce(d.deg, 0) AS degree FROM nodes"
+        "   LEFT JOIN d USING (node))"
+        " SELECT degree, CAST(count(*) AS BIGINT) AS n_hosts"
+        " FROM dd GROUP BY degree"
+    )
+
+
+def _host_clustering_sql() -> str:
+    """Mirror of graph.host_clustering: ordered wedge join
+    (n1.y < n2.y) closed against the low-high edge set counts each
+    triangle at v exactly once; cc = (2·tri·1e6) // (deg·(deg−1))
+    floored, 0 below degree 2."""
+    from pdf_parser_ray.pipelines.graph import PR_NODES
+
+    return (
+        f"WITH {_host_edges_expr()},"
+        " u AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst)"
+        "   AS b FROM e WHERE src <> dst),"
+        " adj AS (SELECT a AS x, b AS y FROM u"
+        "   UNION ALL SELECT b, a FROM u),"
+        " d AS (SELECT x AS node, CAST(count(*) AS BIGINT) AS deg"
+        "   FROM adj GROUP BY x),"
+        " t AS (SELECT n1.x AS node, CAST(count(*) AS BIGINT) AS tri"
+        "   FROM adj n1 JOIN adj n2 ON n1.x = n2.x AND n1.y < n2.y"
+        "   JOIN u ON u.a = n1.y AND u.b = n2.y GROUP BY n1.x),"
+        f" nodes AS (SELECT CAST(unnest(range({PR_NODES})) AS BIGINT)"
+        "   AS node)"
+        " SELECT node, CAST(coalesce(d.deg, 0) AS BIGINT) AS degree,"
+        "  CAST(coalesce(t.tri, 0) AS BIGINT) AS n_tri,"
+        "  CAST(CASE WHEN coalesce(d.deg, 0) >= 2 THEN"
+        "   (2 * coalesce(t.tri, 0) * 1000000)"
+        "     // (d.deg * (d.deg - 1)) ELSE 0 END AS BIGINT) AS cc_micros"
+        " FROM nodes LEFT JOIN d USING (node) LEFT JOIN t USING (node)"
+    )
+
+
 def _pagerank_sql() -> str:
     """Mirror of graph.pagerank_hosts: the SAME integer power iteration
     unrolled as PR_ITERS chained CTEs — per-edge floored contribution
@@ -3104,6 +3155,8 @@ def oracle_sql() -> dict[str, str]:
         "dominant_suppliers": _dominant_suppliers_sql(),
         "readability_scores": _readability_sql(),
         "doc_top_terms": _doc_top_terms_sql(),
+        "host_degree_stats": _host_degree_sql(),
+        "host_clustering": _host_clustering_sql(),
         "pareto_orders": (
             # mirror of relational.pareto_orders: the NOT EXISTS
             # dominance definition (price >=, day <=, one strict);

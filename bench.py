@@ -365,6 +365,15 @@ def run_bench() -> dict:
     timed("min_cost_supplier", relational.min_cost_supplier)
     timed("readability_scores", analysis.readability_scores)
     timed("doc_top_terms", analysis.doc_top_terms)
+
+    from pdf_parser_ray.pipelines import graph
+
+    t = time.perf_counter()
+    graph.host_degree_stats(SF_DIR)  # small DataFrame
+    timings["host_degree_stats"] = time.perf_counter() - t
+    t = time.perf_counter()
+    graph.host_clustering(SF_DIR)
+    timings["host_clustering"] = time.perf_counter() - t
     timed("brand_supplier_counts", relational.brand_supplier_counts)
     timed("dominant_suppliers", relational.dominant_suppliers)
 

@@ -122,7 +122,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # host_triangles, knn_mmr, pareto_orders,
         # weighted_priority_sample, min_cost_supplier,
         # brand_supplier_counts, dominant_suppliers,
-        # readability_scores, doc_top_terms) —
+        # readability_scores, doc_top_terms, host_degree_stats,
+        # host_clustering) —
         # each oracle-backed in
         # tests/test_oracle.py; displacing a gated slot would cost an
         # established driver-green row), then the rows-only
@@ -236,6 +237,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "brand_supplier_counts": relational.brand_supplier_counts,
         "dominant_suppliers": relational.dominant_suppliers,
         "readability_scores": analysis.readability_scores,
+        "host_degree_stats": graph.host_degree_stats,
+        "host_clustering": graph.host_clustering,
         "doc_top_terms": partial(
             analysis.doc_top_terms, vocab_cap=analysis.ORACLE_VOCAB_CAP
         ),

@@ -136,3 +136,60 @@ class TestHostTriangles:
         assert int(row["n_triangles"]) == tri
         assert tri > 0  # census must be non-vacuous on the fixture graph
         assert 0 <= int(row["transitivity_micros"]) <= 1_000_000
+
+
+class TestHostDegreeStats:
+    def test_matches_brute_force(self, ray_session, quiet_data_context):
+        """Degree histogram vs a set-based brute force; counts must
+        conserve the node domain and the spread must be non-trivial."""
+        from collections import Counter
+
+        from pdf_parser_ray.pipelines.graph import (
+            PR_NODES, host_degree_stats, host_graph_edges,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        got = host_degree_stats(sf).sort_values("degree").reset_index(drop=True)
+        edges = host_graph_edges(sf).to_pandas()
+        adj = {n: set() for n in range(PR_NODES)}
+        for s, d in zip(edges["src"], edges["dst"]):
+            if s != d:
+                adj[int(s)].add(int(d))
+                adj[int(d)].add(int(s))
+        hist = Counter(len(v) for v in adj.values())
+        assert got["n_hosts"].sum() == PR_NODES  # every host counted once
+        assert len(got) > 3  # real degree spread, not a regular graph
+        for _, r in got.iterrows():
+            assert hist[int(r["degree"])] == int(r["n_hosts"])
+
+
+class TestHostClustering:
+    def test_matches_brute_force(self, ray_session, quiet_data_context):
+        """Per-node local clustering vs neighbor-set intersection; the
+        trace-based triangle count and the floor-micros fold must both
+        agree, and the coefficient must vary across hosts."""
+        from pdf_parser_ray.pipelines.graph import (
+            PR_NODES, host_clustering, host_graph_edges,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        got = host_clustering(sf).sort_values("node").reset_index(drop=True)
+        assert len(got) == PR_NODES
+        edges = host_graph_edges(sf).to_pandas()
+        adj = {n: set() for n in range(PR_NODES)}
+        for s, d in zip(edges["src"], edges["dst"]):
+            if s != d:
+                adj[int(s)].add(int(d))
+                adj[int(d)].add(int(s))
+        for _, r in got.iterrows():
+            v = int(r["node"])
+            nb = adj[v]
+            deg = len(nb)
+            tri = sum(len(adj[u] & nb) for u in nb) // 2
+            assert int(r["degree"]) == deg
+            assert int(r["n_tri"]) == tri
+            want = (
+                (2 * tri * 1_000_000) // (deg * (deg - 1)) if deg >= 2 else 0
+            )
+            assert int(r["cc_micros"]) == want
+        assert got["cc_micros"].nunique() > 3  # coefficient varies
