@@ -1436,6 +1436,73 @@ def _fingerprint_sql() -> str:
     )
 
 
+def _winnow_sql() -> str:
+    """Mirror of analysis.winnow_fingerprints: per-position k-gram
+    polynomial hashes (the _fingerprint_sql machinery at the smaller
+    WIN_MOD), packed (hash, rightmost-position) keys, a w-row window
+    min restricted to FULL windows (cnt = w), and DISTINCT selections.
+    Char-wise ord == byte-wise value only for ASCII corpora (asserted
+    in tests, same caveat as _fingerprint_sql)."""
+    from pdf_parser_ray.pipelines.analysis import (
+        WIN_BASE, WIN_K, WIN_MOD, WIN_POS, WIN_W,
+    )
+
+    powers = [pow(WIN_BASE, WIN_K - 1 - j, WIN_MOD) for j in range(WIN_K)]
+    terms = " + ".join(
+        f"CAST({p} AS HUGEINT) * ord(substr(text, CAST(i AS INT) + {j}, 1))"
+        for j, p in enumerate(powers)
+    )
+    return (
+        "WITH pos AS (SELECT doc_id, text,"
+        f" unnest(range(1, length(text) - {WIN_K - 2})) AS i"
+        f" FROM documents WHERE length(text) >= {WIN_K + WIN_W - 1}),"
+        " h AS (SELECT doc_id, CAST(i AS BIGINT) AS i,"
+        f"  CAST(({terms}) % {WIN_MOD} AS BIGINT) AS hv FROM pos),"
+        f" a AS (SELECT doc_id, i, hv * {WIN_POS} + ({WIN_POS} - 1 - i)"
+        "   AS arg FROM h),"
+        " wmin AS (SELECT doc_id,"
+        "  min(arg) OVER (PARTITION BY doc_id ORDER BY i"
+        f"   ROWS BETWEEN CURRENT ROW AND {WIN_W - 1} FOLLOWING) AS sel,"
+        "  count(*) OVER (PARTITION BY doc_id ORDER BY i"
+        f"   ROWS BETWEEN CURRENT ROW AND {WIN_W - 1} FOLLOWING) AS cnt"
+        " FROM a),"
+        f" s AS (SELECT DISTINCT doc_id, sel FROM wmin WHERE cnt = {WIN_W})"
+        f" SELECT doc_id, CAST({WIN_POS} - 1 - (sel % {WIN_POS}) AS BIGINT)"
+        f"  AS pos, CAST(sel // {WIN_POS} AS BIGINT) AS fp FROM s"
+    )
+
+
+def _embedding_outliers_sql() -> str:
+    """Mirror of similarity.embedding_outliers: the knn_quantized
+    calibration + quantizer CTEs, per-dim sums and count, then the
+    exact integer n²-scaled squared deviation Σ (qv·n − s_i)² through
+    HUGEINT, top-k by (dev2 DESC, vec_id)."""
+    import inspect
+
+    from pdf_parser_ray.pipelines import similarity
+
+    k = inspect.signature(similarity.embedding_outliers).parameters["k"].default
+    levels = float(similarity.QUANT_LEVELS)
+    return (
+        "WITH v AS (SELECT vec_id, embedding AS e FROM embeddings),"
+        " a AS (SELECT CAST(max(abs(x)) AS DOUBLE) AS a FROM"
+        "   (SELECT unnest(e) AS x FROM v)),"
+        " u AS (SELECT vec_id, unnest(e) AS x,"
+        "   generate_subscripts(e, 1) AS i FROM v),"
+        " q AS (SELECT u.vec_id, u.i,"
+        f"   CAST(floor(CAST(u.x AS DOUBLE) * {levels} / a.a) AS BIGINT)"
+        "     AS qv FROM u CROSS JOIN a),"
+        " n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v),"
+        " s AS (SELECT i, CAST(sum(qv) AS BIGINT) AS s FROM q GROUP BY i),"
+        " d AS (SELECT q.vec_id,"
+        "   CAST(sum(CAST(q.qv * n.n - s.s AS HUGEINT)"
+        "     * CAST(q.qv * n.n - s.s AS HUGEINT)) AS BIGINT) AS dev2"
+        "   FROM q JOIN s USING (i) CROSS JOIN n GROUP BY q.vec_id)"
+        " SELECT vec_id, dev2 FROM d"
+        f" ORDER BY dev2 DESC, vec_id LIMIT {k}"
+    )
+
+
 def _decontaminate_sql() -> str:
     """Mirror of filter.decontaminate over the near-dup-augmented corpus:
     the clone construction (every 7th real doc, every 10th word dropped)
@@ -3157,6 +3224,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_top_terms": _doc_top_terms_sql(),
         "host_degree_stats": _host_degree_sql(),
         "host_clustering": _host_clustering_sql(),
+        "winnow_fingerprints": _winnow_sql(),
+        "embedding_outliers": _embedding_outliers_sql(),
         "pareto_orders": (
             # mirror of relational.pareto_orders: the NOT EXISTS
             # dominance definition (price >=, day <=, one strict);

@@ -374,6 +374,11 @@ def run_bench() -> dict:
     t = time.perf_counter()
     graph.host_clustering(SF_DIR)
     timings["host_clustering"] = time.perf_counter() - t
+    timed("winnow_fingerprints", analysis.winnow_fingerprints)
+
+    from pdf_parser_ray.pipelines.similarity import embedding_outliers
+
+    timed("embedding_outliers", embedding_outliers)
     timed("brand_supplier_counts", relational.brand_supplier_counts)
     timed("dominant_suppliers", relational.dominant_suppliers)
 

@@ -3119,3 +3119,73 @@ def doc_top_terms(sf_dir: str, *, vocab_cap: int = VOCAB_CAP) -> rd.Dataset:
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
         top_term, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+# -- winnowing fingerprints (Schleimer-Wilkerson-Aiken) ---------------------------
+
+#: winnowing over char 8-grams hashed with a SMALLER modulus than
+#: rolling_fingerprint's 2^61-1: the window-min tie-break packs
+#: (hash, position) into one int64 key — hash·2^16 + (2^16−1−pos) —
+#: which needs hash < 2^46; 2^31−1 leaves headroom and keeps every
+#: SQL product in HUGEINT range.
+WIN_K = 8
+WIN_W = 16
+WIN_MOD = (1 << 31) - 1
+WIN_BASE = 1_000_003
+WIN_POS = 1 << 16  # position packing bound: documents < 65536 chars
+
+
+def winnow_fingerprints(sf_dir: str) -> rd.Dataset:
+    """(doc_id, pos, fp): the full winnowing digest (Schleimer,
+    Wilkerson & Aiken 2003 — the MOSS fingerprinting scheme): the
+    minimum k-gram hash of every w-hash window, ties to the RIGHTMOST
+    position, deduplicated — the guarantee is one fingerprint per
+    w-window, so any match of length ≥ w+k−1 chars between two
+    documents shares a fingerprint.  The positional digest
+    :func:`rolling_fingerprint` (global min only) cannot offer that
+    guarantee; this is the overlap-detection primitive for
+    plagiarism-style near-dup mining.
+
+    Map-only: a document lives wholly in its batch; the per-doc work is
+    three vectorized numpy passes (slice-weighted polynomial hash,
+    packed sliding-window min via stride tricks, unique).  Positions
+    are 1-based to match the SQL mirror's substr convention."""
+    import numpy as np
+
+    powers = np.array(
+        [pow(WIN_BASE, WIN_K - 1 - j, WIN_MOD) for j in range(WIN_K)],
+        dtype=np.int64,
+    )
+
+    def digest(batch: pa.Table) -> pa.Table:
+        out_id, out_pos, out_fp = [], [], []
+        ids = batch.column("doc_id").to_pylist()
+        for did, text in zip(ids, batch.column("text").to_pylist()):
+            data = np.frombuffer(
+                text.encode("utf-8", "ignore"), dtype=np.uint8
+            ).astype(np.int64)
+            m = len(data) - WIN_K + 1
+            if m < WIN_W:
+                continue  # no full window: no fingerprints (mirrored)
+            h = np.zeros(m, dtype=np.int64)
+            for j in range(WIN_K):
+                h = (h + data[j : j + m] * powers[j]) % WIN_MOD
+            pos = np.arange(1, m + 1, dtype=np.int64)
+            arg = h * WIN_POS + (WIN_POS - 1 - pos)
+            sel = np.unique(
+                np.lib.stride_tricks.sliding_window_view(arg, WIN_W).min(axis=1)
+            )
+            out_id.extend([did] * len(sel))
+            out_pos.extend((WIN_POS - 1 - (sel % WIN_POS)).tolist())
+            out_fp.extend((sel // WIN_POS).tolist())
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, pa.int64()),
+                "pos": pa.array(out_pos, pa.int64()),
+                "fp": pa.array(out_fp, pa.int64()),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        digest, batch_format="pyarrow", zero_copy_batch=True
+    )

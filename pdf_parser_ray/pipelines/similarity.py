@@ -662,3 +662,76 @@ def knn_mmr(
             "mmr_score": np.array(scores, np.int64),
         }
     )
+
+
+# -- embedding outlier detection ---------------------------------------------
+
+OUTLIER_K = 20
+
+
+def embedding_outliers(sf_dir: str, k: int = OUTLIER_K) -> rd.Dataset:
+    """(vec_id, dev2): the ``k`` embeddings farthest from the corpus
+    centroid — the quality screen that surfaces junk vectors
+    (mis-embedded rows, encoding corruption, off-distribution inserts)
+    before they poison clustering or retrieval.  Distance is EXACT
+    integer arithmetic over the :func:`knn_quantized` symmetric
+    quantizer: with q = floor(x·L/A) and per-dim sums s_i over n
+    vectors, dev2 = Σ_i (q_i·n − s_i)² — n²·‖q − mean(q)‖², the same
+    argsort as the true quantized deviation without ever forming a
+    fractional mean, so Ray and the DuckDB oracle rank identically
+    (ties break to the smallest vec_id).
+
+    Scale shape: one constant-size calibration fold (max-abs), one
+    dim-wide per-batch partial-sum fold (the PCA Gram pattern — the
+    centroid is a bounded model artifact), then a stateless scoring
+    scan with per-batch top-k pruned on the global (dev2 DESC, vec_id)
+    key; int64 stays exact while 127·n·√dim < 2^31·√dim — beyond that
+    the score column widens to Python ints in the same fold."""
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    a = _quant_scale(sf_dir)
+
+    def partial_sums(batch: pa.Table) -> pa.Table:
+        _, vecs = _ids_vecs(batch)
+        q = _quantize(vecs, a)
+        return pa.table(
+            {
+                "n": pa.array([len(q)], pa.int64()),
+                "s": pa.array([q.sum(axis=0).tolist()]),
+            }
+        )
+
+    parts = (
+        read_parquet_clean(
+            emb_path,
+            columns=["vec_id", "embedding"],
+            override_num_blocks=_blocks_for(emb_path),
+        )
+        .map_batches(partial_sums, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()
+    )
+    n = int(parts["n"].sum())
+    s = np.sum([np.asarray(v, dtype=np.int64) for v in parts["s"]], axis=0)
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        ids, vecs = _ids_vecs(batch)
+        q = _quantize(vecs, a)
+        dev = q * n - s[None, :]
+        d2 = (dev * dev).sum(axis=1)
+        ids, d2 = _local_topk_micros(ids, d2, k)
+        return pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "dev2": pa.array(d2, pa.int64()),
+            }
+        )
+
+    return (
+        read_parquet_clean(
+            emb_path,
+            columns=["vec_id", "embedding"],
+            override_num_blocks=_blocks_for(emb_path),
+        )
+        .map_batches(local_topk, batch_format="pyarrow", zero_copy_batch=True)
+        .sort(["dev2", "vec_id"], descending=[True, False])
+        .limit(k)
+    )

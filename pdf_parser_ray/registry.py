@@ -123,7 +123,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # weighted_priority_sample, min_cost_supplier,
         # brand_supplier_counts, dominant_suppliers,
         # readability_scores, doc_top_terms, host_degree_stats,
-        # host_clustering) —
+        # host_clustering, winnow_fingerprints, embedding_outliers) —
         # each oracle-backed in
         # tests/test_oracle.py; displacing a gated slot would cost an
         # established driver-green row), then the rows-only
@@ -239,6 +239,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "readability_scores": analysis.readability_scores,
         "host_degree_stats": graph.host_degree_stats,
         "host_clustering": graph.host_clustering,
+        "winnow_fingerprints": analysis.winnow_fingerprints,
+        "embedding_outliers": similarity.embedding_outliers,
         "doc_top_terms": partial(
             analysis.doc_top_terms, vocab_cap=analysis.ORACLE_VOCAB_CAP
         ),

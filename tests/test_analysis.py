@@ -889,3 +889,79 @@ class TestDocTopTerms:
             assert g["top_word"] == w and g["tf"] == k and g["score_micros"] == s
         # OOV must actually be exercised somewhere (cap < vocab size)
         assert len(dfc) > cap
+
+
+class TestWinnowFingerprints:
+    def test_matches_brute_force(self, ray_session, quiet_data_context):
+        """Winnowing digest vs a pure-Python per-window enumeration
+        (min hash, rightmost tie, dedup) on a corpus sample; the
+        corpus must be ASCII for the SQL ord() mirror."""
+        import pyarrow.parquet as pq
+
+        from pdf_parser_ray.pipelines.analysis import (
+            WIN_BASE, WIN_K, WIN_MOD, WIN_POS, WIN_W, winnow_fingerprints,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        got = winnow_fingerprints(sf).to_pandas()
+        docs = pq.read_table(
+            sf + "/documents.parquet", columns=["doc_id", "text"]
+        ).to_pandas()
+        assert docs["text"].map(lambda t: t.isascii()).all()
+        powers = [pow(WIN_BASE, WIN_K - 1 - j, WIN_MOD) for j in range(WIN_K)]
+        by_doc = {d: set() for d in docs["doc_id"]}
+        for _, r in got.iterrows():
+            by_doc[r["doc_id"]].add((int(r["pos"]), int(r["fp"])))
+        for _, row in docs.sample(25, random_state=3).iterrows():
+            data = row["text"].encode()
+            m = len(data) - WIN_K + 1
+            want = set()
+            if m >= WIN_W:
+                hs = [
+                    sum(data[i + j] * powers[j] for j in range(WIN_K)) % WIN_MOD
+                    for i in range(m)
+                ]
+                for w0 in range(m - WIN_W + 1):
+                    # min hash, rightmost position on ties
+                    best = min(
+                        (hs[i] * WIN_POS + (WIN_POS - 1 - (i + 1)))
+                        for i in range(w0, w0 + WIN_W)
+                    )
+                    want.add(
+                        (WIN_POS - 1 - (best % WIN_POS), best // WIN_POS)
+                    )
+            assert by_doc[row["doc_id"]] == want
+
+    def test_moss_guarantee(self, ray_session, quiet_data_context, tmp_path):
+        """The winnowing guarantee: two documents sharing a substring
+        of length >= w + k - 1 share at least one fingerprint VALUE."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pdf_parser_ray.pipelines.analysis import (
+            WIN_K, WIN_W, winnow_fingerprints,
+        )
+
+        shared = "the quick brown fox jumps over the lazy dog again and again"
+        assert len(shared) >= WIN_W + WIN_K - 1
+        texts = [
+            "prefix alpha " + shared + " suffix one",
+            "totally different opening here " + shared + " closing words",
+            "no overlap with anything interesting in this record at all",
+        ]
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(3), pa.int64()),
+                    "text": pa.array(texts, pa.string()),
+                }
+            ),
+            str(tmp_path / "documents.parquet"),
+        )
+        got = winnow_fingerprints(str(tmp_path)).to_pandas()
+        fps = {
+            d: set(got.loc[got["doc_id"] == d, "fp"]) for d in range(3)
+        }
+        assert fps[0] & fps[1]  # shared substring -> shared fingerprint
+        # and the digests are not degenerate-identical
+        assert fps[0] != fps[1]

@@ -214,3 +214,36 @@ class TestKnnMMR:
         # diversity must bind: MMR differs from plain relevance top-k
         plain = [int(ids[i]) for i in range(MMR_K)]
         assert got["vec_id"].tolist() != plain
+
+
+class TestEmbeddingOutliers:
+    def test_matches_brute_force(self, ray_session, quiet_data_context):
+        """Exact-integer centroid deviation vs a numpy brute force; the
+        n^2-scaled score must rank identically to the true quantized
+        deviation."""
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from pdf_parser_ray.pipelines.similarity import (
+            OUTLIER_K, QUANT_LEVELS, embedding_outliers,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        got = embedding_outliers(sf).to_pandas()
+        assert len(got) == OUTLIER_K
+        t = pq.read_table(sf + "/embeddings.parquet")
+        ids = t.column("vec_id").to_numpy()
+        vecs = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+        a = np.abs(vecs).max()
+        q = np.floor(vecs * float(QUANT_LEVELS) / a).astype(np.int64)
+        n = len(q)
+        s = q.sum(axis=0)
+        d2 = ((q * n - s[None, :]) ** 2).sum(axis=1)
+        order = np.lexsort((ids, -d2))[:OUTLIER_K]
+        assert got["vec_id"].tolist() == ids[order].tolist()
+        assert got["dev2"].tolist() == d2[order].tolist()
+        # same ranking as the true quantized deviation (mean never formed)
+        true_dev = ((q - q.mean(axis=0)[None, :]) ** 2).sum(axis=1)
+        assert np.argsort(-d2, kind="stable").tolist() == np.argsort(
+            -true_dev, kind="stable"
+        ).tolist()
