@@ -1503,6 +1503,111 @@ def _embedding_outliers_sql() -> str:
     )
 
 
+def _robust_outliers_sql() -> str:
+    """Mirror of relational.robust_value_outliers: both discrete
+    medians via the integer index rn = (n+1)//2 (the quantile_disc
+    convention event_quantiles pins), the deviation histogram joined
+    back, and the 3·MAD gate with the multiplier interpolated."""
+    from pdf_parser_ray.pipelines.relational import MAD_OUTLIER_MULT
+
+    return (
+        "WITH h AS (SELECT event_type,"
+        "   CAST(round(value*100) AS BIGINT) AS cents FROM events),"
+        " r AS (SELECT event_type, cents,"
+        "   row_number() OVER (PARTITION BY event_type ORDER BY cents) rn,"
+        "   count(*) OVER (PARTITION BY event_type) n FROM h),"
+        " med AS (SELECT event_type, cents AS med, n FROM r"
+        "   WHERE rn = (n + 1) // 2),"
+        " d AS (SELECT h.event_type, abs(h.cents - med.med) AS dev, med.med"
+        "   FROM h JOIN med USING (event_type)),"
+        " r2 AS (SELECT event_type, dev, med,"
+        "   row_number() OVER (PARTITION BY event_type ORDER BY dev) rn,"
+        "   count(*) OVER (PARTITION BY event_type) n FROM d),"
+        " mad AS (SELECT event_type, dev AS mad, med FROM r2"
+        "   WHERE rn = (n + 1) // 2)"
+        " SELECT d.event_type, CAST(mad.med AS BIGINT) AS med_cents,"
+        "  CAST(mad.mad AS BIGINT) AS mad_cents,"
+        "  CAST(sum(CASE WHEN d.dev >"
+        f"   {MAD_OUTLIER_MULT} * mad.mad THEN 1 ELSE 0 END) AS BIGINT)"
+        "   AS n_outliers,"
+        "  CAST(count(*) AS BIGINT) AS n"
+        " FROM d JOIN mad USING (event_type) GROUP BY 1, 2, 3"
+    )
+
+
+def _value_deciles_sql() -> str:
+    """Mirror of relational.customer_value_deciles: SQL ntile over
+    (rev ASC, custkey ASC) — the pipeline reproduces ntile's
+    first-tiles-take-the-remainder sizing from global ranks."""
+    from pdf_parser_ray.pipelines.relational import VALUE_DECILES
+
+    return (
+        "WITH r AS (SELECT o_custkey AS ck,"
+        "   SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS rev"
+        "   FROM orders GROUP BY 1),"
+        f" t AS (SELECT ck, rev, ntile({VALUE_DECILES})"
+        "   OVER (ORDER BY rev, ck) - 1 AS decile FROM r)"
+        " SELECT decile, CAST(count(*) AS BIGINT) AS n_customers,"
+        "  CAST(sum(rev) AS BIGINT) AS total_cc,"
+        "  CAST(min(rev) AS BIGINT) AS min_cc,"
+        "  CAST(max(rev) AS BIGINT) AS max_cc"
+        " FROM t GROUP BY decile"
+    )
+
+
+def _event_trigrams_sql() -> str:
+    """Mirror of relational.event_trigrams: two LEADs over the
+    (user, ts, event_id) window, top-k by (n DESC, t1, t2, t3) with k
+    interpolated from the pipeline default."""
+    import inspect
+
+    from pdf_parser_ray.pipelines import relational
+
+    k = inspect.signature(relational.event_trigrams).parameters["k"].default
+    return (
+        "WITH s AS (SELECT user_id, event_type AS t1,"
+        "   lead(event_type, 1) OVER w AS t2,"
+        "   lead(event_type, 2) OVER w AS t3,"
+        "   lead(user_id, 2) OVER w AS u3"
+        "  FROM events WINDOW w AS"
+        "   (PARTITION BY user_id ORDER BY ts, event_id))"
+        " SELECT t1, t2, t3, CAST(count(*) AS BIGINT) AS n FROM s"
+        " WHERE t3 IS NOT NULL GROUP BY 1, 2, 3"
+        f" ORDER BY n DESC, t1, t2, t3 LIMIT {k}"
+    )
+
+
+def _cosine_bands_sql() -> str:
+    """Mirror of similarity.cosine_band_histogram: the quantizer CTEs,
+    the deterministic (i, (i+off) mod n) ring pairs, and the
+    positive-shifted floor banding — every constant interpolated."""
+    from pdf_parser_ray.pipelines import similarity as sim
+
+    offs = ", ".join(str(o) for o in sim.SIM_OFFSETS)
+    levels = float(sim.QUANT_LEVELS)
+    step, shift = sim.SIM_BAND_STEP, sim._SIM_BAND_SHIFT
+    return (
+        "WITH v AS (SELECT vec_id, embedding AS e FROM embeddings),"
+        " a AS (SELECT CAST(max(abs(x)) AS DOUBLE) AS a FROM"
+        "   (SELECT unnest(e) AS x FROM v)),"
+        " nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v),"
+        " u AS (SELECT vec_id, unnest(e) AS x,"
+        "   generate_subscripts(e, 1) AS i FROM v),"
+        " q AS (SELECT u.vec_id, u.i,"
+        f"   CAST(floor(CAST(u.x AS DOUBLE) * {levels} / a.a) AS BIGINT)"
+        "     AS qv FROM u CROSS JOIN a),"
+        " pairs AS (SELECT v.vec_id AS i, (v.vec_id + o.off) % nn.n AS j"
+        f"   FROM v CROSS JOIN (SELECT unnest([{offs}]) AS off) o"
+        "    CROSS JOIN nn),"
+        " d AS (SELECT p.i, p.j, CAST(sum(qa.qv * qb.qv) AS BIGINT) AS qdot"
+        "   FROM pairs p JOIN q qa ON qa.vec_id = p.i"
+        "    JOIN q qb ON qb.vec_id = p.j AND qa.i = qb.i"
+        "   GROUP BY p.i, p.j)"
+        f" SELECT (qdot + {shift}) // {step} - {shift // step} AS band,"
+        "  CAST(count(*) AS BIGINT) AS n_pairs FROM d GROUP BY 1"
+    )
+
+
 def _decontaminate_sql() -> str:
     """Mirror of filter.decontaminate over the near-dup-augmented corpus:
     the clone construction (every 7th real doc, every 10th word dropped)
@@ -3226,6 +3331,10 @@ def oracle_sql() -> dict[str, str]:
         "host_clustering": _host_clustering_sql(),
         "winnow_fingerprints": _winnow_sql(),
         "embedding_outliers": _embedding_outliers_sql(),
+        "robust_value_outliers": _robust_outliers_sql(),
+        "customer_value_deciles": _value_deciles_sql(),
+        "event_trigrams": _event_trigrams_sql(),
+        "cosine_band_histogram": _cosine_bands_sql(),
         "pareto_orders": (
             # mirror of relational.pareto_orders: the NOT EXISTS
             # dominance definition (price >=, day <=, one strict);

@@ -379,6 +379,13 @@ def run_bench() -> dict:
     from pdf_parser_ray.pipelines.similarity import embedding_outliers
 
     timed("embedding_outliers", embedding_outliers)
+    timed("robust_value_outliers", relational.robust_value_outliers)
+    timed("customer_value_deciles", relational.customer_value_deciles)
+    timed("event_trigrams", relational.event_trigrams)
+
+    from pdf_parser_ray.pipelines.similarity import cosine_band_histogram
+
+    timed("cosine_band_histogram", cosine_band_histogram)
     timed("brand_supplier_counts", relational.brand_supplier_counts)
     timed("dominant_suppliers", relational.dominant_suppliers)
 

@@ -4922,3 +4922,266 @@ def dominant_suppliers(sf_dir: str) -> rd.Dataset:
         .groupby("bkt")
         .map_groups(arrow_udf(fold_names), batch_format="pandas")
     )
+
+
+# -- robust (median/MAD) value anomalies ----------------------------------------
+
+MAD_OUTLIER_MULT = 3
+
+
+def robust_value_outliers(sf_dir: str) -> rd.Dataset:
+    """(event_type, med_cents, mad_cents, n_outliers, n): robust
+    per-type anomaly screen — median and MAD (median absolute
+    deviation) of the event value, and how many events sit beyond
+    median ± 3·MAD.  Unlike :func:`hourly_anomalies`' mean/σ gate,
+    the median/MAD pair is unmoved by the outliers it hunts — the
+    robust-statistics screen for long-tailed value streams.
+
+    Exact integers end to end: values are cents, both medians use the
+    discrete index ceil(n/2) = (n+1)//2 (DuckDB's quantile_disc rule,
+    the event_quantiles convention).
+
+    Scale shape: the event_quantiles histogram trick twice over —
+    per-batch (type, cents, n) partial counts collapse the corpus to
+    the bounded distinct-value domain; ONE exchange brings each type's
+    full histogram into one group, where median, the |x−med| deviation
+    histogram, MAD, and the outlier count are all cumsum reads —
+    deviations never touch raw rows."""
+    import pandas as pd
+
+    def partials(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.round(pc.multiply(batch.column("value"), 100.0)), pa.int64()
+        )
+        g = (
+            pa.table({"event_type": batch.column("event_type"), "cents": cents})
+            .group_by(["event_type", "cents"])
+            .aggregate([("cents", "count")])
+        )
+        return pa.table(
+            {
+                "event_type": g.column("event_type"),
+                "cents": g.column("cents"),
+                "n": pc.cast(g.column("cents_count"), pa.int64()),
+            }
+        )
+
+    def _disc_median(vals: np.ndarray, cnts: np.ndarray) -> int:
+        # vals ascending; index = (n+1)//2 - 1 in the expanded order
+        cum = cnts.cumsum()
+        n = int(cum[-1])
+        return int(vals[np.searchsorted(cum, (n + 1) // 2)])
+
+    def robust(g: pd.DataFrame) -> pd.DataFrame:
+        h = g.groupby("cents", as_index=False)["n"].sum().sort_values("cents")
+        vals = h["cents"].to_numpy(np.int64)
+        cnts = h["n"].to_numpy(np.int64)
+        med = _disc_median(vals, cnts)
+        dev = pd.DataFrame({"d": np.abs(vals - med), "n": cnts})
+        dh = dev.groupby("d", as_index=False)["n"].sum().sort_values("d")
+        mad = _disc_median(
+            dh["d"].to_numpy(np.int64), dh["n"].to_numpy(np.int64)
+        )
+        n = int(cnts.sum())
+        n_out = int(cnts[np.abs(vals - med) > MAD_OUTLIER_MULT * mad].sum())
+        return pd.DataFrame(
+            {
+                "event_type": [g["event_type"].iloc[0]],
+                "med_cents": np.array([med], np.int64),
+                "mad_cents": np.array([mad], np.int64),
+                "n_outliers": np.array([n_out], np.int64),
+                "n": np.array([n], np.int64),
+            }
+        )
+
+    return (
+        _t(sf_dir, "events", ["event_type", "value"])
+        .map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("event_type")
+        .map_groups(arrow_udf(robust), batch_format="pandas")
+    )
+
+
+# -- customer value deciles ------------------------------------------------------
+
+VALUE_DECILES = 10
+
+
+def customer_value_deciles(sf_dir: str, tiles: int = VALUE_DECILES) -> rd.Dataset:
+    """(decile, n_customers, total_cc, min_cc, max_cc): customers
+    ranked by lifetime order value and split into ``tiles`` rank-tiles
+    (SQL ntile sizing: the first n % tiles tiles take one extra row;
+    order (rev ASC, custkey ASC)) — the customer-segmentation rollup.
+
+    Scale shape: per-customer revenue is exact after one custkey-bucket
+    combine (in-batch partials first); ranks then use the ccnet/
+    shuffle_shards two-pass distributed-rank pattern — a constant
+    log2-revenue grid of counts folds on the driver, one co-shuffle on
+    the grid key gives every row its global rank = grid offset + local
+    sort position (equal revenues share a grid cell, so offsets align
+    with the (rev, ck) order), and each group emits per-decile partials
+    that a constant-key combine folds to ``tiles`` rows."""
+    import pandas as pd
+
+    buckets = 64
+
+    def ord_partials(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.round(pc.multiply(batch.column("o_totalprice"), 100.0)),
+            pa.int64(),
+        )
+        g = (
+            pa.table({"ck": batch.column("o_custkey"), "rev": cents})
+            .group_by(["ck"])
+            .aggregate([("rev", "sum")])
+        )
+        ck = g.column("ck").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "bkt": pa.array((ck % buckets).astype(np.int32)),
+                "ck": pa.array(ck, pa.int64()),
+                "rev": g.column("rev_sum"),
+            }
+        )
+
+    def per_customer(g: pd.DataFrame) -> pa.Table:
+        tot = g.groupby("ck", as_index=False)["rev"].sum()
+        rev = tot["rev"].to_numpy(np.int64)
+        grid = np.floor(np.log2(rev.astype(np.float64) + 2.0)).astype(np.int64)
+        return pa.table(
+            {
+                "gkey": pa.array(grid),
+                "ck": pa.array(tot["ck"].to_numpy(np.int64)),
+                "rev": pa.array(rev),
+            }
+        )
+
+    per_cust = (
+        _t(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+        .map_batches(ord_partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bkt")
+        .map_groups(arrow_udf(per_customer), batch_format="pandas")
+        .materialize()  # narrow (gkey, ck, rev) rows; read by both passes
+    )
+
+    counts = (
+        per_cust.groupby("gkey")
+        .count()
+        .to_pandas()
+        .sort_values("gkey")
+        .reset_index(drop=True)
+    )
+    n_total = int(counts["count()"].sum())
+    offsets = {
+        int(k): int(v)
+        for k, v in zip(
+            counts["gkey"], counts["count()"].cumsum() - counts["count()"]
+        )
+    }
+    base, extra = divmod(n_total, tiles)
+
+    def decile_partials(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["rev", "ck"])
+        start = offsets[int(g["gkey"].iloc[0])]
+        rank = start + np.arange(len(g), dtype=np.int64)
+        # ntile: first `extra` tiles have base+1 rows
+        cut = extra * (base + 1)
+        dec = np.where(
+            rank < cut, rank // max(base + 1, 1), extra + (rank - cut) // max(base, 1)
+        ).astype(np.int64)
+        rev = g["rev"].to_numpy(np.int64)
+        agg = pd.DataFrame({"decile": dec, "rev": rev}).groupby(
+            "decile", as_index=False
+        ).agg(
+            n_customers=("rev", "size"),
+            total_cc=("rev", "sum"),
+            min_cc=("rev", "min"),
+            max_cc=("rev", "max"),
+        )
+        agg["fin"] = np.int8(0)
+        return agg
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("decile", as_index=False).agg(
+            n_customers=("n_customers", "sum"),
+            total_cc=("total_cc", "sum"),
+            min_cc=("min_cc", "min"),
+            max_cc=("max_cc", "max"),
+        )
+        for c in ("decile", "n_customers", "total_cc", "min_cc", "max_cc"):
+            agg[c] = agg[c].astype(np.int64)
+        return agg[["decile", "n_customers", "total_cc", "min_cc", "max_cc"]]
+
+    return (
+        per_cust.groupby("gkey")
+        .map_groups(arrow_udf(decile_partials), batch_format="pandas")
+        .groupby("fin")
+        .map_groups(arrow_udf(final), batch_format="pandas")
+    )
+
+
+def event_trigrams(sf_dir: str, k: int = 25) -> rd.Dataset:
+    """(t1, t2, t3, n): the ``k`` most frequent 3-step event-type paths
+    across users (consecutive triples in each user's (ts, event_id)
+    order, ties by (n DESC, t1, t2, t3)) — second-order sequence mining
+    on top of :func:`event_transitions`' first-order matrix: a funnel
+    A→B→C that the pairwise counts can't see.
+
+    Scale shape: identical to event_transitions — one hash(user)
+    co-shuffle of narrow rows, per-bucket vectorized lexsort with
+    two-step boundary masks collapsing to ≤ types³ triple partials,
+    and a triple-keyed combine with a final top-k."""
+    import pandas as pd
+
+    buckets = 64
+
+    def narrow(batch: pa.Table) -> pa.Table:
+        u = batch.column("user_id").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "bkt": pa.array((u % buckets).astype(np.int32)),
+                "u": pa.array(u, pa.int64()),
+                "tm": pc.cast(batch.column("ts"), pa.int64()),
+                "eid": batch.column("event_id"),
+                "event_type": batch.column("event_type"),
+            }
+        )
+
+    def triple_partials(g: pd.DataFrame) -> pa.Table:
+        order = np.lexsort(
+            (g["eid"].to_numpy(np.int64), g["tm"].to_numpy(np.int64),
+             g["u"].to_numpy(np.int64))
+        )
+        u = g["u"].to_numpy(np.int64)[order]
+        t = g["event_type"].to_numpy()[order]
+        same = (u[:-2] == u[1:-1]) & (u[1:-1] == u[2:])
+        df = pd.DataFrame(
+            {"t1": t[:-2][same], "t2": t[1:-1][same], "t3": t[2:][same]}
+        )
+        out = df.groupby(["t1", "t2", "t3"], as_index=False).size()
+        return pa.table(
+            {
+                "t1": pa.array(out["t1"], pa.string()),
+                "t2": pa.array(out["t2"], pa.string()),
+                "t3": pa.array(out["t3"], pa.string()),
+                "n": pa.array(out["size"].to_numpy(np.int64), pa.int64()),
+                "fin": pa.array(np.zeros(len(out), np.int8)),
+            }
+        )
+
+    def combine_topk(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby(["t1", "t2", "t3"], as_index=False)["n"].sum()
+        agg = agg.sort_values(
+            ["n", "t1", "t2", "t3"], ascending=[False, True, True, True]
+        ).head(k)
+        agg["n"] = agg["n"].astype(np.int64)
+        return agg.reset_index(drop=True)
+
+    return (
+        _t(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+        .map_batches(narrow, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bkt")
+        .map_groups(arrow_udf(triple_partials), batch_format="pandas")
+        .groupby("fin")
+        .map_groups(arrow_udf(combine_topk), batch_format="pandas")
+    )

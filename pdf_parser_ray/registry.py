@@ -123,7 +123,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # weighted_priority_sample, min_cost_supplier,
         # brand_supplier_counts, dominant_suppliers,
         # readability_scores, doc_top_terms, host_degree_stats,
-        # host_clustering, winnow_fingerprints, embedding_outliers) —
+        # host_clustering, winnow_fingerprints, embedding_outliers,
+        # robust_value_outliers, customer_value_deciles,
+        # event_trigrams, cosine_band_histogram) —
         # each oracle-backed in
         # tests/test_oracle.py; displacing a gated slot would cost an
         # established driver-green row), then the rows-only
@@ -241,6 +243,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_clustering": graph.host_clustering,
         "winnow_fingerprints": analysis.winnow_fingerprints,
         "embedding_outliers": similarity.embedding_outliers,
+        "robust_value_outliers": relational.robust_value_outliers,
+        "customer_value_deciles": relational.customer_value_deciles,
+        "event_trigrams": relational.event_trigrams,
+        "cosine_band_histogram": similarity.cosine_band_histogram,
         "doc_top_terms": partial(
             analysis.doc_top_terms, vocab_cap=analysis.ORACLE_VOCAB_CAP
         ),

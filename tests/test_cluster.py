@@ -247,3 +247,45 @@ class TestEmbeddingOutliers:
         assert np.argsort(-d2, kind="stable").tolist() == np.argsort(
             -true_dev, kind="stable"
         ).tolist()
+
+
+class TestCosineBandHistogram:
+    def test_matches_brute_force(self, ray_session, quiet_data_context):
+        """Ring-sampled quantized-dot band counts vs a numpy brute
+        force; pair count conserves n x |offsets| and the histogram
+        must have real spread."""
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from pdf_parser_ray.pipelines.similarity import (
+            QUANT_LEVELS, SIM_BAND_STEP, SIM_OFFSETS, _SIM_BAND_SHIFT,
+            cosine_band_histogram,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        got = (
+            cosine_band_histogram(sf)
+            .to_pandas()
+            .sort_values("band")
+            .reset_index(drop=True)
+        )
+        t = pq.read_table(sf + "/embeddings.parquet")
+        ids = t.column("vec_id").to_numpy()
+        vecs = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+        a = np.abs(vecs).max()
+        q = np.floor(vecs * float(QUANT_LEVELS) / a).astype(np.int64)
+        byid = {int(i): q[j] for j, i in enumerate(ids)}
+        n = len(ids)
+        bands = []
+        for off in SIM_OFFSETS:
+            for i in range(n):
+                qdot = int(byid[i] @ byid[(i + off) % n])
+                bands.append(
+                    (qdot + _SIM_BAND_SHIFT) // SIM_BAND_STEP
+                    - _SIM_BAND_SHIFT // SIM_BAND_STEP
+                )
+        vals, cnts = np.unique(np.array(bands), return_counts=True)
+        assert got["band"].tolist() == vals.tolist()
+        assert got["n_pairs"].tolist() == cnts.tolist()
+        assert got["n_pairs"].sum() == n * len(SIM_OFFSETS)
+        assert len(got) >= 5  # real spread at the tuned band step

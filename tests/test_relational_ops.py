@@ -989,3 +989,130 @@ class TestDominantSuppliers:
         assert got["s_suppkey"].tolist() == want["s_suppkey"].tolist()
         assert got["s_name"].tolist() == want["s_name"].tolist()
         assert got["n_parts"].tolist() == want["n_parts"].tolist()
+
+
+class TestRobustValueOutliers:
+    def test_matches_brute_force(self, ray_session, quiet_data_context):
+        """Median/MAD/outlier-count per type vs a pandas brute force
+        using the same discrete (n+1)//2 index; the MAD gate must
+        actually flag something somewhere."""
+        import numpy as np
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        from pdf_parser_ray.pipelines.relational import (
+            MAD_OUTLIER_MULT, robust_value_outliers,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        got = (
+            robust_value_outliers(sf)
+            .to_pandas()
+            .sort_values("event_type")
+            .reset_index(drop=True)
+        )
+        ev = pq.read_table(
+            sf + "/events.parquet", columns=["event_type", "value"]
+        ).to_pandas()
+        ev["cents"] = np.round(ev["value"] * 100).astype(np.int64)
+
+        def disc_med(v):
+            v = np.sort(np.asarray(v, np.int64))
+            return int(v[(len(v) + 1) // 2 - 1])
+
+        rows = []
+        for t, g in ev.groupby("event_type"):
+            med = disc_med(g["cents"])
+            dev = np.abs(g["cents"].to_numpy(np.int64) - med)
+            mad = disc_med(dev)
+            rows.append(
+                (t, med, mad, int((dev > MAD_OUTLIER_MULT * mad).sum()), len(g))
+            )
+        want = pd.DataFrame(
+            rows,
+            columns=["event_type", "med_cents", "mad_cents", "n_outliers", "n"],
+        ).sort_values("event_type").reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+        assert got["n_outliers"].sum() > 0  # the gate binds somewhere
+
+
+class TestCustomerValueDeciles:
+    def test_matches_brute_force(self, ray_session, quiet_data_context):
+        """Distributed ntile vs pandas qcut-free rank arithmetic; tile
+        sizes must follow the SQL remainder rule and conserve rows."""
+        import numpy as np
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        from pdf_parser_ray.pipelines.relational import (
+            VALUE_DECILES, customer_value_deciles,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        got = (
+            customer_value_deciles(sf)
+            .to_pandas()
+            .sort_values("decile")
+            .reset_index(drop=True)
+        )
+        o = pq.read_table(
+            sf + "/orders.parquet", columns=["o_custkey", "o_totalprice"]
+        ).to_pandas()
+        o["cents"] = np.round(o["o_totalprice"] * 100).astype(np.int64)
+        rev = (
+            o.groupby("o_custkey", as_index=False)["cents"]
+            .sum()
+            .sort_values(["cents", "o_custkey"])
+            .reset_index(drop=True)
+        )
+        n = len(rev)
+        base, extra = divmod(n, VALUE_DECILES)
+        rank = np.arange(n)
+        cut = extra * (base + 1)
+        dec = np.where(
+            rank < cut, rank // (base + 1), extra + (rank - cut) // base
+        )
+        rev["decile"] = dec
+        want = rev.groupby("decile", as_index=False).agg(
+            n_customers=("cents", "size"),
+            total_cc=("cents", "sum"),
+            min_cc=("cents", "min"),
+            max_cc=("cents", "max"),
+        )
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+        assert got["n_customers"].sum() == n
+        sizes = got["n_customers"].tolist()
+        assert set(sizes) <= {base, base + 1}  # the ntile remainder rule
+
+
+class TestEventTrigrams:
+    def test_matches_brute_force(self, ray_session, quiet_data_context):
+        """3-step path counts vs a per-user Python walk in (ts,
+        event_id) order; trigram counts relate to transition counts."""
+        import pandas as pd
+        import pyarrow.parquet as pq
+        from collections import Counter
+
+        from pdf_parser_ray.pipelines.relational import event_trigrams
+
+        sf = "/root/testdata/sf0.001"
+        got = event_trigrams(sf).to_pandas()
+        ev = (
+            pq.read_table(
+                sf + "/events.parquet",
+                columns=["user_id", "ts", "event_id", "event_type"],
+            )
+            .to_pandas()
+            .sort_values(["user_id", "ts", "event_id"])
+        )
+        c: Counter = Counter()
+        for _, g in ev.groupby("user_id"):
+            t = g["event_type"].tolist()
+            for a, b, d in zip(t, t[1:], t[2:]):
+                c[(a, b, d)] += 1
+        want = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[: len(got)]
+        got_rows = [
+            ((r["t1"], r["t2"], r["t3"]), r["n"]) for _, r in got.iterrows()
+        ]
+        assert got_rows == want
+        assert len(got) == 25 and got["n"].iloc[0] > got["n"].iloc[-1]
