@@ -1503,6 +1503,66 @@ def _embedding_outliers_sql() -> str:
     )
 
 
+def _knn_multi_sql() -> str:
+    """Mirror of similarity.knn_multi: DOUBLE-list
+    list_cosine_similarity (the same float path the knn_lsh/knn_ivf
+    mirror pins — sqrt-of-product association order diverges by 1
+    micro), per-query row_number top-k, query ids and k
+    interpolated."""
+    from pdf_parser_ray.pipelines.similarity import (
+        KNN_MULTI_K, KNN_MULTI_QUERIES,
+    )
+
+    qids = ", ".join(str(q) for q in KNN_MULTI_QUERIES)
+    return (
+        "WITH v AS (SELECT vec_id,"
+        "   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e"
+        "   FROM embeddings),"
+        f" q AS (SELECT vec_id AS query_id, e AS qe FROM v"
+        f"   WHERE vec_id IN ({qids})),"
+        " s AS (SELECT q.query_id, v.vec_id,"
+        "   CAST(trunc(list_cosine_similarity(v.e, q.qe) * 1000000)"
+        "     AS BIGINT) AS cos_micros"
+        "  FROM v CROSS JOIN q WHERE v.vec_id <> q.query_id),"
+        " r AS (SELECT *, row_number() OVER (PARTITION BY query_id"
+        "   ORDER BY cos_micros DESC, vec_id) rn FROM s)"
+        f" SELECT query_id, vec_id, cos_micros FROM r WHERE rn <= {KNN_MULTI_K}"
+    )
+
+
+def _user_drawdowns_sql() -> str:
+    """Mirror of relational.user_drawdowns: running MAX OVER ROWS
+    UNBOUNDED PRECEDING in (ts, event_id) order, drawdown = peak −
+    value, all integer cents."""
+    return (
+        "WITH h AS (SELECT user_id,"
+        "   CAST(round(value*100) AS BIGINT) AS cents, ts, event_id"
+        "   FROM events),"
+        " r AS (SELECT user_id, cents,"
+        "   max(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id"
+        "     ROWS UNBOUNDED PRECEDING) AS runmax FROM h)"
+        " SELECT user_id, CAST(max(runmax) AS BIGINT) AS peak_cents,"
+        "  CAST(max(runmax - cents) AS BIGINT) AS max_drawdown_cents,"
+        "  CAST(count(*) AS BIGINT) AS n_events"
+        " FROM r GROUP BY user_id"
+    )
+
+
+def _nation_year_sql() -> str:
+    """Mirror of relational.nation_year_revenue (TPC-H Q9 shape):
+    SQL year() == the numpy datetime64[Y] cast on epoch-us
+    timestamps; revenue in the house integer-cents discipline."""
+    return (
+        "SELECT n_name, CAST(year(l_shipdate) AS BIGINT) AS year,"
+        " CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)"
+        "   * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT)"
+        "   AS revenue_cc"
+        " FROM lineitem JOIN supplier ON l_suppkey = s_suppkey"
+        " JOIN nation ON s_nationkey = n_nationkey"
+        " GROUP BY 1, 2"
+    )
+
+
 def _robust_outliers_sql() -> str:
     """Mirror of relational.robust_value_outliers: both discrete
     medians via the integer index rn = (n+1)//2 (the quantile_disc
@@ -3335,6 +3395,9 @@ def oracle_sql() -> dict[str, str]:
         "customer_value_deciles": _value_deciles_sql(),
         "event_trigrams": _event_trigrams_sql(),
         "cosine_band_histogram": _cosine_bands_sql(),
+        "knn_multi": _knn_multi_sql(),
+        "user_drawdowns": _user_drawdowns_sql(),
+        "nation_year_revenue": _nation_year_sql(),
         "pareto_orders": (
             # mirror of relational.pareto_orders: the NOT EXISTS
             # dominance definition (price >=, day <=, one strict);

@@ -386,6 +386,12 @@ def run_bench() -> dict:
     from pdf_parser_ray.pipelines.similarity import cosine_band_histogram
 
     timed("cosine_band_histogram", cosine_band_histogram)
+
+    from pdf_parser_ray.pipelines.similarity import knn_multi
+
+    timed("knn_multi", knn_multi)
+    timed("user_drawdowns", relational.user_drawdowns)
+    timed("nation_year_revenue", relational.nation_year_revenue)
     timed("brand_supplier_counts", relational.brand_supplier_counts)
     timed("dominant_suppliers", relational.dominant_suppliers)
 

@@ -5185,3 +5185,184 @@ def event_trigrams(sf_dir: str, k: int = 25) -> rd.Dataset:
         .groupby("fin")
         .map_groups(arrow_udf(combine_topk), batch_format="pandas")
     )
+
+
+def user_drawdowns(sf_dir: str) -> rd.Dataset:
+    """(user_id, peak_cents, max_drawdown_cents, n_events): each user's
+    maximum drawdown — the largest drop from a running peak of the
+    event value in (ts, event_id) order — the classic risk /
+    engagement-decay signal over a per-entity time series, and the
+    windowed-cummax shape (MAX OVER ROWS UNBOUNDED PRECEDING) no other
+    operator exercises.
+
+    Exact integer cents; users with one event report drawdown 0.
+
+    Scale shape: one hash(user) co-shuffle of narrow rows (the
+    event_transitions exchange); each bucket lexsorts once and computes
+    every user's running max with a segment-reset np.maximum.accumulate
+    — per-user output is ONE row, so nothing user-cardinality-squared
+    ever exists."""
+    import pandas as pd
+
+    buckets = 64
+
+    def narrow(batch: pa.Table) -> pa.Table:
+        u = batch.column("user_id").to_numpy(zero_copy_only=False)
+        cents = pc.cast(
+            pc.round(pc.multiply(batch.column("value"), 100.0)), pa.int64()
+        )
+        return pa.table(
+            {
+                "bkt": pa.array((u % buckets).astype(np.int32)),
+                "u": pa.array(u, pa.int64()),
+                "tm": pc.cast(batch.column("ts"), pa.int64()),
+                "eid": batch.column("event_id"),
+                "cents": cents,
+            }
+        )
+
+    def drawdown(g: pd.DataFrame) -> pd.DataFrame:
+        order = np.lexsort(
+            (g["eid"].to_numpy(np.int64), g["tm"].to_numpy(np.int64),
+             g["u"].to_numpy(np.int64))
+        )
+        u = g["u"].to_numpy(np.int64)[order]
+        v = g["cents"].to_numpy(np.int64)[order]
+        # segment-reset running max: subtract a per-segment offset big
+        # enough that accumulate never bleeds across user boundaries
+        starts = np.flatnonzero(np.concatenate([[True], u[1:] != u[:-1]]))
+        seg = np.zeros(len(u), np.int64)
+        seg[starts] = 1
+        seg = seg.cumsum() - 1  # 0-based segment index per row
+        shift = (v.max() - v.min() + 1) if len(v) else 1
+        runmax = np.maximum.accumulate(v + seg * shift) - seg * shift
+        dd = runmax - v
+        df = pd.DataFrame({"u": u, "peak": runmax, "dd": dd})
+        agg = df.groupby("u", as_index=False).agg(
+            peak_cents=("peak", "max"),
+            max_drawdown_cents=("dd", "max"),
+            n_events=("dd", "size"),
+        )
+        return pd.DataFrame(
+            {
+                "user_id": agg["u"].to_numpy(np.int64),
+                "peak_cents": agg["peak_cents"].to_numpy(np.int64),
+                "max_drawdown_cents": agg["max_drawdown_cents"].to_numpy(np.int64),
+                "n_events": agg["n_events"].to_numpy(np.int64),
+            }
+        )
+
+    return (
+        _t(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
+        .map_batches(narrow, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bkt")
+        .map_groups(arrow_udf(drawdown), batch_format="pandas")
+    )
+
+
+# -- TPC-H Q9 shape: revenue by supplier nation x ship year ----------------------
+
+def nation_year_revenue(sf_dir: str) -> rd.Dataset:
+    """(n_name, year, revenue_cc): discounted lineitem revenue by the
+    SUPPLIER's nation and ship year — TPC-H Q9's profit rollup over
+    the available columns (no partsupp supplycost, so revenue stands
+    in for profit).  The two-level rollup no single-dim operator
+    covers: a year-refined :func:`supplier_value_by_nation`.
+
+    Scale shape: per-batch (suppkey, year, rev) Arrow partials — year
+    extracted as epoch-day // 365.2425 is WRONG; the exact epoch-us →
+    year mapping uses numpy datetime64 casting, identical to SQL
+    year() — co-shuffle once with supplier nation rows on suppkey
+    buckets; each bucket folds to ≤ nations × years rows and a
+    constant-key combine finishes."""
+    import pandas as pd
+
+    buckets = 64
+    nation = _small_table_dict(sf_dir, "nation", "n_nationkey", "n_name")
+
+    def li_partials(batch: pa.Table) -> pa.Table:
+        price = pc.cast(
+            pc.round(pc.multiply(batch.column("l_extendedprice"), 100.0)),
+            pa.int64(),
+        )
+        disc = pc.cast(
+            pc.round(pc.multiply(batch.column("l_discount"), 100.0)), pa.int64()
+        )
+        rev = pc.multiply(price, pc.subtract(pa.scalar(100, pa.int64()), disc))
+        ship_us = pc.cast(batch.column("l_shipdate"), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        year = (
+            ship_us.astype("datetime64[us]").astype("datetime64[Y]").astype(np.int64)
+            + 1970
+        )
+        g = (
+            pa.table(
+                {
+                    "sk": batch.column("l_suppkey"),
+                    "year": pa.array(year),
+                    "rev": rev,
+                }
+            )
+            .group_by(["sk", "year"])
+            .aggregate([("rev", "sum")])
+        )
+        sk = g.column("sk").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "bkt": pa.array((sk % buckets).astype(np.int32)),
+                "role": pa.array(np.zeros(len(sk), np.int8)),
+                "sk": pa.array(sk, pa.int64()),
+                "year": g.column("year"),
+                "rev": g.column("rev_sum"),
+            }
+        )
+
+    def supp_rows(batch: pa.Table) -> pa.Table:
+        sk = batch.column("s_suppkey").to_numpy(zero_copy_only=False)
+        n = len(sk)
+        return pa.table(
+            {
+                "bkt": pa.array((sk % buckets).astype(np.int32)),
+                "role": pa.array(np.ones(n, np.int8)),
+                "sk": pa.array(sk, pa.int64()),
+                "year": pc.cast(batch.column("s_nationkey"), pa.int64()),
+                "rev": pa.array(np.zeros(n, np.int64)),
+            }
+        )
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        f = g[g["role"] == 0]
+        nk = g[g["role"] == 1].set_index("sk")["year"]  # nationkey
+        m = f.assign(nk=nk.reindex(f["sk"]).to_numpy())
+        m = m[pd.notna(m["nk"])]
+        m["n_name"] = m["nk"].astype(np.int64).map(nation)
+        agg = m.groupby(["n_name", "year"], as_index=False)["rev"].sum()
+        agg["fin"] = np.int8(0)
+        agg["rev"] = agg["rev"].astype(np.int64)
+        return agg
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby(["n_name", "year"], as_index=False)["rev"].sum()
+        return pd.DataFrame(
+            {
+                "n_name": agg["n_name"].to_numpy(),
+                "year": agg["year"].to_numpy(np.int64),
+                "revenue_cc": agg["rev"].to_numpy(np.int64),
+            }
+        )
+
+    li = _t(
+        sf_dir, "lineitem",
+        ["l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"],
+    ).map_batches(li_partials, batch_format="pyarrow", zero_copy_batch=True)
+    supp = _t(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).map_batches(
+        supp_rows, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return (
+        li.union(supp)
+        .groupby("bkt")
+        .map_groups(arrow_udf(fold), batch_format="pandas")
+        .groupby("fin")
+        .map_groups(arrow_udf(final), batch_format="pandas")
+    )

@@ -854,3 +854,76 @@ def cosine_band_histogram(sf_dir: str) -> rd.Dataset:
         .groupby("fin")
         .map_groups(arrow_udf(final), batch_format="pandas")
     )
+
+
+# -- batched multi-query kNN join ---------------------------------------------
+
+KNN_MULTI_QUERIES = (0, 1, 2, 3, 4)
+KNN_MULTI_K = 5
+
+
+def knn_multi(
+    sf_dir: str,
+    query_vec_ids: "tuple[int, ...]" = KNN_MULTI_QUERIES,
+    k: int = KNN_MULTI_K,
+) -> rd.Dataset:
+    """(query_id, vec_id, cos_micros): exact top-k for a BATCH of
+    queries in one corpus pass — the kNN-join building block (dedup
+    candidate expansion, batch retrieval): the query matrix broadcasts
+    once and every corpus batch scores ALL queries with a single
+    (n × dim) @ (dim × Q) matmul, amortizing the scan that
+    :func:`knn_cosine` pays per query.
+
+    Scale shape: the small side (Q × dim floats) is a broadcast model
+    artifact; per-batch output is pruned to k rows PER QUERY on the
+    global (cos_micros DESC, vec_id ASC) key, so the final per-query
+    combine sees ≤ k·num_blocks rows per query — the knn_cosine
+    exchange, Q times narrower than re-scanning."""
+    import pandas as pd
+
+    from .io_util import arrow_udf
+
+    qids = list(query_vec_ids)
+    qmat = np.stack([_query_vector(sf_dir, q) for q in qids])  # (Q, dim)
+    qnorm = np.linalg.norm(qmat, axis=1)
+    exclude = np.array(qids, np.int64)
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        ids, vecs = _ids_vecs(batch)
+        norms = np.linalg.norm(vecs, axis=1)
+        denom = norms[:, None] * qnorm[None, :]
+        denom[denom == 0] = np.inf
+        cos = (vecs @ qmat.T) / denom  # (n, Q)
+        micros = np.trunc(cos * 1_000_000).astype(np.int64)
+        out_q, out_id, out_m = [], [], []
+        for j, qid in enumerate(qids):
+            mask = ids != qid
+            cid, cm = _local_topk_micros(ids[mask], micros[mask, j], k)
+            out_q.append(np.full(len(cid), qid, np.int64))
+            out_id.append(cid)
+            out_m.append(cm)
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q)),
+                "vec_id": pa.array(np.concatenate(out_id)),
+                "cos_micros": pa.array(np.concatenate(out_m)),
+            }
+        )
+
+    def per_query_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["cos_micros", "vec_id"], ascending=[False, True]
+        ).head(k)
+        return g[["query_id", "vec_id", "cos_micros"]].reset_index(drop=True)
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    return (
+        read_parquet_clean(
+            emb_path,
+            columns=["vec_id", "embedding"],
+            override_num_blocks=_blocks_for(emb_path),
+        )
+        .map_batches(local_topk, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("query_id")
+        .map_groups(arrow_udf(per_query_topk), batch_format="pandas")
+    )

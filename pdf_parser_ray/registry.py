@@ -125,7 +125,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # readability_scores, doc_top_terms, host_degree_stats,
         # host_clustering, winnow_fingerprints, embedding_outliers,
         # robust_value_outliers, customer_value_deciles,
-        # event_trigrams, cosine_band_histogram) —
+        # event_trigrams, cosine_band_histogram, knn_multi,
+        # user_drawdowns, nation_year_revenue) —
         # each oracle-backed in
         # tests/test_oracle.py; displacing a gated slot would cost an
         # established driver-green row), then the rows-only
@@ -247,6 +248,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_value_deciles": relational.customer_value_deciles,
         "event_trigrams": relational.event_trigrams,
         "cosine_band_histogram": similarity.cosine_band_histogram,
+        "knn_multi": similarity.knn_multi,
+        "user_drawdowns": relational.user_drawdowns,
+        "nation_year_revenue": relational.nation_year_revenue,
         "doc_top_terms": partial(
             analysis.doc_top_terms, vocab_cap=analysis.ORACLE_VOCAB_CAP
         ),

@@ -289,3 +289,42 @@ class TestCosineBandHistogram:
         assert got["n_pairs"].tolist() == cnts.tolist()
         assert got["n_pairs"].sum() == n * len(SIM_OFFSETS)
         assert len(got) >= 5  # real spread at the tuned band step
+
+
+class TestKnnMulti:
+    def test_matches_per_query_brute_force(self, ray_session, quiet_data_context):
+        """Batched kNN equals per-query numpy brute force for EVERY
+        query in the panel, and equals knn_cosine where they overlap."""
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from pdf_parser_ray.pipelines.similarity import (
+            KNN_MULTI_K, KNN_MULTI_QUERIES, knn_multi,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        got = knn_multi(sf).to_pandas()
+        t = pq.read_table(sf + "/embeddings.parquet")
+        ids = t.column("vec_id").to_numpy()
+        vecs = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+        for qid in KNN_MULTI_QUERIES:
+            q = vecs[list(ids).index(qid)]
+            mask = ids != qid
+            cos = (vecs[mask] @ q) / (
+                np.linalg.norm(vecs[mask], axis=1) * np.linalg.norm(q)
+            )
+            micros = np.trunc(cos * 1_000_000).astype(np.int64)
+            order = np.lexsort((ids[mask], -micros))[:KNN_MULTI_K]
+            sub = got[got["query_id"] == qid]
+            assert sub["vec_id"].tolist() == ids[mask][order].tolist()
+            assert sub["cos_micros"].tolist() == micros[order].tolist()
+        assert len(got) == len(KNN_MULTI_QUERIES) * KNN_MULTI_K
+
+    def test_agrees_with_knn_cosine(self, ray_session, quiet_data_context):
+        from pdf_parser_ray.pipelines.similarity import knn_cosine, knn_multi
+
+        sf = "/root/testdata/sf0.001"
+        multi = knn_multi(sf).to_pandas()
+        single = knn_cosine(sf, query_vec_id=0, k=5).to_pandas()
+        sub = multi[multi["query_id"] == 0]
+        assert sub["vec_id"].tolist() == single["vec_id"].head(5).tolist()

@@ -1116,3 +1116,84 @@ class TestEventTrigrams:
         ]
         assert got_rows == want
         assert len(got) == 25 and got["n"].iloc[0] > got["n"].iloc[-1]
+
+
+class TestUserDrawdowns:
+    def test_matches_brute_force(self, ray_session, quiet_data_context):
+        """Segment-reset running max vs a per-user Python walk; the
+        drawdown must be non-trivial for someone."""
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from pdf_parser_ray.pipelines.relational import user_drawdowns
+
+        sf = "/root/testdata/sf0.001"
+        got = (
+            user_drawdowns(sf)
+            .to_pandas()
+            .set_index("user_id")
+            .sort_index()
+        )
+        ev = (
+            pq.read_table(
+                sf + "/events.parquet",
+                columns=["user_id", "ts", "event_id", "value"],
+            )
+            .to_pandas()
+            .sort_values(["user_id", "ts", "event_id"])
+        )
+        ev["cents"] = np.round(ev["value"] * 100).astype(np.int64)
+        for uid, g in ev.groupby("user_id"):
+            peak, dd = -(1 << 62), 0
+            for v in g["cents"]:
+                peak = max(peak, v)
+                dd = max(dd, peak - v)
+            assert got.loc[uid, "peak_cents"] == peak
+            assert got.loc[uid, "max_drawdown_cents"] == dd
+            assert got.loc[uid, "n_events"] == len(g)
+        assert (got["max_drawdown_cents"] > 0).any()
+
+
+class TestNationYearRevenue:
+    def test_matches_brute_force(self, ray_session, quiet_data_context):
+        """Two-level (nation, year) rollup vs pandas; years must span
+        the shipdate range so the second dimension really binds."""
+        import numpy as np
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        from pdf_parser_ray.pipelines.relational import nation_year_revenue
+
+        sf = "/root/testdata/sf0.001"
+        got = (
+            nation_year_revenue(sf)
+            .to_pandas()
+            .sort_values(["n_name", "year"])
+            .reset_index(drop=True)
+        )
+        li = pq.read_table(
+            sf + "/lineitem.parquet",
+            columns=["l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"],
+        ).to_pandas()
+        supp = pq.read_table(
+            sf + "/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+        ).to_pandas()
+        nat = pq.read_table(
+            sf + "/nation.parquet", columns=["n_nationkey", "n_name"]
+        ).to_pandas()
+        li["rev"] = np.round(li["l_extendedprice"] * 100).astype(np.int64) * (
+            100 - np.round(li["l_discount"] * 100).astype(np.int64)
+        )
+        li["year"] = li["l_shipdate"].dt.year.astype(np.int64)
+        m = li.merge(supp, left_on="l_suppkey", right_on="s_suppkey").merge(
+            nat, left_on="s_nationkey", right_on="n_nationkey"
+        )
+        want = (
+            m.groupby(["n_name", "year"], as_index=False)["rev"]
+            .sum()
+            .rename(columns={"rev": "revenue_cc"})
+            .sort_values(["n_name", "year"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+        assert got["year"].nunique() > 3  # the year dimension binds
