@@ -392,6 +392,12 @@ def run_bench() -> dict:
     timed("knn_multi", knn_multi)
     timed("user_drawdowns", relational.user_drawdowns)
     timed("nation_year_revenue", relational.nation_year_revenue)
+
+    from pdf_parser_ray.pipelines.multimodal import image_resize_pipeline
+
+    t = time.perf_counter()
+    image_resize_pipeline(300).count()
+    timings["image_resize"] = time.perf_counter() - t
     timed("brand_supplier_counts", relational.brand_supplier_counts)
     timed("dominant_suppliers", relational.dominant_suppliers)
 

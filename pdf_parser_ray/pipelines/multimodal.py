@@ -678,3 +678,77 @@ def audio_dedup_pipeline(n: int = 300, max_hamming: int = 6) -> rd.Dataset:
         concurrency=(1, 2),
     )
     return _phash_pairs(hashes, "ehash", max_hamming)
+
+
+# -- image resize (thumbnail) stage --------------------------------------------
+
+THUMB_SIZE = 16
+
+
+def resize_nearest(pixels: np.ndarray, h: int, w: int) -> np.ndarray:
+    """Nearest-neighbor resize via index maps — the standard
+    sample-grid rule (dst pixel i reads src row floor((i+0.5)·H/h)),
+    pure numpy fancy indexing, no resampling library.  Deterministic:
+    the index map is integer arithmetic on the shapes alone."""
+    H, W = pixels.shape[0], pixels.shape[1]
+    ri = ((np.arange(h) + 0.5) * H / h).astype(np.int64).clip(0, H - 1)
+    ci = ((np.arange(w) + 0.5) * W / w).astype(np.int64).clip(0, W - 1)
+    return pixels[np.ix_(ri, ci)]
+
+
+class ImageResizer:
+    """Actor-pool stage: decode PNG → nearest-neighbor THUMB_SIZE²
+    thumbnail → re-encode PNG + thumbnail stats — the resize step of a
+    multimodal ingest pipeline (train-time image towers consume fixed
+    small grids; the full-size payload never leaves this stage).
+    Emits (media_id, thumb_png, thumb_w, thumb_h, mean_luma_milli,
+    thumb_ahash): the re-encoded bytes prove the codec roundtrip, the
+    stats give cheap downstream gates."""
+
+    def __init__(self, size: int = THUMB_SIZE):
+        self.size = size
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out: dict = {
+            "media_id": [], "thumb_png": [], "thumb_w": [], "thumb_h": [],
+            "mean_luma_milli": [], "thumb_ahash": [],
+        }
+        kinds = batch.column("kind").to_pylist()
+        mids = batch.column("media_id").to_pylist()
+        payloads = batch.column("payload").to_pylist()
+        for mid, kind, payload in zip(mids, kinds, payloads):
+            if kind != "image":
+                continue
+            px = decode_png(payload)
+            th = resize_nearest(px, self.size, self.size)
+            luma = _luma(th)
+            out["media_id"].append(mid)
+            out["thumb_png"].append(encode_png(th))
+            out["thumb_w"].append(self.size)
+            out["thumb_h"].append(self.size)
+            out["mean_luma_milli"].append(int(round(float(luma.mean()) * 1000)))
+            out["thumb_ahash"].append(ahash64(th))
+        return pa.table(
+            {
+                "media_id": pa.array(out["media_id"], pa.int64()),
+                "thumb_png": pa.array(out["thumb_png"], pa.binary()),
+                "thumb_w": pa.array(out["thumb_w"], pa.int64()),
+                "thumb_h": pa.array(out["thumb_h"], pa.int64()),
+                "mean_luma_milli": pa.array(out["mean_luma_milli"], pa.int64()),
+                "thumb_ahash": pa.array(out["thumb_ahash"], pa.int64()),
+            }
+        )
+
+
+def image_resize_pipeline(n: int = 300, size: int = THUMB_SIZE) -> rd.Dataset:
+    """Synthesize → decode → resize → re-encode (actor pool, small
+    batches for wide binary rows) — the resize stage of the multimodal
+    brief, end-to-end real codecs both directions."""
+    return _media_blocks(n).map_batches(
+        ImageResizer,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=16,
+        concurrency=(1, 2),
+        fn_constructor_args=(size,),
+    )

@@ -264,6 +264,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_event_quantiles": sketch.approx_event_quantiles,
         # -- multimodal (real PNG/WAV/MJPEG decode — jpeg.py baseline codec) --
         "media_features": lambda sf_dir: multimodal.media_pipeline(300),
+        "image_resize": lambda sf_dir: multimodal.image_resize_pipeline(300),
         "image_dedup": lambda sf_dir: multimodal.image_dedup_pipeline(300),
         "audio_dedup": lambda sf_dir: multimodal.audio_dedup_pipeline(300),
         "frame_sample": lambda sf_dir: multimodal.frame_sample_pipeline(300),

@@ -226,3 +226,63 @@ class TestAudioDedup:
         ) <= 6
         other = rng.integers(-20_000, 20_000, size=8_000).astype(np.int16)
         assert ham(h, ehash64(other)) > 12
+
+
+class TestImageResize:
+    def test_nearest_matches_naive_loop(self):
+        import numpy as np
+
+        from pdf_parser_ray.pipelines.multimodal import resize_nearest
+
+        rng = np.random.default_rng(11)
+        px = rng.integers(0, 256, (37, 23, 3), dtype=np.uint8)
+        got = resize_nearest(px, 16, 16)
+        want = np.empty((16, 16, 3), np.uint8)
+        for i in range(16):
+            for j in range(16):
+                si = min(int((i + 0.5) * 37 / 16), 36)
+                sj = min(int((j + 0.5) * 23 / 16), 22)
+                want[i, j] = px[si, sj]
+        assert (got == want).all()
+
+    def test_identity_at_target_size(self):
+        import numpy as np
+
+        from pdf_parser_ray.pipelines.multimodal import resize_nearest
+
+        rng = np.random.default_rng(12)
+        px = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+        assert (resize_nearest(px, 16, 16) == px).all()
+
+    def test_pipeline_roundtrip_and_stats(self, ray_session, quiet_data_context):
+        """Every image row yields a decodable 16x16 PNG thumbnail whose
+        pixels equal the direct resize of the source; stats agree."""
+        import numpy as np
+
+        from pdf_parser_ray.pipelines.multimodal import (
+            THUMB_SIZE, _luma, ahash64, decode_png, image_resize_pipeline,
+            resize_nearest, synthesize_media,
+        )
+
+        out = image_resize_pipeline(60).to_pandas().set_index("media_id")
+        src = synthesize_media(60)
+        n_images = sum(1 for k in src.column("kind").to_pylist() if k == "image")
+        assert len(out) == n_images > 0
+        for mid, kind, payload in zip(
+            src.column("media_id").to_pylist(),
+            src.column("kind").to_pylist(),
+            src.column("payload").to_pylist(),
+        ):
+            if kind != "image":
+                continue
+            th = resize_nearest(decode_png(payload), THUMB_SIZE, THUMB_SIZE)
+            row = out.loc[mid]
+            back = decode_png(row["thumb_png"])
+            assert back.shape == (THUMB_SIZE, THUMB_SIZE, 3)
+            assert (back == th).all()  # lossless codec roundtrip
+            assert row["thumb_ahash"] == ahash64(th)
+            assert row["mean_luma_milli"] == int(
+                round(float(_luma(th).mean()) * 1000)
+            )
+        # thumbnails differ across images (no constant-output bug)
+        assert out["thumb_ahash"].nunique() > n_images // 2
