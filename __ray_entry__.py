@@ -1563,6 +1563,69 @@ def _nation_year_sql() -> str:
     )
 
 
+def _fuzzy_pairs_sql() -> str:
+    """Mirror of dedup.fuzzy_name_pairs: brute-force distinct-pair
+    levenshtein = 1 — valid because the deletion-neighborhood candidate
+    generation is COMPLETE for edit distance 1 (every distance-1 pair
+    shares a same-index deletion or an indel key by construction; the
+    substitution family is exercised by the planted-synthetic unit
+    test, the indel family by the real corpus)."""
+    return (
+        "WITH d AS (SELECT DISTINCT p_name FROM part)"
+        " SELECT a.p_name AS name_a, b.p_name AS name_b"
+        " FROM d a JOIN d b ON a.p_name < b.p_name"
+        " WHERE levenshtein(a.p_name, b.p_name) = 1"
+    )
+
+
+def _gini_sql() -> str:
+    """Mirror of relational.gini_customer_revenue: the sorted-rank
+    identity through HUGEINT; one floor division at the end (numerator
+    non-negative, so // is a true floor)."""
+    return (
+        "WITH r AS (SELECT o_custkey AS ck,"
+        "   SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS rev"
+        "   FROM orders GROUP BY 1),"
+        " s AS (SELECT rev, row_number() OVER (ORDER BY rev, ck) AS rn"
+        "   FROM r),"
+        " m AS (SELECT CAST(count(*) AS HUGEINT) AS n,"
+        "   CAST(sum(rev) AS HUGEINT) AS s0,"
+        "   CAST(sum(CAST(rn AS HUGEINT) * rev) AS HUGEINT) AS s1 FROM s)"
+        " SELECT CAST(n AS BIGINT) AS n_customers,"
+        "  CAST(s0 AS BIGINT) AS total_cc,"
+        "  CAST(((2*s1 - (n+1)*s0) * 1000000) // (n*s0) AS BIGINT)"
+        "    AS gini_micros FROM m"
+    )
+
+
+def _autocorr_sql() -> str:
+    """Mirror of relational.user_value_autocorr: LAG pairs per user,
+    exact integer moment sums, the SAME IEEE expression
+    cov / (sqrt(vx)·sqrt(vy)) floored to micros (the ols_residuals
+    float discipline); n >= 2 pairs and positive variances on both
+    sides."""
+    return (
+        "WITH h AS (SELECT user_id,"
+        "   CAST(round(value*100) AS BIGINT) AS cents, ts, event_id"
+        "   FROM events),"
+        " l AS (SELECT user_id, cents AS y,"
+        "   lag(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id)"
+        "     AS x FROM h),"
+        " p AS (SELECT user_id, x, y FROM l WHERE x IS NOT NULL),"
+        " m AS (SELECT user_id, CAST(count(*) AS BIGINT) n,"
+        "   CAST(sum(x) AS BIGINT) sx, CAST(sum(y) AS BIGINT) sy,"
+        "   CAST(sum(x*y) AS BIGINT) sxy, CAST(sum(x*x) AS BIGINT) sxx,"
+        "   CAST(sum(y*y) AS BIGINT) syy FROM p GROUP BY user_id),"
+        " f AS (SELECT user_id, n, n*sxx - sx*sx AS vx,"
+        "   n*syy - sy*sy AS vy, n*sxy - sx*sy AS cov FROM m WHERE n >= 2)"
+        " SELECT user_id, n AS n_pairs,"
+        "  CAST(floor(CAST(cov AS DOUBLE)"
+        "   / (sqrt(CAST(vx AS DOUBLE)) * sqrt(CAST(vy AS DOUBLE)))"
+        "   * 1000000) AS BIGINT) AS r_micros"
+        " FROM f WHERE vx > 0 AND vy > 0"
+    )
+
+
 def _robust_outliers_sql() -> str:
     """Mirror of relational.robust_value_outliers: both discrete
     medians via the integer index rn = (n+1)//2 (the quantile_disc
@@ -3398,6 +3461,9 @@ def oracle_sql() -> dict[str, str]:
         "knn_multi": _knn_multi_sql(),
         "user_drawdowns": _user_drawdowns_sql(),
         "nation_year_revenue": _nation_year_sql(),
+        "gini_customer_revenue": _gini_sql(),
+        "user_value_autocorr": _autocorr_sql(),
+        "fuzzy_name_pairs": _fuzzy_pairs_sql(),
         "pareto_orders": (
             # mirror of relational.pareto_orders: the NOT EXISTS
             # dominance definition (price >=, day <=, one strict);

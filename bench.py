@@ -398,6 +398,12 @@ def run_bench() -> dict:
     t = time.perf_counter()
     image_resize_pipeline(300).count()
     timings["image_resize"] = time.perf_counter() - t
+    timed("gini_customer_revenue", relational.gini_customer_revenue)
+    timed("user_value_autocorr", relational.user_value_autocorr)
+
+    from pdf_parser_ray.pipelines.dedup import fuzzy_name_pairs
+
+    timed("fuzzy_name_pairs", fuzzy_name_pairs)
     timed("brand_supplier_counts", relational.brand_supplier_counts)
     timed("dominant_suppliers", relational.dominant_suppliers)
 

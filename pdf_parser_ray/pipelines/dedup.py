@@ -1821,3 +1821,108 @@ def cross_source_overlap(sf_dir: str) -> rd.Dataset:
         .groupby(["source_a", "source_b"])
         .map_groups(arrow_udf(combine), batch_format="pandas")
     )
+
+
+# -- fuzzy string join (edit distance 1) ----------------------------------------
+
+def fuzzy_name_pairs(sf_dir: str) -> rd.Dataset:
+    """(name_a, name_b): every pair of DISTINCT part names at edit
+    distance exactly 1, name_a < name_b — the deletion-neighborhood
+    fuzzy join (the FastSS scheme): two strings are at distance 1 iff
+    (substitution) they share the same single-position deletion at the
+    same index with equal length, or (indel) deleting one char of the
+    longer yields the shorter.  Both conditions are pure key equality,
+    so the O(n²) comparison becomes a bucket join — the typo-merging
+    primitive of entity resolution over product/entity name columns.
+
+    Discovery is exactly-once by construction (a substitution pair
+    shares an (i, deletion) key at only its differing index; an indel
+    pair meets only in the bucket keyed by the shorter string — equal
+    deletions of the longer are the same key), so no global pair dedup
+    pass is needed; candidates are distance-1-true by construction and
+    never verified row-wise.
+
+    Scale shape: one name-hash exchange makes names distinct, a second
+    key-hash exchange buckets the ≤ (len+1) deletion keys per name;
+    pairs emit in-bucket.  Both exchanges carry short strings only."""
+    import zlib as _z
+
+    buckets = 256
+
+    def distinct_partials(batch: pa.Table) -> pa.Table:
+        names = pa.table({"name": batch.column("p_name")}).group_by(
+            ["name"]
+        ).aggregate([])
+        arr = names.column("name")
+        crc = np.array(
+            [_z.crc32(s.encode()) for s in arr.to_pylist()], np.int64
+        )
+        return pa.table(
+            {"bkt": pa.array((crc % buckets).astype(np.int32)), "name": arr}
+        )
+
+    def to_keys(g: pd.DataFrame) -> pa.Table:
+        names = g["name"].drop_duplicates().tolist()
+        out_bkt, out_key, out_name, out_role = [], [], [], []
+        for s in names:
+            # identity row of the indel family (the shorter side)
+            out_key.append("D:" + s)
+            out_name.append(s)
+            out_role.append(0)
+            for i in range(len(s)):
+                d = s[:i] + s[i + 1 :]
+                out_key.append(f"S:{i}:{d}")
+                out_name.append(s)
+                out_role.append(1)
+                out_key.append("D:" + d)  # candidate from the longer side
+                out_name.append(s)
+                out_role.append(2)
+        crc = np.array([_z.crc32(k.encode()) for k in out_key], np.int64)
+        return pa.table(
+            {
+                "bkt": pa.array((crc % buckets).astype(np.int32)),
+                "key": pa.array(out_key, pa.string()),
+                "name": pa.array(out_name, pa.string()),
+                "role": pa.array(out_role, pa.int8()),
+            }
+        )
+
+    def pairs_in_bucket(g: pd.DataFrame) -> pa.Table:
+        out_a, out_b = [], []
+        for key, grp in g.groupby("key", sort=False):
+            if key.startswith("S:"):
+                cands = sorted(set(grp.loc[grp["role"] == 1, "name"]))
+                for i in range(len(cands)):
+                    for j in range(i + 1, len(cands)):
+                        out_a.append(cands[i])
+                        out_b.append(cands[j])
+            else:  # D:<shorter>
+                shorts = set(grp.loc[grp["role"] == 0, "name"])
+                longs = set(grp.loc[grp["role"] == 2, "name"])
+                for t in shorts:
+                    for u in longs:
+                        if u != t:
+                            out_a.append(min(t, u))
+                            out_b.append(max(t, u))
+        return pa.table(
+            {
+                "name_a": pa.array(out_a, pa.string()),
+                "name_b": pa.array(out_b, pa.string()),
+            }
+        )
+
+    return (
+        _t_part(sf_dir)
+        .map_batches(distinct_partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bkt")
+        .map_groups(arrow_udf(to_keys), batch_format="pandas")
+        .groupby("bkt")
+        .map_groups(arrow_udf(pairs_in_bucket), batch_format="pandas")
+    )
+
+
+def _t_part(sf_dir: str) -> rd.Dataset:
+    path = os.path.join(sf_dir, "part.parquet")
+    return read_parquet_clean(
+        path, columns=["p_name"], override_num_blocks=_blocks_for(path)
+    )

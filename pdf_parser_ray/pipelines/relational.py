@@ -5366,3 +5366,196 @@ def nation_year_revenue(sf_dir: str) -> rd.Dataset:
         .groupby("fin")
         .map_groups(arrow_udf(final), batch_format="pandas")
     )
+
+
+def gini_customer_revenue(sf_dir: str) -> rd.Dataset:
+    """(n_customers, total_cc, gini_micros): the Gini coefficient of
+    customer lifetime order value — the standard inequality summary
+    (0 = everyone equal, →1 = one whale), via the sorted-rank identity
+    G = (2·Σ i·xᵢ − (n+1)·Σx) / (n·Σx) over x ascending — the
+    whale-risk companion to :func:`customer_value_deciles`.
+
+    Everything before the single final division is exact integer
+    arithmetic; the division is a true floor on both engines (the
+    numerator is non-negative by the Chebyshev sum inequality).
+    Per-bucket Σ i·xᵢ stays under int64 through sf1-scale customer
+    counts; the driver's final fold uses Python ints (arbitrary
+    precision), the SQL mirror HUGEINT.
+
+    Scale shape: the customer_value_deciles two-pass distributed rank
+    (custkey combine → constant log2-revenue grid → in-bucket global
+    ranks), but each bucket emits ONE (n, Σx, Σi·x) moment row."""
+    import pandas as pd
+
+    buckets = 64
+
+    def ord_partials(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.round(pc.multiply(batch.column("o_totalprice"), 100.0)),
+            pa.int64(),
+        )
+        g = (
+            pa.table({"ck": batch.column("o_custkey"), "rev": cents})
+            .group_by(["ck"])
+            .aggregate([("rev", "sum")])
+        )
+        ck = g.column("ck").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "bkt": pa.array((ck % buckets).astype(np.int32)),
+                "ck": pa.array(ck, pa.int64()),
+                "rev": g.column("rev_sum"),
+            }
+        )
+
+    def per_customer(g: pd.DataFrame) -> pa.Table:
+        tot = g.groupby("ck", as_index=False)["rev"].sum()
+        rev = tot["rev"].to_numpy(np.int64)
+        grid = np.floor(np.log2(rev.astype(np.float64) + 2.0)).astype(np.int64)
+        return pa.table(
+            {
+                "gkey": pa.array(grid),
+                "ck": pa.array(tot["ck"].to_numpy(np.int64)),
+                "rev": pa.array(rev),
+            }
+        )
+
+    per_cust = (
+        _t(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+        .map_batches(ord_partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bkt")
+        .map_groups(arrow_udf(per_customer), batch_format="pandas")
+        .materialize()  # narrow (gkey, ck, rev); both rank passes read it
+    )
+
+    counts = (
+        per_cust.groupby("gkey")
+        .count()
+        .to_pandas()
+        .sort_values("gkey")
+        .reset_index(drop=True)
+    )
+    offsets = {
+        int(k): int(v)
+        for k, v in zip(
+            counts["gkey"], counts["count()"].cumsum() - counts["count()"]
+        )
+    }
+
+    def moment_partials(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["rev", "ck"])
+        start = offsets[int(g["gkey"].iloc[0])]
+        rank = start + 1 + np.arange(len(g), dtype=np.int64)  # 1-based
+        rev = g["rev"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "fin": np.array([0], np.int8),
+                "n": np.array([len(g)], np.int64),
+                "s0": np.array([rev.sum()], np.int64),
+                "s1": np.array([(rank * rev).sum()], np.int64),
+            }
+        )
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        n = int(g["n"].sum())
+        s0 = int(g["s0"].sum())
+        s1 = int(g["s1"].sum())
+        gini = ((2 * s1 - (n + 1) * s0) * 1_000_000) // (n * s0)
+        return pd.DataFrame(
+            {
+                "n_customers": np.array([n], np.int64),
+                "total_cc": np.array([s0], np.int64),
+                "gini_micros": np.array([gini], np.int64),
+            }
+        )
+
+    return (
+        per_cust.groupby("gkey")
+        .map_groups(arrow_udf(moment_partials), batch_format="pandas")
+        .groupby("fin")
+        .map_groups(arrow_udf(final), batch_format="pandas")
+    )
+
+
+def user_value_autocorr(sf_dir: str) -> rd.Dataset:
+    """(user_id, n_pairs, r_micros): lag-1 Pearson autocorrelation of
+    each user's event-value series in (ts, event_id) order — the
+    behavioral-persistence signal (r → 1: sticky spend levels; r < 0:
+    alternating bursts).  Users with < 3 events (or a constant-value
+    side) are dropped — r is undefined there on both engines.
+
+    Float discipline (the ols_residuals pattern): the five moment sums
+    over lagged pairs are exact integer cents; each engine casts the
+    SAME integers to double once and applies the same IEEE expression
+    r = (n·Σxy − Σx·Σy) / (sqrt(n·Σx² − Σx²ᵗᵒᵗ) · sqrt(n·Σy² − …)),
+    floored to micros.
+
+    Scale shape: one hash(user) co-shuffle of narrow rows; per-bucket
+    lexsort, boundary-masked lag pairs, and a vectorized per-user
+    moment groupby — one row per qualifying user out."""
+    import pandas as pd
+
+    buckets = 64
+
+    def narrow(batch: pa.Table) -> pa.Table:
+        u = batch.column("user_id").to_numpy(zero_copy_only=False)
+        cents = pc.cast(
+            pc.round(pc.multiply(batch.column("value"), 100.0)), pa.int64()
+        )
+        return pa.table(
+            {
+                "bkt": pa.array((u % buckets).astype(np.int32)),
+                "u": pa.array(u, pa.int64()),
+                "tm": pc.cast(batch.column("ts"), pa.int64()),
+                "eid": batch.column("event_id"),
+                "cents": cents,
+            }
+        )
+
+    def autocorr(g: pd.DataFrame) -> pd.DataFrame:
+        order = np.lexsort(
+            (g["eid"].to_numpy(np.int64), g["tm"].to_numpy(np.int64),
+             g["u"].to_numpy(np.int64))
+        )
+        u = g["u"].to_numpy(np.int64)[order]
+        v = g["cents"].to_numpy(np.int64)[order]
+        same = u[:-1] == u[1:]
+        x, y, uu = v[:-1][same], v[1:][same], u[:-1][same]
+        df = pd.DataFrame(
+            {"u": uu, "x": x, "y": y, "xy": x * y, "xx": x * x, "yy": y * y}
+        )
+        m = df.groupby("u").agg(
+            n=("x", "size"), sx=("x", "sum"), sy=("y", "sum"),
+            sxy=("xy", "sum"), sxx=("xx", "sum"), syy=("yy", "sum"),
+        )
+        m = m[m["n"] >= 2]
+        n = m["n"].to_numpy(np.int64).astype(np.float64)
+        sx = m["sx"].to_numpy(np.int64).astype(np.float64)
+        sy = m["sy"].to_numpy(np.int64).astype(np.float64)
+        vx = m["n"].to_numpy(np.int64) * m["sxx"].to_numpy(np.int64) - (
+            m["sx"].to_numpy(np.int64) ** 2
+        )
+        vy = m["n"].to_numpy(np.int64) * m["syy"].to_numpy(np.int64) - (
+            m["sy"].to_numpy(np.int64) ** 2
+        )
+        keep = (vx > 0) & (vy > 0)
+        m, n, sx, sy, vx, vy = m[keep], n[keep], sx[keep], sy[keep], vx[keep], vy[keep]
+        cov = (
+            m["n"].to_numpy(np.int64) * m["sxy"].to_numpy(np.int64)
+            - m["sx"].to_numpy(np.int64) * m["sy"].to_numpy(np.int64)
+        ).astype(np.float64)
+        r = cov / (np.sqrt(vx.astype(np.float64)) * np.sqrt(vy.astype(np.float64)))
+        return pd.DataFrame(
+            {
+                "user_id": m.index.to_numpy(np.int64),
+                "n_pairs": m["n"].to_numpy(np.int64),
+                "r_micros": np.floor(r * 1_000_000).astype(np.int64),
+            }
+        )
+
+    return (
+        _t(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
+        .map_batches(narrow, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bkt")
+        .map_groups(arrow_udf(autocorr), batch_format="pandas")
+    )

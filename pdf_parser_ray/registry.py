@@ -126,7 +126,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # host_clustering, winnow_fingerprints, embedding_outliers,
         # robust_value_outliers, customer_value_deciles,
         # event_trigrams, cosine_band_histogram, knn_multi,
-        # user_drawdowns, nation_year_revenue) —
+        # user_drawdowns, nation_year_revenue, gini_customer_revenue,
+        # user_value_autocorr, fuzzy_name_pairs) —
         # each oracle-backed in
         # tests/test_oracle.py; displacing a gated slot would cost an
         # established driver-green row), then the rows-only
@@ -251,6 +252,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_multi": similarity.knn_multi,
         "user_drawdowns": relational.user_drawdowns,
         "nation_year_revenue": relational.nation_year_revenue,
+        "gini_customer_revenue": relational.gini_customer_revenue,
+        "user_value_autocorr": relational.user_value_autocorr,
+        "fuzzy_name_pairs": dedup.fuzzy_name_pairs,
         "doc_top_terms": partial(
             analysis.doc_top_terms, vocab_cap=analysis.ORACLE_VOCAB_CAP
         ),

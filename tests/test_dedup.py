@@ -88,3 +88,72 @@ class TestCrossSourceOverlap:
             for a, b in itertools.combinations(sorted(srcs), 2):
                 want[(a, b)] = want.get((a, b), 0) + 1
         assert got == want
+
+
+class TestFuzzyNamePairs:
+    def test_matches_brute_force_on_corpus(self, ray_session, quiet_data_context):
+        """Deletion-neighborhood join equals brute-force levenshtein=1
+        over distinct corpus names (the candidate-completeness guard
+        that keeps the SQL oracle valid)."""
+        import pyarrow.parquet as pq
+
+        from pdf_parser_ray.pipelines.dedup import fuzzy_name_pairs
+
+        sf = "/root/testdata/sf0.001"
+        got = {
+            (r["name_a"], r["name_b"])
+            for _, r in fuzzy_name_pairs(sf).to_pandas().iterrows()
+        }
+        names = sorted(
+            set(
+                pq.read_table(sf + "/part.parquet", columns=["p_name"])
+                .column("p_name")
+                .to_pylist()
+            )
+        )
+
+        def lev1(a: str, b: str) -> bool:
+            if a == b or abs(len(a) - len(b)) > 1:
+                return False
+            if len(a) == len(b):
+                return sum(x != y for x, y in zip(a, b)) == 1
+            s, l = (a, b) if len(a) < len(b) else (b, a)
+            return any(l[:i] + l[i + 1 :] == s for i in range(len(l)))
+
+        want = {
+            (a, b)
+            for i, a in enumerate(names)
+            for b in names[i + 1 :]
+            if lev1(a, b)
+        }
+        assert got == want
+        assert len(want) > 0  # the indel family binds on the corpus
+
+    def test_substitution_family(self, ray_session, quiet_data_context, tmp_path):
+        """Planted equal-length names differing at one char — the
+        substitution key family — plus distance-2 decoys that must NOT
+        pair."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pdf_parser_ray.pipelines.dedup import fuzzy_name_pairs
+
+        names = [
+            "brass bolt",
+            "brass belt",  # substitution vs "brass bolt" (one char)
+            "grass melt",  # distance >= 2 from everything else
+            "brass bol",   # deletion of "brass bolt" (indel family)
+        ] * 3  # duplicates exercise the distinct stage
+        pq.write_table(
+            pa.table({"p_name": pa.array(names, pa.string())}),
+            str(tmp_path / "part.parquet"),
+        )
+        got = {
+            (r["name_a"], r["name_b"])
+            for _, r in fuzzy_name_pairs(str(tmp_path)).to_pandas().iterrows()
+        }
+        want = {
+            ("brass belt", "brass bolt"),  # substitution key family
+            ("brass bol", "brass bolt"),   # indel key family
+        }
+        assert got == want  # decoy out, "brass belt"/"brass bol" (d=2) out

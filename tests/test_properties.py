@@ -281,7 +281,13 @@ def test_jpeg_q100_roundtrip_bounded_for_any_image(h, w, seed):
     assert np.abs(dgray[..., 0].astype(int) - gray.astype(int)).max() <= 2
 
 
-_MOJI_ALPHABET = string.ascii_letters + string.digits + " .,!?-" + "éàüñçøß½–€"
+# NO continuation-range char (U+0080-U+00BF) in this alphabet: with one
+# ('½', U+00BD) Hypothesis found 'ß½' — whose cp1252 bytes DF BD are a
+# VALID UTF-8 sequence — i.e. a clean original that is itself shaped
+# like mojibake, where repair is inherently ambiguous (ftfy shares this
+# blind spot); the restore guarantee below only holds on texts that
+# cannot encode to valid UTF-8 byte patterns.
+_MOJI_ALPHABET = string.ascii_letters + string.digits + " .,!?-" + "éàüñçøß–€"
 
 
 @given(
@@ -293,8 +299,8 @@ def test_mojibake_repair_restores_any_corruption(text, double):
     """fix_mojibake must restore ANY text over a hole-free alphabet
     after one or two cp1252 mis-decodes, and must not touch the clean
     original (unless the original is itself shaped like mojibake, which
-    this alphabet cannot produce: no U+00C2-U+00F4 lead char is ever
-    followed by a valid continuation-range char here)."""
+    this alphabet cannot produce: it has no continuation-range char, so
+    no lead byte is ever followed by a valid continuation)."""
     from pdf_parser_ray.functions.charset import fix_mojibake, mojibake_score
 
     corrupted = text.encode("utf-8").decode("cp1252")
@@ -304,6 +310,17 @@ def test_mojibake_repair_restores_any_corruption(text, double):
     repaired, n = fix_mojibake(corrupted)
     assert repaired == text
     assert n == expected_passes
+
+
+def test_mojibake_ambiguous_original_is_reencoded():
+    """Pinned blind spot: a CLEAN original whose cp1252 bytes form
+    valid UTF-8 ('ß½' → DF BD → U+07FD) is indistinguishable from
+    mojibake and gets "repaired" — the documented inherent ambiguity
+    of double-decode repair, not a regression."""
+    from pdf_parser_ray.functions.charset import fix_mojibake
+
+    repaired, n = fix_mojibake("ß½")
+    assert repaired == "߽" and n == 1
 
 
 @settings(max_examples=300, deadline=None)

@@ -1197,3 +1197,76 @@ class TestNationYearRevenue:
         )
         pd.testing.assert_frame_equal(got, want, check_dtype=False)
         assert got["year"].nunique() > 3  # the year dimension binds
+
+
+class TestGiniCustomerRevenue:
+    def test_matches_brute_force(self, ray_session, quiet_data_context):
+        """Sorted-rank identity vs the O(n²) mean-absolute-difference
+        definition (computed exactly with Python ints)."""
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from pdf_parser_ray.pipelines.relational import gini_customer_revenue
+
+        sf = "/root/testdata/sf0.001"
+        got = gini_customer_revenue(sf).to_pandas().iloc[0]
+        o = pq.read_table(
+            sf + "/orders.parquet", columns=["o_custkey", "o_totalprice"]
+        ).to_pandas()
+        o["cents"] = np.round(o["o_totalprice"] * 100).astype(np.int64)
+        rev = np.sort(
+            o.groupby("o_custkey")["cents"].sum().to_numpy(np.int64)
+        )
+        n, s0 = len(rev), int(rev.sum())
+        s1 = int((np.arange(1, n + 1, dtype=np.int64) * rev).sum())
+        assert got["n_customers"] == n and got["total_cc"] == s0
+        assert got["gini_micros"] == ((2 * s1 - (n + 1) * s0) * 1_000_000) // (
+            n * s0
+        )
+        # cross-check vs the definitional G = mean|xi-xj| / (2*mean)
+        mad = sum(
+            abs(int(a) - int(b)) for a in rev for b in rev
+        )  # n² exact sum
+        g_def = mad * 1_000_000 // (2 * n * s0)
+        assert abs(got["gini_micros"] - g_def) <= 1  # same value, two floors
+        assert 0 < got["gini_micros"] < 1_000_000
+
+
+class TestUserValueAutocorr:
+    def test_matches_brute_force(self, ray_session, quiet_data_context):
+        """Lag-1 Pearson per user vs numpy corrcoef on the ordered
+        series; signs and micro floors must agree."""
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from pdf_parser_ray.pipelines.relational import user_value_autocorr
+
+        sf = "/root/testdata/sf0.001"
+        got = (
+            user_value_autocorr(sf).to_pandas().set_index("user_id").sort_index()
+        )
+        ev = (
+            pq.read_table(
+                sf + "/events.parquet",
+                columns=["user_id", "ts", "event_id", "value"],
+            )
+            .to_pandas()
+            .sort_values(["user_id", "ts", "event_id"])
+        )
+        ev["cents"] = np.round(ev["value"] * 100).astype(np.int64)
+        seen = 0
+        for uid, g in ev.groupby("user_id"):
+            v = g["cents"].to_numpy(np.int64)
+            if len(v) < 3:
+                assert uid not in got.index
+                continue
+            x, y = v[:-1], v[1:]
+            if x.std() == 0 or y.std() == 0:
+                assert uid not in got.index
+                continue
+            r = float(np.corrcoef(x, y)[0, 1])
+            seen += 1
+            assert got.loc[uid, "n_pairs"] == len(x)
+            # corrcoef's float path differs; agree to 1 micro
+            assert abs(got.loc[uid, "r_micros"] - np.floor(r * 1e6)) <= 1
+        assert seen > 5  # non-vacuous panel
