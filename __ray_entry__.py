@@ -1563,6 +1563,48 @@ def _nation_year_sql() -> str:
     )
 
 
+def _dup_rate_sql() -> str:
+    """Mirror of dedup.near_dup_rate_by_source: the two exact-clone
+    families rebuilt as UNION ALLs (offsets interpolated), the md5
+    survivor rule as a window MIN, integer-micros rate."""
+    from pdf_parser_ray.pipelines.dedup import (
+        MIRROR_CLONE_OFFSET, REDELIVERY_CLONE_OFFSET,
+    )
+
+    return (
+        "WITH c AS ("
+        "  SELECT doc_id, source, md5(text) AS th FROM documents"
+        f"  UNION ALL SELECT doc_id + {MIRROR_CLONE_OFFSET}, 'mirror',"
+        "    md5(text) FROM documents WHERE doc_id % 7 = 0"
+        f"  UNION ALL SELECT doc_id + {REDELIVERY_CLONE_OFFSET}, source,"
+        "    md5(text) FROM documents WHERE doc_id % 11 = 0),"
+        " s AS (SELECT *, min(doc_id) OVER (PARTITION BY th) AS survivor"
+        "   FROM c),"
+        " p AS (SELECT source, count(*) AS n_docs,"
+        "   sum(CASE WHEN doc_id <> survivor THEN 1 ELSE 0 END) AS n_dups"
+        "   FROM s GROUP BY source)"
+        " SELECT source, CAST(n_docs AS BIGINT) AS n_docs,"
+        "  CAST(n_dups AS BIGINT) AS n_dups,"
+        "  CAST((n_dups * 1000000) // n_docs AS BIGINT) AS dup_micros"
+        " FROM p"
+    )
+
+
+def _cume_dist_sql() -> str:
+    """Mirror of relational.value_cume_dist: peer-inclusive running
+    count (RANGE window default) over cents per type — the exact
+    integer (cnt_le · 1e6) // n, no float cume_dist anywhere."""
+    return (
+        "WITH h AS (SELECT event_id, event_type,"
+        "   CAST(round(value*100) AS BIGINT) AS cents FROM events)"
+        " SELECT event_id, event_type,"
+        "  CAST((count(*) OVER (PARTITION BY event_type ORDER BY cents)"
+        "    * 1000000) // (count(*) OVER (PARTITION BY event_type))"
+        "   AS BIGINT) AS cd_micros"
+        " FROM h"
+    )
+
+
 def _fuzzy_pairs_sql() -> str:
     """Mirror of dedup.fuzzy_name_pairs: brute-force distinct-pair
     levenshtein = 1 — valid because the deletion-neighborhood candidate
@@ -3464,6 +3506,8 @@ def oracle_sql() -> dict[str, str]:
         "gini_customer_revenue": _gini_sql(),
         "user_value_autocorr": _autocorr_sql(),
         "fuzzy_name_pairs": _fuzzy_pairs_sql(),
+        "near_dup_rate_by_source": _dup_rate_sql(),
+        "value_cume_dist": _cume_dist_sql(),
         "pareto_orders": (
             # mirror of relational.pareto_orders: the NOT EXISTS
             # dominance definition (price >=, day <=, one strict);

@@ -404,6 +404,11 @@ def run_bench() -> dict:
     from pdf_parser_ray.pipelines.dedup import fuzzy_name_pairs
 
     timed("fuzzy_name_pairs", fuzzy_name_pairs)
+
+    from pdf_parser_ray.pipelines.dedup import near_dup_rate_by_source
+
+    timed("near_dup_rate_by_source", near_dup_rate_by_source)
+    timed("value_cume_dist", relational.value_cume_dist)
     timed("brand_supplier_counts", relational.brand_supplier_counts)
     timed("dominant_suppliers", relational.dominant_suppliers)
 

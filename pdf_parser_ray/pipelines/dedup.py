@@ -1926,3 +1926,97 @@ def _t_part(sf_dir: str) -> rd.Dataset:
     return read_parquet_clean(
         path, columns=["p_name"], override_num_blocks=_blocks_for(path)
     )
+
+
+MIRROR_CLONE_OFFSET = 2_000_000
+REDELIVERY_CLONE_OFFSET = 3_000_000
+
+
+def near_dup_rate_by_source(sf_dir: str) -> rd.Dataset:
+    """(source, n_docs, n_dups, dup_micros): per-source exact-duplicate
+    rate over the clone-augmented corpus — which ingest feed floods the
+    corpus with copies, the first diagnostic a curation run reads
+    before weighting sources.  The corpus is deterministically
+    augmented with two exact-copy families (the with_near_dups pattern,
+    mirrored in SQL): every 7th doc re-ingested under the synthetic
+    aggregator source ``mirror`` (cross-source scraping), and every
+    11th doc duplicated within its own source (feed re-delivery).  A
+    duplicate is any doc that is not its md5 group's minimum doc_id
+    (the exact_dedup survivor rule), counted within the doc's OWN
+    source — so ``mirror`` reads 100% and real feeds read the
+    re-delivery rate.
+
+    Scale shape: clone injection is map-only; one md5-keyed exchange of
+    narrow (hash, doc_id, source) rows; each group emits per-source
+    (n, dups) partials — a group lives wholly in one bucket so the
+    survivor rule is exact — and a source-keyed combine folds
+    ≤ groups × sources rows."""
+    import pandas as pd
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        srcs = batch.column("source").to_pylist()
+        out_h, out_id, out_src = [], [], []
+        for i, t, s in zip(ids, texts, srcs):
+            h = hashlib.md5(t.encode("utf-8")).hexdigest()
+            out_h.append(h)
+            out_id.append(i)
+            out_src.append(s)
+            if i % 7 == 0:  # cross-source aggregator copy
+                out_h.append(h)
+                out_id.append(i + MIRROR_CLONE_OFFSET)
+                out_src.append("mirror")
+            if i % 11 == 0:  # same-source re-delivery
+                out_h.append(h)
+                out_id.append(i + REDELIVERY_CLONE_OFFSET)
+                out_src.append(s)
+        return pa.table(
+            {
+                "text_hash": pa.array(out_h, pa.string()),
+                "doc_id": pa.array(out_id, pa.int64()),
+                "source": pa.array(out_src, pa.string()),
+            }
+        )
+
+    def group_partials(g: pd.DataFrame) -> pd.DataFrame:
+        keep = g.loc[g.groupby("text_hash")["doc_id"].idxmin()]
+        surv = set(zip(keep["text_hash"], keep["doc_id"]))
+        is_dup = ~pd.Series(
+            list(zip(g["text_hash"], g["doc_id"])), index=g.index
+        ).isin(surv)
+        out = g.assign(dup=is_dup.to_numpy()).groupby(
+            "source", as_index=False
+        ).agg(n_docs=("dup", "size"), n_dups=("dup", "sum"))
+        out["n_docs"] = out["n_docs"].astype(np.int64)
+        out["n_dups"] = out["n_dups"].astype(np.int64)
+        return out
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        n = int(g["n_docs"].sum())
+        d = int(g["n_dups"].sum())
+        return pd.DataFrame(
+            {
+                "source": [g["source"].iloc[0]],
+                "n_docs": np.array([n], np.int64),
+                "n_dups": np.array([d], np.int64),
+                "dup_micros": np.array([(d * 1_000_000) // n], np.int64),
+            }
+        )
+
+    def bucket_col(batch: pa.Table) -> pa.Table:
+        crc = np.array(
+            [zlib.crc32(h.encode()) for h in batch.column("text_hash").to_pylist()],
+            np.int64,
+        )
+        return batch.append_column("bkt", pa.array((crc % 64).astype(np.int32)))
+
+    return (
+        _docs(sf_dir, ["doc_id", "text", "source"])
+        .map_batches(add_hash, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(bucket_col, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bkt")
+        .map_groups(arrow_udf(group_partials), batch_format="pandas")
+        .groupby("source")
+        .map_groups(arrow_udf(combine), batch_format="pandas")
+    )

@@ -5559,3 +5559,74 @@ def user_value_autocorr(sf_dir: str) -> rd.Dataset:
         .groupby("bkt")
         .map_groups(arrow_udf(autocorr), batch_format="pandas")
     )
+
+
+def value_cume_dist(sf_dir: str) -> rd.Dataset:
+    """(event_id, event_type, cd_micros): each event's value quantile
+    within its type — cume_dist as the exact integer
+    (count of peers ≤ value · 1e6) // n — the rank-based feature
+    normalization (quantile transform) a model pipeline applies before
+    mixing heavy-tailed signals.  Row-level output: every event gets
+    its normalized score.
+
+    Scale shape: the per-type value histogram is a bounded model
+    artifact (the event_quantiles trick); it folds once on the driver,
+    broadcasts, and the annotation pass is map-only — a searchsorted
+    per batch, no second exchange, no row-level shuffle."""
+    import ray
+
+    def hist_partials(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.round(pc.multiply(batch.column("value"), 100.0)), pa.int64()
+        )
+        g = (
+            pa.table({"event_type": batch.column("event_type"), "cents": cents})
+            .group_by(["event_type", "cents"])
+            .aggregate([("cents", "count")])
+        )
+        return pa.table(
+            {
+                "event_type": g.column("event_type"),
+                "cents": g.column("cents"),
+                "n": pc.cast(g.column("cents_count"), pa.int64()),
+            }
+        )
+
+    hist = (
+        _t(sf_dir, "events", ["event_type", "value"])
+        .map_batches(hist_partials, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()
+        .groupby(["event_type", "cents"], as_index=False)["n"]
+        .sum()
+    )
+    tables = {}
+    for t, g in hist.groupby("event_type"):
+        g = g.sort_values("cents")
+        vals = g["cents"].to_numpy(np.int64)
+        cum = g["n"].to_numpy(np.int64).cumsum()
+        tables[t] = (vals, cum, int(cum[-1]))
+    ref = ray.put(tables)
+
+    def annotate(batch: pa.Table) -> pa.Table:
+        lut = ray.get(ref)
+        cents = pc.cast(
+            pc.round(pc.multiply(batch.column("value"), 100.0)), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        types = batch.column("event_type").to_pylist()
+        out = np.empty(len(cents), np.int64)
+        for t in set(types):
+            vals, cum, n = lut[t]
+            m = np.array([x == t for x in types])
+            le = cum[np.searchsorted(vals, cents[m], side="right") - 1]
+            out[m] = (le * 1_000_000) // n
+        return pa.table(
+            {
+                "event_id": batch.column("event_id"),
+                "event_type": batch.column("event_type"),
+                "cd_micros": pa.array(out),
+            }
+        )
+
+    return _t(sf_dir, "events", ["event_id", "event_type", "value"]).map_batches(
+        annotate, batch_format="pyarrow", zero_copy_batch=True
+    )

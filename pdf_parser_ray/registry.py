@@ -127,7 +127,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # robust_value_outliers, customer_value_deciles,
         # event_trigrams, cosine_band_histogram, knn_multi,
         # user_drawdowns, nation_year_revenue, gini_customer_revenue,
-        # user_value_autocorr, fuzzy_name_pairs) —
+        # user_value_autocorr, fuzzy_name_pairs,
+        # near_dup_rate_by_source, value_cume_dist) —
         # each oracle-backed in
         # tests/test_oracle.py; displacing a gated slot would cost an
         # established driver-green row), then the rows-only
@@ -255,6 +256,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gini_customer_revenue": relational.gini_customer_revenue,
         "user_value_autocorr": relational.user_value_autocorr,
         "fuzzy_name_pairs": dedup.fuzzy_name_pairs,
+        "near_dup_rate_by_source": dedup.near_dup_rate_by_source,
+        "value_cume_dist": relational.value_cume_dist,
         "doc_top_terms": partial(
             analysis.doc_top_terms, vocab_cap=analysis.ORACLE_VOCAB_CAP
         ),

@@ -157,3 +157,57 @@ class TestFuzzyNamePairs:
             ("brass bol", "brass bolt"),   # indel key family
         }
         assert got == want  # decoy out, "brass belt"/"brass bol" (d=2) out
+
+
+class TestNearDupRateBySource:
+    def test_matches_brute_force(self, ray_session, quiet_data_context):
+        """Per-source dup rates vs a pandas md5 brute force over the
+        same clone-augmented corpus; mirror reads 100%, real feeds the
+        re-delivery rate, counts conserve."""
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        from pdf_parser_ray.pipelines.dedup import (
+            MIRROR_CLONE_OFFSET, REDELIVERY_CLONE_OFFSET,
+            near_dup_rate_by_source,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        got = (
+            near_dup_rate_by_source(sf)
+            .to_pandas()
+            .set_index("source")
+            .sort_index()
+        )
+        d = pq.read_table(
+            sf + "/documents.parquet", columns=["doc_id", "text", "source"]
+        ).to_pandas()
+        rows = []
+        for _, r in d.iterrows():
+            h = hashlib.md5(r["text"].encode()).hexdigest()
+            rows.append((r["doc_id"], h, r["source"]))
+            if r["doc_id"] % 7 == 0:
+                rows.append((r["doc_id"] + MIRROR_CLONE_OFFSET, h, "mirror"))
+            if r["doc_id"] % 11 == 0:
+                rows.append(
+                    (r["doc_id"] + REDELIVERY_CLONE_OFFSET, h, r["source"])
+                )
+        c = pd.DataFrame(rows, columns=["doc_id", "th", "source"])
+        c["survivor"] = c.groupby("th")["doc_id"].transform("min")
+        c["dup"] = c["doc_id"] != c["survivor"]
+        want = c.groupby("source").agg(
+            n_docs=("dup", "size"), n_dups=("dup", "sum")
+        )
+        for s, r in want.iterrows():
+            assert got.loc[s, "n_docs"] == r["n_docs"]
+            assert got.loc[s, "n_dups"] == r["n_dups"]
+            assert got.loc[s, "dup_micros"] == (
+                r["n_dups"] * 1_000_000
+            ) // r["n_docs"]
+        assert got.loc["mirror", "dup_micros"] == 1_000_000
+        real = got.drop("mirror")
+        assert (real["n_dups"] > 0).any()  # re-delivery family binds
+        assert got["n_docs"].sum() == len(c)

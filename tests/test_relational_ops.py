@@ -1270,3 +1270,33 @@ class TestUserValueAutocorr:
             # corrcoef's float path differs; agree to 1 micro
             assert abs(got.loc[uid, "r_micros"] - np.floor(r * 1e6)) <= 1
         assert seen > 5  # non-vacuous panel
+
+
+class TestValueCumeDist:
+    def test_matches_brute_force(self, ray_session, quiet_data_context):
+        """Exact integer cume_dist vs a pandas rank brute force; ties
+        must take the peer-inclusive count and maxima hit exactly 1e6."""
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from pdf_parser_ray.pipelines.relational import value_cume_dist
+
+        sf = "/root/testdata/sf0.001"
+        got = (
+            value_cume_dist(sf).to_pandas().set_index("event_id").sort_index()
+        )
+        ev = pq.read_table(
+            sf + "/events.parquet", columns=["event_id", "event_type", "value"]
+        ).to_pandas()
+        ev["cents"] = np.round(ev["value"] * 100).astype(np.int64)
+        assert len(got) == len(ev)
+        for t, g in ev.groupby("event_type"):
+            v = np.sort(g["cents"].to_numpy())
+            n = len(v)
+            for _, r in g.sample(min(40, len(g)), random_state=5).iterrows():
+                le = int(np.searchsorted(v, r["cents"], side="right"))
+                assert got.loc[r["event_id"], "cd_micros"] == (
+                    le * 1_000_000
+                ) // n
+            top = g.loc[g["cents"].idxmax(), "event_id"]
+            assert got.loc[top, "cd_micros"] == 1_000_000
