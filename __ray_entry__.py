@@ -1563,6 +1563,48 @@ def _nation_year_sql() -> str:
     )
 
 
+def _leave_last_k_sql() -> str:
+    """Mirror of relational.leave_last_k: row_number descending over
+    (ts, event_id) per user, k interpolated."""
+    from pdf_parser_ray.pipelines.relational import LEAVE_LAST_K
+
+    return (
+        "WITH r AS (SELECT event_id, user_id,"
+        "   row_number() OVER (PARTITION BY user_id"
+        "     ORDER BY ts DESC, event_id DESC) AS rn FROM events)"
+        f" SELECT event_id, user_id, CASE WHEN rn <= {LEAVE_LAST_K}"
+        "   THEN 'test' ELSE 'train' END AS split FROM r"
+    )
+
+
+def _assortativity_sql() -> str:
+    """Mirror of graph.host_assortativity: oriented endpoint-degree
+    pairs over the undirected simple edge set, exact integer moments,
+    the shared cov/(√vx·√vy) float fold floored to micros."""
+    from pdf_parser_ray.pipelines.graph import PR_NODES
+
+    return (
+        f"WITH {_host_edges_expr()},"
+        " u AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst)"
+        "   AS b FROM e WHERE src <> dst),"
+        " adj AS (SELECT a AS x, b AS y FROM u"
+        "   UNION ALL SELECT b, a FROM u),"
+        " d AS (SELECT x AS node, CAST(count(*) AS BIGINT) AS deg"
+        "   FROM adj GROUP BY x),"
+        " o AS (SELECT da.deg AS xd, db.deg AS yd FROM adj"
+        "   JOIN d da ON da.node = adj.x JOIN d db ON db.node = adj.y),"
+        " m AS (SELECT CAST(count(*) AS BIGINT) n,"
+        "   CAST(sum(xd) AS BIGINT) sx, CAST(sum(yd) AS BIGINT) sy,"
+        "   CAST(sum(xd*yd) AS BIGINT) sxy, CAST(sum(xd*xd) AS BIGINT) sxx,"
+        "   CAST(sum(yd*yd) AS BIGINT) syy FROM o)"
+        " SELECT CAST(n // 2 AS BIGINT) AS n_edges,"
+        "  CAST(floor(CAST(n*sxy - sx*sy AS DOUBLE)"
+        "   / (sqrt(CAST(n*sxx - sx*sx AS DOUBLE))"
+        "      * sqrt(CAST(n*syy - sy*sy AS DOUBLE))) * 1000000) AS BIGINT)"
+        "   AS r_micros FROM m"
+    )
+
+
 def _dup_rate_sql() -> str:
     """Mirror of dedup.near_dup_rate_by_source: the two exact-clone
     families rebuilt as UNION ALLs (offsets interpolated), the md5
@@ -3508,6 +3550,8 @@ def oracle_sql() -> dict[str, str]:
         "fuzzy_name_pairs": _fuzzy_pairs_sql(),
         "near_dup_rate_by_source": _dup_rate_sql(),
         "value_cume_dist": _cume_dist_sql(),
+        "leave_last_k": _leave_last_k_sql(),
+        "host_assortativity": _assortativity_sql(),
         "pareto_orders": (
             # mirror of relational.pareto_orders: the NOT EXISTS
             # dominance definition (price >=, day <=, one strict);

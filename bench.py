@@ -409,6 +409,10 @@ def run_bench() -> dict:
 
     timed("near_dup_rate_by_source", near_dup_rate_by_source)
     timed("value_cume_dist", relational.value_cume_dist)
+    timed("leave_last_k", relational.leave_last_k)
+    t = time.perf_counter()
+    graph.host_assortativity(SF_DIR)  # small DataFrame
+    timings["host_assortativity"] = time.perf_counter() - t
     timed("brand_supplier_counts", relational.brand_supplier_counts)
     timed("dominant_suppliers", relational.dominant_suppliers)
 

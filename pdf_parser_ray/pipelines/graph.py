@@ -297,3 +297,51 @@ def host_clustering(sf_dir: str) -> pd.DataFrame:
             "cc_micros": cc.astype(np.int64),
         }
     )
+
+
+def host_assortativity(sf_dir: str) -> pd.DataFrame:
+    """(n_edges, r_micros): degree assortativity of the undirected
+    simple host graph — the Pearson correlation of endpoint degrees
+    over edges (Newman 2002), each undirected edge contributing both
+    orientations.  r > 0: hubs link hubs (tiered link farms);
+    r < 0: hubs link leaves (organic hub-and-spoke webs).  Completes
+    the structural panel next to :func:`host_degree_stats`,
+    :func:`host_clustering` and :func:`host_triangles`.
+
+    Float discipline: the five moment sums over oriented edge endpoint
+    degrees are exact integers; one shared IEEE expression
+    cov / (sqrt(vx)·sqrt(vy)) floored to micros (the
+    relational.user_value_autocorr fold).  Driver math over the
+    bounded edge artifact, like every host-graph metric here."""
+    import math
+
+    edges = host_graph_edges(sf_dir).to_pandas()  # ≤ V² rows — bounded
+    src = edges["src"].to_numpy(np.int64)
+    dst = edges["dst"].to_numpy(np.int64)
+    keep = src != dst
+    a = np.minimum(src[keep], dst[keep])
+    b = np.maximum(src[keep], dst[keep])
+    adj = np.zeros((PR_NODES, PR_NODES), dtype=np.int64)
+    adj[a, b] = 1
+    adj[b, a] = 1
+    deg = adj.sum(axis=1)
+    ai, bi = np.nonzero(np.triu(adj, 1))
+    x = np.concatenate([deg[ai], deg[bi]])  # both orientations
+    y = np.concatenate([deg[bi], deg[ai]])
+    n = len(x)
+    sx, sy = int(x.sum()), int(y.sum())
+    sxy = int((x * y).sum())
+    sxx, syy = int((x * x).sum()), int((y * y).sum())
+    cov = n * sxy - sx * sy
+    vx, vy = n * sxx - sx * sx, n * syy - sy * sy
+    r = (
+        0.0
+        if vx <= 0 or vy <= 0
+        else float(cov) / (math.sqrt(float(vx)) * math.sqrt(float(vy)))
+    )
+    return pd.DataFrame(
+        {
+            "n_edges": np.array([n // 2], np.int64),
+            "r_micros": np.array([math.floor(r * 1_000_000)], np.int64),
+        }
+    )

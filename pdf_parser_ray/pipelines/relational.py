@@ -5630,3 +5630,66 @@ def value_cume_dist(sf_dir: str) -> rd.Dataset:
     return _t(sf_dir, "events", ["event_id", "event_type", "value"]).map_batches(
         annotate, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+LEAVE_LAST_K = 2
+
+
+def leave_last_k(sf_dir: str, k: int = LEAVE_LAST_K) -> rd.Dataset:
+    """(event_id, user_id, split): the recommendation-style evaluation
+    split — each user's LAST ``k`` events (by (ts, event_id)) are
+    'test', everything earlier is 'train' — per-entity temporal holdout
+    that :func:`filter.leakage_safe_split`'s group-keyed hash split
+    cannot express (it assigns whole users; this holds out each user's
+    future).  Users with ≤ k events contribute only test rows.
+
+    Scale shape: one hash(user) co-shuffle of narrow rows; per-bucket
+    vectorized lexsort + reversed segment rank (no per-user Python);
+    row-level output, nothing user-squared."""
+    import pandas as pd
+
+    buckets = 64
+
+    def narrow(batch: pa.Table) -> pa.Table:
+        u = batch.column("user_id").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "bkt": pa.array((u % buckets).astype(np.int32)),
+                "u": pa.array(u, pa.int64()),
+                "tm": pc.cast(batch.column("ts"), pa.int64()),
+                "eid": batch.column("event_id"),
+            }
+        )
+
+    def tag(g: pd.DataFrame) -> pd.DataFrame:
+        order = np.lexsort(
+            (g["eid"].to_numpy(np.int64), g["tm"].to_numpy(np.int64),
+             g["u"].to_numpy(np.int64))
+        )
+        u = g["u"].to_numpy(np.int64)[order]
+        eid = g["eid"].to_numpy(np.int64)[order]
+        # rank from each segment's END: seg_end(i) = the FIRST boundary
+        # index at or after i — a suffix MIN over boundary positions
+        # (a suffix max would pin every row to the bucket's final row;
+        # that bug hid at sf0.001 where each bucket held one user)
+        idx = np.arange(len(u), dtype=np.int64)
+        is_last = np.concatenate([u[1:] != u[:-1], [True]])
+        seg_end = np.minimum.accumulate(
+            np.where(is_last, idx, len(u))[::-1]
+        )[::-1]
+        rev_rank = seg_end - idx
+        split = np.where(rev_rank < k, "test", "train")
+        return pd.DataFrame(
+            {
+                "event_id": eid,
+                "user_id": u,
+                "split": split,
+            }
+        )
+
+    return (
+        _t(sf_dir, "events", ["user_id", "ts", "event_id"])
+        .map_batches(narrow, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bkt")
+        .map_groups(arrow_udf(tag), batch_format="pandas")
+    )

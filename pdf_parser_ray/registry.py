@@ -128,7 +128,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # event_trigrams, cosine_band_histogram, knn_multi,
         # user_drawdowns, nation_year_revenue, gini_customer_revenue,
         # user_value_autocorr, fuzzy_name_pairs,
-        # near_dup_rate_by_source, value_cume_dist) —
+        # near_dup_rate_by_source, value_cume_dist, leave_last_k,
+        # host_assortativity) —
         # each oracle-backed in
         # tests/test_oracle.py; displacing a gated slot would cost an
         # established driver-green row), then the rows-only
@@ -258,6 +259,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_name_pairs": dedup.fuzzy_name_pairs,
         "near_dup_rate_by_source": dedup.near_dup_rate_by_source,
         "value_cume_dist": relational.value_cume_dist,
+        "leave_last_k": relational.leave_last_k,
+        "host_assortativity": graph.host_assortativity,
         "doc_top_terms": partial(
             analysis.doc_top_terms, vocab_cap=analysis.ORACLE_VOCAB_CAP
         ),

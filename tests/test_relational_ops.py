@@ -1300,3 +1300,68 @@ class TestValueCumeDist:
                 ) // n
             top = g.loc[g["cents"].idxmax(), "event_id"]
             assert got.loc[top, "cd_micros"] == 1_000_000
+
+
+class TestLeaveLastK:
+    def test_matches_brute_force(self, ray_session, quiet_data_context):
+        """Per-user last-k holdout vs a per-user Python walk; every
+        user's test set is exactly its chronological tail."""
+        import pyarrow.parquet as pq
+
+        from pdf_parser_ray.pipelines.relational import (
+            LEAVE_LAST_K, leave_last_k,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        got = (
+            leave_last_k(sf).to_pandas().set_index("event_id").sort_index()
+        )
+        ev = (
+            pq.read_table(
+                sf + "/events.parquet", columns=["user_id", "ts", "event_id"]
+            )
+            .to_pandas()
+            .sort_values(["user_id", "ts", "event_id"])
+        )
+        assert len(got) == len(ev)
+        n_test = 0
+        for uid, g in ev.groupby("user_id"):
+            ids = g["event_id"].tolist()
+            test = set(ids[-LEAVE_LAST_K:])
+            n_test += len(test)
+            for e in ids:
+                assert got.loc[e, "split"] == (
+                    "test" if e in test else "train"
+                )
+        assert (got["split"] == "test").sum() == n_test
+        assert (got["split"] == "train").any()
+
+
+class TestHostAssortativity:
+    def test_matches_brute_force(self):
+        """Assortativity vs a direct numpy corrcoef over oriented
+        endpoint-degree pairs."""
+        import numpy as np
+
+        from pdf_parser_ray.pipelines.graph import (
+            PR_NODES, host_assortativity, host_graph_edges,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        got = host_assortativity(sf).iloc[0]
+        edges = host_graph_edges(sf).to_pandas()
+        und = {
+            (min(int(s), int(d)), max(int(s), int(d)))
+            for s, d in zip(edges["src"], edges["dst"])
+            if s != d
+        }
+        deg = np.zeros(PR_NODES, np.int64)
+        for a, b in und:
+            deg[a] += 1
+            deg[b] += 1
+        x = np.array([deg[a] for a, b in und] + [deg[b] for a, b in und], float)
+        y = np.array([deg[b] for a, b in und] + [deg[a] for a, b in und], float)
+        r = float(np.corrcoef(x, y)[0, 1])
+        assert got["n_edges"] == len(und)
+        assert abs(got["r_micros"] - np.floor(r * 1e6)) <= 1
+        assert got["r_micros"] != 0  # the metric binds on this graph
