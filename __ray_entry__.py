@@ -1563,6 +1563,32 @@ def _nation_year_sql() -> str:
     )
 
 
+def _concentration_sql() -> str:
+    """Mirror of relational.revenue_concentration: window cumsum over
+    (rev DESC, ck), the integer 5·cum ≥ 4·total predicate with the
+    ratio constants interpolated."""
+    from pdf_parser_ray.pipelines.relational import CONC_PCT_DEN, CONC_PCT_NUM
+
+    return (
+        "WITH r AS (SELECT o_custkey AS ck,"
+        "   SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS rev"
+        "   FROM orders GROUP BY 1),"
+        " s AS (SELECT rev, sum(rev) OVER (ORDER BY rev DESC, ck) AS cum,"
+        "   row_number() OVER (ORDER BY rev DESC, ck) AS rn FROM r),"
+        " t AS (SELECT CAST(count(*) AS BIGINT) n,"
+        "   CAST(sum(rev) AS BIGINT) tot FROM r),"
+        " c AS (SELECT min(rn) AS n_top, t.n, t.tot FROM s, t"
+        f"  WHERE {CONC_PCT_DEN} * cum >= {CONC_PCT_NUM} * t.tot"
+        "   GROUP BY t.n, t.tot),"
+        " sh AS (SELECT c.*,"
+        "   (SELECT cum FROM s WHERE rn = c.n_top) AS share FROM c)"
+        " SELECT n AS n_customers, n_top,"
+        "  CAST((n_top * 1000000) // n AS BIGINT) AS top_share_micros,"
+        "  CAST((share * 1000000) // tot AS BIGINT) AS rev_share_micros"
+        " FROM sh"
+    )
+
+
 def _leave_last_k_sql() -> str:
     """Mirror of relational.leave_last_k: row_number descending over
     (ts, event_id) per user, k interpolated."""
@@ -3552,6 +3578,7 @@ def oracle_sql() -> dict[str, str]:
         "value_cume_dist": _cume_dist_sql(),
         "leave_last_k": _leave_last_k_sql(),
         "host_assortativity": _assortativity_sql(),
+        "revenue_concentration": _concentration_sql(),
         "pareto_orders": (
             # mirror of relational.pareto_orders: the NOT EXISTS
             # dominance definition (price >=, day <=, one strict);

@@ -410,6 +410,7 @@ def run_bench() -> dict:
     timed("near_dup_rate_by_source", near_dup_rate_by_source)
     timed("value_cume_dist", relational.value_cume_dist)
     timed("leave_last_k", relational.leave_last_k)
+    timed("revenue_concentration", relational.revenue_concentration)
     t = time.perf_counter()
     graph.host_assortativity(SF_DIR)  # small DataFrame
     timings["host_assortativity"] = time.perf_counter() - t

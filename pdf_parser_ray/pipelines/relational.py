@@ -5693,3 +5693,120 @@ def leave_last_k(sf_dir: str, k: int = LEAVE_LAST_K) -> rd.Dataset:
         .groupby("bkt")
         .map_groups(arrow_udf(tag), batch_format="pandas")
     )
+
+
+CONC_PCT_NUM, CONC_PCT_DEN = 4, 5  # the "80" of the 80/20 summary
+
+
+def revenue_concentration(sf_dir: str) -> rd.Dataset:
+    """(n_customers, n_top, top_share_micros, rev_share_micros): the
+    80/20 concentration summary — the smallest customer count whose
+    combined revenue reaches ≥ 80% of the total (integer predicate
+    5·cum ≥ 4·total), customers ordered (rev DESC, custkey ASC).
+    Reports what fraction of customers that is and the share they
+    actually carry — the whale-dependence number next to
+    :func:`gini_customer_revenue`'s integral view.
+
+    Scale shape: a distributed THRESHOLD SEARCH — the constant
+    log2-revenue grid's per-cell (count, sum) moments locate which
+    single cell the 80% boundary crosses (grid cells are monotone in
+    revenue, so cells above the boundary contribute wholesale); only
+    that one cell's group then resolves the exact cut in-bucket with a
+    vectorized cumsum, emitting ONE row.  No pass ships more than grid
+    moments; the wide data never moves."""
+    import pandas as pd
+
+    buckets = 64
+
+    def ord_partials(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.round(pc.multiply(batch.column("o_totalprice"), 100.0)),
+            pa.int64(),
+        )
+        g = (
+            pa.table({"ck": batch.column("o_custkey"), "rev": cents})
+            .group_by(["ck"])
+            .aggregate([("rev", "sum")])
+        )
+        ck = g.column("ck").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "bkt": pa.array((ck % buckets).astype(np.int32)),
+                "ck": pa.array(ck, pa.int64()),
+                "rev": g.column("rev_sum"),
+            }
+        )
+
+    def per_customer(g: pd.DataFrame) -> pa.Table:
+        tot = g.groupby("ck", as_index=False)["rev"].sum()
+        rev = tot["rev"].to_numpy(np.int64)
+        grid = np.floor(np.log2(rev.astype(np.float64) + 2.0)).astype(np.int64)
+        return pa.table(
+            {
+                "gkey": pa.array(grid),
+                "ck": pa.array(tot["ck"].to_numpy(np.int64)),
+                "rev": pa.array(rev),
+            }
+        )
+
+    per_cust = (
+        _t(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+        .map_batches(ord_partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bkt")
+        .map_groups(arrow_udf(per_customer), batch_format="pandas")
+        .materialize()
+    )
+
+    def cell_moments(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "gkey": np.array([int(g["gkey"].iloc[0])], np.int64),
+                "n": np.array([len(g)], np.int64),
+                "s": np.array([int(g["rev"].sum())], np.int64),
+            }
+        )
+
+    grid = (
+        per_cust.groupby("gkey")
+        .map_groups(arrow_udf(cell_moments), batch_format="pandas")
+        .to_pandas()
+        .sort_values("gkey", ascending=False)
+        .reset_index(drop=True)
+    )
+    n_total = int(grid["n"].sum())
+    s_total = int(grid["s"].sum())
+    # walk cells from the richest down until the NEXT cell would cross
+    n_before, s_before, g_star = 0, 0, int(grid["gkey"].iloc[0])
+    for _, row in grid.iterrows():
+        g_star = int(row["gkey"])
+        if CONC_PCT_DEN * (s_before + int(row["s"])) >= CONC_PCT_NUM * s_total:
+            break  # the boundary falls inside this cell
+        n_before += int(row["n"])
+        s_before += int(row["s"])
+
+    def resolve(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["rev", "ck"], ascending=[False, True])
+        cum = s_before + g["rev"].to_numpy(np.int64).cumsum()
+        pos = int(
+            np.argmax(CONC_PCT_DEN * cum >= CONC_PCT_NUM * s_total)
+        )
+        n_top = n_before + pos + 1
+        share = int(cum[pos])
+        return pd.DataFrame(
+            {
+                "n_customers": np.array([n_total], np.int64),
+                "n_top": np.array([n_top], np.int64),
+                "top_share_micros": np.array(
+                    [(n_top * 1_000_000) // n_total], np.int64
+                ),
+                "rev_share_micros": np.array(
+                    [(share * 1_000_000) // s_total], np.int64
+                ),
+            }
+        )
+
+    return (
+        per_cust.filter(expr=f"gkey == {g_star}")
+        .groupby("gkey")
+        .map_groups(arrow_udf(resolve), batch_format="pandas")
+    )

@@ -129,7 +129,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # user_drawdowns, nation_year_revenue, gini_customer_revenue,
         # user_value_autocorr, fuzzy_name_pairs,
         # near_dup_rate_by_source, value_cume_dist, leave_last_k,
-        # host_assortativity) —
+        # host_assortativity, revenue_concentration) —
         # each oracle-backed in
         # tests/test_oracle.py; displacing a gated slot would cost an
         # established driver-green row), then the rows-only
@@ -261,6 +261,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_cume_dist": relational.value_cume_dist,
         "leave_last_k": relational.leave_last_k,
         "host_assortativity": graph.host_assortativity,
+        "revenue_concentration": relational.revenue_concentration,
         "doc_top_terms": partial(
             analysis.doc_top_terms, vocab_cap=analysis.ORACLE_VOCAB_CAP
         ),

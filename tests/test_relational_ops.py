@@ -1365,3 +1365,34 @@ class TestHostAssortativity:
         assert got["n_edges"] == len(und)
         assert abs(got["r_micros"] - np.floor(r * 1e6)) <= 1
         assert got["r_micros"] != 0  # the metric binds on this graph
+
+
+class TestRevenueConcentration:
+    def test_matches_brute_force(self, ray_session, quiet_data_context):
+        """Distributed threshold search vs a direct sorted cumsum; the
+        cut must be minimal (one fewer customer falls short)."""
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from pdf_parser_ray.pipelines.relational import (
+            CONC_PCT_DEN, CONC_PCT_NUM, revenue_concentration,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        got = revenue_concentration(sf).to_pandas().iloc[0]
+        o = pq.read_table(
+            sf + "/orders.parquet", columns=["o_custkey", "o_totalprice"]
+        ).to_pandas()
+        o["cents"] = np.round(o["o_totalprice"] * 100).astype(np.int64)
+        rev = np.sort(
+            o.groupby("o_custkey")["cents"].sum().to_numpy(np.int64)
+        )[::-1]
+        tot = int(rev.sum())
+        cum = rev.cumsum()
+        n_top = int(np.argmax(CONC_PCT_DEN * cum >= CONC_PCT_NUM * tot)) + 1
+        assert got["n_customers"] == len(rev)
+        assert got["n_top"] == n_top
+        assert got["rev_share_micros"] == (int(cum[n_top - 1]) * 1_000_000) // tot
+        assert got["top_share_micros"] == (n_top * 1_000_000) // len(rev)
+        # minimality: one fewer customer does NOT reach the threshold
+        assert CONC_PCT_DEN * int(cum[n_top - 2]) < CONC_PCT_NUM * tot
