@@ -1563,6 +1563,41 @@ def _nation_year_sql() -> str:
     )
 
 
+def _join_size_sql() -> str:
+    """Mirror of join.join_size_stats: per-key count join, exact
+    Σ na·nb / count / max moments, integer-micros skew share."""
+    return (
+        "WITH a AS (SELECT o_custkey AS k, CAST(count(*) AS BIGINT) AS na"
+        "   FROM orders GROUP BY 1),"
+        " b AS (SELECT c_custkey AS k, CAST(count(*) AS BIGINT) AS nb"
+        "   FROM customer GROUP BY 1),"
+        " p AS (SELECT a.k, na*nb AS rows FROM a JOIN b USING (k)),"
+        " m AS (SELECT CAST(sum(rows) AS BIGINT) jr,"
+        "   CAST(count(*) AS BIGINT) nk, CAST(max(rows) AS BIGINT) mx"
+        "   FROM p)"
+        " SELECT jr AS join_rows, nk AS n_keys, mx AS max_key_rows,"
+        "  CAST((mx * 1000000) // jr AS BIGINT) AS skew_micros FROM m"
+    )
+
+
+def _cosupplier_sql() -> str:
+    """Mirror of join.cosupplier_edges: distinct (part, supplier)
+    self-join projection, top-k with the (n DESC, sk_a, sk_b)
+    tie-break, k interpolated."""
+    from pdf_parser_ray.pipelines.join import COSUPPLIER_TOP_K
+
+    return (
+        "WITH ps AS (SELECT DISTINCT l_partkey pk, l_suppkey sk"
+        "   FROM lineitem),"
+        " e AS (SELECT a.sk AS sk_a, b.sk AS sk_b,"
+        "   CAST(count(*) AS BIGINT) AS n_shared_parts"
+        "   FROM ps a JOIN ps b ON a.pk = b.pk AND a.sk < b.sk"
+        "   GROUP BY 1, 2)"
+        " SELECT sk_a, sk_b, n_shared_parts FROM e"
+        f" ORDER BY n_shared_parts DESC, sk_a, sk_b LIMIT {COSUPPLIER_TOP_K}"
+    )
+
+
 def _concentration_sql() -> str:
     """Mirror of relational.revenue_concentration: window cumsum over
     (rev DESC, ck), the integer 5·cum ≥ 4·total predicate with the
@@ -3579,6 +3614,8 @@ def oracle_sql() -> dict[str, str]:
         "leave_last_k": _leave_last_k_sql(),
         "host_assortativity": _assortativity_sql(),
         "revenue_concentration": _concentration_sql(),
+        "join_size_stats": _join_size_sql(),
+        "cosupplier_edges": _cosupplier_sql(),
         "pareto_orders": (
             # mirror of relational.pareto_orders: the NOT EXISTS
             # dominance definition (price >=, day <=, one strict);

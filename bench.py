@@ -411,6 +411,11 @@ def run_bench() -> dict:
     timed("value_cume_dist", relational.value_cume_dist)
     timed("leave_last_k", relational.leave_last_k)
     timed("revenue_concentration", relational.revenue_concentration)
+
+    from pdf_parser_ray.pipelines.join import cosupplier_edges, join_size_stats
+
+    timed("join_size_stats", join_size_stats)
+    timed("cosupplier_edges", cosupplier_edges)
     t = time.perf_counter()
     graph.host_assortativity(SF_DIR)  # small DataFrame
     timings["host_assortativity"] = time.perf_counter() - t

@@ -492,3 +492,182 @@ def bloom_semi_join(sf_dir: str, buckets: int = _DEFAULT_BUCKETS) -> rd.Dataset:
         .groupby("key")
         .map_groups(arrow_udf(verify), batch_format="pandas")
     )
+
+
+def _t(sf_dir: str, name: str, columns=None) -> rd.Dataset:
+    from .dedup import _blocks_for
+    from .io_util import read_parquet_clean
+
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    return read_parquet_clean(
+        path, columns=columns, override_num_blocks=_blocks_for(path)
+    )
+
+
+# -- distributed join-size estimation / skew diagnostics -------------------------
+
+def join_size_stats(sf_dir: str) -> rd.Dataset:
+    """(join_rows, n_keys, max_key_rows, skew_micros): the exact
+    pre-join planning statistics for orders ⋈ customer on custkey —
+    |A ⋈ B| = Σ_k cntA(k)·cntB(k), the key count, the hottest key's
+    output rows, and that key's share in micros.  This is the number a
+    planner reads to choose broadcast vs shuffle vs salting BEFORE
+    paying the join (SCALE.md's skew playbook as an operator).
+
+    Scale shape: both sides reduce to per-key count partials in-batch,
+    co-shuffle once on ``custkey % buckets`` (a key lives wholly in one
+    bucket, so per-key products are exact), and each bucket forwards
+    ONE (rows, keys, max) moment row to a constant-key fold."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    buckets = 64
+
+    def side(name: str, key: str, role: int):
+        def partials(batch: pa.Table) -> pa.Table:
+            g = (
+                pa.table({"k": batch.column(key)})
+                .group_by(["k"])
+                .aggregate([("k", "count")])
+            )
+            k = g.column("k").to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table(
+                {
+                    "bkt": pa.array((k % buckets).astype(np.int32)),
+                    "k": pa.array(k),
+                    "role": pa.array(np.full(len(k), role, np.int8)),
+                    "n": pc.cast(g.column("k_count"), pa.int64()),
+                }
+            )
+
+        return _t(sf_dir, name, [key]).map_batches(
+            partials, batch_format="pyarrow", zero_copy_batch=True
+        )
+
+    def bucket_moments(g: pd.DataFrame) -> pd.DataFrame:
+        a = g[g["role"] == 0].groupby("k")["n"].sum()
+        b = g[g["role"] == 1].groupby("k")["n"].sum()
+        prod = (a * b).dropna()
+        prod = prod[prod > 0]
+        return pd.DataFrame(
+            {
+                "fin": np.array([0], np.int8),
+                "rows": np.array([int(prod.sum())], np.int64),
+                "keys": np.array([len(prod)], np.int64),
+                "mx": np.array(
+                    [int(prod.max()) if len(prod) else 0], np.int64
+                ),
+            }
+        )
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        rows = int(g["rows"].sum())
+        mx = int(g["mx"].max())
+        return pd.DataFrame(
+            {
+                "join_rows": np.array([rows], np.int64),
+                "n_keys": np.array([int(g["keys"].sum())], np.int64),
+                "max_key_rows": np.array([mx], np.int64),
+                "skew_micros": np.array(
+                    [(mx * 1_000_000) // rows if rows else 0], np.int64
+                ),
+            }
+        )
+
+    return (
+        side("orders", "o_custkey", 0)
+        .union(side("customer", "c_custkey", 1))
+        .groupby("bkt")
+        .map_groups(arrow_udf(bucket_moments), batch_format="pandas")
+        .groupby("fin")
+        .map_groups(arrow_udf(fold), batch_format="pandas")
+    )
+
+
+COSUPPLIER_TOP_K = 20
+
+
+def cosupplier_edges(sf_dir: str, k: int = COSUPPLIER_TOP_K) -> rd.Dataset:
+    """(sk_a, sk_b, n_shared_parts): the top-k supplier pairs by number
+    of distinctly co-supplied parts — the bipartite projection of the
+    part↔supplier graph onto suppliers, the relational cousin of the
+    host co-citation graph (supply-chain redundancy / collusion
+    screen).  Ties break (n DESC, sk_a, sk_b).
+
+    Scale shape: distinct (part, supplier) pairs in-batch, one partkey
+    co-shuffle; each part's supplier set lives in one bucket, so the
+    C(s,2) pair expansion is exact and BOUNDED by the per-part supplier
+    fan-in (≤10 on this data — the expansion is quadratic only in that
+    small per-key degree, the classic projection caveat, documented);
+    per-bucket pair counts then fold on a constant key with a final
+    top-k."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    buckets = 64
+
+    def li_pairs(batch: pa.Table) -> pa.Table:
+        g = (
+            pa.table(
+                {"pk": batch.column("l_partkey"), "sk": batch.column("l_suppkey")}
+            )
+            .group_by(["pk", "sk"])
+            .aggregate([])
+        )
+        pk = g.column("pk").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "bkt": pa.array((pk % buckets).astype(np.int32)),
+                "pk": pa.array(pk, pa.int64()),
+                "sk": pc.cast(g.column("sk"), pa.int64()),
+            }
+        )
+
+    def expand_pairs(g: pd.DataFrame) -> pa.Table:
+        d = g.drop_duplicates(["pk", "sk"]).sort_values(["pk", "sk"])
+        out_a, out_b = [], []
+        for _, grp in d.groupby("pk", sort=False):
+            sks = grp["sk"].to_numpy(np.int64)
+            if len(sks) < 2:
+                continue
+            ia, ib = np.triu_indices(len(sks), 1)
+            out_a.append(sks[ia])
+            out_b.append(sks[ib])
+        if not out_a:
+            return pa.table(
+                {
+                    "fin": pa.array([], pa.int8()),
+                    "sk_a": pa.array([], pa.int64()),
+                    "sk_b": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        df = pd.DataFrame(
+            {"sk_a": np.concatenate(out_a), "sk_b": np.concatenate(out_b)}
+        )
+        c = df.groupby(["sk_a", "sk_b"], as_index=False).size()
+        return pa.table(
+            {
+                "fin": pa.array(np.zeros(len(c), np.int8)),
+                "sk_a": pa.array(c["sk_a"].to_numpy(np.int64)),
+                "sk_b": pa.array(c["sk_b"].to_numpy(np.int64)),
+                "n": pa.array(c["size"].to_numpy(np.int64)),
+            }
+        )
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby(["sk_a", "sk_b"], as_index=False)["n"].sum()
+        agg = agg.rename(columns={"n": "n_shared_parts"}).sort_values(
+            ["n_shared_parts", "sk_a", "sk_b"], ascending=[False, True, True]
+        ).head(k)
+        agg["n_shared_parts"] = agg["n_shared_parts"].astype(np.int64)
+        return agg.reset_index(drop=True)
+
+    return (
+        _t(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+        .map_batches(li_pairs, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bkt")
+        .map_groups(arrow_udf(expand_pairs), batch_format="pandas")
+        .groupby("fin")
+        .map_groups(arrow_udf(topk), batch_format="pandas")
+    )

@@ -129,7 +129,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # user_drawdowns, nation_year_revenue, gini_customer_revenue,
         # user_value_autocorr, fuzzy_name_pairs,
         # near_dup_rate_by_source, value_cume_dist, leave_last_k,
-        # host_assortativity, revenue_concentration) —
+        # host_assortativity, revenue_concentration, join_size_stats,
+        # cosupplier_edges) —
         # each oracle-backed in
         # tests/test_oracle.py; displacing a gated slot would cost an
         # established driver-green row), then the rows-only
@@ -262,6 +263,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "leave_last_k": relational.leave_last_k,
         "host_assortativity": graph.host_assortativity,
         "revenue_concentration": relational.revenue_concentration,
+        "join_size_stats": join_ops.join_size_stats,
+        "cosupplier_edges": join_ops.cosupplier_edges,
         "doc_top_terms": partial(
             analysis.doc_top_terms, vocab_cap=analysis.ORACLE_VOCAB_CAP
         ),

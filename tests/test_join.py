@@ -523,3 +523,60 @@ class TestBloomSemiJoin:
         n_line = pq.read_metadata(sf + "/lineitem.parquet").num_rows
         assert 0 < int(got["n_items"].sum()) < n_line // 2
         assert got["l_orderkey"].is_unique
+
+
+class TestJoinSizeStats:
+    def test_matches_brute_force(self, ray_session, quiet_data_context):
+        """Exact join cardinality vs the materialized join itself."""
+        import pyarrow.parquet as pq
+
+        from pdf_parser_ray.pipelines.join import join_size_stats
+
+        sf = "/root/testdata/sf0.001"
+        got = join_size_stats(sf).to_pandas().iloc[0]
+        o = pq.read_table(
+            sf + "/orders.parquet", columns=["o_custkey"]
+        ).to_pandas()
+        c = pq.read_table(
+            sf + "/customer.parquet", columns=["c_custkey"]
+        ).to_pandas()
+        j = o.merge(c, left_on="o_custkey", right_on="c_custkey")
+        per_key = j.groupby("o_custkey").size()
+        assert got["join_rows"] == len(j)
+        assert got["n_keys"] == len(per_key)
+        assert got["max_key_rows"] == per_key.max()
+        assert got["skew_micros"] == (per_key.max() * 1_000_000) // len(j)
+
+
+class TestCosupplierEdges:
+    def test_matches_brute_force(self, ray_session, quiet_data_context):
+        """Bipartite projection top-k vs itertools pair expansion."""
+        from collections import Counter
+        from itertools import combinations
+
+        import pyarrow.parquet as pq
+
+        from pdf_parser_ray.pipelines.join import (
+            COSUPPLIER_TOP_K, cosupplier_edges,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        got = cosupplier_edges(sf).to_pandas()
+        li = pq.read_table(
+            sf + "/lineitem.parquet", columns=["l_partkey", "l_suppkey"]
+        ).to_pandas()
+        by_part = li.drop_duplicates().groupby("l_partkey")["l_suppkey"].apply(
+            lambda s: sorted(set(s))
+        )
+        c: Counter = Counter()
+        for sks in by_part:
+            c.update(combinations(sks, 2))
+        want = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[
+            :COSUPPLIER_TOP_K
+        ]
+        got_rows = [
+            ((r["sk_a"], r["sk_b"]), r["n_shared_parts"])
+            for _, r in got.iterrows()
+        ]
+        assert got_rows == want
+        assert got["n_shared_parts"].iloc[0] >= 2  # projection binds
