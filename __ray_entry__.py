@@ -1563,6 +1563,39 @@ def _nation_year_sql() -> str:
     )
 
 
+def _bootstrap_sql() -> str:
+    """Mirror of relational.bootstrap_mean_ci: the shuffle-key hash
+    recomputed per (orderkey·reps + b), the Poisson(1) inverse-CDF
+    ladder with the SAME integer thresholds, exact integer moment
+    sums, floor-division mean."""
+    from pdf_parser_ray.pipelines.pack import (
+        SHUF_A1, SHUF_A2, SHUF_B1, SHUF_B2, SHUF_P,
+    )
+    from pdf_parser_ray.pipelines.relational import (
+        BOOT_REPS, _poisson_thresholds,
+    )
+
+    w_expr = " + ".join(
+        f"(CASE WHEN kk >= {t} THEN 1 ELSE 0 END)"
+        for t in _poisson_thresholds()
+    )
+    return (
+        f"WITH reps AS (SELECT unnest(range({BOOT_REPS})) AS b),"
+        " r0 AS (SELECT b, CAST(round(o_totalprice*100) AS BIGINT) AS cents,"
+        f"   (o_orderkey * {BOOT_REPS} + b) % {SHUF_P} AS x"
+        "   FROM orders CROSS JOIN reps),"
+        f" r1 AS (SELECT b, cents, ({SHUF_A1} * x + {SHUF_B1}) % {SHUF_P}"
+        "   AS k1 FROM r0),"
+        f" r2 AS (SELECT b, cents, ({SHUF_A2} * (xor(k1, k1 >> 17)"
+        f"   % {SHUF_P}) + {SHUF_B2}) % {SHUF_P} AS kk FROM r1),"
+        f" w AS (SELECT b, cents, {w_expr} AS w FROM r2)"
+        " SELECT CAST(b AS BIGINT) AS b, CAST(sum(w) AS BIGINT) AS n_eff,"
+        "  CAST(sum(w*cents) AS BIGINT) AS sum_cc,"
+        "  CAST((sum(w*cents) * 1000) // sum(w) AS BIGINT) AS mean_milli"
+        " FROM w GROUP BY b"
+    )
+
+
 def _join_size_sql() -> str:
     """Mirror of join.join_size_stats: per-key count join, exact
     Σ na·nb / count / max moments, integer-micros skew share."""
@@ -3616,6 +3649,7 @@ def oracle_sql() -> dict[str, str]:
         "revenue_concentration": _concentration_sql(),
         "join_size_stats": _join_size_sql(),
         "cosupplier_edges": _cosupplier_sql(),
+        "bootstrap_mean_ci": _bootstrap_sql(),
         "pareto_orders": (
             # mirror of relational.pareto_orders: the NOT EXISTS
             # dominance definition (price >=, day <=, one strict);

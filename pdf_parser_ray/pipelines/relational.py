@@ -5810,3 +5810,88 @@ def revenue_concentration(sf_dir: str) -> rd.Dataset:
         .groupby("gkey")
         .map_groups(arrow_udf(resolve), batch_format="pandas")
     )
+
+
+# -- Poisson bootstrap over the deterministic shuffle hash ----------------------
+
+BOOT_REPS = 32
+BOOT_WMAX = 8  # Poisson(1) tail beyond 7 is < 1e-5; cap the CDF ladder
+
+
+def _poisson_thresholds() -> "list[int]":
+    """Integer thresholds T_k = floor(CDF_Poisson(1)(k) · SHUF_P):
+    a hash value u ∈ [0, SHUF_P) maps to weight
+    w = |{k : T_k ≤ u}| — the inverse-CDF draw both engines share."""
+    import math
+
+    from .pack import SHUF_P
+
+    cdf, acc = [], 0.0
+    for k in range(BOOT_WMAX):
+        acc += math.exp(-1.0) / math.factorial(k)
+        cdf.append(min(acc, 1.0))
+    return [math.floor(c * SHUF_P) for c in cdf]
+
+
+def bootstrap_mean_ci(sf_dir: str, reps: int = BOOT_REPS) -> rd.Dataset:
+    """(b, n_eff, sum_cc, mean_milli): ``reps`` Poisson-bootstrap
+    replicates of the mean order value — each row enters replicate b
+    with weight ~ Poisson(1) drawn by inverse-CDF from the
+    deterministic shuffle hash of ``o_orderkey·reps + b``, so the
+    whole resampling study is ONE streaming pass (the at-scale
+    bootstrap: no materialized resamples, no RNG state) and both
+    engines draw identical weights.  The replicate spread IS the
+    sampling distribution — percentiles of ``mean_milli`` give the CI.
+
+    Scale shape: per-batch (b, Σw, Σw·x) partials — constant reps-row
+    output per batch — then one ``reps``-key combine.  mean_milli is
+    the exact floor (sum_cc · 1000) // n_eff on both sides."""
+    import pandas as pd
+
+    from .pack import shuffle_key
+
+    T = np.array(_poisson_thresholds(), np.int64)
+
+    def partials(batch: pa.Table) -> pa.Table:
+        okey = batch.column("o_orderkey").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        cents = pc.cast(
+            pc.round(pc.multiply(batch.column("o_totalprice"), 100.0)),
+            pa.int64(),
+        ).to_numpy(zero_copy_only=False)
+        bs, ns, ss = [], [], []
+        for b in range(reps):
+            u = shuffle_key(okey * reps + b)
+            w = np.searchsorted(T, u, side="right").astype(np.int64)
+            bs.append(b)
+            ns.append(int(w.sum()))
+            ss.append(int((w * cents).sum()))
+        return pa.table(
+            {
+                "b": pa.array(bs, pa.int64()),
+                "n": pa.array(ns, pa.int64()),
+                "s": pa.array(ss, pa.int64()),
+            }
+        )
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        n = int(g["n"].sum())
+        s = int(g["s"].sum())
+        return pd.DataFrame(
+            {
+                "b": np.array([int(g["b"].iloc[0])], np.int64),
+                "n_eff": np.array([n], np.int64),
+                "sum_cc": np.array([s], np.int64),
+                "mean_milli": np.array(
+                    [(s * 1000) // n if n else 0], np.int64
+                ),
+            }
+        )
+
+    return (
+        _t(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+        .map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("b")
+        .map_groups(arrow_udf(combine), batch_format="pandas")
+    )

@@ -1396,3 +1396,45 @@ class TestRevenueConcentration:
         assert got["top_share_micros"] == (n_top * 1_000_000) // len(rev)
         # minimality: one fewer customer does NOT reach the threshold
         assert CONC_PCT_DEN * int(cum[n_top - 2]) < CONC_PCT_NUM * tot
+
+
+class TestBootstrapMeanCI:
+    def test_matches_brute_force(self, ray_session, quiet_data_context):
+        """Replicate moments vs a numpy recomputation of the same
+        hash-derived Poisson weights; the weights must look Poisson(1)
+        (mean ≈ 1) and the replicate means must actually spread."""
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from pdf_parser_ray.pipelines.pack import shuffle_key
+        from pdf_parser_ray.pipelines.relational import (
+            BOOT_REPS, _poisson_thresholds, bootstrap_mean_ci,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        got = (
+            bootstrap_mean_ci(sf).to_pandas().set_index("b").sort_index()
+        )
+        assert len(got) == BOOT_REPS
+        o = pq.read_table(
+            sf + "/orders.parquet", columns=["o_orderkey", "o_totalprice"]
+        ).to_pandas()
+        okey = o["o_orderkey"].to_numpy(np.int64)
+        cents = np.round(o["o_totalprice"] * 100).astype(np.int64).to_numpy()
+        T = np.array(_poisson_thresholds(), np.int64)
+        total_w = 0
+        for b in range(BOOT_REPS):
+            w = np.searchsorted(
+                T, shuffle_key(okey * BOOT_REPS + b), side="right"
+            ).astype(np.int64)
+            total_w += int(w.sum())
+            assert got.loc[b, "n_eff"] == w.sum()
+            assert got.loc[b, "sum_cc"] == (w * cents).sum()
+            assert got.loc[b, "mean_milli"] == (
+                int((w * cents).sum()) * 1000
+            ) // int(w.sum())
+        # Poisson(1): average weight near 1 across replicates
+        avg = total_w / (BOOT_REPS * len(o))
+        assert 0.9 < avg < 1.1
+        # the sampling distribution has real spread
+        assert got["mean_milli"].nunique() > BOOT_REPS // 2
