@@ -1563,6 +1563,31 @@ def _nation_year_sql() -> str:
     )
 
 
+def _shard_balance_sql() -> str:
+    """Mirror of pack.shard_balance_report: the shuffle-key hash,
+    shard = key % S, per-shard doc/char loads and the micro share of a
+    perfectly even split."""
+    from pdf_parser_ray.pipelines.pack import (
+        SHUF_A1, SHUF_A2, SHUF_B1, SHUF_B2, SHUF_P, SHUF_SHARDS,
+    )
+
+    s = SHUF_SHARDS
+    return (
+        "WITH r1 AS (SELECT doc_id, n_chars,"
+        f"   ({SHUF_A1} * (doc_id % {SHUF_P}) + {SHUF_B1}) % {SHUF_P} AS k1"
+        "   FROM documents),"
+        " r2 AS (SELECT doc_id, n_chars,"
+        f"   ({SHUF_A2} * (xor(k1, k1 >> 17) % {SHUF_P}) + {SHUF_B2})"
+        f"     % {SHUF_P} AS kk FROM r1),"
+        f" a AS (SELECT kk % {s} AS shard, CAST(count(*) AS BIGINT) n_docs,"
+        "   CAST(sum(n_chars) AS BIGINT) n_chars FROM r2 GROUP BY 1),"
+        " t AS (SELECT CAST(sum(n_chars) AS BIGINT) tot FROM a)"
+        " SELECT shard, n_docs, n_chars,"
+        f"  CAST((n_chars * {s} * 1000000) // t.tot AS BIGINT)"
+        "    AS load_micros FROM a, t"
+    )
+
+
 def _bootstrap_sql() -> str:
     """Mirror of relational.bootstrap_mean_ci: the shuffle-key hash
     recomputed per (orderkey·reps + b), the Poisson(1) inverse-CDF
@@ -3650,6 +3675,7 @@ def oracle_sql() -> dict[str, str]:
         "join_size_stats": _join_size_sql(),
         "cosupplier_edges": _cosupplier_sql(),
         "bootstrap_mean_ci": _bootstrap_sql(),
+        "shard_balance_report": _shard_balance_sql(),
         "pareto_orders": (
             # mirror of relational.pareto_orders: the NOT EXISTS
             # dominance definition (price >=, day <=, one strict);

@@ -417,6 +417,10 @@ def run_bench() -> dict:
     timed("join_size_stats", join_size_stats)
     timed("cosupplier_edges", cosupplier_edges)
     timed("bootstrap_mean_ci", relational.bootstrap_mean_ci)
+
+    from pdf_parser_ray.pipelines.pack import shard_balance_report
+
+    timed("shard_balance_report", shard_balance_report)
     t = time.perf_counter()
     graph.host_assortativity(SF_DIR)  # small DataFrame
     timings["host_assortativity"] = time.perf_counter() - t

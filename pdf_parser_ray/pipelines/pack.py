@@ -398,3 +398,60 @@ def weighted_priority_sample(sf_dir: str, k: int = WPS_K) -> rd.Dataset:
         .sort(["priority", "doc_id"], descending=[True, False])
         .limit(k)
     )
+
+
+def shard_balance_report(
+    sf_dir: str, shards: int = SHUF_SHARDS
+) -> rd.Dataset:
+    """(shard, n_docs, n_chars, load_micros): per-shard doc and
+    character load of the :func:`shuffle_shards` hash assignment, with
+    each shard's character share of a perfectly-even split in micros
+    (1e6 = exactly even) — the export-balance check a training job
+    reads before writing shards: a hot shard slows every epoch.
+
+    Scale shape: map-only per-batch (shard, n, chars) bincount
+    partials — constant ``shards``-row output per batch — then one
+    ``shards``-key combine; the grand total folds inside the final
+    constant-key pass, so nothing leaves the cluster but
+    2·shards rows."""
+    import pandas as pd
+
+    def partials(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        nch = batch.column("n_chars").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        shard = shuffle_key(ids) % shards
+        n = np.bincount(shard, minlength=shards).astype(np.int64)
+        ch = np.bincount(shard, weights=nch, minlength=shards).astype(np.int64)
+        return pa.table(
+            {
+                "fin": pa.array(np.zeros(shards, np.int8)),
+                "shard": pa.array(np.arange(shards, dtype=np.int64)),
+                "n": pa.array(n),
+                "ch": pa.array(ch),
+            }
+        )
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("shard", as_index=False)[["n", "ch"]].sum()
+        total = int(agg["ch"].sum())
+        return pd.DataFrame(
+            {
+                "shard": agg["shard"].to_numpy(np.int64),
+                "n_docs": agg["n"].to_numpy(np.int64),
+                "n_chars": agg["ch"].to_numpy(np.int64),
+                "load_micros": (
+                    agg["ch"].to_numpy(np.int64) * shards * 1_000_000 // total
+                ).astype(np.int64),
+            }
+        )
+
+    return (
+        _docs(sf_dir, ["doc_id", "n_chars"])
+        .map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("fin")
+        .map_groups(arrow_udf(combine), batch_format="pandas")
+    )

@@ -704,3 +704,41 @@ class TestWeightedPrioritySample:
 
         uni = uniform_sample_k(sf).to_pandas()
         assert set(got["doc_id"]) != set(uni["doc_id"])
+
+
+class TestShardBalanceReport:
+    def test_matches_shuffle_shards(self, ray_session, quiet_data_context):
+        """Per-shard doc counts must equal shuffle_shards' actual shard
+        sizes (same hash, same assignment) and char loads conserve."""
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from pdf_parser_ray.pipelines.pack import (
+            SHUF_SHARDS, shard_balance_report, shuffle_shards,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        got = (
+            shard_balance_report(sf)
+            .to_pandas()
+            .set_index("shard")
+            .sort_index()
+        )
+        assert len(got) == SHUF_SHARDS
+        sizes = (
+            shuffle_shards(sf)
+            .to_pandas()
+            .groupby("shard")
+            .size()
+        )
+        for s, n in sizes.items():
+            assert got.loc[s, "n_docs"] == n
+        total_chars = int(
+            pq.read_table(sf + "/documents.parquet", columns=["n_chars"])
+            .column("n_chars")
+            .to_numpy()
+            .sum()
+        )
+        assert got["n_chars"].sum() == total_chars
+        # loads hover around even (1e6) but are not constant
+        assert got["load_micros"].min() < 1_000_000 < got["load_micros"].max()
