@@ -1563,6 +1563,65 @@ def _nation_year_sql() -> str:
     )
 
 
+def _ann_recall_sql() -> str:
+    """Mirror of similarity.ann_recall: the _knn_lsh_sql bucket/probe
+    machinery generalized to the whole query panel, exact and
+    bucket-restricted top-k via per-query row_number, intersection
+    counted with a LEFT JOIN — constants interpolated."""
+    from pdf_parser_ray.pipelines.similarity import (
+        _LSH_BITS, KNN_MULTI_QUERIES,
+    )
+
+    k = 10
+    qids = ", ".join(str(q) for q in KNN_MULTI_QUERIES)
+    return (
+        "WITH v AS (SELECT vec_id,"
+        "   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e"
+        "   FROM embeddings),"
+        " ed AS (SELECT vec_id, CAST(i - 1 AS BIGINT) AS d,"
+        "   e[CAST(i AS INT)] AS x"
+        "   FROM (SELECT vec_id, e, unnest(range(1, len(e) + 1)) AS i"
+        "         FROM v)),"
+        " dots AS (SELECT vec_id, pp.p AS p,"
+        "   sum(x * ((((d * 131 + pp.p * 137) % 251) - 125) / 125.0)) AS dot"
+        f"  FROM ed CROSS JOIN (SELECT unnest(range({_LSH_BITS})) AS p) pp"
+        "   GROUP BY vec_id, pp.p),"
+        " bk AS (SELECT vec_id, CAST(sum(CASE WHEN dot > 0"
+        "   THEN 1 << CAST(p AS INT) ELSE 0 END) AS BIGINT) AS bucket"
+        "   FROM dots GROUP BY vec_id),"
+        f" q AS (SELECT vec_id AS query_id, e AS qe FROM v"
+        f"   WHERE vec_id IN ({qids})),"
+        " qb AS (SELECT q.query_id, bk.bucket FROM bk"
+        "   JOIN q ON bk.vec_id = q.query_id),"
+        " probes AS (SELECT query_id, bucket AS b FROM qb"
+        "   UNION SELECT qb.query_id, xor(qb.bucket, 1 << CAST(t.p AS INT))"
+        f"  FROM qb CROSS JOIN (SELECT unnest(range({_LSH_BITS})) AS p) t),"
+        " sc AS (SELECT q.query_id, v.vec_id,"
+        "   CAST(trunc(list_cosine_similarity(v.e, q.qe) * 1000000)"
+        "     AS BIGINT) AS cm"
+        "  FROM v CROSS JOIN q WHERE v.vec_id <> q.query_id),"
+        " ex AS (SELECT query_id, vec_id FROM (SELECT *, row_number()"
+        "   OVER (PARTITION BY query_id ORDER BY cm DESC, vec_id) rn"
+        f"   FROM sc) WHERE rn <= {k}),"
+        " apc AS (SELECT sc.query_id, sc.vec_id, sc.cm FROM sc"
+        "   JOIN bk ON bk.vec_id = sc.vec_id"
+        "   WHERE bk.bucket IN (SELECT b FROM probes p"
+        "     WHERE p.query_id = sc.query_id)),"
+        " ap AS (SELECT query_id, vec_id FROM (SELECT *, row_number()"
+        "   OVER (PARTITION BY query_id ORDER BY cm DESC, vec_id) rn"
+        f"   FROM apc) WHERE rn <= {k}),"
+        " m AS (SELECT ex.query_id, count(ap.vec_id) AS inter FROM ex"
+        "   LEFT JOIN ap ON ap.query_id = ex.query_id"
+        "     AND ap.vec_id = ex.vec_id GROUP BY ex.query_id),"
+        " ne AS (SELECT query_id, count(*) n_exact FROM ex GROUP BY 1),"
+        " na AS (SELECT query_id, count(*) n_approx FROM ap GROUP BY 1)"
+        " SELECT m.query_id, CAST(ne.n_exact AS BIGINT) AS n_exact,"
+        "  CAST(na.n_approx AS BIGINT) AS n_approx,"
+        f"  CAST((m.inter * 1000000) // {k} AS BIGINT) AS recall_micros"
+        " FROM m JOIN ne USING (query_id) JOIN na USING (query_id)"
+    )
+
+
 def _shard_balance_sql() -> str:
     """Mirror of pack.shard_balance_report: the shuffle-key hash,
     shard = key % S, per-shard doc/char loads and the micro share of a
@@ -3676,6 +3735,7 @@ def oracle_sql() -> dict[str, str]:
         "cosupplier_edges": _cosupplier_sql(),
         "bootstrap_mean_ci": _bootstrap_sql(),
         "shard_balance_report": _shard_balance_sql(),
+        "ann_recall": _ann_recall_sql(),
         "pareto_orders": (
             # mirror of relational.pareto_orders: the NOT EXISTS
             # dominance definition (price >=, day <=, one strict);

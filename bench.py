@@ -421,6 +421,12 @@ def run_bench() -> dict:
     from pdf_parser_ray.pipelines.pack import shard_balance_report
 
     timed("shard_balance_report", shard_balance_report)
+
+    from pdf_parser_ray.pipelines.similarity import ann_recall
+
+    t = time.perf_counter()
+    ann_recall(SF_DIR)  # small DataFrame
+    timings["ann_recall"] = time.perf_counter() - t
     t = time.perf_counter()
     graph.host_assortativity(SF_DIR)  # small DataFrame
     timings["host_assortativity"] = time.perf_counter() - t

@@ -927,3 +927,49 @@ def knn_multi(
         .groupby("query_id")
         .map_groups(arrow_udf(per_query_topk), batch_format="pandas")
     )
+
+
+def ann_recall(
+    sf_dir: str,
+    query_vec_ids: "tuple[int, ...]" = KNN_MULTI_QUERIES,
+    k: int = 10,
+) -> "pd.DataFrame":
+    """(query_id, n_exact, n_approx, recall_micros): recall@k of the
+    IVF ANN path against exact brute-force cosine, per query of the
+    standing panel — the eval harness that certifies an index
+    configuration before a corpus-wide kNN job switches off the exact
+    path.  recall = |exact ∩ approx| · 1e6 // k.
+
+    Measured tiering on the synthetic panel @k=10 (pinned by
+    test_cluster::TestAnnRecall): knn_quantized 90-100% >
+    knn_ivf_kmeans 50-80% > this hyperplane-IVF 0-20% — the
+    near-uniform synthetic embeddings split true neighbors across
+    hyperplane buckets, which is exactly why knn_ivf_kmeans (data-fit
+    centroids) and knn_quantized (exact integer scoring, no bucketing)
+    are the production ANN paths and hyperplane IVF stays the
+    pruning-mechanics demo.
+
+    Scale shape: ONE exact corpus scan scores the whole panel (the
+    :func:`knn_multi` broadcast-matmul pass); the approx side runs the
+    probed-bucket-read :func:`knn_ivf` per query (sublinear I/O each);
+    the comparison is driver math over |panel| × k id lists — a
+    bounded eval artifact."""
+    import pandas as pd
+
+    exact = knn_multi(sf_dir, query_vec_ids, k).to_pandas()
+    rows = []
+    for qid in query_vec_ids:
+        ex = set(
+            exact.loc[exact["query_id"] == qid, "vec_id"].astype(int)
+        )
+        ap = set(
+            knn_ivf(sf_dir, query_vec_id=qid, k=k)
+            .to_pandas()["vec_id"]
+            .astype(int)
+        )
+        rows.append(
+            (qid, len(ex), len(ap), (len(ex & ap) * 1_000_000) // k)
+        )
+    return pd.DataFrame(
+        rows, columns=["query_id", "n_exact", "n_approx", "recall_micros"]
+    ).astype(np.int64)

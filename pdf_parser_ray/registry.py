@@ -130,7 +130,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # user_value_autocorr, fuzzy_name_pairs,
         # near_dup_rate_by_source, value_cume_dist, leave_last_k,
         # host_assortativity, revenue_concentration, join_size_stats,
-        # cosupplier_edges, bootstrap_mean_ci, shard_balance_report) —
+        # cosupplier_edges, bootstrap_mean_ci, shard_balance_report,
+        # ann_recall) —
         # each oracle-backed in
         # tests/test_oracle.py; displacing a gated slot would cost an
         # established driver-green row), then the rows-only
@@ -267,6 +268,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cosupplier_edges": join_ops.cosupplier_edges,
         "bootstrap_mean_ci": relational.bootstrap_mean_ci,
         "shard_balance_report": pack.shard_balance_report,
+        "ann_recall": similarity.ann_recall,
         "doc_top_terms": partial(
             analysis.doc_top_terms, vocab_cap=analysis.ORACLE_VOCAB_CAP
         ),

@@ -328,3 +328,37 @@ class TestKnnMulti:
         single = knn_cosine(sf, query_vec_id=0, k=5).to_pandas()
         sub = multi[multi["query_id"] == 0]
         assert sub["vec_id"].tolist() == single["vec_id"].head(5).tolist()
+
+
+class TestAnnRecall:
+    def test_recall_tiering(self, ray_session, quiet_data_context):
+        """The eval harness reproduces the documented ANN tiering on
+        the panel: quantized > ivf_kmeans > hyperplane-IVF recall@10,
+        and the hyperplane numbers match an independent set compare."""
+        from pdf_parser_ray.pipelines.similarity import (
+            KNN_MULTI_QUERIES, ann_recall, knn_ivf, knn_ivf_kmeans,
+            knn_multi, knn_quantized,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        rep = ann_recall(sf).set_index("query_id")
+        exact = knn_multi(sf, KNN_MULTI_QUERIES, 10).to_pandas()
+
+        def rec(fn):
+            tot = 0
+            for qid in KNN_MULTI_QUERIES:
+                ex = set(
+                    exact.loc[exact["query_id"] == qid, "vec_id"].astype(int)
+                )
+                ap = set(
+                    fn(sf, query_vec_id=qid, k=10).to_pandas()["vec_id"]
+                    .astype(int)
+                )
+                tot += len(ex & ap)
+            return tot  # out of 50
+
+        ivf_total = int(rep["recall_micros"].sum() * 10 // 1_000_000)
+        assert rec(knn_ivf) == ivf_total  # harness == independent compare
+        km, qz = rec(knn_ivf_kmeans), rec(knn_quantized)
+        assert qz > km > ivf_total  # the documented production tiering
+        assert qz >= 45  # quantized: >= 90% mean recall on the panel
