@@ -1563,6 +1563,28 @@ def _nation_year_sql() -> str:
     )
 
 
+def _hour_effect_sql() -> str:
+    """Mirror of relational.hour_of_day_effect: the exact-integer
+    η² formulation — per-group (S_g²·1000)//n_g floors through
+    HUGEINT, no order-dependent float sum anywhere."""
+    return (
+        "WITH h AS (SELECT (epoch_us(ts) // 3600000000) % 24 AS hour,"
+        "   CAST(round(value*100) AS BIGINT) AS cents FROM events),"
+        " g AS (SELECT hour, CAST(count(*) AS HUGEINT) n,"
+        "   CAST(sum(cents) AS HUGEINT) s,"
+        "   CAST(sum(CAST(cents AS HUGEINT)*cents) AS HUGEINT) q"
+        "   FROM h GROUP BY hour),"
+        " m AS (SELECT CAST(sum(n) AS HUGEINT) N,"
+        "   CAST(sum(s) AS HUGEINT) S, CAST(sum(q) AS HUGEINT) Q,"
+        "   CAST(sum((s*s*1000) // n) AS HUGEINT) t, count(*) ng FROM g)"
+        " SELECT CAST(N AS BIGINT) AS n, CAST(ng AS BIGINT) AS n_groups,"
+        "  CAST(CASE WHEN 1000*(N*Q - S*S) <= 0 THEN 0"
+        "   ELSE ((N*t - 1000*S*S) * 1000000) // (1000*(N*Q - S*S)) END"
+        "   AS BIGINT) AS eta2_micros"
+        " FROM m"
+    )
+
+
 def _ann_recall_sql() -> str:
     """Mirror of similarity.ann_recall: the _knn_lsh_sql bucket/probe
     machinery generalized to the whole query panel, exact and
@@ -3736,6 +3758,7 @@ def oracle_sql() -> dict[str, str]:
         "bootstrap_mean_ci": _bootstrap_sql(),
         "shard_balance_report": _shard_balance_sql(),
         "ann_recall": _ann_recall_sql(),
+        "hour_of_day_effect": _hour_effect_sql(),
         "pareto_orders": (
             # mirror of relational.pareto_orders: the NOT EXISTS
             # dominance definition (price >=, day <=, one strict);

@@ -427,6 +427,7 @@ def run_bench() -> dict:
     t = time.perf_counter()
     ann_recall(SF_DIR)  # small DataFrame
     timings["ann_recall"] = time.perf_counter() - t
+    timed("hour_of_day_effect", relational.hour_of_day_effect)
     t = time.perf_counter()
     graph.host_assortativity(SF_DIR)  # small DataFrame
     timings["host_assortativity"] = time.perf_counter() - t

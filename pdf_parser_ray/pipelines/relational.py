@@ -5895,3 +5895,80 @@ def bootstrap_mean_ci(sf_dir: str, reps: int = BOOT_REPS) -> rd.Dataset:
         .groupby("b")
         .map_groups(arrow_udf(combine), batch_format="pandas")
     )
+
+
+def hour_of_day_effect(sf_dir: str) -> rd.Dataset:
+    """(n, n_groups, eta2_micros): how much of the event-value variance
+    the hour-of-day explains — the ANOVA effect size
+    η² = SS_between / SS_total over the 24 hour groups, the
+    seasonality-strength scalar behind :func:`events_dow_hour`'s
+    visual matrix (η² → 0: no diurnal structure; → 1: value is a pure
+    function of the hour).
+
+    Exact integers end to end — no float sum anywhere (a double
+    Σ S_g²/n_g would be addition-order-dependent, which SQL SUM does
+    not pin): the between/total identity is evaluated as
+    T = Σ_g (S_g²·K) // n_g with K = 1000 (per-group floor, defined
+    identically on both engines), then
+    η²_micros = ((N·T − K·S²) · 1e6) // (K·(N·Q − S²)).  The K-scaled
+    per-group floor biases η² by < 1/(K·n_g) — microscopic against the
+    1e-6 reporting grid.  Magnitudes pass through Python ints here and
+    HUGEINT in the mirror.
+
+    Scale shape: one streaming pass of per-batch (hour, n, S, Q)
+    partials — a constant 24-row output per batch — then a 24-key
+    combine and a single-row driver-free fold."""
+    import pandas as pd
+
+    def partials(batch: pa.Table) -> pa.Table:
+        ts = pc.cast(batch.column("ts"), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        hour = (ts // 3_600_000_000) % 24
+        cents = pc.cast(
+            pc.round(pc.multiply(batch.column("value"), 100.0)), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        n = np.bincount(hour, minlength=24).astype(np.int64)
+        s = np.bincount(hour, weights=cents, minlength=24).astype(np.int64)
+        q = np.bincount(
+            hour, weights=(cents * cents).astype(np.float64), minlength=24
+        ).astype(np.int64)
+        # cents² ≤ ~1e12 and per-batch counts are small: the float64
+        # bincount accumulator stays exact below 2^53 per batch
+        return pa.table(
+            {
+                "fin": pa.array(np.zeros(24, np.int8)),
+                "hour": pa.array(np.arange(24, dtype=np.int64)),
+                "n": pa.array(n),
+                "s": pa.array(s),
+                "q": pa.array(q),
+            }
+        )
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        K = 1000
+        agg = g.groupby("hour", as_index=False)[["n", "s", "q"]].sum()
+        agg = agg[agg["n"] > 0]
+        N = int(agg["n"].sum())
+        S = int(agg["s"].sum())
+        Q = int(agg["q"].sum())
+        t = sum(
+            (int(r["s"]) * int(r["s"]) * K) // int(r["n"])
+            for _, r in agg.iterrows()
+        )  # Python ints: S_g² exceeds int64 at sf0.1
+        den = K * (N * Q - S * S)
+        eta2_micros = 0 if den <= 0 else ((N * t - K * S * S) * 1_000_000) // den
+        return pd.DataFrame(
+            {
+                "n": np.array([N], np.int64),
+                "n_groups": np.array([len(agg)], np.int64),
+                "eta2_micros": np.array([eta2_micros], np.int64),
+            }
+        )
+
+    return (
+        _t(sf_dir, "events", ["ts", "value"])
+        .map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("fin")
+        .map_groups(arrow_udf(fold), batch_format="pandas")
+    )

@@ -1438,3 +1438,76 @@ class TestBootstrapMeanCI:
         assert 0.9 < avg < 1.1
         # the sampling distribution has real spread
         assert got["mean_milli"].nunique() > BOOT_REPS // 2
+
+
+class TestHourOfDayEffect:
+    def test_matches_brute_force(self, ray_session, quiet_data_context):
+        """Exact-integer eta-squared vs a Python-int recomputation, and
+        sanity vs the float ANOVA identity; a planted pure-hour signal
+        must read ~1e6."""
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from pdf_parser_ray.pipelines.relational import hour_of_day_effect
+
+        sf = "/root/testdata/sf0.001"
+        got = hour_of_day_effect(sf).to_pandas().iloc[0]
+        ev = pq.read_table(
+            sf + "/events.parquet", columns=["ts", "value"]
+        ).to_pandas()
+        hour = (
+            ev["ts"].astype("int64") // 3_600_000_000
+        ) % 24
+        cents = np.round(ev["value"] * 100).astype(np.int64)
+        K = 1000
+        N = len(cents)
+        S = int(cents.sum())
+        Q = int((cents.astype(object) * cents.astype(object)).sum())
+        t = 0
+        ng = 0
+        for h in range(24):
+            m = hour == h
+            if not m.any():
+                continue
+            ng += 1
+            sg = int(cents[m].sum())
+            t += (sg * sg * K) // int(m.sum())
+        den = K * (N * Q - S * S)
+        want = ((N * t - K * S * S) * 1_000_000) // den
+        assert got["n"] == N and got["n_groups"] == ng
+        assert got["eta2_micros"] == want
+        # sanity: within 1/1000 of the float ANOVA eta-squared
+        means = {h: cents[hour == h].mean() for h in range(24)}
+        gm = cents.mean()
+        ssb = sum(
+            (hour == h).sum() * (means[h] - gm) ** 2 for h in range(24)
+        )
+        sst = ((cents - gm) ** 2).sum()
+        assert abs(got["eta2_micros"] / 1e6 - ssb / sst) < 1e-3
+
+    def test_planted_pure_hour_signal(
+        self, ray_session, quiet_data_context, tmp_path
+    ):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pdf_parser_ray.pipelines.relational import hour_of_day_effect
+
+        n = 480
+        ts = [1_600_000_000_000_000 + i * 3_600_000_000 for i in range(n)]
+        vals = [float((i % 24) * 10) for i in range(n)]  # value == f(hour)
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": pa.array(range(n), pa.int64()),
+                    "ts": pa.array(ts, pa.timestamp("us")),
+                    "user_id": pa.array([i % 7 for i in range(n)], pa.int64()),
+                    "event_type": pa.array(["x"] * n, pa.string()),
+                    "value": pa.array(vals, pa.float64()),
+                    "props": pa.array([""] * n, pa.string()),
+                }
+            ),
+            str(tmp_path / "events.parquet"),
+        )
+        got = hour_of_day_effect(str(tmp_path)).to_pandas().iloc[0]
+        assert got["eta2_micros"] >= 999_000  # pure diurnal signal
