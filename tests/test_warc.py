@@ -109,3 +109,48 @@ class TestWarcRoundtrip:
         back = read_pages_warc(out).to_pandas()
         # all but the truncated final record survive; nothing raises
         assert len(back) == len(t) - 1
+
+
+class TestWarcFramingProperty:
+    def test_roundtrip_any_payload(self, ray_session, quiet_data_context, tmp_path):
+        """Property: _encode_record ∘ _parse_archive is the identity
+        for arbitrary payload bytes and unicode texts — including
+        payloads embedding complete fake records."""
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from pdf_parser_ray.pipelines.warc import (
+            _encode_record, _parse_archive,
+        )
+
+        @given(
+            payloads=st.lists(
+                st.binary(min_size=0, max_size=400), min_size=1, max_size=6
+            ),
+            texts=st.lists(
+                st.text(min_size=0, max_size=120), min_size=6, max_size=6
+            ),
+        )
+        @settings(max_examples=120, deadline=None)
+        def prop(payloads, texts):
+            blob = b"".join(
+                _encode_record(f"https://h/{i}", 1_000_000 + i, p, t, "xx")
+                for i, (p, t) in enumerate(zip(payloads, texts))
+            )
+            rec = _parse_archive(blob)
+            assert rec["url"] == [f"https://h/{i}" for i in range(len(payloads))]
+            assert rec["html"] == list(payloads)
+            assert rec["text"] == [
+                t for t, _ in zip(texts, payloads)
+            ]
+
+        prop()
+
+    def test_payload_embedding_full_fake_record(self):
+        from pdf_parser_ray.pipelines.warc import _encode_record, _parse_archive
+
+        fake = _encode_record("https://fake/", 1, b"inner", "inner text", "zz")
+        blob = _encode_record("https://real/", 2, fake, "outer", "en")
+        rec = _parse_archive(blob)
+        assert rec["url"] == ["https://real/"]
+        assert rec["html"] == [fake]  # the embedded record stays payload
