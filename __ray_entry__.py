@@ -1563,6 +1563,26 @@ def _nation_year_sql() -> str:
     )
 
 
+def _target_encode_sql() -> str:
+    """Mirror of relational.target_encode_events: per-type (n, S)
+    moments, LOO mean (S−x)·1000 // (n−1), singleton fallback to the
+    global LOO mean."""
+    return (
+        "WITH h AS (SELECT event_id, event_type,"
+        "   CAST(round(value*100) AS BIGINT) AS c FROM events),"
+        " m AS (SELECT event_type, CAST(count(*) AS BIGINT) n,"
+        "   CAST(sum(c) AS BIGINT) s FROM h GROUP BY 1),"
+        " g AS (SELECT CAST(count(*) AS BIGINT) n_all,"
+        "   CAST(sum(c) AS BIGINT) s_all FROM h)"
+        " SELECT h.event_id, h.event_type,"
+        "  CAST(CASE WHEN m.n <= 1 THEN"
+        "   ((g.s_all - h.c) * 1000) // (g.n_all - 1)"
+        "   ELSE ((m.s - h.c) * 1000) // (m.n - 1) END AS BIGINT)"
+        "   AS loo_mean_milli"
+        " FROM h JOIN m USING (event_type) CROSS JOIN g"
+    )
+
+
 def _hour_effect_sql() -> str:
     """Mirror of relational.hour_of_day_effect: the exact-integer
     η² formulation — per-group (S_g²·1000)//n_g floors through
@@ -3759,6 +3779,7 @@ def oracle_sql() -> dict[str, str]:
         "shard_balance_report": _shard_balance_sql(),
         "ann_recall": _ann_recall_sql(),
         "hour_of_day_effect": _hour_effect_sql(),
+        "target_encode_events": _target_encode_sql(),
         "pareto_orders": (
             # mirror of relational.pareto_orders: the NOT EXISTS
             # dominance definition (price >=, day <=, one strict);

@@ -428,6 +428,7 @@ def run_bench() -> dict:
     ann_recall(SF_DIR)  # small DataFrame
     timings["ann_recall"] = time.perf_counter() - t
     timed("hour_of_day_effect", relational.hour_of_day_effect)
+    timed("target_encode_events", relational.target_encode_events)
     t = time.perf_counter()
     graph.host_assortativity(SF_DIR)  # small DataFrame
     timings["host_assortativity"] = time.perf_counter() - t

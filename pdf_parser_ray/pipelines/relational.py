@@ -5972,3 +5972,73 @@ def hour_of_day_effect(sf_dir: str) -> rd.Dataset:
         .groupby("fin")
         .map_groups(arrow_udf(fold), batch_format="pandas")
     )
+
+
+def target_encode_events(sf_dir: str) -> rd.Dataset:
+    """(event_id, event_type, loo_mean_milli): leave-one-out target
+    encoding of the event type — each event's feature is the mean
+    value of its type EXCLUDING itself, (S_t − x) / (n_t − 1) in
+    floor-division milli-cents — the leakage-safe categorical encoder
+    (plain per-category means leak each row's own target into its
+    feature; LOO is the standard fix).  Singleton types fall back to
+    the global LOO mean on both engines.
+
+    Scale shape: the per-type (n, S) moments are a bounded artifact
+    (one streaming fold, types are a small closed set); they broadcast
+    in-closure and the encoding pass is map-only row-level output —
+    the value_cume_dist shape with a different statistic."""
+    def moment_partials(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.round(pc.multiply(batch.column("value"), 100.0)), pa.int64()
+        )
+        g = (
+            pa.table({"event_type": batch.column("event_type"), "c": cents})
+            .group_by(["event_type"])
+            .aggregate([("c", "count"), ("c", "sum")])
+        )
+        return pa.table(
+            {
+                "event_type": g.column("event_type"),
+                "n": pc.cast(g.column("c_count"), pa.int64()),
+                "s": g.column("c_sum"),
+            }
+        )
+
+    m = (
+        _t(sf_dir, "events", ["event_type", "value"])
+        .map_batches(moment_partials, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()
+        .groupby("event_type", as_index=False)[["n", "s"]]
+        .sum()
+    )
+    lut = {
+        str(r["event_type"]): (int(r["n"]), int(r["s"]))
+        for _, r in m.iterrows()
+    }
+    n_all, s_all = int(m["n"].sum()), int(m["s"].sum())
+
+    def encode(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.round(pc.multiply(batch.column("value"), 100.0)), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        types = batch.column("event_type").to_pylist()
+        out = np.empty(len(cents), np.int64)
+        for t in set(types):
+            n_t, s_t = lut[t]
+            mask = np.array([x == t for x in types])
+            if n_t <= 1:
+                # singleton category: global LOO mean
+                out[mask] = ((s_all - cents[mask]) * 1000) // (n_all - 1)
+            else:
+                out[mask] = ((s_t - cents[mask]) * 1000) // (n_t - 1)
+        return pa.table(
+            {
+                "event_id": batch.column("event_id"),
+                "event_type": batch.column("event_type"),
+                "loo_mean_milli": pa.array(out),
+            }
+        )
+
+    return _t(sf_dir, "events", ["event_id", "event_type", "value"]).map_batches(
+        encode, batch_format="pyarrow", zero_copy_batch=True
+    )

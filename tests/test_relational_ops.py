@@ -1511,3 +1511,39 @@ class TestHourOfDayEffect:
         )
         got = hour_of_day_effect(str(tmp_path)).to_pandas().iloc[0]
         assert got["eta2_micros"] >= 999_000  # pure diurnal signal
+
+
+class TestTargetEncodeEvents:
+    def test_matches_brute_force(self, ray_session, quiet_data_context):
+        """LOO means vs a per-row Python recomputation; the encoding
+        must differ from the plain (leaky) per-type mean."""
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from pdf_parser_ray.pipelines.relational import target_encode_events
+
+        sf = "/root/testdata/sf0.001"
+        got = (
+            target_encode_events(sf)
+            .to_pandas()
+            .set_index("event_id")
+            .sort_index()
+        )
+        ev = pq.read_table(
+            sf + "/events.parquet", columns=["event_id", "event_type", "value"]
+        ).to_pandas()
+        ev["c"] = np.round(ev["value"] * 100).astype(np.int64)
+        stats = ev.groupby("event_type")["c"].agg(["count", "sum"])
+        n_all, s_all = len(ev), int(ev["c"].sum())
+        plain_differs = 0
+        for _, r in ev.iterrows():
+            n_t = int(stats.loc[r["event_type"], "count"])
+            s_t = int(stats.loc[r["event_type"], "sum"])
+            if n_t <= 1:
+                want = ((s_all - int(r["c"])) * 1000) // (n_all - 1)
+            else:
+                want = ((s_t - int(r["c"])) * 1000) // (n_t - 1)
+                if want != (s_t * 1000) // n_t:
+                    plain_differs += 1
+            assert got.loc[r["event_id"], "loo_mean_milli"] == want
+        assert plain_differs > len(ev) // 2  # LOO genuinely de-leaks
