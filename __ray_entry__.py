@@ -1563,6 +1563,48 @@ def _nation_year_sql() -> str:
     )
 
 
+def _rfm_sql() -> str:
+    """Mirror of relational.customer_rfm: per-customer (recency day,
+    order count, lifetime cents), quartile cutoffs at the discrete
+    index ceil(q·n) — written (q·n + 3) // 4 because DuckDB's //
+    truncates toward zero on negatives, so the -(-x // d) ceil idiom
+    is WRONG here — and 1-4 scores by strict-greater cutoff counts
+    (recency inverted so 4 = most recent)."""
+    return (
+        "WITH pc AS (SELECT o_custkey ck,"
+        "   SUM(CAST(round(o_totalprice*100) AS BIGINT)) m,"
+        "   CAST(count(*) AS BIGINT) n,"
+        "   CAST(max(epoch_us(o_orderdate)) // 86400000000 AS BIGINT) d"
+        "  FROM orders GROUP BY 1),"
+        " mx AS (SELECT max(d) AS max_day, CAST(count(*) AS BIGINT) AS nt"
+        "   FROM pc),"
+        " rd_ AS (SELECT ck, d, n, m,"
+        "   row_number() OVER (ORDER BY d) rn_d,"
+        "   row_number() OVER (ORDER BY n) rn_n,"
+        "   row_number() OVER (ORDER BY m) rn_m FROM pc),"
+        " cuts AS (SELECT"
+        "   max(CASE WHEN rn_d = (1 * nt + 3) // 4 THEN d END) cd1,"
+        "   max(CASE WHEN rn_d = (2 * nt + 3) // 4 THEN d END) cd2,"
+        "   max(CASE WHEN rn_d = (3 * nt + 3) // 4 THEN d END) cd3,"
+        "   max(CASE WHEN rn_n = (1 * nt + 3) // 4 THEN n END) cn1,"
+        "   max(CASE WHEN rn_n = (2 * nt + 3) // 4 THEN n END) cn2,"
+        "   max(CASE WHEN rn_n = (3 * nt + 3) // 4 THEN n END) cn3,"
+        "   max(CASE WHEN rn_m = (1 * nt + 3) // 4 THEN m END) cm1,"
+        "   max(CASE WHEN rn_m = (2 * nt + 3) // 4 THEN m END) cm2,"
+        "   max(CASE WHEN rn_m = (3 * nt + 3) // 4 THEN m END) cm3"
+        "  FROM rd_, mx)"
+        " SELECT pc.ck, CAST(mx.max_day - pc.d AS BIGINT) r_days,"
+        "  pc.n AS f_orders, pc.m AS m_cc,"
+        "  CAST(1 + (pc.d > cuts.cd1)::INT + (pc.d > cuts.cd2)::INT"
+        "   + (pc.d > cuts.cd3)::INT AS BIGINT) r_score,"
+        "  CAST(1 + (pc.n > cuts.cn1)::INT + (pc.n > cuts.cn2)::INT"
+        "   + (pc.n > cuts.cn3)::INT AS BIGINT) f_score,"
+        "  CAST(1 + (pc.m > cuts.cm1)::INT + (pc.m > cuts.cm2)::INT"
+        "   + (pc.m > cuts.cm3)::INT AS BIGINT) m_score"
+        " FROM pc, mx, cuts"
+    )
+
+
 def _target_encode_sql() -> str:
     """Mirror of relational.target_encode_events: per-type (n, S)
     moments, LOO mean (S−x)·1000 // (n−1), singleton fallback to the
@@ -3780,6 +3822,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_recall": _ann_recall_sql(),
         "hour_of_day_effect": _hour_effect_sql(),
         "target_encode_events": _target_encode_sql(),
+        "customer_rfm": _rfm_sql(),
         "pareto_orders": (
             # mirror of relational.pareto_orders: the NOT EXISTS
             # dominance definition (price >=, day <=, one strict);

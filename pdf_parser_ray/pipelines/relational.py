@@ -6042,3 +6042,145 @@ def target_encode_events(sf_dir: str) -> rd.Dataset:
     return _t(sf_dir, "events", ["event_id", "event_type", "value"]).map_batches(
         encode, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def customer_rfm(sf_dir: str) -> rd.Dataset:
+    """(ck, r_days, f_orders, m_cc, r_score, f_score, m_score): RFM
+    segmentation — every customer scored 1-4 on Recency (days from
+    their last order to the corpus max date), Frequency (order count)
+    and Monetary (lifetime cents) by their quartile position:
+    score = 1 + #quartile-cutoffs strictly below the value (recency
+    INVERTED so 4 always = best).  Cutoffs are the discrete
+    quantile_disc values at p25/p50/p75 (index ceil(q·n) — the
+    event_quantiles convention) over the per-customer metric
+    distributions.
+
+    Scale shape: ONE custkey-bucket combine builds exact per-customer
+    (r, f, m) narrow rows; each metric's quartile cutoffs come from a
+    BOUNDED histogram fold (recency days and order counts have small
+    domains; monetary folds its distinct values per bucket first — at
+    true scale swap the m-fold for the revenue_concentration log2-grid
+    search); the 9 cutoffs broadcast in-closure and scoring is
+    map-only."""
+    import pandas as pd
+
+    buckets = 64
+
+    def ord_partials(batch: pa.Table) -> pa.Table:
+        ck = batch.column("o_custkey").to_numpy(zero_copy_only=False)
+        cents = pc.cast(
+            pc.round(pc.multiply(batch.column("o_totalprice"), 100.0)),
+            pa.int64(),
+        )
+        day = pc.cast(batch.column("o_orderdate"), pa.int64()).to_numpy(
+            zero_copy_only=False
+        ) // 86_400_000_000
+        g = (
+            pa.table(
+                {
+                    "ck": pa.array(ck, pa.int64()),
+                    "m": cents,
+                    "n": pa.array(np.ones(len(ck), np.int64)),
+                    "d": pa.array(day, pa.int64()),
+                }
+            )
+            .group_by(["ck"])
+            .aggregate([("m", "sum"), ("n", "sum"), ("d", "max")])
+        )
+        ckk = g.column("ck").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "bkt": pa.array((ckk % buckets).astype(np.int32)),
+                "ck": pa.array(ckk, pa.int64()),
+                "m": g.column("m_sum"),
+                "n": g.column("n_sum"),
+                "d": g.column("d_max"),
+            }
+        )
+
+    def per_customer(g: pd.DataFrame) -> pa.Table:
+        agg = g.groupby("ck", as_index=False).agg(
+            m=("m", "sum"), n=("n", "sum"), d=("d", "max")
+        )
+        return pa.table(
+            {
+                "ck": pa.array(agg["ck"].to_numpy(np.int64)),
+                "m": pa.array(agg["m"].to_numpy(np.int64)),
+                "n": pa.array(agg["n"].to_numpy(np.int64)),
+                "d": pa.array(agg["d"].to_numpy(np.int64)),
+            }
+        )
+
+    per_cust = (
+        _t(sf_dir, "orders", ["o_custkey", "o_totalprice", "o_orderdate"])
+        .map_batches(ord_partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bkt")
+        .map_groups(arrow_udf(per_customer), batch_format="pandas")
+        .materialize()  # narrow customer-dim rows; read by 2 passes
+    )
+
+    # bounded histogram folds: distinct values per metric << customers
+    def hist_partials(batch: pa.Table) -> pa.Table:
+        out = []
+        for col, key in (("d", 0), ("n", 1), ("m", 2)):
+            v = batch.column(col).to_numpy(zero_copy_only=False)
+            vals, cnts = np.unique(v, return_counts=True)
+            out.append(
+                pa.table(
+                    {
+                        "metric": pa.array(np.full(len(vals), key, np.int8)),
+                        "v": pa.array(vals.astype(np.int64)),
+                        "c": pa.array(cnts.astype(np.int64)),
+                    }
+                )
+            )
+        return pa.concat_tables(out)
+
+    hist = (
+        per_cust.map_batches(
+            hist_partials, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .to_pandas()
+        .groupby(["metric", "v"], as_index=False)["c"]
+        .sum()
+    )
+
+    def cutoffs(metric: int) -> "list[int]":
+        h = hist[hist["metric"] == metric].sort_values("v")
+        cum = h["c"].to_numpy(np.int64).cumsum()
+        n = int(cum[-1])
+        vals = h["v"].to_numpy(np.int64)
+        out = []
+        for qn, qd in ((1, 4), (2, 4), (3, 4)):
+            idx = -(-qn * n // qd)  # ceil(q*n)
+            out.append(int(vals[np.searchsorted(cum, idx)]))
+        return out
+
+    cd, cn, cm = cutoffs(0), cutoffs(1), cutoffs(2)
+    max_day = int(hist.loc[hist["metric"] == 0, "v"].max())
+
+    def score(batch: pa.Table) -> pa.Table:
+        d = batch.column("d").to_numpy(zero_copy_only=False)
+        n = batch.column("n").to_numpy(zero_copy_only=False)
+        m = batch.column("m").to_numpy(zero_copy_only=False)
+        r_days = max_day - d
+        # recency: low r_days (recent last order) = high score; the
+        # cutoffs were computed over d, so invert positionally
+        r_sc = 1 + sum((d > c).astype(np.int64) for c in cd)
+        f_sc = 1 + sum((n > c).astype(np.int64) for c in cn)
+        m_sc = 1 + sum((m > c).astype(np.int64) for c in cm)
+        return pa.table(
+            {
+                "ck": batch.column("ck"),
+                "r_days": pa.array(r_days.astype(np.int64)),
+                "f_orders": pa.array(n.astype(np.int64)),
+                "m_cc": pa.array(m.astype(np.int64)),
+                "r_score": pa.array(r_sc.astype(np.int64)),
+                "f_score": pa.array(f_sc.astype(np.int64)),
+                "m_score": pa.array(m_sc.astype(np.int64)),
+            }
+        )
+
+    return per_cust.map_batches(
+        score, batch_format="pyarrow", zero_copy_batch=True
+    )

@@ -131,7 +131,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # near_dup_rate_by_source, value_cume_dist, leave_last_k,
         # host_assortativity, revenue_concentration, join_size_stats,
         # cosupplier_edges, bootstrap_mean_ci, shard_balance_report,
-        # ann_recall, hour_of_day_effect, target_encode_events) —
+        # ann_recall, hour_of_day_effect, target_encode_events,
+        # customer_rfm) —
         # each oracle-backed in
         # tests/test_oracle.py; displacing a gated slot would cost an
         # established driver-green row), then the rows-only
@@ -271,6 +272,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_recall": similarity.ann_recall,
         "hour_of_day_effect": relational.hour_of_day_effect,
         "target_encode_events": relational.target_encode_events,
+        "customer_rfm": relational.customer_rfm,
         "doc_top_terms": partial(
             analysis.doc_top_terms, vocab_cap=analysis.ORACLE_VOCAB_CAP
         ),

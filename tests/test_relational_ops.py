@@ -1547,3 +1547,45 @@ class TestTargetEncodeEvents:
                     plain_differs += 1
             assert got.loc[r["event_id"], "loo_mean_milli"] == want
         assert plain_differs > len(ev) // 2  # LOO genuinely de-leaks
+
+
+class TestCustomerRFM:
+    def test_matches_brute_force(self, ray_session, quiet_data_context):
+        """RFM scores vs a pandas recomputation with the same ceil(q*n)
+        discrete cutoffs; scores span the range and recency inverts."""
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from pdf_parser_ray.pipelines.relational import customer_rfm
+
+        sf = "/root/testdata/sf0.001"
+        got = customer_rfm(sf).to_pandas().set_index("ck").sort_index()
+        o = pq.read_table(
+            sf + "/orders.parquet",
+            columns=["o_custkey", "o_totalprice", "o_orderdate"],
+        ).to_pandas()
+        o["cents"] = np.round(o["o_totalprice"] * 100).astype(np.int64)
+        o["day"] = o["o_orderdate"].astype("int64") // 86_400_000_000
+        pc_ = o.groupby("o_custkey").agg(
+            m=("cents", "sum"), n=("cents", "size"), d=("day", "max")
+        )
+        nt = len(pc_)
+        max_day = int(pc_["d"].max())
+
+        def cuts(series):
+            v = np.sort(series.to_numpy(np.int64))
+            return [int(v[-(-q * nt // 4) - 1]) for q in (1, 2, 3)]
+
+        cd, cn, cm = cuts(pc_["d"]), cuts(pc_["n"]), cuts(pc_["m"])
+        for ck, r in pc_.iterrows():
+            g = got.loc[ck]
+            assert g["r_days"] == max_day - int(r["d"])
+            assert g["f_orders"] == int(r["n"])
+            assert g["m_cc"] == int(r["m"])
+            assert g["r_score"] == 1 + sum(int(r["d"]) > c for c in cd)
+            assert g["f_score"] == 1 + sum(int(r["n"]) > c for c in cn)
+            assert g["m_score"] == 1 + sum(int(r["m"]) > c for c in cm)
+        # scores use the full 1-4 range on at least one axis
+        assert got["m_score"].nunique() == 4
+        # recency inversion: the most recent customer scores 4
+        assert got.loc[got["r_days"].idxmin(), "r_score"] == 4
