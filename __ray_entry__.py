@@ -1563,6 +1563,34 @@ def _nation_year_sql() -> str:
     )
 
 
+def _heaps_sql() -> str:
+    """Mirror of analysis.heaps_law_curve: per-word min-first-doc, the
+    even doc-rank checkpoint grid, cumulative tokens and distinct
+    counts per boundary."""
+    from pdf_parser_ray.pipelines.analysis import HEAPS_CHECKPOINTS
+
+    K = HEAPS_CHECKPOINTS
+    return (
+        "WITH ids AS (SELECT doc_id,"
+        "   row_number() OVER (ORDER BY doc_id) rn FROM documents),"
+        " bnd AS (SELECT c, (SELECT doc_id FROM ids WHERE rn ="
+        "   least((SELECT max(rn) FROM ids),"
+        f"    ((c + 1) * (SELECT max(rn) FROM ids)) // {K})) AS b"
+        f"  FROM (SELECT unnest(range({K})) AS c)),"
+        f" w AS (SELECT doc_id, unnest({_WORDS_EXPR}) AS word"
+        "   FROM documents),"
+        " f AS (SELECT word, min(doc_id) AS first FROM w GROUP BY word),"
+        f" tok AS (SELECT doc_id, CAST(len({_WORDS_EXPR}) AS BIGINT) AS nt"
+        "   FROM documents)"
+        " SELECT bnd.c AS checkpoint, CAST(bnd.b AS BIGINT) AS last_doc_id,"
+        "  CAST((SELECT sum(nt) FROM tok WHERE doc_id <= bnd.b) AS BIGINT)"
+        "    AS n_tokens_cum,"
+        "  CAST((SELECT count(*) FROM f WHERE first <= bnd.b) AS BIGINT)"
+        "    AS n_distinct_cum"
+        " FROM bnd"
+    )
+
+
 def _rfm_sql() -> str:
     """Mirror of relational.customer_rfm: per-customer (recency day,
     order count, lifetime cents), quartile cutoffs at the discrete
@@ -3823,6 +3851,7 @@ def oracle_sql() -> dict[str, str]:
         "hour_of_day_effect": _hour_effect_sql(),
         "target_encode_events": _target_encode_sql(),
         "customer_rfm": _rfm_sql(),
+        "heaps_law_curve": _heaps_sql(),
         "pareto_orders": (
             # mirror of relational.pareto_orders: the NOT EXISTS
             # dominance definition (price >=, day <=, one strict);

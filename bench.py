@@ -430,6 +430,10 @@ def run_bench() -> dict:
     timed("hour_of_day_effect", relational.hour_of_day_effect)
     timed("target_encode_events", relational.target_encode_events)
     timed("customer_rfm", relational.customer_rfm)
+
+    t = time.perf_counter()
+    analysis.heaps_law_curve(SF_DIR)  # small DataFrame
+    timings["heaps_law_curve"] = time.perf_counter() - t
     t = time.perf_counter()
     graph.host_assortativity(SF_DIR)  # small DataFrame
     timings["host_assortativity"] = time.perf_counter() - t

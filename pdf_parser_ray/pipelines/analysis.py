@@ -3189,3 +3189,124 @@ def winnow_fingerprints(sf_dir: str) -> rd.Dataset:
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
         digest, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+HEAPS_CHECKPOINTS = 16
+
+
+def heaps_law_curve(
+    sf_dir: str, checkpoints: int = HEAPS_CHECKPOINTS
+) -> rd.Dataset:
+    """(checkpoint, last_doc_id, n_tokens_cum, n_distinct_cum): the
+    vocabulary growth curve — distinct words seen vs tokens processed
+    in doc_id order, sampled at ``checkpoints`` evenly-spaced document
+    ranks — the Heaps'-law companion to :func:`zipf_fit` (sublinear
+    growth V ∝ n^β marks natural language; linear growth flags
+    id-soup/codes; an early plateau flags template spam).
+
+    Exact on both engines: a word's contribution to checkpoint c is
+    1 iff its FIRST occurrence (min doc_id) is ≤ the checkpoint's
+    boundary doc; token counts are whitespace words.
+
+    Scale shape: one word-keyed min-fold (vocabulary-sized partials,
+    the fit_idf_table exchange) + one doc-keyed token-count pass;
+    both collapse onto the constant checkpoint grid IN-BATCH, so the
+    driver folds ≤ blocks × checkpoints rows."""
+    import numpy as np
+    import pandas as pd
+
+    from ray.data.aggregate import Min
+
+    # checkpoint boundaries: evenly spaced doc_id ranks
+    ids = (
+        _docs(sf_dir, ["doc_id"])
+        .to_pandas()["doc_id"]
+        .sort_values()
+        .to_numpy()
+    )
+    n_docs = len(ids)
+    bounds = [
+        int(ids[min(n_docs - 1, ((c + 1) * n_docs) // checkpoints - 1)])
+        for c in range(checkpoints)
+    ]
+    bnd = np.array(bounds, np.int64)
+
+    def first_partials(batch: pa.Table) -> pa.Table:
+        firsts: dict = {}
+        ids_b = batch.column("doc_id").to_pylist()
+        for i, text in zip(ids_b, batch.column("text").to_pylist()):
+            for w in text.split():
+                prev = firsts.get(w)
+                if prev is None or i < prev:
+                    firsts[w] = i
+        words = list(firsts)
+        return pa.table(
+            {
+                "word": pa.array(words, pa.string()),
+                "first": pa.array([firsts[w] for w in words], pa.int64()),
+            }
+        )
+
+    firsts = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(first_partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("word")
+        .aggregate(Min("first", alias_name="first"))
+    )
+
+    def distinct_grid(batch: pa.Table) -> pa.Table:
+        f = batch.column("first").to_numpy(zero_copy_only=False)
+        counts = (f[None, :] <= bnd[:, None]).sum(axis=1).astype(np.int64)
+        return pa.table(
+            {
+                "c": pa.array(np.arange(checkpoints, dtype=np.int64)),
+                "v": pa.array(counts),
+                "kind": pa.array(np.zeros(checkpoints, np.int8)),
+            }
+        )
+
+    def token_grid(batch: pa.Table) -> pa.Table:
+        ids_b = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        words = pc.utf8_split_whitespace(batch.column("text"))
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        flat = words.values
+        nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        offsets = words.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        cs = np.concatenate([[0], np.cumsum(nonempty.astype(np.int64))])
+        n_words = cs[offsets[1:]] - cs[offsets[:-1]]
+        counts = np.array(
+            [int(n_words[ids_b <= b].sum()) for b in bnd], np.int64
+        )
+        return pa.table(
+            {
+                "c": pa.array(np.arange(checkpoints, dtype=np.int64)),
+                "v": pa.array(counts),
+                "kind": pa.array(np.ones(checkpoints, np.int8)),
+            }
+        )
+
+    grid = (
+        firsts.map_batches(
+            distinct_grid, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .union(
+            _docs(sf_dir, ["doc_id", "text"]).map_batches(
+                token_grid, batch_format="pyarrow", zero_copy_batch=True
+            )
+        )
+        .to_pandas()
+        .groupby(["kind", "c"], as_index=False)["v"]
+        .sum()
+    )
+    dist = grid[grid["kind"] == 0].set_index("c")["v"]
+    toks = grid[grid["kind"] == 1].set_index("c")["v"]
+    out = pd.DataFrame(
+        {
+            "checkpoint": np.arange(checkpoints, dtype=np.int64),
+            "last_doc_id": bnd,
+            "n_tokens_cum": toks.reindex(range(checkpoints)).to_numpy(np.int64),
+            "n_distinct_cum": dist.reindex(range(checkpoints)).to_numpy(np.int64),
+        }
+    )
+    return out

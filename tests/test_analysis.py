@@ -965,3 +965,81 @@ class TestWinnowFingerprints:
         assert fps[0] & fps[1]  # shared substring -> shared fingerprint
         # and the digests are not degenerate-identical
         assert fps[0] != fps[1]
+
+
+class TestHeapsLawCurve:
+    def test_matches_brute_force(self, ray_session, quiet_data_context):
+        """Curve vs a Python first-occurrence walk; pinned corpus fact:
+        the 31-word synthetic vocabulary saturates at the first
+        checkpoint (flat distinct curve, growing token curve)."""
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from pdf_parser_ray.pipelines.analysis import (
+            HEAPS_CHECKPOINTS, heaps_law_curve,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        got = heaps_law_curve(sf).sort_values("checkpoint").reset_index(drop=True)
+        docs = (
+            pq.read_table(sf + "/documents.parquet", columns=["doc_id", "text"])
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        n = len(docs)
+        firsts: dict = {}
+        toks = np.zeros(n, np.int64)
+        for r, row in docs.iterrows():
+            ws = row["text"].split()
+            toks[r] = len(ws)
+            for w in ws:
+                firsts.setdefault(w, row["doc_id"])
+        cum_toks = toks.cumsum()
+        for _, g in got.iterrows():
+            c = int(g["checkpoint"])
+            rank = min(n, ((c + 1) * n) // HEAPS_CHECKPOINTS) - 1
+            b = int(docs.loc[rank, "doc_id"])
+            assert g["last_doc_id"] == b
+            assert g["n_tokens_cum"] == cum_toks[rank]
+            assert g["n_distinct_cum"] == sum(
+                1 for f in firsts.values() if f <= b
+            )
+        assert got["n_tokens_cum"].is_monotonic_increasing
+        # pinned: tiny closed vocab saturates immediately
+        assert got["n_distinct_cum"].nunique() == 1
+
+    def test_growth_on_open_vocabulary(
+        self, ray_session, quiet_data_context, tmp_path
+    ):
+        """On an open-vocabulary corpus the distinct curve must grow
+        sublinearly in tokens (the Heaps shape)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pdf_parser_ray.pipelines.analysis import heaps_law_curve
+
+        texts = []
+        k = 0
+        for i in range(64):
+            ws = []
+            for j in range(40):
+                # zipf-ish: repeat early words, mint new ones slowly
+                ws.append(f"w{(k % max(4, k // 3)) if (j % 3) else k}")
+                k += 1
+            texts.append(" ".join(ws))
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(64), pa.int64()),
+                    "text": pa.array(texts, pa.string()),
+                }
+            ),
+            str(tmp_path / "documents.parquet"),
+        )
+        got = heaps_law_curve(str(tmp_path)).sort_values("checkpoint")
+        d = got["n_distinct_cum"].to_numpy()
+        t = got["n_tokens_cum"].to_numpy()
+        assert d[-1] > d[0] > 0  # vocabulary actually grows
+        # sublinear: vocab growth rate falls below token growth rate
+        assert d[-1] / d[0] < t[-1] / t[0]
