@@ -1563,6 +1563,39 @@ def _nation_year_sql() -> str:
     )
 
 
+def _cusum_sql() -> str:
+    """Mirror of relational.hourly_cusum: the integer CUSUM recurrence
+    replayed as a recursive CTE marching rn → rn+1 over the bounded
+    hour domain; allowance and alarm constants interpolated."""
+    from pdf_parser_ray.pipelines.relational import (
+        CUSUM_ALARM_MULT, CUSUM_ALLOW_DIV,
+    )
+
+    return (
+        "WITH RECURSIVE h AS (SELECT"
+        "   (epoch_us(ts) // 3600000000) * 3600000000 AS hour_us,"
+        "   CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS c"
+        "  FROM events GROUP BY 1),"
+        " o AS (SELECT hour_us, c, row_number() OVER (ORDER BY hour_us) rn"
+        "   FROM h),"
+        " m AS (SELECT CAST(sum(c) // count(*) AS BIGINT) AS mu FROM h),"
+        " r AS ("
+        "   SELECT o.rn, o.hour_us, o.c,"
+        "     CAST(greatest(0, o.c - m.mu -"
+        f"      m.mu // {CUSUM_ALLOW_DIV}) AS BIGINT) AS s"
+        "   FROM o, m WHERE o.rn = 1"
+        "   UNION ALL"
+        "   SELECT o.rn, o.hour_us, o.c,"
+        "     CAST(greatest(0, r.s + o.c - m.mu -"
+        f"      m.mu // {CUSUM_ALLOW_DIV}) AS BIGINT)"
+        "   FROM r JOIN o ON o.rn = r.rn + 1 CROSS JOIN m)"
+        " SELECT hour_us, c AS total_cents, s AS cusum_cents,"
+        f"  CAST(CASE WHEN s > {CUSUM_ALARM_MULT} * (SELECT mu FROM m)"
+        "   THEN 1 ELSE 0 END AS BIGINT) AS alarm"
+        " FROM r"
+    )
+
+
 def _heaps_sql() -> str:
     """Mirror of analysis.heaps_law_curve: per-word min-first-doc, the
     even doc-rank checkpoint grid, cumulative tokens and distinct
@@ -3852,6 +3885,7 @@ def oracle_sql() -> dict[str, str]:
         "target_encode_events": _target_encode_sql(),
         "customer_rfm": _rfm_sql(),
         "heaps_law_curve": _heaps_sql(),
+        "hourly_cusum": _cusum_sql(),
         "pareto_orders": (
             # mirror of relational.pareto_orders: the NOT EXISTS
             # dominance definition (price >=, day <=, one strict);

@@ -435,6 +435,9 @@ def run_bench() -> dict:
     analysis.heaps_law_curve(SF_DIR)  # small DataFrame
     timings["heaps_law_curve"] = time.perf_counter() - t
     t = time.perf_counter()
+    relational.hourly_cusum(SF_DIR)  # small DataFrame
+    timings["hourly_cusum"] = time.perf_counter() - t
+    t = time.perf_counter()
     graph.host_assortativity(SF_DIR)  # small DataFrame
     timings["host_assortativity"] = time.perf_counter() - t
     timed("brand_supplier_counts", relational.brand_supplier_counts)

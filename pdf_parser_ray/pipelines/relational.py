@@ -6184,3 +6184,69 @@ def customer_rfm(sf_dir: str) -> rd.Dataset:
     return per_cust.map_batches(
         score, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+CUSUM_ALLOW_DIV = 4  # allowance k = mean // 4 (tuned: ~1% alarm rate on the sf corpora)
+CUSUM_ALARM_MULT = 5  # alarm when S exceeds 5x the hourly mean
+
+
+def hourly_cusum(sf_dir: str) -> rd.Dataset:
+    """(hour_us, total_cents, cusum_cents, alarm): one-sided CUSUM
+    change detection over the hourly event-value totals —
+    S_t = max(0, S_{t-1} + x_t − μ − k) with allowance k = μ//4 and
+    alarm when S_t > 5·μ — the sequential drift detector that flags a
+    sustained level shift long before any single hour trips a
+    per-hour outlier gate (the hourly_anomalies contrast case: CUSUM
+    accumulates evidence, the σ-gate evaluates hours in isolation).
+    All-integer recurrence, so the recursive-CTE oracle replays it
+    exactly.
+
+    Scale shape: the 100 TB work is the events_hourly-style in-batch
+    rollup to the BOUNDED hour domain; the recurrence is inherently
+    sequential but runs over that small artifact on the driver —
+    the pagerank/threshold-search 'driver math over a bounded model
+    artifact' pattern, with output rows = hours."""
+    import pandas as pd
+
+    def partials(batch: pa.Table) -> pa.Table:
+        ts = pc.cast(batch.column("ts"), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        hour = (ts // 3_600_000_000) * 3_600_000_000
+        cents = pc.cast(
+            pc.round(pc.multiply(batch.column("value"), 100.0)), pa.int64()
+        )
+        g = (
+            pa.table({"h": pa.array(hour), "c": cents})
+            .group_by(["h"])
+            .aggregate([("c", "sum")])
+        )
+        return pa.table({"h": g.column("h"), "c": g.column("c_sum")})
+
+    hourly = (
+        _t(sf_dir, "events", ["ts", "value"])
+        .map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()
+        .groupby("h", as_index=False)["c"]
+        .sum()
+        .sort_values("h")
+        .reset_index(drop=True)
+    )
+    n = len(hourly)
+    mu = int(hourly["c"].sum()) // n
+    k = mu // CUSUM_ALLOW_DIV
+    thresh = CUSUM_ALARM_MULT * mu
+    s = 0
+    cusum, alarm = [], []
+    for c in hourly["c"]:
+        s = max(0, s + int(c) - mu - k)
+        cusum.append(s)
+        alarm.append(1 if s > thresh else 0)
+    return pd.DataFrame(
+        {
+            "hour_us": hourly["h"].to_numpy(np.int64),
+            "total_cents": hourly["c"].to_numpy(np.int64),
+            "cusum_cents": np.array(cusum, np.int64),
+            "alarm": np.array(alarm, np.int64),
+        }
+    )

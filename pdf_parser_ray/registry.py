@@ -132,7 +132,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # host_assortativity, revenue_concentration, join_size_stats,
         # cosupplier_edges, bootstrap_mean_ci, shard_balance_report,
         # ann_recall, hour_of_day_effect, target_encode_events,
-        # customer_rfm, heaps_law_curve) —
+        # customer_rfm, heaps_law_curve, hourly_cusum) —
         # each oracle-backed in
         # tests/test_oracle.py; displacing a gated slot would cost an
         # established driver-green row), then the rows-only
@@ -274,6 +274,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "target_encode_events": relational.target_encode_events,
         "customer_rfm": relational.customer_rfm,
         "heaps_law_curve": analysis.heaps_law_curve,
+        "hourly_cusum": relational.hourly_cusum,
         "doc_top_terms": partial(
             analysis.doc_top_terms, vocab_cap=analysis.ORACLE_VOCAB_CAP
         ),

@@ -1589,3 +1589,44 @@ class TestCustomerRFM:
         assert got["m_score"].nunique() == 4
         # recency inversion: the most recent customer scores 4
         assert got.loc[got["r_days"].idxmin(), "r_score"] == 4
+
+
+class TestHourlyCusum:
+    def test_matches_brute_force_and_alarm_binds(
+        self, ray_session, quiet_data_context
+    ):
+        """Integer CUSUM vs a Python replay; the alarm must fire
+        somewhere at sf0.001 and reset behavior must hold (S returns
+        to 0 after sub-mean stretches)."""
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from pdf_parser_ray.pipelines.relational import (
+            CUSUM_ALARM_MULT, CUSUM_ALLOW_DIV, hourly_cusum,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        got = hourly_cusum(sf).sort_values("hour_us").reset_index(drop=True)
+        ev = pq.read_table(
+            sf + "/events.parquet", columns=["ts", "value"]
+        ).to_pandas()
+        ev["h"] = (
+            ev["ts"].astype("int64") // 3_600_000_000
+        ) * 3_600_000_000
+        ev["c"] = np.round(ev["value"] * 100).astype(np.int64)
+        hourly = (
+            ev.groupby("h")["c"].sum().sort_index()
+        )
+        mu = int(hourly.sum()) // len(hourly)
+        k = mu // CUSUM_ALLOW_DIV
+        s = 0
+        for i, (h, c) in enumerate(hourly.items()):
+            s = max(0, s + int(c) - mu - k)
+            assert got.loc[i, "hour_us"] == h
+            assert got.loc[i, "total_cents"] == c
+            assert got.loc[i, "cusum_cents"] == s
+            assert got.loc[i, "alarm"] == (
+                1 if s > CUSUM_ALARM_MULT * mu else 0
+            )
+        assert got["alarm"].sum() > 0  # the detector fires at sf0.001
+        assert (got["cusum_cents"] == 0).any()  # and resets
