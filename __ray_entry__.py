@@ -1563,6 +1563,41 @@ def _nation_year_sql() -> str:
     )
 
 
+def _rank_test_sql() -> str:
+    """Mirror of analysis.length_rank_test: the joint length histogram
+    with a 1-PRECEDING running count for cnt_less, doubled midranks,
+    U·2 and the AUC floor — sources interpolated."""
+    from pdf_parser_ray.pipelines.analysis import (
+        RANK_TEST_SRC_A, RANK_TEST_SRC_B,
+    )
+
+    a, b = RANK_TEST_SRC_A, RANK_TEST_SRC_B
+    return (
+        f"WITH d AS (SELECT source, CAST(len({_WORDS_EXPR}) AS BIGINT)"
+        "   AS length FROM documents"
+        f"   WHERE source IN ('{a}', '{b}')),"
+        " h AS (SELECT length,"
+        f"   CAST(sum(CASE WHEN source = '{a}' THEN 1 ELSE 0 END)"
+        "     AS BIGINT) AS av,"
+        f"   CAST(sum(CASE WHEN source = '{b}' THEN 1 ELSE 0 END)"
+        "     AS BIGINT) AS bv"
+        "  FROM d GROUP BY length),"
+        " r AS (SELECT length, av, bv,"
+        "   CAST(coalesce(sum(av + bv) OVER (ORDER BY length"
+        "     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)"
+        "     AS BIGINT) AS cnt_less"
+        "  FROM h),"
+        " m AS (SELECT CAST(sum(av) AS BIGINT) na,"
+        "   CAST(sum(bv) AS BIGINT) nb,"
+        "   CAST(sum(av * (2*cnt_less + av + bv + 1)) AS BIGINT) ra2"
+        "   FROM r)"
+        " SELECT na AS n_a, nb AS n_b,"
+        "  CAST(ra2 - na*(na+1) AS BIGINT) AS u_x2_a,"
+        "  CAST(((ra2 - na*(na+1)) * 1000000) // (2*na*nb) AS BIGINT)"
+        "    AS auc_micros FROM m"
+    )
+
+
 def _cusum_sql() -> str:
     """Mirror of relational.hourly_cusum: the integer CUSUM recurrence
     replayed as a recursive CTE marching rn → rn+1 over the bounded
@@ -3886,6 +3921,7 @@ def oracle_sql() -> dict[str, str]:
         "customer_rfm": _rfm_sql(),
         "heaps_law_curve": _heaps_sql(),
         "hourly_cusum": _cusum_sql(),
+        "length_rank_test": _rank_test_sql(),
         "pareto_orders": (
             # mirror of relational.pareto_orders: the NOT EXISTS
             # dominance definition (price >=, day <=, one strict);

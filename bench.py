@@ -438,6 +438,9 @@ def run_bench() -> dict:
     relational.hourly_cusum(SF_DIR)  # small DataFrame
     timings["hourly_cusum"] = time.perf_counter() - t
     t = time.perf_counter()
+    analysis.length_rank_test(SF_DIR)  # small DataFrame
+    timings["length_rank_test"] = time.perf_counter() - t
+    t = time.perf_counter()
     graph.host_assortativity(SF_DIR)  # small DataFrame
     timings["host_assortativity"] = time.perf_counter() - t
     timed("brand_supplier_counts", relational.brand_supplier_counts)

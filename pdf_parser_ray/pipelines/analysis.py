@@ -3310,3 +3310,96 @@ def heaps_law_curve(
         }
     )
     return out
+
+
+RANK_TEST_SRC_A = "src0"
+RANK_TEST_SRC_B = "src1"
+
+
+def length_rank_test(
+    sf_dir: str, src_a: str = RANK_TEST_SRC_A, src_b: str = RANK_TEST_SRC_B
+) -> rd.Dataset:
+    """(n_a, n_b, u_x2_a, auc_micros): Mann-Whitney rank-sum comparison
+    of document word-length distributions between two sources — the
+    NONPARAMETRIC drift test (no normality assumption, robust to the
+    heavy tails that break a t-test): U counts cross-source pairs where
+    an ``src_a`` doc is longer (ties half), and AUC = U/(n_a·n_b) is
+    the probability-of-superiority effect size (≈500000 micros = no
+    shift).
+
+    Exact integers throughout: midranks double to stay integral —
+    for a length v with cnt_less docs below and cnt_eq tied,
+    midrank·2 = 2·cnt_less + cnt_eq + 1; then
+    U·2 = R_a·2 − n_a·(n_a+1) and AUC_micros = (U·2 · 1e6) //
+    (2·n_a·n_b), identical floors on both engines.
+
+    Scale shape: per-batch (source, length, n) histogram partials over
+    the two filtered sources — the bounded event_quantiles trick (word
+    counts have a small domain) — fold to one joint histogram; the
+    rank algebra is driver math over that artifact; one row out."""
+    import numpy as np
+    import pandas as pd
+
+    def partials(batch: pa.Table) -> pa.Table:
+        keep = pc.is_in(
+            batch.column("source"),
+            value_set=pa.array([src_a, src_b], pa.string()),
+        )
+        b = batch.filter(keep)
+        if b.num_rows == 0:
+            return pa.table(
+                {
+                    "source": pa.array([], pa.string()),
+                    "length": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        words = pc.utf8_split_whitespace(b.column("text"))
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        flat = words.values
+        nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        offsets = words.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        cs = np.concatenate([[0], np.cumsum(nonempty.astype(np.int64))])
+        n_words = cs[offsets[1:]] - cs[offsets[:-1]]
+        df = pd.DataFrame(
+            {"source": b.column("source").to_pandas(), "length": n_words}
+        )
+        g = df.groupby(["source", "length"], as_index=False).size()
+        return pa.table(
+            {
+                "source": pa.array(g["source"], pa.string()),
+                "length": pa.array(g["length"].to_numpy(np.int64)),
+                "n": pa.array(g["size"].to_numpy(np.int64)),
+            }
+        )
+
+    hist = (
+        _docs(sf_dir, ["source", "text"])
+        .map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()
+        .groupby(["source", "length"], as_index=False)["n"]
+        .sum()
+    )
+    ha = hist[hist["source"] == src_a].set_index("length")["n"]
+    hb = hist[hist["source"] == src_b].set_index("length")["n"]
+    lengths = sorted(set(ha.index) | set(hb.index))
+    na, nb = int(ha.sum()), int(hb.sum())
+    cnt_less = 0
+    r_a_x2 = 0
+    for v in lengths:
+        a_v = int(ha.get(v, 0))
+        b_v = int(hb.get(v, 0))
+        eq = a_v + b_v
+        r_a_x2 += a_v * (2 * cnt_less + eq + 1)
+        cnt_less += eq
+    u_x2 = r_a_x2 - na * (na + 1)
+    auc = (u_x2 * 1_000_000) // (2 * na * nb)
+    return pd.DataFrame(
+        {
+            "n_a": np.array([na], np.int64),
+            "n_b": np.array([nb], np.int64),
+            "u_x2_a": np.array([u_x2], np.int64),
+            "auc_micros": np.array([auc], np.int64),
+        }
+    )

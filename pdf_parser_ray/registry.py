@@ -132,7 +132,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # host_assortativity, revenue_concentration, join_size_stats,
         # cosupplier_edges, bootstrap_mean_ci, shard_balance_report,
         # ann_recall, hour_of_day_effect, target_encode_events,
-        # customer_rfm, heaps_law_curve, hourly_cusum) —
+        # customer_rfm, heaps_law_curve, hourly_cusum,
+        # length_rank_test) —
         # each oracle-backed in
         # tests/test_oracle.py; displacing a gated slot would cost an
         # established driver-green row), then the rows-only
@@ -275,6 +276,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_rfm": relational.customer_rfm,
         "heaps_law_curve": analysis.heaps_law_curve,
         "hourly_cusum": relational.hourly_cusum,
+        "length_rank_test": analysis.length_rank_test,
         "doc_top_terms": partial(
             analysis.doc_top_terms, vocab_cap=analysis.ORACLE_VOCAB_CAP
         ),

@@ -1043,3 +1043,62 @@ class TestHeapsLawCurve:
         assert d[-1] > d[0] > 0  # vocabulary actually grows
         # sublinear: vocab growth rate falls below token growth rate
         assert d[-1] / d[0] < t[-1] / t[0]
+
+
+class TestLengthRankTest:
+    def test_matches_scipy_free_brute_force(self, ray_session, quiet_data_context):
+        """Doubled-midrank U vs a direct all-pairs count (wins + half
+        ties) — the definition, no rank algebra."""
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from pdf_parser_ray.pipelines.analysis import (
+            RANK_TEST_SRC_A, RANK_TEST_SRC_B, length_rank_test,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        got = length_rank_test(sf).iloc[0]
+        d = pq.read_table(
+            sf + "/documents.parquet", columns=["source", "text"]
+        ).to_pandas()
+        la = [
+            len(t.split())
+            for t in d.loc[d["source"] == RANK_TEST_SRC_A, "text"]
+        ]
+        lb = [
+            len(t.split())
+            for t in d.loc[d["source"] == RANK_TEST_SRC_B, "text"]
+        ]
+        u_x2 = sum(
+            2 * (x > y) + (x == y) for x in la for y in lb
+        )  # pairwise definition, doubled
+        assert got["n_a"] == len(la) and got["n_b"] == len(lb)
+        assert got["u_x2_a"] == u_x2
+        assert got["auc_micros"] == (u_x2 * 1_000_000) // (
+            2 * len(la) * len(lb)
+        )
+        # same-generator sources: no real shift
+        assert 300_000 < got["auc_micros"] < 700_000
+
+    def test_planted_shift_saturates(self, ray_session, quiet_data_context, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pdf_parser_ray.pipelines.analysis import length_rank_test
+
+        texts = ["w " * 50] * 20 + ["w " * 5] * 20  # a longer, b shorter
+        srcs = ["src0"] * 20 + ["src1"] * 20
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(40), pa.int64()),
+                    "text": pa.array([t.strip() for t in texts], pa.string()),
+                    "lang": pa.array(["en"] * 40),
+                    "source": pa.array(srcs, pa.string()),
+                    "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+                }
+            ),
+            str(tmp_path / "documents.parquet"),
+        )
+        got = length_rank_test(str(tmp_path)).iloc[0]
+        assert got["auc_micros"] == 1_000_000  # total separation
