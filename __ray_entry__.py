@@ -1563,6 +1563,31 @@ def _nation_year_sql() -> str:
     )
 
 
+def _chi2_sql() -> str:
+    """Mirror of analysis.lang_source_chi2: the full R×C cell grid
+    (absent cells at O=0 via LEFT JOIN), the per-cell
+    (O·N − R·C)²·1000 // (R·C) floor through HUGEINT, sum // N."""
+    return (
+        "WITH m AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS o"
+        "   FROM documents GROUP BY 1, 2),"
+        " r AS (SELECT source, CAST(sum(o) AS BIGINT) rs FROM m GROUP BY 1),"
+        " c AS (SELECT lang, CAST(sum(o) AS BIGINT) cs FROM m GROUP BY 1),"
+        " t AS (SELECT CAST(sum(o) AS BIGINT) n FROM m),"
+        " cells AS (SELECT coalesce(m.o, 0) AS o, r.rs, c.cs"
+        "   FROM r CROSS JOIN c"
+        "   LEFT JOIN m ON m.source = r.source AND m.lang = c.lang),"
+        " s AS (SELECT CAST(sum((CAST(o AS HUGEINT)*t.n"
+        "     - CAST(rs AS HUGEINT)*cs)"
+        "     * (CAST(o AS HUGEINT)*t.n - CAST(rs AS HUGEINT)*cs) * 1000"
+        "     // (CAST(rs AS HUGEINT)*cs)) AS HUGEINT) AS tot"
+        "   FROM cells, t GROUP BY ALL)"
+        " SELECT t.n, CAST(((SELECT count(*) FROM r) - 1)"
+        "   * ((SELECT count(*) FROM c) - 1) AS BIGINT) AS df,"
+        "  CAST(s.tot // t.n AS BIGINT) AS chi2_milli"
+        " FROM s, t"
+    )
+
+
 def _rank_test_sql() -> str:
     """Mirror of analysis.length_rank_test: the joint length histogram
     with a 1-PRECEDING running count for cnt_less, doubled midranks,
@@ -3922,6 +3947,7 @@ def oracle_sql() -> dict[str, str]:
         "heaps_law_curve": _heaps_sql(),
         "hourly_cusum": _cusum_sql(),
         "length_rank_test": _rank_test_sql(),
+        "lang_source_chi2": _chi2_sql(),
         "pareto_orders": (
             # mirror of relational.pareto_orders: the NOT EXISTS
             # dominance definition (price >=, day <=, one strict);

@@ -3403,3 +3403,74 @@ def length_rank_test(
             "auc_micros": np.array([auc], np.int64),
         }
     )
+
+
+def lang_source_chi2(sf_dir: str) -> rd.Dataset:
+    """(n, df, chi2_milli): Pearson's χ² independence test on the
+    source × language contingency matrix — "is the language mixture
+    the same in every feed?", the statistical companion to
+    :func:`rollup_source_lang`'s raw matrix (a large χ² against df
+    flags a feed whose language profile diverges — routing bugs,
+    mislabeled crawls).
+
+    Exact integers to one shared per-cell floor (the
+    hour_of_day_effect discipline — a float Σ(O−E)²/E would be
+    addition-order-dependent): with row sums R_s, column sums C_l and
+    total N, each cell contributes (O·N − R·C)²·1000 // (R·C), the sum
+    divides by N once at the end, and milli-units report
+    χ²·1000.  Magnitudes route through Python ints / HUGEINT.
+
+    Scale shape: per-batch (source, lang, n) partials collapse the
+    corpus to the bounded contingency matrix; driver rank algebra on
+    that artifact, one row out."""
+    import numpy as np
+    import pandas as pd
+
+    def partials(batch: pa.Table) -> pa.Table:
+        g = (
+            pa.table(
+                {
+                    "source": batch.column("source"),
+                    "lang": batch.column("lang"),
+                }
+            )
+            .group_by(["source", "lang"])
+            .aggregate([("lang", "count")])
+        )
+        return pa.table(
+            {
+                "source": g.column("source"),
+                "lang": g.column("lang"),
+                "n": pc.cast(g.column("lang_count"), pa.int64()),
+            }
+        )
+
+    m = (
+        _docs(sf_dir, ["source", "lang"])
+        .map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()
+        .groupby(["source", "lang"], as_index=False)["n"]
+        .sum()
+    )
+    rows = m.groupby("source")["n"].sum()
+    cols = m.groupby("lang")["n"].sum()
+    N = int(m["n"].sum())
+    K = 1000
+    total = 0
+    for s in rows.index:
+        for l in cols.index:
+            o = int(
+                m.loc[(m["source"] == s) & (m["lang"] == l), "n"].sum()
+            )
+            r, c = int(rows[s]), int(cols[l])
+            d = o * N - r * c
+            total += (d * d * K) // (r * c)
+    chi2_milli = total // N
+    df = (len(rows) - 1) * (len(cols) - 1)
+    return pd.DataFrame(
+        {
+            "n": np.array([N], np.int64),
+            "df": np.array([df], np.int64),
+            "chi2_milli": np.array([chi2_milli], np.int64),
+        }
+    )

@@ -1102,3 +1102,65 @@ class TestLengthRankTest:
         )
         got = length_rank_test(str(tmp_path)).iloc[0]
         assert got["auc_micros"] == 1_000_000  # total separation
+
+
+class TestLangSourceChi2:
+    def test_matches_brute_force_and_calibration(
+        self, ray_session, quiet_data_context
+    ):
+        """Integer chi-squared vs a Python recomputation; on the
+        independent synthetic mixture the statistic sits near its df
+        (the chi-squared mean under H0)."""
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from pdf_parser_ray.pipelines.analysis import lang_source_chi2
+
+        sf = "/root/testdata/sf0.001"
+        got = lang_source_chi2(sf).iloc[0]
+        d = pq.read_table(
+            sf + "/documents.parquet", columns=["source", "lang"]
+        ).to_pandas()
+        m = d.groupby(["source", "lang"]).size()
+        rows = d.groupby("source").size()
+        cols = d.groupby("lang").size()
+        N = len(d)
+        K = 1000
+        tot = 0
+        for s in rows.index:
+            for l in cols.index:
+                o = int(m.get((s, l), 0))
+                dd = o * N - int(rows[s]) * int(cols[l])
+                tot += (dd * dd * K) // (int(rows[s]) * int(cols[l]))
+        assert got["n"] == N
+        assert got["df"] == (len(rows) - 1) * (len(cols) - 1)
+        assert got["chi2_milli"] == tot // N
+        # under independence, E[chi2] = df: allow a generous band
+        assert got["chi2_milli"] < 3000 * got["df"]
+
+    def test_planted_dependence(self, ray_session, quiet_data_context, tmp_path):
+        """A perfectly language-segregated pair of sources maxes the
+        statistic (chi2 = N for a 2x2 with full association)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pdf_parser_ray.pipelines.analysis import lang_source_chi2
+
+        n = 200
+        src = ["feedA"] * (n // 2) + ["feedB"] * (n // 2)
+        lang = ["en"] * (n // 2) + ["de"] * (n // 2)
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(n), pa.int64()),
+                    "text": pa.array(["x"] * n),
+                    "lang": pa.array(lang, pa.string()),
+                    "source": pa.array(src, pa.string()),
+                    "n_chars": pa.array([1] * n, pa.int64()),
+                }
+            ),
+            str(tmp_path / "documents.parquet"),
+        )
+        got = lang_source_chi2(str(tmp_path)).iloc[0]
+        assert got["df"] == 1
+        assert got["chi2_milli"] == 1000 * n  # chi2 == N at full association
