@@ -1563,6 +1563,42 @@ def _nation_year_sql() -> str:
     )
 
 
+def _ks_test_sql() -> str:
+    """Mirror of analysis.length_ks_test: running joint-histogram
+    CDFs, cross-multiplied integer gap, argmax with the
+    smallest-length tie-break."""
+    from pdf_parser_ray.pipelines.analysis import (
+        RANK_TEST_SRC_A, RANK_TEST_SRC_B,
+    )
+
+    a, b = RANK_TEST_SRC_A, RANK_TEST_SRC_B
+    return (
+        f"WITH d AS (SELECT source, CAST(len({_WORDS_EXPR}) AS BIGINT)"
+        "   AS length FROM documents"
+        f"   WHERE source IN ('{a}', '{b}')),"
+        " h AS (SELECT length,"
+        f"   CAST(sum(CASE WHEN source = '{a}' THEN 1 ELSE 0 END)"
+        "     AS BIGINT) AS av,"
+        f"   CAST(sum(CASE WHEN source = '{b}' THEN 1 ELSE 0 END)"
+        "     AS BIGINT) AS bv"
+        "  FROM d GROUP BY length),"
+        " m AS (SELECT CAST(sum(av) AS BIGINT) na,"
+        "   CAST(sum(bv) AS BIGINT) nb FROM h),"
+        " c AS (SELECT length,"
+        "   CAST(sum(av) OVER (ORDER BY length) AS BIGINT) ca,"
+        "   CAST(sum(bv) OVER (ORDER BY length) AS BIGINT) cb FROM h),"
+        " g AS (SELECT length, abs(ca * m.nb - cb * m.na) AS gap"
+        "   FROM c, m),"
+        " best AS (SELECT length, gap,"
+        "   row_number() OVER (ORDER BY gap DESC, length) rn FROM g)"
+        " SELECT m.na AS n_a, m.nb AS n_b,"
+        "  CAST((best.gap * 1000000) // (m.na * m.nb) AS BIGINT)"
+        "    AS d_micros,"
+        "  best.length AS at_length"
+        " FROM best, m WHERE best.rn = 1"
+    )
+
+
 def _chi2_sql() -> str:
     """Mirror of analysis.lang_source_chi2: the full R×C cell grid
     (absent cells at O=0 via LEFT JOIN), the per-cell
@@ -3948,6 +3984,7 @@ def oracle_sql() -> dict[str, str]:
         "hourly_cusum": _cusum_sql(),
         "length_rank_test": _rank_test_sql(),
         "lang_source_chi2": _chi2_sql(),
+        "length_ks_test": _ks_test_sql(),
         "pareto_orders": (
             # mirror of relational.pareto_orders: the NOT EXISTS
             # dominance definition (price >=, day <=, one strict);

@@ -444,6 +444,9 @@ def run_bench() -> dict:
     analysis.lang_source_chi2(SF_DIR)  # small DataFrame
     timings["lang_source_chi2"] = time.perf_counter() - t
     t = time.perf_counter()
+    analysis.length_ks_test(SF_DIR)  # small DataFrame
+    timings["length_ks_test"] = time.perf_counter() - t
+    t = time.perf_counter()
     graph.host_assortativity(SF_DIR)  # small DataFrame
     timings["host_assortativity"] = time.perf_counter() - t
     timed("brand_supplier_counts", relational.brand_supplier_counts)

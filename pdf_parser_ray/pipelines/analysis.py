@@ -3474,3 +3474,85 @@ def lang_source_chi2(sf_dir: str) -> rd.Dataset:
             "chi2_milli": np.array([chi2_milli], np.int64),
         }
     )
+
+
+def length_ks_test(
+    sf_dir: str, src_a: str = RANK_TEST_SRC_A, src_b: str = RANK_TEST_SRC_B
+) -> rd.Dataset:
+    """(n_a, n_b, d_micros, at_length): two-sample Kolmogorov-Smirnov
+    distance between the sources' word-length distributions — the
+    max-CDF-gap companion to :func:`length_rank_test` (U is blind to
+    shape changes that leave the median put; D catches any
+    distributional difference), plus the length where the gap peaks
+    (ties to the SMALLEST length).
+
+    Exact integers: D = max_v |cumA(v)·n_b − cumB(v)·n_a| over the
+    joint support, reported as micros // (n_a·n_b) — cross-multiplied
+    CDFs never touch a float.
+
+    Scale shape: identical to length_rank_test — one bounded joint
+    length-histogram fold, driver algebra, one row out."""
+    import numpy as np
+    import pandas as pd
+
+    def partials(batch: pa.Table) -> pa.Table:
+        keep = pc.is_in(
+            batch.column("source"),
+            value_set=pa.array([src_a, src_b], pa.string()),
+        )
+        b = batch.filter(keep)
+        if b.num_rows == 0:
+            return pa.table(
+                {
+                    "source": pa.array([], pa.string()),
+                    "length": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        words = pc.utf8_split_whitespace(b.column("text"))
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        flat = words.values
+        nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        offsets = words.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        cs = np.concatenate([[0], np.cumsum(nonempty.astype(np.int64))])
+        n_words = cs[offsets[1:]] - cs[offsets[:-1]]
+        df = pd.DataFrame(
+            {"source": b.column("source").to_pandas(), "length": n_words}
+        )
+        g = df.groupby(["source", "length"], as_index=False).size()
+        return pa.table(
+            {
+                "source": pa.array(g["source"], pa.string()),
+                "length": pa.array(g["length"].to_numpy(np.int64)),
+                "n": pa.array(g["size"].to_numpy(np.int64)),
+            }
+        )
+
+    hist = (
+        _docs(sf_dir, ["source", "text"])
+        .map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()
+        .groupby(["source", "length"], as_index=False)["n"]
+        .sum()
+    )
+    ha = hist[hist["source"] == src_a].set_index("length")["n"]
+    hb = hist[hist["source"] == src_b].set_index("length")["n"]
+    lengths = sorted(set(ha.index) | set(hb.index))
+    na, nb = int(ha.sum()), int(hb.sum())
+    ca = cb = 0
+    best, at = -1, -1
+    for v in lengths:
+        ca += int(ha.get(v, 0))
+        cb += int(hb.get(v, 0))
+        gap = abs(ca * nb - cb * na)
+        if gap > best:
+            best, at = gap, int(v)
+    return pd.DataFrame(
+        {
+            "n_a": np.array([na], np.int64),
+            "n_b": np.array([nb], np.int64),
+            "d_micros": np.array([(best * 1_000_000) // (na * nb)], np.int64),
+            "at_length": np.array([at], np.int64),
+        }
+    )

@@ -1164,3 +1164,73 @@ class TestLangSourceChi2:
         got = lang_source_chi2(str(tmp_path)).iloc[0]
         assert got["df"] == 1
         assert got["chi2_milli"] == 1000 * n  # chi2 == N at full association
+
+
+class TestLengthKsTest:
+    def test_matches_brute_force(self, ray_session, quiet_data_context):
+        """Integer KS distance vs a direct CDF sweep; U and D must
+        agree on 'no significant shift' for the same-generator pair."""
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from pdf_parser_ray.pipelines.analysis import (
+            RANK_TEST_SRC_A, RANK_TEST_SRC_B, length_ks_test,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        got = length_ks_test(sf).iloc[0]
+        d = pq.read_table(
+            sf + "/documents.parquet", columns=["source", "text"]
+        ).to_pandas()
+        la = sorted(
+            len(t.split())
+            for t in d.loc[d["source"] == RANK_TEST_SRC_A, "text"]
+        )
+        lb = sorted(
+            len(t.split())
+            for t in d.loc[d["source"] == RANK_TEST_SRC_B, "text"]
+        )
+        na, nb = len(la), len(lb)
+        best, at = -1, -1
+        for v in sorted(set(la) | set(lb)):
+            ca = sum(1 for x in la if x <= v)
+            cb = sum(1 for x in lb if x <= v)
+            gap = abs(ca * nb - cb * na)
+            if gap > best:
+                best, at = gap, v
+        assert got["n_a"] == na and got["n_b"] == nb
+        assert got["d_micros"] == (best * 1_000_000) // (na * nb)
+        assert got["at_length"] == at
+        # same generator: D below the alpha=.05 critical ~1.36*sqrt(2/n)
+        assert got["d_micros"] < 1_360_000 * np.sqrt(2 / na)
+
+    def test_planted_shape_change(self, ray_session, quiet_data_context, tmp_path):
+        """A pure shape change (same median, split tails) that the
+        rank test misses but KS catches: AUC ≈ 500000, D large."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pdf_parser_ray.pipelines.analysis import (
+            length_ks_test, length_rank_test,
+        )
+
+        # src0: all docs exactly 20 words; src1: half 5, half 35 words
+        texts = (["w " * 20] * 40) + (["w " * 5] * 20 + ["w " * 35] * 20)
+        srcs = ["src0"] * 40 + ["src1"] * 40
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(80), pa.int64()),
+                    "text": pa.array([t.strip() for t in texts], pa.string()),
+                    "lang": pa.array(["en"] * 80),
+                    "source": pa.array(srcs, pa.string()),
+                    "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+                }
+            ),
+            str(tmp_path / "documents.parquet"),
+        )
+        u = length_rank_test(str(tmp_path)).iloc[0]
+        ks = length_ks_test(str(tmp_path)).iloc[0]
+        assert u["auc_micros"] == 500_000      # rank test: blind
+        assert ks["d_micros"] == 500_000       # KS: half the mass displaced
+        assert ks["at_length"] == 5
