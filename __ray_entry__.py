@@ -1563,6 +1563,34 @@ def _nation_year_sql() -> str:
     )
 
 
+def _benford_sql() -> str:
+    """Mirror of relational.benford_orders: first digit via VARCHAR
+    head (≡ the pipeline's integer decimation for positive ints), the
+    frozen Benford micros table as VALUES, absent digits at 0."""
+    from pdf_parser_ray.pipelines.relational import BENFORD_MICROS
+
+    micros = ", ".join(
+        f"({d + 1}, {m})" for d, m in enumerate(BENFORD_MICROS)
+    )
+    return (
+        "WITH c AS (SELECT abs(CAST(round(o_totalprice*100) AS BIGINT))"
+        "   AS v FROM orders),"
+        " d AS (SELECT CAST(substr(CAST(v AS VARCHAR), 1, 1) AS BIGINT)"
+        "   AS digit FROM c WHERE v > 0),"
+        " h AS (SELECT digit, CAST(count(*) AS BIGINT) n FROM d"
+        "   GROUP BY digit),"
+        f" bt(digit, p) AS (VALUES {micros}),"
+        " full_h AS (SELECT bt.digit, CAST(coalesce(h.n, 0) AS BIGINT)"
+        "   AS n, bt.p FROM bt LEFT JOIN h USING (digit)),"
+        " t AS (SELECT CAST(sum(n) AS BIGINT) nt FROM full_h)"
+        " SELECT digit, n AS n_obs,"
+        "  CAST((t.nt * p) // 1000000 AS BIGINT) AS n_expected,"
+        "  CAST((abs(n - (t.nt * p) // 1000000) * 1000000) // t.nt"
+        "   AS BIGINT) AS dev_micros"
+        " FROM full_h, t"
+    )
+
+
 def _ks_test_sql() -> str:
     """Mirror of analysis.length_ks_test: running joint-histogram
     CDFs, cross-multiplied integer gap, argmax with the
@@ -3985,6 +4013,7 @@ def oracle_sql() -> dict[str, str]:
         "length_rank_test": _rank_test_sql(),
         "lang_source_chi2": _chi2_sql(),
         "length_ks_test": _ks_test_sql(),
+        "benford_orders": _benford_sql(),
         "pareto_orders": (
             # mirror of relational.pareto_orders: the NOT EXISTS
             # dominance definition (price >=, day <=, one strict);

@@ -446,6 +446,7 @@ def run_bench() -> dict:
     t = time.perf_counter()
     analysis.length_ks_test(SF_DIR)  # small DataFrame
     timings["length_ks_test"] = time.perf_counter() - t
+    timed("benford_orders", relational.benford_orders)
     t = time.perf_counter()
     graph.host_assortativity(SF_DIR)  # small DataFrame
     timings["host_assortativity"] = time.perf_counter() - t

@@ -6250,3 +6250,76 @@ def hourly_cusum(sf_dir: str) -> rd.Dataset:
             "alarm": np.array(alarm, np.int64),
         }
     )
+
+
+#: Benford P(d) = log10(1 + 1/d) in micros, frozen as integer
+#: constants shared verbatim with the SQL mirror.
+BENFORD_MICROS = (
+    301030, 176091, 124939, 96910, 79181, 66947, 57992, 51153, 45757,
+)
+
+
+def benford_orders(sf_dir: str) -> rd.Dataset:
+    """(digit, n_obs, n_expected, dev_micros): first-significant-digit
+    census of order totals against Benford's law — the classic
+    forensic screen for fabricated or clipped monetary data (organic
+    multi-scale amounts lean on small leading digits; uniform or
+    generator-capped data does not).  n_expected = N·P(d) floored via
+    the frozen integer micros table; dev_micros = the digit's
+    |observed − expected| share of N.
+
+    Scale shape: map-only per-batch digit bincounts (first digit via
+    integer decimation, no string round-trip) folding to a 9-row
+    artifact; driver-free single combine."""
+    import pandas as pd
+
+    def partials(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.round(pc.multiply(batch.column("o_totalprice"), 100.0)),
+            pa.int64(),
+        ).to_numpy(zero_copy_only=False)
+        v = np.abs(cents)
+        v = v[v > 0]
+        while_big = v
+        # integer decimation to the leading digit
+        for _ in range(19):  # int64 max has 19 digits
+            big = while_big >= 10
+            if not big.any():
+                break
+            while_big = np.where(big, while_big // 10, while_big)
+        d = while_big
+        counts = np.bincount(d, minlength=10)[1:10].astype(np.int64)
+        return pa.table(
+            {
+                "fin": pa.array(np.zeros(9, np.int8)),
+                "digit": pa.array(np.arange(1, 10, dtype=np.int64)),
+                "n": pa.array(counts),
+            }
+        )
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("digit", as_index=False)["n"].sum()
+        N = int(agg["n"].sum())
+        exp = [
+            (N * BENFORD_MICROS[d - 1]) // 1_000_000
+            for d in agg["digit"]
+        ]
+        obs = agg["n"].to_numpy(np.int64)
+        dev = [
+            (abs(int(o) - e) * 1_000_000) // N for o, e in zip(obs, exp)
+        ]
+        return pd.DataFrame(
+            {
+                "digit": agg["digit"].to_numpy(np.int64),
+                "n_obs": obs,
+                "n_expected": np.array(exp, np.int64),
+                "dev_micros": np.array(dev, np.int64),
+            }
+        )
+
+    return (
+        _t(sf_dir, "orders", ["o_totalprice"])
+        .map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("fin")
+        .map_groups(arrow_udf(fold), batch_format="pandas")
+    )

@@ -133,7 +133,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # cosupplier_edges, bootstrap_mean_ci, shard_balance_report,
         # ann_recall, hour_of_day_effect, target_encode_events,
         # customer_rfm, heaps_law_curve, hourly_cusum,
-        # length_rank_test, lang_source_chi2, length_ks_test) —
+        # length_rank_test, lang_source_chi2, length_ks_test,
+        # benford_orders) —
         # each oracle-backed in
         # tests/test_oracle.py; displacing a gated slot would cost an
         # established driver-green row), then the rows-only
@@ -279,6 +280,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "length_rank_test": analysis.length_rank_test,
         "lang_source_chi2": analysis.lang_source_chi2,
         "length_ks_test": analysis.length_ks_test,
+        "benford_orders": relational.benford_orders,
         "doc_top_terms": partial(
             analysis.doc_top_terms, vocab_cap=analysis.ORACLE_VOCAB_CAP
         ),

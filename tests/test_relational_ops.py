@@ -1630,3 +1630,42 @@ class TestHourlyCusum:
             )
         assert got["alarm"].sum() > 0  # the detector fires at sf0.001
         assert (got["cusum_cents"] == 0).any()  # and resets
+
+
+class TestBenfordOrders:
+    def test_matches_brute_force(self, ray_session, quiet_data_context):
+        """Digit census vs a Python str()-head count; every digit row
+        present, counts conserve, constants sum to ~1e6."""
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from pdf_parser_ray.pipelines.relational import (
+            BENFORD_MICROS, benford_orders,
+        )
+
+        assert abs(sum(BENFORD_MICROS) - 1_000_000) <= 2  # frozen table
+        sf = "/root/testdata/sf0.001"
+        got = (
+            benford_orders(sf)
+            .to_pandas()
+            .set_index("digit")
+            .sort_index()
+        )
+        o = pq.read_table(
+            sf + "/orders.parquet", columns=["o_totalprice"]
+        ).to_pandas()
+        cents = np.abs(np.round(o["o_totalprice"] * 100).astype(np.int64))
+        cents = cents[cents > 0]
+        from collections import Counter
+
+        c = Counter(int(str(int(v))[0]) for v in cents)
+        N = len(cents)
+        assert list(got.index) == list(range(1, 10))
+        assert got["n_obs"].sum() == N
+        for d in range(1, 10):
+            assert got.loc[d, "n_obs"] == c.get(d, 0)
+            exp = (N * BENFORD_MICROS[d - 1]) // 1_000_000
+            assert got.loc[d, "n_expected"] == exp
+            assert got.loc[d, "dev_micros"] == (
+                abs(c.get(d, 0) - exp) * 1_000_000
+            ) // N
