@@ -1563,6 +1563,42 @@ def _nation_year_sql() -> str:
     )
 
 
+def _burst_sql() -> str:
+    """Mirror of relational.hourly_burst_states: the two-state
+    forward-cost recursion as a recursive CTE, L1 emissions and the
+    switching penalty in exact integers, constants interpolated."""
+    from pdf_parser_ray.pipelines.relational import (
+        BURST_RATE_MULT, BURST_SWITCH_DIV,
+    )
+
+    M, G = BURST_RATE_MULT, BURST_SWITCH_DIV
+    return (
+        "WITH RECURSIVE h AS (SELECT"
+        "   (epoch_us(ts) // 3600000000) * 3600000000 AS hour_us,"
+        "   CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS c"
+        "  FROM events GROUP BY 1),"
+        " o AS (SELECT hour_us, c, row_number() OVER (ORDER BY hour_us) rn"
+        "   FROM h),"
+        " m AS (SELECT CAST(sum(c) // count(*) AS BIGINT) AS mu FROM h),"
+        " r AS ("
+        "   SELECT o.rn, o.hour_us, o.c,"
+        "     CAST(abs(o.c - m.mu) AS BIGINT) AS c0,"
+        f"     CAST(m.mu // {G} + abs(o.c - {M} * m.mu) AS BIGINT) AS c1"
+        "   FROM o, m WHERE o.rn = 1"
+        "   UNION ALL"
+        "   SELECT o.rn, o.hour_us, o.c,"
+        f"     CAST(least(r.c0, r.c1 + m.mu // {G}) + abs(o.c - m.mu)"
+        "       AS BIGINT),"
+        f"     CAST(least(r.c1, r.c0 + m.mu // {G})"
+        f"       + abs(o.c - {M} * m.mu) AS BIGINT)"
+        "   FROM r JOIN o ON o.rn = r.rn + 1 CROSS JOIN m)"
+        " SELECT hour_us, c AS total_cents, c0 AS cost_base,"
+        "  c1 AS cost_burst,"
+        "  CAST(CASE WHEN c1 < c0 THEN 1 ELSE 0 END AS BIGINT) AS in_burst"
+        " FROM r"
+    )
+
+
 def _benford_sql() -> str:
     """Mirror of relational.benford_orders: first digit via VARCHAR
     head (≡ the pipeline's integer decimation for positive ints), the
@@ -4014,6 +4050,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_source_chi2": _chi2_sql(),
         "length_ks_test": _ks_test_sql(),
         "benford_orders": _benford_sql(),
+        "hourly_burst_states": _burst_sql(),
         "pareto_orders": (
             # mirror of relational.pareto_orders: the NOT EXISTS
             # dominance definition (price >=, day <=, one strict);

@@ -448,6 +448,9 @@ def run_bench() -> dict:
     timings["length_ks_test"] = time.perf_counter() - t
     timed("benford_orders", relational.benford_orders)
     t = time.perf_counter()
+    relational.hourly_burst_states(SF_DIR)  # small DataFrame
+    timings["hourly_burst_states"] = time.perf_counter() - t
+    t = time.perf_counter()
     graph.host_assortativity(SF_DIR)  # small DataFrame
     timings["host_assortativity"] = time.perf_counter() - t
     timed("brand_supplier_counts", relational.brand_supplier_counts)

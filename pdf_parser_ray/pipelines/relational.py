@@ -6323,3 +6323,73 @@ def benford_orders(sf_dir: str) -> rd.Dataset:
         .groupby("fin")
         .map_groups(arrow_udf(fold), batch_format="pandas")
     )
+
+
+BURST_RATE_MULT = 2  # burst-state level = 2x the mean hourly total
+BURST_SWITCH_DIV = 1  # switching penalty = mean // 1 (one mean-hour)
+
+
+def hourly_burst_states(sf_dir: str) -> rd.Dataset:
+    """(hour_us, total_cents, cost_base, cost_burst, in_burst): a
+    two-state burst automaton over the hourly value totals — the
+    Kleinberg-shaped detector with integer L1 emission costs
+    |x − λ_s| (λ_base = mean, λ_burst = 2·mean) and a switching
+    penalty γ = mean: forward costs
+    c_s(t) = min(c_base(t−1) + γ·[s≠base], c_burst(t−1) + γ·[s≠burst])
+    + |x_t − λ_s|, with ``in_burst`` the running state estimate
+    (cost_burst < cost_base).  The hysteresis both ways is what
+    :func:`hourly_cusum`'s one-sided drift score lacks: a burst must
+    PAY γ to enter and to leave, so single spiky hours don't flap the
+    state.  Exact integers, so the recursive-CTE oracle replays the
+    recursion bit-for-bit.
+
+    Scale shape: the hourly rollup is the 100 TB pass; the recursion
+    is driver math over that bounded artifact (the hourly_cusum
+    pattern)."""
+    import pandas as pd
+
+    def partials(batch: pa.Table) -> pa.Table:
+        ts = pc.cast(batch.column("ts"), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        hour = (ts // 3_600_000_000) * 3_600_000_000
+        cents = pc.cast(
+            pc.round(pc.multiply(batch.column("value"), 100.0)), pa.int64()
+        )
+        g = (
+            pa.table({"h": pa.array(hour), "c": cents})
+            .group_by(["h"])
+            .aggregate([("c", "sum")])
+        )
+        return pa.table({"h": g.column("h"), "c": g.column("c_sum")})
+
+    hourly = (
+        _t(sf_dir, "events", ["ts", "value"])
+        .map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()
+        .groupby("h", as_index=False)["c"]
+        .sum()
+        .sort_values("h")
+        .reset_index(drop=True)
+    )
+    mu = int(hourly["c"].sum()) // len(hourly)
+    lam0, lam1 = mu, BURST_RATE_MULT * mu
+    gamma = mu // BURST_SWITCH_DIV
+    c0 = c1 = 0
+    first = True
+    rows = []
+    for h, x in zip(hourly["h"], hourly["c"]):
+        x = int(x)
+        if first:
+            n0 = abs(x - lam0)
+            n1 = gamma + abs(x - lam1)  # entering burst from rest
+            first = False
+        else:
+            n0 = min(c0, c1 + gamma) + abs(x - lam0)
+            n1 = min(c1, c0 + gamma) + abs(x - lam1)
+        c0, c1 = n0, n1
+        rows.append((int(h), x, c0, c1, 1 if c1 < c0 else 0))
+    return pd.DataFrame(
+        rows,
+        columns=["hour_us", "total_cents", "cost_base", "cost_burst", "in_burst"],
+    ).astype(np.int64)

@@ -1669,3 +1669,55 @@ class TestBenfordOrders:
             assert got.loc[d, "dev_micros"] == (
                 abs(c.get(d, 0) - exp) * 1_000_000
             ) // N
+
+
+class TestHourlyBurstStates:
+    def test_matches_brute_force_and_hysteresis(
+        self, ray_session, quiet_data_context
+    ):
+        """Two-state forward costs vs a Python replay; the hysteresis
+        must make in_burst stickier than the memoryless comparison."""
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from pdf_parser_ray.pipelines.relational import (
+            BURST_RATE_MULT, BURST_SWITCH_DIV, hourly_burst_states,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        got = hourly_burst_states(sf).sort_values("hour_us").reset_index(
+            drop=True
+        )
+        ev = pq.read_table(
+            sf + "/events.parquet", columns=["ts", "value"]
+        ).to_pandas()
+        ev["h"] = (ev["ts"].astype("int64") // 3_600_000_000) * 3_600_000_000
+        ev["c"] = np.round(ev["value"] * 100).astype(np.int64)
+        hourly = ev.groupby("h")["c"].sum().sort_index()
+        mu = int(hourly.sum()) // len(hourly)
+        lam1, g = BURST_RATE_MULT * mu, mu // BURST_SWITCH_DIV
+        c0 = c1 = None
+        memoryless_flips = sticky_flips = 0
+        prev_sticky = prev_memoryless = None
+        for i, (h, x) in enumerate(hourly.items()):
+            x = int(x)
+            if c0 is None:
+                c0, c1 = abs(x - mu), g + abs(x - lam1)
+            else:
+                c0, c1 = (
+                    min(c0, c1 + g) + abs(x - mu),
+                    min(c1, c0 + g) + abs(x - lam1),
+                )
+            assert got.loc[i, "cost_base"] == c0
+            assert got.loc[i, "cost_burst"] == c1
+            sticky = 1 if c1 < c0 else 0
+            assert got.loc[i, "in_burst"] == sticky
+            memoryless = 1 if abs(x - lam1) < abs(x - mu) else 0
+            if prev_sticky is not None and sticky != prev_sticky:
+                sticky_flips += 1
+            if prev_memoryless is not None and memoryless != prev_memoryless:
+                memoryless_flips += 1
+            prev_sticky, prev_memoryless = sticky, memoryless
+        # the switching penalty suppresses state flapping
+        assert sticky_flips < memoryless_flips
+        assert got["in_burst"].sum() > 0  # bursts exist at sf0.001
