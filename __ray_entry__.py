@@ -1563,6 +1563,40 @@ def _nation_year_sql() -> str:
     )
 
 
+def _spearman_sql() -> str:
+    """Mirror of analysis.length_vocab_spearman: marginal doubled
+    midranks via 1-PRECEDING running counts, HUGEINT moments off the
+    joint histogram, the shared cov/(√vx·√vy) micro floor."""
+    return (
+        f"WITH v AS (SELECT CAST(len({_WORDS_EXPR}) AS BIGINT) AS w,"
+        f"   CAST(len(list_distinct({_WORDS_EXPR})) AS BIGINT) AS d"
+        "   FROM documents),"
+        " j AS (SELECT w, d, CAST(count(*) AS BIGINT) AS n FROM v"
+        "   GROUP BY 1, 2),"
+        " mw AS (SELECT w, CAST(sum(n) AS BIGINT) c FROM j GROUP BY w),"
+        " md AS (SELECT d, CAST(sum(n) AS BIGINT) c FROM j GROUP BY d),"
+        " rw AS (SELECT w, CAST(2 * coalesce(sum(c) OVER (ORDER BY w"
+        "    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)"
+        "    + c + 1 AS BIGINT) AS r FROM mw),"
+        " rdd AS (SELECT d, CAST(2 * coalesce(sum(c) OVER (ORDER BY d"
+        "    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)"
+        "    + c + 1 AS BIGINT) AS r FROM md),"
+        " m AS (SELECT CAST(sum(j.n) AS HUGEINT) N,"
+        "   CAST(sum(CAST(j.n AS HUGEINT) * rw.r) AS HUGEINT) sx,"
+        "   CAST(sum(CAST(j.n AS HUGEINT) * rdd.r) AS HUGEINT) sy,"
+        "   CAST(sum(CAST(j.n AS HUGEINT) * rw.r * rdd.r) AS HUGEINT) sxy,"
+        "   CAST(sum(CAST(j.n AS HUGEINT) * rw.r * rw.r) AS HUGEINT) sxx,"
+        "   CAST(sum(CAST(j.n AS HUGEINT) * rdd.r * rdd.r) AS HUGEINT) syy"
+        "  FROM j JOIN rw USING (w) JOIN rdd USING (d))"
+        " SELECT CAST(N AS BIGINT) AS n,"
+        "  CAST(floor(CAST(N*sxy - sx*sy AS DOUBLE)"
+        "   / (sqrt(CAST(N*sxx - sx*sx AS DOUBLE))"
+        "      * sqrt(CAST(N*syy - sy*sy AS DOUBLE))) * 1000000)"
+        "   AS BIGINT) AS rho_micros"
+        " FROM m"
+    )
+
+
 def _burst_sql() -> str:
     """Mirror of relational.hourly_burst_states: the two-state
     forward-cost recursion as a recursive CTE, L1 emissions and the
@@ -4051,6 +4085,7 @@ def oracle_sql() -> dict[str, str]:
         "length_ks_test": _ks_test_sql(),
         "benford_orders": _benford_sql(),
         "hourly_burst_states": _burst_sql(),
+        "length_vocab_spearman": _spearman_sql(),
         "pareto_orders": (
             # mirror of relational.pareto_orders: the NOT EXISTS
             # dominance definition (price >=, day <=, one strict);

@@ -451,6 +451,9 @@ def run_bench() -> dict:
     relational.hourly_burst_states(SF_DIR)  # small DataFrame
     timings["hourly_burst_states"] = time.perf_counter() - t
     t = time.perf_counter()
+    analysis.length_vocab_spearman(SF_DIR)  # small DataFrame
+    timings["length_vocab_spearman"] = time.perf_counter() - t
+    t = time.perf_counter()
     graph.host_assortativity(SF_DIR)  # small DataFrame
     timings["host_assortativity"] = time.perf_counter() - t
     timed("brand_supplier_counts", relational.brand_supplier_counts)

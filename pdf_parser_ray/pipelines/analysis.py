@@ -3556,3 +3556,86 @@ def length_ks_test(
             "at_length": np.array([at], np.int64),
         }
     )
+
+
+def length_vocab_spearman(sf_dir: str) -> rd.Dataset:
+    """(n, rho_micros): Spearman rank correlation between document
+    length (words) and vocabulary size (distinct words) — the
+    monotone-association statistic that completes the correlation
+    family (ols_residuals: linear Pearson; user_value_autocorr:
+    serial; this: rank-based, outlier-immune).  A low ρ on a corpus
+    flags template/boilerplate pollution (length growing without new
+    vocabulary).
+
+    Exact integers to one shared float fold: doubled midranks
+    (2·cnt_less + ties + 1, the length_rank_test identity) come from
+    the MARGINAL histograms; every moment Σ rx·ry etc. folds from the
+    bounded JOINT (length, distinct) histogram through Python ints;
+    then ρ = cov/(√vx·√vy) in the one shared IEEE expression, floored
+    to micros.
+
+    Scale shape: one split pass emitting joint-histogram partials
+    (both coordinates have small domains), driver rank algebra, one
+    row out."""
+    import numpy as np
+    import pandas as pd
+
+    def partials(batch: pa.Table) -> pa.Table:
+        out_w, out_d = [], []
+        for text in batch.column("text").to_pylist():
+            ws = text.split()
+            out_w.append(len(ws))
+            out_d.append(len(set(ws)))
+        df = pd.DataFrame({"w": out_w, "d": out_d})
+        g = df.groupby(["w", "d"], as_index=False).size()
+        return pa.table(
+            {
+                "w": pa.array(g["w"].to_numpy(np.int64)),
+                "d": pa.array(g["d"].to_numpy(np.int64)),
+                "n": pa.array(g["size"].to_numpy(np.int64)),
+            }
+        )
+
+    joint = (
+        _docs(sf_dir, ["text"])
+        .map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()
+        .groupby(["w", "d"], as_index=False)["n"]
+        .sum()
+    )
+    N = int(joint["n"].sum())
+
+    def midranks_x2(marginal: "pd.Series") -> dict:
+        cnt_less = 0
+        out = {}
+        for v in sorted(marginal.index):
+            c = int(marginal[v])
+            out[int(v)] = 2 * cnt_less + c + 1
+            cnt_less += c
+        return out
+
+    rw = midranks_x2(joint.groupby("w")["n"].sum())
+    rd_ = midranks_x2(joint.groupby("d")["n"].sum())
+    sx = sy = sxy = sxx = syy = 0
+    for _, r in joint.iterrows():
+        x, y, c = rw[int(r["w"])], rd_[int(r["d"])], int(r["n"])
+        sx += c * x
+        sy += c * y
+        sxy += c * x * y
+        sxx += c * x * x
+        syy += c * y * y
+    cov = N * sxy - sx * sy
+    vx, vy = N * sxx - sx * sx, N * syy - sy * sy
+    rho = (
+        0.0
+        if vx <= 0 or vy <= 0
+        else float(cov) / (np.sqrt(float(vx)) * np.sqrt(float(vy)))
+    )
+    return pd.DataFrame(
+        {
+            "n": np.array([N], np.int64),
+            "rho_micros": np.array(
+                [int(np.floor(rho * 1_000_000))], np.int64
+            ),
+        }
+    )

@@ -134,7 +134,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ann_recall, hour_of_day_effect, target_encode_events,
         # customer_rfm, heaps_law_curve, hourly_cusum,
         # length_rank_test, lang_source_chi2, length_ks_test,
-        # benford_orders, hourly_burst_states) —
+        # benford_orders, hourly_burst_states,
+        # length_vocab_spearman) —
         # each oracle-backed in
         # tests/test_oracle.py; displacing a gated slot would cost an
         # established driver-green row), then the rows-only
@@ -282,6 +283,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "length_ks_test": analysis.length_ks_test,
         "benford_orders": relational.benford_orders,
         "hourly_burst_states": relational.hourly_burst_states,
+        "length_vocab_spearman": analysis.length_vocab_spearman,
         "doc_top_terms": partial(
             analysis.doc_top_terms, vocab_cap=analysis.ORACLE_VOCAB_CAP
         ),

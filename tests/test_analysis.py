@@ -1234,3 +1234,64 @@ class TestLengthKsTest:
         assert u["auc_micros"] == 500_000      # rank test: blind
         assert ks["d_micros"] == 500_000       # KS: half the mass displaced
         assert ks["at_length"] == 5
+
+
+class TestLengthVocabSpearman:
+    def test_matches_midrank_corrcoef(self, ray_session, quiet_data_context):
+        """Integer-moment Spearman vs numpy corrcoef over explicit
+        midranks (±1 micro float-path tolerance); the corpus
+        correlation must be strongly positive."""
+        import numpy as np
+        import pyarrow.parquet as pq
+        from pdf_parser_ray.pipelines.analysis import length_vocab_spearman
+
+        sf = "/root/testdata/sf0.001"
+        got = length_vocab_spearman(sf).iloc[0]
+        docs = pq.read_table(
+            sf + "/documents.parquet", columns=["text"]
+        ).to_pandas()
+        w = np.array([len(t.split()) for t in docs["text"]], np.float64)
+        d = np.array([len(set(t.split())) for t in docs["text"]], np.float64)
+
+        def midrank(v):
+            order = np.argsort(v, kind="stable")
+            r = np.empty(len(v), np.float64)
+            sv = v[order]
+            i = 0
+            while i < len(sv):
+                j = i
+                while j < len(sv) and sv[j] == sv[i]:
+                    j += 1
+                r[order[i:j]] = (i + j + 1) / 2.0
+                i = j
+            return r
+
+        rho = float(np.corrcoef(midrank(w), midrank(d))[0, 1])
+        assert got["n"] == len(docs)
+        assert abs(got["rho_micros"] - np.floor(rho * 1e6)) <= 1
+        assert got["rho_micros"] > 700_000  # genuinely monotone corpus
+
+    def test_perfect_monotone_extremes(
+        self, ray_session, quiet_data_context, tmp_path
+    ):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pdf_parser_ray.pipelines.analysis import length_vocab_spearman
+
+        # tie-free increasing lengths with vocab == length -> rho = 1
+        texts = [" ".join(f"u{i}w{j}" for j in range(5 + i)) for i in range(20)]
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(20), pa.int64()),
+                    "text": pa.array(texts, pa.string()),
+                    "lang": pa.array(["en"] * 20),
+                    "source": pa.array(["s"] * 20),
+                    "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+                }
+            ),
+            str(tmp_path / "documents.parquet"),
+        )
+        got = length_vocab_spearman(str(tmp_path)).iloc[0]
+        assert got["rho_micros"] == 1_000_000
