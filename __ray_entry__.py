@@ -1563,6 +1563,30 @@ def _nation_year_sql() -> str:
     )
 
 
+def _hill_sql() -> str:
+    """Mirror of analysis.hill_tail_index: top-(k+1) counts by
+    (n DESC, word), per-term ln-micros floors summed exactly,
+    α_micros = k·1e12 // Σ."""
+    from pdf_parser_ray.pipelines.analysis import HILL_K
+
+    K = HILL_K
+    return (
+        f"WITH w AS (SELECT unnest({_WORDS_EXPR}) AS word FROM documents),"
+        " c AS (SELECT word, CAST(count(*) AS BIGINT) n FROM w"
+        "   GROUP BY word),"
+        " r AS (SELECT n, row_number() OVER (ORDER BY n DESC, word) rn"
+        "   FROM c),"
+        f" ref AS (SELECT n AS x_ref FROM r WHERE rn = {K} + 1),"
+        " s AS (SELECT CAST(sum(CAST(floor(ln(CAST(r.n AS DOUBLE)"
+        "   / ref.x_ref) * 1000000) AS BIGINT)) AS BIGINT) AS tot"
+        f"   FROM r, ref WHERE r.rn <= {K})"
+        f" SELECT CAST({K} AS BIGINT) AS k, ref.x_ref,"
+        f"  CAST(CASE WHEN s.tot > 0 THEN ({K} * 1000000000000) // s.tot"
+        "   ELSE 0 END AS BIGINT) AS alpha_micros"
+        " FROM s, ref"
+    )
+
+
 def _spearman_sql() -> str:
     """Mirror of analysis.length_vocab_spearman: marginal doubled
     midranks via 1-PRECEDING running counts, HUGEINT moments off the
@@ -4086,6 +4110,7 @@ def oracle_sql() -> dict[str, str]:
         "benford_orders": _benford_sql(),
         "hourly_burst_states": _burst_sql(),
         "length_vocab_spearman": _spearman_sql(),
+        "hill_tail_index": _hill_sql(),
         "pareto_orders": (
             # mirror of relational.pareto_orders: the NOT EXISTS
             # dominance definition (price >=, day <=, one strict);

@@ -454,6 +454,9 @@ def run_bench() -> dict:
     analysis.length_vocab_spearman(SF_DIR)  # small DataFrame
     timings["length_vocab_spearman"] = time.perf_counter() - t
     t = time.perf_counter()
+    analysis.hill_tail_index(SF_DIR)  # small DataFrame
+    timings["hill_tail_index"] = time.perf_counter() - t
+    t = time.perf_counter()
     graph.host_assortativity(SF_DIR)  # small DataFrame
     timings["host_assortativity"] = time.perf_counter() - t
     timed("brand_supplier_counts", relational.brand_supplier_counts)

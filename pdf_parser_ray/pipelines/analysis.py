@@ -3639,3 +3639,67 @@ def length_vocab_spearman(sf_dir: str) -> rd.Dataset:
             ),
         }
     )
+
+
+HILL_K = 20
+
+
+def hill_tail_index(sf_dir: str, k: int = HILL_K) -> rd.Dataset:
+    """(k, x_ref, alpha_micros): the Hill estimator of the
+    word-frequency tail exponent — α̂ = k / Σᵢ ln(xᵢ / x_{k+1}) over
+    the top-k word counts (order by count DESC, word ASC) — the
+    maximum-likelihood companion to :func:`zipf_fit`'s log-log
+    regression slope: the regression reads the whole curve, Hill reads
+    only the extreme tail, and disagreement between them flags a
+    kinked (mixed-regime) frequency distribution.
+
+    Float discipline: each ln(xᵢ/x_ref) floors to integer micros
+    INDIVIDUALLY (the unigram_logprob ln-micros rule — the sum of
+    per-term floors is order-independent), then
+    α_micros = k·1e12 // Σ ln_micros, exact integers on both engines.
+
+    Scale shape: the word-count fold is the capped-vocab exchange
+    (vocabulary-sized partials, top-(k+1) kept); the estimator is
+    driver arithmetic over k+1 numbers."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from collections import Counter
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        counts: Counter = Counter()
+        for text in batch.column("text").to_pylist():
+            counts.update(text.split())
+        words = list(counts)
+        return pa.table(
+            {
+                "word": pa.array(words, pa.string()),
+                "n": pa.array([counts[w] for w in words], pa.int64()),
+            }
+        )
+
+    vocab = (
+        _docs(sf_dir, ["text"])
+        .map_batches(partial_counts, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("word")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+        .sort_values(["n", "word"], ascending=[False, True])
+        .reset_index(drop=True)
+    )
+    top = vocab.head(k + 1)
+    xs = top["n"].to_numpy(np.int64)
+    x_ref = int(xs[k])
+    s = sum(
+        math.floor(math.log(int(x) / x_ref) * 1_000_000) for x in xs[:k]
+    )
+    alpha = (k * 10**12) // s if s > 0 else 0
+    return pd.DataFrame(
+        {
+            "k": np.array([k], np.int64),
+            "x_ref": np.array([x_ref], np.int64),
+            "alpha_micros": np.array([alpha], np.int64),
+        }
+    )

@@ -1295,3 +1295,82 @@ class TestLengthVocabSpearman:
         )
         got = length_vocab_spearman(str(tmp_path)).iloc[0]
         assert got["rho_micros"] == 1_000_000
+
+
+class TestHillTailIndex:
+    def test_matches_brute_force(self, ray_session, quiet_data_context):
+        """Hill estimate vs a Counter recomputation with the same
+        per-term ln-micros floors; the light-tailed closed synthetic
+        vocab reads a LARGE alpha (near-uniform counts), diverging
+        from zipf_fit's whole-curve slope — the kinked-regime flag
+        the pair exists to expose."""
+        import math
+        from collections import Counter
+
+        import pyarrow.parquet as pq
+
+        from pdf_parser_ray.pipelines.analysis import HILL_K, hill_tail_index
+
+        sf = "/root/testdata/sf0.001"
+        got = hill_tail_index(sf).iloc[0]
+        docs = pq.read_table(
+            sf + "/documents.parquet", columns=["text"]
+        ).to_pandas()
+        c: Counter = Counter()
+        for t in docs["text"]:
+            c.update(t.split())
+        top = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[: HILL_K + 1]
+        x_ref = top[HILL_K][1]
+        s = sum(
+            math.floor(math.log(n / x_ref) * 1_000_000) for _, n in top[:HILL_K]
+        )
+        assert got["k"] == HILL_K and got["x_ref"] == x_ref
+        assert got["alpha_micros"] == (HILL_K * 10**12) // s
+        assert got["alpha_micros"] > 5_000_000  # light tail, alpha >> 1
+
+    def test_planted_pareto_tail(self, ray_session, quiet_data_context, tmp_path):
+        """A word-frequency table built from an exact power law
+        recovers alpha near the planted exponent."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pdf_parser_ray.pipelines.analysis import hill_tail_index
+
+        # counts n_r = floor(10000 / r^2): alpha = 2... Hill over counts
+        # x ~ r^-2 means survival exponent 1/2?  Hill on the ORDERED
+        # counts with x_i/x_ref = (ref_rank/i)^2 -> alpha ≈ k / sum
+        # 2 ln(21/i) — just assert the recovered value against the
+        # closed form rather than the asymptotic exponent
+        import math
+
+        texts = []
+        for r in range(1, 200):
+            n = max(1, 10000 // (r * r))
+            texts.extend([f"word{r:03d}"] * n)
+        # pack into docs of 100 tokens
+        docs = [
+            " ".join(texts[i : i + 100]) for i in range(0, len(texts), 100)
+        ]
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(len(docs)), pa.int64()),
+                    "text": pa.array(docs, pa.string()),
+                    "lang": pa.array(["en"] * len(docs)),
+                    "source": pa.array(["s"] * len(docs)),
+                    "n_chars": pa.array([len(d) for d in docs], pa.int64()),
+                }
+            ),
+            str(tmp_path / "documents.parquet"),
+        )
+        got = hill_tail_index(str(tmp_path)).iloc[0]
+        k, x_ref = int(got["k"]), int(got["x_ref"])
+        expect_s = sum(
+            math.floor(
+                math.log(max(1, 10000 // (i * i)) / x_ref) * 1_000_000
+            )
+            for i in range(1, k + 1)
+        )
+        assert got["alpha_micros"] == (k * 10**12) // expect_s
+        # for a rank^-2 count law the Hill alpha over top-20 sits ~0.5
+        assert 300_000 < got["alpha_micros"] < 800_000
