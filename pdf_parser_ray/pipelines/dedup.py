@@ -1348,62 +1348,28 @@ def incremental_dedup(sf_dir: str, threshold_millis: int = 500) -> rd.Dataset:
     delta never pairs with itself, and the base (the 100-TB side) is
     touched only by streaming passes.
 
-    Scale shape: nothing on the driver.  Layer 1 (exact) co-shuffles
-    narrow (md5, doc_id, side) rows on a hash of the digest and marks
-    delta docs whose digest appears on the base side.  Layer 2 (near)
-    reuses the MinHash band machinery: band rows from BOTH sides meet
-    in one coarse groupby, emit only delta-x-base candidates (capped
-    per band bucket with the usual overflow markers), and verify via
-    the distributed :func:`_bucket_join_verify`.  A final multiplexed
-    priority union (exact 2 > near 1 > new 0, the curate_documents
-    pattern) assembles per-delta-doc verdicts.  Overflow markers
-    surface as (doc_id = OVERFLOW_MARKER_ID, verdict = 'overflow:N')
-    rows — absent on the oracle corpora."""
+    Scale shape: nothing on the driver, THREE exchanges total (r05;
+    was five in r04 — each exchange carries ~1 s of fixed AllToAll
+    cost at sf0.1, so exchange count IS the wall-time here).
+    (1) MinHash band rows from BOTH sides meet in one coarse groupby
+    and emit only delta-x-base candidates (capped per band bucket
+    with the usual overflow markers).  Exact duplicates need no
+    separate digest pass: byte-identical texts have byte-identical
+    signatures, so they collide in EVERY band, and the full-signature
+    ``sec`` recovery emits same-signature pairs uncapped — an exact
+    pair can never be lost to the cap.  (2) Pair halves co-shuffle
+    with (doc_id, text) rows on hash(doc_id) to attach texts.
+    (3) Attached halves re-key on hash(doc_id_a) — doc_id_a is
+    always the delta side — together with one bare id row per delta
+    doc, so the group that verifies a doc's pairs (byte equality ⇒
+    exact, word-3-gram Jaccard ≥ threshold ⇒ near) also assembles
+    its final verdict; docs with no surviving pair emit 'new'.
+    Overflow markers surface as (doc_id = OVERFLOW_MARKER_ID,
+    verdict = 'overflow:N') rows — absent on the oracle corpora."""
     base = _base_corpus(sf_dir)
     delta = _delta_corpus(sf_dir)
 
-    # -- layer 1: exact digests, co-shuffled on hash(md5) -----------------
-    def md5_rows(is_base: int):
-        def f(batch: pa.Table) -> pa.Table:
-            texts = batch.column("text").to_pylist()
-            md5s = [hashlib.md5(t.encode("utf-8")).hexdigest() for t in texts]
-            keys = np.fromiter(
-                (zlib.crc32(h.encode()) % _COARSE_BUCKETS for h in md5s),
-                dtype=np.int64,
-                count=len(md5s),
-            )
-            return pa.table(
-                {
-                    "key": pa.array(keys),
-                    "text_hash": pa.array(md5s, pa.string()),
-                    "doc_id": batch.column("doc_id"),
-                    "is_base": pa.array(
-                        np.full(len(md5s), is_base, np.int8)
-                    ),
-                }
-            )
-
-        return f
-
-    def exact_hits(g: pd.DataFrame) -> pd.DataFrame:
-        base_h = set(g.loc[g["is_base"] == 1, "text_hash"])
-        d = g[(g["is_base"] == 0) & g["text_hash"].isin(base_h)]
-        return pd.DataFrame(
-            {"doc_id": d["doc_id"].to_numpy().astype(np.int64)}
-        )
-
-    exact_ids = (
-        base.map_batches(md5_rows(1), batch_format="pyarrow", zero_copy_batch=True)
-        .union(
-            delta.map_batches(
-                md5_rows(0), batch_format="pyarrow", zero_copy_batch=True
-            )
-        )
-        .groupby("key")
-        .map_groups(arrow_udf(exact_hits), batch_format="pandas")
-    )
-
-    # -- layer 2: MinHash bands, cross-side candidates, bucket-join verify
+    # -- exchange 1: MinHash bands -> cross-side candidate pairs ----------
     def band_rows(is_base: int):
         def f(batch: pa.Table) -> pa.Table:
             ids = batch.column("doc_id").to_pylist()
@@ -1521,67 +1487,148 @@ def incremental_dedup(sf_dir: str, threshold_millis: int = 500) -> rd.Dataset:
         .groupby("coarse")
         .map_groups(arrow_udf(cross_pairs), batch_format="pandas")
     )
-    verified = _bucket_join_verify(
-        candidates, base.union(delta), threshold_millis
-    )
 
-    # -- priority union: exact(2) > near(1) > new(0); markers pri=-count --
-    def delta_pri(batch: pa.Table) -> pa.Table:
-        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
-        return pa.table(
-            {
-                "key": pa.array(_id_bucket(ids)),
-                "doc_id": pa.array(ids),
-                "pri": pa.array(np.zeros(len(ids), np.int64)),
-            }
-        )
-
-    def exact_pri(batch: pa.Table) -> pa.Table:
-        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
-        return pa.table(
-            {
-                "key": pa.array(_id_bucket(ids)),
-                "doc_id": pa.array(ids),
-                "pri": pa.array(np.full(len(ids), 2, np.int64)),
-            }
-        )
-
-    def near_pri(batch: pa.Table) -> pa.Table:
-        a = batch.column("doc_id_a").to_numpy(zero_copy_only=False).astype(np.int64)
-        jm = (
-            batch.column("jaccard_millis")
-            .to_numpy(zero_copy_only=False)
-            .astype(np.int64)
-        )
-        is_marker = a < 0
-        real = a[~is_marker]
-        keys = [_id_bucket(real)]
-        ids = [real]
-        pris = [np.ones(len(real), np.int64)]
+    # -- exchange 2: attach texts to pair halves (the _bucket_join_verify
+    # attach stage, shared shape; markers ride side=3) --------------------
+    def halves(batch: pa.Table) -> pa.Table:
+        a_all = batch.column("doc_id_a").to_numpy(zero_copy_only=False).astype(np.int64)
+        b_all = batch.column("doc_id_b").to_numpy(zero_copy_only=False).astype(np.int64)
+        is_marker = a_all < 0
+        a, b = a_all[~is_marker], b_all[~is_marker]
+        n = len(a)
+        keys = [np.concatenate([_id_bucket(a), _id_bucket(b)])]
+        ids_a = [np.concatenate([a, a])]
+        ids_b = [np.concatenate([b, b])]
+        sides = [np.concatenate([np.zeros(n, np.int32), np.ones(n, np.int32)])]
+        texts: list = [None] * (2 * n)
         if is_marker.any():
-            m = a[is_marker]
-            keys.append(_id_bucket(m))
-            ids.append(m)
-            pris.append(-jm[is_marker])  # marker: pri = -unexamined count
+            ovf = (
+                batch.column("n_overflow")
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)[is_marker]
+            )
+            mb = b_all[is_marker]
+            keys.append(_id_bucket(mb))
+            ids_a.append(a_all[is_marker])
+            ids_b.append(mb)
+            sides.append(np.full(len(mb), 3, np.int32))
+            texts.extend(str(int(v)) for v in ovf)  # count rides the text col
         return pa.table(
             {
                 "key": pa.array(np.concatenate(keys)),
-                "doc_id": pa.array(np.concatenate(ids)),
-                "pri": pa.array(np.concatenate(pris)),
+                "doc_id_a": pa.array(np.concatenate(ids_a)),
+                "doc_id_b": pa.array(np.concatenate(ids_b)),
+                "side": pa.array(np.concatenate(sides)),
+                "text": pa.array(texts, pa.large_string()),
             }
         )
 
-    _VERDICT = {0: "new", 1: "near_dup", 2: "exact_dup"}
+    def text_rows(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "key": pa.array(_id_bucket(ids)),
+                "doc_id_a": pa.array(ids),
+                "doc_id_b": pa.array(np.zeros(len(ids), np.int64)),
+                "side": pa.array(np.full(len(ids), 2, np.int32)),
+                "text": batch.column("text").cast(pa.large_string()),
+            }
+        )
 
-    def combine(g: pd.DataFrame) -> pd.DataFrame:
-        pri = g["pri"].to_numpy()
-        is_marker = pri < 0
-        out_ids = g.loc[is_marker, "doc_id"].to_numpy().astype(np.int64).tolist()
-        out_v = [f"overflow:{-int(p)}" for p in pri[is_marker]]
-        gg = g[~is_marker]
-        best = gg.groupby("doc_id", sort=False)["pri"].max()
-        out_ids.extend(int(i) for i in best.index)
-        out_v.extend(_VERDICT[int(p)] for p in best.to_numpy())
+    def attach(g: pd.DataFrame) -> pd.DataFrame:
+        is_text = g["side"].to_numpy() == 2
+        lookup = dict(
+            zip(g["doc_id_a"].to_numpy()[is_text], g["text"].to_numpy()[is_text])
+        )
+        h = g[~is_text]
+        sides = h["side"].to_numpy()
+        need = np.where(sides == 0, h["doc_id_a"].to_numpy(), h["doc_id_b"].to_numpy())
+        orig = h["text"].to_numpy()
+        texts_got = [
+            o if s == 3 else lookup.get(i)
+            for i, s, o in zip(need, sides, orig)
+        ]
+        keep = np.array([t is not None for t in texts_got], dtype=bool)
+        return pd.DataFrame(
+            {
+                "doc_id_a": h["doc_id_a"].to_numpy()[keep].astype(np.int64),
+                "doc_id_b": h["doc_id_b"].to_numpy()[keep].astype(np.int64),
+                "side": sides[keep].astype(np.int32),
+                "text": pd.array(
+                    [t for t, k in zip(texts_got, keep) if k], dtype=object
+                ),
+            }
+        )
+
+    # -- exchange 3: re-key on hash(doc_id_a) (= the delta side) so pair
+    # verification and per-doc verdict assembly share ONE group ----------
+    def add_doc_key(batch: pa.Table) -> pa.Table:
+        a = batch.column("doc_id_a").to_numpy(zero_copy_only=False).astype(np.int64)
+        return strip_schema_metadata(
+            batch.append_column("vkey", pa.array(_id_bucket(a)))
+        )
+
+    def delta_id_rows(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(ids)
+        return pa.table(
+            {
+                "doc_id_a": pa.array(ids),
+                "doc_id_b": pa.array(np.zeros(n, np.int64)),
+                "side": pa.array(np.full(n, 4, np.int32)),
+                "text": pa.array([None] * n, pa.large_string()),
+                "vkey": pa.array(_id_bucket(ids)),
+            }
+        )
+
+    def verdict_group(g: pd.DataFrame) -> pd.DataFrame:
+        out_ids: list[int] = []
+        out_v: list[str] = []
+        sides = g["side"].to_numpy()
+        is_marker = sides == 3
+        if is_marker.any():
+            for _, row in g[is_marker].iterrows():
+                out_ids.append(int(row["doc_id_a"]))
+                out_v.append(f"overflow:{int(row['text'])}")
+            g = g[~is_marker]
+            sides = g["side"].to_numpy()
+        # every delta doc in this bucket has exactly one side-4 id row
+        pri: dict[int, int] = {
+            int(i): 0 for i in g.loc[sides == 4, "doc_id_a"].to_numpy()
+        }
+        pairs = g[(sides == 0) | (sides == 1)].drop_duplicates(
+            subset=["doc_id_a", "doc_id_b", "side"]
+        )
+        shingle_memo: dict[int, set[str]] = {}
+
+        def shingles_of(doc_id: int, text: str) -> set[str]:
+            s = shingle_memo.get(doc_id)
+            if s is None:
+                s = shingle_memo[doc_id] = _word_shingles(text)
+            return s
+
+        for (a, b), sub in pairs.groupby(["doc_id_a", "doc_id_b"], sort=False):
+            ta = tb = None
+            for side, text in zip(sub["side"], sub["text"]):
+                if side == 0:
+                    ta = text
+                else:
+                    tb = text
+            if ta is None or tb is None:
+                continue
+            a = int(a)
+            if ta == tb:  # byte equality — the oracle's exact_dup rule
+                pri[a] = max(pri.get(a, 0), 2)
+                continue
+            score = int(
+                _jaccard(shingles_of(a, ta), shingles_of(int(b), tb)) * 1000
+            )
+            if score >= threshold_millis:
+                pri[a] = max(pri.get(a, 0), 1)
+        _VERDICT = {0: "new", 1: "near_dup", 2: "exact_dup"}
+        for i, p in pri.items():
+            out_ids.append(i)
+            out_v.append(_VERDICT[p])
         return pd.DataFrame(
             {
                 "doc_id": np.array(out_ids, np.int64),
@@ -1589,18 +1636,27 @@ def incremental_dedup(sf_dir: str, threshold_millis: int = 500) -> rd.Dataset:
             }
         )
 
-    return (
-        delta.map_batches(delta_pri, batch_format="pyarrow", zero_copy_batch=True)
+    attached = (
+        candidates.map_batches(halves, batch_format="pyarrow", zero_copy_batch=True)
         .union(
-            exact_ids.map_batches(
-                exact_pri, batch_format="pyarrow", zero_copy_batch=True
-            ),
-            verified.map_batches(
-                near_pri, batch_format="pyarrow", zero_copy_batch=True
-            ),
+            base.union(delta).map_batches(
+                text_rows, batch_format="pyarrow", zero_copy_batch=True
+            )
         )
         .groupby("key")
-        .map_groups(arrow_udf(combine), batch_format="pandas")
+        .map_groups(arrow_udf(attach), batch_format="pandas")
+    )
+    return (
+        attached.map_batches(
+            add_doc_key, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .union(
+            delta.map_batches(
+                delta_id_rows, batch_format="pyarrow", zero_copy_batch=True
+            )
+        )
+        .groupby("vkey")
+        .map_groups(arrow_udf(verdict_group), batch_format="pandas")
     )
 
 
