@@ -1985,6 +1985,53 @@ def _ann_recall_sql() -> str:
     )
 
 
+def _knn_ivf_multi_sql() -> str:
+    """Mirror of similarity.knn_ivf_multi: the _ann_recall_sql
+    bucket/probe machinery's approx side alone — per-row hyperplane
+    buckets from the shared integer-formula planes, per-query probe
+    sets (signature + 1-bit flips), bucket-restricted per-query
+    row_number top-k at the knn_multi panel/k."""
+    from pdf_parser_ray.pipelines.similarity import (
+        _LSH_BITS, KNN_MULTI_K, KNN_MULTI_QUERIES,
+    )
+
+    qids = ", ".join(str(q) for q in KNN_MULTI_QUERIES)
+    return (
+        "WITH v AS (SELECT vec_id,"
+        "   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e"
+        "   FROM embeddings),"
+        " ed AS (SELECT vec_id, CAST(i - 1 AS BIGINT) AS d,"
+        "   e[CAST(i AS INT)] AS x"
+        "   FROM (SELECT vec_id, e, unnest(range(1, len(e) + 1)) AS i"
+        "         FROM v)),"
+        " dots AS (SELECT vec_id, pp.p AS p,"
+        "   sum(x * ((((d * 131 + pp.p * 137) % 251) - 125) / 125.0)) AS dot"
+        f"  FROM ed CROSS JOIN (SELECT unnest(range({_LSH_BITS})) AS p) pp"
+        "   GROUP BY vec_id, pp.p),"
+        " bk AS (SELECT vec_id, CAST(sum(CASE WHEN dot > 0"
+        "   THEN 1 << CAST(p AS INT) ELSE 0 END) AS BIGINT) AS bucket"
+        "   FROM dots GROUP BY vec_id),"
+        f" q AS (SELECT vec_id AS query_id, e AS qe FROM v"
+        f"   WHERE vec_id IN ({qids})),"
+        " qb AS (SELECT q.query_id, bk.bucket FROM bk"
+        "   JOIN q ON bk.vec_id = q.query_id),"
+        " probes AS (SELECT query_id, bucket AS b FROM qb"
+        "   UNION SELECT qb.query_id, xor(qb.bucket, 1 << CAST(t.p AS INT))"
+        f"  FROM qb CROSS JOIN (SELECT unnest(range({_LSH_BITS})) AS p) t),"
+        " sc AS (SELECT q.query_id, v.vec_id,"
+        "   CAST(trunc(list_cosine_similarity(v.e, q.qe) * 1000000)"
+        "     AS BIGINT) AS cos_micros"
+        "  FROM v CROSS JOIN q WHERE v.vec_id <> q.query_id),"
+        " apc AS (SELECT sc.query_id, sc.vec_id, sc.cos_micros FROM sc"
+        "   JOIN bk ON bk.vec_id = sc.vec_id"
+        "   WHERE bk.bucket IN (SELECT b FROM probes p"
+        "     WHERE p.query_id = sc.query_id))"
+        " SELECT query_id, vec_id, cos_micros FROM (SELECT *, row_number()"
+        "   OVER (PARTITION BY query_id ORDER BY cos_micros DESC, vec_id) rn"
+        f"   FROM apc) WHERE rn <= {KNN_MULTI_K}"
+    )
+
+
 def _shard_balance_sql() -> str:
     """Mirror of pack.shard_balance_report: the shuffle-key hash,
     shard = key % S, per-shard doc/char loads and the micro share of a
@@ -4099,6 +4146,7 @@ def oracle_sql() -> dict[str, str]:
         "bootstrap_mean_ci": _bootstrap_sql(),
         "shard_balance_report": _shard_balance_sql(),
         "ann_recall": _ann_recall_sql(),
+        "knn_ivf_multi": _knn_ivf_multi_sql(),
         "hour_of_day_effect": _hour_effect_sql(),
         "target_encode_events": _target_encode_sql(),
         "customer_rfm": _rfm_sql(),

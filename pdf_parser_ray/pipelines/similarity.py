@@ -929,6 +929,95 @@ def knn_multi(
     )
 
 
+def knn_ivf_multi(
+    sf_dir: str,
+    query_vec_ids: "tuple[int, ...]" = KNN_MULTI_QUERIES,
+    k: int = KNN_MULTI_K,
+) -> rd.Dataset:
+    """(query_id, vec_id, cos_micros): the :func:`knn_ivf` result for a
+    whole query BATCH in one pipeline — each bucket in the UNION of
+    the panel's probe sets is read from the prebuilt index exactly
+    once, every batch scores all queries with a single matmul (the
+    :func:`knn_multi` broadcast shape), and a per-row signature
+    recomputed from the shared integer-formula planes restricts each
+    query's candidates to ITS probe set.  Per query the output is
+    identical to running knn_ivf alone.
+
+    Scale shape: reads ≤ |∪ probes| / 2^bits of the index regardless
+    of panel size (vs one full pipeline launch per query), broadcast
+    side is (Q × dim) floats + Q probe bitsets, and the only exchange
+    is the per-query top-k combine over ≤ k·num_blocks rows."""
+    import pandas as pd
+
+    from .io_util import arrow_udf
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    index_dir = os.path.join(
+        _IVF_CACHE_ROOT, tag, f"ivf_v{_IVF_VERSION}_b{_LSH_BITS}"
+    )
+    os.makedirs(os.path.dirname(index_dir), exist_ok=True)
+    build_ivf_index(sf_dir, index_dir)
+
+    qids = list(query_vec_ids)
+    qmat = np.stack([_query_vector(sf_dir, q) for q in qids])  # (Q, dim)
+    qnorm = np.linalg.norm(qmat, axis=1)
+    planes = _hyperplanes(qmat.shape[1], _LSH_BITS)
+    q_sigs = _signatures(qmat, planes)
+    probes = [
+        sorted({int(s)} | {int(s) ^ (1 << b) for b in range(_LSH_BITS)})
+        for s in q_sigs
+    ]
+    union_probe = sorted({b for p in probes for b in p})
+    probe_arrays = [np.array(p, np.int64) for p in probes]
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        ids, vecs = _ids_vecs(batch)
+        sigs = _signatures(vecs, planes)
+        norms = np.linalg.norm(vecs, axis=1)
+        denom = norms[:, None] * qnorm[None, :]
+        denom[denom == 0] = np.inf
+        cos = (vecs @ qmat.T) / denom  # (n, Q)
+        micros = np.trunc(cos * 1_000_000).astype(np.int64)
+        out_q, out_id, out_m = [], [], []
+        for j, qid in enumerate(qids):
+            mask = (ids != qid) & np.isin(sigs, probe_arrays[j])
+            cid, cm = _local_topk_micros(ids[mask], micros[mask, j], k)
+            out_q.append(np.full(len(cid), qid, np.int64))
+            out_id.append(cid)
+            out_m.append(cm)
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q)),
+                "vec_id": pa.array(np.concatenate(out_id)),
+                "cos_micros": pa.array(np.concatenate(out_m)),
+            }
+        )
+
+    def per_query_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["cos_micros", "vec_id"], ascending=[False, True]
+        ).head(k)
+        return g[["query_id", "vec_id", "cos_micros"]].reset_index(drop=True)
+
+    paths = probed_index_paths(index_dir, union_probe)
+    if not paths:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    "vec_id": pa.array([], pa.int64()),
+                    "cos_micros": pa.array([], pa.int64()),
+                }
+            )
+        )
+    return (
+        read_parquet_clean(paths, columns=["vec_id", "embedding"])
+        .map_batches(local_topk, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("query_id")
+        .map_groups(arrow_udf(per_query_topk), batch_format="pandas")
+    )
+
+
 def ann_recall(
     sf_dir: str,
     query_vec_ids: "tuple[int, ...]" = KNN_MULTI_QUERIES,
@@ -950,22 +1039,22 @@ def ann_recall(
     pruning-mechanics demo.
 
     Scale shape: ONE exact corpus scan scores the whole panel (the
-    :func:`knn_multi` broadcast-matmul pass); the approx side runs the
-    probed-bucket-read :func:`knn_ivf` per query (sublinear I/O each);
-    the comparison is driver math over |panel| × k id lists — a
-    bounded eval artifact."""
+    :func:`knn_multi` broadcast-matmul pass) and ONE probed-index pass
+    scores the whole approx panel (:func:`knn_ivf_multi` — each
+    probed bucket read once for all queries, r05; was one serial
+    knn_ivf pipeline launch per query); the comparison is driver math
+    over |panel| × k id lists — a bounded eval artifact."""
     import pandas as pd
 
     exact = knn_multi(sf_dir, query_vec_ids, k).to_pandas()
+    approx = knn_ivf_multi(sf_dir, query_vec_ids, k).to_pandas()
     rows = []
     for qid in query_vec_ids:
         ex = set(
             exact.loc[exact["query_id"] == qid, "vec_id"].astype(int)
         )
         ap = set(
-            knn_ivf(sf_dir, query_vec_id=qid, k=k)
-            .to_pandas()["vec_id"]
-            .astype(int)
+            approx.loc[approx["query_id"] == qid, "vec_id"].astype(int)
         )
         rows.append(
             (qid, len(ex), len(ap), (len(ex & ap) * 1_000_000) // k)

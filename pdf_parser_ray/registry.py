@@ -135,7 +135,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # customer_rfm, heaps_law_curve, hourly_cusum,
         # length_rank_test, lang_source_chi2, length_ks_test,
         # benford_orders, hourly_burst_states,
-        # length_vocab_spearman, hill_tail_index) —
+        # length_vocab_spearman, hill_tail_index, and the round-5
+        # additions (knn_ivf_multi)) —
         # each oracle-backed in
         # tests/test_oracle.py; displacing a gated slot would cost an
         # established driver-green row), then the rows-only
@@ -285,6 +286,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hourly_burst_states": relational.hourly_burst_states,
         "length_vocab_spearman": analysis.length_vocab_spearman,
         "hill_tail_index": analysis.hill_tail_index,
+        "knn_ivf_multi": similarity.knn_ivf_multi,
         "doc_top_terms": partial(
             analysis.doc_top_terms, vocab_cap=analysis.ORACLE_VOCAB_CAP
         ),

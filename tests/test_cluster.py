@@ -362,3 +362,22 @@ class TestAnnRecall:
         km, qz = rec(knn_ivf_kmeans), rec(knn_quantized)
         assert qz > km > ivf_total  # the documented production tiering
         assert qz >= 45  # quantized: >= 90% mean recall on the panel
+
+    def test_ivf_multi_equals_per_query_ivf(
+        self, ray_session, quiet_data_context
+    ):
+        """The batched probe path (one read of each probed bucket for
+        the whole panel) must return exactly knn_ivf's ordered top-k
+        per query — including tie-breaks on (cos_micros, vec_id)."""
+        from pdf_parser_ray.pipelines.similarity import (
+            KNN_MULTI_QUERIES, knn_ivf, knn_ivf_multi,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        multi = knn_ivf_multi(sf, k=10).to_pandas()
+        for qid in KNN_MULTI_QUERIES:
+            single = knn_ivf(sf, query_vec_id=qid, k=10).to_pandas()
+            m = multi[multi["query_id"] == qid]
+            assert list(zip(m["vec_id"], m["cos_micros"])) == list(
+                zip(single["vec_id"], single["cos_micros"])
+            )
