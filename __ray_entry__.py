@@ -1825,8 +1825,8 @@ def _heaps_sql() -> str:
         "WITH ids AS (SELECT doc_id,"
         "   row_number() OVER (ORDER BY doc_id) rn FROM documents),"
         " bnd AS (SELECT c, (SELECT doc_id FROM ids WHERE rn ="
-        "   least((SELECT max(rn) FROM ids),"
-        f"    ((c + 1) * (SELECT max(rn) FROM ids)) // {K})) AS b"
+        "   greatest(1, least((SELECT max(rn) FROM ids),"
+        f"    ((c + 1) * (SELECT max(rn) FROM ids)) // {K}))) AS b"
         f"  FROM (SELECT unnest(range({K})) AS c)),"
         f" w AS (SELECT doc_id, unnest({_WORDS_EXPR}) AS word"
         "   FROM documents),"
@@ -1919,7 +1919,7 @@ def _hour_effect_sql() -> str:
         "   CAST(sum(s) AS HUGEINT) S, CAST(sum(q) AS HUGEINT) Q,"
         "   CAST(sum((s*s*1000) // n) AS HUGEINT) t, count(*) ng FROM g)"
         " SELECT CAST(N AS BIGINT) AS n, CAST(ng AS BIGINT) AS n_groups,"
-        "  CAST(CASE WHEN 1000*(N*Q - S*S) <= 0 THEN 0"
+        "  CAST(CASE WHEN 1000*(N*Q - S*S) <= 0 OR N*t <= 1000*S*S THEN 0"
         "   ELSE ((N*t - 1000*S*S) * 1000000) // (1000*(N*Q - S*S)) END"
         "   AS BIGINT) AS eta2_micros"
         " FROM m"
@@ -2052,8 +2052,8 @@ def _shard_balance_sql() -> str:
         "   CAST(sum(n_chars) AS BIGINT) n_chars FROM r2 GROUP BY 1),"
         " t AS (SELECT CAST(sum(n_chars) AS BIGINT) tot FROM a)"
         " SELECT shard, n_docs, n_chars,"
-        f"  CAST((n_chars * {s} * 1000000) // t.tot AS BIGINT)"
-        "    AS load_micros FROM a, t"
+        f"  CAST((CAST(n_chars AS HUGEINT) * {s} * 1000000) // t.tot"
+        "    AS BIGINT) AS load_micros FROM a, t"
     )
 
 

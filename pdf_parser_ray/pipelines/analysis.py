@@ -3225,8 +3225,12 @@ def heaps_law_curve(
         .to_numpy()
     )
     n_docs = len(ids)
+    # max(0, ...) guards corpora smaller than the checkpoint grid:
+    # without it an early checkpoint's index resolves to -1 = ids[-1]
+    # (the LARGEST doc) while the SQL mirror's rank-0 row is NULL —
+    # both engines now clamp to the first doc (SQL: greatest(1, rn))
     bounds = [
-        int(ids[min(n_docs - 1, ((c + 1) * n_docs) // checkpoints - 1)])
+        int(ids[max(0, min(n_docs - 1, ((c + 1) * n_docs) // checkpoints - 1))])
         for c in range(checkpoints)
     ]
     bnd = np.array(bounds, np.int64)

@@ -425,7 +425,10 @@ def shard_balance_report(
         )
         shard = shuffle_key(ids) % shards
         n = np.bincount(shard, minlength=shards).astype(np.int64)
-        ch = np.bincount(shard, weights=nch, minlength=shards).astype(np.int64)
+        # int64 accumulator (np.add.at), not float64 bincount weights —
+        # exact to 2^63 per shard per batch
+        ch = np.zeros(shards, np.int64)
+        np.add.at(ch, shard, nch)
         return pa.table(
             {
                 "fin": pa.array(np.zeros(shards, np.int8)),
@@ -438,14 +441,20 @@ def shard_balance_report(
     def combine(g: pd.DataFrame) -> pd.DataFrame:
         agg = g.groupby("shard", as_index=False)[["n", "ch"]].sum()
         total = int(agg["ch"].sum())
+        # ch·shards·1e6 wraps int64 once total corpus chars exceed
+        # ~1.4e11 at 64 shards — well under the design point; Python
+        # ints in the (bounded, shards-row) combine are overflow-free,
+        # mirrored by HUGEINT widening in the SQL
+        load = np.array(
+            [int(c) * shards * 1_000_000 // total for c in agg["ch"]],
+            np.int64,
+        )
         return pd.DataFrame(
             {
                 "shard": agg["shard"].to_numpy(np.int64),
                 "n_docs": agg["n"].to_numpy(np.int64),
                 "n_chars": agg["ch"].to_numpy(np.int64),
-                "load_micros": (
-                    agg["ch"].to_numpy(np.int64) * shards * 1_000_000 // total
-                ).astype(np.int64),
+                "load_micros": load,
             }
         )
 

@@ -5929,12 +5929,14 @@ def hour_of_day_effect(sf_dir: str) -> rd.Dataset:
             pc.round(pc.multiply(batch.column("value"), 100.0)), pa.int64()
         ).to_numpy(zero_copy_only=False)
         n = np.bincount(hour, minlength=24).astype(np.int64)
-        s = np.bincount(hour, weights=cents, minlength=24).astype(np.int64)
-        q = np.bincount(
-            hour, weights=(cents * cents).astype(np.float64), minlength=24
-        ).astype(np.int64)
-        # cents² ≤ ~1e12 and per-batch counts are small: the float64
-        # bincount accumulator stays exact below 2^53 per batch
+        # int64 accumulators (np.add.at), not float64 bincount weights:
+        # exactness then holds to 2^63 per hour per batch instead of
+        # 2^53 — larger blocks or larger values can't silently break
+        # the integer contract
+        s = np.zeros(24, np.int64)
+        np.add.at(s, hour, cents)
+        q = np.zeros(24, np.int64)
+        np.add.at(q, hour, cents * cents)
         return pa.table(
             {
                 "fin": pa.array(np.zeros(24, np.int8)),
@@ -5957,7 +5959,12 @@ def hour_of_day_effect(sf_dir: str) -> rd.Dataset:
             for _, r in agg.iterrows()
         )  # Python ints: S_g² exceeds int64 at sf0.1
         den = K * (N * Q - S * S)
-        eta2_micros = 0 if den <= 0 else ((N * t - K * S * S) * 1_000_000) // den
+        # the numerator can be slightly negative when between-hour
+        # variance is ~0 (per-group floors bound it only from below);
+        # clamp to 0 on BOTH engines — Python // floors to -1 where
+        # DuckDB // truncates to 0 (the CLAUDE.md division gotcha)
+        num = max(0, N * t - K * S * S)
+        eta2_micros = 0 if den <= 0 else (num * 1_000_000) // den
         return pd.DataFrame(
             {
                 "n": np.array([N], np.int64),

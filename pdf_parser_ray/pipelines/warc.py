@@ -63,7 +63,7 @@ def write_pages_warc(pages: rd.Dataset, out_dir: str) -> str:
     os.makedirs(out_dir, exist_ok=True)
 
     def write_block(batch: pa.Table) -> pa.Table:
-        import zlib
+        import hashlib
 
         urls = batch.column("url").to_pylist()
         ts = batch.column("warc_ts").cast(pa.int64()).to_pylist()
@@ -74,8 +74,12 @@ def write_pages_warc(pages: rd.Dataset, out_dir: str) -> str:
             _encode_record(u, t, h, x, lg)
             for u, t, h, x, lg in zip(urls, ts, htmls, texts, langs)
         )
-        tag = zlib.crc32(blob) & 0xFFFFFFFF
-        path = os.path.join(out_dir, f"shard-{tag:08x}.warc")
+        # 64-bit content-hash names collide at birthday odds ~50% by
+        # ~77k shards for 32-bit crc32 — sha256/16 keeps idempotent
+        # retry naming with no realistic collision at 100 TB shard
+        # counts
+        tag = hashlib.sha256(blob).hexdigest()[:16]
+        path = os.path.join(out_dir, f"shard-{tag}.warc")
         with open(path, "wb") as f:
             f.write(blob)
         return pa.table(

@@ -1044,6 +1044,52 @@ class TestHeapsLawCurve:
         # sublinear: vocab growth rate falls below token growth rate
         assert d[-1] / d[0] < t[-1] / t[0]
 
+    def test_tiny_corpus_matches_oracle(
+        self, ray_session, quiet_data_context, tmp_path
+    ):
+        """Corpora smaller than the checkpoint grid: early checkpoints
+        must clamp to the FIRST doc on BOTH engines (the Python side
+        used to resolve index -1 = the largest doc while the SQL
+        yielded NULL boundaries)."""
+        import duckdb
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        import __ray_entry__ as entrymod
+        from pdf_parser_ray.pipelines.analysis import heaps_law_curve
+
+        p = str(tmp_path / "documents.parquet")
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([3, 7, 11, 20], pa.int64()),
+                    "text": pa.array(
+                        ["a b c", "a d", "e f g h", "a e i"], pa.string()
+                    ),
+                }
+            ),
+            p,
+        )
+        got = (
+            heaps_law_curve(str(tmp_path))
+            .sort_values("checkpoint")
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM read_parquet('{p}')"
+        )
+        want = (
+            con.execute(entrymod._heaps_sql())
+            .fetchdf()
+            .sort_values("checkpoint")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+        # early checkpoints clamp to the first doc, not the last
+        assert int(got["last_doc_id"].iloc[0]) == 3
+
 
 class TestLengthRankTest:
     def test_matches_scipy_free_brute_force(self, ray_session, quiet_data_context):
