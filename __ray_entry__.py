@@ -89,6 +89,15 @@ def _extract_records(sf_dir: str):
     return ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _extract_tables(sf_dir: str):
+    """Exploded cell view of the bbox-grid table reconstruction over
+    the PDF pages (SURVEY §2 M5; reference base.py:46-50) — oracled
+    against the generator's planted golden grids."""
+    from pdf_parser_ray.pipelines.extract import extract_tables_dir
+
+    return extract_tables_dir(_pages_dir_for(sf_dir), batch_size=32)
+
+
 def _extract_spans(sf_dir: str):
     """Exploded span table (url, span_idx, span_start, span_end, kind)
     — puts the north-star's per-url span offsets into the driver's
@@ -232,6 +241,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # registry — the same map `python -m pdf_parser_ray.job --query`
     # serves from the CLI
     out.update(table_queries())
+    # appended AFTER the registry (r05): the gated first-50 order is a
+    # contract — new extraction-family queries join the oracle-backed
+    # tail, not the gate
+    out["extract_tables"] = _extract_tables
     return out
 
 
@@ -285,6 +298,9 @@ def _extract_oracle_sql() -> dict[str, str]:
     out = os.path.join(_CACHE_ROOT, tag)
     os.makedirs(out, exist_ok=True)
     golden_path, records_path = golden_paths_for(_ORACLE_SF_DIR, out)
+    from pdf_parser_ray.fixtures.gen import golden_tables_path_for
+
+    tables_path = golden_tables_path_for(_ORACLE_SF_DIR, out)
     from pdf_parser_ray.pipelines.filter import (
         DISTINCT_PCT, MAX_WORDS, MIN_WORDS, TOP_WORD_PCT,
     )
@@ -335,6 +351,10 @@ def _extract_oracle_sql() -> dict[str, str]:
         "extract_records": (
             f"SELECT url, date, description, amount_cents, direction"
             f" FROM read_parquet('{records_path}')"
+        ),
+        "extract_tables": (
+            f"SELECT url, table_idx, row_idx, col_idx, cell"
+            f" FROM read_parquet('{tables_path}')"
         ),
         "extract_spans": (
             "SELECT url, CAST(i - 1 AS BIGINT) AS span_idx,"

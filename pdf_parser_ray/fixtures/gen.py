@@ -45,7 +45,10 @@ _ENCODINGS = ("utf-8", "cp1252", "latin-1", "utf-8")
 _EPOCH_2024_US = 1_704_067_200_000_000  # 2024-01-01T00:00:00Z in microseconds
 
 # bump when generator/statement content changes so cached corpora regenerate
-CORPUS_VERSION = 19  # v19: 28 PDF writer forms (+type1_program:
+CORPUS_VERSION = 20  # v20: planted summary-table pages (every 3rd PDF
+# doc carries a title + aligned 3-column cell grid page, golden grids
+# in the `tables` column + exploded golden_tables parquet — the
+# extract_tables fixture); v19: 28 PDF writer forms (+type1_program:
 # symbolic Type1 whose embedded font program's cleartext /Encoding is
 # the only decode source); v18: +inline images with "EI" bytes in the
 # sample data — with and without /L — and +broken_xref garbage-offset
@@ -195,10 +198,33 @@ _PDF_FORMS = (
 )
 
 
+# planted summary tables (v20): a deterministic third of the PDF docs
+# carry an extra page holding a title line plus an aligned cell grid —
+# the extract_tables fixture.  Columns sit ~180 pt apart (word gaps at
+# 12 pt type are < 6 pt; the reconstructor's CELL_GAP is 24), cell
+# vocabulary avoids dates, amount tokens, and every bank/section
+# keyword so the record extractors see the page as noise.
+_TABLE_COLS = (72.0, 250.0, 430.0)
+_TABLE_TITLE = "Category breakdown"
+_TABLE_CATEGORIES = (
+    "Groceries", "Utilities", "Travel", "Dining",
+    "Supplies", "Postage", "Printing", "Software",
+)
+
+
+def _summary_table(rng: random.Random) -> list[list[str]]:
+    """Header + 2-5 data rows of (category, count, percent) cells."""
+    rows = [["Category", "Items", "Share"]]
+    for cat in rng.sample(_TABLE_CATEGORIES, rng.randint(2, 5)):
+        rows.append([cat, str(rng.randint(1, 99)), f"{rng.randint(1, 99)}%"])
+    return rows
+
+
 def _pdf_page(
     doc_id: int, replica: int, year: int, rng: random.Random
-) -> tuple[bytes, list[str], str, list[list[str]]]:
-    """-> (payload_bytes, golden_lines, bank_key, page_structure)."""
+) -> tuple[bytes, list[str], str, list[list[str]], list[list[list[str]]]]:
+    """-> (payload_bytes, golden_lines, bank_key, page_structure,
+    golden_tables)."""
     bank = BANK_CYCLE[(doc_id + replica) % len(BANK_CYCLE)]
     lines = STATEMENT_BUILDERS[bank](rng, year)
     # split across two pages sometimes; scramble stream order sometimes —
@@ -208,8 +234,26 @@ def _pdf_page(
     else:
         pages = [lines]
     form = _PDF_FORMS[(doc_id + replica) % len(_PDF_FORMS)]
-    payload = build_pdf(pages, shuffle_order=rng.random() < 0.5, **form)
-    return payload, lines, bank, pages
+    shuffle = rng.random() < 0.5
+    tables: list[list[list[str]]] = []
+    pdf_pages: list = list(pages)
+    if (doc_id + replica) % 3 == 0:
+        table = _summary_table(rng)
+        tables.append(table)
+        # positioned cell grid for the writer; assembled text (cells
+        # joined by the single-space rule) for the goldens
+        pdf_pages.append(
+            [_TABLE_TITLE]
+            + [
+                [(_TABLE_COLS[j], c) for j, c in enumerate(row)]
+                for row in table
+            ]
+        )
+        text_page = [_TABLE_TITLE] + [" ".join(row) for row in table]
+        pages = pages + [text_page]
+        lines = lines + text_page
+    payload = build_pdf(pdf_pages, shuffle_order=shuffle, **form)
+    return payload, lines, bank, pages, tables
 
 
 def synthesize_pages(
@@ -226,6 +270,7 @@ def synthesize_pages(
 
     urls, tss, payloads, snippets, out_langs = [], [], [], [], []
     g_urls, g_texts, g_keys, g_records, g_kinds, g_spans = [], [], [], [], [], []
+    g_tables: list[list[list[list[str]]]] = []
 
     for replica in range(replicate):
         for doc_id, doc_text, lang in zip(doc_ids, texts, langs):
@@ -233,9 +278,10 @@ def synthesize_pages(
             url = f"https://site{doc_id % 101}.example/r{replica}/p{doc_id}"
             ts = _EPOCH_2024_US + (doc_id * 86_400 + replica * 997) * 1_000_000
             year = 2024
+            doc_tables: list[list[list[str]]] = []
             if rng.random() < pdf_fraction:
-                payload, golden_lines, _bank, page_struct = _pdf_page(
-                    doc_id, replica, year, rng
+                payload, golden_lines, _bank, page_struct, doc_tables = (
+                    _pdf_page(doc_id, replica, year, rng)
                 )
                 kind = "pdf"
                 # one span per page over the '\n'-joined page texts
@@ -269,6 +315,7 @@ def synthesize_pages(
             g_records.append(records)
             g_kinds.append(kind)
             g_spans.append(spans)
+            g_tables.append(doc_tables)
 
     pages = pa.table(
         {
@@ -289,6 +336,10 @@ def synthesize_pages(
             "parser_key": pa.array(g_keys, pa.string()),
             "spans": pa.array(g_spans, pa.list_(SPAN_TYPE)),
             "records": pa.array(g_records, pa.list_(RECORD_TYPE)),
+            # planted table grids (v20): tables -> rows -> cells
+            "tables": pa.array(
+                g_tables, pa.list_(pa.list_(pa.list_(pa.string())))
+            ),
             # plain-column goldens so a SQL oracle can SELECT them directly
             # (driver correctness gate for the extract_* flagship queries)
             "n_records": pa.array([len(r) for r in g_records], pa.int32()),
@@ -326,6 +377,32 @@ def explode_golden_records(golden: pa.Table) -> pa.Table:
     )
 
 
+def explode_golden_tables(golden: pa.Table) -> pa.Table:
+    """Exploded cell view of the golden tables — the oracle side table
+    for ``extract_tables`` (url, table_idx, row_idx, col_idx, cell)."""
+    urls, t_idx, r_idx, c_idx, cells = [], [], [], [], []
+    for url, tabs in zip(
+        golden.column("url").to_pylist(), golden.column("tables").to_pylist()
+    ):
+        for ti, tab in enumerate(tabs):
+            for ri, row in enumerate(tab):
+                for ci, cell in enumerate(row):
+                    urls.append(url)
+                    t_idx.append(ti)
+                    r_idx.append(ri)
+                    c_idx.append(ci)
+                    cells.append(cell)
+    return pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "table_idx": pa.array(t_idx, pa.int64()),
+            "row_idx": pa.array(r_idx, pa.int64()),
+            "col_idx": pa.array(c_idx, pa.int64()),
+            "cell": pa.array(cells, pa.string()),
+        }
+    )
+
+
 def synthesize_row(
     doc_id: int, doc_text: str, lang: str, replica: int, seed: int,
     pdf_fraction: float, page_scale: int = 1,
@@ -336,7 +413,9 @@ def synthesize_row(
     url = f"https://site{doc_id % 101}.example/r{replica}/p{doc_id}"
     ts = _EPOCH_2024_US + (doc_id * 86_400 + replica * 997) * 1_000_000
     if rng.random() < pdf_fraction:
-        payload, _lines, _bank, _pages = _pdf_page(doc_id, replica, 2024, rng)
+        payload, _lines, _bank, _pages, _tables = _pdf_page(
+            doc_id, replica, 2024, rng
+        )
     else:
         payload, _enc, _lines, _title = _html_page(
             doc_text, doc_id, replica, rng, page_scale
@@ -439,11 +518,13 @@ def synthesize_to_dir(
     pages_dir = os.path.join(out_dir, f"pages_{tag}")
     golden_path = os.path.join(out_dir, f"golden_{tag}.parquet")
     records_path = os.path.join(out_dir, f"golden_records_{tag}.parquet")
+    tables_path = os.path.join(out_dir, f"golden_tables_{tag}.parquet")
     done_marker = os.path.join(pages_dir, "_DONE")
     if (
         os.path.exists(done_marker)
         and os.path.exists(golden_path)
         and os.path.exists(records_path)
+        and os.path.exists(tables_path)
     ):
         return pages_dir, golden_path
 
@@ -462,9 +543,20 @@ def synthesize_to_dir(
         )
     pq.write_table(golden, golden_path)
     pq.write_table(explode_golden_records(golden), records_path)
+    pq.write_table(explode_golden_tables(golden), tables_path)
     with open(done_marker, "w") as f:
         f.write("ok")
     return pages_dir, golden_path
+
+
+def golden_tables_path_for(sf_dir: str, out_dir: str) -> str:
+    """The exploded golden-tables parquet for an sf dir (synthesizing
+    first if cold) — the extract_tables oracle side."""
+    import os
+
+    synthesize_to_dir(sf_dir, out_dir)
+    tag = f"v{CORPUS_VERSION}_seed42_rep1_pdf10"
+    return os.path.join(out_dir, f"golden_tables_{tag}.parquet")
 
 
 def golden_paths_for(sf_dir: str, out_dir: str) -> tuple[str, str]:

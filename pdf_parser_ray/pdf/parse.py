@@ -1904,10 +1904,13 @@ def _rotation_ctm(doc: "PDFDocument", page: dict) -> Matrix:
     return (0.0, 1.0, -1.0, 0.0, h, 0.0)  # 270: reader = (h - y, x)
 
 
-def extract_page_texts(data: bytes) -> list[str]:
-    """PDF bytes -> per-page layout-ordered text."""
+def extract_page_runs(data: bytes) -> "list[list[TextRun]]":
+    """PDF bytes -> per-page positioned text runs (reader orientation)
+    — the shared substrate of :func:`extract_page_texts` (line
+    assembly) and :mod:`pdf_parser_ray.pdf.tables` (bbox-grid table
+    reconstruction)."""
     doc = parse_document(data)
-    texts: list[str] = []
+    out: list[list[TextRun]] = []
     for page in doc.pages():
         res = _page_resources(doc, page)
         interp = _ContentInterpreter(
@@ -1919,8 +1922,13 @@ def extract_page_texts(data: bytes) -> list[str]:
             interp.run(_page_content(doc, page))
         except Exception:
             pass
-        texts.append(assemble_lines(interp.runs))
-    return texts
+        out.append(interp.runs)
+    return out
+
+
+def extract_page_texts(data: bytes) -> list[str]:
+    """PDF bytes -> per-page layout-ordered text."""
+    return [assemble_lines(runs) for runs in extract_page_runs(data)]
 
 
 def extract_text(data: bytes) -> str:

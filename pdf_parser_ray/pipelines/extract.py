@@ -125,6 +125,62 @@ def extract_dir(
     )
 
 
+def extract_tables_dir(
+    pages_dir: str, *, batch_size: int = DEFAULT_BATCH_SIZE
+) -> rd.Dataset:
+    """(url, table_idx, row_idx, col_idx, cell): bbox-grid table
+    reconstruction over every PDF page — the reference's
+    ``extract_tables`` capability (base.py:46-50, dead code there;
+    semantics defined by :mod:`pdf_parser_ray.pdf.tables`) as an
+    exploded relational view.  Non-PDF payloads and table-free PDFs
+    contribute no rows.
+
+    Scale shape: map-only — column-pruned (url, html) read, one PDF
+    parse per document inside the batch task (the same stateless-task
+    shape as the flagship extraction; warm module state comes from
+    Ray's persistent workers), narrow cell rows out.  No exchange at
+    any scale."""
+    from ..pdf.parse import is_pdf
+    from ..pdf.tables import extract_tables
+
+    def cells(batch: pa.Table) -> pa.Table:
+        urls, t_idx, r_idx, c_idx, out_cells = [], [], [], [], []
+        for url, payload in zip(
+            batch.column("url").to_pylist(), batch.column("html").to_pylist()
+        ):
+            if payload is None or not is_pdf(payload):
+                continue
+            try:
+                tabs = extract_tables(payload)
+            except Exception:
+                continue
+            for ti, tab in enumerate(tabs):
+                for ri, row in enumerate(tab):
+                    for ci, cell in enumerate(row):
+                        urls.append(url)
+                        t_idx.append(ti)
+                        r_idx.append(ri)
+                        c_idx.append(ci)
+                        out_cells.append(cell)
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "table_idx": pa.array(t_idx, pa.int64()),
+                "row_idx": pa.array(r_idx, pa.int64()),
+                "col_idx": pa.array(c_idx, pa.int64()),
+                "cell": pa.array(out_cells, pa.string()),
+            }
+        )
+
+    nb = _pages_num_blocks(pages_dir)
+    kw = {"override_num_blocks": nb} if nb else {}
+    return read_parquet_clean(
+        pages_dir, columns=["url", "html"], **kw
+    ).map_batches(
+        cells, batch_format="pyarrow", zero_copy_batch=True, batch_size=batch_size
+    )
+
+
 # -- shared extracted artifact ------------------------------------------------
 
 # The 100 TB job extracts ONCE, writes the extracted parquet, and points
