@@ -25,6 +25,7 @@ from .base import (
     IFB_RULES,
     MERCURY_RULES,
     PNB_RULES,
+    TRUIST_RULES,
     VALLEY_RULES,
     make_block_extractor,
 )
@@ -32,7 +33,6 @@ from .bofa import extract_bofa
 from .bofa_relationship import extract_bofa_relationship
 from .chase import extract_chase
 from .citi import extract_citi
-from .truist import extract_truist
 from .wf import extract_wf
 
 Extractor = Callable[[list[str], str, int], list[dict[str, Any]]]
@@ -45,7 +45,7 @@ REGISTRY: dict[str, Extractor] = {
     "pnb": make_block_extractor(PNB_RULES),
     "wf": extract_wf,
     "citi": extract_citi,
-    "truist": extract_truist,
+    "truist": make_block_extractor(TRUIST_RULES),
     "bofa": extract_bofa,
     "chase": extract_chase,
     # selectable by key only — not auto-detected, like the reference's

@@ -17,6 +17,7 @@ normalizer (functions.directions) owns abs() and the fallback direction.
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass
 from typing import Any
 
@@ -52,6 +53,17 @@ class BlockRules:
     # emit abs(amount) plus a sign-derived direction instead of a signed
     # amount with direction deferred to the normalizer (valley.py:38-42)
     sign_gives_direction: bool = False
+    # single-line records: a non-date line never joins a block
+    # (truist.py:40-44 — only slash-dated lines become records)
+    single_line: bool = False
+    # section state machine (truist.py:30-36): a header line matching a
+    # pattern flips a sticky direction context and is consumed without
+    # emitting; patterns are case-insensitive, first match wins
+    section_headers: tuple[tuple[str, str], ...] = ()
+    # description keyword fallbacks tried in order when no section is
+    # active (truist.py:56-62); implies the section/keyword/sign
+    # direction resolution with abs(amount)
+    keyword_directions: tuple[tuple[str, str], ...] = ()
 
 
 def _any_date(line: str, year: int, order: tuple[str, ...]) -> str | None:
@@ -60,6 +72,18 @@ def _any_date(line: str, year: int, order: tuple[str, ...]) -> str | None:
         if iso:
             return iso
     return None
+
+
+# compiled-pattern memo — warm module state shared across tasks (the
+# house rule: no per-call regex compilation in the hot path)
+_RX_CACHE: dict[str, "re.Pattern[str]"] = {}
+
+
+def _rx(pattern: str) -> "re.Pattern[str]":
+    p = _RX_CACHE.get(pattern)
+    if p is None:
+        p = _RX_CACHE[pattern] = re.compile(pattern, re.I)
+    return p
 
 
 def extract_blocks(
@@ -72,15 +96,33 @@ def extract_blocks(
     (base.py:106-122 and its four configuration variants)."""
     year = year_from_text(full_text, fallback_year)
     records: list[dict[str, Any]] = []
+    section: str | None = None
     i, n = 0, len(lines)
     while i < n:
+        if rules.section_headers:
+            header = next(
+                (
+                    d
+                    for pat, d in rules.section_headers
+                    if _rx(pat).search(lines[i])
+                ),
+                None,
+            )
+            if header is not None:
+                section = header
+                i += 1
+                continue
         anchor = _any_date(lines[i], year, rules.date_order)
         if not anchor:
             i += 1
             continue
         block = [lines[i]]
         j = i + 1
-        while j < n and not _any_date(lines[j], year, rules.date_order):
+        while (
+            not rules.single_line
+            and j < n
+            and not _any_date(lines[j], year, rules.date_order)
+        ):
             if (
                 rules.continuation_char_cap is not None
                 and len(lines[j]) > rules.continuation_char_cap
@@ -91,12 +133,34 @@ def extract_blocks(
         joined = " ".join(block)
         amount = pick_amount(AMOUNT_RE.findall(joined), prefer_first=True)
         if amount is not None:
+            desc = strip_trailing_amount(joined)
             rec: dict[str, Any] = {
                 "date": anchor,
-                "description": strip_trailing_amount(joined),
+                "description": desc,
                 "amount": amount,
             }
-            if rules.sign_gives_direction:
+            if rules.section_headers or rules.keyword_directions:
+                # section > keyword table > amount sign (truist.py:51-65)
+                direction = section
+                if direction is None:
+                    direction = next(
+                        (
+                            d
+                            for pat, d in rules.keyword_directions
+                            if _rx(pat).search(desc)
+                        ),
+                        None,
+                    )
+                if direction is None:
+                    if amount < 0:
+                        direction = "out"
+                    elif amount > 0:
+                        direction = "in"
+                    else:
+                        direction = "unknown"
+                rec["direction"] = direction
+                rec["amount"] = abs(amount)
+            elif rules.sign_gives_direction:
                 rec["direction"] = "out" if amount < 0 else "in"
                 rec["amount"] = abs(amount)
             records.append(rec)
@@ -114,6 +178,24 @@ VALLEY_RULES = BlockRules(
     date_order=("slash",),
     continuation_char_cap=250,
     sign_gives_direction=True,
+)
+# P6 (reference parsers/truist.py:13-74): single slash-dated lines, a
+# sticky section state machine ('Deposits … credits' ⇒ in;
+# withdrawals/debits/service charges ⇒ out) with keyword- and
+# sign-fallback direction — the same one-algorithm family, one more
+# configuration
+TRUIST_RULES = BlockRules(
+    key="truist",
+    date_order=("slash",),
+    single_line=True,
+    section_headers=(
+        (r"Deposits.*credits", "in"),
+        (r"(Other withdrawals|Debits|Service charges)", "out"),
+    ),
+    keyword_directions=(
+        (r"(zelle|payment to|iat|debit|withdrawal|ach|bill pay)", "out"),
+        (r"(deposit|credit|interest|paypal\s+\d+)", "in"),
+    ),
 )
 
 
