@@ -4668,4 +4668,42 @@ def oracle_sql() -> dict[str, str]:
     }
     out.update(_tpch_classic_sql())
     out.update(_extract_oracle_sql())
+    out.update(_rows_only_golden_sql())
+    return out
+
+
+def _rows_only_golden_sql() -> dict[str, str]:
+    """Committed-golden oracles for the deterministic rows-only tail
+    (VERDICT r04 ask #7): codec decode, iterative BPE merges, zlib
+    ratios, and sketch folds are not SQL-expressible, but their
+    outputs are bit-deterministic (fixed-seed synthetic media, integer
+    feature math, seeded merges), so the canonical result at the
+    driver's oracle scale is committed under goldens/rows_only/ and
+    served as a plain SELECT — upgrading these entries from rows-only
+    to full rows+schema+value-hash.  Regenerate ONLY on intentional
+    semantic change via tools/regen_goldens.py (the independent md5
+    value-hash goldens in tests/test_multimodal.py must move in the
+    same commit).  pca_embeddings stays rows-only on purpose: eigh
+    float output is not stable across BLAS builds."""
+    root = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "goldens", "rows_only"
+    )
+    out: dict[str, str] = {}
+    for name in (
+        "compression_ratio",
+        "train_bpe",
+        "bpe_segment_counts",
+        "approx_distinct_users",
+        "heavy_hitters",
+        "approx_event_quantiles",
+        "media_features",
+        "image_resize",
+        "image_dedup",
+        "audio_dedup",
+        "frame_sample",
+        "audio_features",
+    ):
+        p = os.path.join(root, f"{name}.parquet")
+        if os.path.exists(p):
+            out[name] = f"SELECT * FROM read_parquet('{p}')"
     return out

@@ -377,6 +377,48 @@ def media_pipeline(n: int = 300) -> rd.Dataset:
     )
 
 
+def hash_list_columns(ds: rd.Dataset, cols: "list[str]") -> rd.Dataset:
+    """Replace each ``list<...>`` or ``binary`` column with
+    ``<name>_sha256`` — the hex digest of the values' canonical bytes
+    (float64/int64 for lists, raw payload for binary).  The driver's
+    oracle gate sorts result rows by every column, which requires
+    hashable cells (list cells surface as numpy arrays, and DuckDB
+    returns binary as bytearray); library callers keep the raw columns
+    via the underlying pipeline, while the registry serves this
+    projection (the same move entry() makes for nested record
+    columns)."""
+    import hashlib
+
+    import numpy as np
+
+    def project(batch: pa.Table) -> pa.Table:
+        out = batch
+        for col in cols:
+            ft = out.schema.field(col).type
+            vals = out.column(col).to_pylist()
+            if pa.types.is_binary(ft) or pa.types.is_large_binary(ft):
+                digests = [hashlib.sha256(v).hexdigest() for v in vals]
+            else:
+                dt = (
+                    np.float64
+                    if pa.types.is_floating(ft.value_type)
+                    else np.int64
+                )
+                digests = [
+                    hashlib.sha256(
+                        np.asarray(v, dtype=dt).tobytes()
+                    ).hexdigest()
+                    for v in vals
+                ]
+            idx = out.schema.get_field_index(col)
+            out = out.remove_column(idx).add_column(
+                idx, f"{col}_sha256", pa.array(digests, pa.string())
+            )
+        return out
+
+    return ds.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def frame_sample_pipeline(n: int = 300, fps_out: float = 1.0) -> rd.Dataset:
     return _media_blocks(n).map_batches(
         FrameSampler,

@@ -139,10 +139,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # additions (knn_ivf_multi)) —
         # each oracle-backed in
         # tests/test_oracle.py; displacing a gated slot would cost an
-        # established driver-green row), then the rows-only
-        # approximations (compression_ratio, train_bpe,
-        # bpe_segment_counts, pca_embeddings, sketches) and multimodal
-        # stages.
+        # established driver-green row), then the formerly
+        # rows-only tail (compression_ratio, train_bpe,
+        # bpe_segment_counts, sketches, multimodal stages) — r05:
+        # committed-golden oracles (goldens/rows_only/, regenerated
+        # only on intentional semantic change via
+        # tools/regen_goldens.py) give these full hash rows too;
+        # pca_embeddings alone stays rows-only (eigh float output is
+        # not stable across BLAS builds).
         "knn_lsh": similarity.knn_lsh,
         "perplexity_scores": partial(
             analysis.perplexity_scores, vocab_cap=analysis.ORACLE_VOCAB_CAP
@@ -299,10 +303,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitters": sketch.heavy_hitters,
         "approx_event_quantiles": sketch.approx_event_quantiles,
         # -- multimodal (real PNG/WAV/MJPEG decode — jpeg.py baseline codec) --
-        "media_features": lambda sf_dir: multimodal.media_pipeline(300),
-        "image_resize": lambda sf_dir: multimodal.image_resize_pipeline(300),
+        "media_features": lambda sf_dir: multimodal.hash_list_columns(
+            multimodal.media_pipeline(300), ["features"]
+        ),
+        "image_resize": lambda sf_dir: multimodal.hash_list_columns(
+            multimodal.image_resize_pipeline(300), ["thumb_png"]
+        ),
         "image_dedup": lambda sf_dir: multimodal.image_dedup_pipeline(300),
         "audio_dedup": lambda sf_dir: multimodal.audio_dedup_pipeline(300),
-        "frame_sample": lambda sf_dir: multimodal.frame_sample_pipeline(300),
+        "frame_sample": lambda sf_dir: multimodal.hash_list_columns(
+            multimodal.frame_sample_pipeline(300), ["frame_features"]
+        ),
         "audio_features": lambda sf_dir: multimodal.audio_features_pipeline(300),
     }

@@ -127,9 +127,9 @@ class TestSynthesizedPayloadsAreReal:
     "name,keys,n_rows,md5",
     [
         ("media_features", ["media_id"], 300,
-         "efdce5ee6815603ecbe2a8abb40e3c13"),
+         "0e8720cf962d130cbf558a338d877c4b"),
         ("frame_sample", ["media_id", "frame_idx"], 399,
-         "a8c1256863c7afecb3e7b9ac8debb42e"),
+         "6aa210913f16e4f2d32feb33a5fe9ba5"),
         ("audio_features", ["media_id"], 100,
          "0da123bc7a2c1e2f29b6e9f52c238348"),
     ],
