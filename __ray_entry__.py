@@ -4167,6 +4167,13 @@ def oracle_sql() -> dict[str, str]:
         "shard_balance_report": _shard_balance_sql(),
         "ann_recall": _ann_recall_sql(),
         "knn_ivf_multi": _knn_ivf_multi_sql(),
+        "theil_sen_hourly": _theil_sen_sql(),
+        "mann_kendall_hourly": _mann_kendall_sql(),
+        "fano_hourly_by_type": _fano_sql(),
+        "hourly_acf_panel": _hourly_acf_sql(),
+        "trimmed_mean_orders": _trimmed_mean_sql(),
+        "prefix_dup_groups": _prefix_dup_sql(),
+        "word_length_histogram": _word_length_sql(),
         "hour_of_day_effect": _hour_effect_sql(),
         "target_encode_events": _target_encode_sql(),
         "customer_rfm": _rfm_sql(),
@@ -4670,6 +4677,181 @@ def oracle_sql() -> dict[str, str]:
     out.update(_extract_oracle_sql())
     out.update(_rows_only_golden_sql())
     return out
+
+
+_HOURLY_CTE = (
+    "WITH h AS (SELECT epoch_us(ts)//3600000000 AS hr,"
+    "   CAST(round(value*100) AS BIGINT) c0 FROM events),"
+    " t AS (SELECT hr, CAST(sum(c0) AS BIGINT) c FROM h GROUP BY hr),"
+)
+
+
+def _theil_sen_sql() -> str:
+    """Mirror of relational.theil_sen_hourly: pairwise
+    truncate-toward-zero micro slopes over the hourly cents series
+    (HUGEINT products), lower median by row_number at rank (m+1)//2,
+    residual-intercept lower median at that slope."""
+    return (
+        _HOURLY_CTE +
+        " mn AS (SELECT min(hr) h0 FROM t),"
+        " p AS (SELECT hr - mn.h0 AS x, c FROM t, mn),"
+        " sl AS (SELECT (CASE WHEN b.c < a.c THEN -1 ELSE 1 END) *"
+        "   ((abs(CAST(b.c AS HUGEINT) - a.c) * 1000000) // (b.x - a.x)) AS s"
+        "   FROM p a JOIN p b ON b.x > a.x),"
+        " m AS (SELECT count(*) mm FROM sl),"
+        " med AS (SELECT s FROM (SELECT s, row_number() OVER (ORDER BY s) rn"
+        "   FROM sl), m WHERE rn = (m.mm + 1) // 2),"
+        " nn AS (SELECT count(*) n FROM p),"
+        " ic AS (SELECT CAST(p.c AS HUGEINT)*1000000 - med.s * p.x AS b"
+        "   FROM p, med),"
+        " imed AS (SELECT b FROM (SELECT b, row_number() OVER (ORDER BY b) rn"
+        "   FROM ic), nn WHERE rn = (nn.n + 1) // 2)"
+        " SELECT CAST(nn.n AS BIGINT) n_hours, CAST(m.mm AS BIGINT) n_pairs,"
+        "  CAST(med.s AS BIGINT) slope_micros,"
+        "  CAST(imed.b AS BIGINT) intercept_micros"
+        " FROM nn, m, med, imed"
+    )
+
+
+def _mann_kendall_sql() -> str:
+    """Mirror of relational.mann_kendall_hourly: pairwise sign sum S,
+    tie-corrected var18 (exact integers), continuity-corrected z
+    floored to millis (same double expression both engines), and the
+    sign-routed positive-operand tau division (the CLAUDE.md `//`
+    discipline)."""
+    return (
+        _HOURLY_CTE +
+        " sp AS (SELECT CAST(sum(CASE WHEN b.c > a.c THEN 1"
+        "   WHEN b.c < a.c THEN -1 ELSE 0 END) AS BIGINT) s"
+        "   FROM t a JOIN t b ON b.hr > a.hr),"
+        " nn AS (SELECT CAST(count(*) AS BIGINT) n FROM t),"
+        " ties AS (SELECT coalesce(sum(k*(k-1)*(2*k+5)), 0) corr FROM"
+        "   (SELECT CAST(count(*) AS BIGINT) k FROM t GROUP BY c"
+        "    HAVING count(*) > 1)),"
+        " v AS (SELECT nn.n*(nn.n-1)*(2*nn.n+5) - ties.corr AS var18"
+        "   FROM nn, ties)"
+        " SELECT nn.n n_hours, sp.s s_stat, CAST(v.var18 AS BIGINT) var18,"
+        "  CAST(CASE WHEN sp.s = 0 THEN 0 ELSE floor((sp.s -"
+        "   (CASE WHEN sp.s > 0 THEN 1 ELSE -1 END))"
+        "   / sqrt(v.var18/18.0) * 1000) END AS BIGINT) z_milli,"
+        "  CAST((CASE WHEN sp.s < 0 THEN -1 ELSE 1 END) *"
+        "   ((abs(sp.s)*1000) // (nn.n*(nn.n-1)//2)) AS BIGINT) tau_milli"
+        " FROM nn, sp, v"
+    )
+
+
+def _fano_sql() -> str:
+    """Mirror of relational.fano_hourly_by_type: per-(type, hour)
+    counts, the GLOBAL slot span, and the all-non-negative integer
+    mean/fano divisions through HUGEINT."""
+    return (
+        "WITH h AS (SELECT event_type t, epoch_us(ts)//3600000000 hr"
+        "   FROM events),"
+        " g AS (SELECT t, hr, CAST(count(*) AS BIGINT) n FROM h"
+        "   GROUP BY t, hr),"
+        " span AS (SELECT max(hr)-min(hr)+1 AS slots FROM g),"
+        " m AS (SELECT t, CAST(sum(n) AS BIGINT) tot,"
+        "   CAST(sum(CAST(n AS HUGEINT)*n) AS HUGEINT) sq FROM g GROUP BY t)"
+        " SELECT m.t event_type, CAST(span.slots AS BIGINT) n_slots,"
+        "  m.tot n_events, CAST((1000*m.tot)//span.slots AS BIGINT)"
+        "   mean_milli,"
+        "  CAST((1000*(span.slots*m.sq - CAST(m.tot AS HUGEINT)*m.tot))"
+        "   // (span.slots*m.tot) AS BIGINT) fano_milli"
+        " FROM m, span"
+    )
+
+
+def _hourly_acf_sql() -> str:
+    """Mirror of relational.hourly_acf_panel: the zero-filled slot
+    series via generate-range + LEFT JOIN, exact HUGEINT deviations
+    N·c−S, double division floored to micros."""
+    from pdf_parser_ray.pipelines.relational import ACF_MAX_LAG
+
+    return (
+        _HOURLY_CTE +
+        " b AS (SELECT min(hr) h0, max(hr)-min(hr)+1 slots FROM t),"
+        " idx AS (SELECT unnest(range(0,"
+        "   (SELECT CAST(slots AS BIGINT) FROM b))) AS i),"
+        " ser AS (SELECT idx.i, coalesce(t.c, 0) c FROM idx"
+        "   LEFT JOIN t ON t.hr = (SELECT h0 FROM b) + idx.i),"
+        " s AS (SELECT CAST(sum(c) AS HUGEINT) tot FROM ser),"
+        " d AS (SELECT i, CAST((SELECT slots FROM b) AS HUGEINT)*c - s.tot"
+        "   AS dv FROM ser, s),"
+        " den AS (SELECT sum(dv*dv) dd FROM d),"
+        f" lags AS (SELECT unnest(range(1, {ACF_MAX_LAG + 1})) k),"
+        " num AS (SELECT lags.k, sum(a.dv*b2.dv) nm FROM lags,"
+        "   d a JOIN d b2 ON b2.i = a.i + lags.k GROUP BY lags.k)"
+        " SELECT CAST(num.k AS BIGINT) lag,"
+        "  CAST((SELECT slots FROM b) - num.k AS BIGINT) n_terms,"
+        "  CAST(floor(CAST(num.nm AS DOUBLE)/CAST(den.dd AS DOUBLE)"
+        "   *1000000) AS BIGINT) acf_micros"
+        " FROM num, den"
+    )
+
+
+def _trimmed_mean_sql() -> str:
+    """Mirror of relational.trimmed_mean_orders: global row_number
+    rank over cents, k = (n·pct)//100 row cuts, HUGEINT range sum and
+    floor mean."""
+    from pdf_parser_ray.pipelines.relational import TRIM_PCTS
+
+    pcts = ", ".join(str(p) for p in TRIM_PCTS)
+    return (
+        "WITH o AS (SELECT CAST(round(o_totalprice*100) AS BIGINT) v"
+        "   FROM orders),"
+        " r AS (SELECT v, row_number() OVER (ORDER BY v) rn FROM o),"
+        " n AS (SELECT CAST(count(*) AS BIGINT) nt FROM o),"
+        f" p AS (SELECT unnest([{pcts}]) pct),"
+        " cuts AS (SELECT pct, (n.nt*pct)//100 AS k, n.nt FROM p, n),"
+        " kept AS (SELECT cuts.pct, cuts.nt, CAST(count(*) AS BIGINT) nk,"
+        "   min(r.v) lo, max(r.v) hi, CAST(sum(CAST(r.v AS HUGEINT))"
+        "    AS HUGEINT) s"
+        "   FROM cuts JOIN r ON r.rn > cuts.k AND r.rn <= cuts.nt - cuts.k"
+        "   GROUP BY cuts.pct, cuts.nt)"
+        " SELECT CAST(pct AS BIGINT) trim_pct, nt n_total, nk n_kept,"
+        "  lo lo_cut_cents, hi hi_cut_cents, CAST(s // nk AS BIGINT)"
+        "   mean_cents FROM kept"
+    )
+
+
+def _prefix_dup_sql() -> str:
+    """Mirror of analysis.prefix_dup_groups: first-16-word join, the
+    char-wise polynomial over Z/(2^61−1) (the simhash hash family) via
+    HUGEINT list_reduce, groups of >= 2."""
+    from pdf_parser_ray.pipelines.analysis import PREFIX_WORDS
+    from pdf_parser_ray.pipelines.dedup import (
+        _SIMHASH_HASH_BASE, _SIMHASH_HASH_MOD,
+    )
+
+    return (
+        f"WITH w AS (SELECT doc_id, {_WORDS_EXPR} words FROM documents),"
+        f" pre AS (SELECT doc_id, array_to_string(words[1:{PREFIX_WORDS}],"
+        "   ' ') p FROM w),"
+        " ph AS (SELECT doc_id, CASE WHEN length(p) = 0 THEN 0 ELSE"
+        "   CAST(list_reduce(list_transform(range(1, length(p)+1),"
+        "     i -> CAST(ord(substr(p, CAST(i AS INT), 1)) AS HUGEINT)),"
+        f"     (a, b) -> (a * {_SIMHASH_HASH_BASE} + b)"
+        f"      % {_SIMHASH_HASH_MOD}) AS BIGINT) END h FROM pre)"
+        " SELECT h prefix_hash, CAST(count(*) AS BIGINT) n_docs,"
+        "  CAST(min(doc_id) AS BIGINT) min_doc_id"
+        " FROM ph GROUP BY h HAVING count(*) >= 2"
+    )
+
+
+def _word_length_sql() -> str:
+    """Mirror of analysis.word_length_histogram: char lengths clamped
+    to the cap, HUGEINT micro shares."""
+    from pdf_parser_ray.pipelines.analysis import WORD_LEN_CAP
+
+    return (
+        f"WITH w AS (SELECT unnest({_WORDS_EXPR}) word FROM documents),"
+        f" l AS (SELECT least(length(word), {WORD_LEN_CAP}) len FROM w),"
+        " g AS (SELECT len, CAST(count(*) AS BIGINT) n FROM l GROUP BY len),"
+        " t AS (SELECT CAST(sum(n) AS HUGEINT) tot FROM g)"
+        " SELECT CAST(len AS BIGINT) length, n n_words,"
+        "  CAST((CAST(n AS HUGEINT)*1000000)//t.tot AS BIGINT) share_micros"
+        " FROM g, t"
+    )
 
 
 def _rows_only_golden_sql() -> dict[str, str]:

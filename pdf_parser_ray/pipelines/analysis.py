@@ -3707,3 +3707,117 @@ def hill_tail_index(sf_dir: str, k: int = HILL_K) -> rd.Dataset:
             "alpha_micros": np.array([alpha], np.int64),
         }
     )
+
+
+# -- template / boilerplate screening ----------------------------------------
+
+PREFIX_WORDS = 16
+
+
+def prefix_dup_groups(sf_dir: str, k: int = PREFIX_WORDS) -> rd.Dataset:
+    """(prefix_hash, n_docs, min_doc_id): groups of documents sharing
+    an identical first-``k``-word prefix — the cheap template/
+    boilerplate screen (mirrored-page and stamped-header detection)
+    that exact_dedup (whole text) and minhash (global similarity) both
+    miss when only the opening matters.  Only groups with ≥ 2 members
+    surface.  The hash is the char-wise polynomial over Z/(2^61−1)
+    (the simhash/rolling_fingerprint family) of the space-joined
+    prefix, so the DuckDB oracle recomputes it exactly.
+
+    Scale shape: one narrow (hash, doc_id) exchange on a coarse bucket
+    of the hash; per-bucket count/min is a vectorized pandas combine.
+    Nothing but 16 words per doc is ever hashed — the text column is
+    read once and never shuffled."""
+    import numpy as np
+    import pandas as pd
+
+    from .dedup import _SIMHASH_HASH_BASE, _SIMHASH_HASH_MOD
+
+    buckets = 64
+
+    def narrow(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        hashes = []
+        for t in batch.column("text").to_pylist():
+            prefix = " ".join(t.split()[:k])
+            h = 0
+            for ch in prefix:
+                h = (h * _SIMHASH_HASH_BASE + ord(ch)) % _SIMHASH_HASH_MOD
+            hashes.append(h)
+        hv = np.array(hashes, np.int64)
+        return pa.table(
+            {
+                "bkt": pa.array((hv % buckets).astype(np.int32)),
+                "prefix_hash": pa.array(hv),
+                "doc_id": pa.array(ids.astype(np.int64)),
+            }
+        )
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby("prefix_hash", as_index=False).agg(
+            n_docs=("doc_id", "size"), min_doc_id=("doc_id", "min")
+        )
+        m = m[m["n_docs"] >= 2]
+        return m.astype(np.int64)
+
+    return (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(narrow, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bkt")
+        .map_groups(arrow_udf(combine), batch_format="pandas")
+    )
+
+
+WORD_LEN_CAP = 24
+
+
+def word_length_histogram(sf_dir: str, cap: int = WORD_LEN_CAP) -> rd.Dataset:
+    """(length, n_words, share_micros): the corpus word-length
+    distribution (whitespace words, lengths clamped to ``cap`` so the
+    long tail folds into one bucket) — the orthographic signature that
+    separates natural language (unimodal, mode 3-5) from id-soup and
+    minified payloads (mass at the cap).  share = n·1e6 // total.
+
+    Scale shape: map-only per-batch bincount partials (cap+1-row
+    constant output per batch) through one constant-key combine."""
+    import numpy as np
+    import pandas as pd
+
+    def partials(batch: pa.Table) -> pa.Table:
+        counts = np.zeros(cap + 1, np.int64)
+        for t in batch.column("text").to_pylist():
+            lens = np.fromiter(
+                (len(w) for w in t.split()), np.int64
+            )
+            if len(lens):
+                np.add.at(
+                    counts, np.minimum(lens, cap), 1
+                )
+        return pa.table(
+            {
+                "fin": pa.array(np.zeros(cap + 1, np.int8)),
+                "length": pa.array(np.arange(cap + 1, dtype=np.int64)),
+                "n": pa.array(counts),
+            }
+        )
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("length", as_index=False)["n"].sum()
+        agg = agg[agg["n"] > 0]
+        total = int(agg["n"].sum())
+        # Python-int shares: n·1e6 wraps int64 past ~9e12 words
+        share = [int(v) * 1_000_000 // total for v in agg["n"]]
+        return pd.DataFrame(
+            {
+                "length": agg["length"].to_numpy(np.int64),
+                "n_words": agg["n"].to_numpy(np.int64),
+                "share_micros": np.array(share, np.int64),
+            }
+        )
+
+    return (
+        _docs(sf_dir, ["text"])
+        .map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("fin")
+        .map_groups(arrow_udf(fold), batch_format="pandas")
+    )

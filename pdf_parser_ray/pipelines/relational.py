@@ -6400,3 +6400,325 @@ def hourly_burst_states(sf_dir: str) -> rd.Dataset:
         rows,
         columns=["hour_us", "total_cents", "cost_base", "cost_burst", "in_burst"],
     ).astype(np.int64)
+
+
+# -- robust trend / dispersion statistics over the hourly series -------------
+
+
+def _hourly_series(sf_dir: str) -> "pd.DataFrame":
+    """(h, c): event-value totals in integer cents per epoch-hour, hour
+    ascending — the shared bounded artifact behind the trend operators
+    (the hourly_cusum rollup shape: per-batch in-Arrow groupby partials
+    fold on the driver over ≤ blocks × hours rows)."""
+    import pandas as pd
+
+    def partials(batch: pa.Table) -> pa.Table:
+        ts = pc.cast(batch.column("ts"), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        hour = (ts // 3_600_000_000) * 3_600_000_000
+        cents = pc.cast(
+            pc.round(pc.multiply(batch.column("value"), 100.0)), pa.int64()
+        )
+        g = (
+            pa.table({"h": pa.array(hour), "c": cents})
+            .group_by(["h"])
+            .aggregate([("c", "sum")])
+        )
+        return pa.table({"h": g.column("h"), "c": g.column("c_sum")})
+
+    return (
+        _t(sf_dir, "events", ["ts", "value"])
+        .map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()
+        .groupby("h", as_index=False)["c"]
+        .sum()
+        .sort_values("h")
+        .reset_index(drop=True)
+    )
+
+
+def _trunc_div(num: int, den: int) -> int:
+    """Truncate-toward-zero division with positive denominator — the
+    form whose SQL mirror is DuckDB's native `//` (CLAUDE.md pins that
+    Python `//` floors negatives while DuckDB truncates; routing the
+    sign around a positive-operand division makes both engines agree)."""
+    return -((-num) // den) if num < 0 else num // den
+
+
+def theil_sen_hourly(sf_dir: str) -> "pd.DataFrame":
+    """(n_hours, n_pairs, slope_micros, intercept_micros): the
+    Theil–Sen robust trend of the hourly event-value totals — slope =
+    median over ALL pairwise slopes (micro-cents per hour), intercept =
+    median of the per-point residual intercepts at that slope.  Immune
+    to the outlier hours that drag an OLS fit (ols_residuals is the
+    contrast case).  Lower median (rank (m+1)//2) on both engines;
+    pairwise slopes are truncate-toward-zero micro divisions of exact
+    integer cents over integer hour gaps.
+
+    Scale shape: the O(hours²) pair set is driver math over the bounded
+    hourly artifact (one streaming rollup; the series is hours-long
+    regardless of corpus size)."""
+    import pandas as pd
+
+    hourly = _hourly_series(sf_dir)
+    h0 = int(hourly["h"].iloc[0])
+    x = ((hourly["h"].to_numpy(np.int64) - h0) // 3_600_000_000).astype(
+        np.int64
+    )
+    c = hourly["c"].to_numpy(np.int64)
+    n = len(c)
+    # vectorized pairwise slopes (the hour span is bounded by crawl
+    # DURATION, not corpus size — 720 slots/month ⇒ ~260k pairs; |dy|
+    # ≤ ~1e12 micro-cents keeps every product in int64)
+    i, j = np.triu_indices(n, k=1)
+    dy = (c[j] - c[i]) * 1_000_000
+    dx = x[j] - x[i]
+    slopes = np.sign(dy) * (np.abs(dy) // dx)  # truncate toward zero
+    slopes.sort()
+    m = len(slopes)
+    slope = int(slopes[(m + 1) // 2 - 1])
+    inter = np.sort(c * 1_000_000 - slope * x)
+    intercept = int(inter[(n + 1) // 2 - 1])
+    return pd.DataFrame(
+        {
+            "n_hours": np.array([n], np.int64),
+            "n_pairs": np.array([m], np.int64),
+            "slope_micros": np.array([slope], np.int64),
+            "intercept_micros": np.array([intercept], np.int64),
+        }
+    )
+
+
+def mann_kendall_hourly(sf_dir: str) -> "pd.DataFrame":
+    """(n_hours, s_stat, var18, z_milli, tau_milli): the Mann–Kendall
+    monotonic-trend test over the hourly totals — S = Σ_{i<j}
+    sign(c_j − c_i), tie-corrected variance reported ×18 so it stays
+    integer (var18 = n(n−1)(2n+5) − Σ t(t−1)(2t+5) over tie groups),
+    the continuity-corrected normal score z floored to millis (both
+    engines cast the same exact integers to double and apply the same
+    IEEE expression), and Kendall's τ = S / (n(n−1)/2) as a
+    truncate-toward-zero milli ratio.
+
+    Scale shape: same bounded-hourly-artifact driver math as
+    :func:`theil_sen_hourly`."""
+    import pandas as pd
+
+    c = _hourly_series(sf_dir)["c"].to_numpy(np.int64)
+    n = len(c)
+    s = 0
+    for i in range(n):
+        s += int(np.sign(c[i + 1 :] - c[i]).sum())
+    _, tie_counts = np.unique(c, return_counts=True)
+    var18 = n * (n - 1) * (2 * n + 5) - sum(
+        int(t) * (t - 1) * (2 * t + 5) for t in tie_counts if t > 1
+    )
+    if s > 0:
+        z = (s - 1) / np.sqrt(var18 / 18.0)
+    elif s < 0:
+        z = (s + 1) / np.sqrt(var18 / 18.0)
+    else:
+        z = 0.0
+    pairs = n * (n - 1) // 2
+    tau_milli = _trunc_div(s * 1000, pairs)
+    return pd.DataFrame(
+        {
+            "n_hours": np.array([n], np.int64),
+            "s_stat": np.array([s], np.int64),
+            "var18": np.array([var18], np.int64),
+            "z_milli": np.array([int(np.floor(z * 1000))], np.int64),
+            "tau_milli": np.array([tau_milli], np.int64),
+        }
+    )
+
+
+def fano_hourly_by_type(sf_dir: str) -> rd.Dataset:
+    """(event_type, n_slots, n_events, mean_milli, fano_milli): the
+    Fano factor (index of dispersion, population variance / mean) of
+    each event type's hourly arrival counts over the GLOBAL hour span
+    [min_hour, max_hour] — hours with no arrivals count as zeros, so a
+    type that fires in one burst scores far above the Poisson baseline
+    of 1.0 while a steady drip scores below it.  Exact integers:
+    mean_milli = 1000·N // slots and fano_milli = 1000·(slots·Σx² −
+    N²) // (slots·N) — every operand non-negative, so Python // and
+    DuckDB // agree.
+
+    Scale shape: per-batch (type, hour) count partials (narrow, bounded
+    by types × hours) through one constant-key combine."""
+    import pandas as pd
+
+    def partials(batch: pa.Table) -> pa.Table:
+        ts = pc.cast(batch.column("ts"), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        hour = (ts // 3_600_000_000) * 3_600_000_000
+        g = (
+            pa.table({"t": batch.column("event_type"), "h": pa.array(hour)})
+            .group_by(["t", "h"])
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {
+                "fin": pa.array(np.zeros(g.num_rows, np.int8)),
+                "t": g.column("t"),
+                "h": g.column("h"),
+                "n": g.column("count_all"),
+            }
+        )
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby(["t", "h"], as_index=False)["n"].sum()
+        h_lo = int(agg["h"].min())
+        h_hi = int(agg["h"].max())
+        slots = (h_hi - h_lo) // 3_600_000_000 + 1
+        rows = []
+        for t, sub in agg.groupby("t", sort=True):
+            counts = sub["n"].to_numpy(np.int64)
+            total = int(counts.sum())
+            sq = int((counts * counts).sum())
+            var_num = slots * sq - total * total
+            rows.append(
+                (
+                    t,
+                    slots,
+                    total,
+                    (1000 * total) // slots,
+                    (1000 * var_num) // (slots * total),
+                )
+            )
+        return pd.DataFrame(
+            rows,
+            columns=[
+                "event_type", "n_slots", "n_events", "mean_milli",
+                "fano_milli",
+            ],
+        )
+
+    return (
+        _t(sf_dir, "events", ["event_type", "ts"])
+        .map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("fin")
+        .map_groups(arrow_udf(fold), batch_format="pandas")
+    )
+
+
+ACF_MAX_LAG = 6
+
+
+def hourly_acf_panel(sf_dir: str, max_lag: int = ACF_MAX_LAG) -> "pd.DataFrame":
+    """(lag, n_terms, acf_micros): the autocorrelation function of the
+    zero-filled hourly total series at lags 1..max_lag — the diurnal /
+    weekly periodicity detector (a 24-hour cycle shows as a ridge at
+    lag 24; here the short-lag panel captures burst persistence).
+    Zero-filling over the global hour span makes the series well
+    defined under gaps on both engines.
+
+    Exactness: with S = Σc and N = slots, the numerator
+    Σ_t (N·c_t − S)(N·c_{t+k} − S) and denominator Σ_t (N·c_t − S)²
+    are exact Python ints; each engine casts the SAME integers to
+    double once, divides, and floors to micros (the user_value_autocorr
+    float discipline).
+
+    Scale shape: bounded-hourly-artifact driver math."""
+    import pandas as pd
+
+    hourly = _hourly_series(sf_dir)
+    h0 = int(hourly["h"].iloc[0])
+    slots = (int(hourly["h"].iloc[-1]) - h0) // 3_600_000_000 + 1
+    c = np.zeros(slots, dtype=object)
+    idx = (hourly["h"].to_numpy(np.int64) - h0) // 3_600_000_000
+    for i, v in zip(idx, hourly["c"].to_numpy(np.int64)):
+        c[int(i)] = int(v)
+    s_tot = int(sum(c))
+    d = [slots * int(v) - s_tot for v in c]  # N·c_t − S, exact ints
+    den = sum(v * v for v in d)
+    rows = []
+    for k in range(1, max_lag + 1):
+        num = sum(d[t] * d[t + k] for t in range(slots - k))
+        acf = float(num) / float(den)
+        rows.append((k, slots - k, int(np.floor(acf * 1_000_000))))
+    return pd.DataFrame(
+        rows, columns=["lag", "n_terms", "acf_micros"]
+    ).astype(np.int64)
+
+
+TRIM_PCTS = (5, 10, 25)
+
+
+def trimmed_mean_orders(sf_dir: str) -> rd.Dataset:
+    """(trim_pct, n_total, n_kept, lo_cut_cents, hi_cut_cents,
+    mean_cents): the symmetric trimmed mean of order totals at 5/10/25%
+    — the robust location estimate that discards the k = (n·pct)//100
+    lowest and highest ROWS (ties split by cumulative row count, so the
+    cut is exact on both engines) and floor-averages the integer-cents
+    remainder.
+
+    Scale shape: the exchange carries one (cents → count, mass) row
+    per DISTINCT price — bounded by the value domain, not the row
+    count (the histogram-partial quantile shape); rank cuts and range
+    sums are driver math over that artifact."""
+    import pandas as pd
+
+    def partials(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.round(pc.multiply(batch.column("o_totalprice"), 100.0)),
+            pa.int64(),
+        )
+        g = (
+            pa.table({"v": cents})
+            .group_by(["v"])
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {
+                "fin": pa.array(np.zeros(g.num_rows, np.int8)),
+                "v": g.column("v"),
+                "n": g.column("count_all"),
+            }
+        )
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        agg = (
+            g.groupby("v", as_index=False)["n"].sum().sort_values("v")
+        )
+        v = agg["v"].to_numpy(np.int64)
+        cnt = agg["n"].to_numpy(np.int64)
+        n_total = int(cnt.sum())
+        cum_hi = np.cumsum(cnt)  # rank of each value's LAST row
+        cum_lo = cum_hi - cnt + 1  # rank of each value's FIRST row
+        rows = []
+        for pct in TRIM_PCTS:
+            k = (n_total * pct) // 100
+            lo_rank, hi_rank = k + 1, n_total - k
+            # overlap of [cum_lo, cum_hi] with [lo_rank, hi_rank]
+            take = np.minimum(cum_hi, hi_rank) - np.maximum(
+                cum_lo, lo_rank
+            ) + 1
+            take = np.clip(take, 0, None)
+            n_kept = int(take.sum())
+            total = int((v * take).sum())
+            kept_vals = v[take > 0]
+            rows.append(
+                (
+                    pct,
+                    n_total,
+                    n_kept,
+                    int(kept_vals[0]),
+                    int(kept_vals[-1]),
+                    total // n_kept,
+                )
+            )
+        return pd.DataFrame(
+            rows,
+            columns=[
+                "trim_pct", "n_total", "n_kept", "lo_cut_cents",
+                "hi_cut_cents", "mean_cents",
+            ],
+        ).astype(np.int64)
+
+    return (
+        _t(sf_dir, "orders", ["o_totalprice"])
+        .map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("fin")
+        .map_groups(arrow_udf(fold), batch_format="pandas")
+    )

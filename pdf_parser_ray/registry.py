@@ -136,7 +136,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # length_rank_test, lang_source_chi2, length_ks_test,
         # benford_orders, hourly_burst_states,
         # length_vocab_spearman, hill_tail_index, and the round-5
-        # additions (knn_ivf_multi)) —
+        # additions (knn_ivf_multi, theil_sen_hourly,
+        # mann_kendall_hourly, fano_hourly_by_type, hourly_acf_panel,
+        # trimmed_mean_orders, prefix_dup_groups,
+        # word_length_histogram)) —
         # each oracle-backed in
         # tests/test_oracle.py; displacing a gated slot would cost an
         # established driver-green row), then the formerly
@@ -291,6 +294,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "length_vocab_spearman": analysis.length_vocab_spearman,
         "hill_tail_index": analysis.hill_tail_index,
         "knn_ivf_multi": similarity.knn_ivf_multi,
+        "theil_sen_hourly": relational.theil_sen_hourly,
+        "mann_kendall_hourly": relational.mann_kendall_hourly,
+        "fano_hourly_by_type": relational.fano_hourly_by_type,
+        "hourly_acf_panel": relational.hourly_acf_panel,
+        "trimmed_mean_orders": relational.trimmed_mean_orders,
+        "prefix_dup_groups": analysis.prefix_dup_groups,
+        "word_length_histogram": analysis.word_length_histogram,
         "doc_top_terms": partial(
             analysis.doc_top_terms, vocab_cap=analysis.ORACLE_VOCAB_CAP
         ),

@@ -1420,3 +1420,83 @@ class TestHillTailIndex:
         assert got["alpha_micros"] == (k * 10**12) // expect_s
         # for a rank^-2 count law the Hill alpha over top-20 sits ~0.5
         assert 300_000 < got["alpha_micros"] < 800_000
+
+
+class TestPrefixDupGroups:
+    def test_planted_templates(self, ray_session, quiet_data_context, tmp_path):
+        """Docs sharing the first-16-word template group together; a
+        17th-word difference is invisible, a 16th-word difference
+        splits."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pdf_parser_ray.pipelines.analysis import prefix_dup_groups
+
+        tpl = " ".join(f"w{i}" for i in range(16))
+        docs = {
+            1: tpl + " tail one",
+            5: tpl + " completely different continuation here",
+            9: tpl,  # exactly the prefix
+            2: " ".join(f"w{i}" for i in range(15)) + " OTHER tail",
+            3: "unrelated text entirely",
+        }
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(list(docs), pa.int64()),
+                    "text": pa.array(list(docs.values())),
+                }
+            ),
+            str(tmp_path / "documents.parquet"),
+        )
+        df = prefix_dup_groups(str(tmp_path)).to_pandas()
+        assert len(df) == 1
+        assert int(df["n_docs"].iloc[0]) == 3
+        assert int(df["min_doc_id"].iloc[0]) == 1
+
+    def test_hash_matches_scalar_reference(self):
+        """The in-pipeline hash is the simhash char polynomial of the
+        joined prefix."""
+        from pdf_parser_ray.pipelines.dedup import (
+            _SIMHASH_HASH_BASE, _SIMHASH_HASH_MOD,
+        )
+
+        text = "alpha beta gamma"
+        h = 0
+        for ch in " ".join(text.split()[:16]):
+            h = (h * _SIMHASH_HASH_BASE + ord(ch)) % _SIMHASH_HASH_MOD
+        assert h > 0  # the family leaves no zero for nonempty prefixes
+
+
+class TestWordLengthHistogram:
+    def test_brute_force_counts(self, ray_session, quiet_data_context, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pdf_parser_ray.pipelines.analysis import (
+            WORD_LEN_CAP, word_length_histogram,
+        )
+
+        texts = ["a bb ccc a", "dddd " + "x" * 100]
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([1, 2], pa.int64()),
+                    "text": pa.array(texts),
+                }
+            ),
+            str(tmp_path / "documents.parquet"),
+        )
+        df = (
+            word_length_histogram(str(tmp_path))
+            .to_pandas()
+            .set_index("length")
+        )
+        assert int(df.loc[1, "n_words"]) == 2
+        assert int(df.loc[2, "n_words"]) == 1
+        assert int(df.loc[3, "n_words"]) == 1
+        assert int(df.loc[4, "n_words"]) == 1
+        # the 100-char monster clamps to the cap bucket
+        assert int(df.loc[WORD_LEN_CAP, "n_words"]) == 1
+        assert int(df["n_words"].sum()) == 6
+        assert int(df.loc[1, "share_micros"]) == 2 * 1_000_000 // 6

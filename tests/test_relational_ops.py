@@ -1721,3 +1721,141 @@ class TestHourlyBurstStates:
         # the switching penalty suppresses state flapping
         assert sticky_flips < memoryless_flips
         assert got["in_burst"].sum() > 0  # bursts exist at sf0.001
+
+
+class TestTrendStats:
+    """Brute-force pins for the r05 hourly trend/dispersion shelf —
+    tiny controlled corpora, scipy-free reference math."""
+
+    @staticmethod
+    def _events(tmp_path, hours_cents, event_type="click"):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        ts = []
+        vals = []
+        for h, cents in hours_cents:
+            ts.append(h * 3_600_000_000 + 5)
+            vals.append(cents / 100.0)
+        pq.write_table(
+            pa.table(
+                {
+                    "ts": pa.array(ts, pa.timestamp("us")),
+                    "value": pa.array(vals, pa.float64()),
+                    "event_type": pa.array([event_type] * len(ts)),
+                }
+            ),
+            str(tmp_path / "events.parquet"),
+        )
+        return str(tmp_path)
+
+    def test_theil_sen_exact_line(self, ray_session, quiet_data_context, tmp_path):
+        """A perfect line recovers its slope exactly (all pairwise
+        slopes equal) and the intercept at x=0."""
+        from pdf_parser_ray.pipelines.relational import theil_sen_hourly
+
+        sf = self._events(tmp_path, [(10 + k, 500 + 7 * k) for k in range(6)])
+        r = theil_sen_hourly(sf).iloc[0]
+        assert int(r["n_hours"]) == 6 and int(r["n_pairs"]) == 15
+        assert int(r["slope_micros"]) == 7_000_000
+        assert int(r["intercept_micros"]) == 500_000_000
+
+    def test_theil_sen_outlier_immune(self, ray_session, quiet_data_context, tmp_path):
+        """One wild hour doesn't move the median slope (the OLS
+        contrast)."""
+        from pdf_parser_ray.pipelines.relational import theil_sen_hourly
+
+        pts = [(k, 100 + 3 * k) for k in range(9)]
+        pts[4] = (4, 99_999)  # outlier
+        sf = self._events(tmp_path, pts)
+        r = theil_sen_hourly(sf).iloc[0]
+        assert int(r["slope_micros"]) == 3_000_000
+
+    def test_mann_kendall_monotone_and_ties(
+        self, ray_session, quiet_data_context, tmp_path
+    ):
+        from pdf_parser_ray.pipelines.relational import mann_kendall_hourly
+
+        # strictly increasing: S = n(n-1)/2, tau = 1000
+        sf = self._events(tmp_path, [(k, 100 + k) for k in range(8)])
+        r = mann_kendall_hourly(sf).iloc[0]
+        assert int(r["s_stat"]) == 28 and int(r["tau_milli"]) == 1000
+        assert int(r["var18"]) == 8 * 7 * 21
+        # with a tie pair: brute-force S and tie-corrected variance
+        (tmp_path / "t2").mkdir(exist_ok=True)
+        sf2 = self._events(tmp_path / "t2", [(0, 5), (1, 9), (2, 9), (3, 7)])
+        r2 = mann_kendall_hourly(sf2).iloc[0]
+        vals = [5, 9, 9, 7]
+        s = sum(
+            (0 if vals[j] == vals[i] else (1 if vals[j] > vals[i] else -1))
+            for i in range(4)
+            for j in range(i + 1, 4)
+        )
+        assert int(r2["s_stat"]) == s
+        assert int(r2["var18"]) == 4 * 3 * 13 - 2 * 1 * 9
+
+    def test_fano_poisson_baseline(self, ray_session, quiet_data_context, tmp_path):
+        """A constant arrival series has zero dispersion; a one-burst
+        series scores far above 1000 milli."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pdf_parser_ray.pipelines.relational import fano_hourly_by_type
+
+        ts, types = [], []
+        for h in range(10):  # 'flat': one event every hour
+            ts.append(h * 3_600_000_000)
+            types.append("flat")
+        for _ in range(10):  # 'burst': ten events in hour 0
+            ts.append(3)
+            types.append("burst")
+        pq.write_table(
+            pa.table(
+                {
+                    "ts": pa.array(ts, pa.timestamp("us")),
+                    "value": pa.array([1.0] * len(ts)),
+                    "event_type": pa.array(types),
+                }
+            ),
+            str(tmp_path / "events.parquet"),
+        )
+        df = fano_hourly_by_type(str(tmp_path)).to_pandas().set_index("event_type")
+        assert int(df.loc["flat", "fano_milli"]) == 0
+        # burst: counts = [10, 0x9] over 10 slots: mean 1, var 9 -> 9000
+        assert int(df.loc["burst", "fano_milli"]) == 9000
+
+    def test_acf_alternating_series(self, ray_session, quiet_data_context, tmp_path):
+        """A strict +/- alternation: lag-1 ACF ~ -1, lag-2 ~ +1."""
+        from pdf_parser_ray.pipelines.relational import hourly_acf_panel
+
+        sf = self._events(
+            tmp_path, [(k, 100 if k % 2 else 300) for k in range(12)]
+        )
+        df = hourly_acf_panel(sf).set_index("lag")
+        assert df.loc[1, "acf_micros"] < -800_000
+        assert df.loc[2, "acf_micros"] > 800_000
+
+    def test_trimmed_mean_brute_force(self, ray_session, quiet_data_context, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pdf_parser_ray.pipelines.relational import (
+            TRIM_PCTS, trimmed_mean_orders,
+        )
+
+        vals = [1, 1, 2, 3, 5, 8, 13, 21, 34, 55, 89, 144, 233, 377, 610, 987,
+                1597, 2584, 4181, 6765]
+        pq.write_table(
+            pa.table({"o_totalprice": pa.array([v / 100 for v in vals])}),
+            str(tmp_path / "orders.parquet"),
+        )
+        df = trimmed_mean_orders(str(tmp_path)).to_pandas().set_index("trim_pct")
+        sv = sorted(vals)
+        for pct in TRIM_PCTS:
+            k = (len(sv) * pct) // 100
+            kept = sv[k : len(sv) - k]
+            row = df.loc[pct]
+            assert int(row["n_kept"]) == len(kept)
+            assert int(row["lo_cut_cents"]) == kept[0]
+            assert int(row["hi_cut_cents"]) == kept[-1]
+            assert int(row["mean_cents"]) == sum(kept) // len(kept)
