@@ -4174,6 +4174,11 @@ def oracle_sql() -> dict[str, str]:
         "trimmed_mean_orders": _trimmed_mean_sql(),
         "prefix_dup_groups": _prefix_dup_sql(),
         "word_length_histogram": _word_length_sql(),
+        "temporal_vocab_drift": _vocab_drift_sql(),
+        "length_deciles_by_lang": _length_deciles_sql(),
+        "robust_scaled_events": _robust_scaled_sql(),
+        "max_repeated_ngram": _max_repeated_ngram_sql(),
+        "sketch_quantile_error": _sketch_quantile_error_sql(),
         "hour_of_day_effect": _hour_effect_sql(),
         "target_encode_events": _target_encode_sql(),
         "customer_rfm": _rfm_sql(),
@@ -4851,6 +4856,138 @@ def _word_length_sql() -> str:
         " SELECT CAST(len AS BIGINT) length, n n_words,"
         "  CAST((CAST(n AS HUGEINT)*1000000)//t.tot AS BIGINT) share_micros"
         " FROM g, t"
+    )
+
+
+def _vocab_drift_sql() -> str:
+    """Mirror of analysis.temporal_vocab_drift: id-range midpoint
+    split, per-word two-sided counts, shared-support floored log
+    factors, final double KL expression per half."""
+    return (
+        "WITH r AS (SELECT (min(doc_id)+max(doc_id))//2 cut"
+        "   FROM documents),"
+        " w AS (SELECT CASE WHEN doc_id <= (SELECT cut FROM r) THEN 0"
+        f"   ELSE 1 END half, unnest({_WORDS_EXPR}) word FROM documents),"
+        " c AS (SELECT half, word, CAST(count(*) AS BIGINT) k FROM w"
+        "   GROUP BY 1, 2),"
+        " p AS (SELECT word, sum(CASE WHEN half = 0 THEN k END) k0,"
+        "   sum(CASE WHEN half = 1 THEN k END) k1 FROM c GROUP BY word),"
+        " tk AS (SELECT CAST(coalesce(sum(k0), 0) AS BIGINT) t0,"
+        "   CAST(coalesce(sum(k1), 0) AS BIGINT) t1 FROM p),"
+        " sh AS (SELECT CAST(sum(k0) AS BIGINT) s0,"
+        "   CAST(sum(k1) AS BIGINT) s1,"
+        "   CAST(sum(k0 * CAST(floor(ln(CAST(k0 AS DOUBLE)/k1)*1000000)"
+        "     AS BIGINT)) AS BIGINT) a0,"
+        "   CAST(sum(k1 * CAST(floor(ln(CAST(k1 AS DOUBLE)/k0)*1000000)"
+        "     AS BIGINT)) AS BIGINT) a1"
+        "   FROM p WHERE k0 IS NOT NULL AND k1 IS NOT NULL)"
+        " SELECT CAST(0 AS BIGINT) half, tk.t0 n_tokens,"
+        "  sh.s0 n_shared_tokens,"
+        "  CAST(CASE WHEN sh.s0 IS NULL OR sh.s1 IS NULL THEN 0 ELSE"
+        "   floor(CAST(sh.a0 AS DOUBLE)/sh.s0 +"
+        "    ln(CAST(sh.s1 AS DOUBLE)/sh.s0)*1000000) END AS BIGINT)"
+        "   kl_micros FROM tk, sh"
+        " UNION ALL SELECT 1, tk.t1, sh.s1,"
+        "  CAST(CASE WHEN sh.s0 IS NULL OR sh.s1 IS NULL THEN 0 ELSE"
+        "   floor(CAST(sh.a1 AS DOUBLE)/sh.s1 +"
+        "    ln(CAST(sh.s0 AS DOUBLE)/sh.s1)*1000000) END AS BIGINT)"
+        "  FROM tk, sh"
+    )
+
+
+def _length_deciles_sql() -> str:
+    """Mirror of analysis.length_deciles_by_lang: per-lang row_number
+    rank at ceil(d·n/10) via the positive-operand (a+b-1)//b ceil."""
+    return (
+        "WITH r AS (SELECT lang, n_chars v, row_number() OVER"
+        "   (PARTITION BY lang ORDER BY n_chars) rn FROM documents),"
+        " n AS (SELECT lang, CAST(count(*) AS BIGINT) nt FROM documents"
+        "   GROUP BY lang),"
+        " d AS (SELECT unnest(range(1, 10)) dk)"
+        " SELECT r.lang, CAST(d.dk AS BIGINT) decile,"
+        "  CAST(r.v AS BIGINT) cutoff_chars"
+        " FROM d, n JOIN r ON r.lang = n.lang"
+        "  AND r.rn = (d.dk*n.nt + 9)//10"
+    )
+
+
+def _robust_scaled_sql() -> str:
+    """Mirror of relational.robust_scaled_events: lower-median rank
+    (n+1)//2 for both median and MAD, sign-routed positive-operand
+    milli division, MAD 0 ⇒ z 0."""
+    return (
+        "WITH e AS (SELECT event_id,"
+        "   CAST(round(value*100) AS BIGINT) c FROM events),"
+        " n AS (SELECT CAST(count(*) AS BIGINT) nt FROM e),"
+        " med AS (SELECT c m FROM (SELECT c, row_number() OVER"
+        "   (ORDER BY c) rn FROM e), n WHERE rn = (n.nt+1)//2),"
+        " mad AS (SELECT d md FROM (SELECT abs(e.c - med.m) d,"
+        "   row_number() OVER (ORDER BY abs(e.c - med.m)) rn"
+        "   FROM e, med), n WHERE rn = (n.nt+1)//2)"
+        " SELECT e.event_id, e.c cents,"
+        "  CAST(CASE WHEN mad.md = 0 THEN 0 ELSE"
+        "   (CASE WHEN e.c < med.m THEN -1 ELSE 1 END) *"
+        "   ((abs(e.c - med.m)*1000) // mad.md) END AS BIGINT) z_milli"
+        " FROM e, med, mad"
+    )
+
+
+def _max_repeated_ngram_sql() -> str:
+    """Mirror of analysis.max_repeated_ngram: all 1..16-gram counts by
+    exact joined strings, per-doc max repeated length + its top count,
+    (0, 0) for repeat-free docs."""
+    from pdf_parser_ray.pipelines.analysis import MAX_NGRAM_N
+
+    return (
+        f"WITH w AS (SELECT doc_id, {_WORDS_EXPR} words FROM documents),"
+        " pos AS (SELECT doc_id, words,"
+        "   unnest(range(1, len(words) + 1)) i FROM w),"
+        f" nn AS (SELECT unnest(range(1, {MAX_NGRAM_N + 1})) n),"
+        " g AS (SELECT p.doc_id, nn.n, array_to_string("
+        "   p.words[CAST(p.i AS INT):CAST(p.i + nn.n - 1 AS INT)], ' ')"
+        "   gram FROM pos p, nn WHERE p.i + nn.n - 1 <= len(p.words)),"
+        " cnt AS (SELECT doc_id, n, gram, count(*) c FROM g"
+        "   GROUP BY 1, 2, 3),"
+        " mx AS (SELECT doc_id, n, max(c) mc FROM cnt GROUP BY 1, 2),"
+        " rep AS (SELECT doc_id, max(n) max_n FROM mx WHERE mc >= 2"
+        "   GROUP BY doc_id),"
+        " occ AS (SELECT rep.doc_id, rep.max_n, mx.mc n_occ FROM rep"
+        "   JOIN mx ON mx.doc_id = rep.doc_id AND mx.n = rep.max_n)"
+        " SELECT d.doc_id, CAST(coalesce(occ.max_n, 0) AS BIGINT) max_n,"
+        "  CAST(coalesce(occ.n_occ, 0) AS BIGINT) n_occ"
+        " FROM documents d LEFT JOIN occ ON occ.doc_id = d.doc_id"
+    )
+
+
+def _sketch_quantile_error_sql() -> str:
+    """Mirror of sketch.sketch_quantile_error: the exact side is the
+    per-type row_number quantile at the sketch's own rank convention
+    (max(1, min(n, ceil(q·n))) — cents ×10⁴ micros); the approx side
+    is the committed DDSketch golden unpivoted to q_pct rows."""
+    golden = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "goldens", "rows_only", "approx_event_quantiles.parquet",
+    )
+    return (
+        "WITH e AS (SELECT event_type t,"
+        "   CAST(round(value*100) AS BIGINT) v FROM events),"
+        " r AS (SELECT t, v, row_number() OVER (PARTITION BY t"
+        "   ORDER BY v) rn FROM e),"
+        " n AS (SELECT t, CAST(count(*) AS BIGINT) nt FROM e GROUP BY t),"
+        " q AS (SELECT unnest([50, 90, 99]) qp),"
+        " ex AS (SELECT r.t, q.qp, CAST(r.v*10000 AS BIGINT) exact"
+        "   FROM q, n JOIN r ON r.t = n.t"
+        "   AND r.rn = greatest(1, least(n.nt, (q.qp*n.nt + 99)//100))),"
+        " ap AS ("
+        f"  SELECT event_type, 50 qp, q50_micros a FROM read_parquet('{golden}')"
+        f"  UNION ALL SELECT event_type, 90, q90_micros FROM read_parquet('{golden}')"
+        f"  UNION ALL SELECT event_type, 99, q99_micros FROM read_parquet('{golden}'))"
+        " SELECT ex.t event_type, CAST(ex.qp AS BIGINT) q_pct,"
+        "  ex.exact exact_micros, CAST(ap.a AS BIGINT) approx_micros,"
+        "  CAST(abs(ap.a - ex.exact) AS BIGINT) err_micros,"
+        "  CAST(abs(ap.a - ex.exact)*1000000 //"
+        "   greatest(1, abs(ex.exact)) AS BIGINT) rel_err_ppm"
+        " FROM ex JOIN ap ON ap.event_type = ex.t AND ap.qp = ex.qp"
     )
 
 

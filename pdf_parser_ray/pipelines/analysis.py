@@ -3821,3 +3821,263 @@ def word_length_histogram(sf_dir: str, cap: int = WORD_LEN_CAP) -> rd.Dataset:
         .groupby("fin")
         .map_groups(arrow_udf(fold), batch_format="pandas")
     )
+
+
+# -- temporal drift / per-language length regimes ----------------------------
+
+
+def temporal_vocab_drift(sf_dir: str) -> rd.Dataset:
+    """(half, n_tokens, n_shared_tokens, kl_micros): common-support KL
+    divergence between the unigram distributions of the EARLY and LATE
+    halves of the corpus (doc_id ≤ the id-range midpoint vs above —
+    doc_id order is the synthetic crawl time), each half against the
+    other — the crawl-drift monitor: rising KL between adjacent crawl
+    windows flags vocabulary shift (new template boilerplate, language
+    mix change) before any per-source gauge moves.
+
+    Restricting to the SHARED support (words present in both halves)
+    keeps every log finite without smoothing constants; coverage is
+    reported via n_shared_tokens vs n_tokens.  Per the source_kl
+    discipline: per-word floor(ln(k_this/k_other)·1e6) factors are
+    bucket-local exact integers, and the final
+    KL = A/sh_this + ln(sh_other/sh_this) is one double expression
+    applied to the same integers on both engines, floored to micros.
+
+    Scale shape: a narrow min/max doc_id fold picks the cut; one
+    word-hash-bucketed Counter exchange (each bucket owns its words'
+    exact counts in both halves — no vocabulary broadcast) emits
+    four-number partials; a constant-key fold produces the 2 rows."""
+    from collections import Counter
+
+    import numpy as np
+    import pandas as pd
+
+    from .dedup import _stable64
+
+    buckets = 64
+
+    def id_rng(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "lo": pa.array([int(ids.min())], pa.int64()),
+                "hi": pa.array([int(ids.max())], pa.int64()),
+            }
+        )
+
+    rng = (
+        _docs(sf_dir, ["doc_id"])
+        .map_batches(id_rng, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()
+    )
+    cut = (int(rng["lo"].min()) + int(rng["hi"].max())) // 2
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        for i, t in zip(ids, batch.column("text").to_pylist()):
+            half = 0 if int(i) <= cut else 1
+            for w in t.split():
+                c[(half, w)] += 1
+        keys = list(c.keys())
+        h = np.fromiter(
+            (_stable64(w) for _, w in keys), dtype=np.uint64, count=len(keys)
+        ).view(np.int64)
+        return pa.table(
+            {
+                "bkt": pa.array((h % buckets).astype(np.int32)),
+                "half": pa.array(
+                    np.fromiter((hf for hf, _ in keys), np.int32, len(keys))
+                ),
+                "word": pa.array([w for _, w in keys], pa.string()),
+                "n": pa.array(
+                    np.fromiter(c.values(), np.int64, count=len(keys))
+                ),
+            }
+        )
+
+    def bucket_fold(g: pd.DataFrame) -> pd.DataFrame:
+        t = g.groupby(["half", "word"], as_index=False)["n"].sum()
+        wide = t.pivot_table(
+            index="word", columns="half", values="n", aggfunc="sum"
+        ).reindex(columns=[0, 1])
+        k0 = wide[0].fillna(0).to_numpy(np.int64)
+        k1 = wide[1].fillna(0).to_numpy(np.int64)
+        shared = (k0 > 0) & (k1 > 0)
+        s0, s1 = k0[shared].astype(np.float64), k1[shared].astype(np.float64)
+        a0 = int(
+            (
+                k0[shared]
+                * np.floor(np.log(s0 / s1) * 1_000_000.0).astype(np.int64)
+            ).sum()
+        )
+        a1 = int(
+            (
+                k1[shared]
+                * np.floor(np.log(s1 / s0) * 1_000_000.0).astype(np.int64)
+            ).sum()
+        )
+        return pd.DataFrame(
+            {
+                "half": np.array([0, 1], np.int64),
+                "tok": np.array([int(k0.sum()), int(k1.sum())], np.int64),
+                "sh": np.array(
+                    [int(k0[shared].sum()), int(k1[shared].sum())], np.int64
+                ),
+                "a": np.array([a0, a1], np.int64),
+                "fin": np.zeros(2, np.int8),
+            }
+        )
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby("half")[["tok", "sh", "a"]].sum()
+        sh0, sh1 = int(m.loc[0, "sh"]), int(m.loc[1, "sh"])
+        rows = []
+        for half, other in ((0, 1), (1, 0)):
+            sh_t = sh0 if half == 0 else sh1
+            sh_o = sh1 if half == 0 else sh0
+            if sh_t == 0 or sh_o == 0:  # no shared support: KL undefined -> 0
+                kl = 0
+            else:
+                kl = int(
+                    np.floor(
+                        float(m.loc[half, "a"]) / sh_t
+                        + np.log(float(sh_o) / sh_t) * 1_000_000.0
+                    )
+                )
+            rows.append((half, int(m.loc[half, "tok"]), sh_t, kl))
+        return pd.DataFrame(
+            rows, columns=["half", "n_tokens", "n_shared_tokens", "kl_micros"]
+        ).astype(np.int64)
+
+    return (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(partial_counts, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bkt")
+        .map_groups(arrow_udf(bucket_fold), batch_format="pandas")
+        .groupby("fin")
+        .map_groups(arrow_udf(combine), batch_format="pandas")
+    )
+
+
+def length_deciles_by_lang(sf_dir: str) -> rd.Dataset:
+    """(lang, decile, cutoff_chars): per-language deciles of document
+    length (n_chars) at the quantile_disc rank ceil(d·n/10) — the
+    per-regime length profile behind stratified length filtering (a
+    global length gate over mixed languages clips CJK-style compact
+    scripts; per-lang cutoffs don't).
+
+    Scale shape: the exchange carries (lang, n_chars, count) histogram
+    partials — bounded by langs × distinct lengths, constant in corpus
+    size — and each language reads its nine ranks off the sorted
+    cumulative counts."""
+    import numpy as np
+    import pandas as pd
+
+    def partials(batch: pa.Table) -> pa.Table:
+        g = (
+            pa.table(
+                {
+                    "lang": batch.column("lang"),
+                    "v": batch.column("n_chars"),
+                }
+            )
+            .group_by(["lang", "v"])
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {
+                "lang": g.column("lang"),
+                "v": g.column("v"),
+                "n": g.column("count_all"),
+            }
+        )
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        lang = g["lang"].iloc[0]
+        agg = g.groupby("v", as_index=False)["n"].sum().sort_values("v")
+        v = agg["v"].to_numpy(np.int64)
+        cum = np.cumsum(agg["n"].to_numpy(np.int64))
+        n = int(cum[-1])
+        rows = []
+        for d in range(1, 10):
+            rank = -(-d * n // 10)  # ceil with positive operands
+            idx = int(np.searchsorted(cum, rank))
+            rows.append((lang, d, int(v[idx])))
+        return pd.DataFrame(rows, columns=["lang", "decile", "cutoff_chars"])
+
+    return (
+        _docs(sf_dir, ["lang", "n_chars"])
+        .map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("lang")
+        .map_groups(arrow_udf(fold), batch_format="pandas")
+    )
+
+
+MAX_NGRAM_N = 16
+
+
+def max_repeated_ngram(sf_dir: str, n_cap: int = MAX_NGRAM_N) -> rd.Dataset:
+    """(doc_id, max_n, n_occ): the longest word n-gram (n ≤ ``n_cap``)
+    that occurs at least twice WITHIN the document, and how often the
+    most-repeated n-gram of that length occurs — the intra-document
+    repetition gauge of the Gopher/Rae family, sharper than duplicate
+    LINE fractions because it catches re-flowed boilerplate that never
+    reproduces byte-identical lines.  Docs with no repeated word at
+    all emit (0, 0).
+
+    A repeated n-gram contains a repeated (n−1)-gram, so the predicate
+    is monotone in n and each doc binary-searches its max_n in
+    O(log n_cap) passes over its words — exact string grams, no hash
+    collisions.
+
+    Scale shape: map-only; per-doc work is a few joined-slice passes
+    over that doc's own words."""
+    import numpy as np
+
+    def has_repeat(words: list[str], n: int) -> "tuple[bool, int]":
+        if n <= 0 or len(words) < n + 1:
+            return False, 0
+        seen: dict[str, int] = {}
+        best = 1
+        for i in range(len(words) - n + 1):
+            g = " ".join(words[i : i + n])
+            c = seen.get(g, 0) + 1
+            seen[g] = c
+            if c > best:
+                best = c
+        return best >= 2, best
+
+    def per_doc(batch: pa.Table) -> pa.Table:
+        out_n, out_c = [], []
+        for t in batch.column("text").to_pylist():
+            words = t.split()
+            ok1, _ = has_repeat(words, 1)
+            if not ok1:
+                out_n.append(0)
+                out_c.append(0)
+                continue
+            lo, hi = 1, min(n_cap, len(words) - 1)
+            # invariant: repeat exists at lo; none above hi+... classic
+            # binary search for the last True of the monotone predicate
+            while lo < hi:
+                mid = (lo + hi + 1) // 2
+                ok, _ = has_repeat(words, mid)
+                if ok:
+                    lo = mid
+                else:
+                    hi = mid - 1
+            _, cnt = has_repeat(words, lo)
+            out_n.append(lo)
+            out_c.append(cnt)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "max_n": pa.array(np.array(out_n, np.int64)),
+                "n_occ": pa.array(np.array(out_c, np.int64)),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        per_doc, batch_format="pyarrow", zero_copy_batch=True
+    )

@@ -6722,3 +6722,68 @@ def trimmed_mean_orders(sf_dir: str) -> rd.Dataset:
         .groupby("fin")
         .map_groups(arrow_udf(fold), batch_format="pandas")
     )
+
+
+def robust_scaled_events(sf_dir: str) -> rd.Dataset:
+    """(event_id, cents, z_milli): median/MAD robust standardization
+    of every event value — z = (x − median) / MAD in
+    truncate-toward-zero millis — the outlier-insensitive feature
+    scaling a downstream model pipeline applies where mean/σ scaling
+    would let one whale event shift every z-score.  Lower median at
+    rank (n+1)//2 on both engines; MAD is the same-rank median of
+    |x − median| (0 ⇒ all z = 0 by convention).
+
+    Scale shape: the two-pass broadcast-moments pattern
+    (value_cume_dist family): pass 1 folds a (cents → count) value
+    histogram — bounded by the value domain — to the driver, which
+    reads median and MAD off cumulative counts; the two ints broadcast
+    in-closure and pass 2 is map-only row-level output."""
+    import pandas as pd
+
+    def hist(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.round(pc.multiply(batch.column("value"), 100.0)), pa.int64()
+        )
+        g = pa.table({"v": cents}).group_by(["v"]).aggregate([([], "count_all")])
+        return pa.table({"v": g.column("v"), "n": g.column("count_all")})
+
+    h = (
+        _t(sf_dir, "events", ["value"])
+        .map_batches(hist, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()
+        .groupby("v", as_index=False)["n"]
+        .sum()
+        .sort_values("v")
+        .reset_index(drop=True)
+    )
+    v = h["v"].to_numpy(np.int64)
+    cnt = h["n"].to_numpy(np.int64)
+    n = int(cnt.sum())
+    rank = (n + 1) // 2  # lower median
+    med = int(v[int(np.searchsorted(np.cumsum(cnt), rank))])
+    dev = pd.DataFrame({"d": np.abs(v - med), "n": cnt}).groupby(
+        "d", as_index=False
+    )["n"].sum().sort_values("d")
+    dv = dev["d"].to_numpy(np.int64)
+    mad = int(dv[int(np.searchsorted(np.cumsum(dev["n"].to_numpy(np.int64)), rank))])
+
+    def scale(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.round(pc.multiply(batch.column("value"), 100.0)), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        if mad == 0:
+            z = np.zeros(len(cents), np.int64)
+        else:
+            d = (cents - med) * 1000
+            z = np.sign(d) * (np.abs(d) // mad)  # truncate toward zero
+        return pa.table(
+            {
+                "event_id": batch.column("event_id"),
+                "cents": pa.array(cents),
+                "z_milli": pa.array(z.astype(np.int64)),
+            }
+        )
+
+    return _t(sf_dir, "events", ["event_id", "value"]).map_batches(
+        scale, batch_format="pyarrow", zero_copy_batch=True
+    )

@@ -19,6 +19,8 @@ xorshift mix, so reruns and retries produce identical sketches.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pyarrow as pa
 import ray.data as rd
@@ -481,3 +483,86 @@ def bloom_dedup(sf_dir: str) -> rd.Dataset:
     return _delta_corpus(sf_dir).map_batches(
         probe, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def sketch_quantile_error(sf_dir: str) -> "pd.DataFrame":
+    """(event_type, q_pct, exact_micros, approx_micros, err_micros,
+    rel_err_ppm): the eval harness that certifies the DDSketch
+    quantile path against the exact histogram quantiles — the
+    ann_recall pattern for sketches: run it before switching a
+    percentile dashboard from the exact (bounded-domain) operator to
+    the sketch, and alarm if rel error exceeds the configured alpha.
+    exact is the quantile_disc cents value ×10⁴ (micros); approx is
+    the sketch's geometric-midpoint micros; rel_err_ppm =
+    err·10⁶ // max(1, exact).
+
+    Scale shape: the exact side is the event_quantiles value-histogram
+    fold (distinct-cents artifact); the approx side is the mergeable
+    DDSketch aggregate; the comparison is driver math over
+    types × 3 rows."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from .dedup import _blocks_for
+
+    path = os.path.join(sf_dir, "events.parquet")
+
+    def hist(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.round(pc.multiply(batch.column("value"), 100.0)), pa.int64()
+        )
+        g = (
+            pa.table({"t": batch.column("event_type"), "v": cents})
+            .group_by(["t", "v"])
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {"t": g.column("t"), "v": g.column("v"), "n": g.column("count_all")}
+        )
+
+    h = (
+        read_parquet_clean(
+            path,
+            columns=["event_type", "value"],
+            override_num_blocks=_blocks_for(path),
+        )
+        .map_batches(hist, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()
+        .groupby(["t", "v"], as_index=False)["n"]
+        .sum()
+    )
+    approx = approx_event_quantiles(sf_dir).to_pandas().set_index("event_type")
+
+    rows = []
+    for t, sub in h.groupby("t", sort=True):
+        sub = sub.sort_values("v")
+        v = sub["v"].to_numpy(np.int64)
+        cum = np.cumsum(sub["n"].to_numpy(np.int64))
+        n = int(cum[-1])
+        for q_pct in (50, 90, 99):
+            # the sketch's rank convention: max(1, min(n, ceil(q*n)))
+            rank = max(1, min(n, -(-q_pct * n // 100)))
+            exact = int(v[int(np.searchsorted(cum, rank))]) * 10_000
+            ap = int(approx.loc[t, f"q{q_pct}_micros"])
+            err = abs(ap - exact)
+            rows.append(
+                (
+                    t,
+                    q_pct,
+                    exact,
+                    ap,
+                    err,
+                    err * 1_000_000 // max(1, abs(exact)),
+                )
+            )
+    df = pd.DataFrame(
+        rows,
+        columns=[
+            "event_type", "q_pct", "exact_micros", "approx_micros",
+            "err_micros", "rel_err_ppm",
+        ],
+    )
+    for c in df.columns[1:]:
+        df[c] = df[c].astype(np.int64)
+    return df

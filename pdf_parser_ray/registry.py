@@ -139,7 +139,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # additions (knn_ivf_multi, theil_sen_hourly,
         # mann_kendall_hourly, fano_hourly_by_type, hourly_acf_panel,
         # trimmed_mean_orders, prefix_dup_groups,
-        # word_length_histogram)) —
+        # word_length_histogram, temporal_vocab_drift,
+        # length_deciles_by_lang, robust_scaled_events,
+        # max_repeated_ngram, sketch_quantile_error)) —
         # each oracle-backed in
         # tests/test_oracle.py; displacing a gated slot would cost an
         # established driver-green row), then the formerly
@@ -301,6 +303,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "trimmed_mean_orders": relational.trimmed_mean_orders,
         "prefix_dup_groups": analysis.prefix_dup_groups,
         "word_length_histogram": analysis.word_length_histogram,
+        "temporal_vocab_drift": analysis.temporal_vocab_drift,
+        "length_deciles_by_lang": analysis.length_deciles_by_lang,
+        "robust_scaled_events": relational.robust_scaled_events,
+        "max_repeated_ngram": analysis.max_repeated_ngram,
+        "sketch_quantile_error": sketch.sketch_quantile_error,
         "doc_top_terms": partial(
             analysis.doc_top_terms, vocab_cap=analysis.ORACLE_VOCAB_CAP
         ),

@@ -1500,3 +1500,112 @@ class TestWordLengthHistogram:
         assert int(df.loc[WORD_LEN_CAP, "n_words"]) == 1
         assert int(df["n_words"].sum()) == 6
         assert int(df.loc[1, "share_micros"]) == 2 * 1_000_000 // 6
+
+
+class TestTemporalVocabDrift:
+    def test_identical_halves_zero_and_drift_positive(
+        self, ray_session, quiet_data_context, tmp_path
+    ):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pdf_parser_ray.pipelines.analysis import temporal_vocab_drift
+
+        def write(docs, d):
+            d.mkdir(exist_ok=True)
+            pq.write_table(
+                pa.table(
+                    {
+                        "doc_id": pa.array(list(docs), pa.int64()),
+                        "text": pa.array(list(docs.values())),
+                    }
+                ),
+                str(d / "documents.parquet"),
+            )
+            return str(d)
+
+        # same distribution on both sides of the id-range midpoint -> 0
+        sf = write({0: "a a b", 10: "a a b"}, tmp_path / "same")
+        df = temporal_vocab_drift(sf).to_pandas().set_index("half")
+        assert int(df.loc[0, "kl_micros"]) == 0
+        assert int(df.loc[1, "kl_micros"]) == 0
+        assert int(df.loc[0, "n_tokens"]) == 3
+
+        # shared support with shifted mass -> strictly positive KL
+        sf2 = write({0: "a a a b", 10: "a b b b"}, tmp_path / "drift")
+        d2 = temporal_vocab_drift(sf2).to_pandas().set_index("half")
+        assert int(d2.loc[0, "kl_micros"]) > 0
+        assert int(d2.loc[1, "kl_micros"]) > 0
+
+    def test_one_sided_words_excluded_from_shared(
+        self, ray_session, quiet_data_context, tmp_path
+    ):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pdf_parser_ray.pipelines.analysis import temporal_vocab_drift
+
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([0, 10], pa.int64()),
+                    "text": pa.array(["a a onlyearly", "a a onlylate x"]),
+                }
+            ),
+            str(tmp_path / "documents.parquet"),
+        )
+        df = temporal_vocab_drift(str(tmp_path)).to_pandas().set_index("half")
+        assert int(df.loc[0, "n_tokens"]) == 3
+        assert int(df.loc[0, "n_shared_tokens"]) == 2  # just the a's
+        assert int(df.loc[1, "n_shared_tokens"]) == 2
+
+
+class TestMaxRepeatedNgram:
+    def test_planted_repetitions(self, ray_session, quiet_data_context, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pdf_parser_ray.pipelines.analysis import max_repeated_ngram
+
+        docs = {
+            1: "x y z x y z",          # repeated 3-gram, twice
+            2: "a b c d e f",          # all distinct -> (0, 0)
+            3: "p p p p",              # run: 3-gram repeated twice
+            4: "q r q s q t",          # only the unigram q repeats (x3)
+        }
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(list(docs), pa.int64()),
+                    "text": pa.array(list(docs.values())),
+                }
+            ),
+            str(tmp_path / "documents.parquet"),
+        )
+        got = {
+            int(r.doc_id): (int(r.max_n), int(r.n_occ))
+            for r in max_repeated_ngram(str(tmp_path))
+            .to_pandas()
+            .itertuples()
+        }
+        assert got == {1: (3, 2), 2: (0, 0), 3: (3, 2), 4: (1, 3)}
+
+
+class TestLengthDecilesByLang:
+    def test_brute_force(self, ray_session, quiet_data_context):
+        import pyarrow.parquet as pq
+
+        from pdf_parser_ray.pipelines.analysis import length_deciles_by_lang
+
+        t = pq.read_table(
+            "/root/testdata/sf0.001/documents.parquet",
+            columns=["lang", "n_chars"],
+        ).to_pandas()
+        got = length_deciles_by_lang("/root/testdata/sf0.001").to_pandas()
+        for lang, sub in t.groupby("lang"):
+            v = sorted(sub["n_chars"])
+            n = len(v)
+            for d in range(1, 10):
+                want = v[(d * n + 9) // 10 - 1]
+                row = got[(got["lang"] == lang) & (got["decile"] == d)]
+                assert int(row["cutoff_chars"].iloc[0]) == want, (lang, d)

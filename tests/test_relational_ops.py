@@ -1859,3 +1859,51 @@ class TestTrendStats:
             assert int(row["lo_cut_cents"]) == kept[0]
             assert int(row["hi_cut_cents"]) == kept[-1]
             assert int(row["mean_cents"]) == sum(kept) // len(kept)
+
+
+class TestRobustScaledEvents:
+    def test_known_median_mad(self, ray_session, quiet_data_context, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pdf_parser_ray.pipelines.relational import robust_scaled_events
+
+        # cents: [100, 200, 300, 400, 1000] -> lower median 300,
+        # |dev| = [200, 100, 0, 100, 700] -> MAD (rank 3 of sorted
+        # [0,100,100,200,700]) = 100
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": pa.array(range(5), pa.int64()),
+                    "value": pa.array([1.0, 2.0, 3.0, 4.0, 10.0]),
+                }
+            ),
+            str(tmp_path / "events.parquet"),
+        )
+        df = robust_scaled_events(str(tmp_path)).to_pandas().set_index("event_id")
+        assert list(df["z_milli"]) == [-2000, -1000, 0, 1000, 7000]
+
+
+class TestSketchQuantileError:
+    def test_exact_side_and_alpha_bound(self, ray_session, quiet_data_context):
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from pdf_parser_ray.pipelines.sketch import sketch_quantile_error
+
+        df = sketch_quantile_error("/root/testdata/sf0.001")
+        ev = pq.read_table(
+            "/root/testdata/sf0.001/events.parquet",
+            columns=["event_type", "value"],
+        ).to_pandas()
+        cents = (ev["value"] * 100).round().astype("int64")
+        for _, row in df.iterrows():
+            vals = np.sort(
+                cents[ev["event_type"] == row["event_type"]].to_numpy()
+            )
+            n = len(vals)
+            rank = max(1, min(n, -(-int(row["q_pct"]) * n // 100)))
+            assert int(row["exact_micros"]) == int(vals[rank - 1]) * 10_000
+        # DDSketch alpha = 1%: relative error stays ~within the bucket
+        # bound (2% slack for edge quantization)
+        assert int(df["rel_err_ppm"].max()) < 20_000
