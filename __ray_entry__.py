@@ -4179,6 +4179,9 @@ def oracle_sql() -> dict[str, str]:
         "robust_scaled_events": _robust_scaled_sql(),
         "max_repeated_ngram": _max_repeated_ngram_sql(),
         "sketch_quantile_error": _sketch_quantile_error_sql(),
+        "asof_event_join": _asof_sql(),
+        "storage_audit": _storage_audit_sql(),
+        "sentence_stats": _sentence_stats_sql(),
         "hour_of_day_effect": _hour_effect_sql(),
         "target_encode_events": _target_encode_sql(),
         "customer_rfm": _rfm_sql(),
@@ -4988,6 +4991,75 @@ def _sketch_quantile_error_sql() -> str:
         "  CAST(abs(ap.a - ex.exact)*1000000 //"
         "   greatest(1, abs(ex.exact)) AS BIGINT) rel_err_ppm"
         " FROM ex JOIN ap ON ap.event_type = ex.t AND ap.qp = ex.qp"
+    )
+
+
+def _asof_sql() -> str:
+    """Mirror of relational.asof_event_join: IGNORE-NULLS last_value
+    over the (ts, event_id)-ordered per-user window — the current row
+    (a left event) contributes NULL, so the window's last value IS the
+    strictly-prior right event."""
+    return (
+        "WITH e AS (SELECT event_id, user_id, epoch_us(ts) tm, event_type"
+        "   FROM events WHERE event_type IN ('error', 'click')),"
+        " w AS (SELECT event_id, user_id, tm, event_type,"
+        "   last_value(CASE WHEN event_type = 'click' THEN event_id END"
+        "     IGNORE NULLS) OVER (PARTITION BY user_id"
+        "     ORDER BY tm, event_id"
+        "     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) cid,"
+        "   last_value(CASE WHEN event_type = 'click' THEN tm END"
+        "     IGNORE NULLS) OVER (PARTITION BY user_id"
+        "     ORDER BY tm, event_id"
+        "     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) ctm"
+        "  FROM e)"
+        " SELECT event_id, user_id, cid click_event_id,"
+        "  (tm - ctm)//1000 gap_ms"
+        " FROM w WHERE event_type = 'error' AND cid IS NOT NULL"
+    )
+
+
+def _storage_audit_sql() -> str:
+    """Mirror of analysis.storage_audit over the oracle sf dir's
+    parquet footers: DuckDB's parquet_metadata per column chunk,
+    deduped to row groups for row counts, summed for compressed
+    bytes."""
+    from pdf_parser_ray.pipelines.analysis import STORAGE_AUDIT_TABLES
+
+    parts = []
+    for t in STORAGE_AUDIT_TABLES:
+        p = os.path.join(_ORACLE_SF_DIR, f"{t}.parquet")
+        if not os.path.exists(p):
+            continue
+        parts.append(
+            f"SELECT '{t}' table_name,"
+            " CAST(count(DISTINCT file_name) AS BIGINT) n_files,"
+            " CAST(count(*) AS BIGINT) n_row_groups,"
+            " CAST(sum(nr) AS BIGINT) n_rows,"
+            " CAST(sum(cb) AS BIGINT) compressed_bytes FROM ("
+            "  SELECT file_name, row_group_id,"
+            "   max(row_group_num_rows) nr,"
+            "   sum(total_compressed_size) cb"
+            f"  FROM parquet_metadata('{p}') GROUP BY 1, 2)"
+        )
+    return " UNION ALL ".join(parts)
+
+
+def _sentence_stats_sql() -> str:
+    """Mirror of analysis.sentence_stats: regexp split on [.!?]+ runs,
+    ASCII-whitespace trim, empties dropped, (1000·Σ)//n mean."""
+    return (
+        "WITH p AS (SELECT doc_id, trim(unnest(regexp_split_to_array("
+        "   text, '[.!?]+')), ' ' || chr(9) || chr(13) || chr(10)) s"
+        "   FROM documents),"
+        " k AS (SELECT doc_id, length(s) l FROM p WHERE s <> ''),"
+        " a AS (SELECT doc_id, CAST(count(*) AS BIGINT) n,"
+        "   CAST(sum(l) AS BIGINT) tot, CAST(max(l) AS BIGINT) mx"
+        "   FROM k GROUP BY doc_id)"
+        " SELECT d.doc_id, CAST(coalesce(a.n, 0) AS BIGINT) n_sentences,"
+        "  CAST(coalesce((1000*a.tot)//a.n, 0) AS BIGINT)"
+        "   mean_sent_chars_milli,"
+        "  CAST(coalesce(a.mx, 0) AS BIGINT) max_sent_chars"
+        " FROM documents d LEFT JOIN a ON a.doc_id = d.doc_id"
     )
 
 

@@ -4081,3 +4081,125 @@ def max_repeated_ngram(sf_dir: str, n_cap: int = MAX_NGRAM_N) -> rd.Dataset:
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
         per_doc, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+STORAGE_AUDIT_TABLES = (
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+)
+
+
+def storage_audit(sf_dir: str) -> rd.Dataset:
+    """(table_name, n_files, n_row_groups, n_rows, compressed_bytes):
+    the parquet LAYOUT audit — row-group granularity is the read-split
+    unit, so a table whose n_rows/n_row_groups is huge caps scan
+    parallelism (the rg4k lesson: coarse row groups capped the 8→32
+    extraction scaling at ~0.72 until the corpus was rewritten), and
+    compressed_bytes/n_rows exposes columns that dominate storage.
+    Footer-only: no table DATA is ever read.
+
+    Scale shape: one task per file list shard reads footers (a footer
+    is KBs regardless of file size); a table-keyed combine folds
+    file-count partials.  At 100 TB this audits thousands of files
+    without touching a single row group payload."""
+    import os
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    items = []
+    for t in STORAGE_AUDIT_TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.isfile(p):
+            items.append({"table_name": t, "path": p})
+        elif os.path.isdir(p):
+            items.extend(
+                {"table_name": t, "path": os.path.join(p, f)}
+                for f in sorted(os.listdir(p))
+                if f.endswith(".parquet")
+            )
+
+    def footer_stats(batch: pa.Table) -> pa.Table:
+        rows = []
+        for t, path in zip(
+            batch.column("table_name").to_pylist(),
+            batch.column("path").to_pylist(),
+        ):
+            md = pq.ParquetFile(path).metadata
+            comp = sum(
+                md.row_group(i).column(j).total_compressed_size
+                for i in range(md.num_row_groups)
+                for j in range(md.num_columns)
+            )
+            rows.append((t, 1, md.num_row_groups, md.num_rows, comp))
+        df = pd.DataFrame(
+            rows,
+            columns=[
+                "table_name", "n_files", "n_row_groups", "n_rows",
+                "compressed_bytes",
+            ],
+        )
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("table_name", as_index=False)[
+            ["n_files", "n_row_groups", "n_rows", "compressed_bytes"]
+        ].sum()
+        for c in out.columns[1:]:
+            out[c] = out[c].astype(np.int64)
+        return out
+
+    return (
+        rd.from_items(items)
+        .map_batches(footer_stats, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("table_name")
+        .map_groups(arrow_udf(fold), batch_format="pandas")
+    )
+
+
+def sentence_stats(sf_dir: str) -> rd.Dataset:
+    """(doc_id, n_sentences, mean_sent_chars_milli, max_sent_chars):
+    sentence-granularity length profile — documents split on
+    ``[.!?]+`` runs (pieces trimmed of ASCII whitespace, empties
+    dropped; a fragment with no terminal punctuation counts as one
+    sentence) — the readability/segment-quality signal at the level
+    tokenizer-context packing actually operates on.  mean is
+    (1000·Σchars)//n on both engines.
+
+    Scale shape: map-only, one vectorized regex split per batch."""
+    import numpy as np
+    import re
+
+    split_re = re.compile(r"[.!?]+")
+
+    def per_doc(batch: pa.Table) -> pa.Table:
+        out_n, out_mean, out_max = [], [], []
+        for t in batch.column("text").to_pylist():
+            pieces = [
+                p.strip(" \t\r\n") for p in split_re.split(t)
+            ]
+            pieces = [p for p in pieces if p]
+            if not pieces:
+                out_n.append(0)
+                out_mean.append(0)
+                out_max.append(0)
+                continue
+            lens = [len(p) for p in pieces]
+            out_n.append(len(pieces))
+            out_mean.append(1000 * sum(lens) // len(pieces))
+            out_max.append(max(lens))
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_sentences": pa.array(np.array(out_n, np.int64)),
+                "mean_sent_chars_milli": pa.array(
+                    np.array(out_mean, np.int64)
+                ),
+                "max_sent_chars": pa.array(np.array(out_max, np.int64)),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        per_doc, batch_format="pyarrow", zero_copy_batch=True
+    )

@@ -6787,3 +6787,85 @@ def robust_scaled_events(sf_dir: str) -> rd.Dataset:
     return _t(sf_dir, "events", ["event_id", "value"]).map_batches(
         scale, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def asof_event_join(
+    sf_dir: str, left_type: str = "error", right_type: str = "click"
+) -> rd.Dataset:
+    """(event_id, user_id, click_event_id, gap_ms): the AS-OF join —
+    each ``left_type`` event matched to the LATEST ``right_type`` event
+    of the same user strictly earlier in (ts, event_id) order, gap in
+    truncated milliseconds.  Ray Data has no asof-join primitive; this
+    is the custom-operator composition the engine uses for
+    point-in-time feature lookups (last click before an error, last
+    price before a trade): left events with no prior right event are
+    dropped (inner asof).
+
+    Scale shape: ONE hash(user_id) co-shuffle of narrow rows; each
+    bucket lexsorts (user, ts, event_id) once and computes the match
+    with a vectorized forward-fill over the right-side rows — no
+    per-row Python, no cross-bucket state (a user lives wholly in its
+    bucket).  The (ts, event_id) tie rule makes the result
+    deterministic under equal timestamps."""
+    import pandas as pd
+
+    buckets = 64
+
+    def narrow(batch: pa.Table) -> pa.Table:
+        et = batch.column("event_type").to_pylist()
+        keep = np.array([t in (left_type, right_type) for t in et], bool)
+        u = batch.column("user_id").to_numpy(zero_copy_only=False)[keep]
+        return pa.table(
+            {
+                "bkt": pa.array((u % buckets).astype(np.int32)),
+                "u": pa.array(u.astype(np.int64)),
+                "tm": pc.cast(batch.column("ts"), pa.int64()).to_numpy(
+                    zero_copy_only=False
+                )[keep],
+                "eid": batch.column("event_id").to_numpy(
+                    zero_copy_only=False
+                )[keep],
+                "is_left": pa.array(
+                    np.array([t == left_type for t in et], bool)[keep]
+                ),
+            }
+        )
+
+    def asof(g: pd.DataFrame) -> pd.DataFrame:
+        order = np.lexsort(
+            (
+                g["eid"].to_numpy(np.int64),
+                g["tm"].to_numpy(np.int64),
+                g["u"].to_numpy(np.int64),
+            )
+        )
+        u = g["u"].to_numpy(np.int64)[order]
+        tm = g["tm"].to_numpy(np.int64)[order]
+        eid = g["eid"].to_numpy(np.int64)[order]
+        is_left = g["is_left"].to_numpy()[order]
+        # forward-fill the last RIGHT row's (tm, eid) within each user:
+        # right rows carry their own index, left rows inherit the
+        # previous one (strictly-before holds because a left row never
+        # indexes itself — its slot is NaN before the fill)
+        idx = np.where(~is_left, np.arange(len(u), dtype=np.float64), np.nan)
+        s = pd.Series(idx)
+        # reset the fill at user boundaries
+        user_grp = pd.Series(u)
+        filled = s.groupby(user_grp, sort=False).ffill().to_numpy()
+        take = is_left & ~np.isnan(filled)
+        src = filled[take].astype(np.int64)
+        return pd.DataFrame(
+            {
+                "event_id": eid[take],
+                "user_id": u[take],
+                "click_event_id": eid[src],
+                "gap_ms": (tm[take] - tm[src]) // 1000,
+            }
+        ).astype(np.int64)
+
+    return (
+        _t(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+        .map_batches(narrow, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bkt")
+        .map_groups(arrow_udf(asof), batch_format="pandas")
+    )

@@ -141,7 +141,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # trimmed_mean_orders, prefix_dup_groups,
         # word_length_histogram, temporal_vocab_drift,
         # length_deciles_by_lang, robust_scaled_events,
-        # max_repeated_ngram, sketch_quantile_error)) —
+        # max_repeated_ngram, sketch_quantile_error,
+        # asof_event_join, storage_audit, sentence_stats)) —
         # each oracle-backed in
         # tests/test_oracle.py; displacing a gated slot would cost an
         # established driver-green row), then the formerly
@@ -308,6 +309,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "robust_scaled_events": relational.robust_scaled_events,
         "max_repeated_ngram": analysis.max_repeated_ngram,
         "sketch_quantile_error": sketch.sketch_quantile_error,
+        "asof_event_join": relational.asof_event_join,
+        "storage_audit": analysis.storage_audit,
+        "sentence_stats": analysis.sentence_stats,
         "doc_top_terms": partial(
             analysis.doc_top_terms, vocab_cap=analysis.ORACLE_VOCAB_CAP
         ),

@@ -1609,3 +1609,57 @@ class TestLengthDecilesByLang:
                 want = v[(d * n + 9) // 10 - 1]
                 row = got[(got["lang"] == lang) & (got["decile"] == d)]
                 assert int(row["cutoff_chars"].iloc[0]) == want, (lang, d)
+
+
+class TestStorageAudit:
+    def test_footer_truth(self, ray_session, quiet_data_context):
+        """Per-table counts equal a direct pyarrow footer read; no
+        table data is required to exist in memory."""
+        import pyarrow.parquet as pq
+
+        from pdf_parser_ray.pipelines.analysis import storage_audit
+
+        df = (
+            storage_audit("/root/testdata/sf0.001")
+            .to_pandas()
+            .set_index("table_name")
+        )
+        md = pq.ParquetFile(
+            "/root/testdata/sf0.001/documents.parquet"
+        ).metadata
+        assert int(df.loc["documents", "n_rows"]) == md.num_rows
+        assert int(df.loc["documents", "n_row_groups"]) == md.num_row_groups
+        assert int(df.loc["documents", "n_files"]) == 1
+        assert (df["compressed_bytes"] > 0).all()
+
+
+class TestSentenceStats:
+    def test_planted_sentences(self, ray_session, quiet_data_context, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pdf_parser_ray.pipelines.analysis import sentence_stats
+
+        docs = {
+            1: "One two. Three!  Four five six?",  # 3 sentences
+            2: "no terminal punctuation at all",   # 1 fragment
+            3: "...!!!",                            # empties only -> 0
+        }
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(list(docs), pa.int64()),
+                    "text": pa.array(list(docs.values())),
+                }
+            ),
+            str(tmp_path / "documents.parquet"),
+        )
+        df = (
+            sentence_stats(str(tmp_path)).to_pandas().set_index("doc_id")
+        )
+        assert int(df.loc[1, "n_sentences"]) == 3
+        lens = [len("One two"), len("Three"), len("Four five six")]
+        assert int(df.loc[1, "mean_sent_chars_milli"]) == 1000 * sum(lens) // 3
+        assert int(df.loc[1, "max_sent_chars"]) == max(lens)
+        assert int(df.loc[2, "n_sentences"]) == 1
+        assert int(df.loc[3, "n_sentences"]) == 0

@@ -1907,3 +1907,44 @@ class TestSketchQuantileError:
         # DDSketch alpha = 1%: relative error stays ~within the bucket
         # bound (2% slack for edge quantization)
         assert int(df["rel_err_ppm"].max()) < 20_000
+
+
+class TestAsofEventJoin:
+    def test_planted_timeline(self, ray_session, quiet_data_context, tmp_path):
+        """Hand-built per-user timeline: each error matches the LATEST
+        strictly-prior click; errors before any click drop; same-ts
+        ordering follows event_id."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pdf_parser_ray.pipelines.relational import asof_event_join
+
+        #         id  ts(us)  user  type
+        rows = [
+            (1, 1_000_000, 7, "click"),
+            (2, 2_000_000, 7, "error"),   # -> click 1, gap 1000 ms
+            (3, 3_000_000, 7, "click"),
+            (4, 3_500_000, 7, "view"),    # ignored type
+            (5, 9_000_000, 7, "error"),   # -> click 3, gap 6000 ms
+            (6, 500_000, 8, "error"),     # no prior click: dropped
+            (7, 4_000_000, 8, "click"),
+            (8, 4_000_000, 8, "error"),   # same ts, id 8 > 7 -> matches 7
+            (9, 4_000_000, 9, "error"),   # same ts, id 9 < 10 -> dropped
+            (10, 4_000_000, 9, "click"),
+        ]
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                    "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                    "event_type": pa.array([r[3] for r in rows]),
+                }
+            ),
+            str(tmp_path / "events.parquet"),
+        )
+        got = {
+            int(r.event_id): (int(r.click_event_id), int(r.gap_ms))
+            for r in asof_event_join(str(tmp_path)).to_pandas().itertuples()
+        }
+        assert got == {2: (1, 1000), 5: (3, 6000), 8: (7, 0)}
