@@ -89,6 +89,14 @@ def _extract_records(sf_dir: str):
     return ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _extract_links(sf_dir: str):
+    """Exploded outlink view of the HTML pages (document-order <a href>
+    pairs) — oracled against the generator's planted golden links."""
+    from pdf_parser_ray.pipelines.extract import extract_links_dir
+
+    return extract_links_dir(_pages_dir_for(sf_dir), batch_size=32)
+
+
 def _extract_tables(sf_dir: str):
     """Exploded cell view of the bbox-grid table reconstruction over
     the PDF pages (SURVEY §2 M5; reference base.py:46-50) — oracled
@@ -245,6 +253,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # contract — new extraction-family queries join the oracle-backed
     # tail, not the gate
     out["extract_tables"] = _extract_tables
+    out["extract_links"] = _extract_links
     return out
 
 
@@ -298,9 +307,12 @@ def _extract_oracle_sql() -> dict[str, str]:
     out = os.path.join(_CACHE_ROOT, tag)
     os.makedirs(out, exist_ok=True)
     golden_path, records_path = golden_paths_for(_ORACLE_SF_DIR, out)
-    from pdf_parser_ray.fixtures.gen import golden_tables_path_for
+    from pdf_parser_ray.fixtures.gen import (
+        golden_links_path_for, golden_tables_path_for,
+    )
 
     tables_path = golden_tables_path_for(_ORACLE_SF_DIR, out)
+    links_path = golden_links_path_for(_ORACLE_SF_DIR, out)
     from pdf_parser_ray.pipelines.filter import (
         DISTINCT_PCT, MAX_WORDS, MIN_WORDS, TOP_WORD_PCT,
     )
@@ -355,6 +367,10 @@ def _extract_oracle_sql() -> dict[str, str]:
         "extract_tables": (
             f"SELECT url, table_idx, row_idx, col_idx, cell"
             f" FROM read_parquet('{tables_path}')"
+        ),
+        "extract_links": (
+            f"SELECT url, link_idx, href, anchor"
+            f" FROM read_parquet('{links_path}')"
         ),
         "extract_spans": (
             "SELECT url, CAST(i - 1 AS BIGINT) AS span_idx,"

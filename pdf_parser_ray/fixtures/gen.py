@@ -44,8 +44,13 @@ _ENCODINGS = ("utf-8", "cp1252", "latin-1", "utf-8")
 
 _EPOCH_2024_US = 1_704_067_200_000_000  # 2024-01-01T00:00:00Z in microseconds
 
+LINK_TYPE = pa.struct([("href", pa.string()), ("anchor", pa.string())])
+
 # bump when generator/statement content changes so cached corpora regenerate
-CORPUS_VERSION = 20  # v20: planted summary-table pages (every 3rd PDF
+CORPUS_VERSION = 21  # v21: golden outlinks (every HTML page's nav +
+# tag-farm <a href> pairs recorded in the `links` column + exploded
+# golden_links parquet — the extract_links fixture);
+# v20: planted summary-table pages (every 3rd PDF
 # doc carries a title + aligned 3-column cell grid page, golden grids
 # in the `tables` column + exploded golden_tables parquet — the
 # extract_tables fixture); v19: 28 PDF writer forms (+type1_program:
@@ -95,7 +100,7 @@ def _html_page(
     doc_text: str, doc_id: int, replica: int, rng: random.Random,
     page_scale: int = 1,
 ) -> tuple[bytes, str, list[str], str]:
-    """-> (payload_bytes, encoding, golden_lines, title).
+    """-> (payload_bytes, encoding, golden_lines, title, link_pairs).
 
     ``page_scale`` repeats the content words N times to emulate realistic
     Common-Crawl page sizes in benchmarks (1 = fixture size ~2 KB,
@@ -110,12 +115,20 @@ def _html_page(
 
     golden_lines = [_norm_ws(title)] + [_norm_ws(p) for p in paras]
 
+    # planted outlinks, recorded as goldens (v21: the extract_links
+    # fixture) — nav first, tag farm second, document order
+    link_pairs = [
+        (f"/s{doc_id}/{k}", w)
+        for k, w in enumerate(
+            ["home", "about", "contact", "archive"][: rng.randint(2, 4)]
+        )
+    ] + [(f"/t/{k}", f"tag{k}") for k in range(rng.randint(4, 9))]
+    n_nav = sum(1 for h, _ in link_pairs if h.startswith("/s"))
     nav_links = " ".join(
-        f'<a href="/s{doc_id}/{k}">{w}</a>'
-        for k, w in enumerate(["home", "about", "contact", "archive"][: rng.randint(2, 4)])
+        f'<a href="{h}">{a}</a>' for h, a in link_pairs[:n_nav]
     )
     farm = " ".join(
-        f'<a href="/t/{k}">tag{k}</a>' for k in range(rng.randint(4, 9))
+        f'<a href="{h}">{a}</a>' for h, a in link_pairs[n_nav:]
     )
     enc = _ENCODINGS[(doc_id + replica) % len(_ENCODINGS)]
     body_paras = "\n".join(f"<p>{html_mod.escape(p)}</p>" for p in paras)
@@ -141,7 +154,7 @@ def _html_page(
             'charset="latin-1"', 'charset="utf-8"'
         )
         payload = page.encode("utf-8")
-    return payload, enc, golden_lines, title
+    return payload, enc, golden_lines, title, link_pairs
 
 
 # cycle of 28 writer forms — classic PDF 1.4, bare xref stream,
@@ -271,6 +284,7 @@ def synthesize_pages(
     urls, tss, payloads, snippets, out_langs = [], [], [], [], []
     g_urls, g_texts, g_keys, g_records, g_kinds, g_spans = [], [], [], [], [], []
     g_tables: list[list[list[list[str]]]] = []
+    g_links: list[list[dict]] = []
 
     for replica in range(replicate):
         for doc_id, doc_text, lang in zip(doc_ids, texts, langs):
@@ -279,6 +293,7 @@ def synthesize_pages(
             ts = _EPOCH_2024_US + (doc_id * 86_400 + replica * 997) * 1_000_000
             year = 2024
             doc_tables: list[list[list[str]]] = []
+            doc_links: list[tuple[str, str]] = []
             if rng.random() < pdf_fraction:
                 payload, golden_lines, _bank, page_struct, doc_tables = (
                     _pdf_page(doc_id, replica, year, rng)
@@ -288,7 +303,7 @@ def synthesize_pages(
                 page_texts = ["\n".join(p) for p in page_struct]
                 spans = _spans_for_lines(page_texts, ["page"] * len(page_texts))
             else:
-                payload, _enc, golden_lines, _title = _html_page(
+                payload, _enc, golden_lines, _title, doc_links = _html_page(
                     doc_text, doc_id, replica, rng
                 )
                 kind = "html"
@@ -316,6 +331,9 @@ def synthesize_pages(
             g_kinds.append(kind)
             g_spans.append(spans)
             g_tables.append(doc_tables)
+            g_links.append(
+                [{"href": h, "anchor": a} for h, a in doc_links]
+            )
 
     pages = pa.table(
         {
@@ -340,6 +358,8 @@ def synthesize_pages(
             "tables": pa.array(
                 g_tables, pa.list_(pa.list_(pa.list_(pa.string())))
             ),
+            # planted outlinks (v21): document-order (href, anchor)
+            "links": pa.array(g_links, pa.list_(LINK_TYPE)),
             # plain-column goldens so a SQL oracle can SELECT them directly
             # (driver correctness gate for the extract_* flagship queries)
             "n_records": pa.array([len(r) for r in g_records], pa.int32()),
@@ -403,6 +423,28 @@ def explode_golden_tables(golden: pa.Table) -> pa.Table:
     )
 
 
+def explode_golden_links(golden: pa.Table) -> pa.Table:
+    """Exploded link view of the goldens — the oracle side table for
+    ``extract_links`` (url, link_idx, href, anchor)."""
+    urls, idxs, hrefs, anchors = [], [], [], []
+    for url, links in zip(
+        golden.column("url").to_pylist(), golden.column("links").to_pylist()
+    ):
+        for i, lk in enumerate(links):
+            urls.append(url)
+            idxs.append(i)
+            hrefs.append(lk["href"])
+            anchors.append(lk["anchor"])
+    return pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "link_idx": pa.array(idxs, pa.int64()),
+            "href": pa.array(hrefs, pa.string()),
+            "anchor": pa.array(anchors, pa.string()),
+        }
+    )
+
+
 def synthesize_row(
     doc_id: int, doc_text: str, lang: str, replica: int, seed: int,
     pdf_fraction: float, page_scale: int = 1,
@@ -417,7 +459,7 @@ def synthesize_row(
             doc_id, replica, 2024, rng
         )
     else:
-        payload, _enc, _lines, _title = _html_page(
+        payload, _enc, _lines, _title, _links = _html_page(
             doc_text, doc_id, replica, rng, page_scale
         )
     return {
@@ -519,12 +561,14 @@ def synthesize_to_dir(
     golden_path = os.path.join(out_dir, f"golden_{tag}.parquet")
     records_path = os.path.join(out_dir, f"golden_records_{tag}.parquet")
     tables_path = os.path.join(out_dir, f"golden_tables_{tag}.parquet")
+    links_path = os.path.join(out_dir, f"golden_links_{tag}.parquet")
     done_marker = os.path.join(pages_dir, "_DONE")
     if (
         os.path.exists(done_marker)
         and os.path.exists(golden_path)
         and os.path.exists(records_path)
         and os.path.exists(tables_path)
+        and os.path.exists(links_path)
     ):
         return pages_dir, golden_path
 
@@ -544,9 +588,20 @@ def synthesize_to_dir(
     pq.write_table(golden, golden_path)
     pq.write_table(explode_golden_records(golden), records_path)
     pq.write_table(explode_golden_tables(golden), tables_path)
+    pq.write_table(explode_golden_links(golden), links_path)
     with open(done_marker, "w") as f:
         f.write("ok")
     return pages_dir, golden_path
+
+
+def golden_links_path_for(sf_dir: str, out_dir: str) -> str:
+    """The exploded golden-links parquet for an sf dir (synthesizing
+    first if cold) — the extract_links oracle side."""
+    import os
+
+    synthesize_to_dir(sf_dir, out_dir)
+    tag = f"v{CORPUS_VERSION}_seed42_rep1_pdf10"
+    return os.path.join(out_dir, f"golden_links_{tag}.parquet")
 
 
 def golden_tables_path_for(sf_dir: str, out_dir: str) -> str:

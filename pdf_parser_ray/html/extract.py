@@ -369,3 +369,53 @@ def extract_main_text(html_text: str) -> tuple[str, list[dict]]:
         spans.append({"start": start, "end": pos, "kind": b.tag})
         pos += 1  # the joining "\n"
     return "\n".join(parts), spans
+
+
+class _LinkCollector(HTMLParser):
+    """Document-order <a href> collection: (href, ws-normalized anchor
+    text).  Nested anchors close the outer one (the HTML5 tree-builder
+    behavior for the misnested case); anchors without href are
+    skipped."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.links: list[tuple[str, str]] = []
+        self._href: str | None = None
+        self._text: list[str] = []
+
+    def _flush(self) -> None:
+        if self._href is not None:
+            anchor = _ASCII_WS_RE.sub(" ", " ".join(self._text)).strip()
+            self.links.append((self._href, anchor))
+        self._href, self._text = None, []
+
+    def handle_starttag(self, tag: str, attrs) -> None:
+        if tag == "a":
+            if self._href is not None:
+                self._flush()
+            href = next((v for k, v in attrs if k == "href"), None)
+            if href is not None:
+                self._href, self._text = href, []
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag == "a":
+            self._flush()
+
+    def handle_data(self, data: str) -> None:
+        if self._href is not None and data:
+            self._text.append(data)
+
+
+def extract_links(html_text: str) -> "list[tuple[str, str]]":
+    """HTML -> [(href, anchor_text)] in document order — the outlink
+    substrate of a Common-Crawl-style pipeline (the per-page edge list
+    a link graph is built from).  Anchor text is whitespace-normalized;
+    href kept verbatim."""
+    p = _LinkCollector()
+    try:
+        p.feed(html_text)
+        p.close()
+    except Exception:
+        pass
+    p._flush()
+    return p.links

@@ -125,6 +125,56 @@ def extract_dir(
     )
 
 
+def extract_links_dir(
+    pages_dir: str, *, batch_size: int = DEFAULT_BATCH_SIZE
+) -> rd.Dataset:
+    """(url, link_idx, href, anchor): document-order outlink extraction
+    over every HTML page — the per-page edge list a Common-Crawl link
+    graph is built from (hosts' PageRank, anchor-text retrieval).
+    PDFs and undecodable payloads contribute no rows.
+
+    Scale shape: map-only — column-pruned (url, html) read, charset
+    decode + one HTMLParser pass per page inside the batch task, narrow
+    string rows out.  No exchange at any scale."""
+    from ..functions.charset import decode_payload
+    from ..html.extract import extract_links
+    from ..pdf.parse import is_pdf
+
+    def links(batch: pa.Table) -> pa.Table:
+        urls, idxs, hrefs, anchors = [], [], [], []
+        for url, payload in zip(
+            batch.column("url").to_pylist(), batch.column("html").to_pylist()
+        ):
+            if payload is None or is_pdf(payload):
+                continue
+            try:
+                text, _enc = decode_payload(payload)
+                pairs = extract_links(text)
+            except Exception:
+                continue
+            for i, (h, a) in enumerate(pairs):
+                urls.append(url)
+                idxs.append(i)
+                hrefs.append(h)
+                anchors.append(a)
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "link_idx": pa.array(idxs, pa.int64()),
+                "href": pa.array(hrefs, pa.string()),
+                "anchor": pa.array(anchors, pa.string()),
+            }
+        )
+
+    nb = _pages_num_blocks(pages_dir)
+    kw = {"override_num_blocks": nb} if nb else {}
+    return read_parquet_clean(
+        pages_dir, columns=["url", "html"], **kw
+    ).map_batches(
+        links, batch_format="pyarrow", zero_copy_batch=True, batch_size=batch_size
+    )
+
+
 def extract_tables_dir(
     pages_dir: str, *, batch_size: int = DEFAULT_BATCH_SIZE
 ) -> rd.Dataset:

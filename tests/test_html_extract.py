@@ -125,3 +125,66 @@ class TestCharset:
     def test_deterministic(self):
         raw = "déjà vu".encode("cp1252")
         assert decode_payload(raw) == decode_payload(raw)
+
+
+class TestExtractLinks:
+    def test_document_order_and_edge_cases(self):
+        from pdf_parser_ray.html.extract import extract_links
+
+        html = (
+            '<nav><a href="/a">One  two</a><a href="/b">B</a></nav>'
+            '<a name="x">no href skipped</a>'
+            '<p><a href="/c"><b>nested</b> text</a></p>'
+            '<a href="/d">unclosed anchor at EOF'
+        )
+        assert extract_links(html) == [
+            ("/a", "One two"),
+            ("/b", "B"),
+            ("/c", "nested text"),
+            ("/d", "unclosed anchor at EOF"),
+        ]
+
+    def test_misnested_anchor_closes_previous(self):
+        from pdf_parser_ray.html.extract import extract_links
+
+        html = '<a href="/x">first <a href="/y">second</a>'
+        assert extract_links(html) == [("/x", "first"), ("/y", "second")]
+
+    def test_matches_planted_goldens(
+        self, ray_session, quiet_data_context, tmp_path
+    ):
+        """extract_links_dir over a synthesized corpus reproduces the
+        generator's golden link pairs in document order."""
+        import os
+
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        from pdf_parser_ray.fixtures.gen import (
+            explode_golden_links, synthesize_pages,
+        )
+        from pdf_parser_ray.pipelines.extract import extract_links_dir
+
+        docs = pq.read_table(
+            "/root/testdata/sf0.001/documents.parquet",
+            columns=["doc_id", "text", "lang"],
+        )
+        pages, golden = synthesize_pages(docs)
+        pages_dir = str(tmp_path / "pages")
+        os.makedirs(pages_dir)
+        pq.write_table(pages, os.path.join(pages_dir, "part-0.parquet"))
+        key = ["url", "link_idx"]
+        got = (
+            extract_links_dir(pages_dir)
+            .to_pandas()
+            .sort_values(key)
+            .reset_index(drop=True)
+        )
+        want = (
+            explode_golden_links(golden)
+            .to_pandas()
+            .sort_values(key)
+            .reset_index(drop=True)
+        )
+        assert len(want) > 0
+        pd.testing.assert_frame_equal(got, want)
