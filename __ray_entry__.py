@@ -97,6 +97,14 @@ def _extract_links(sf_dir: str):
     return extract_links_dir(_pages_dir_for(sf_dir), batch_size=32)
 
 
+def _outlink_stats(sf_dir: str):
+    """Per-host outlink profile over the extracted link stream —
+    oracled against the golden links (nav = /s…, tag farm = /t/…)."""
+    from pdf_parser_ray.pipelines.extract import outlink_stats
+
+    return outlink_stats(_pages_dir_for(sf_dir))
+
+
 def _extract_tables(sf_dir: str):
     """Exploded cell view of the bbox-grid table reconstruction over
     the PDF pages (SURVEY §2 M5; reference base.py:46-50) — oracled
@@ -254,6 +262,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # tail, not the gate
     out["extract_tables"] = _extract_tables
     out["extract_links"] = _extract_links
+    out["outlink_stats"] = _outlink_stats
     return out
 
 
@@ -371,6 +380,16 @@ def _extract_oracle_sql() -> dict[str, str]:
         "extract_links": (
             f"SELECT url, link_idx, href, anchor"
             f" FROM read_parquet('{links_path}')"
+        ),
+        "outlink_stats": (
+            "SELECT split_part(url, '/', 3) host,"
+            " CAST(count(DISTINCT url) AS BIGINT) n_pages,"
+            " CAST(count(*) AS BIGINT) n_links,"
+            " CAST(sum(CASE WHEN starts_with(href, '/s') THEN 1 ELSE 0 END)"
+            "  AS BIGINT) n_nav,"
+            " CAST(sum(CASE WHEN starts_with(href, '/t/') THEN 1 ELSE 0 END)"
+            "  AS BIGINT) n_tag"
+            f" FROM read_parquet('{links_path}') GROUP BY 1"
         ),
         "extract_spans": (
             "SELECT url, CAST(i - 1 AS BIGINT) AS span_idx,"
@@ -4198,6 +4217,7 @@ def oracle_sql() -> dict[str, str]:
         "asof_event_join": _asof_sql(),
         "storage_audit": _storage_audit_sql(),
         "sentence_stats": _sentence_stats_sql(),
+        "embedding_drift": _embedding_drift_sql(),
         "hour_of_day_effect": _hour_effect_sql(),
         "target_encode_events": _target_encode_sql(),
         "customer_rfm": _rfm_sql(),
@@ -5076,6 +5096,43 @@ def _sentence_stats_sql() -> str:
         "   mean_sent_chars_milli,"
         "  CAST(coalesce(a.mx, 0) AS BIGINT) max_sent_chars"
         " FROM documents d LEFT JOIN a ON a.doc_id = d.doc_id"
+    )
+
+
+def _embedding_drift_sql() -> str:
+    """Mirror of similarity.embedding_drift: the shared floor(x·L/A)
+    symmetric quantizer (max-abs scale as one double — the
+    knn_quantized discipline), per-half per-dim HUGEINT sums at the
+    id-range midpoint split, one double cosine floored to micros."""
+    from pdf_parser_ray.pipelines.similarity import QUANT_LEVELS
+
+    levels = float(QUANT_LEVELS)
+    return (
+        "WITH v AS (SELECT vec_id, embedding e FROM embeddings),"
+        " a AS (SELECT CAST(max(abs(x)) AS DOUBLE) a FROM"
+        "   (SELECT unnest(e) x FROM v)),"
+        " r AS (SELECT (min(vec_id)+max(vec_id))//2 cut FROM v),"
+        " u AS (SELECT vec_id, unnest(e) x,"
+        "   generate_subscripts(e, 1) i FROM v),"
+        " q AS (SELECT CASE WHEN u.vec_id <= (SELECT cut FROM r)"
+        "   THEN 0 ELSE 1 END side, u.i,"
+        f"   CAST(floor(CAST(u.x AS DOUBLE) * {levels} / a.a) AS BIGINT)"
+        "   qv FROM u CROSS JOIN a),"
+        " s AS (SELECT side, i, CAST(sum(qv) AS HUGEINT) sv FROM q"
+        "   GROUP BY 1, 2),"
+        " n AS (SELECT CAST(sum(CASE WHEN vec_id <= (SELECT cut FROM r)"
+        "   THEN 1 ELSE 0 END) AS BIGINT) ne,"
+        "   CAST(sum(CASE WHEN vec_id <= (SELECT cut FROM r)"
+        "   THEN 0 ELSE 1 END) AS BIGINT) nl FROM v),"
+        " d AS (SELECT sum(x.sv*y.sv) dot FROM s x JOIN s y"
+        "   ON x.i = y.i AND x.side = 0 AND y.side = 1),"
+        " m AS (SELECT sum(CASE WHEN side = 0 THEN sv*sv END) n0,"
+        "   sum(CASE WHEN side = 1 THEN sv*sv END) n1 FROM s)"
+        " SELECT n.ne n_early, n.nl n_late,"
+        "  CAST(floor(CAST(d.dot AS DOUBLE) /"
+        "   (sqrt(CAST(m.n0 AS DOUBLE)) * sqrt(CAST(m.n1 AS DOUBLE)))"
+        "   * 1000000) AS BIGINT) cos_micros"
+        " FROM n, d, m"
     )
 
 

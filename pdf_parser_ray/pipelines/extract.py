@@ -754,3 +754,61 @@ def read_pages_jsonl(paths: "str | list[str]", **read_kwargs: Any) -> rd.Dataset
     return rd.read_json(paths, **read_kwargs).map_batches(
         dec, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def outlink_stats(pages_dir: str) -> rd.Dataset:
+    """(host, n_pages, n_links, n_nav, n_tag): per-host outlink
+    profile over the extracted link stream — nav links (site-internal
+    ``/s…`` section paths) vs tag-farm links (``/t/…``), the
+    link-shape signal SEO-spam screens key on (farm-heavy hosts link
+    broadly and say nothing).
+
+    Scale shape: composes :func:`extract_links_dir` (map-only) with
+    per-batch host aggregation partials and one host-keyed combine —
+    link rows never leave their batch unaggregated."""
+    from .io_util import arrow_udf
+
+    def partials(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        urls = batch.column("url").to_pylist()
+        hrefs = batch.column("href").to_pylist()
+        hosts = [u.split("/")[2] if "//" in u else "" for u in urls]
+        df = pd.DataFrame(
+            {
+                "host": hosts,
+                "url": urls,
+                "nav": [1 if h.startswith("/s") else 0 for h in hrefs],
+                "tag": [1 if h.startswith("/t/") else 0 for h in hrefs],
+            }
+        )
+        # per-(host, url) partials — a url's link rows can be split
+        # across downstream batches by re-batching, so the DISTINCT
+        # page count must wait for the host-keyed combine; summable
+        # link/nav/tag counts pre-aggregate here
+        g = df.groupby(["host", "url"], as_index=False).agg(
+            links=("url", "size"), nav=("nav", "sum"), tag=("tag", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def combine(g: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+        import pandas as pd
+
+        host = g["host"].iloc[0]
+        return pd.DataFrame(
+            {
+                "host": [host],
+                "n_pages": np.array([g["url"].nunique()], np.int64),
+                "n_links": np.array([int(g["links"].sum())], np.int64),
+                "n_nav": np.array([int(g["nav"].sum())], np.int64),
+                "n_tag": np.array([int(g["tag"].sum())], np.int64),
+            }
+        )
+
+    return (
+        extract_links_dir(pages_dir)
+        .map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("host")
+        .map_groups(arrow_udf(combine), batch_format="pandas")
+    )

@@ -1062,3 +1062,94 @@ def ann_recall(
     return pd.DataFrame(
         rows, columns=["query_id", "n_exact", "n_approx", "recall_micros"]
     ).astype(np.int64)
+
+
+def embedding_drift(sf_dir: str) -> "pd.DataFrame":
+    """(n_early, n_late, cos_micros): cosine similarity between the
+    EARLY and LATE corpus halves' embedding centroids (vec_id ≤ the
+    id-range midpoint vs above — the temporal_vocab_drift split in
+    embedding space): a falling centroid cosine flags semantic drift
+    between crawl windows even when the vocabulary gauges hold still.
+
+    Exactness: vectors are symmetric-quantized with the shared
+    floor(x·L/A) scalar quantizer (the knn_quantized discipline —
+    float32 widens losslessly, the global max-abs scale is one
+    double), per-half per-dim SUMS are exact integers, and cosine is
+    computed once from those integers in double and floored to micros
+    — centroid cosine equals sum-vector cosine, so no division by n
+    ever happens in integer space.
+
+    Scale shape: map-only per-batch (side, dim, partial-sum) rows —
+    2·dim per batch — folded on the driver; the quantization scale and
+    id range are two cheap narrow passes."""
+    import pandas as pd
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    a = _quant_scale(sf_dir)
+
+    def id_rng(batch: pa.Table) -> pa.Table:
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "lo": pa.array([int(ids.min())], pa.int64()),
+                "hi": pa.array([int(ids.max())], pa.int64()),
+            }
+        )
+
+    rng = (
+        read_parquet_clean(
+            emb_path, columns=["vec_id"], override_num_blocks=_blocks_for(emb_path)
+        )
+        .map_batches(id_rng, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()
+    )
+    cut = (int(rng["lo"].min()) + int(rng["hi"].max())) // 2
+
+    def partials(batch: pa.Table) -> pa.Table:
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        q = _quantize(list_column_matrix(batch.column("embedding")), a)
+        early = ids <= cut
+        out_side, out_dim, out_s, out_n = [], [], [], []
+        for side, mask in ((0, early), (1, ~early)):
+            if mask.any():
+                s = q[mask].sum(axis=0)
+                out_side.extend([side] * len(s))
+                out_dim.extend(range(len(s)))
+                out_s.extend(int(v) for v in s)
+                out_n.extend([int(mask.sum())] + [0] * (len(s) - 1))
+        return pa.table(
+            {
+                "side": pa.array(out_side, pa.int32()),
+                "dim": pa.array(out_dim, pa.int32()),
+                "s": pa.array(out_s, pa.int64()),
+                "n": pa.array(out_n, pa.int64()),
+            }
+        )
+
+    p = (
+        read_parquet_clean(
+            emb_path,
+            columns=["vec_id", "embedding"],
+            override_num_blocks=_blocks_for(emb_path),
+        )
+        .map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()
+    )
+    agg = p.groupby(["side", "dim"])["s"].sum()
+    n_early = int(p.loc[p["side"] == 0, "n"].sum())
+    n_late = int(p.loc[p["side"] == 1, "n"].sum())
+    s0 = [int(v) for v in agg.loc[0]]
+    s1 = [int(v) for v in agg.loc[1]]
+    dot = sum(x * y for x, y in zip(s0, s1))
+    n0 = sum(x * x for x in s0)
+    n1 = sum(y * y for y in s1)
+    cos = float(dot) / (np.sqrt(float(n0)) * np.sqrt(float(n1)))
+    return pd.DataFrame(
+        {
+            "n_early": np.array([n_early], np.int64),
+            "n_late": np.array([n_late], np.int64),
+            "cos_micros": np.array(
+                [int(np.floor(cos * 1_000_000))], np.int64
+            ),
+        }
+    )

@@ -142,7 +142,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # word_length_histogram, temporal_vocab_drift,
         # length_deciles_by_lang, robust_scaled_events,
         # max_repeated_ngram, sketch_quantile_error,
-        # asof_event_join, storage_audit, sentence_stats)) —
+        # asof_event_join, storage_audit, sentence_stats,
+        # embedding_drift; outlink_stats and the extraction tail live
+        # in __ray_entry__)) —
         # each oracle-backed in
         # tests/test_oracle.py; displacing a gated slot would cost an
         # established driver-green row), then the formerly
@@ -312,6 +314,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_event_join": relational.asof_event_join,
         "storage_audit": analysis.storage_audit,
         "sentence_stats": analysis.sentence_stats,
+        "embedding_drift": similarity.embedding_drift,
         "doc_top_terms": partial(
             analysis.doc_top_terms, vocab_cap=analysis.ORACLE_VOCAB_CAP
         ),

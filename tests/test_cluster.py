@@ -381,3 +381,61 @@ class TestAnnRecall:
             assert list(zip(m["vec_id"], m["cos_micros"])) == list(
                 zip(single["vec_id"], single["cos_micros"])
             )
+
+
+class TestEmbeddingDrift:
+    def test_identical_halves_cos_one(self, ray_session, quiet_data_context, tmp_path):
+        """Mirrored halves (late = exact copies of early) give cosine
+        ~1.0; orthogonal-ish drifted halves score lower."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pdf_parser_ray.pipelines.similarity import embedding_drift
+
+        rng = np.random.default_rng(7)
+        base = rng.normal(size=(8, 16)).astype(np.float32)
+        # early ids 0-7, late ids 100-107 with IDENTICAL vectors
+        ids = list(range(8)) + list(range(100, 108))
+        vecs = np.concatenate([base, base])
+        pq.write_table(
+            pa.table(
+                {
+                    "vec_id": pa.array(ids, pa.int64()),
+                    "embedding": pa.array(
+                        [list(map(float, v)) for v in vecs],
+                        pa.list_(pa.float32()),
+                    ),
+                }
+            ),
+            str(tmp_path / "embeddings.parquet"),
+        )
+        r = embedding_drift(str(tmp_path)).iloc[0]
+        assert int(r["n_early"]) == 8 and int(r["n_late"]) == 8
+        assert int(r["cos_micros"]) >= 995_000  # ~1 up to quantization
+
+    def test_shifted_half_scores_lower(self, ray_session, quiet_data_context, tmp_path):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pdf_parser_ray.pipelines.similarity import embedding_drift
+
+        rng = np.random.default_rng(11)
+        early = rng.normal(size=(8, 16)).astype(np.float32)
+        late = (rng.normal(size=(8, 16)) + 3.0).astype(np.float32)  # shifted
+        ids = list(range(8)) + list(range(100, 108))
+        pq.write_table(
+            pa.table(
+                {
+                    "vec_id": pa.array(ids, pa.int64()),
+                    "embedding": pa.array(
+                        [list(map(float, v)) for v in np.concatenate([early, late])],
+                        pa.list_(pa.float32()),
+                    ),
+                }
+            ),
+            str(tmp_path / "embeddings.parquet"),
+        )
+        r = embedding_drift(str(tmp_path)).iloc[0]
+        assert int(r["cos_micros"]) < 900_000

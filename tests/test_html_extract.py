@@ -188,3 +188,49 @@ class TestExtractLinks:
         )
         assert len(want) > 0
         pd.testing.assert_frame_equal(got, want)
+
+
+class TestOutlinkStats:
+    def test_matches_golden_aggregation(
+        self, ray_session, quiet_data_context, tmp_path
+    ):
+        import os
+
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        from pdf_parser_ray.fixtures.gen import (
+            explode_golden_links, synthesize_pages,
+        )
+        from pdf_parser_ray.pipelines.extract import outlink_stats
+
+        docs = pq.read_table(
+            "/root/testdata/sf0.001/documents.parquet",
+            columns=["doc_id", "text", "lang"],
+        )
+        pages, golden = synthesize_pages(docs)
+        pages_dir = str(tmp_path / "pages")
+        os.makedirs(pages_dir)
+        pq.write_table(pages, os.path.join(pages_dir, "part-0.parquet"))
+        got = (
+            outlink_stats(pages_dir)
+            .to_pandas()
+            .sort_values("host")
+            .reset_index(drop=True)
+        )
+        gl = explode_golden_links(golden).to_pandas()
+        gl["host"] = gl["url"].str.split("/").str[2]
+        want = (
+            gl.groupby("host")
+            .agg(
+                n_pages=("url", "nunique"),
+                n_links=("url", "size"),
+                n_nav=("href", lambda s: int(s.str.startswith("/s").sum())),
+                n_tag=("href", lambda s: int(s.str.startswith("/t/").sum())),
+            )
+            .reset_index()
+            .sort_values("host")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+        assert (got["n_tag"] > 0).any()
