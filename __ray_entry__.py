@@ -4218,6 +4218,9 @@ def oracle_sql() -> dict[str, str]:
         "storage_audit": _storage_audit_sql(),
         "sentence_stats": _sentence_stats_sql(),
         "embedding_drift": _embedding_drift_sql(),
+        "hll_error_eval": _hll_error_sql(),
+        "cms_error_eval": _cms_error_sql(),
+        "open_order_concurrency": _open_order_sql(),
         "hour_of_day_effect": _hour_effect_sql(),
         "target_encode_events": _target_encode_sql(),
         "customer_rfm": _rfm_sql(),
@@ -5133,6 +5136,66 @@ def _embedding_drift_sql() -> str:
         "   (sqrt(CAST(m.n0 AS DOUBLE)) * sqrt(CAST(m.n1 AS DOUBLE)))"
         "   * 1000000) AS BIGINT) cos_micros"
         " FROM n, d, m"
+    )
+
+
+def _hll_error_sql() -> str:
+    """Mirror of sketch.hll_error_eval: SQL exact distinct per type ×
+    the committed HLL golden."""
+    golden = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "goldens", "rows_only", "approx_distinct_users.parquet",
+    )
+    return (
+        "WITH ex AS (SELECT event_type,"
+        "   CAST(count(DISTINCT user_id) AS BIGINT) e FROM events"
+        "   GROUP BY 1),"
+        f" ap AS (SELECT event_type, n_users_approx a"
+        f"   FROM read_parquet('{golden}'))"
+        " SELECT ex.event_type, ex.e exact_n, CAST(ap.a AS BIGINT)"
+        "  approx_n,"
+        "  CAST(abs(ap.a - ex.e)*1000000 // greatest(1, ex.e) AS BIGINT)"
+        "   err_ppm"
+        " FROM ex JOIN ap USING (event_type)"
+    )
+
+
+def _cms_error_sql() -> str:
+    """Mirror of sketch.cms_error_eval: SQL exact per-candidate counts
+    × the committed Count-Min golden (estimates are upper bounds, so
+    err = approx − exact ≥ 0)."""
+    golden = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "goldens", "rows_only", "heavy_hitters.parquet",
+    )
+    return (
+        f"WITH hh AS (SELECT user_id, n_est FROM read_parquet('{golden}')),"
+        " ex AS (SELECT user_id, CAST(count(*) AS BIGINT) e FROM events"
+        "   WHERE user_id IN (SELECT user_id FROM hh) GROUP BY 1)"
+        " SELECT hh.user_id, coalesce(ex.e, 0) exact_n,"
+        "  CAST(hh.n_est AS BIGINT) approx_n,"
+        "  CAST(hh.n_est - coalesce(ex.e, 0) AS BIGINT) err"
+        " FROM hh LEFT JOIN ex USING (user_id)"
+    )
+
+
+def _open_order_sql() -> str:
+    """Mirror of relational.open_order_concurrency: ±1 boundary deltas
+    at order-date / last-ship-day+1, running window sum in day
+    order."""
+    return (
+        "WITH o AS (SELECT o_orderkey k,"
+        "   epoch_us(o_orderdate)//86400000000 sd FROM orders),"
+        " l AS (SELECT l_orderkey k,"
+        "   max(epoch_us(l_shipdate))//86400000000 ed FROM lineitem"
+        "   GROUP BY 1),"
+        " iv AS (SELECT o.sd, l.ed FROM o JOIN l USING (k)),"
+        " ev AS (SELECT sd d, 1 delta FROM iv"
+        "   UNION ALL SELECT ed + 1, -1 FROM iv),"
+        " g AS (SELECT d, CAST(sum(delta) AS BIGINT) delta FROM ev"
+        "   GROUP BY d)"
+        " SELECT CAST(d AS BIGINT) AS \"day\","
+        "  CAST(sum(delta) OVER (ORDER BY d) AS BIGINT) n_open FROM g"
     )
 
 

@@ -6869,3 +6869,104 @@ def asof_event_join(
         .groupby("bkt")
         .map_groups(arrow_udf(asof), batch_format="pandas")
     )
+
+
+def open_order_concurrency(sf_dir: str) -> rd.Dataset:
+    """(day, n_open): how many orders are simultaneously OPEN
+    (order-date day through the order's last line-item ship day,
+    inclusive) at every boundary day — the classic sweep-line /
+    interval-overlap operator (WIP inventory, connection-concurrency,
+    room-booking counting), expressed without an interval join: +1 at
+    each start day, −1 past each end day, running sum in day order.
+
+    Scale shape: a coarse orderkey co-shuffle pairs each order's start
+    with its per-order max receipt day (line items pre-reduce per
+    batch, so the exchange carries ≤ one row per order per side); the
+    ±1 boundary deltas fold onto the BOUNDED day domain on the driver
+    and the cumsum is driver math over ~years×365 rows."""
+    import pandas as pd
+
+    buckets = 64
+
+    def order_rows(batch: pa.Table) -> pa.Table:
+        k = batch.column("o_orderkey").to_numpy(zero_copy_only=False)
+        sd = (
+            pc.cast(batch.column("o_orderdate"), pa.int64()).to_numpy(
+                zero_copy_only=False
+            )
+            // 86_400_000_000
+        )
+        return pa.table(
+            {
+                "bkt": pa.array((k % buckets).astype(np.int32)),
+                "k": pa.array(k.astype(np.int64)),
+                "d": pa.array(sd.astype(np.int64)),
+                "side": pa.array(np.zeros(len(k), np.int8)),
+            }
+        )
+
+    def line_rows(batch: pa.Table) -> pa.Table:
+        k = batch.column("l_orderkey").to_numpy(zero_copy_only=False)
+        rd_ = (
+            pc.cast(batch.column("l_shipdate"), pa.int64()).to_numpy(
+                zero_copy_only=False
+            )
+            // 86_400_000_000
+        )
+        # per-batch pre-reduction: one (orderkey, max receipt) row
+        df = (
+            pd.DataFrame({"k": k.astype(np.int64), "d": rd_.astype(np.int64)})
+            .groupby("k", as_index=False)["d"]
+            .max()
+        )
+        n = len(df)
+        return pa.table(
+            {
+                "bkt": pa.array(
+                    (df["k"].to_numpy() % buckets).astype(np.int32)
+                ),
+                "k": pa.array(df["k"].to_numpy(np.int64)),
+                "d": pa.array(df["d"].to_numpy(np.int64)),
+                "side": pa.array(np.ones(n, np.int8)),
+            }
+        )
+
+    def deltas(g: pd.DataFrame) -> pd.DataFrame:
+        side = g["side"].to_numpy()
+        starts = g[side == 0]
+        ends = (
+            g[side == 1].groupby("k", as_index=False)["d"].max()
+        )
+        m = starts.merge(ends, on="k", suffixes=("_s", "_e"))
+        ev = pd.concat(
+            [
+                pd.DataFrame({"day": m["d_s"], "delta": 1}),
+                pd.DataFrame({"day": m["d_e"] + 1, "delta": -1}),
+            ]
+        )
+        out = ev.groupby("day", as_index=False)["delta"].sum()
+        return out.astype(np.int64)
+
+    h = (
+        _t(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+        .map_batches(order_rows, batch_format="pyarrow", zero_copy_batch=True)
+        .union(
+            _t(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"]).map_batches(
+                line_rows, batch_format="pyarrow", zero_copy_batch=True
+            )
+        )
+        .groupby("bkt")
+        .map_groups(arrow_udf(deltas), batch_format="pandas")
+        .to_pandas()
+        .groupby("day", as_index=False)["delta"]
+        .sum()
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    h["n_open"] = h["delta"].cumsum()
+    return pd.DataFrame(
+        {
+            "day": h["day"].to_numpy(np.int64),
+            "n_open": h["n_open"].to_numpy(np.int64),
+        }
+    )

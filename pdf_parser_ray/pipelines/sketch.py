@@ -566,3 +566,91 @@ def sketch_quantile_error(sf_dir: str) -> "pd.DataFrame":
     for c in df.columns[1:]:
         df[c] = df[c].astype(np.int64)
     return df
+
+
+def hll_error_eval(sf_dir: str) -> "pd.DataFrame":
+    """(event_type, exact_n, approx_n, err_ppm): the HLL
+    distinct-count eval — exact per-type distinct users (the
+    distinct_users_per_type fold) vs the HLL estimate, absolute error
+    in parts-per-million of the exact count.  The certification gate
+    before a dashboard swaps the exact two-phase distinct for the
+    constant-state sketch.
+
+    Scale shape: both sides are existing bounded pipelines; the
+    comparison is driver math over the type domain."""
+    import pandas as pd
+
+    from .relational import distinct_users_per_type
+
+    exact = (
+        distinct_users_per_type(sf_dir)
+        .to_pandas()
+        .set_index("event_type")["n_users"]
+    )
+    approx = (
+        approx_distinct_users(sf_dir)
+        .to_pandas()
+        .set_index("event_type")["n_users_approx"]
+    )
+    rows = []
+    for t in sorted(exact.index):
+        e, a = int(exact[t]), int(approx[t])
+        rows.append((t, e, a, abs(a - e) * 1_000_000 // max(1, e)))
+    df = pd.DataFrame(
+        rows, columns=["event_type", "exact_n", "approx_n", "err_ppm"]
+    )
+    for c in df.columns[1:]:
+        df[c] = df[c].astype(np.int64)
+    return df
+
+
+def cms_error_eval(sf_dir: str) -> "pd.DataFrame":
+    """(user_id, exact_n, approx_n, err): the Count-Min heavy-hitter
+    eval — the sketch's estimate is an UPPER bound (err ≥ 0 always;
+    pinned in tests), so this reports exactly how much collision
+    inflation the top-k candidates carry.  exact counts come from one
+    candidate-filtered streaming fold (the 10 candidate ids broadcast
+    in-closure; full per-user counts never shuffle).
+
+    Scale shape: the heavy_hitters pipeline plus one map-only
+    filtered-count pass over events."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from .dedup import _blocks_for
+
+    hh = heavy_hitters(sf_dir).to_pandas()
+    cand = hh["user_id"].astype(np.int64).tolist()
+    cand_set = np.array(cand, np.int64)
+
+    path = os.path.join(sf_dir, "events.parquet")
+
+    def counts(batch: pa.Table) -> pa.Table:
+        u = batch.column("user_id").to_numpy(zero_copy_only=False)
+        keep = np.isin(u, cand_set)
+        kept = u[keep]
+        ids, n = np.unique(kept, return_counts=True)
+        return pa.table(
+            {
+                "user_id": pa.array(ids.astype(np.int64)),
+                "n": pa.array(n.astype(np.int64)),
+            }
+        )
+
+    exact = (
+        read_parquet_clean(
+            path, columns=["user_id"], override_num_blocks=_blocks_for(path)
+        )
+        .map_batches(counts, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()
+        .groupby("user_id")["n"]
+        .sum()
+    )
+    rows = []
+    for _, r in hh.iterrows():
+        uid = int(r["user_id"])
+        e = int(exact.get(uid, 0))
+        a = int(r["n_est"])
+        rows.append((uid, e, a, a - e))
+    df = pd.DataFrame(rows, columns=["user_id", "exact_n", "approx_n", "err"])
+    return df.astype(np.int64)

@@ -143,7 +143,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # length_deciles_by_lang, robust_scaled_events,
         # max_repeated_ngram, sketch_quantile_error,
         # asof_event_join, storage_audit, sentence_stats,
-        # embedding_drift; outlink_stats and the extraction tail live
+        # embedding_drift, hll_error_eval, cms_error_eval,
+        # open_order_concurrency; outlink_stats and the extraction tail live
         # in __ray_entry__)) —
         # each oracle-backed in
         # tests/test_oracle.py; displacing a gated slot would cost an
@@ -315,6 +316,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "storage_audit": analysis.storage_audit,
         "sentence_stats": analysis.sentence_stats,
         "embedding_drift": similarity.embedding_drift,
+        "hll_error_eval": sketch.hll_error_eval,
+        "cms_error_eval": sketch.cms_error_eval,
+        "open_order_concurrency": relational.open_order_concurrency,
         "doc_top_terms": partial(
             analysis.doc_top_terms, vocab_cap=analysis.ORACLE_VOCAB_CAP
         ),

@@ -1948,3 +1948,45 @@ class TestAsofEventJoin:
             for r in asof_event_join(str(tmp_path)).to_pandas().itertuples()
         }
         assert got == {2: (1, 1000), 5: (3, 6000), 8: (7, 0)}
+
+
+class TestOpenOrderConcurrency:
+    def test_planted_intervals(self, ray_session, quiet_data_context, tmp_path):
+        """Three hand-built intervals: the sweep's running count hits
+        the known overlap profile, ends inclusive."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pdf_parser_ray.pipelines.relational import open_order_concurrency
+
+        D = 86_400_000_000
+        # order 1: days 0-2; order 2: days 1-1; order 3: days 4-5
+        pq.write_table(
+            pa.table(
+                {
+                    "o_orderkey": pa.array([1, 2, 3], pa.int64()),
+                    "o_orderdate": pa.array(
+                        [0, 1 * D, 4 * D], pa.timestamp("us")
+                    ),
+                }
+            ),
+            str(tmp_path / "orders.parquet"),
+        )
+        pq.write_table(
+            pa.table(
+                {
+                    "l_orderkey": pa.array([1, 1, 2, 3], pa.int64()),
+                    "l_shipdate": pa.array(
+                        [1 * D, 2 * D, 1 * D, 5 * D], pa.timestamp("us")
+                    ),
+                }
+            ),
+            str(tmp_path / "lineitem.parquet"),
+        )
+        got = {
+            int(r.day): int(r.n_open)
+            for r in open_order_concurrency(str(tmp_path)).itertuples()
+        }
+        # day 0: {1}; day 1: {1,2}; day 2: {1} (2 closed); day 3: {};
+        # day 4: {3}; day 6: {}
+        assert got == {0: 1, 1: 2, 2: 1, 3: 0, 4: 1, 6: 0}

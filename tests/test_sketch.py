@@ -271,3 +271,35 @@ class TestBloomDedup:
         rest = df[df.doc_id < RECRAWL_EXACT_OFFSET]
         # geometry gives ~0.1% FP; allow 2% on the tiny corpus
         assert rest.maybe_dup.sum() <= max(1, len(rest) // 50)
+
+
+class TestSketchErrorEvals:
+    def test_cms_overestimates_only(self, ray_session, quiet_data_context):
+        """Count-Min estimates are upper bounds: err >= 0 for every
+        candidate, and the candidates' exact counts are genuinely
+        heavy (above the mean user activity)."""
+        import pyarrow.parquet as pq
+
+        from pdf_parser_ray.pipelines.sketch import cms_error_eval
+
+        df = cms_error_eval("/root/testdata/sf0.001")
+        assert (df["err"] >= 0).all()
+        ev = pq.read_table(
+            "/root/testdata/sf0.001/events.parquet", columns=["user_id"]
+        ).to_pandas()
+        true_counts = ev.groupby("user_id").size()
+        # the truly heaviest user is among the candidates, with its
+        # exact count reported exactly
+        top_user = int(true_counts.idxmax())
+        row = df[df["user_id"] == top_user]
+        assert len(row) == 1
+        assert int(row["exact_n"].iloc[0]) == int(true_counts.max())
+
+    def test_hll_error_within_bound(self, ray_session, quiet_data_context):
+        """HLL with the configured register count stays within ~5%
+        relative error on the per-type cardinalities."""
+        from pdf_parser_ray.pipelines.sketch import hll_error_eval
+
+        df = hll_error_eval("/root/testdata/sf0.001")
+        assert (df["err_ppm"] < 50_000).all()
+        assert (df["exact_n"] > 0).all()
