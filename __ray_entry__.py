@@ -4221,6 +4221,9 @@ def oracle_sql() -> dict[str, str]:
         "hll_error_eval": _hll_error_sql(),
         "cms_error_eval": _cms_error_sql(),
         "open_order_concurrency": _open_order_sql(),
+        "bigram_entropy": _bigram_entropy_sql(),
+        "dedup_threshold_curve": _dedup_curve_sql(),
+        "host_components": _host_components_sql(),
         "hour_of_day_effect": _hour_effect_sql(),
         "target_encode_events": _target_encode_sql(),
         "customer_rfm": _rfm_sql(),
@@ -5196,6 +5199,67 @@ def _open_order_sql() -> str:
         "   GROUP BY d)"
         " SELECT CAST(d AS BIGINT) AS \"day\","
         "  CAST(sum(delta) OVER (ORDER BY d) AS BIGINT) n_open FROM g"
+    )
+
+
+def _bigram_entropy_sql() -> str:
+    """Mirror of analysis.bigram_entropy: list-indexed bigrams,
+    per-bigram floored log factors against the left-word marginal,
+    HUGEINT sum, positive-operand floor mean."""
+    return (
+        f"WITH w AS (SELECT {_WORDS_EXPR} words FROM documents),"
+        " bg AS (SELECT words[CAST(i AS INT)] w1,"
+        "   words[CAST(i + 1 AS INT)] w2"
+        "   FROM (SELECT words, unnest(range(1, len(words))) i FROM w)),"
+        " c AS (SELECT w1, w2, CAST(count(*) AS BIGINT) k FROM bg"
+        "   GROUP BY 1, 2),"
+        " l AS (SELECT w1, CAST(sum(k) AS BIGINT) k1 FROM c GROUP BY 1),"
+        " f AS (SELECT c.k, CAST(floor(ln(CAST(l.k1 AS DOUBLE)/c.k)"
+        "   *1000000) AS BIGINT) m FROM c JOIN l USING (w1))"
+        " SELECT CAST(sum(k) AS BIGINT) n_bigrams,"
+        "  CAST(count(*) AS BIGINT) n_distinct_bigrams,"
+        "  CAST(CAST(sum(CAST(k AS HUGEINT)*m) AS HUGEINT) // sum(k)"
+        "   AS BIGINT) h_micros FROM f"
+    )
+
+
+def _dedup_curve_sql() -> str:
+    """Mirror of dedup.dedup_threshold_curve: the brute-force Jaccard
+    pair set at the lowest threshold, bucketed by the curve's
+    thresholds — valid under the same LSH-completeness guard as the
+    minhash oracle."""
+    from pdf_parser_ray.pipelines.dedup import DEDUP_CURVE_THRESHOLDS
+
+    lo = min(DEDUP_CURVE_THRESHOLDS)
+    ths = ", ".join(str(t) for t in DEDUP_CURVE_THRESHOLDS)
+    return (
+        f"WITH p AS ({_jaccard_pairs_sql(lo)}),"
+        f" th AS (SELECT unnest([{ths}]) t)"
+        " SELECT CAST(th.t AS BIGINT) threshold_millis,"
+        "  CAST(coalesce(sum(CASE WHEN p.jaccard_millis >= th.t"
+        "   THEN 1 ELSE 0 END), 0) AS BIGINT) n_pairs"
+        " FROM th LEFT JOIN p ON true GROUP BY th.t"
+    )
+
+
+def _host_components_sql() -> str:
+    """Mirror of graph.host_components: symmetric edge closure via a
+    recursive CTE, component = min reachable node (incl. self), sizes
+    by label."""
+    return (
+        f"WITH RECURSIVE {_host_edges_expr()},"
+        " ed AS (SELECT src a, dst b FROM e"
+        "   UNION SELECT dst, src FROM e),"
+        " reach(a, b) AS (SELECT a, b FROM ed"
+        "   UNION SELECT r.a, e2.b FROM reach r JOIN ed e2 ON r.b = e2.a),"
+        " lbl AS (SELECT a host, least(a, min(b)) comp FROM reach"
+        "   GROUP BY a),"
+        " sz AS (SELECT comp, CAST(count(*) AS BIGINT) n FROM lbl"
+        "   GROUP BY comp)"
+        " SELECT CAST(lbl.host AS BIGINT) host,"
+        "  CAST(lbl.comp AS BIGINT) component_id,"
+        "  sz.n component_size"
+        " FROM lbl JOIN sz USING (comp)"
     )
 
 

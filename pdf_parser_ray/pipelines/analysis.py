@@ -4203,3 +4203,83 @@ def sentence_stats(sf_dir: str) -> rd.Dataset:
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
         per_doc, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def bigram_entropy(sf_dir: str) -> rd.Dataset:
+    """(n_bigrams, n_distinct_bigrams, h_micros): the corpus
+    conditional entropy H(w₂|w₁) over within-document word bigrams —
+    the language-structure gauge one level above unigram entropy
+    (natural text sits well below H(unigram); id-soup whose "words"
+    are independent sits at it).  h_micros = A // N with
+    A = Σ k₁₂·floor(ln(k₁/k₁₂)·10⁶) — k₁ is the word's count as a
+    bigram LEFT, so k₁ ≥ k₁₂ and every operand is a non-negative
+    integer (the word_entropy identity one order up; summation-order
+    free because the per-bigram factor is floored first).
+
+    Scale shape: per-batch bigram Counter partials bucketed by
+    hash(w₁) — a left word's k₁ and all its k₁₂ land in ONE bucket,
+    so every log factor is bucket-local; buckets emit 3-number
+    partials and a constant-key fold finishes."""
+    from collections import Counter
+
+    import numpy as np
+    import pandas as pd
+
+    from .dedup import _stable64
+
+    buckets = 64
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for t in batch.column("text").to_pylist():
+            ws = t.split()
+            for a, b in zip(ws[:-1], ws[1:]):
+                c[(a, b)] += 1
+        keys = list(c.keys())
+        h = np.fromiter(
+            (_stable64(a) for a, _ in keys), dtype=np.uint64, count=len(keys)
+        ).view(np.int64)
+        return pa.table(
+            {
+                "bkt": pa.array((h % buckets).astype(np.int32)),
+                "w1": pa.array([a for a, _ in keys], pa.string()),
+                "w2": pa.array([b for _, b in keys], pa.string()),
+                "n": pa.array(
+                    np.fromiter(c.values(), np.int64, count=len(keys))
+                ),
+            }
+        )
+
+    def bucket_fold(g: pd.DataFrame) -> pd.DataFrame:
+        t = g.groupby(["w1", "w2"], as_index=False)["n"].sum()
+        k1 = t.groupby("w1")["n"].transform("sum").to_numpy(np.float64)
+        k12 = t["n"].to_numpy(np.float64)
+        factors = np.floor(np.log(k1 / k12) * 1_000_000.0).astype(np.int64)
+        a = int((t["n"].to_numpy(np.int64) * factors).sum())
+        return pd.DataFrame(
+            {
+                "fin": np.zeros(1, np.int8),
+                "nb": np.array([int(t["n"].sum())], np.int64),
+                "nd": np.array([len(t)], np.int64),
+                "a": np.array([a], np.int64),
+            }
+        )
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        nb = int(g["nb"].sum())
+        return pd.DataFrame(
+            {
+                "n_bigrams": np.array([nb], np.int64),
+                "n_distinct_bigrams": np.array([int(g["nd"].sum())], np.int64),
+                "h_micros": np.array([int(g["a"].sum()) // nb], np.int64),
+            }
+        )
+
+    return (
+        _docs(sf_dir, ["text"])
+        .map_batches(partial_counts, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bkt")
+        .map_groups(arrow_udf(bucket_fold), batch_format="pandas")
+        .groupby("fin")
+        .map_groups(arrow_udf(combine), batch_format="pandas")
+    )

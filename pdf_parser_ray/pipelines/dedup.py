@@ -2076,3 +2076,54 @@ def near_dup_rate_by_source(sf_dir: str) -> rd.Dataset:
         .groupby("source")
         .map_groups(arrow_udf(combine), batch_format="pandas")
     )
+
+
+DEDUP_CURVE_THRESHOLDS = (500, 600, 700, 800, 900)
+
+
+def dedup_threshold_curve(sf_dir: str) -> rd.Dataset:
+    """(threshold_millis, n_pairs): verified near-duplicate pair count
+    at each candidate Jaccard threshold — the TUNING CURVE a dedup
+    rollout reads before fixing its cut (too low merges topical
+    neighbors; too high leaves re-crawls in): one run of the
+    MinHash+verify pipeline at the lowest threshold, then per-batch
+    histogram partials over the verified scores.  Overflow marker rows
+    are excluded (absent on the oracle corpora).
+
+    Scale shape: the minhash_dedup exchanges plus one constant-key
+    5-row fold — the curve costs one threshold run, not five."""
+    import pandas as pd
+
+    lo = min(DEDUP_CURVE_THRESHOLDS)
+    pairs = minhash_dedup(sf_dir, threshold_millis=lo)
+
+    def partials(batch: pa.Table) -> pa.Table:
+        a = batch.column("doc_id_a").to_numpy(zero_copy_only=False)
+        jm = batch.column("jaccard_millis").to_numpy(zero_copy_only=False)
+        jm = jm[a >= 0]  # markers out
+        counts = [int((jm >= t).sum()) for t in DEDUP_CURVE_THRESHOLDS]
+        n = len(DEDUP_CURVE_THRESHOLDS)
+        return pa.table(
+            {
+                "fin": pa.array(np.zeros(n, np.int8)),
+                "t": pa.array(
+                    np.array(DEDUP_CURVE_THRESHOLDS, np.int64)
+                ),
+                "n": pa.array(np.array(counts, np.int64)),
+            }
+        )
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("t", as_index=False)["n"].sum()
+        return pd.DataFrame(
+            {
+                "threshold_millis": out["t"].to_numpy(np.int64),
+                "n_pairs": out["n"].to_numpy(np.int64),
+            }
+        )
+
+    return (
+        pairs.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("fin")
+        .map_groups(arrow_udf(fold), batch_format="pandas")
+    )

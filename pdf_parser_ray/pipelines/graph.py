@@ -345,3 +345,47 @@ def host_assortativity(sf_dir: str) -> pd.DataFrame:
             "r_micros": np.array([math.floor(r * 1_000_000)], np.int64),
         }
     )
+
+
+def host_components(sf_dir: str) -> pd.DataFrame:
+    """(host, component_id, component_size): weakly connected
+    components of the host co-citation graph — component_id is the
+    smallest host id reachable (the canonical label), the partition a
+    crawl scheduler shards isolated site clusters by.
+
+    Scale shape: the edge list is the bounded V² artifact of
+    :func:`host_graph_edges` (the distributed reduction does the 100 TB
+    work); union-find over it is driver math.  The SQL mirror computes
+    the same labels via transitive closure."""
+    edges = host_graph_edges(sf_dir).to_pandas()
+    parent = list(range(PR_NODES + 1))
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    nodes: set[int] = set()
+    for s, d in zip(edges["src"].astype(int), edges["dst"].astype(int)):
+        nodes.add(s)
+        nodes.add(d)
+        rs, rd_ = find(s), find(d)
+        if rs != rd_:
+            if rs < rd_:
+                parent[rd_] = rs
+            else:
+                parent[rs] = rd_
+    rows = sorted((n, find(n)) for n in nodes)
+    sizes: dict[int, int] = {}
+    for _, c in rows:
+        sizes[c] = sizes.get(c, 0) + 1
+    return pd.DataFrame(
+        {
+            "host": np.array([n for n, _ in rows], np.int64),
+            "component_id": np.array([c for _, c in rows], np.int64),
+            "component_size": np.array(
+                [sizes[c] for _, c in rows], np.int64
+            ),
+        }
+    )

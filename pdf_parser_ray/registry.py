@@ -144,7 +144,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # max_repeated_ngram, sketch_quantile_error,
         # asof_event_join, storage_audit, sentence_stats,
         # embedding_drift, hll_error_eval, cms_error_eval,
-        # open_order_concurrency; outlink_stats and the extraction tail live
+        # open_order_concurrency, bigram_entropy, dedup_threshold_curve,
+        # host_components; outlink_stats and the extraction tail live
         # in __ray_entry__)) —
         # each oracle-backed in
         # tests/test_oracle.py; displacing a gated slot would cost an
@@ -319,6 +320,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_error_eval": sketch.hll_error_eval,
         "cms_error_eval": sketch.cms_error_eval,
         "open_order_concurrency": relational.open_order_concurrency,
+        "bigram_entropy": analysis.bigram_entropy,
+        "dedup_threshold_curve": dedup.dedup_threshold_curve,
+        "host_components": graph.host_components,
         "doc_top_terms": partial(
             analysis.doc_top_terms, vocab_cap=analysis.ORACLE_VOCAB_CAP
         ),

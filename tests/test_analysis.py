@@ -1663,3 +1663,74 @@ class TestSentenceStats:
         assert int(df.loc[1, "max_sent_chars"]) == max(lens)
         assert int(df.loc[2, "n_sentences"]) == 1
         assert int(df.loc[3, "n_sentences"]) == 0
+
+
+class TestBigramEntropy:
+    def test_deterministic_text_zero_and_mixed_positive(
+        self, ray_session, quiet_data_context, tmp_path
+    ):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pdf_parser_ray.pipelines.analysis import bigram_entropy
+
+        def run(docs, d):
+            d.mkdir(exist_ok=True)
+            pq.write_table(
+                pa.table(
+                    {
+                        "doc_id": pa.array(range(len(docs)), pa.int64()),
+                        "text": pa.array(docs),
+                    }
+                ),
+                str(d / "documents.parquet"),
+            )
+            return bigram_entropy(str(d)).to_pandas().iloc[0]
+
+        # fully deterministic successor: every w1 has ONE w2 -> H = 0
+        r = run(["a b a b a b"], tmp_path / "det")
+        assert int(r["h_micros"]) == 0
+        assert int(r["n_bigrams"]) == 5
+        # 'a' followed by b or c equally -> H = ln 2 per 'a'-bigram
+        r2 = run(["a b a c a b a c"], tmp_path / "mix")
+        # bigrams: ab,ba,ac,ca,ab,ba,ac  -> k1(a)=4 (ab x2, ac x2),
+        # k1(b)=2? b->a twice; c->a once... positive entropy
+        assert int(r2["h_micros"]) > 0
+
+    def test_brute_force_small(self, ray_session, quiet_data_context, tmp_path):
+        import math
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pdf_parser_ray.pipelines.analysis import bigram_entropy
+
+        docs = ["x y z x y", "y z y z"]
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([0, 1], pa.int64()),
+                    "text": pa.array(docs),
+                }
+            ),
+            str(tmp_path / "documents.parquet"),
+        )
+        from collections import Counter
+
+        big = Counter()
+        for t in docs:
+            ws = t.split()
+            for a, b in zip(ws[:-1], ws[1:]):
+                big[(a, b)] += 1
+        left = Counter()
+        for (a, _), k in big.items():
+            left[a] += k
+        A = sum(
+            k * math.floor(math.log(left[a] / k) * 1_000_000)
+            for (a, _), k in big.items()
+        )
+        N = sum(big.values())
+        r = bigram_entropy(str(tmp_path)).to_pandas().iloc[0]
+        assert int(r["n_bigrams"]) == N
+        assert int(r["n_distinct_bigrams"]) == len(big)
+        assert int(r["h_micros"]) == A // N

@@ -211,3 +211,26 @@ class TestNearDupRateBySource:
         real = got.drop("mirror")
         assert (real["n_dups"] > 0).any()  # re-delivery family binds
         assert got["n_docs"].sum() == len(c)
+
+
+class TestDedupThresholdCurve:
+    def test_monotone_and_consistent_with_pairs(
+        self, ray_session, quiet_data_context
+    ):
+        from pdf_parser_ray.pipelines.dedup import (
+            DEDUP_CURVE_THRESHOLDS, dedup_threshold_curve, minhash_dedup,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        curve = (
+            dedup_threshold_curve(sf)
+            .to_pandas()
+            .set_index("threshold_millis")["n_pairs"]
+        )
+        pairs = minhash_dedup(sf, threshold_millis=500).to_pandas()
+        real = pairs[pairs["doc_id_a"] >= 0]
+        for t in DEDUP_CURVE_THRESHOLDS:
+            assert int(curve[t]) == int((real["jaccard_millis"] >= t).sum())
+        # non-increasing in the threshold, and the lowest bin sees all
+        assert list(curve) == sorted(curve, reverse=True)
+        assert int(curve[500]) == len(real)

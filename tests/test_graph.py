@@ -193,3 +193,47 @@ class TestHostClustering:
             )
             assert int(r["cc_micros"]) == want
         assert got["cc_micros"].nunique() > 3  # coefficient varies
+
+
+class TestHostComponents:
+    def test_labels_are_reachability_consistent(
+        self, ray_session, quiet_data_context
+    ):
+        """Union-find labels agree with a brute-force BFS over the
+        same edge artifact; sizes partition the node set."""
+        from collections import deque
+
+        from pdf_parser_ray.pipelines.graph import (
+            host_components, host_graph_edges,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        edges = host_graph_edges(sf).to_pandas()
+        adj: dict[int, set[int]] = {}
+        for s, d in zip(edges["src"].astype(int), edges["dst"].astype(int)):
+            adj.setdefault(s, set()).add(d)
+            adj.setdefault(d, set()).add(s)
+        want: dict[int, int] = {}
+        for start in sorted(adj):
+            if start in want:
+                continue
+            seen = {start}
+            q = deque([start])
+            while q:
+                x = q.popleft()
+                for y in adj[x]:
+                    if y not in seen:
+                        seen.add(y)
+                        q.append(y)
+            label = min(seen)
+            for n in seen:
+                want[n] = label
+        got = host_components(sf)
+        assert {
+            int(r.host): int(r.component_id) for r in got.itertuples()
+        } == want
+        sizes = got.groupby("component_id")["host"].nunique()
+        assert int(sizes.sum()) == len(want)
+        assert (
+            got.groupby("component_id")["component_size"].first() == sizes
+        ).all()
