@@ -4224,6 +4224,8 @@ def oracle_sql() -> dict[str, str]:
         "bigram_entropy": _bigram_entropy_sql(),
         "dedup_threshold_curve": _dedup_curve_sql(),
         "host_components": _host_components_sql(),
+        "revenue_grouping_sets": _grouping_sets_sql(),
+        "value_psi": _value_psi_sql(),
         "hour_of_day_effect": _hour_effect_sql(),
         "target_encode_events": _target_encode_sql(),
         "customer_rfm": _rfm_sql(),
@@ -5260,6 +5262,66 @@ def _host_components_sql() -> str:
         "  CAST(lbl.comp AS BIGINT) component_id,"
         "  sz.n component_size"
         " FROM lbl JOIN sz USING (comp)"
+    )
+
+
+def _grouping_sets_sql() -> str:
+    """Mirror of relational.revenue_grouping_sets: native GROUPING
+    SETS with rolled-up dims coalesced to −1."""
+    return (
+        "WITH o AS (SELECT c.c_nationkey nk,"
+        "   CAST(year(o.o_orderdate) AS BIGINT) yr,"
+        "   CAST(round(o.o_totalprice*100) AS BIGINT) cents"
+        "   FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey)"
+        " SELECT CAST(coalesce(nk, -1) AS BIGINT) nation_key,"
+        "  CAST(coalesce(yr, -1) AS BIGINT) \"year\","
+        "  CAST(sum(cents) AS BIGINT) revenue_cc,"
+        "  CAST(count(*) AS BIGINT) n_orders"
+        " FROM o GROUP BY GROUPING SETS ((nk, yr), (nk), (yr), ())"
+    )
+
+
+def _value_psi_sql() -> str:
+    """Mirror of relational.value_psi: global decile edges at
+    quantile_disc ranks, half split at the time-range midpoint,
+    per-bin floored log factors with matching-sign differences, one
+    positive-operand integer division."""
+    from pdf_parser_ray.pipelines.relational import PSI_BINS
+
+    return (
+        "WITH e AS (SELECT epoch_us(ts) tm,"
+        "   CAST(round(value*100) AS BIGINT) v FROM events),"
+        " b AS (SELECT (min(tm)+max(tm))//2 cut, CAST(count(*) AS BIGINT)"
+        "   nt FROM e),"
+        " r AS (SELECT v, row_number() OVER (ORDER BY v) rn FROM e),"
+        f" dk AS (SELECT unnest(range(1, {PSI_BINS})) d),"
+        " edges AS (SELECT dk.d, r.v FROM dk, b JOIN r"
+        f"   ON r.rn = (dk.d*b.nt + {PSI_BINS} - 1)//{PSI_BINS}),"
+        # bin index = count of edges strictly below the value
+        # (searchsorted side='left': first edge >= v keeps v left)
+        " binned AS (SELECT CASE WHEN e.tm > (SELECT cut FROM b)"
+        "   THEN 1 ELSE 0 END half,"
+        "   (SELECT count(*) FROM edges WHERE edges.v < e.v) bin"
+        "   FROM e),"
+        " c AS (SELECT half, bin, CAST(count(*) AS BIGINT) n FROM binned"
+        "   GROUP BY 1, 2),"
+        " w AS (SELECT coalesce(a.bin, bb.bin) bin,"
+        "   coalesce(a.n, 0) an, coalesce(bb.n, 0) bn"
+        "   FROM (SELECT bin, n FROM c WHERE half = 0) a"
+        "   FULL JOIN (SELECT bin, n FROM c WHERE half = 1) bb"
+        "    USING (bin)),"
+        " tot AS (SELECT CAST(sum(an) AS BIGINT) na,"
+        "   CAST(sum(bn) AS BIGINT) nb FROM w),"
+        " terms AS (SELECT CAST((w.an*tot.nb - w.bn*tot.na) AS HUGEINT) *"
+        "   CAST(floor(ln((CAST(w.an AS DOUBLE)*tot.nb)/"
+        "    (CAST(w.bn AS DOUBLE)*tot.na))*1000000) AS BIGINT) term"
+        "   FROM w, tot WHERE w.an > 0 AND w.bn > 0),"
+        " used AS (SELECT CAST(count(*) AS BIGINT) u FROM w"
+        "   WHERE an > 0 AND bn > 0)"
+        " SELECT tot.na n_early, tot.nb n_late, used.u n_bins_used,"
+        "  CAST(CAST(coalesce((SELECT sum(term) FROM terms), 0) AS HUGEINT)"
+        "   // (CAST(tot.na AS HUGEINT)*tot.nb) AS BIGINT) psi_micros"
+        " FROM tot, used"
     )
 
 

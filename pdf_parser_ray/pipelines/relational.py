@@ -6970,3 +6970,191 @@ def open_order_concurrency(sf_dir: str) -> rd.Dataset:
             "n_open": h["n_open"].to_numpy(np.int64),
         }
     )
+
+
+def revenue_grouping_sets(sf_dir: str) -> rd.Dataset:
+    """(nation_key, year, revenue_cc, n_orders): order revenue by
+    GROUPING SETS ((nation, year), (nation), (year), ()) in ONE pass —
+    the CUBE/ROLLUP operator: each input row contributes to all four
+    grouping levels inside its batch partial, so the exchange carries
+    ≤ 4·|nations×years| narrow rows and the raw orders never shuffle.
+    Rolled-up dimensions surface as −1 (both engines).
+
+    Scale shape: the small customer→nation dim broadcasts as an
+    in-closure LUT (the _dim_rollup shape); the four levels share one
+    coarse groupby on the partial rows."""
+    import pandas as pd
+    import pyarrow.parquet as pq_  # noqa: N813
+
+    cust = pq_.read_table(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_nationkey"],
+    )
+    nation_of = dict(
+        zip(
+            cust.column("c_custkey").to_pylist(),
+            cust.column("c_nationkey").to_pylist(),
+        )
+    )
+
+    def partials(batch: pa.Table) -> pa.Table:
+        ck = batch.column("o_custkey").to_numpy(zero_copy_only=False)
+        cents = pc.cast(
+            pc.round(pc.multiply(batch.column("o_totalprice"), 100.0)),
+            pa.int64(),
+        ).to_numpy(zero_copy_only=False)
+        yr = (
+            pc.year(batch.column("o_orderdate"))
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        nk = np.fromiter(
+            (nation_of.get(int(k), -2) for k in ck), np.int64, count=len(ck)
+        )
+        df = pd.DataFrame({"n": nk, "y": yr, "c": cents})
+        levels = []
+        for keep_n, keep_y in ((1, 1), (1, 0), (0, 1), (0, 0)):
+            g = df.copy()
+            if not keep_n:
+                g["n"] = -1
+            if not keep_y:
+                g["y"] = -1
+            agg = g.groupby(["n", "y"], as_index=False).agg(
+                c=("c", "sum"), cnt=("c", "size")
+            )
+            levels.append(agg)
+        out = pd.concat(levels, ignore_index=True)
+        return pa.table(
+            {
+                "nation_key": pa.array(out["n"].to_numpy(np.int64)),
+                "year": pa.array(out["y"].to_numpy(np.int64)),
+                "c": pa.array(out["c"].to_numpy(np.int64)),
+                "cnt": pa.array(out["cnt"].to_numpy(np.int64)),
+            }
+        )
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["nation_key", "year"], as_index=False)[
+            ["c", "cnt"]
+        ].sum()
+        return pd.DataFrame(
+            {
+                "nation_key": out["nation_key"].to_numpy(np.int64),
+                "year": out["year"].to_numpy(np.int64),
+                "revenue_cc": out["c"].to_numpy(np.int64),
+                "n_orders": out["cnt"].to_numpy(np.int64),
+            }
+        )
+
+    return (
+        _t(sf_dir, "orders", ["o_custkey", "o_totalprice", "o_orderdate"])
+        .map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("nation_key")
+        .map_groups(arrow_udf(fold), batch_format="pandas")
+    )
+
+
+PSI_BINS = 10
+
+
+def value_psi(sf_dir: str) -> rd.Dataset:
+    """(n_early, n_late, n_bins_used, psi_micros): the Population
+    Stability Index of the event-value distribution between the early
+    and late halves of the time range — THE model-monitoring drift
+    metric (rule of thumb: <0.1 stable, >0.25 shifted).  Bin edges are
+    the GLOBAL value deciles (quantile_disc ranks), so bins are
+    well-populated by construction; bins empty on either side are
+    skipped and counted.
+
+    Exactness: with per-bin counts (a_i, b_i) and totals (n_a, n_b),
+    each term (a_i·n_b − b_i·n_a)·floor-or-ceil'd… — concretely the
+    per-bin log factor mᵢ = floor(ln((aᵢ·n_b)/(bᵢ·n_a))·10⁶) is an
+    exact int whose sign matches (aᵢ·n_b − bᵢ·n_a), so every term is
+    ≥ 0 and psi_micros = Σ termᵢ // (n_a·n_b) divides non-negative
+    integers on both engines.
+
+    Scale shape: one value-histogram fold picks the decile edges
+    (bounded cents domain); one (bin, half) count fold of 2·10 rows;
+    driver math assembles the scalar."""
+    import pandas as pd
+
+    def hist(batch: pa.Table) -> pa.Table:
+        ts = pc.cast(batch.column("ts"), pa.int64())
+        cents = pc.cast(
+            pc.round(pc.multiply(batch.column("value"), 100.0)), pa.int64()
+        )
+        g = (
+            pa.table({"v": cents, "t": ts})
+            .group_by(["v"])
+            .aggregate([([], "count_all"), ("t", "min"), ("t", "max")])
+        )
+        return pa.table(
+            {
+                "v": g.column("v"),
+                "n": g.column("count_all"),
+                "tmin": g.column("t_min"),
+                "tmax": g.column("t_max"),
+            }
+        )
+
+    h = (
+        _t(sf_dir, "events", ["ts", "value"])
+        .map_batches(hist, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()
+    )
+    t_cut = (int(h["tmin"].min()) + int(h["tmax"].max())) // 2
+    vh = h.groupby("v", as_index=False)["n"].sum().sort_values("v")
+    v = vh["v"].to_numpy(np.int64)
+    cum = np.cumsum(vh["n"].to_numpy(np.int64))
+    n_tot = int(cum[-1])
+    edges = []
+    for d in range(1, PSI_BINS):
+        rank = -(-d * n_tot // PSI_BINS)  # ceil, positive operands
+        edges.append(int(v[int(np.searchsorted(cum, rank))]))
+    edges_arr = np.array(edges, np.int64)
+
+    def bin_counts(batch: pa.Table) -> pa.Table:
+        ts = pc.cast(batch.column("ts"), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        cents = pc.cast(
+            pc.round(pc.multiply(batch.column("value"), 100.0)), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        half = (ts > t_cut).astype(np.int64)
+        b = np.searchsorted(edges_arr, cents, side="left")
+        key = half * PSI_BINS + b
+        counts = np.bincount(key, minlength=2 * PSI_BINS)
+        return pa.table(
+            {
+                "k": pa.array(np.arange(2 * PSI_BINS, dtype=np.int64)),
+                "n": pa.array(counts.astype(np.int64)),
+            }
+        )
+
+    c = (
+        _t(sf_dir, "events", ["ts", "value"])
+        .map_batches(bin_counts, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()
+        .groupby("k")["n"]
+        .sum()
+    )
+    a = [int(c.get(i, 0)) for i in range(PSI_BINS)]
+    b = [int(c.get(PSI_BINS + i, 0)) for i in range(PSI_BINS)]
+    n_a, n_b = sum(a), sum(b)
+    total = 0
+    used = 0
+    for ai, bi in zip(a, b):
+        if ai == 0 or bi == 0:
+            continue
+        used += 1
+        m = int(np.floor(np.log((ai * n_b) / (bi * n_a)) * 1_000_000.0))
+        total += (ai * n_b - bi * n_a) * m
+    psi = total // (n_a * n_b)
+    return pd.DataFrame(
+        {
+            "n_early": np.array([n_a], np.int64),
+            "n_late": np.array([n_b], np.int64),
+            "n_bins_used": np.array([used], np.int64),
+            "psi_micros": np.array([psi], np.int64),
+        }
+    )

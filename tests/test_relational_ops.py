@@ -1990,3 +1990,68 @@ class TestOpenOrderConcurrency:
         # day 0: {1}; day 1: {1,2}; day 2: {1} (2 closed); day 3: {};
         # day 4: {3}; day 6: {}
         assert got == {0: 1, 1: 2, 2: 1, 3: 0, 4: 1, 6: 0}
+
+
+class TestRevenueGroupingSets:
+    def test_levels_consistent(self, ray_session, quiet_data_context):
+        """The four grouping levels are mutually consistent: the grand
+        total (-1, -1) equals the sum of the (nation, year) cells, and
+        each marginal sums its slice."""
+        from pdf_parser_ray.pipelines.relational import revenue_grouping_sets
+
+        df = revenue_grouping_sets("/root/testdata/sf0.001").to_pandas()
+        cells = df[(df["nation_key"] >= 0) & (df["year"] >= 0)]
+        nat = df[(df["nation_key"] >= 0) & (df["year"] == -1)]
+        yr = df[(df["nation_key"] == -1) & (df["year"] >= 0)]
+        grand = df[(df["nation_key"] == -1) & (df["year"] == -1)]
+        assert len(grand) == 1
+        for col in ("revenue_cc", "n_orders"):
+            assert int(grand[col].iloc[0]) == int(cells[col].sum())
+            assert int(nat[col].sum()) == int(cells[col].sum())
+            assert int(yr[col].sum()) == int(cells[col].sum())
+        # every nation marginal equals its cells
+        for nk, sub in cells.groupby("nation_key"):
+            row = nat[nat["nation_key"] == nk]
+            assert int(row["revenue_cc"].iloc[0]) == int(sub["revenue_cc"].sum())
+
+
+class TestValuePSI:
+    def test_identical_halves_near_zero(
+        self, ray_session, quiet_data_context, tmp_path
+    ):
+        """A distribution repeated identically in both halves scores
+        PSI 0; a shifted late half scores clearly positive."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pdf_parser_ray.pipelines.relational import value_psi
+
+        def write(vals_early, vals_late, d):
+            d.mkdir(exist_ok=True)
+            ts = list(range(len(vals_early))) + [
+                10_000_000 + i for i in range(len(vals_late))
+            ]
+            pq.write_table(
+                pa.table(
+                    {
+                        "ts": pa.array(
+                            [t * 1_000_000 for t in ts], pa.timestamp("us")
+                        ),
+                        "value": pa.array(
+                            [v / 100 for v in vals_early + vals_late]
+                        ),
+                    }
+                ),
+                str(d / "events.parquet"),
+            )
+            return str(d)
+
+        base = [100 + 7 * (i % 40) for i in range(200)]
+        sf = write(base, base, tmp_path / "same")
+        r = value_psi(sf).iloc[0]
+        assert int(r["psi_micros"]) == 0
+        assert int(r["n_early"]) == int(r["n_late"]) == 200
+
+        shifted = [v + 150 for v in base]
+        r2 = value_psi(write(base, shifted, tmp_path / "shift")).iloc[0]
+        assert int(r2["psi_micros"]) > 100_000  # PSI > 0.1: drifted
