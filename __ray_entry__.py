@@ -4226,6 +4226,8 @@ def oracle_sql() -> dict[str, str]:
         "host_components": _host_components_sql(),
         "revenue_grouping_sets": _grouping_sets_sql(),
         "value_psi": _value_psi_sql(),
+        "value_fivenum": _fivenum_sql(),
+        "lang_token_density": _lang_density_sql(),
         "hour_of_day_effect": _hour_effect_sql(),
         "target_encode_events": _target_encode_sql(),
         "customer_rfm": _rfm_sql(),
@@ -5322,6 +5324,50 @@ def _value_psi_sql() -> str:
         "  CAST(CAST(coalesce((SELECT sum(term) FROM terms), 0) AS HUGEINT)"
         "   // (CAST(tot.na AS HUGEINT)*tot.nb) AS BIGINT) psi_micros"
         " FROM tot, used"
+    )
+
+
+def _fivenum_sql() -> str:
+    """Mirror of relational.value_fivenum: per-type row_number ranks
+    at ceil(q·n) via (a+b−1)//b, ×4 integer Tukey fences."""
+    return (
+        "WITH e AS (SELECT event_type t,"
+        "   CAST(round(value*100) AS BIGINT) v FROM events),"
+        " r AS (SELECT t, v, row_number() OVER (PARTITION BY t"
+        "   ORDER BY v) rn FROM e),"
+        " n AS (SELECT t, CAST(count(*) AS BIGINT) nt FROM e GROUP BY t),"
+        " qs AS (SELECT n.t,"
+        "   (SELECT r.v FROM r WHERE r.t = n.t"
+        "     AND r.rn = greatest(1, (1*n.nt + 3)//4)) q1,"
+        "   (SELECT r.v FROM r WHERE r.t = n.t"
+        "     AND r.rn = greatest(1, (2*n.nt + 3)//4)) med,"
+        "   (SELECT r.v FROM r WHERE r.t = n.t"
+        "     AND r.rn = greatest(1, (3*n.nt + 3)//4)) q3,"
+        "   (SELECT min(v) FROM e WHERE e.t = n.t) mn,"
+        "   (SELECT max(v) FROM e WHERE e.t = n.t) mx FROM n)"
+        " SELECT qs.t event_type, CAST(qs.mn AS BIGINT) min_c,"
+        "  CAST(qs.q1 AS BIGINT) q1_c, CAST(qs.med AS BIGINT) med_c,"
+        "  CAST(qs.q3 AS BIGINT) q3_c, CAST(qs.mx AS BIGINT) max_c,"
+        "  CAST((SELECT count(*) FROM e WHERE e.t = qs.t"
+        "   AND (4*e.v < 4*qs.q1 - 6*(qs.q3 - qs.q1)"
+        "    OR 4*e.v > 4*qs.q3 + 6*(qs.q3 - qs.q1))) AS BIGINT)"
+        "   n_outliers"
+        " FROM qs"
+    )
+
+
+def _lang_density_sql() -> str:
+    """Mirror of analysis.lang_token_density: whitespace tokens and
+    char lengths per lang, (10⁶·tokens)//chars milli ratio."""
+    return (
+        f"WITH d AS (SELECT lang, len({_WORDS_EXPR}) tk,"
+        "   length(text) ch FROM documents)"
+        " SELECT lang, CAST(count(*) AS BIGINT) n_docs,"
+        "  CAST(sum(tk) AS BIGINT) n_tokens,"
+        "  CAST(sum(ch) AS BIGINT) n_chars,"
+        "  CAST((1000000*CAST(sum(tk) AS HUGEINT)) // sum(ch) AS BIGINT)"
+        "   tokens_per_kchar_milli"
+        " FROM d GROUP BY lang"
     )
 
 

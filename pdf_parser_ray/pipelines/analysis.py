@@ -4283,3 +4283,56 @@ def bigram_entropy(sf_dir: str) -> rd.Dataset:
         .groupby("fin")
         .map_groups(arrow_udf(combine), batch_format="pandas")
     )
+
+
+def lang_token_density(sf_dir: str) -> rd.Dataset:
+    """(lang, n_docs, n_tokens, n_chars, tokens_per_kchar_milli): how
+    many whitespace tokens a kilochar of each language's text carries
+    — the tokenizer-budget planner (compact scripts inflate per-char
+    token costs; the milli ratio is (10⁶·tokens) // chars).
+
+    Scale shape: map-only per-batch (lang, docs, tokens, chars)
+    partials through one lang-keyed combine."""
+    import numpy as np
+    import pandas as pd
+
+    def partials(batch: pa.Table) -> pa.Table:
+        rows: dict[str, list[int]] = {}
+        for lang, t in zip(
+            batch.column("lang").to_pylist(), batch.column("text").to_pylist()
+        ):
+            r = rows.setdefault(lang, [0, 0, 0])
+            r[0] += 1
+            r[1] += len(t.split())
+            r[2] += len(t)
+        langs = list(rows)
+        return pa.table(
+            {
+                "lang": pa.array(langs, pa.string()),
+                "d": pa.array([rows[k][0] for k in langs], pa.int64()),
+                "tk": pa.array([rows[k][1] for k in langs], pa.int64()),
+                "ch": pa.array([rows[k][2] for k in langs], pa.int64()),
+            }
+        )
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        lang = g["lang"].iloc[0]
+        d, tk, ch = int(g["d"].sum()), int(g["tk"].sum()), int(g["ch"].sum())
+        return pd.DataFrame(
+            {
+                "lang": [lang],
+                "n_docs": np.array([d], np.int64),
+                "n_tokens": np.array([tk], np.int64),
+                "n_chars": np.array([ch], np.int64),
+                "tokens_per_kchar_milli": np.array(
+                    [(1_000_000 * tk) // ch], np.int64
+                ),
+            }
+        )
+
+    return (
+        _docs(sf_dir, ["lang", "text"])
+        .map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("lang")
+        .map_groups(arrow_udf(fold), batch_format="pandas")
+    )

@@ -7158,3 +7158,68 @@ def value_psi(sf_dir: str) -> rd.Dataset:
             "psi_micros": np.array([psi], np.int64),
         }
     )
+
+
+def value_fivenum(sf_dir: str) -> rd.Dataset:
+    """(event_type, min_c, q1_c, med_c, q3_c, max_c, n_outliers): the
+    Tukey five-number summary of event values per type plus the
+    1.5·IQR outlier count — the box-plot profile a monitoring
+    dashboard draws.  Quartiles at quantile_disc ranks ceil(q·n);
+    fences are exact integer arithmetic (4·x vs 4·q ± 6·IQR avoids
+    the 1.5 float).
+
+    Scale shape: one (type, cents) histogram exchange — bounded by
+    types × distinct values — with rank reads and fence counts per
+    type inside the combine."""
+    import pandas as pd
+
+    def partials(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.round(pc.multiply(batch.column("value"), 100.0)), pa.int64()
+        )
+        g = (
+            pa.table({"t": batch.column("event_type"), "v": cents})
+            .group_by(["t", "v"])
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {"t": g.column("t"), "v": g.column("v"), "n": g.column("count_all")}
+        )
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        t = g["t"].iloc[0]
+        agg = g.groupby("v", as_index=False)["n"].sum().sort_values("v")
+        v = agg["v"].to_numpy(np.int64)
+        cnt = agg["n"].to_numpy(np.int64)
+        cum = np.cumsum(cnt)
+        n = int(cum[-1])
+
+        def at(q_num: int, q_den: int) -> int:
+            rank = max(1, -(-q_num * n // q_den))
+            return int(v[int(np.searchsorted(cum, rank))])
+
+        q1, med, q3 = at(1, 4), at(2, 4), at(3, 4)
+        iqr = q3 - q1
+        # outliers: 4·x < 4·q1 − 6·IQR or 4·x > 4·q3 + 6·IQR (×4 keeps
+        # the 1.5 factor integer)
+        lo_f = 4 * q1 - 6 * iqr
+        hi_f = 4 * q3 + 6 * iqr
+        out = int(cnt[(4 * v < lo_f) | (4 * v > hi_f)].sum())
+        return pd.DataFrame(
+            {
+                "event_type": [t],
+                "min_c": np.array([int(v[0])], np.int64),
+                "q1_c": np.array([q1], np.int64),
+                "med_c": np.array([med], np.int64),
+                "q3_c": np.array([q3], np.int64),
+                "max_c": np.array([int(v[-1])], np.int64),
+                "n_outliers": np.array([out], np.int64),
+            }
+        )
+
+    return (
+        _t(sf_dir, "events", ["event_type", "value"])
+        .map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("t")
+        .map_groups(arrow_udf(fold), batch_format="pandas")
+    )

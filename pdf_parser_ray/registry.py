@@ -145,7 +145,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # asof_event_join, storage_audit, sentence_stats,
         # embedding_drift, hll_error_eval, cms_error_eval,
         # open_order_concurrency, bigram_entropy, dedup_threshold_curve,
-        # host_components, revenue_grouping_sets, value_psi;
+        # host_components, revenue_grouping_sets, value_psi,
+        # value_fivenum, lang_token_density;
         # outlink_stats and the extraction tail live
         # in __ray_entry__)) —
         # each oracle-backed in
@@ -326,6 +327,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_components": graph.host_components,
         "revenue_grouping_sets": relational.revenue_grouping_sets,
         "value_psi": relational.value_psi,
+        "value_fivenum": relational.value_fivenum,
+        "lang_token_density": analysis.lang_token_density,
         "doc_top_terms": partial(
             analysis.doc_top_terms, vocab_cap=analysis.ORACLE_VOCAB_CAP
         ),

@@ -1734,3 +1734,28 @@ class TestBigramEntropy:
         assert int(r["n_bigrams"]) == N
         assert int(r["n_distinct_bigrams"]) == len(big)
         assert int(r["h_micros"]) == A // N
+
+
+class TestLangTokenDensity:
+    def test_brute_force(self, ray_session, quiet_data_context):
+        import pyarrow.parquet as pq
+
+        from pdf_parser_ray.pipelines.analysis import lang_token_density
+
+        df = (
+            lang_token_density("/root/testdata/sf0.001")
+            .to_pandas()
+            .set_index("lang")
+        )
+        t = pq.read_table(
+            "/root/testdata/sf0.001/documents.parquet",
+            columns=["lang", "text"],
+        ).to_pandas()
+        for lang, sub in t.groupby("lang"):
+            tk = int(sub["text"].str.split().str.len().sum())
+            ch = int(sub["text"].str.len().sum())
+            row = df.loc[lang]
+            assert int(row["n_docs"]) == len(sub)
+            assert int(row["n_tokens"]) == tk
+            assert int(row["n_chars"]) == ch
+            assert int(row["tokens_per_kchar_milli"]) == 1_000_000 * tk // ch

@@ -2055,3 +2055,37 @@ class TestValuePSI:
         shifted = [v + 150 for v in base]
         r2 = value_psi(write(base, shifted, tmp_path / "shift")).iloc[0]
         assert int(r2["psi_micros"]) > 100_000  # PSI > 0.1: drifted
+
+
+class TestValueFivenum:
+    def test_brute_force_numpy(self, ray_session, quiet_data_context):
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from pdf_parser_ray.pipelines.relational import value_fivenum
+
+        df = (
+            value_fivenum("/root/testdata/sf0.001")
+            .to_pandas()
+            .set_index("event_type")
+        )
+        ev = pq.read_table(
+            "/root/testdata/sf0.001/events.parquet",
+            columns=["event_type", "value"],
+        ).to_pandas()
+        cents = (ev["value"] * 100).round().astype("int64")
+        for t, sub in cents.groupby(ev["event_type"]):
+            v = np.sort(sub.to_numpy())
+            n = len(v)
+
+            def at(qn, qd):
+                return int(v[max(1, -(-qn * n // qd)) - 1])
+
+            row = df.loc[t]
+            q1, q3 = at(1, 4), at(3, 4)
+            iqr = q3 - q1
+            out = int(((4 * v < 4 * q1 - 6 * iqr) | (4 * v > 4 * q3 + 6 * iqr)).sum())
+            assert (
+                int(row["min_c"]), int(row["q1_c"]), int(row["med_c"]),
+                int(row["q3_c"]), int(row["max_c"]), int(row["n_outliers"]),
+            ) == (int(v[0]), q1, at(2, 4), q3, int(v[-1]), out)
